@@ -1,0 +1,193 @@
+"""Parse processors: dissect and decode_json_fields.
+
+Dissect wrapper semantics (reference ``dissect/processor.go``): reads
+``field`` (default ``message``), writes keys under ``target_prefix``
+(default ``dissect``, empty = root), refuses to overwrite existing columns
+unless ``overwrite_keys``, and on per-row parse failure appends
+``dissect_parsing_error`` to the flags column (instead of erroring, i.e.
+the ``ignore_failure`` path — a distributed batch engine cannot abort a
+chain per row).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..dissect import Dissector
+from ..errors import ConfigError
+from ..model import FLAG_DISSECT_ERROR, META_ID
+from . import Processor, add_flag, get_column, register, set_column
+
+
+@register("dissect")
+class DissectProcessor(Processor):
+    def __init__(self, tokenizer: str, field: str = "message",
+                 target_prefix: str = "dissect",
+                 overwrite_keys: bool = False, ignore_failure: bool = True,
+                 trim_values: str = "none", trim_chars: str = " "):
+        self.d = Dissector(tokenizer, trim_values=trim_values,
+                           trim_chars=trim_chars)
+        if not self.d.vectorized and any(
+                f.kind in (3, 5) for f in self.d.fields):  # POINTER/INDIRECT
+            raise ConfigError(
+                "dissect: indirect/pointer keys produce row-dependent output "
+                "columns; use the script processor for those patterns")
+        self.field = field
+        self.prefix = f"{target_prefix}." if target_prefix else ""
+        self.overwrite = overwrite_keys
+
+    def apply(self, tbl: pa.Table) -> pa.Table:
+        col = get_column(tbl, self.field)
+        if col is None:
+            raise ConfigError(f"dissect: missing field {self.field!r}")
+        values, ok = self.d.dissect_column(col)
+        for key, arr in values.items():
+            name = self.prefix + key
+            if name in tbl.column_names and not self.overwrite:
+                raise ConfigError(f"dissect: cannot override existing key "
+                                  f"{name!r}")
+            tbl = set_column(tbl, name, arr)
+        return add_flag(tbl, pc.invert(ok), FLAG_DISSECT_ERROR)
+
+
+@register("decode_json_fields")
+class DecodeJsonFields(Processor):
+    """Parse JSON string field(s) (``actions/decode_json_fields.go``).
+
+    Decoded keys are flattened to dotted names and written under ``target``
+    (or the root when ``target`` is ``""``). For stable distributed schemas
+    the output column set must be static per pipeline: pass
+    ``expected_keys`` (list of dotted keys, optionally ``key:type`` with
+    type in str/int/float/bool); keys outside the list are preserved in a
+    ``<target>._raw``-free manner only if ``keep_unexpected_json`` names a
+    column to hold the raw remainder. ``document_id`` extracts that key
+    into ``meta_id`` and removes it from the decoded map.
+    """
+
+    _TYPES = {"str": pa.string(), "int": pa.int64(), "float": pa.float64(),
+              "bool": pa.bool_()}
+
+    def __init__(self, fields: list[str], target: str = "",
+                 expected_keys: list[str] | None = None,
+                 max_depth: int = 1, process_array: bool = False,
+                 overwrite_keys: bool = False, add_error_key: bool = False,
+                 document_id: str = "", ignore_missing: bool = True):
+        self.fields = [fields] if isinstance(fields, str) else list(fields)
+        self.prefix = f"{target}." if target else ""
+        self.max_depth = max_depth
+        self.process_array = process_array
+        self.overwrite = overwrite_keys
+        self.add_error_key = add_error_key
+        self.document_id = document_id
+        self.ignore_missing = ignore_missing
+        self.expected: list[tuple[str, pa.DataType]] | None = None
+        if expected_keys is not None:
+            self.expected = []
+            for k in expected_keys:
+                if ":" in k:
+                    name, t = k.rsplit(":", 1)
+                    self.expected.append((name, self._TYPES[t]))
+                else:
+                    self.expected.append((k, pa.string()))
+
+    def _flatten(self, obj, depth: int, prefix: str, out: dict):
+        for k, v in obj.items():
+            key = prefix + k
+            if isinstance(v, dict) and depth < self.max_depth:
+                self._flatten(v, depth + 1, key + ".", out)
+            else:
+                out[key] = v
+
+    def apply(self, tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        for field in self.fields:
+            col = get_column(tbl, field)
+            if col is None:
+                if self.ignore_missing:
+                    continue
+                raise ConfigError(f"decode_json_fields: missing {field!r}")
+            rows: list[dict | None] = []
+            bad = [False] * n
+            for i, v in enumerate(col.to_pylist()):
+                if v is None:
+                    rows.append(None)
+                    continue
+                s = v.strip() if isinstance(v, str) else ""
+                if not (s.startswith("{") or
+                        (self.process_array and s.startswith("["))):
+                    rows.append(None)
+                    bad[i] = True
+                    continue
+                try:
+                    obj = json.loads(s)
+                except (json.JSONDecodeError, ValueError):
+                    rows.append(None)
+                    bad[i] = True
+                    continue
+                if isinstance(obj, dict):
+                    flat: dict = {}
+                    self._flatten(obj, 1, "", flat)
+                    rows.append(flat)
+                elif isinstance(obj, list) and self.process_array:
+                    rows.append({"array": obj})
+                else:
+                    rows.append(None)
+                    bad[i] = True
+            if self.document_id:
+                ids = [None if r is None else r.pop(self.document_id, None)
+                       for r in rows]
+                if any(x is not None for x in ids):
+                    ids = [None if x is None else str(x) for x in ids]
+                    tbl = set_column(tbl, META_ID, pa.array(ids, pa.string()))
+            if self.expected is not None:
+                keys = self.expected
+            else:
+                seen: list[str] = []
+                for r in rows:
+                    if r:
+                        for k in r:
+                            if k not in seen:
+                                seen.append(k)
+                keys = [(k, None) for k in seen]
+            for key, typ in keys:
+                name = self.prefix + key
+                if name in tbl.column_names and not self.overwrite:
+                    continue
+                vals = [None if r is None else r.get(key) for r in rows]
+                if typ is not None:
+                    conv = []
+                    for x in vals:
+                        if x is None:
+                            conv.append(None)
+                        elif typ == pa.string() and not isinstance(x, str):
+                            conv.append(json.dumps(x, separators=(",", ":")))
+                        else:
+                            try:
+                                conv.append(
+                                    x if typ == pa.string() else
+                                    int(x) if typ == pa.int64() else
+                                    float(x) if typ == pa.float64() else
+                                    bool(x))
+                            except (TypeError, ValueError):
+                                conv.append(None)
+                    arr = pa.array(conv, typ)
+                else:
+                    try:
+                        arr = pa.array(vals)
+                    except (pa.ArrowInvalid, pa.ArrowTypeError):
+                        arr = pa.array([None if x is None else
+                                        json.dumps(x, separators=(",", ":"))
+                                        if not isinstance(x, str) else x
+                                        for x in vals], pa.string())
+                tbl = set_column(tbl, name, arr)
+            if self.add_error_key:
+                tbl = add_flag(tbl, pa.array(bad, pa.bool_()),
+                               "json_decode_error")
+            # always expose per-row success for routing decisions
+            oks = pa.array([r is not None for r in rows], pa.bool_())
+            tbl = set_column(tbl, f"{field}_json_ok" if field != "text"
+                             else "json_ok", oks)
+        return tbl

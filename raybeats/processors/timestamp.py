@@ -1,0 +1,92 @@
+"""``timestamp`` processor (reference ``libbeat/processors/timestamp/``):
+parse a string field with a layout fallback chain into a timestamp column
+(UTC). Go reference-time layouts are translated to strftime; ``UNIX`` and
+``UNIX_MS`` numeric layouts supported."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..errors import ConfigError
+from . import Processor, add_flag, get_column, register, set_column
+
+# Go reference-time tokens -> strftime, longest first
+_GO_TOKENS = [
+    ("2006", "%Y"), ("Jan", "%b"), ("January", "%B"),
+    ("01", "%m"), ("02", "%d"), ("15", "%H"), ("04", "%M"), ("05", "%S"),
+    ("-07:00", "%z"), ("Z07:00", "%z"), ("-0700", "%z"), ("MST", "%Z"),
+    ("PM", "%p"),
+]
+
+
+def go_layout_to_strftime(layout: str) -> str:
+    if "%" in layout:
+        return layout  # already strftime
+    out = layout
+    # fractional seconds: .000... / .999...
+    import re
+    out = re.sub(r"\.(0+|9+)", ".%f", out)
+    for go, st in _GO_TOKENS:
+        out = out.replace(go, st)
+    return out
+
+
+@register("timestamp")
+class Timestamp(Processor):
+    def __init__(self, field: str, layouts: list[str],
+                 target_field: str = "ts", timezone: str = "UTC",
+                 ignore_missing: bool = False, ignore_failure: bool = True,
+                 test: list[str] | None = None):
+        self.field = field
+        self.layouts = [go_layout_to_strftime(x) for x in
+                        ([layouts] if isinstance(layouts, str) else layouts)]
+        self.target = target_field
+        self.ignore_missing = ignore_missing
+        if timezone not in ("UTC", "Etc/UTC", "Local", ""):
+            raise ConfigError("timestamp: only UTC supported in this engine")
+        if test:
+            probe = pa.array(test, pa.string())
+            parsed, _ = self._parse(probe)
+            if parsed.null_count:
+                raise ConfigError(f"timestamp: test values failed: {test}")
+
+    def _parse(self, col: pa.Array):
+        result = pa.nulls(len(col), pa.timestamp("us"))
+        for layout in self.layouts:
+            if layout in ("UNIX", "UNIX_MS"):
+                try:
+                    num = pc.cast(col, pa.float64())
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    continue
+                unit = 1_000_000 if layout == "UNIX" else 1_000
+                cand = pc.cast(pc.cast(pc.multiply(num, float(unit)),
+                                       pa.int64()),
+                               pa.timestamp("us"))
+            else:
+                try:
+                    cand = pc.cast(
+                        pc.strptime(col, format=layout, unit="us",
+                                    error_is_null=True),
+                        pa.timestamp("us"))
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    continue
+            result = pc.if_else(pc.is_valid(result), result, cand)
+            if result.null_count == 0:
+                break
+        ok = pc.or_(pc.is_valid(result), pc.is_null(col))
+        return result, ok
+
+    def apply(self, tbl: pa.Table) -> pa.Table:
+        col = get_column(tbl, self.field)
+        if col is None:
+            if self.ignore_missing:
+                return tbl
+            raise ConfigError(f"timestamp: missing {self.field!r}")
+        parsed, ok = self._parse(pc.cast(col, pa.string()))
+        if self.target in tbl.column_names:
+            old = get_column(tbl, self.target)
+            if old.type == parsed.type:
+                parsed = pc.if_else(pc.is_valid(parsed), parsed, old)
+        tbl = set_column(tbl, self.target, parsed)
+        return add_flag(tbl, pc.invert(ok), "timestamp_parse_error")

@@ -1,0 +1,251 @@
+import base64
+import gzip
+import json
+
+import pyarrow as pa
+import pytest
+
+from raybeats.errors import ConfigError
+from raybeats.fmtstr import EventFormatString
+from raybeats.model import FLAGS, META_ID
+from raybeats.processors import build_chain, build_processor
+
+
+def T(**cols):
+    return pa.table(cols)
+
+
+def col(tbl, name):
+    return tbl.column(name).to_pylist()
+
+
+# ----------------------------------------------------------------- fmtstr
+
+def test_fmtstr_fields_and_defaults():
+    f = EventFormatString("events-%{[level]:none}")
+    t = T(level=pa.array(["info", None, "warn"]))
+    assert f.evaluate(t).to_pylist() == ["events-info", "events-none", "events-warn"]
+    g = EventFormatString("x-%{[missing]}")
+    assert g.evaluate(t).to_pylist() == [None, None, None]
+
+
+def test_fmtstr_date():
+    f = EventFormatString("idx-%{+yyyy.MM.dd}")
+    t = T(ts=pa.array([1704067200000000], pa.timestamp("us")))
+    assert f.evaluate(t).to_pylist() == ["idx-2024.01.01"]
+
+
+# ------------------------------------------------------------- processors
+
+def test_add_fields_nested_target():
+    p = build_processor({"add_fields": {"target": "project",
+                                        "fields": {"name": "x", "meta": {"v": 1}}}})
+    t = p.apply(T(a=pa.array([1, 2])))
+    assert col(t, "project.name") == ["x", "x"]
+    assert col(t, "project.meta.v") == [1, 1]
+
+
+def test_add_tags_union():
+    p = build_processor({"add_tags": {"tags": ["web", "prod"]}})
+    t = p.apply(T(a=pa.array([1])))
+    t = build_processor({"add_tags": {"tags": ["prod", "x"]}}).apply(t)
+    assert col(t, "tags") == [["web", "prod", "x"]]
+
+
+def test_rename_copy_drop_include():
+    t = T(a=pa.array([1]), b=pa.array(["z"]), ts=pa.array([0]))
+    t2 = build_processor({"rename": {"fields": [{"from": "a", "to": "c"}]}}).apply(t)
+    assert "a" not in t2.column_names and col(t2, "c") == [1]
+    t3 = build_processor({"copy_fields": {"fields": [{"from": "b", "to": "b2"}]}}).apply(t2)
+    assert col(t3, "b2") == ["z"]
+    t4 = build_processor({"drop_fields": {"fields": ["b2", "nope"]}}).apply(t3)
+    assert "b2" not in t4.column_names
+    t5 = build_processor({"include_fields": {"fields": ["c"]}}).apply(t4)
+    assert set(t5.column_names) == {"c", "ts"}
+
+
+def test_rename_conflict_raises():
+    t = T(a=pa.array([1]), b=pa.array([2]))
+    with pytest.raises(ConfigError):
+        build_processor({"rename": {"fields": [{"from": "a", "to": "b"}]}}).apply(t)
+
+
+def test_replace_truncate():
+    t = T(s=pa.array(["aaa-bbb", "xyz"]))
+    t = build_processor({"replace": {"fields": [
+        {"field": "s", "pattern": "a+", "replacement": "A"}]}}).apply(t)
+    assert col(t, "s") == ["A-bbb", "xyz"]
+    t = build_processor({"truncate_fields": {"fields": ["s"],
+                                             "max_characters": 3}}).apply(t)
+    assert col(t, "s") == ["A-b", "xyz"]
+
+
+def test_drop_event_when():
+    p = build_processor({"drop_event": {"when": {"equals": {"lvl": "debug"}}}})
+    t = p.apply(T(lvl=pa.array(["info", "debug", "warn"])))
+    assert col(t, "lvl") == ["info", "warn"]
+
+
+def test_when_guard_column_merge():
+    p = build_processor({"add_fields": {"target": "", "fields": {"hit": "y"},
+                                        "when": {"equals": {"lvl": "err"}}}})
+    t = p.apply(T(lvl=pa.array(["err", "ok"])))
+    assert col(t, "hit") == ["y", None]
+
+
+def test_if_then_else():
+    p = build_processor({
+        "if": {"range": {"n.gte": 10}},
+        "then": [{"add_fields": {"target": "", "fields": {"size": "big"}}}],
+        "else": [{"add_fields": {"target": "", "fields": {"size": "small"}}}]})
+    t = p.apply(T(n=pa.array([5, 20])))
+    got = dict(zip(col(t, "n"), col(t, "size")))
+    assert got == {5: "small", 20: "big"}
+
+
+def test_convert():
+    t = T(s=pa.array(["1", "2", "zz"]))
+    t = build_processor({"convert": {"fields": [
+        {"from": "s", "to": "n", "type": "long"}]}}).apply(t)
+    assert col(t, "n") == [1, 2, None]
+    assert "convert_error" in (col(t, FLAGS)[2] or "")
+
+
+def test_timestamp_layouts():
+    t = T(raw=pa.array(["2024-01-02T03:04:05Z", "bogus"]))
+    t = build_processor({"timestamp": {
+        "field": "raw", "layouts": ["2006-01-02T15:04:05Z"],
+        "target_field": "parsed"}}).apply(t)
+    vals = col(t, "parsed")
+    assert vals[0] is not None and vals[0].year == 2024 and vals[0].second == 5
+    assert vals[1] is None
+
+
+def test_decode_json_fields():
+    rows = [json.dumps({"event": "go", "k": 7, "doc_id": "d1",
+                        "nested": {"a": 1}}),
+            "not json", None]
+    t = T(text=pa.array(rows))
+    p = build_processor({"decode_json_fields": {
+        "fields": ["text"], "target": "j", "max_depth": 2,
+        "document_id": "doc_id",
+        "expected_keys": ["event", "k:int", "nested.a:int"]}})
+    t = p.apply(t)
+    assert col(t, "j.event") == ["go", None, None]
+    assert col(t, "j.k") == [7, None, None]
+    assert col(t, "j.nested.a") == [1, None, None]
+    assert col(t, META_ID) == ["d1", None, None]
+    assert col(t, "json_ok") == [True, False, False]
+
+
+def test_base64_and_gzip():
+    payload = "hello world"
+    b64 = base64.b64encode(payload.encode()).decode()
+    t = T(b=pa.array([b64, "!!!"]))
+    t = build_processor({"decode_base64_field": {
+        "field": {"from": "b", "to": "out"}}}).apply(t)
+    assert col(t, "out") == [payload, None]
+    gz = gzip.compress(b"zipped")
+    t2 = T(g=pa.array([gz], pa.binary()))
+    t2 = build_processor({"decompress_gzip_field": {
+        "field": {"from": "g", "to": "out"}}}).apply(t2)
+    assert col(t2, "out") == ["zipped"]
+
+
+def test_extract_field():
+    t = T(path=pa.array(["/a/b/c", "short"]))
+    t = build_processor({"extract_field": {
+        "field": "path", "separator": "/", "index": 2, "target": "seg"}}).apply(t)
+    assert col(t, "seg") == ["b", None]
+
+
+def test_decode_csv_fields():
+    t = T(line=pa.array(['a,"b,c",d']))
+    t = build_processor({"decode_csv_fields": {
+        "fields": {"line": "cells"}}}).apply(t)
+    assert col(t, "cells") == [["a", "b,c", "d"]]
+
+
+def test_urldecode():
+    t = T(u=pa.array(["a%20b", "plain"]))
+    t = build_processor({"urldecode": {"fields": [{"from": "u"}]}}).apply(t)
+    assert col(t, "u") == ["a b", "plain"]
+
+
+def test_add_id_unique():
+    t = build_processor({"add_id": {}}).apply(T(a=pa.array(range(100))))
+    ids = col(t, META_ID)
+    assert len(set(ids)) == 100 and all(len(i) == 32 for i in ids)
+
+
+def test_script_udf():
+    src = "import pyarrow.compute as pc\n" \
+          "def process(t):\n" \
+          "    return t.append_column('y', pc.add(t['x'], 1))\n"
+    t = build_processor({"script": {"source": src}}).apply(T(x=pa.array([1, 2])))
+    assert col(t, "y") == [2, 3]
+
+
+# --------------------------------------------- fingerprint golden vectors
+# expected digests from the reference's own unit tests
+# (libbeat/processors/fingerprint/fingerprint_test.go:76-205)
+
+FP_FIELDS = {"field1": "foo", "field2": "bar", "unused_field": "baz"}
+
+
+def fp(cfg, fields):
+    t = pa.table({k: pa.array([v]) for k, v in fields.items()})
+    p = build_processor({"fingerprint": cfg})
+    return p.apply(t).column("fingerprint").to_pylist()[0]
+
+
+@pytest.mark.parametrize("method,expected", [
+    ("md5", "4c45df4792f3ef850c928ec5f5232538"),
+    ("sha1", "22f76427d626516d3f7a05785165b99617683b22"),
+    ("sha256", "1208288932231e313b369bae587ff574cd3016a408e52e7128d7bee752674003"),
+    ("sha384", "295adfe0bc03908948e4b0b6a54f441767867e426dda590430459c8a147fbba2"
+               "42a38cba282adee78335b9e08877b86c"),
+    ("sha512", "f50ad51b63c92a0ed0c910527119b81806f3110f0afaa1dcb93506a78371ea76"
+               "1e50c0fc09b08c441d832dd2da1b45e5d8361adfb240e1fffc2695122a23e183"),
+])
+def test_fingerprint_methods(method, expected):
+    got = fp({"fields": ["field1", "field2"], "method": method}, FP_FIELDS)
+    assert got == expected
+
+
+@pytest.mark.parametrize("encoding,expected", [
+    ("hex", "8934ca639027aab1ee9f3944d4d6bd1e"),
+    ("base32", "RE2MUY4QE6VLD3U7HFCNJVV5DY======"),
+    ("base64", "iTTKY5AnqrHunzlE1Na9Hg=="),
+])
+def test_fingerprint_encodings(encoding, expected):
+    got = fp({"fields": ["field2", "nested.field"], "method": "md5",
+              "encoding": encoding},
+             {"field2": "bar", "nested.field": "qux"})
+    assert got == expected
+
+
+def test_fingerprint_sorted_and_dedup():
+    exp = "3d51237d384215a6e731f2cc67ead6d7d9a5138377897c8f542a915be3c25bcf"
+    fields = {"field1": "foo", "nested.field": "qux"}
+    for order in (["field1", "nested.field"], ["nested.field", "field1"],
+                  ["nested.field", "field1", "nested.field"]):
+        assert fp({"fields": order}, fields) == exp
+
+
+def test_fingerprint_timestamp_utc():
+    # time.Date(2019,10,29,0,0,0,0,UTC) -> Go %v "2019-10-29 00:00:00 +0000 UTC"
+    exp = "4534d56a673c2da41df32db5da87cf47e639e84fe82907f2c015c8dfcac5d4f5"
+    t = pa.table({"timestamp": pa.array([1572307200000000], pa.timestamp("us"))})
+    p = build_processor({"fingerprint": {"fields": ["timestamp"]}})
+    assert p.apply(t).column("fingerprint").to_pylist()[0] == exp
+
+
+def test_chain_order():
+    chain = build_chain([
+        {"add_fields": {"target": "", "fields": {"stage": "one"}}},
+        {"replace": {"fields": [{"field": "stage", "pattern": "one",
+                                 "replacement": "two"}]}},
+    ])
+    t = chain(T(a=pa.array([1])))
+    assert col(t, "stage") == ["two"]
