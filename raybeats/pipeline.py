@@ -1,0 +1,258 @@
+"""Pipeline assembly and execution: parse → enrich → route → aggregate.
+
+The reference's publisher pipeline (``libbeat/publisher/pipeline/``) is
+re-expressed as a lazy Ray ``Dataset`` plan:
+
+* read: ``ray.data.read_parquet`` over the partition's fragments (the
+  harvester/prospector equivalent — discovery is fragment planning);
+* processor chain: ONE stateless ``map_batches`` applying the compiled
+  chain per Arrow batch (zero-copy);
+* lookup-enrich: an actor-pool ``map_batches`` stage (state in
+  ``__init__``, work in ``__call__``);
+* route: the selector computes the ``sink`` column; dead-letter rows get
+  the ES non-indexable rewrite (``message``/``error.type``/
+  ``error.message`` — ``elasticsearch/client.go:393-411``);
+* sinks: partitioned Parquet (``partition_cols=["sink"]``) per input
+  partition, write-audit-publish with a registrar-style manifest (§4 of
+  SURVEY.md) so a killed run resumes without re-emitting published
+  partitions.
+
+Counters use the reference metric names
+(``pipeline.events.{total,published,dropped,failed}``,
+``libbeat/publisher/pipeline/monitoring.go:46-75``).
+"""
+
+from __future__ import annotations
+
+import glob as glob_mod
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .enrich import Enricher
+from .errors import ConfigError
+from .model import FLAGS, META_DEAD_LETTER, SINK
+from .processors import Chain, build_chain, get_column, set_column
+from .router import Router
+
+
+class DeadLetterRewrite:
+    """ES 4xx-triage rewrite for dead-lettered rows: original document
+    serialized into ``message``, failure reason into ``error.type`` /
+    ``error.message`` (``elasticsearch/client.go:404-409``,
+    ``non_indexable_policy.go``)."""
+
+    def __init__(self, dead_letter_sink: str = "dead_letter",
+                 source_field: str = "text"):
+        self.sink = dead_letter_sink
+        self.source = source_field
+
+    def apply(self, tbl: pa.Table) -> pa.Table:
+        if SINK not in tbl.column_names:
+            return tbl
+        mask = pc.fill_null(pc.equal(tbl.column(SINK), self.sink), False)
+        if not pc.any(mask).as_py():
+            return tbl
+        n = tbl.num_rows
+        src = get_column(tbl, self.source)
+        if src is None:
+            src = pa.nulls(n, pa.string())
+        flags = get_column(tbl, FLAGS)
+        if flags is None:
+            flags = pa.nulls(n, pa.string())
+        msg = pc.if_else(mask, src, pa.nulls(n, pa.string()))
+        etype = pc.if_else(mask, "parse_error", pa.nulls(n, pa.string()))
+        emsg = pc.if_else(mask, pc.fill_null(flags, ""), pa.nulls(n, pa.string()))
+        tbl = set_column(tbl, "message", msg)
+        tbl = set_column(tbl, "error.type", etype)
+        tbl = set_column(tbl, "error.message", emsg)
+        return tbl
+
+    __call__ = apply
+
+
+class Pipeline:
+    """Compiled pipeline. Config keys:
+
+    ``processors`` (pre-enrich chain), ``enrich`` (side-table lookup),
+    ``post_processors``, ``router`` (rules/default/dead_letter/
+    sink_indexes), ``dead_letter_rewrite`` (bool), ``source_field``,
+    plus execution knobs ``batch_size``, ``enrich_concurrency``.
+    """
+
+    def __init__(self, config: dict):
+        self.config = config
+        self.chain = build_chain(config.get("processors", []))
+        self.post_chain = build_chain(config.get("post_processors", []))
+        router_cfg = config.get("router")
+        self.router = Router(**router_cfg) if router_cfg else None
+        self.dead_letter_sink = (router_cfg or {}).get("dead_letter",
+                                                       "dead_letter")
+        self.rewrite = (DeadLetterRewrite(self.dead_letter_sink,
+                                          config.get("source_field", "text"))
+                        if config.get("dead_letter_rewrite") else None)
+        self.enrich_cfg = config.get("enrich")
+        self.batch_size = config.get("batch_size")  # None = whole block
+        self.enrich_concurrency = config.get("enrich_concurrency", 4)
+        self._enrich_ref = None
+
+    @classmethod
+    def from_yaml(cls, path_or_text: str) -> "Pipeline":
+        import yaml
+        if os.path.exists(path_or_text):
+            with open(path_or_text) as f:
+                cfg = yaml.safe_load(f)
+        else:
+            cfg = yaml.safe_load(path_or_text)
+        return cls(cfg)
+
+    # ------------------------------------------------------------- plan
+    def _tail_stage(self):
+        post, router, rewrite = self.post_chain, self.router, self.rewrite
+
+        def tail(tbl: pa.Table) -> pa.Table:
+            tbl = post(tbl)
+            if router is not None and tbl.num_rows > 0:
+                tbl = router.apply(tbl)
+                if rewrite is not None:
+                    tbl = rewrite.apply(tbl)
+            return tbl
+        return tail
+
+    def build(self, ds):
+        """Attach all pipeline stages to a Dataset (lazy)."""
+        chain = self.chain
+        if chain.processors:
+            ds = ds.map_batches(chain, batch_format="pyarrow",
+                                batch_size=self.batch_size,
+                                zero_copy_batch=True)
+        if self.enrich_cfg:
+            import ray
+            cfg = dict(self.enrich_cfg)
+            rows = cfg.pop("rows", None)
+            concurrency = cfg.pop("concurrency", self.enrich_concurrency)
+            if self._enrich_ref is None:
+                side = (rows if isinstance(rows, pa.Table)
+                        else pa.Table.from_pylist(list(rows)))
+                self._enrich_ref = ray.put(side)  # broadcast ONCE
+            ds = ds.map_batches(Enricher, batch_format="pyarrow",
+                                batch_size=self.batch_size,
+                                zero_copy_batch=True,
+                                concurrency=(1, concurrency),
+                                fn_constructor_kwargs={
+                                    "table_ref": self._enrich_ref, **cfg})
+        if self.post_chain.processors or self.router is not None:
+            ds = ds.map_batches(self._tail_stage(), batch_format="pyarrow",
+                                batch_size=self.batch_size,
+                                zero_copy_batch=True)
+        return ds
+
+    # -------------------------------------------------------- aggregates
+    def counts_by_sink(self, ds) -> dict[str, int]:
+        """Exact per-sink tallies (the reference's per-output
+        ``events.acked`` counters). Pre-aggregated per batch inside
+        ``map_batches`` so the final groupby shuffles one tiny row per
+        (batch, sink) instead of every event."""
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0:
+                return pa.table({SINK: pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
+            counts = tbl.group_by(SINK).aggregate([(SINK, "count")])
+            return pa.table({SINK: counts.column(SINK),
+                             "n": counts.column(f"{SINK}_count")})
+
+        small = ds.map_batches(partial, batch_format="pyarrow")
+        out = small.groupby(SINK).sum("n")
+        return {r[SINK]: r["sum(n)"] for r in out.take_all()}
+
+    # --------------------------------------------------------------- run
+    def run(self, input_paths, out_dir: str, partitions: int | None = None,
+            resume: bool = True, ray_remote_args: dict | None = None) -> dict:
+        """Checkpointed execution: partition the input file list, process
+        each unfinished partition as its own (internally parallel) Dataset,
+        write per-sink Parquet with write-audit-publish, publish a manifest
+        per partition, and return a job report."""
+        import ray.data as rd
+
+        from .state.manifest import CheckpointManifest, stage_and_swap
+
+        if isinstance(input_paths, str):
+            input_paths = sorted(glob_mod.glob(os.path.join(input_paths,
+                                                            "*.parquet")) or
+                                 glob_mod.glob(input_paths))
+        if not input_paths:
+            raise ConfigError("pipeline.run: no input files")
+        if partitions is None:
+            partitions = min(len(input_paths), 16)
+        groups: list[list[str]] = [[] for _ in range(partitions)]
+        for i, p in enumerate(input_paths):
+            groups[i % partitions].append(p)
+        groups = [g for g in groups if g]
+
+        manifest = CheckpointManifest(out_dir)
+        done = manifest.done() if resume else set()
+        report = {"partitions_total": len(groups),
+                  "partitions_skipped": 0, "partitions_run": 0,
+                  "pipeline.events.total": 0,
+                  "pipeline.events.published": 0,
+                  "pipeline.events.dropped": 0,
+                  "per_sink": {}, "elapsed_sec": 0.0}
+        t0 = time.monotonic()
+        for pid_num, files in enumerate(groups):
+            pid = f"{pid_num:05d}"
+            part_dir = os.path.join(out_dir, f"part={pid}")
+            if pid in done:
+                prev = manifest.read(pid)
+                report["partitions_skipped"] += 1
+                self._fold_counts(report, prev)
+                continue
+            in_rows = sum(pq.read_metadata(f).num_rows for f in files)
+            ds = self.build(rd.read_parquet(files))
+
+            def write(staging, ds=ds):
+                ds.write_parquet(staging, partition_cols=[SINK])
+
+            stage_and_swap(part_dir, write)
+            sink_counts = _scan_partition_counts(part_dir)
+            published = sum(sink_counts.values())
+            payload = {
+                "input_files": files,
+                "input_rows": in_rows,
+                "per_sink": sink_counts,
+                "pipeline.events.total": in_rows,
+                "pipeline.events.published": published,
+                "pipeline.events.dropped": in_rows - published,
+                "output_dir": part_dir,
+            }
+            manifest.publish(pid, payload)
+            report["partitions_run"] += 1
+            self._fold_counts(report, payload)
+        report["elapsed_sec"] = time.monotonic() - t0
+        with open(os.path.join(out_dir, "job_report.json"), "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        return report
+
+    @staticmethod
+    def _fold_counts(report: dict, payload: dict) -> None:
+        for k in ("pipeline.events.total", "pipeline.events.published",
+                  "pipeline.events.dropped"):
+            report[k] += payload.get(k, 0)
+        for sink, n in payload.get("per_sink", {}).items():
+            report["per_sink"][sink] = report["per_sink"].get(sink, 0) + n
+
+
+def _scan_partition_counts(part_dir: str) -> dict[str, int]:
+    """Per-sink row counts from written Parquet footers (no data read)."""
+    out: dict[str, int] = {}
+    for sink_dir in sorted(glob_mod.glob(os.path.join(part_dir, f"{SINK}=*"))):
+        sink = os.path.basename(sink_dir).split("=", 1)[1]
+        n = 0
+        for f in glob_mod.glob(os.path.join(sink_dir, "*.parquet")):
+            n += pq.read_metadata(f).num_rows
+        out[sink] = n
+    return out

@@ -1,0 +1,115 @@
+"""End-to-end flagship pipeline vs the pure-python oracle, plus
+checkpoint/resume semantics (the reference's registrar restart tests,
+``filebeat/tests/system/test_registrar.py`` pattern)."""
+
+import glob
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from tests.oracle import oracle_counts, oracle_route
+
+
+def load_rows(info):
+    rows = []
+    for f in sorted(info["files"]):
+        rows.extend(pq.read_table(f).to_pylist())
+    return rows
+
+
+@pytest.fixture(scope="module")
+def flagship(ray_session, tiny_transcripts):
+    import ray.data as rd
+
+    from raybeats.pipelines import flagship_pipeline
+
+    pipe = flagship_pipeline(enrich_concurrency=2)
+    ds = pipe.build(rd.read_parquet(tiny_transcripts["files"]))
+    got = ds.take_all()
+    want = oracle_route(load_rows(tiny_transcripts))
+    return pipe, got, want
+
+
+def test_per_sink_counts_match_oracle(flagship, tiny_transcripts):
+    _, got, want = flagship
+    got_counts: dict = {}
+    for r in got:
+        got_counts[r["sink"]] = got_counts.get(r["sink"], 0) + 1
+    assert got_counts == oracle_counts(load_rows(tiny_transcripts))
+    assert set(got_counts) == {"es_like", "ls_like", "dead_letter"}
+
+
+def test_routed_row_equality(flagship):
+    _, got, want = flagship
+    key = lambda r: (r["conv_id"], r["turn_idx"])
+    gm = {key(r): r for r in got}
+    wm = {key(r): r for r in want}
+    assert set(gm) == set(wm)
+    for k, w in wm.items():
+        g = gm[k]
+        assert g["sink"] == w["sink"], k
+        assert g["text"] == w["text"], k  # per-turn text equality
+        assert g["fingerprint"] == w["fingerprint"], k
+        assert g.get("level") == w.get("level"), k
+        assert g.get("index") == w.get("index"), k
+        assert g.get("meta.team") == w.get("meta.team"), k
+        assert bool(g.get("meta_miss")) == w["meta_miss"], k
+        if w["sink"] == "dead_letter":
+            assert g.get("message") == w["text"], k
+            assert g.get("error.type") == "parse_error", k
+
+
+def test_counts_by_sink_aggregate(flagship, tiny_transcripts):
+    import ray.data as rd
+    pipe, got, _ = flagship
+    ds = pipe.build(rd.read_parquet(tiny_transcripts["files"]))
+    agg = pipe.counts_by_sink(ds)
+    direct: dict = {}
+    for r in got:
+        direct[r["sink"]] = direct.get(r["sink"], 0) + 1
+    assert agg == direct
+
+
+def test_stable_order_within_conversation(flagship):
+    _, got, _ = flagship
+    per_conv: dict = {}
+    for r in got:
+        per_conv.setdefault(r["conv_id"], []).append(r["turn_idx"])
+    # sorting by (conv_id, turn_idx) must reconstruct dense per-conv order
+    for conv, idxs in per_conv.items():
+        assert sorted(idxs) == sorted(set(idxs)), conv
+
+
+def test_checkpointed_run_and_resume(ray_session, tiny_transcripts, tmp_path):
+    from raybeats.pipelines import flagship_pipeline
+
+    out = str(tmp_path / "out")
+    pipe = flagship_pipeline(enrich_concurrency=2)
+    r1 = pipe.run(tiny_transcripts["files"], out, partitions=4)
+    assert r1["partitions_run"] == 4 and r1["partitions_skipped"] == 0
+    assert r1["per_sink"] == oracle_counts(load_rows(tiny_transcripts))
+    assert (r1["pipeline.events.total"] ==
+            r1["pipeline.events.published"] + r1["pipeline.events.dropped"])
+
+    inventory1 = sorted(glob.glob(os.path.join(out, "part=*", "*", "*.parquet")))
+
+    # full resume: nothing re-runs, nothing re-emitted
+    r2 = pipe.run(tiny_transcripts["files"], out, partitions=4)
+    assert r2["partitions_run"] == 0 and r2["partitions_skipped"] == 4
+    assert r2["per_sink"] == r1["per_sink"]
+    assert sorted(glob.glob(os.path.join(out, "part=*", "*", "*.parquet"))) == \
+        inventory1
+
+    # simulate a crash after 2 partitions published: drop 2 manifests +
+    # their data, leave a stale staging dir behind
+    for pid in ("00002", "00003"):
+        os.remove(os.path.join(out, "_manifest", f"part-{pid}.json"))
+        shutil.rmtree(os.path.join(out, f"part={pid}"))
+    os.makedirs(os.path.join(out, "part=00002.staging", "junk"), exist_ok=True)
+
+    r3 = pipe.run(tiny_transcripts["files"], out, partitions=4)
+    assert r3["partitions_run"] == 2 and r3["partitions_skipped"] == 2
+    assert r3["per_sink"] == r1["per_sink"]
+    assert not glob.glob(os.path.join(out, "*.staging"))
