@@ -1,0 +1,518 @@
+"""Query catalog: one entry per engine operator, with DuckDB oracle SQL.
+
+Each Ray implementation and its SQL string compute the same result with
+the same column names over the driver's parquet tables (views: region
+nation customer supplier part orders lineitem events documents
+embeddings). The flagship parse→enrich→route→aggregate family runs over
+transcripts derived deterministically from ``events``
+(:mod:`raybeats.transcripts` — the Arrow and SQL derivations are
+byte-identical).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .conditions import compile_condition
+from .enrich import Enricher
+from .fixtures import role_tool_meta
+from .pipeline import Pipeline
+from .processors import build_chain
+from .transcripts import (DISSECT_REGEX_SQL, TRANSCRIPTS_SQL,
+                          derive_transcripts, read_transcripts)
+
+RE = DISSECT_REGEX_SQL.replace("\\", "\\\\").replace("'", "''")
+_T = f"WITH transcripts AS ({TRANSCRIPTS_SQL})"
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ------------------------------------------------------- flagship family
+
+def events_flagship_config() -> dict:
+    """Flagship config specialized to the events-derived corpus."""
+    from .pipelines.flagship import flagship_config
+    cfg = flagship_config()
+    # the derived corpus' JSON turns are the events `props` objects
+    cfg["processors"][1]["decode_json_fields"]["expected_keys"] = ["k:int"]
+    del cfg["processors"][1]["decode_json_fields"]["document_id"]
+    return cfg
+
+
+def q_transcripts_derive(sf_dir: str):
+    return read_transcripts(sf_dir)
+
+
+SQL_TRANSCRIPTS = f"{_T} SELECT * FROM transcripts"
+
+
+def q_parse_dissect(sf_dir: str):
+    from .dissect import Dissector
+    from .pipelines.flagship import TOKENIZER
+    tok = Dissector(TOKENIZER)
+
+    def parse(tbl: pa.Table) -> pa.Table:
+        vals, ok = tok.dissect_column(tbl.column("text"))
+        return pa.table({
+            "conv_id": tbl.column("conv_id"),
+            "turn_idx": tbl.column("turn_idx"),
+            "parse_ok": ok,
+            "level": vals["level"], "event_ts": vals["event_ts"],
+            "caller": vals["caller"], "msg": vals["msg"],
+        })
+
+    return read_transcripts(sf_dir).map_batches(parse, batch_format="pyarrow",
+                                                zero_copy_batch=True)
+
+
+SQL_PARSE_DISSECT = f"""{_T}
+SELECT conv_id, turn_idx,
+  regexp_matches(text, '{RE}') AS parse_ok,
+  CASE WHEN regexp_matches(text, '{RE}') THEN regexp_extract(text, '{RE}', 1) END AS level,
+  CASE WHEN regexp_matches(text, '{RE}') THEN regexp_extract(text, '{RE}', 2) END AS event_ts,
+  CASE WHEN regexp_matches(text, '{RE}') THEN regexp_extract(text, '{RE}', 3) END AS caller,
+  CASE WHEN regexp_matches(text, '{RE}') THEN regexp_extract(text, '{RE}', 4) END AS msg
+FROM transcripts"""
+
+# shared routed-rows CTE for the route/aggregate oracles
+_ROUTED_SQL = f"""{_T},
+parsed AS (
+  SELECT *,
+    regexp_matches(text, '{RE}') AS dissect_ok,
+    (text LIKE '{{%' AND json_valid(text)) AS json_ok,
+    CASE WHEN regexp_matches(text, '{RE}')
+         THEN regexp_extract(text, '{RE}', 1) END AS level,
+    CASE WHEN regexp_matches(text, '{RE}')
+         THEN regexp_extract(text, '{RE}', 4) END AS msg
+  FROM transcripts),
+routed AS (
+  SELECT *,
+    CASE WHEN (NOT dissect_ok) AND (NOT json_ok) THEN 'dead_letter'
+         WHEN role = 'tool' OR msg LIKE '%denied%' THEN 'ls_like'
+         ELSE 'es_like' END AS sink
+  FROM parsed
+  WHERE level IS NULL OR level <> 'debug')"""
+
+
+def _routed_dataset(sf_dir: str):
+    pipe = Pipeline(events_flagship_config())
+    return pipe, pipe.build(read_transcripts(sf_dir))
+
+
+def q_route_counts(sf_dir: str):
+    pipe, ds = _routed_dataset(sf_dir)
+    counts = pipe.counts_by_sink(ds)
+    sinks = sorted(counts)
+    return pa.table({"sink": pa.array(sinks, pa.string()),
+                     "n": pa.array([counts[s] for s in sinks], pa.int64())})
+
+
+SQL_ROUTE_COUNTS = f"""{_ROUTED_SQL}
+SELECT sink, COUNT(*) AS n FROM routed GROUP BY sink ORDER BY sink"""
+
+
+def q_routed_rows(sf_dir: str):
+    _, ds = _routed_dataset(sf_dir)
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": tbl.column("conv_id"),
+            "turn_idx": tbl.column("turn_idx"),
+            "sink": tbl.column("sink"),
+            "level": tbl.column("level"),
+            "route_index": tbl.column("index"),
+            "fingerprint": tbl.column("fingerprint"),
+            "text": tbl.column("text"),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+SQL_ROUTED_ROWS = f"""{_ROUTED_SQL}
+SELECT conv_id, turn_idx, sink, level,
+  CASE WHEN sink = 'es_like' THEN 'events-' || coalesce(level, 'none')
+       WHEN sink = 'ls_like' THEN 'beats' END AS route_index,
+  sha256('|conv_id|' || conv_id || '|text|' || text ||
+         '|turn_idx|' || CAST(turn_idx AS VARCHAR) || '|') AS fingerprint,
+  text
+FROM routed"""
+
+
+def q_enrich_lookup(sf_dir: str):
+    ds = read_transcripts(sf_dir)
+    enr = Enricher(rows=role_tool_meta(), key_fields=("role", "tool"),
+                   target_prefix="")
+
+    def project(tbl: pa.Table) -> pa.Table:
+        tbl = enr(tbl)
+        return pa.table({
+            "conv_id": tbl.column("conv_id"),
+            "turn_idx": tbl.column("turn_idx"),
+            "team": tbl.column("team"),
+            "cost_class": tbl.column("cost_class"),
+            "priority": pc.cast(tbl.column("priority"), pa.int64()),
+            "miss": tbl.column("enrich_miss"),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _meta_values_sql() -> str:
+    rows = role_tool_meta()
+    vals = ", ".join(
+        f"('{r['role']}', '{r['tool']}', '{r['team']}', "
+        f"'{r['cost_class']}', {r['priority']})" for r in rows)
+    return (f"meta(role, tool, team, cost_class, priority) AS "
+            f"(SELECT * FROM (VALUES {vals}))")
+
+
+SQL_ENRICH_LOOKUP = f"""{_T}, {_meta_values_sql()}
+SELECT t.conv_id, t.turn_idx, m.team, m.cost_class,
+       CAST(m.priority AS BIGINT) AS priority,
+       (m.role IS NULL) AS miss
+FROM transcripts t LEFT JOIN meta m
+  ON t.role = m.role AND t.tool = m.tool"""
+
+
+def q_conversation_assembly(sf_dir: str):
+    import pandas as pd
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx")
+        return pd.DataFrame({
+            "conv_id": [g["conv_id"].iloc[0]],
+            "n_turns": pd.array([len(g)], dtype="int64"),
+            "joined": ["\n".join(g["text"])],
+        })
+
+    return (read_transcripts(sf_dir)
+            .groupby("conv_id")
+            .map_groups(assemble, batch_format="pandas"))
+
+
+SQL_CONVERSATION_ASSEMBLY = f"""{_T}
+SELECT conv_id, COUNT(*) AS n_turns,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS joined
+FROM transcripts GROUP BY conv_id"""
+
+
+# ------------------------------------------------------ processor queries
+
+def q_json_decode(sf_dir: str):
+    chain = build_chain([{"decode_json_fields": {
+        "fields": ["props"], "target": "", "expected_keys": ["k:int"]}}])
+
+    def run(tbl: pa.Table) -> pa.Table:
+        t = chain(tbl)
+        return pa.table({"event_id": t.column("event_id"),
+                         "k": t.column("k")})
+
+    return _read(sf_dir, "events", ["event_id", "props"]) \
+        .map_batches(run, batch_format="pyarrow")
+
+
+SQL_JSON_DECODE = ("SELECT event_id, CAST(json_extract_string(props, '$.k') "
+                   "AS BIGINT) AS k FROM events")
+
+
+def q_conditions_filter(sf_dir: str):
+    cond = compile_condition({"and": [
+        {"equals": {"event_type": "purchase"}},
+        {"range": {"value.gte": 50}}]})
+
+    def run(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.fill_null(cond(tbl), False))
+        return pa.table({"event_id": t.column("event_id"),
+                         "value": t.column("value")})
+
+    return _read(sf_dir, "events", ["event_id", "event_type", "value"]) \
+        .map_batches(run, batch_format="pyarrow")
+
+
+SQL_CONDITIONS_FILTER = ("SELECT event_id, value FROM events "
+                         "WHERE event_type = 'purchase' AND value >= 50")
+
+
+def q_convert_types(sf_dir: str):
+    chain = build_chain([{"convert": {"fields": [
+        {"from": "user_id", "to": "user_str", "type": "string"},
+        {"from": "event_id", "to": "event_f", "type": "double"}]}}])
+
+    def run(tbl: pa.Table) -> pa.Table:
+        t = chain(tbl)
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_str": t.column("user_str"),
+                         "event_f": t.column("event_f")})
+
+    return _read(sf_dir, "events", ["event_id", "user_id"]) \
+        .map_batches(run, batch_format="pyarrow")
+
+
+SQL_CONVERT_TYPES = ("SELECT event_id, CAST(user_id AS VARCHAR) AS user_str, "
+                     "CAST(event_id AS DOUBLE) AS event_f FROM events")
+
+
+def q_replace_truncate(sf_dir: str):
+    chain = build_chain([
+        {"replace": {"fields": [{"field": "text", "pattern": "spark",
+                                 "replacement": "ray"}]}},
+        {"truncate_fields": {"fields": ["text"], "max_characters": 40}},
+    ])
+
+    def run(tbl: pa.Table) -> pa.Table:
+        t = chain(tbl)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "excerpt": t.column("text")})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(run, batch_format="pyarrow")
+
+
+SQL_REPLACE_TRUNCATE = ("SELECT doc_id, substr(regexp_replace(text, 'spark', "
+                        "'ray', 'g'), 1, 40) AS excerpt FROM documents")
+
+
+def q_extract_field(sf_dir: str):
+    chain = build_chain([{"extract_field": {
+        "field": "text", "separator": " ", "index": 2, "target": "word3"}}])
+
+    def run(tbl: pa.Table) -> pa.Table:
+        t = chain(tbl)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "word3": t.column("word3")})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(run, batch_format="pyarrow")
+
+
+SQL_EXTRACT_FIELD = ("SELECT doc_id, string_split(text, ' ')[3] AS word3 "
+                     "FROM documents")
+
+
+def q_timestamp_roundtrip(sf_dir: str):
+    chain = build_chain([{"timestamp": {
+        "field": "ts_str", "layouts": ["%Y-%m-%dT%H:%M:%SZ"],
+        "target_field": "parsed"}}])
+
+    def run(tbl: pa.Table) -> pa.Table:
+        iso = pc.replace_substring_regex(
+            pc.strftime(tbl.column("ts"), format="%Y-%m-%dT%H:%M:%SZ"),
+            r"\.\d+", "")
+        t = chain(tbl.append_column("ts_str", iso))
+        return pa.table({"event_id": t.column("event_id"),
+                         "parsed": t.column("parsed")})
+
+    return _read(sf_dir, "events", ["event_id", "ts"]) \
+        .map_batches(run, batch_format="pyarrow")
+
+
+SQL_TIMESTAMP_ROUNDTRIP = (
+    "SELECT event_id, strptime(strftime(ts, '%Y-%m-%dT%H:%M:%SZ'), "
+    "'%Y-%m-%dT%H:%M:%SZ') AS parsed FROM events")
+
+
+def q_fingerprint_docs(sf_dir: str):
+    chain = build_chain([{"fingerprint": {
+        "fields": ["doc_id", "text"], "method": "sha256"}}])
+
+    def run(tbl: pa.Table) -> pa.Table:
+        t = chain(tbl)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "fp": t.column("fingerprint")})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(run, batch_format="pyarrow")
+
+
+SQL_FINGERPRINT_DOCS = (
+    "SELECT doc_id, sha256('|doc_id|' || CAST(doc_id AS VARCHAR) || "
+    "'|text|' || text || '|') AS fp FROM documents")
+
+
+# --------------------------------------------------- training-data ops
+
+def q_dedup_exact(sf_dir: str):
+    from .textops.dedup import exact_dedup_groups
+    return exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_DEDUP_EXACT = ("SELECT md5(text) AS h, MIN(doc_id) AS keep_id, "
+                   "COUNT(*) AS dups FROM documents GROUP BY md5(text)")
+
+
+def q_token_stats(sf_dir: str):
+    from .textops.analysis import token_stats
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(token_stats, batch_format="pyarrow")
+
+
+SQL_TOKEN_STATS = r"""SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(length(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+  CAST(length(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it)\b'))
+       AS BIGINT) AS n_stop
+FROM documents"""
+
+
+def q_quality_score(sf_dir: str):
+    from .textops.analysis import quality_score
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(quality_score, batch_format="pyarrow")
+
+
+SQL_QUALITY_SCORE = r"""WITH f AS (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(length(regexp_extract_all(text, '[a-z0-9]+')) AS DOUBLE) AS n_tokens,
+    CAST(length(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it)\b'))
+         AS DOUBLE) AS n_stop,
+    CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha
+  FROM documents)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  n_stop / GREATEST(n_tokens, 1.0) AS stop_ratio,
+  n_alpha / GREATEST(n_chars, 1.0) AS alpha_ratio,
+  (n_tokens >= 5 AND (n_alpha / GREATEST(n_chars, 1.0)) >= 0.5
+   AND ((n_alpha / GREATEST(n_chars, 1.0)) * n_chars
+        / GREATEST(n_tokens, 1.0)) <= 15.0) AS keep
+FROM f"""
+
+
+def q_knn_cosine(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from .textops.knn import knn_topk
+    qt = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        filter=pc.field("vec_id") < 3)
+    qt = qt.sort_by("vec_id")
+    import numpy as np
+    queries = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_topk(ds, queries, qt.column("vec_id").to_pylist(), k=5)
+
+
+SQL_KNN_COSINE = """WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 3),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, neighbor_id) AS rank
+FROM s QUALIFY rank <= 5 ORDER BY query_id, rank"""
+
+
+# ------------------------------------------------------ relational demos
+
+def q_agg_lineitem(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Count(alias_name="n"))
+
+
+SQL_AGG_LINEITEM = ("SELECT l_returnflag, l_linestatus, "
+                    "SUM(l_quantity) AS sum_qty, COUNT(*) AS n "
+                    "FROM lineitem GROUP BY l_returnflag, l_linestatus")
+
+
+def q_mktsegment_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+    side = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    side = side.rename_columns(["o_custkey", "c_mktsegment"])
+    enr = Enricher(rows=side, key_fields=("o_custkey",), target_prefix="",
+                   miss_flag=False)
+    ds = _read(sf_dir, "orders", ["o_custkey"]) \
+        .map_batches(enr, batch_format="pyarrow")
+    return ds.groupby("c_mktsegment").aggregate(Count(alias_name="n"))
+
+
+SQL_MKTSEGMENT_COUNTS = ("SELECT c_mktsegment, COUNT(*) AS n FROM orders "
+                         "JOIN customer ON o_custkey = c_custkey "
+                         "GROUP BY c_mktsegment")
+
+
+def q_top10_orders(sf_dir: str):
+    return _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .sort("o_totalprice", descending=True).limit(10)
+
+
+SQL_TOP10_ORDERS = ("SELECT o_orderkey, o_totalprice FROM orders "
+                    "ORDER BY o_totalprice DESC LIMIT 10")
+
+
+# --------------------------------------------- rows-only (no SQL oracle)
+
+def q_lang_id(sf_dir: str):
+    from .textops.analysis import LangId
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
+
+
+def q_simhash(sf_dir: str):
+    from .textops.dedup import SimHasher
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 2))
+
+
+def q_minhash_pairs(sf_dir: str):
+    from .textops.dedup import jaccard_verify, minhash_candidates
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cand = minhash_candidates(docs, bands=16, num_hashes=64, shingle_k=8)
+    return jaccard_verify(cand, docs, threshold=0.5)
+
+
+def q_rolling_fingerprint(sf_dir: str):
+    from .textops.analysis import rolling_fingerprint
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(rolling_fingerprint, batch_format="pyarrow")
+
+
+def q_media_features(sf_dir: str):
+    import ray.data as rd
+
+    from .textops.multimodal import extract_media_features, synth_media_table
+    media = rd.from_arrow(synth_media_table(200, seed=5))
+    return extract_media_features(media, concurrency=2, batch_size=32)
+
+
+# ----------------------------------------------------------------- export
+
+QUERIES = {
+    "transcripts_derive": (q_transcripts_derive, SQL_TRANSCRIPTS),
+    "parse_dissect": (q_parse_dissect, SQL_PARSE_DISSECT),
+    "route_counts": (q_route_counts, SQL_ROUTE_COUNTS),
+    "routed_rows": (q_routed_rows, SQL_ROUTED_ROWS),
+    "enrich_lookup": (q_enrich_lookup, SQL_ENRICH_LOOKUP),
+    "conversation_assembly": (q_conversation_assembly,
+                              SQL_CONVERSATION_ASSEMBLY),
+    "json_decode": (q_json_decode, SQL_JSON_DECODE),
+    "conditions_filter": (q_conditions_filter, SQL_CONDITIONS_FILTER),
+    "convert_types": (q_convert_types, SQL_CONVERT_TYPES),
+    "replace_truncate": (q_replace_truncate, SQL_REPLACE_TRUNCATE),
+    "extract_field": (q_extract_field, SQL_EXTRACT_FIELD),
+    "timestamp_roundtrip": (q_timestamp_roundtrip, SQL_TIMESTAMP_ROUNDTRIP),
+    "fingerprint_docs": (q_fingerprint_docs, SQL_FINGERPRINT_DOCS),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+    "agg_lineitem": (q_agg_lineitem, SQL_AGG_LINEITEM),
+    "mktsegment_counts": (q_mktsegment_counts, SQL_MKTSEGMENT_COUNTS),
+    "top10_orders": (q_top10_orders, SQL_TOP10_ORDERS),
+    # rows-only (non-SQL-expressible; driver records weaker check)
+    "lang_id": (q_lang_id, None),
+    "simhash": (q_simhash, None),
+    "minhash_pairs": (q_minhash_pairs, None),
+    "rolling_fingerprint": (q_rolling_fingerprint, None),
+    "media_features": (q_media_features, None),
+}

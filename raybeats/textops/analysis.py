@@ -1,0 +1,123 @@
+"""Text analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristics, document fingerprinting.
+
+All are narrow (shuffle-free) vectorized ``map_batches`` stages over the
+``documents`` table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"[a-z0-9]+"
+STOPWORD_RE = r"\b(the|a|of|and|to|in|is|it)\b"
+
+_STOP_PROFILES = {
+    # tiny per-language stopword profiles for the n-gram/stopword heuristic
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "for", "on"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "los", "se", "no"},
+    "de": {"der", "die", "und", "das", "in", "von", "zu", "den", "mit", "ist"},
+    "fr": {"le", "la", "de", "et", "les", "des", "un", "une", "du", "est"},
+    "zh": set(),  # no-latin heuristic below
+}
+
+
+def token_stats(tbl: pa.Table, text_col: str = "text") -> pa.Table:
+    """doc_id, n_chars, n_tokens, n_stop — pure Arrow kernels."""
+    text = tbl.column(text_col)
+    return pa.table({
+        "doc_id": tbl.column("doc_id"),
+        "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+        "n_tokens": pc.cast(pc.count_substring_regex(text, TOKEN_RE),
+                            pa.int64()),
+        "n_stop": pc.cast(pc.count_substring_regex(text, STOPWORD_RE),
+                          pa.int64()),
+    })
+
+
+def quality_score(tbl: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic quality features: length, mean word length, stopword
+    ratio, alpha ratio, and a composite keep/drop signal."""
+    text = tbl.column(text_col)
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    n_tokens = pc.cast(pc.count_substring_regex(text, TOKEN_RE), pa.float64())
+    n_stop = pc.cast(pc.count_substring_regex(text, STOPWORD_RE), pa.float64())
+    n_alpha = pc.cast(pc.count_substring_regex(text, r"[A-Za-z]"), pa.float64())
+    denom_t = pc.max_element_wise(n_tokens, 1.0)
+    denom_c = pc.max_element_wise(n_chars, 1.0)
+    stop_ratio = pc.divide(n_stop, denom_t)
+    alpha_ratio = pc.divide(n_alpha, denom_c)
+    mean_word = pc.divide(pc.multiply(alpha_ratio, n_chars), denom_t)
+    keep = pc.and_(pc.and_(pc.greater_equal(n_tokens, 5),
+                           pc.greater_equal(alpha_ratio, 0.5)),
+                   pc.less_equal(mean_word, 15.0))
+    return pa.table({
+        "doc_id": tbl.column("doc_id"),
+        "n_tokens": pc.cast(n_tokens, pa.int64()),
+        "stop_ratio": stop_ratio,
+        "alpha_ratio": alpha_ratio,
+        "keep": keep,
+    })
+
+
+class LangId:
+    """Stopword-profile language-ID heuristic (actor-pool stage: profiles
+    prepared once in ``__init__``, batches scored vectorized-ish)."""
+
+    def __init__(self, profiles: dict[str, set[str]] | None = None):
+        import re
+        self.profiles = profiles or _STOP_PROFILES
+        self.token_re = re.compile(r"[a-zA-Z]+")
+        self.non_ascii_re = re.compile(r"[^\x00-\x7f]")
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        langs = []
+        for text in tbl.column("text").to_pylist():
+            if not text:
+                langs.append("und")
+                continue
+            if len(self.non_ascii_re.findall(text)) > 0.3 * len(text):
+                langs.append("zh")
+                continue
+            toks = set(t.lower() for t in self.token_re.findall(text))
+            best, best_n = "und", 0
+            for lang, stops in self.profiles.items():
+                n = len(toks & stops)
+                if n > best_n:
+                    best, best_n = lang, n
+            langs.append(best)
+        return pa.table({"doc_id": tbl.column("doc_id"),
+                         "lang_pred": pa.array(langs, pa.string())})
+
+
+def rolling_fingerprint(tbl: pa.Table, text_col: str = "text",
+                        window: int = 16) -> pa.Table:
+    """Polynomial rolling-hash document fingerprint (Rabin-Karp style):
+    the min rolling hash over all windows — stable under small shifts."""
+    out = []
+    base = 257
+    for text in tbl.column(text_col).to_pylist():
+        if not text:
+            out.append(0)
+            continue
+        b = text.encode("utf-8")
+        if len(b) <= window:
+            out.append(int(hashlib.md5(b).hexdigest()[:15], 16))
+            continue
+        arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+        h = np.uint64(0)
+        powers = np.power(np.uint64(base),
+                          np.arange(window, dtype=np.uint64),
+                          dtype=np.uint64)
+        # vectorized windowed dot products via convolution-free cumsum trick
+        n = len(arr) - window + 1
+        hashes = np.zeros(n, dtype=np.uint64)
+        for j in range(window):  # window is small constant
+            hashes += arr[j:j + n] * powers[window - 1 - j]
+        out.append(int(hashes.min()) & 0x7FFFFFFFFFFFFFFF)
+    return pa.table({"doc_id": tbl.column("doc_id"),
+                     "fp": pa.array(out, pa.int64())})

@@ -1,0 +1,208 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes (100 TB thinking):
+
+* exact: vectorized content-hash per batch (narrow) → ONE groupby on the
+  hash (the only shuffle), keep min id per group.
+* MinHash-LSH: shingle→minhash per batch (narrow) → explode to
+  (band, band_hash, doc_id) rows → groupby band bucket (shuffle of small
+  fixed-width rows, not documents) → candidate pairs within buckets →
+  verify Jaccard on the pair set only.
+* SimHash: 64-bit simhash per batch (narrow); near-dup = identical
+  simhash or small hamming distance within LSH-style chunks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _md5_column(texts: list[str | None]) -> pa.Array:
+    return pa.array([None if t is None else
+                     hashlib.md5(t.encode("utf-8")).hexdigest()
+                     for t in texts], pa.string())
+
+
+def content_hash(tbl: pa.Table, text_col: str = "text") -> pa.Table:
+    return tbl.append_column("h", _md5_column(tbl.column(text_col).to_pylist()))
+
+
+def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """→ (h, keep_id, dups): min id + count per distinct content hash.
+    Narrow hash stage, then one small groupby over fixed-width rows."""
+    from ray.data.aggregate import Count, Min
+
+    def hashed(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            "h": _md5_column(tbl.column(text_col).to_pylist()),
+            id_col: tbl.column(id_col)})
+
+    small = ds.map_batches(hashed, batch_format="pyarrow")
+    return small.groupby("h").aggregate(
+        Min(id_col, alias_name="keep_id"),
+        Count(alias_name="dups"))
+
+
+# ----------------------------------------------------------------- minhash
+
+def _shingles(text: str, k: int) -> set[bytes]:
+    b = text.encode("utf-8")
+    if len(b) <= k:
+        return {b}
+    return {b[i:i + k] for i in range(len(b) - k + 1)}
+
+
+class MinHasher:
+    """Actor-pool stage: hash-permutation parameters built once per actor.
+    Emits one (doc_id, band_id, band_hash) row per band — the LSH explode."""
+
+    def __init__(self, num_hashes: int = 64, bands: int = 16,
+                 shingle_k: int = 8, seed: int = 12345,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        assert num_hashes % bands == 0
+        rng = np.random.default_rng(seed)
+        self.p = np.uint64((1 << 61) - 1)
+        self.a = rng.integers(1, self.p, size=num_hashes, dtype=np.uint64)
+        self.b = rng.integers(0, self.p, size=num_hashes, dtype=np.uint64)
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.rows_per_band = num_hashes // bands
+        self.k = shingle_k
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text, self.k)
+        base = np.array(
+            [int.from_bytes(hashlib.md5(s).digest()[:8], "little")
+             for s in sh], dtype=np.uint64)
+        # (a*x+b) mod p per permutation, min over shingles
+        vals = (base[None, :] * self.a[:, None] + self.b[:, None]) % self.p
+        return vals.min(axis=1)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        ids, bands, hashes = [], [], []
+        id_list = tbl.column(self.id_col).to_pylist()
+        for doc_id, text in zip(id_list, tbl.column(self.text_col).to_pylist()):
+            if not text:
+                continue
+            sig = self.signature(text)
+            for band in range(self.bands):
+                seg = sig[band * self.rows_per_band:
+                          (band + 1) * self.rows_per_band]
+                h = hashlib.md5(seg.tobytes()).hexdigest()[:16]
+                ids.append(doc_id)
+                bands.append(band)
+                hashes.append(h)
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "band": pa.array(bands, pa.int32()),
+            "band_hash": pa.array(hashes, pa.string()),
+        })
+
+
+def minhash_candidates(ds, id_col: str = "doc_id", text_col: str = "text",
+                       num_hashes: int = 64, bands: int = 16,
+                       shingle_k: int = 8, concurrency: int = 4):
+    """→ (a, b) candidate near-duplicate id pairs (a < b), deduped."""
+    import pandas as pd
+
+    exploded = ds.map_batches(
+        MinHasher, batch_format="pyarrow",
+        concurrency=(1, concurrency),
+        fn_constructor_kwargs=dict(num_hashes=num_hashes, bands=bands,
+                                   shingle_k=shingle_k, id_col=id_col,
+                                   text_col=text_col))
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(group[id_col].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"a": out_a, "b": out_b})
+
+    cand = exploded.groupby(["band", "band_hash"]).map_groups(
+        pairs, batch_format="pandas")
+    # dedup pairs discovered in multiple bands (tiny relative to corpus)
+    from ray.data.aggregate import Count
+    return cand.groupby(["a", "b"]).aggregate(Count(alias_name="nbands"))
+
+
+def jaccard_verify(pairs_ds, docs_ds, threshold: float = 0.8,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   shingle_k: int = 8):
+    """Verify candidate pairs with exact shingle Jaccard. The candidate set
+    is small, so texts for candidate ids are broadcast to the verify tasks
+    (semi-join via id set)."""
+    import ray
+
+    cand = pairs_ds.to_pandas()
+    if len(cand) == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    wanted = set(cand["a"]).union(cand["b"])
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        mask = pc.is_in(tbl.column(id_col),
+                        value_set=pa.array(list(wanted), pa.int64()))
+        t = tbl.filter(mask)
+        return pa.table({id_col: t.column(id_col),
+                         text_col: t.column(text_col)})
+
+    texts = {r[id_col]: r[text_col]
+             for r in docs_ds.map_batches(pick, batch_format="pyarrow")
+                             .take_all()}
+    out_a, out_b, out_j = [], [], []
+    for a, b in zip(cand["a"], cand["b"]):
+        sa, sb = _shingles(texts[a], shingle_k), _shingles(texts[b], shingle_k)
+        j = len(sa & sb) / max(1, len(sa | sb))
+        if j >= threshold:
+            out_a.append(int(a))
+            out_b.append(int(b))
+            out_j.append(j)
+    return pa.table({"a": pa.array(out_a, pa.int64()),
+                     "b": pa.array(out_b, pa.int64()),
+                     "jaccard": pa.array(out_j, pa.float64())})
+
+
+# ----------------------------------------------------------------- simhash
+
+class SimHasher:
+    """64-bit SimHash over token md5 hashes; narrow map_batches stage."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        import re
+        self.token_re = re.compile(r"[a-z0-9]+")
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def simhash(self, text: str) -> int:
+        toks = self.token_re.findall(text.lower())
+        if not toks:
+            return 0
+        hs = np.array([int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
+                                      "little") for t in toks],
+                      dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int32)
+        votes = bits.sum(axis=0) * 2 - len(hs)
+        out = 0
+        for i, v in enumerate(votes):
+            if v > 0:
+                out |= (1 << i)
+        return out & 0x7FFFFFFFFFFFFFFF
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        vals = [self.simhash(t or "")
+                for t in tbl.column(self.text_col).to_pylist()]
+        return pa.table({self.id_col: tbl.column(self.id_col),
+                         "simhash": pa.array(vals, pa.int64())})

@@ -1,0 +1,84 @@
+"""Replicates the driver's correctness gate locally: every ``queries()``
+entry vs its ``oracle_sql()`` DuckDB result at sf0.001 — row count, schema
+(column names), and order-insensitive value equality."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+              f"read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def to_df(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+    if isinstance(result, ray.data.Dataset):
+        result = result.to_pandas()
+    elif isinstance(result, pa.Table):
+        result = result.to_pandas()
+    return result
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: None if v is None or
+                (isinstance(v, float) and math.isnan(v)) else str(v))
+        elif str(df[c].dtype).startswith(("int", "Int", "uint")):
+            df[c] = df[c].astype("Int64")
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def all_query_names():
+    from raybeats.queries import QUERIES
+    return [n for n, (_f, sql) in QUERIES.items() if sql is not None]
+
+
+@pytest.mark.parametrize("name", all_query_names())
+def test_query_matches_oracle(name, con, ray_session):
+    from raybeats.queries import QUERIES
+    fn, sql = QUERIES[name]
+    got = normalize(to_df(fn(SF)))
+    want = normalize(con.sql(sql).df())
+    assert list(got.columns) == list(want.columns), \
+        f"{name}: columns {list(got.columns)} vs {list(want.columns)}"
+    assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True, obj=name)
+
+
+def all_rows_only_names():
+    from raybeats.queries import QUERIES
+    return [n for n, (_f, sql) in QUERIES.items() if sql is None]
+
+
+@pytest.mark.parametrize("name", all_rows_only_names())
+def test_rows_only_queries_run(name, ray_session):
+    from raybeats.queries import QUERIES
+    fn, _ = QUERIES[name]
+    df = to_df(fn(SF))
+    assert len(df) >= 0 and len(df.columns) >= 2
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+    df = to_df(e.entry())
+    assert len(df) > 0
+    assert set(e.oracle_sql()).issubset(set(e.queries()))
