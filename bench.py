@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": <headline sec>, "unit": "sec",
+ "queries": {name: sec}, "sf": ..., "num_cpus": N,
+ "headline_turns": T, "turns_per_sec": R}
+
+Headline: the flagship parse→enrich→route→aggregate pipeline, run
+checkpointed (write-audit-publish manifests) over a deterministic
+generated transcript corpus (~18M turns, cached under /tmp), i.e. the
+end-to-end turns/sec number from BASELINE.md. Per-query timings cover the
+representative operators over $GRAFT_SF_DIR (default sf0.1).
+
+--scaling: runs the headline twice in fresh processes at num_cpus=8 and
+num_cpus=32 on the same input and reports both throughputs plus scaling
+efficiency (the sandbox evidence for the two-cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CONVS = int(os.environ.get("RAYBEATS_BENCH_CONVS", "1000000"))
+BENCH_DIR = f"/tmp/raybeats_bench_tx_c{BENCH_CONVS}"
+
+
+def ensure_bench_corpus() -> dict:
+    import glob
+    meta_path = os.path.join(BENCH_DIR, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    from raybeats.fixtures import write_transcripts
+    info = write_transcripts(BENCH_DIR, n_convs=BENCH_CONVS, seed=42,
+                             num_files=64)
+    with open(meta_path, "w") as f:
+        json.dump(info, f)
+    return info
+
+
+def warm_cache(files) -> None:
+    # page-cache warm: raw byte reads (no parse) so timed runs measure
+    # compute + shuffle, not first-touch disk I/O
+    for f in files:
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+
+def run_headline() -> tuple[float, int]:
+    import shutil
+
+    from raybeats.pipelines import flagship_pipeline
+    info = ensure_bench_corpus()
+    warm_cache(info["files"])
+    out = f"/tmp/raybeats_bench_out_{NUM_CPUS}"
+    shutil.rmtree(out, ignore_errors=True)
+    pipe = flagship_pipeline(enrich_concurrency=max(2, NUM_CPUS // 4))
+    t0 = time.monotonic()
+    report = pipe.run(info["files"], out, partitions=8,
+                      partition_parallelism=8)
+    elapsed = time.monotonic() - t0
+    assert report["pipeline.events.published"] > 0
+    return elapsed, info["rows"]
+
+
+def run_queries() -> dict[str, float]:
+    from raybeats.queries import QUERIES
+    import ray.data
+
+    picks = ["transcripts_derive", "parse_dissect", "route_counts",
+             "routed_rows", "enrich_lookup", "dedup_exact", "token_stats",
+             "knn_cosine", "agg_lineitem", "conversation_assembly",
+             "minhash_pairs", "simhash"]
+    out: dict[str, float] = {}
+    for name in picks:
+        fn, _ = QUERIES[name]
+        t0 = time.monotonic()
+        result = fn(SF_DIR)
+        if isinstance(result, ray.data.Dataset):
+            n = result.count()
+        else:
+            n = result.num_rows if hasattr(result, "num_rows") else len(result)
+        out[name] = round(time.monotonic() - t0, 3)
+        assert n >= 0
+    return out
+
+
+def main() -> None:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    headline_sec, turns = run_headline()
+    queries = run_queries()
+    print(json.dumps({
+        "metric": "flagship parse→enrich→route→aggregate end-to-end",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "headline_turns": turns,
+        "turns_per_sec": round(turns / headline_sec, 1),
+    }))
+    ray.shutdown()
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(json.dumps({
+        "num_cpus_lo": lo, "num_cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "turns_per_sec_lo": r_lo["turns_per_sec"],
+        "turns_per_sec_hi": r_hi["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -71,7 +71,8 @@ class Enricher:
             raise ConfigError("enrich: duplicate keys in side table")
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        from .processors import set_column
+        from .processors import pin_arrow_threads, set_column
+        pin_arrow_threads()
         if tbl.num_rows == 0:
             return tbl
         keys = _join_keys(tbl, self.key_fields)

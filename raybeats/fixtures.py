@@ -84,49 +84,79 @@ def make_transcripts_table(n_convs: int, seed: int = 42,
     kval = rng.integers(0, 100, size=n)
     edge_kind = rng.integers(0, 4, size=n)
 
-    texts: list[str] = []
-    for i in range(n):
-        c = cls[i]
-        if c == 0:
-            texts.append(
-                f'level={LEVELS[lvl[i]]} ts=2024-01-01T00:{turn_idx[i] % 60:02d}:'
-                f'{kval[i] % 60:02d}Z caller={CALLERS[caller[i]]} '
-                f'msg="{VERBS[verb[i]]} conv={conv_ids_num[i]} turn={turn_idx[i]}"')
-        elif c == 1:
-            obj = {"event": VERBS[verb[i]], "k": int(kval[i])}
-            if kval[i] % 3 == 0:
-                obj["doc_id"] = f"d{conv_ids_num[i]}-{turn_idx[i]}"
-            if kval[i] % 7 == 0:
-                obj["nested"] = {"a": int(kval[i]), "b": [1, 2]}
-            texts.append(json.dumps(obj, separators=(",", ":")))
-        elif c == 2:
-            m = kval[i] % 3
-            if m == 0:
-                texts.append(f"lvl={LEVELS[lvl[i]]} wrong leading delimiter")
-            elif m == 1:
-                texts.append(f"level={LEVELS[lvl[i]]} truncated")
-            else:
-                texts.append('{"broken": json,,')
-        else:
-            k = edge_kind[i]
-            if k == 0:
-                texts.append("")
-            elif k == 1:
-                texts.append("level= ts= caller= msg=\"\"")
-            elif k == 2:
-                texts.append("level=info ts=t caller=c msg=\"" +
-                             "längère-✓" * 400 + "\"")
-            else:
-                texts.append(f'level=info ts=t caller=c msg="drop-me conv={conv_ids_num[i]}"')
+    import pyarrow.compute as pc
 
-    tool_strs = [TOOLS[t] if not u else f"tool-x{t}"
-                 for t, u in zip(tools, unknown_tool)]
+    def take(vals: list[str], idx) -> pa.Array:
+        return pc.take(pa.array(vals, pa.string()),
+                       pa.array(idx, pa.int32()))
+
+    def s(arr) -> pa.Array:
+        return pc.cast(pa.array(arr), pa.string())
+
+    def pad2(arr) -> pa.Array:
+        return pc.utf8_lpad(s(arr), 2, "0")
+
+    j = pc.binary_join_element_wise
+    lvl_s = take(LEVELS, lvl)
+    caller_s = take(CALLERS, caller)
+    verb_s = take(VERBS, verb)
+    conv_s = s(conv_ids_num)
+    turn_s = s(turn_idx)
+    # majority class for every row; minority classes overwrite their subset
+    # only (replace_with_mask), so no full-size arrays of rare payloads
+    texts = j("level=", lvl_s, " ts=2024-01-01T00:", pad2(turn_idx % 60),
+              ":", pad2(kval % 60), 'Z caller=', caller_s, ' msg="',
+              verb_s, " conv=", conv_s, " turn=", turn_s, '"', "")
+
+    def sub(arr, idx):
+        return pc.take(arr, pa.array(idx, pa.int64()))
+
+    # JSON turns (same shapes json.dumps(..., separators=(",", ":")) makes)
+    i1 = np.nonzero(cls == 1)[0]
+    if len(i1):
+        k1, c1, t1, v1 = kval[i1], sub(conv_s, i1), sub(turn_s, i1), \
+            sub(verb_s, i1)
+        doc_part = pc.if_else(pa.array(k1 % 3 == 0),
+                              j(',"doc_id":"d', c1, "-", t1, '"', ""),
+                              pa.array([""] * len(i1), pa.string()))
+        nested_part = pc.if_else(pa.array(k1 % 7 == 0),
+                                 j(',"nested":{"a":', s(k1), ',"b":[1,2]}',
+                                   ""),
+                                 pa.array([""] * len(i1), pa.string()))
+        json_line = j('{"event":"', v1, '","k":', s(k1), doc_part,
+                      nested_part, "}", "")
+        texts = pc.replace_with_mask(texts, pa.array(cls == 1), json_line)
+    i2 = np.nonzero(cls == 2)[0]
+    if len(i2):
+        k2, l2 = kval[i2], sub(lvl_s, i2)
+        malformed = pc.case_when(
+            pc.make_struct(pa.array(k2 % 3 == 0), pa.array(k2 % 3 == 1)),
+            j("lvl=", l2, " wrong leading delimiter", ""),
+            j("level=", l2, " truncated", ""),
+            pa.array(['{"broken": json,,'] * len(i2), pa.string()))
+        texts = pc.replace_with_mask(texts, pa.array(cls == 2), malformed)
+    i3 = np.nonzero(cls == 3)[0]
+    if len(i3):
+        big = "level=info ts=t caller=c msg=\"" + "längère-✓" * 400 + "\""
+        e3, c3 = edge_kind[i3], sub(conv_s, i3)
+        edge = pc.case_when(
+            pc.make_struct(pa.array(e3 == 0), pa.array(e3 == 1),
+                           pa.array(e3 == 2)),
+            pa.array([""] * len(i3), pa.string()),
+            pa.array(["level= ts= caller= msg=\"\""] * len(i3), pa.string()),
+            pa.array([big] * len(i3), pa.string()),
+            j('level=info ts=t caller=c msg="drop-me conv=', c3, '"', ""))
+        texts = pc.replace_with_mask(texts, pa.array(cls == 3), edge)
+
+    tool_s = pc.if_else(pa.array(unknown_tool),
+                        j("tool-x", s(tools), ""),
+                        take(TOOLS, tools))
     return pa.table({
-        "conv_id": pa.array([f"conv-{c:08d}" for c in conv_ids_num], pa.string()),
+        "conv_id": j("conv-", pc.utf8_lpad(conv_s, 8, "0"), ""),
         "turn_idx": pa.array(turn_idx, pa.int32()),
-        "role": pa.array([ROLES[r] for r in roles], pa.string()),
-        "text": pa.array(texts, pa.string()),
-        "tool": pa.array(tool_strs, pa.string()),
+        "role": take(ROLES, roles),
+        "text": texts,
+        "tool": tool_s,
         "ts": pa.array(ts, pa.timestamp("us")),
     })
 

@@ -99,6 +99,7 @@ class Pipeline:
         self.batch_size = config.get("batch_size")  # None = whole block
         self.enrich_concurrency = config.get("enrich_concurrency", 4)
         self._enrich_ref = None
+        self._enricher = None
 
     @classmethod
     def from_yaml(cls, path_or_text: str) -> "Pipeline":
@@ -131,20 +132,34 @@ class Pipeline:
                                 batch_size=self.batch_size,
                                 zero_copy_batch=True)
         if self.enrich_cfg:
-            import ray
             cfg = dict(self.enrich_cfg)
             rows = cfg.pop("rows", None)
             concurrency = cfg.pop("concurrency", self.enrich_concurrency)
-            if self._enrich_ref is None:
-                side = (rows if isinstance(rows, pa.Table)
-                        else pa.Table.from_pylist(list(rows)))
-                self._enrich_ref = ray.put(side)  # broadcast ONCE
-            ds = ds.map_batches(Enricher, batch_format="pyarrow",
-                                batch_size=self.batch_size,
-                                zero_copy_batch=True,
-                                concurrency=(1, concurrency),
-                                fn_constructor_kwargs={
-                                    "table_ref": self._enrich_ref, **cfg})
+            side = (rows if isinstance(rows, pa.Table)
+                    else pa.Table.from_pylist(list(rows)))
+            mode = cfg.pop("mode",
+                           "tasks" if side.num_rows <= 100_000 else "actors")
+            if mode == "tasks":
+                # small side table: build the index once on the driver and
+                # ship the enricher inside the fused task stage (no actor
+                # pool spin-up; the stage fuses with its neighbors)
+                if self._enricher is None:
+                    self._enricher = Enricher(rows=side, **cfg)
+                ds = ds.map_batches(self._enricher, batch_format="pyarrow",
+                                    batch_size=self.batch_size,
+                                    zero_copy_batch=True)
+            else:
+                # big side table: broadcast ONCE via the object store; each
+                # actor fetches zero-copy and builds its index in __init__
+                import ray
+                if self._enrich_ref is None:
+                    self._enrich_ref = ray.put(side)
+                ds = ds.map_batches(Enricher, batch_format="pyarrow",
+                                    batch_size=self.batch_size,
+                                    zero_copy_batch=True,
+                                    concurrency=(1, concurrency),
+                                    fn_constructor_kwargs={
+                                        "table_ref": self._enrich_ref, **cfg})
         if self.post_chain.processors or self.router is not None:
             ds = ds.map_batches(self._tail_stage(), batch_format="pyarrow",
                                 batch_size=self.batch_size,
@@ -167,20 +182,35 @@ class Pipeline:
                              "n": counts.column(f"{SINK}_count")})
 
         small = ds.map_batches(partial, batch_format="pyarrow")
-        out = small.groupby(SINK).sum("n")
-        return {r[SINK]: r["sum(n)"] for r in out.take_all()}
+        # the partials are a handful of rows per batch — combine on the
+        # driver with one vectorized arrow group_by instead of paying a
+        # distributed shuffle for a few hundred rows
+        parts = pa.concat_tables(
+            list(small.iter_batches(batch_format="pyarrow"))
+            or [pa.table({SINK: pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})])
+        agg = parts.group_by(SINK).aggregate([("n", "sum")])
+        return dict(zip(agg.column(SINK).to_pylist(),
+                        agg.column("n_sum").to_pylist()))
 
     # --------------------------------------------------------------- run
     def run(self, input_paths, out_dir: str, partitions: int | None = None,
-            resume: bool = True, ray_remote_args: dict | None = None) -> dict:
+            resume: bool = True, partition_parallelism: int | None = None,
+            ray_remote_args: dict | None = None) -> dict:
         """Checkpointed execution: partition the input file list, process
         each unfinished partition as its own (internally parallel) Dataset,
         write per-sink Parquet with write-audit-publish, publish a manifest
-        per partition, and return a job report."""
+        per partition, and return a job report.
+
+        ``partition_parallelism`` driver threads overlap partition
+        executions (Ray schedules their tasks on one shared CPU pool), so
+        per-partition fixed costs amortize; manifests still publish
+        per-partition, preserving resume granularity."""
         import ray.data as rd
 
         from .state.manifest import CheckpointManifest, stage_and_swap
 
+        _settle_fsspec_http_import()
         if isinstance(input_paths, str):
             input_paths = sorted(glob_mod.glob(os.path.join(input_paths,
                                                             "*.parquet")) or
@@ -203,21 +233,25 @@ class Pipeline:
                   "pipeline.events.dropped": 0,
                   "per_sink": {}, "elapsed_sec": 0.0}
         t0 = time.monotonic()
-        for pid_num, files in enumerate(groups):
+
+        def run_partition(pid_num: int, files: list[str]) -> dict:
             pid = f"{pid_num:05d}"
             part_dir = os.path.join(out_dir, f"part={pid}")
-            if pid in done:
-                prev = manifest.read(pid)
-                report["partitions_skipped"] += 1
-                self._fold_counts(report, prev)
-                continue
             in_rows = sum(pq.read_metadata(f).num_rows for f in files)
-            ds = self.build(rd.read_parquet(files))
-
-            def write(staging, ds=ds):
-                ds.write_parquet(staging, partition_cols=[SINK])
-
-            stage_and_swap(part_dir, write)
+            # keep at least one block per input file: Ray merges small
+            # files into one 128MB block, which would serialize the chain
+            # within a partition (irrelevant at 100 TB, decisive on small
+            # benches)
+            ds = self.build(rd.read_parquet(
+                files, override_num_blocks=len(files)))
+            sort_cols = self.config.get("sort_output")
+            if sort_cols:
+                # stable (conv_id, turn_idx) order within the partition
+                # before write (never a global sort — SURVEY §4 ordering)
+                ds = ds.sort(list(sort_cols))
+            stage_and_swap(part_dir,
+                           lambda staging: ds.write_parquet(
+                               staging, partition_cols=[SINK]))
             sink_counts = _scan_partition_counts(part_dir)
             published = sum(sink_counts.values())
             payload = {
@@ -230,8 +264,28 @@ class Pipeline:
                 "output_dir": part_dir,
             }
             manifest.publish(pid, payload)
-            report["partitions_run"] += 1
-            self._fold_counts(report, payload)
+            return payload
+
+        todo = []
+        for pid_num, files in enumerate(groups):
+            pid = f"{pid_num:05d}"
+            if pid in done:
+                report["partitions_skipped"] += 1
+                self._fold_counts(report, manifest.read(pid))
+            else:
+                todo.append((pid_num, files))
+        workers = partition_parallelism or min(4, max(1, len(todo)))
+        if workers <= 1 or len(todo) <= 1:
+            for pid_num, files in todo:
+                self._fold_counts(report, run_partition(pid_num, files))
+                report["partitions_run"] += 1
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                futs = [pool.submit(run_partition, p, f) for p, f in todo]
+                for fut in futs:
+                    self._fold_counts(report, fut.result())
+                    report["partitions_run"] += 1
         report["elapsed_sec"] = time.monotonic() - t0
         with open(os.path.join(out_dir, "job_report.json"), "w") as f:
             json.dump(report, f, indent=1, sort_keys=True)
@@ -244,6 +298,29 @@ class Pipeline:
             report[k] += payload.get(k, 0)
         for sink, n in payload.get("per_sink", {}).items():
             report["per_sink"][sink] = report["per_sink"].get(sink, 0) + n
+
+
+def _settle_fsspec_http_import() -> None:
+    """Ray's path resolution retries ``from fsspec.implementations.http
+    import HTTPFileSystem`` on every call; with aiohttp absent the import
+    fails each time and concurrent partition threads can race the import
+    machinery (plain ImportError escapes Ray's ModuleNotFoundError
+    handler). Register a sentinel module once so the lookup settles."""
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        import sys
+        import types
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel — never instantiated offline
+            def __init__(self, *a, **k):
+                raise ImportError("aiohttp missing: HTTP filesystem "
+                                  "unavailable in this environment")
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
 
 
 def _scan_partition_counts(part_dir: str) -> dict[str, int]:

@@ -189,6 +189,21 @@ def _conform(tbl: pa.Table, schema: pa.Schema) -> pa.Table:
     return pa.table(dict(zip(schema.names, cols)))
 
 
+_arrow_pool_pinned = False
+
+
+def pin_arrow_threads() -> None:
+    """Each Ray task reserves one CPU; Arrow's global pools default to
+    ``os.cpu_count()`` threads PER WORKER PROCESS, so 32 workers × 32
+    threads thrash the box. Pin the pools to 1 inside worker-side stages
+    (idempotent per process)."""
+    global _arrow_pool_pinned
+    if not _arrow_pool_pinned:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        _arrow_pool_pinned = True
+
+
 class Chain:
     """Ordered processor list; one callable suitable for ``map_batches``."""
 
@@ -196,6 +211,7 @@ class Chain:
         self.processors = list(processors)
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
+        pin_arrow_threads()
         for p in self.processors:
             if tbl.num_rows == 0:
                 break
@@ -244,3 +260,4 @@ from . import parsers as _parsers            # noqa: E402,F401
 from . import convert as _convert            # noqa: E402,F401
 from . import timestamp as _timestamp        # noqa: E402,F401
 from . import fingerprint as _fingerprint    # noqa: E402,F401
+from . import ratelimit as _ratelimit        # noqa: E402,F401

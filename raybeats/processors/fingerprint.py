@@ -102,11 +102,25 @@ class Fingerprint(Processor):
             serialized = pc.binary_join_element_wise(concat, "|", "")
         else:
             serialized = pa.array(["|"] * n, pa.string())
-        out = []
-        ok_list = all_ok.to_pylist()
-        for s, ok in zip(serialized.to_pylist(), ok_list):
-            if s is None or not ok:
-                out.append(None)
-            else:
-                out.append(self._digest(s.encode("utf-8")))
-        return set_column(tbl, self.target, pa.array(out, pa.string()))
+        out = self._digest_column(serialized, all_ok)
+        return set_column(tbl, self.target, out)
+
+    def _digest_column(self, serialized: pa.Array, all_ok) -> pa.Array:
+        """Hash each row's bytes straight out of the Arrow buffer
+        (memoryview slices) — no per-row python string materialization in
+        the hot loop."""
+        import numpy as np
+        if isinstance(serialized, pa.ChunkedArray):
+            serialized = serialized.combine_chunks()
+        serialized = pc.cast(serialized, pa.string())
+        bufs = serialized.buffers()
+        off0 = serialized.offset
+        offsets = np.frombuffer(bufs[1], dtype=np.int32,
+                                count=len(serialized) + 1 + off0)[off0:]
+        data = memoryview(bufs[2])
+        valid = pc.and_(pc.is_valid(serialized), all_ok).to_numpy(
+            zero_copy_only=False)
+        digest = self._digest
+        out = [digest(data[offsets[i]:offsets[i + 1]]) if valid[i] else None
+               for i in range(len(serialized))]
+        return pa.array(out, pa.string())

@@ -53,6 +53,72 @@ class DissectProcessor(Processor):
         return add_flag(tbl, pc.invert(ok), FLAG_DISSECT_ERROR)
 
 
+@register("decode_xml")
+class DecodeXml(Processor):
+    """Parse an XML string field into flattened dotted keys
+    (``decode_xml/decode_xml.go``). Attributes become keys; repeated child
+    tags collapse to their last value (static-schema narrowing: pass
+    ``expected_keys`` for stable distributed schemas, like
+    ``decode_json_fields``)."""
+
+    def __init__(self, field: str = "message", target: str = "",
+                 expected_keys: list[str] | None = None,
+                 ignore_missing: bool = True, ignore_failure: bool = True):
+        self.field = field
+        self.prefix = f"{target}." if target else ""
+        self.expected = list(expected_keys) if expected_keys else None
+        self.ignore_missing = ignore_missing
+
+    def _flatten(self, el, prefix: str, out: dict):
+        for k, v in el.attrib.items():
+            out[f"{prefix}{k}"] = v
+        kids = list(el)
+        if not kids:
+            if el.text and el.text.strip():
+                out[prefix.rstrip(".") or el.tag] = el.text.strip()
+            return
+        for child in kids:
+            self._flatten(child, f"{prefix}{child.tag}.", out)
+
+    def apply(self, tbl: pa.Table) -> pa.Table:
+        import xml.etree.ElementTree as ET
+        col = get_column(tbl, self.field)
+        if col is None:
+            if self.ignore_missing:
+                return tbl
+            raise ConfigError(f"decode_xml: missing {self.field!r}")
+        rows, bad = [], []
+        for v in col.to_pylist():
+            if not v or not v.lstrip().startswith("<"):
+                rows.append(None)
+                bad.append(v is not None)
+                continue
+            try:
+                root = ET.fromstring(v)
+            except ET.ParseError:
+                rows.append(None)
+                bad.append(True)
+                continue
+            flat: dict = {}
+            self._flatten(root, f"{root.tag}.", flat)
+            rows.append(flat)
+            bad.append(False)
+        keys = self.expected
+        if keys is None:
+            seen: list[str] = []
+            for r in rows:
+                if r:
+                    for k in r:
+                        if k not in seen:
+                            seen.append(k)
+            keys = seen
+        for key in keys:
+            vals = [None if r is None else r.get(key) for r in rows]
+            tbl = set_column(tbl, self.prefix + key,
+                             pa.array(vals, pa.string()))
+        return add_flag(tbl, pa.array(bad, pa.bool_()), "decode_xml_error")
+
+
 @register("decode_json_fields")
 class DecodeJsonFields(Processor):
     """Parse JSON string field(s) (``actions/decode_json_fields.go``).
@@ -109,33 +175,30 @@ class DecodeJsonFields(Processor):
                 if self.ignore_missing:
                     continue
                 raise ConfigError(f"decode_json_fields: missing {field!r}")
-            rows: list[dict | None] = []
-            bad = [False] * n
-            for i, v in enumerate(col.to_pylist()):
-                if v is None:
-                    rows.append(None)
-                    continue
-                s = v.strip() if isinstance(v, str) else ""
-                if not (s.startswith("{") or
-                        (self.process_array and s.startswith("["))):
-                    rows.append(None)
-                    bad[i] = True
-                    continue
-                try:
-                    obj = json.loads(s)
-                except (json.JSONDecodeError, ValueError):
-                    rows.append(None)
-                    bad[i] = True
-                    continue
-                if isinstance(obj, dict):
-                    flat: dict = {}
-                    self._flatten(obj, 1, "", flat)
-                    rows.append(flat)
-                elif isinstance(obj, list) and self.process_array:
-                    rows.append({"array": obj})
-                else:
-                    rows.append(None)
-                    bad[i] = True
+            # vectorized pre-filter: only JSON-looking rows leave Arrow
+            trimmed = pc.utf8_trim_whitespace(pc.cast(col, pa.string()))
+            looks = pc.starts_with(trimmed, pattern="{")
+            if self.process_array:
+                looks = pc.or_(looks, pc.starts_with(trimmed, pattern="["))
+            looks = pc.fill_null(looks, False)
+            rows: list[dict | None] = [None] * n
+            bad = pc.invert(pc.or_(looks, pc.is_null(col))).to_pylist()
+            if pc.any(looks).as_py():
+                idxs = pc.indices_nonzero(looks).to_pylist()
+                for i, s in zip(idxs, pc.take(trimmed, idxs).to_pylist()):
+                    try:
+                        obj = json.loads(s)
+                    except (json.JSONDecodeError, ValueError):
+                        bad[i] = True
+                        continue
+                    if isinstance(obj, dict):
+                        flat: dict = {}
+                        self._flatten(obj, 1, "", flat)
+                        rows[i] = flat
+                    elif isinstance(obj, list) and self.process_array:
+                        rows[i] = {"array": obj}
+                    else:
+                        bad[i] = True
             if self.document_id:
                 ids = [None if r is None else r.pop(self.document_id, None)
                        for r in rows]

@@ -27,9 +27,17 @@ RE = DISSECT_REGEX_SQL.replace("\\", "\\\\").replace("'", "''")
 _T = f"WITH transcripts AS ({TRANSCRIPTS_SQL})"
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, blocks: int | None = None):
+    """Column-pruned parquet read. ``blocks`` overrides block planning for
+    CPU-heavy downstream stages: a single small file otherwise becomes ONE
+    block → one task → no parallelism (at 100 TB the fragment count makes
+    this moot, but per-row-expensive ops need the split even on small
+    inputs)."""
     import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    kw = {}
+    if blocks:
+        kw["override_num_blocks"] = blocks
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
 
 
 # ------------------------------------------------------- flagship family
@@ -338,7 +346,8 @@ SQL_FINGERPRINT_DOCS = (
 
 def q_dedup_exact(sf_dir: str):
     from .textops.dedup import exact_dedup_groups
-    return exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return exact_dedup_groups(
+        _read(sf_dir, "documents", ["doc_id", "text"], blocks=16))
 
 
 SQL_DEDUP_EXACT = ("SELECT md5(text) AS h, MIN(doc_id) AS keep_id, "
@@ -391,7 +400,7 @@ def q_knn_cosine(sf_dir: str):
     qt = qt.sort_by("vec_id")
     import numpy as np
     queries = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=16)
     return knn_topk(ds, queries, qt.column("vec_id").to_pylist(), k=5)
 
 
@@ -410,13 +419,36 @@ FROM s QUALIFY rank <= 5 ORDER BY query_id, rank"""
 
 # ------------------------------------------------------ relational demos
 
+def _combine_partials(ds, keys: list[str], sums: dict[str, str]) -> pa.Table:
+    """Collect tiny per-batch partial aggregates and combine them with one
+    driver-side arrow group_by (a handful of rows per batch — no
+    distributed shuffle needed)."""
+    merged = pa.concat_tables(
+        list(ds.iter_batches(batch_format="pyarrow")))
+    agg = merged.group_by(keys).aggregate(
+        [(src, "sum") for src in sums])
+    cols = {k: agg.column(k) for k in keys}
+    cols.update({out: agg.column(f"{src}_sum")
+                 for src, out in sums.items()})
+    return pa.table(cols)
+
+
 def q_agg_lineitem(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity"])
-    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Count(alias_name="n"))
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by(keys).aggregate([("l_quantity", "sum"),
+                                          ("l_quantity", "count")])
+        return pa.table({
+            "l_returnflag": g.column("l_returnflag"),
+            "l_linestatus": g.column("l_linestatus"),
+            "sum_qty": g.column("l_quantity_sum"),
+            "n": pc.cast(g.column("l_quantity_count"), pa.int64())})
+
+    small = ds.map_batches(partial, batch_format="pyarrow")
+    return _combine_partials(small, keys, {"sum_qty": "sum_qty", "n": "n"})
 
 
 SQL_AGG_LINEITEM = ("SELECT l_returnflag, l_linestatus, "
@@ -425,15 +457,22 @@ SQL_AGG_LINEITEM = ("SELECT l_returnflag, l_linestatus, "
 
 
 def q_mktsegment_counts(sf_dir: str):
-    from ray.data.aggregate import Count
     side = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
     side = side.rename_columns(["o_custkey", "c_mktsegment"])
     enr = Enricher(rows=side, key_fields=("o_custkey",), target_prefix="",
                    miss_flag=False)
-    ds = _read(sf_dir, "orders", ["o_custkey"]) \
-        .map_batches(enr, batch_format="pyarrow")
-    return ds.groupby("c_mktsegment").aggregate(Count(alias_name="n"))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        t = enr(tbl)
+        g = t.group_by("c_mktsegment").aggregate([("o_custkey", "count")])
+        return pa.table({"c_mktsegment": g.column("c_mktsegment"),
+                         "n": pc.cast(g.column("o_custkey_count"),
+                                      pa.int64())})
+
+    small = _read(sf_dir, "orders", ["o_custkey"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    return _combine_partials(small, ["c_mktsegment"], {"n": "n"})
 
 
 SQL_MKTSEGMENT_COUNTS = ("SELECT c_mktsegment, COUNT(*) AS n FROM orders "
@@ -454,26 +493,26 @@ SQL_TOP10_ORDERS = ("SELECT o_orderkey, o_totalprice FROM orders "
 
 def q_lang_id(sf_dir: str):
     from .textops.analysis import LangId
-    return _read(sf_dir, "documents", ["doc_id", "text"]) \
-        .map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
+    return _read(sf_dir, "documents", ["doc_id", "text"], blocks=16) \
+        .map_batches(LangId(), batch_format="pyarrow")
 
 
 def q_simhash(sf_dir: str):
     from .textops.dedup import SimHasher
-    return _read(sf_dir, "documents", ["doc_id", "text"]) \
-        .map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 2))
+    return _read(sf_dir, "documents", ["doc_id", "text"], blocks=16) \
+        .map_batches(SimHasher(), batch_format="pyarrow")
 
 
 def q_minhash_pairs(sf_dir: str):
     from .textops.dedup import jaccard_verify, minhash_candidates
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32)
     cand = minhash_candidates(docs, bands=16, num_hashes=64, shingle_k=8)
     return jaccard_verify(cand, docs, threshold=0.5)
 
 
 def q_rolling_fingerprint(sf_dir: str):
     from .textops.analysis import rolling_fingerprint
-    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+    return _read(sf_dir, "documents", ["doc_id", "text"], blocks=16) \
         .map_batches(rolling_fingerprint, batch_format="pyarrow")
 
 

@@ -47,6 +47,30 @@ def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
         Count(alias_name="dups"))
 
 
+def dedup_first_by_key(ds, key: str = "meta_id",
+                       order_cols: tuple[str, ...] = ("ts",)):
+    """ES create-op duplicate semantics (``elasticsearch/client.go:318-334,
+    383-388``): one event per document id survives; rows with a null id
+    pass through untouched. "First" is made deterministic by keeping the
+    minimum of ``order_cols`` per id (a distributed engine has no global
+    arrival order). One keyed shuffle on the id."""
+    import pandas as pd
+
+    def null_ids(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(pc.is_null(tbl.column(key)))
+
+    def with_ids(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(pc.is_valid(tbl.column(key)))
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(list(order_cols)).head(1)
+
+    passthrough = ds.map_batches(null_ids, batch_format="pyarrow")
+    deduped = ds.map_batches(with_ids, batch_format="pyarrow") \
+        .groupby(key).map_groups(first, batch_format="pandas")
+    return deduped.union(passthrough)
+
+
 # ----------------------------------------------------------------- minhash
 
 def _shingles(text: str, k: int) -> set[bytes]:
@@ -111,26 +135,39 @@ def minhash_candidates(ds, id_col: str = "doc_id", text_col: str = "text",
     """→ (a, b) candidate near-duplicate id pairs (a < b), deduped."""
     import pandas as pd
 
-    exploded = ds.map_batches(
-        MinHasher, batch_format="pyarrow",
-        concurrency=(1, concurrency),
-        fn_constructor_kwargs=dict(num_hashes=num_hashes, bands=bands,
-                                   shingle_k=shingle_k, id_col=id_col,
-                                   text_col=text_col))
+    hasher = MinHasher(num_hashes=num_hashes, bands=bands,
+                       shingle_k=shingle_k, id_col=id_col,
+                       text_col=text_col)
+    exploded = ds.map_batches(hasher, batch_format="pyarrow")
+
+    # bucket the (band, band_hash) space into a FIXED number of groups so
+    # the shuffle produces ~n_buckets coarse groups (vectorized pandas
+    # inside each) instead of one python call per LSH bucket
+    n_buckets = 64
+
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        import numpy as np
+        # deterministic across worker processes (python hash() is salted):
+        # band_hash is hex, reuse its leading bits
+        h = np.array([int(x[:8], 16) % n_buckets
+                      for x in tbl.column("band_hash").to_pylist()],
+                     dtype=np.int32)
+        return tbl.append_column("bucket", pa.array(h, pa.int32()))
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"a": out_a, "b": out_b})
+        g = group.drop_duplicates([id_col, "band", "band_hash"])
+        sizes = g.groupby(["band", "band_hash"])[id_col].transform("size")
+        g = g[sizes > 1]
+        if len(g) == 0:
+            return pd.DataFrame({"a": pd.array([], dtype="int64"),
+                                 "b": pd.array([], dtype="int64")})
+        m = g.merge(g, on=["band", "band_hash"])
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        return pd.DataFrame({"a": m[f"{id_col}_x"].to_numpy(),
+                             "b": m[f"{id_col}_y"].to_numpy()})
 
-    cand = exploded.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
+    cand = exploded.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pairs, batch_format="pandas")
     # dedup pairs discovered in multiple bands (tiny relative to corpus)
     from ray.data.aggregate import Count
     return cand.groupby(["a", "b"]).aggregate(Count(alias_name="nbands"))

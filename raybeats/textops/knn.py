@@ -64,10 +64,11 @@ def knn_topk(ds, queries: np.ndarray, query_ids: list[int], k: int = 5,
     top-k + tiny driver merge. Ties broken by neighbor_id ascending."""
     import pandas as pd
 
-    partial = ds.map_batches(
-        BatchTopK, batch_format="pyarrow", concurrency=(1, 4),
-        fn_constructor_kwargs=dict(queries=queries, query_ids=query_ids,
-                                   k=k, id_col=id_col, vec_col=vec_col))
+    # the query matrix is small state — ship it inside a task-stage fn
+    # (an actor pool would pay spin-up for no amortization win here)
+    topk = BatchTopK(queries=queries, query_ids=query_ids, k=k,
+                     id_col=id_col, vec_col=vec_col)
+    partial = ds.map_batches(topk, batch_format="pyarrow")
     df = partial.to_pandas()
     if exclude_self:
         df = df[df["query_id"] != df["neighbor_id"]]

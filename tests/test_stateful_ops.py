@@ -1,0 +1,86 @@
+import pyarrow as pa
+import pytest
+
+from raybeats.errors import ConfigError
+from raybeats.processors import build_processor
+
+
+def T(**cols):
+    return pa.table(cols)
+
+
+def test_rate_limit_event_time_bucket():
+    # 1/s with burst 1: events 0.0s,0.2s,1.5s,3.0s per key -> keep 0,2,3
+    us = 1_000_000
+    t = T(ts=pa.array([0, 200_000, 1_500_000, 3 * us, 0, 10 * us],
+                      pa.timestamp("us")),
+          k=pa.array(["a", "a", "a", "a", "b", "b"]))
+    p = build_processor({"rate_limit": {"limit": "1/s", "fields": ["k"]}})
+    out = p.apply(t)
+    kept = sorted(zip(out.column("k").to_pylist(),
+                      [x.timestamp() for x in out.column("ts").to_pylist()]))
+    assert kept == [("a", 0.0), ("a", 1.5), ("a", 3.0), ("b", 0.0), ("b", 10.0)]
+
+
+def test_rate_limit_bad_config():
+    with pytest.raises(ConfigError):
+        build_processor({"rate_limit": {"limit": "10/x"}})
+
+
+def test_timeseries_instance():
+    t = T(dim1=pa.array(["a", "a", "b"]), dim2=pa.array(["x", "x", "y"]))
+    p = build_processor({"timeseries": {"fields": ["dim1", "dim2"]}})
+    out = p.apply(t).column("timeseries.instance").to_pylist()
+    assert out[0] == out[1] != out[2]
+
+
+def test_decode_xml():
+    t = T(message=pa.array(
+        ['<ev id="7"><user name="bo"/><msg>hi</msg></ev>', "not xml", None]))
+    p = build_processor({"decode_xml": {"field": "message", "target": "x"}})
+    out = p.apply(t)
+    assert out.column("x.ev.id").to_pylist() == ["7", None, None]
+    assert out.column("x.ev.user.name").to_pylist() == ["bo", None, None]
+    assert out.column("x.ev.msg").to_pylist() == ["hi", None, None]
+    assert "decode_xml_error" in (out.column("log_flags").to_pylist()[1] or "")
+
+
+def test_stub_processors_raise():
+    for name in ("community_id", "translate_sid"):
+        with pytest.raises(NotImplementedError):
+            build_processor({name: {}})
+
+
+def test_dedup_first_by_key(ray_session):
+    import ray.data as rd
+
+    from raybeats.textops.dedup import dedup_first_by_key
+
+    t = pa.table({
+        "meta_id": ["x", "x", "y", None, None],
+        "ts": pa.array([5, 3, 1, 9, 9], pa.int64()),
+        "v": ["late", "early", "only", "null1", "null2"],
+    })
+    out = dedup_first_by_key(rd.from_arrow(t), key="meta_id",
+                             order_cols=("ts",)).take_all()
+    vals = sorted(r["v"] for r in out)
+    assert vals == ["early", "null1", "null2", "only"]
+
+
+def test_media_feature_stage(ray_session):
+    import ray.data as rd
+
+    from raybeats.textops.multimodal import (extract_media_features,
+                                             synth_media_table)
+    media = rd.from_arrow(synth_media_table(50, seed=3))
+    out = extract_media_features(media, concurrency=2, batch_size=16) \
+        .take_all()
+    assert len(out) == 50
+    assert all(len(r["features"]) == 8 for r in out)
+    # deterministic stub: same payload -> same features
+    again = extract_media_features(
+        rd.from_arrow(synth_media_table(50, seed=3)),
+        concurrency=2, batch_size=16).take_all()
+    f1 = {r["media_id"]: r["features"] for r in out}
+    f2 = {r["media_id"]: r["features"] for r in again}
+    assert f1 == f2
