@@ -188,18 +188,30 @@ FROM transcripts t LEFT JOIN meta m
 
 
 def q_conversation_assembly(sf_dir: str):
+    """Multiline-equivalent conversation assembly. Bucketed shuffle: the
+    groupby key is a fixed-cardinality hash bucket of conv_id (one
+    vectorized pandas groupby-agg per bucket) rather than one python call
+    per conversation — same shape salts away hot conversations at scale."""
     import pandas as pd
+    import zlib
+
+    n_buckets = 64
+
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        b = [zlib.crc32(c.encode()) % n_buckets
+             for c in tbl.column("conv_id").to_pylist()]
+        return tbl.append_column("bucket", pa.array(b, pa.int32()))
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx")
-        return pd.DataFrame({
-            "conv_id": [g["conv_id"].iloc[0]],
-            "n_turns": pd.array([len(g)], dtype="int64"),
-            "joined": ["\n".join(g["text"])],
-        })
+        g = g.sort_values(["conv_id", "turn_idx"])
+        agg = g.groupby("conv_id", sort=True).agg(
+            n_turns=("text", "size"), joined=("text", "\n".join))
+        agg["n_turns"] = agg["n_turns"].astype("int64")
+        return agg.reset_index()[["conv_id", "n_turns", "joined"]]
 
     return (read_transcripts(sf_dir)
-            .groupby("conv_id")
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
             .map_groups(assemble, batch_format="pandas"))
 
 
@@ -417,6 +429,107 @@ SELECT query_id, neighbor_id,
 FROM s QUALIFY rank <= 5 ORDER BY query_id, rank"""
 
 
+def q_window_agg(sf_dir: str):
+    """Tumbling event-time window aggregate (hour buckets) — the windowed
+    aggregate the reference lacks, expressed as derive-bucket → partial
+    agg per batch → tiny combine. Sums are exact (integer cents)."""
+    def partial(tbl: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(tbl.column("ts"), unit="hour")
+        cents = pc.cast(pc.round(pc.multiply(tbl.column("value"), 100.0)),
+                        pa.int64())
+        t = pa.table({"user_id": tbl.column("user_id"), "hour": hour,
+                      "cents": cents})
+        g = t.group_by(["user_id", "hour"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "hour": g.column("hour"),
+                         "total_cents": g.column("cents_sum"),
+                         "n": pc.cast(g.column("cents_count"), pa.int64())})
+
+    small = _read(sf_dir, "events", ["user_id", "ts", "value"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    return _combine_partials(small, ["user_id", "hour"],
+                             {"total_cents": "total_cents", "n": "n"})
+
+
+SQL_WINDOW_AGG = """SELECT user_id, date_trunc('hour', ts) AS hour,
+  SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+  COUNT(*) AS n
+FROM events GROUP BY user_id, date_trunc('hour', ts)"""
+
+
+def q_sessionization(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user — the streaming-
+    window shape: groupby key, order by time within group, count gap
+    breaks. Partitioning assumption: one group sees all of a user's rows."""
+    import pandas as pd
+
+    gap_us = 30 * 60 * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].astype("int64")
+        breaks = (ts.diff() > gap_us).sum()
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_sessions": pd.array([int(breaks) + 1], dtype="int64"),
+            "n_events": pd.array([len(g)], dtype="int64"),
+        })
+
+    return _read(sf_dir, "events", ["user_id", "ts", "event_id"]) \
+        .groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_SESSIONIZATION = """WITH d AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events)
+SELECT user_id, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM d GROUP BY user_id"""
+
+
+def q_dedup_by_id(sf_dir: str):
+    """ES create-op duplicate semantics over a synthetic id: the events
+    `props.k` value plays Meta._id; first event per id (min by ts,
+    event_id) survives."""
+    from .textops.dedup import dedup_first_by_key
+    chain = build_chain([{"decode_json_fields": {
+        "fields": ["props"], "target": "", "expected_keys": ["k:int"]}}])
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        t = chain(tbl)
+        return pa.table({"k": t.column("k"), "ts": t.column("ts"),
+                         "event_id": t.column("event_id")})
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "props"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    out = dedup_first_by_key(ds, key="k", order_cols=("ts", "event_id"))
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table({"k": tbl.column("k"),
+                         "event_id": tbl.column("event_id")})
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+SQL_DEDUP_BY_ID = """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+    AS k, event_id
+FROM events
+QUALIFY row_number() OVER (PARTITION BY k ORDER BY ts, event_id) = 1"""
+
+
+def q_ratelimit(sf_dir: str):
+    """Keyed event-time token-bucket rate limiting over derived
+    transcripts (1 turn/min per conversation). Stateful scan — no SQL
+    oracle (rows-only check)."""
+    from .processors import build_chain as bc
+    chain = bc([{"rate_limit": {"limit": "1/m", "fields": ["conv_id"]}}])
+    return read_transcripts(sf_dir).map_batches(chain,
+                                                batch_format="pyarrow")
+
+
 # ------------------------------------------------------ relational demos
 
 def _combine_partials(ds, keys: list[str], sums: dict[str, str]) -> pa.Table:
@@ -545,10 +658,14 @@ QUERIES = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+    "window_agg": (q_window_agg, SQL_WINDOW_AGG),
+    "sessionization": (q_sessionization, SQL_SESSIONIZATION),
+    "dedup_by_id": (q_dedup_by_id, SQL_DEDUP_BY_ID),
     "agg_lineitem": (q_agg_lineitem, SQL_AGG_LINEITEM),
     "mktsegment_counts": (q_mktsegment_counts, SQL_MKTSEGMENT_COUNTS),
     "top10_orders": (q_top10_orders, SQL_TOP10_ORDERS),
     # rows-only (non-SQL-expressible; driver records weaker check)
+    "ratelimit": (q_ratelimit, None),
     "lang_id": (q_lang_id, None),
     "simhash": (q_simhash, None),
     "minhash_pairs": (q_minhash_pairs, None),
