@@ -553,6 +553,46 @@ class AddHostMetadata(Processor):
         return tbl
 
 
+@register("validate")
+class Validate(Processor):
+    """Pre-write validation — the engine-side equivalent of the
+    elasticsearch output's per-item 4xx triage
+    (``elasticsearch/client.go:359-426``): rows violating constraints are
+    marked ``meta_dead_letter`` (the ``Meta.deadlettered`` flag,
+    ``non_indexable_policy.go:31``) so the router's dead-letter override
+    re-routes them and the rewrite stage produces the
+    ``{message, error.type, error.message}`` shape. Constraints:
+    ``required`` fields non-null; ``max_field_bytes`` per listed field."""
+
+    def __init__(self, required: list[str] | None = None,
+                 max_field_bytes: dict[str, int] | None = None):
+        self.required = list(required or [])
+        self.max_bytes = dict(max_field_bytes or {})
+
+    def apply(self, tbl: pa.Table) -> pa.Table:
+        from ..model import META_DEAD_LETTER
+        n = tbl.num_rows
+        bad = pa.array([False] * n, pa.bool_())
+        for f in self.required:
+            col = get_column(tbl, f)
+            miss = (pa.array([True] * n, pa.bool_()) if col is None
+                    else pc.is_null(col))
+            bad = pc.or_(bad, miss)
+        for f, limit in self.max_bytes.items():
+            col = get_column(tbl, f)
+            if col is None:
+                continue
+            over = pc.fill_null(
+                pc.greater(pc.binary_length(pc.cast(col, pa.string())),
+                           limit), False)
+            bad = pc.or_(bad, over)
+        prev = get_column(tbl, META_DEAD_LETTER)
+        if prev is not None:
+            bad = pc.or_(bad, pc.fill_null(pc.cast(prev, pa.bool_()), False))
+        tbl = set_column(tbl, META_DEAD_LETTER, bad)
+        return add_flag(tbl, bad, "validation_error")
+
+
 @register("script")
 class Script(Processor):
     """UDF escape hatch (reference: JS ``script`` processor with pooled VMs,

@@ -114,6 +114,38 @@ def _stub(name: str, reason: str):
     return _Stub
 
 
+@register("lookup_enrich")
+class LookupEnrich(Processor):
+    """Config-surface wrapper around :class:`raybeats.enrich.Enricher` so
+    YAML pipelines can express the dictionary-enrich stage (the engine's
+    generalization of the reference's metadata enrichers, SURVEY §2.3).
+    ``rows`` inline, or ``parquet`` path to a small side table."""
+
+    def __init__(self, key_fields: list[str], rows: list[dict] | None = None,
+                 parquet: str | None = None, target_prefix: str = "meta",
+                 miss_flag: bool = True):
+        from ..enrich import Enricher
+        side = rows
+        if parquet:
+            import pyarrow.parquet as pq
+            side = pq.read_table(parquet)
+        self.enricher = Enricher(rows=side, key_fields=tuple(key_fields),
+                                 target_prefix=target_prefix,
+                                 miss_flag=miss_flag)
+
+    def apply(self, tbl: pa.Table) -> pa.Table:
+        return self.enricher(tbl)
+
+
 _stub("community_id", "network 5-tuple flow hashing needs packet fields")
 _stub("translate_sid", "Windows SID resolution needs an OS account store")
 _stub("decode_xml_wineventlog", "Windows event-log XML schema")
+_stub("dns", "no resolver in this environment; use lookup_enrich with a "
+      "resolution table")
+_stub("add_docker_metadata", "no Docker daemon; use lookup_enrich with a "
+      "container metadata table")
+_stub("add_kubernetes_metadata", "no K8s API; use lookup_enrich with a pod "
+      "metadata table")
+_stub("add_process_metadata", "host process table not meaningful for "
+      "distributed batch workers")
+_stub("add_cloud_metadata", "no cloud metadata endpoint in this environment")

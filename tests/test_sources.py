@@ -1,0 +1,84 @@
+import gzip
+import os
+
+import pyarrow as pa
+import pytest
+
+from raybeats.processors import build_processor
+from raybeats.sources.logfiles import MultilineJoiner, _split_file
+
+
+def test_split_file_offsets():
+    data = b"alpha\nbeta\n\ngamma"
+    msgs, offs = _split_file("f", data, "utf-8", b"\n", None)
+    assert msgs == ["alpha", "beta", "", "gamma"]
+    assert offs == [0, 6, 11, 12]
+
+
+def test_split_file_crlf_and_trailing_newline():
+    msgs, offs = _split_file("f", b"a\r\nb\r\n", "utf-8", b"\n", None)
+    assert msgs == ["a", "b"]
+    assert offs == [0, 3]
+
+
+def test_multiline_pattern_after():
+    # continuation lines start with whitespace (classic stack trace)
+    j = MultilineJoiner(mode="pattern", pattern=r"^\s", match="after")
+    msgs, offs = j.join(["err: boom", "  at a()", "  at b()", "ok"],
+                        [0, 10, 20, 30])
+    assert msgs == ["err: boom\n  at a()\n  at b()", "ok"]
+    assert offs == [0, 30]
+
+
+def test_multiline_pattern_negate_after():
+    # lines NOT starting with [ continue the previous event
+    j = MultilineJoiner(mode="pattern", pattern=r"^\[", negate=True,
+                        match="after")
+    msgs, _ = j.join(["[1] start", "cont", "[2] next"], [0, 10, 20])
+    assert msgs == ["[1] start\ncont", "[2] next"]
+
+
+def test_multiline_count():
+    j = MultilineJoiner(mode="count", count=2)
+    msgs, offs = j.join(["a", "b", "c"], [0, 2, 4])
+    assert msgs == ["a\nb", "c"]
+    assert offs == [0, 4]
+
+
+def test_multiline_while_pattern():
+    j = MultilineJoiner(mode="while_pattern", pattern=r"^x")
+    msgs, _ = j.join(["x1", "x2", "y", "x3"], [0, 3, 6, 8])
+    assert msgs == ["x1\nx2", "y", "x3"]
+
+
+def test_read_log_lines_end_to_end(ray_session, tmp_path):
+    from raybeats.sources import read_log_lines
+
+    p1 = tmp_path / "a.log"
+    p1.write_text("one\ntwo\nthree\n")
+    p2 = tmp_path / "b.log"
+    p2.write_text("err: x\n  trace1\n  trace2\nnext\n")
+    ds = read_log_lines([str(p1), str(p2)],
+                        multiline={"mode": "pattern", "pattern": r"^\s",
+                                   "match": "after"})
+    rows = sorted(ds.take_all(), key=lambda r: (r["log.file.path"],
+                                                r["log.offset"]))
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(os.path.basename(r["log.file.path"]), []).append(
+            r["message"])
+    assert by_file["a.log"] == ["one", "two", "three"]
+    assert by_file["b.log"] == ["err: x\n  trace1\n  trace2", "next"]
+    offs = [r["log.offset"] for r in rows if "a.log" in r["log.file.path"]]
+    assert offs == [0, 4, 8]
+
+
+def test_validate_marks_dead_letter():
+    t = pa.table({"msg": ["ok", None, "x" * 100],
+                  "ts": pa.array([1, 2, 3], pa.int64())})
+    p = build_processor({"validate": {"required": ["msg"],
+                                      "max_field_bytes": {"msg": 50}}})
+    out = p.apply(t)
+    assert out.column("meta_dead_letter").to_pylist() == [False, True, True]
+    flags = out.column("log_flags").to_pylist()
+    assert flags[0] is None and "validation_error" in flags[1]
