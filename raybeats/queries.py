@@ -27,6 +27,14 @@ RE = DISSECT_REGEX_SQL.replace("\\", "\\\\").replace("'", "''")
 _T = f"WITH transcripts AS ({TRANSCRIPTS_SQL})"
 
 
+def _mod64(col) -> pa.Array:
+    """Deterministic 64-way bucket of an integer column (keyed-shuffle
+    coarsening: fixed group count instead of one group per key)."""
+    c = pc.cast(col, pa.int64())
+    return pc.cast(pc.subtract(c, pc.multiply(pc.divide(c, 64), 64)),
+                   pa.int32())
+
+
 def _read(sf_dir: str, table: str, columns=None, blocks: int | None = None):
     """Column-pruned parquet read. ``blocks`` overrides block planning for
     CPU-heavy downstream stages: a single small file otherwise becomes ONE
@@ -465,19 +473,29 @@ def q_sessionization(sf_dir: str):
     import pandas as pd
 
     gap_us = 30 * 60 * 1_000_000
+    n_buckets = 64
+
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        b = _mod64(tbl.column("user_id"))
+        return tbl.append_column("bucket", b)
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+        # vectorized within the bucket: per-user ordered diff via shift
+        g = g.sort_values(["user_id", "ts", "event_id"])
         ts = g["ts"].astype("int64")
-        breaks = (ts.diff() > gap_us).sum()
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        brk = (ts.diff() > gap_us) & same_user
+        agg = g.assign(brk=brk).groupby("user_id", sort=True).agg(
+            brks=("brk", "sum"), n_events=("brk", "size"))
         return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_sessions": pd.array([int(breaks) + 1], dtype="int64"),
-            "n_events": pd.array([len(g)], dtype="int64"),
+            "user_id": agg.index.to_numpy(),
+            "n_sessions": (agg["brks"] + 1).astype("int64").to_numpy(),
+            "n_events": agg["n_events"].astype("int64").to_numpy(),
         })
 
     return _read(sf_dir, "events", ["user_id", "ts", "event_id"]) \
-        .groupby("user_id").map_groups(sessions, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(sessions, batch_format="pandas")
 
 
 SQL_SESSIONIZATION = """WITH d AS (

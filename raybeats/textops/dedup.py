@@ -48,26 +48,36 @@ def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def dedup_first_by_key(ds, key: str = "meta_id",
-                       order_cols: tuple[str, ...] = ("ts",)):
+                       order_cols: tuple[str, ...] = ("ts",),
+                       n_buckets: int = 64):
     """ES create-op duplicate semantics (``elasticsearch/client.go:318-334,
     383-388``): one event per document id survives; rows with a null id
     pass through untouched. "First" is made deterministic by keeping the
     minimum of ``order_cols`` per id (a distributed engine has no global
-    arrival order). One keyed shuffle on the id."""
+    arrival order). The keyed shuffle is coarsened to ``n_buckets`` hash
+    buckets (co-locating each id) with one vectorized pandas
+    sort+drop_duplicates per bucket — not one python call per id."""
+    import zlib
+
     import pandas as pd
 
     def null_ids(tbl: pa.Table) -> pa.Table:
         return tbl.filter(pc.is_null(tbl.column(key)))
 
     def with_ids(tbl: pa.Table) -> pa.Table:
-        return tbl.filter(pc.is_valid(tbl.column(key)))
+        t = tbl.filter(pc.is_valid(tbl.column(key)))
+        vals = pc.cast(t.column(key), pa.string()).to_pylist()
+        b = [zlib.crc32(v.encode()) % n_buckets for v in vals]
+        return t.append_column("_bucket", pa.array(b, pa.int32()))
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(list(order_cols)).head(1)
+        g = g.sort_values(list(order_cols)).drop_duplicates(
+            subset=[key], keep="first")
+        return g.drop(columns=["_bucket"])
 
     passthrough = ds.map_batches(null_ids, batch_format="pyarrow")
     deduped = ds.map_batches(with_ids, batch_format="pyarrow") \
-        .groupby(key).map_groups(first, batch_format="pandas")
+        .groupby("_bucket").map_groups(first, batch_format="pandas")
     return deduped.union(passthrough)
 
 
