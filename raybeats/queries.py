@@ -548,6 +548,71 @@ def q_ratelimit(sf_dir: str):
                                                 batch_format="pyarrow")
 
 
+def q_embed_neardup_sample(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.9) on a bounded
+    sample (vec_id < 300) — exact, SQL-oracled. One numpy matmul per
+    batch pair; the unbounded-scale path is q_embed_neardup_lsh."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        filter=pc.field("vec_id") < 300).sort_by("vec_id")
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    sims = mn @ mn.T
+    ai, bi = np.nonzero(np.triu(sims >= 0.9, k=1))
+    return pa.table({"a": pa.array(ids[ai], pa.int64()),
+                     "b": pa.array(ids[bi], pa.int64())})
+
+
+SQL_EMBED_NEARDUP_SAMPLE = """WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 300)
+SELECT x.vec_id AS a, y.vec_id AS b
+FROM e x, e y
+WHERE x.vec_id < y.vec_id
+  AND list_cosine_similarity(x.v, y.v) >= 0.9"""
+
+
+def q_embed_neardup_lsh(sf_dir: str):
+    """Scale path for embedding near-dup: random-hyperplane LSH buckets
+    (narrow emit of (vec_id, bucket)), exact cosine verify only within
+    buckets. Rows-only check (bucket boundaries are probabilistic)."""
+    import numpy as np
+    import pandas as pd
+
+    from .textops.knn import LshBucketer
+    import pyarrow.parquet as pq_mod
+    dim = len(pq_mod.read_table(f"{sf_dir}/embeddings.parquet",
+                                columns=["embedding"]).column(0)[0])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=16)
+    bucketer = LshBucketer(dim=dim, n_planes=10, seed=99)
+
+    def with_vec(tbl: pa.Table) -> pa.Table:
+        out = bucketer(tbl)
+        return out.append_column("embedding", tbl.column("embedding"))
+
+    bucketed = ds.map_batches(with_vec, batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": pd.array([], dtype="int64"),
+                                 "b": pd.array([], dtype="int64")})
+        ids = g["vec_id"].to_numpy()
+        m = np.array(list(g["embedding"]), dtype=np.float64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = mn @ mn.T
+        ai, bi = np.nonzero(np.triu(sims >= 0.9, k=1))
+        a, b = ids[ai], ids[bi]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"a": lo.astype("int64"),
+                             "b": hi.astype("int64")})
+
+    return bucketed.groupby("bucket").map_groups(verify,
+                                                 batch_format="pandas")
+
+
 # ------------------------------------------------------ relational demos
 
 def _combine_partials(ds, keys: list[str], sums: dict[str, str]) -> pa.Table:
@@ -676,6 +741,8 @@ QUERIES = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+    "embed_neardup_sample": (q_embed_neardup_sample,
+                             SQL_EMBED_NEARDUP_SAMPLE),
     "window_agg": (q_window_agg, SQL_WINDOW_AGG),
     "sessionization": (q_sessionization, SQL_SESSIONIZATION),
     "dedup_by_id": (q_dedup_by_id, SQL_DEDUP_BY_ID),
@@ -688,5 +755,6 @@ QUERIES = {
     "simhash": (q_simhash, None),
     "minhash_pairs": (q_minhash_pairs, None),
     "rolling_fingerprint": (q_rolling_fingerprint, None),
+    "embed_neardup_lsh": (q_embed_neardup_lsh, None),
     "media_features": (q_media_features, None),
 }
