@@ -274,21 +274,37 @@ class Pipeline:
                 self._fold_counts(report, manifest.read(pid))
             else:
                 todo.append((pid_num, files))
+        failures: list[tuple[str, str]] = []
+
+        def attempt(pid_num: int, files: list[str]):
+            try:
+                return run_partition(pid_num, files)
+            except Exception as e:  # isolate: other partitions proceed,
+                failures.append((f"{pid_num:05d}", repr(e)))
+                return None
+
         workers = partition_parallelism or min(4, max(1, len(todo)))
         if workers <= 1 or len(todo) <= 1:
-            for pid_num, files in todo:
-                self._fold_counts(report, run_partition(pid_num, files))
-                report["partitions_run"] += 1
+            results = [attempt(p, f) for p, f in todo]
         else:
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(max_workers=workers) as pool:
-                futs = [pool.submit(run_partition, p, f) for p, f in todo]
-                for fut in futs:
-                    self._fold_counts(report, fut.result())
-                    report["partitions_run"] += 1
+                futs = [pool.submit(attempt, p, f) for p, f in todo]
+                results = [fut.result() for fut in futs]
+        for payload in results:
+            if payload is not None:
+                self._fold_counts(report, payload)
+                report["partitions_run"] += 1
         report["elapsed_sec"] = time.monotonic() - t0
+        if failures:
+            report["failed_partitions"] = failures
         with open(os.path.join(out_dir, "job_report.json"), "w") as f:
             json.dump(report, f, indent=1, sort_keys=True)
+        if failures:
+            raise RuntimeError(
+                f"{len(failures)} partition(s) failed (others completed and "
+                f"published; a resumed run retries only the failures): "
+                f"{failures}")
         return report
 
     @staticmethod

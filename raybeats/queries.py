@@ -548,6 +548,24 @@ def q_ratelimit(sf_dir: str):
                                                 batch_format="pyarrow")
 
 
+def q_knn_ivf(sf_dir: str):
+    """IVF ANN: k-means coarse quantizer (driver-side sample), per-batch
+    centroid assignment, probe-limited exact search. Approximate (nprobe
+    < n_centroids) → rows-only check; exactness vs brute force when
+    probing all lists is unit-tested."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from .textops.knn import IvfIndex
+    qt = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        filter=pc.field("vec_id") < 3).sort_by("vec_id")
+    queries = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=16)
+    index = IvfIndex.build(ds, n_centroids=16, seed=7)
+    return index.search(ds, queries, qt.column("vec_id").to_pylist(),
+                        k=5, nprobe=4)
+
+
 def q_embed_neardup_sample(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.9) on a bounded
     sample (vec_id < 300) — exact, SQL-oracled. One numpy matmul per
@@ -756,5 +774,6 @@ QUERIES = {
     "minhash_pairs": (q_minhash_pairs, None),
     "rolling_fingerprint": (q_rolling_fingerprint, None),
     "embed_neardup_lsh": (q_embed_neardup_lsh, None),
+    "knn_ivf": (q_knn_ivf, None),
     "media_features": (q_media_features, None),
 }
