@@ -548,6 +548,62 @@ def q_ratelimit(sf_dir: str):
                                                 batch_format="pyarrow")
 
 
+def q_corpus_prep(sf_dir: str):
+    """Composed training-data prep: quality filter → exact dedup (keep
+    min doc_id per content hash) → per-survivor token stats. All narrow
+    except the one dedup groupby on fixed-width hash rows."""
+    import hashlib
+
+    from .textops.analysis import TOKEN_RE
+
+    def score_and_hash(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+        n_tokens = pc.cast(pc.count_substring_regex(text, TOKEN_RE),
+                           pa.float64())
+        n_alpha = pc.cast(pc.count_substring_regex(text, r"[A-Za-z]"),
+                          pa.float64())
+        alpha_ratio = pc.divide(n_alpha, pc.max_element_wise(n_chars, 1.0))
+        keep = pc.and_(pc.greater_equal(n_tokens, 5.0),
+                       pc.greater_equal(alpha_ratio, 0.5))
+        t = tbl.filter(pc.fill_null(keep, False))
+        h = [hashlib.md5(x.encode()).hexdigest()
+             for x in t.column("text").to_pylist()]
+        toks = pc.cast(pc.count_substring_regex(t.column("text"), TOKEN_RE),
+                       pa.int64())
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "h": pa.array(h, pa.string()),
+                         "n_tokens": toks})
+
+    from ray.data.aggregate import Count, Min
+    scored = _read(sf_dir, "documents", ["doc_id", "text"], blocks=16) \
+        .map_batches(score_and_hash, batch_format="pyarrow")
+    groups = scored.groupby("h").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Min("n_tokens", alias_name="n_tokens"),
+        Count(alias_name="dups"))
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": tbl.column("doc_id"),
+                         "n_tokens": tbl.column("n_tokens"),
+                         "dups": tbl.column("dups")})
+    return groups.map_batches(project, batch_format="pyarrow")
+
+
+SQL_CORPUS_PREP = r"""WITH f AS (
+  SELECT doc_id, text,
+    CAST(length(regexp_extract_all(text, '[a-z0-9]+')) AS DOUBLE)
+      AS n_tokens,
+    CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) /
+      GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio
+  FROM documents),
+kept AS (SELECT * FROM f WHERE n_tokens >= 5 AND alpha_ratio >= 0.5)
+SELECT MIN(doc_id) AS doc_id,
+       MIN(CAST(n_tokens AS BIGINT)) AS n_tokens,
+       COUNT(*) AS dups
+FROM kept GROUP BY md5(text)"""
+
+
 def q_knn_ivf(sf_dir: str):
     """IVF ANN: k-means coarse quantizer (driver-side sample), per-batch
     centroid assignment, probe-limited exact search. Approximate (nprobe
@@ -756,6 +812,7 @@ QUERIES = {
     "timestamp_roundtrip": (q_timestamp_roundtrip, SQL_TIMESTAMP_ROUNDTRIP),
     "fingerprint_docs": (q_fingerprint_docs, SQL_FINGERPRINT_DOCS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "corpus_prep": (q_corpus_prep, SQL_CORPUS_PREP),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),

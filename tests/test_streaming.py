@@ -1,0 +1,26 @@
+"""Incremental (micro-batch, stateful-actor) sessionization must equal
+the batch sessionization query exactly."""
+
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_sessionize_equals_batch(ray_session):
+    import ray.data as rd
+
+    from raybeats.queries import q_sessionization
+    from raybeats.streaming import streaming_sessionize
+
+    # slice events into 4 contiguous time windows (event-time order)
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["user_id", "ts", "event_id"]).sort_by("ts")
+    n = t.num_rows
+    slices = [rd.from_arrow(t.slice(i * n // 4,
+                                    (i + 1) * n // 4 - i * n // 4))
+              for i in range(4)]
+    streamed = streaming_sessionize(slices, n_buckets=3).to_pylist()
+
+    batch = sorted(q_sessionization(SF).take_all(),
+                   key=lambda r: r["user_id"])
+    assert streamed == batch
