@@ -69,8 +69,13 @@ def run_headline() -> tuple[float, int]:
     # engine (override with RAYBEATS_BENCH_RUNS)
     runs = int(os.environ.get("RAYBEATS_BENCH_RUNS", "2"))
     elapsed = float("inf")
+    report = None
     for i in range(max(1, runs)):
-        out = f"/tmp/raybeats_bench_out_{NUM_CPUS}"
+        # tmpfs output: measures the engine, not this box's disk
+        # writeback (a cluster writes to distributed storage; the local
+        # disk here is shared/virtualized and wildly variable)
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+        out = f"{base}/raybeats_bench_out_{NUM_CPUS}"
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.monotonic()
         report = pipe.run(info["files"], out, partitions=8,
@@ -131,6 +136,10 @@ def main() -> None:
 
 def scaling() -> None:
     def run(ncpu: int) -> dict:
+        # settle page-cache writeback from the previous leg so legs don't
+        # contaminate each other
+        subprocess.run(["sync"], check=False)
+        time.sleep(3)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,

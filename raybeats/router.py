@@ -37,6 +37,8 @@ class _Rule:
             self.otherwise = cfg.get("otherwise")
         elif "mappings" in cfg:
             self.kind = "map"
+            if "field" not in cfg:
+                raise ConfigError(f"mappings rule needs 'field': {cfg}")
             self.field = cfg["field"]
             self.mappings = {str(k): str(v) for k, v in cfg["mappings"].items()}
             self.default = cfg.get("default")

@@ -23,6 +23,8 @@ def _split_file(path: str, data: bytes, encoding: str,
     """→ (messages, offsets): exact byte offset of each line start."""
     if not data:
         return [], []
+    if len(line_terminator) != 1:
+        raise ValueError("only single-byte line terminators supported")
     arr = np.frombuffer(data, dtype=np.uint8)
     term = line_terminator[0]
     ends = np.nonzero(arr == term)[0]
