@@ -417,6 +417,7 @@ class Dissector:
             fn = self.dissect_convert
         else:
             fn = self.dissect
+        dtypes = {f.key: f.dtype for f in self.fields if f.dtype}
         cols: dict[str, list] = {k: [] for k in keys}
         oks: list[bool] = []
         for s in arr.to_pylist():
@@ -434,7 +435,19 @@ class Dissector:
                 continue
             oks.append(True)
             for k in keys:
-                cols[k].append(d.get(k))
-        values = {k: pa.array(v, type=None if self.has_types else pa.string())
+                v = d.get(k)
+                # a typed key whose conversion failed comes back as the
+                # raw string (reference behavior); an Arrow column cannot
+                # mix types, so those rows become null (same documented
+                # narrowing as the vectorized path)
+                if k in dtypes and isinstance(v, str) and \
+                        dtypes[k] not in ("string", "ip"):
+                    v = None
+                cols[k].append(v)
+        type_map = {"long": pa.int64(), "integer": pa.int32(),
+                    "float": pa.float32(), "double": pa.float64(),
+                    "boolean": pa.bool_()}
+        values = {k: pa.array(v, type=type_map.get(dtypes.get(k, ""),
+                                                   pa.string()))
                   for k, v in cols.items()}
         return values, pa.array(oks, type=pa.bool_())

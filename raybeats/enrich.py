@@ -73,8 +73,6 @@ class Enricher:
     def __call__(self, tbl: pa.Table) -> pa.Table:
         from .processors import pin_arrow_threads, set_column
         pin_arrow_threads()
-        if tbl.num_rows == 0:
-            return tbl
         keys = _join_keys(tbl, self.key_fields)
         idx = pc.index_in(keys, value_set=self.index)
         for name, col in self.value_cols.items():

@@ -54,9 +54,9 @@ class DeadLetterRewrite:
     def apply(self, tbl: pa.Table) -> pa.Table:
         if SINK not in tbl.column_names:
             return tbl
+        # always materialize the rewrite columns (null when not
+        # dead-lettered) so block schemas are data-independent
         mask = pc.fill_null(pc.equal(tbl.column(SINK), self.sink), False)
-        if not pc.any(mask).as_py():
-            return tbl
         n = tbl.num_rows
         src = get_column(tbl, self.source)
         if src is None:
@@ -117,7 +117,7 @@ class Pipeline:
 
         def tail(tbl: pa.Table) -> pa.Table:
             tbl = post(tbl)
-            if router is not None and tbl.num_rows > 0:
+            if router is not None:
                 tbl = router.apply(tbl)
                 if rewrite is not None:
                     tbl = rewrite.apply(tbl)

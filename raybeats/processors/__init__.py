@@ -78,12 +78,15 @@ def get_column(tbl: pa.Table, name: str):
 
 def add_flag(tbl: pa.Table, mask, flag: str) -> pa.Table:
     """Append ``flag`` to the ``log_flags`` set column for rows in mask
-    (mirrors ``common.AddTagsWithKey`` on ``log.flags``)."""
-    if mask is None or not pc.any(mask).as_py():
-        return tbl
+    (mirrors ``common.AddTagsWithKey`` on ``log.flags``). The column is
+    materialized even when nothing is flagged so block schemas stay
+    identical regardless of data."""
     cur = get_column(tbl, FLAGS)
     if cur is None:
         cur = pa.nulls(tbl.num_rows, pa.string())
+        tbl = set_column(tbl, FLAGS, cur)
+    if mask is None or tbl.num_rows == 0 or not pc.any(mask).as_py():
+        return tbl
     has = pc.fill_null(pc.match_substring(cur, flag), False)
     need = pc.and_(pc.fill_null(mask, False), pc.invert(has))
     joined = pc.if_else(pc.is_valid(cur),
@@ -128,13 +131,12 @@ class WhenProcessor(Processor):
         self.cond = compile_condition(cond_cfg)
 
     def apply(self, tbl: pa.Table) -> pa.Table:
-        if tbl.num_rows == 0:
-            return tbl
         mask = pc.fill_null(self.cond(tbl), False)
         if self.inner.row_filter:
             return self.inner.apply_masked(tbl, mask)
-        if not pc.any(mask).as_py():
-            return tbl
+        # run the inner on the full batch even when no row matches: the
+        # output schema must not depend on the batch's data, or blocks
+        # diverge and partitioned writes break
         new = self.inner.apply(tbl)
         if new.num_rows != tbl.num_rows:
             raise ConfigError(
@@ -148,6 +150,16 @@ class WhenProcessor(Processor):
             elif old_col.type != new_col.type:
                 old_col = pc.cast(old_col, new_col.type)
             out = set_column(out, name, pc.if_else(mask, new_col, old_col))
+        # columns the inner REMOVED (drop_fields/rename source): per-row
+        # removal in a columnar batch = null on matched rows
+        for name in tbl.column_names:
+            if name not in new.column_names:
+                old_col = get_column(out, name)
+                out = set_column(out, name,
+                                 pc.if_else(mask,
+                                            pa.nulls(tbl.num_rows,
+                                                     old_col.type),
+                                            old_col))
         return out
 
     def __repr__(self):
@@ -211,10 +223,11 @@ class Chain:
         self.processors = list(processors)
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
+        # never short-circuit on empty batches: every processor must run
+        # so the output SCHEMA is identical for empty, clean and dirty
+        # blocks (partitioned writes unify block schemas)
         pin_arrow_threads()
         for p in self.processors:
-            if tbl.num_rows == 0:
-                break
             tbl = p.apply(tbl)
         return tbl
 

@@ -113,6 +113,8 @@ class Fingerprint(Processor):
         if isinstance(serialized, pa.ChunkedArray):
             serialized = serialized.combine_chunks()
         serialized = pc.cast(serialized, pa.string())
+        if len(serialized) == 0:
+            return pa.array([], pa.string())
         bufs = serialized.buffers()
         off0 = serialized.offset
         offsets = np.frombuffer(bufs[1], dtype=np.int32,

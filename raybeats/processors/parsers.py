@@ -97,38 +97,46 @@ class DockerJson(Processor):
         if col is None:
             raise ConfigError(f"docker_json: missing {self.field!r}")
         parsed = [self._parse_row(v) for v in col.to_pylist()]
-        # join CRI partial lines onto the next row within the batch
-        logs, streams, times, bad = [], [], [], []
-        carry = ""
-        keep = []
-        for p in parsed:
+        # join CRI partial ('P') lines onto the next FULL line of the SAME
+        # stream; a trailing carry at batch end is emitted (never dropped)
+        # and flagged docker_json_partial. Cross-batch/file partials are a
+        # documented narrowing (batches are file-aligned in our sources).
+        n = len(parsed)
+        logs: list = [None] * n
+        streams: list = [None] * n
+        times: list = [None] * n
+        bad = [False] * n
+        part_flag = [False] * n
+        keep = [True] * n
+        carry: dict[str, tuple[str, list[int]]] = {}
+        for i, p in enumerate(parsed):
             if p is None:
-                logs.append(None)
-                streams.append(None)
-                times.append(None)
-                bad.append(True)
-                keep.append(True)
+                bad[i] = True
                 continue
             log, stream, ts, partial = p
             if partial:
-                carry += log
-                keep.append(False)
-                logs.append(None)
-                streams.append(None)
-                times.append(None)
-                bad.append(False)
+                t, idxs = carry.get(stream, ("", []))
+                carry[stream] = (t + log, idxs + [i])
+                keep[i] = False
                 continue
-            logs.append(carry + log)
-            carry = ""
-            streams.append(stream)
-            times.append(ts)
-            bad.append(False)
-            keep.append(True)
+            pre, _ = carry.pop(stream, ("", []))
+            logs[i] = pre + log
+            streams[i] = stream
+            times[i] = ts
+        for stream, (t, idxs) in carry.items():
+            i = idxs[-1]
+            keep[i] = True
+            logs[i] = t
+            streams[i] = stream
+            times[i] = parsed[i][2]
+            part_flag[i] = True
         for name, vals in (("log", logs), ("stream", streams),
                            ("time", times)):
             tbl = set_column(tbl, self.prefix + name,
                              pa.array(vals, pa.string()))
         tbl = add_flag(tbl, pa.array(bad, pa.bool_()), "docker_json_error")
+        tbl = add_flag(tbl, pa.array(part_flag, pa.bool_()),
+                       "docker_json_partial")
         mask = pa.array(keep, pa.bool_())
         if self.stream in ("stdout", "stderr"):
             stream_col = get_column(tbl, self.prefix + "stream")

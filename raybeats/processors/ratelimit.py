@@ -48,8 +48,13 @@ class RateLimit(Processor):
         ts_us = pc.cast(pc.take(tbl.column(self.ts_field), order),
                         pa.int64()).to_pylist()
         if self.fields:
+            missing = [f for f in self.fields if f not in tbl.column_names]
+            if missing:
+                raise ConfigError(f"rate_limit: missing key fields "
+                                  f"{missing} — a silently collapsed key "
+                                  f"would mass-drop events")
             key_cols = [pc.take(tbl.column(f), order).to_pylist()
-                        for f in self.fields if f in tbl.column_names]
+                        for f in self.fields]
             keys = list(zip(*key_cols)) if key_cols else [()] * len(ts_us)
         else:
             keys = [()] * len(ts_us)

@@ -11,11 +11,13 @@ import pyarrow.compute as pc
 from ..errors import ConfigError
 from . import Processor, add_flag, get_column, register, set_column
 
-# Go reference-time tokens -> strftime, longest first
+# Go reference-time tokens -> strftime; longer tokens MUST precede their
+# prefixes (January before Jan, Monday before Mon)
 _GO_TOKENS = [
-    ("2006", "%Y"), ("Jan", "%b"), ("January", "%B"),
+    ("January", "%B"), ("Jan", "%b"), ("Monday", "%A"), ("Mon", "%a"),
+    ("2006", "%Y"),
     ("01", "%m"), ("02", "%d"), ("15", "%H"), ("04", "%M"), ("05", "%S"),
-    ("-07:00", "%z"), ("Z07:00", "%z"), ("-0700", "%z"), ("MST", "%Z"),
+    ("Z07:00", "%z"), ("-07:00", "%z"), ("-0700", "%z"), ("MST", "%Z"),
     ("PM", "%p"),
 ]
 
@@ -55,14 +57,21 @@ class Timestamp(Processor):
         result = pa.nulls(len(col), pa.timestamp("us"))
         for layout in self.layouts:
             if layout in ("UNIX", "UNIX_MS"):
+                unit = 1_000_000 if layout == "UNIX" else 1_000
                 try:
-                    num = pc.cast(col, pa.float64())
+                    numeric = pc.match_substring_regex(
+                        col, r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
+                    clean = pc.if_else(pc.fill_null(numeric, False), col,
+                                       pa.nulls(len(col), pa.string()))
+                    num = pc.cast(clean, pa.float64())
+                    # fractional epochs are the norm: round to whole µs
+                    # (Go time.Unix keeps the fraction too)
+                    cand = pc.cast(
+                        pc.cast(pc.round(pc.multiply(num, float(unit))),
+                                pa.int64(), safe=False),
+                        pa.timestamp("us"))
                 except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
                     continue
-                unit = 1_000_000 if layout == "UNIX" else 1_000
-                cand = pc.cast(pc.cast(pc.multiply(num, float(unit)),
-                                       pa.int64()),
-                               pa.timestamp("us"))
             else:
                 try:
                     cand = pc.cast(

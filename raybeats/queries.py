@@ -20,19 +20,12 @@ from .enrich import Enricher
 from .fixtures import role_tool_meta
 from .pipeline import Pipeline
 from .processors import build_chain
+from .util import crc32_bucket, int_bucket
 from .transcripts import (DISSECT_REGEX_SQL, TRANSCRIPTS_SQL,
                           derive_transcripts, read_transcripts)
 
 RE = DISSECT_REGEX_SQL.replace("\\", "\\\\").replace("'", "''")
 _T = f"WITH transcripts AS ({TRANSCRIPTS_SQL})"
-
-
-def _mod64(col) -> pa.Array:
-    """Deterministic 64-way bucket of an integer column (keyed-shuffle
-    coarsening: fixed group count instead of one group per key)."""
-    c = pc.cast(col, pa.int64())
-    return pc.cast(pc.subtract(c, pc.multiply(pc.divide(c, 64), 64)),
-                   pa.int32())
 
 
 def _read(sf_dir: str, table: str, columns=None, blocks: int | None = None):
@@ -201,14 +194,12 @@ def q_conversation_assembly(sf_dir: str):
     vectorized pandas groupby-agg per bucket) rather than one python call
     per conversation — same shape salts away hot conversations at scale."""
     import pandas as pd
-    import zlib
 
     n_buckets = 64
 
     def add_bucket(tbl: pa.Table) -> pa.Table:
-        b = [zlib.crc32(c.encode()) % n_buckets
-             for c in tbl.column("conv_id").to_pylist()]
-        return tbl.append_column("bucket", pa.array(b, pa.int32()))
+        return tbl.append_column(
+            "bucket", crc32_bucket(tbl.column("conv_id"), n_buckets))
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["conv_id", "turn_idx"])
@@ -476,8 +467,8 @@ def q_sessionization(sf_dir: str):
     n_buckets = 64
 
     def add_bucket(tbl: pa.Table) -> pa.Table:
-        b = _mod64(tbl.column("user_id"))
-        return tbl.append_column("bucket", b)
+        return tbl.append_column(
+            "bucket", int_bucket(tbl.column("user_id"), n_buckets))
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         # vectorized within the bucket: per-user ordered diff via shift

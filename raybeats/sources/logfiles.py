@@ -53,6 +53,12 @@ class MultilineJoiner:
                  negate: bool = False, match: str = "after",
                  max_lines: int = 500, count: int = 0,
                  separator: str = "\n"):
+        if mode not in ("pattern", "count", "while_pattern"):
+            raise ValueError(f"multiline: bad mode {mode!r}")
+        if mode in ("pattern", "while_pattern") and not pattern:
+            raise ValueError(f"multiline mode {mode!r} requires a pattern")
+        if mode == "count" and count < 1:
+            raise ValueError("multiline mode 'count' requires count >= 1")
         self.mode = mode
         self.re = re.compile(pattern) if pattern else None
         self.negate = negate

@@ -86,11 +86,9 @@ def streaming_sessionize(micro_batches, gap_minutes: int = 30,
         return pd.DataFrame({"bucket": [bucket], "rows": [int(n)]})
 
     def add_bucket(tbl: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        u = pc.cast(tbl.column("user_id"), pa.int64())
-        b = pc.cast(pc.subtract(u, pc.multiply(pc.divide(u, n_buckets),
-                                               n_buckets)), pa.int32())
-        return tbl.append_column("bucket", b)
+        from .util import int_bucket
+        return tbl.append_column(
+            "bucket", int_bucket(tbl.column("user_id"), n_buckets))
 
     total = 0
     for slice_ds in micro_batches:

@@ -57,18 +57,16 @@ def dedup_first_by_key(ds, key: str = "meta_id",
     arrival order). The keyed shuffle is coarsened to ``n_buckets`` hash
     buckets (co-locating each id) with one vectorized pandas
     sort+drop_duplicates per bucket — not one python call per id."""
-    import zlib
-
     import pandas as pd
 
     def null_ids(tbl: pa.Table) -> pa.Table:
         return tbl.filter(pc.is_null(tbl.column(key)))
 
     def with_ids(tbl: pa.Table) -> pa.Table:
+        from ..util import crc32_bucket
         t = tbl.filter(pc.is_valid(tbl.column(key)))
-        vals = pc.cast(t.column(key), pa.string()).to_pylist()
-        b = [zlib.crc32(v.encode()) % n_buckets for v in vals]
-        return t.append_column("_bucket", pa.array(b, pa.int32()))
+        return t.append_column("_bucket", crc32_bucket(t.column(key),
+                                                       n_buckets))
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(list(order_cols)).drop_duplicates(
@@ -99,7 +97,11 @@ class MinHasher:
                  id_col: str = "doc_id", text_col: str = "text"):
         assert num_hashes % bands == 0
         rng = np.random.default_rng(seed)
-        self.p = np.uint64((1 << 61) - 1)
+        # Mersenne prime 2^31-1: (a*x+b) with a,b,x < p stays under 2^62,
+        # so the uint64 arithmetic never wraps and this is a true
+        # universal hash family (a 61-bit prime would overflow mod 2^64
+        # and break the MinHash collision-probability guarantee)
+        self.p = np.uint64((1 << 31) - 1)
         self.a = rng.integers(1, self.p, size=num_hashes, dtype=np.uint64)
         self.b = rng.integers(0, self.p, size=num_hashes, dtype=np.uint64)
         self.num_hashes = num_hashes
@@ -113,8 +115,9 @@ class MinHasher:
         sh = _shingles(text, self.k)
         base = np.array(
             [int.from_bytes(hashlib.md5(s).digest()[:8], "little")
-             for s in sh], dtype=np.uint64)
-        # (a*x+b) mod p per permutation, min over shingles
+             for s in sh], dtype=np.uint64) % self.p
+        # (a*x+b) mod p per permutation, min over shingles (no overflow:
+        # operands < 2^31, product < 2^62)
         vals = (base[None, :] * self.a[:, None] + self.b[:, None]) % self.p
         return vals.min(axis=1)
 

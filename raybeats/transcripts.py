@@ -16,16 +16,12 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .util import imod as _mod
+
 _ROLE_KEYS = ["signup", "click", "view", "purchase", "error"]
 _ROLE_VALS = ["system", "user", "user", "assistant", "tool"]
 _TOOL_VALS = ["", "search", "browser", "db", "code"]
 _LEVELS = ["info", "warn", "error", "debug"]
-
-
-def _mod(a: pa.Array, b: int) -> pa.Array:
-    # pyarrow has no modulo kernel; ids are non-negative so truncating
-    # integer divide is exact
-    return pc.subtract(a, pc.multiply(pc.divide(a, b), b))
 
 
 def _map(col: pa.Array, keys: list[str], vals: list[str]) -> pa.Array:

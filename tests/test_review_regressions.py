@@ -1,0 +1,133 @@
+"""Regression tests for the round-1 code-review findings."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from raybeats.processors import build_chain, build_processor
+from raybeats.processors.timestamp import go_layout_to_strftime
+
+
+def test_guarded_drop_fields_nulls_matched_rows():
+    p = build_processor({"drop_fields": {"fields": ["secret"],
+                                         "when": {"equals": {"role": "user"}}}})
+    t = p.apply(pa.table({"role": ["user", "tool"],
+                          "secret": ["hide-me", "keep"]}))
+    assert t.column("secret").to_pylist() == [None, "keep"]
+
+
+def test_guarded_rename_moves_value_per_row():
+    p = build_processor({"rename": {"fields": [{"from": "a", "to": "b"}],
+                                    "when": {"equals": {"x": 1}}}})
+    t = p.apply(pa.table({"x": [1, 2], "a": ["v1", "v2"]}))
+    assert t.column("b").to_pylist() == ["v1", None]
+    assert t.column("a").to_pylist() == [None, "v2"]
+
+
+def test_unix_fractional_epoch():
+    p = build_processor({"timestamp": {"field": "raw", "layouts": ["UNIX"],
+                                       "target_field": "out"}})
+    t = p.apply(pa.table({"raw": ["1609459200.123456", "bogus"]}))
+    vals = t.column("out").to_pylist()
+    assert vals[0].microsecond == 123456
+    assert vals[1] is None
+
+
+def test_go_layout_full_month():
+    assert go_layout_to_strftime("January 02, 2006") == "%B %d, %Y"
+    p = build_processor({"timestamp": {"field": "raw",
+                                       "layouts": ["January 02, 2006"],
+                                       "target_field": "out"}})
+    t = p.apply(pa.table({"raw": ["March 05, 2021"]}))
+    v = t.column("out").to_pylist()[0]
+    assert (v.year, v.month, v.day) == (2021, 3, 5)
+
+
+def test_chain_schema_stable_on_empty_and_clean_batches():
+    chain = build_chain([
+        {"dissect": {"tokenizer": "a=%{a}", "field": "text",
+                     "target_prefix": ""}},
+        {"fingerprint": {"fields": ["text"]}},
+        {"drop_event": {"when": {"equals": {"a": "drop"}}}},
+    ])
+    base = pa.table({"text": pa.array(["a=ok"])})
+    empty = base.slice(0, 0)
+    dirty = pa.table({"text": pa.array(["nope"])})
+    schemas = {chain(b).schema for b in (base, empty, dirty)}
+    assert len(schemas) == 1
+
+
+def test_debug_only_partition_writes(ray_session, tmp_path):
+    """A file whose rows ALL drop must still write schema-consistent
+    (empty) output through the partitioned sink."""
+    import ray.data as rd
+
+    from raybeats.pipelines import flagship_pipeline
+
+    rows = [{"conv_id": "conv-1", "turn_idx": i, "role": "user",
+             "text": f'level=debug ts=t caller=c.go msg="m {i}"',
+             "tool": "", "ts": 1_700_000_000_000_000 + i} for i in range(5)]
+    t = pa.table({k: [r[k] for r in rows] for k in rows[0]})
+    t = t.set_column(t.column_names.index("ts"), "ts",
+                     t.column("ts").cast(pa.timestamp("us")))
+    f1 = str(tmp_path / "all_debug.parquet")
+    pq.write_table(t, f1)
+    # second file with normal traffic
+    rows2 = [dict(r, text=r["text"].replace("debug", "info")) for r in rows]
+    t2 = pa.table({k: [r[k] for r in rows2] for k in rows[0]})
+    t2 = t2.set_column(t2.column_names.index("ts"), "ts",
+                       t2.column("ts").cast(pa.timestamp("us")))
+    f2 = str(tmp_path / "normal.parquet")
+    pq.write_table(t2, f2)
+
+    pipe = flagship_pipeline()
+    report = pipe.run([f1, f2], str(tmp_path / "out"), partitions=2)
+    assert report["per_sink"].get("es_like") == 5
+    assert report["pipeline.events.dropped"] == 5
+
+
+def test_docker_trailing_partial_not_dropped():
+    t = pa.table({"message": [
+        "2024-01-01T00:00:00.1Z stdout P head-",
+        "2024-01-01T00:00:00.2Z stdout P mid-",
+    ]})
+    out = build_processor({"docker_json": {}}).apply(t)
+    assert out.column("container.log").to_pylist() == ["head-mid-"]
+    assert "docker_json_partial" in out.column("log_flags").to_pylist()[0]
+
+
+def test_docker_partial_streams_do_not_mix():
+    t = pa.table({"message": [
+        "2024-01-01T00:00:00.1Z stdout P out-part-",
+        "2024-01-01T00:00:00.2Z stderr F err-line",
+        "2024-01-01T00:00:00.3Z stdout F out-end",
+    ]})
+    out = build_processor({"docker_json": {}}).apply(t)
+    logs = out.column("container.log").to_pylist()
+    assert "err-line" in logs and "out-part-out-end" in logs
+
+
+def test_multiline_config_validation():
+    from raybeats.sources.logfiles import MultilineJoiner
+    with pytest.raises(ValueError):
+        MultilineJoiner(mode="count")
+    with pytest.raises(ValueError):
+        MultilineJoiner(mode="pattern")
+    with pytest.raises(ValueError):
+        MultilineJoiner(mode="nope", pattern="x")
+
+
+def test_ratelimit_missing_key_field_raises():
+    from raybeats.errors import ConfigError
+    p = build_processor({"rate_limit": {"limit": "1/s", "fields": ["typo"]}})
+    with pytest.raises(ConfigError):
+        p.apply(pa.table({"ts": pa.array([0], pa.timestamp("us"))}))
+
+
+def test_dissect_rowmode_typed_failure_is_null():
+    from raybeats.dissect import Dissector
+    d = Dissector("%{a#2|integer} %{b}")  # fixed-length forces row mode
+    vals, ok = d.dissect_column(pa.array(["12 ok", "xy bad"]))
+    assert vals["a"].to_pylist() == [12, None]
+    assert vals["b"].to_pylist() == ["ok", "bad"]
+    assert ok.to_pylist() == [True, True]
