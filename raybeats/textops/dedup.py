@@ -88,6 +88,23 @@ def _shingles(text: str, k: int) -> set[bytes]:
     return {b[i:i + k] for i in range(len(b) - k + 1)}
 
 
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct 64-bit polynomial hashes of all k-byte shingles, computed
+    in ONE vectorized pass (no per-shingle python objects / md5 calls —
+    this is what makes MinHash viable at corpus scale)."""
+    b = text.encode("utf-8")
+    if len(b) <= k:
+        return np.frombuffer(hashlib.md5(b).digest()[:8],
+                             dtype=np.uint64).copy()
+    arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+    n = len(arr) - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    base = np.uint64(1099511628211)  # FNV-ish odd multiplier
+    for j in range(k):  # k is a small constant; inner op is vectorized
+        h = h * base + arr[j:j + n]
+    return np.unique(h)
+
+
 class MinHasher:
     """Actor-pool stage: hash-permutation parameters built once per actor.
     Emits one (doc_id, band_id, band_hash) row per band — the LSH explode."""
@@ -112,10 +129,7 @@ class MinHasher:
         self.text_col = text_col
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.k)
-        base = np.array(
-            [int.from_bytes(hashlib.md5(s).digest()[:8], "little")
-             for s in sh], dtype=np.uint64) % self.p
+        base = _shingle_hashes(text, self.k) % self.p
         # (a*x+b) mod p per permutation, min over shingles (no overflow:
         # operands < 2^31, product < 2^62)
         vals = (base[None, :] * self.a[:, None] + self.b[:, None]) % self.p
@@ -213,8 +227,10 @@ def jaccard_verify(pairs_ds, docs_ds, threshold: float = 0.8,
                              .take_all()}
     out_a, out_b, out_j = [], [], []
     for a, b in zip(cand["a"], cand["b"]):
-        sa, sb = _shingles(texts[a], shingle_k), _shingles(texts[b], shingle_k)
-        j = len(sa & sb) / max(1, len(sa | sb))
+        sa = _shingle_hashes(texts[a], shingle_k)
+        sb = _shingle_hashes(texts[b], shingle_k)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        j = inter / max(1, len(sa) + len(sb) - inter)
         if j >= threshold:
             out_a.append(int(a))
             out_b.append(int(b))
