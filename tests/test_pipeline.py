@@ -113,3 +113,31 @@ def test_checkpointed_run_and_resume(ray_session, tiny_transcripts, tmp_path):
     assert r3["partitions_run"] == 2 and r3["partitions_skipped"] == 2
     assert r3["per_sink"] == r1["per_sink"]
     assert not glob.glob(os.path.join(out, "*.staging"))
+
+
+def test_sort_output_within_partition(ray_session, tiny_transcripts, tmp_path):
+    import pyarrow.parquet as pq
+
+    from raybeats.pipelines import flagship_config
+    from raybeats.pipeline import Pipeline
+
+    cfg = flagship_config(enrich_concurrency=2)
+    cfg["sort_output"] = ["conv_id", "turn_idx"]
+    out = str(tmp_path / "sorted_out")
+    Pipeline(cfg).run(tiny_transcripts["files"][:2], out, partitions=1)
+    files = sorted(glob.glob(os.path.join(out, "part=00000", "sink=es_like",
+                                          "*.parquet")))
+    rows = []
+    for f in files:
+        rows.extend(pq.read_table(f, columns=["conv_id", "turn_idx"])
+                    .to_pylist())
+    keys = [(r["conv_id"], r["turn_idx"]) for r in rows]
+    # per-file runs must be sorted (per-partition global order requires
+    # preserve_order on the executor; per-file order suffices for the
+    # reference's per-file FIFO analog)
+    start = 0
+    for f in files:
+        n = pq.read_metadata(f).num_rows
+        chunk = keys[start:start + n]
+        assert chunk == sorted(chunk), f
+        start += n

@@ -249,3 +249,17 @@ def test_chain_order():
     ])
     t = chain(T(a=pa.array([1])))
     assert col(t, "stage") == ["two"]
+
+
+def test_convert_rename_mode():
+    t = T(s=pa.array(["7"]))
+    t = build_processor({"convert": {"mode": "rename", "fields": [
+        {"from": "s", "to": "n", "type": "long"}]}}).apply(t)
+    assert "s" not in t.column_names and col(t, "n") == [7]
+
+
+def test_truncate_max_bytes_utf8_boundary():
+    t = T(s=pa.array(["héllo"]))  # é is 2 bytes
+    t = build_processor({"truncate_fields": {"fields": ["s"],
+                                             "max_bytes": 2}}).apply(t)
+    assert col(t, "s") == ["h"]  # cut lands mid-é -> dropped, not mojibake
