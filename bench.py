@@ -23,6 +23,8 @@ import subprocess
 import sys
 import time
 
+import pyarrow as pa
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_CONVS = int(os.environ.get("RAYBEATS_BENCH_CONVS", "1000000"))
@@ -108,6 +110,56 @@ def run_queries() -> dict[str, float]:
     return out
 
 
+def run_dedup_bench() -> dict:
+    """Training-data dedup throughput over a planted-duplicate corpus
+    (cached): exact dedup and the full MinHash-LSH -> jaccard-verify
+    near-dup pipeline, docs/sec."""
+    import ray.data as rd
+
+    from raybeats.fixtures import write_documents
+    from raybeats.textops.dedup import (exact_dedup_groups, jaccard_verify,
+                                        minhash_candidates)
+    n_docs = int(os.environ.get("RAYBEATS_DEDUP_DOCS", "200000"))
+    ddir = f"/tmp/raybeats_bench_docs_{n_docs}"
+    meta_path = os.path.join(ddir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            info = json.load(f)
+    else:
+        info = write_documents(ddir, n_docs=n_docs, seed=42, num_files=32)
+        with open(meta_path, "w") as f:
+            json.dump(info, f)
+    warm_cache(info["files"])
+    ds = rd.read_parquet(info["files"], columns=["doc_id", "text"])
+    t0 = time.monotonic()
+    groups = exact_dedup_groups(ds)
+    keep_ids = pa.array(
+        [r["keep_id"] for r in groups.select_columns(["keep_id"]).take_all()],
+        type=__import__("pyarrow").int64())
+    n_groups = len(keep_ids)
+    exact_sec = time.monotonic() - t0
+    # near-dup runs on the exact-deduped survivors (standard composition:
+    # exact-dup clusters would otherwise explode LSH buckets into k^2
+    # candidate pairs for k copies)
+    import pyarrow.compute as pc_mod
+    survivors = ds.map_batches(
+        lambda t: t.filter(pc_mod.is_in(t.column("doc_id"),
+                                        value_set=keep_ids)),
+        batch_format="pyarrow")
+    t0 = time.monotonic()
+    cand = minhash_candidates(survivors, num_hashes=96, bands=16,
+                              shingle_k=8)
+    pairs = jaccard_verify(cand, survivors, threshold=0.5)
+    near_sec = time.monotonic() - t0
+    return {"docs": n_docs,
+            "exact_sec": round(exact_sec, 2),
+            "exact_docs_per_sec": round(n_docs / exact_sec),
+            "near_dup_sec": round(near_sec, 2),
+            "near_dup_docs_per_sec": round(n_docs / near_sec),
+            "distinct_groups": n_groups,
+            "verified_near_dup_pairs": pairs.num_rows}
+
+
 def main() -> None:
     import ray
     if not ray.is_initialized():
@@ -121,6 +173,7 @@ def main() -> None:
 
     headline_sec, turns = run_headline()
     queries = run_queries()
+    dedup = run_dedup_bench()
     print(json.dumps({
         "metric": "flagship parse→enrich→route→aggregate end-to-end",
         "value": round(headline_sec, 3),
@@ -130,6 +183,7 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "headline_turns": turns,
         "turns_per_sec": round(turns / headline_sec, 1),
+        "dedup": dedup,
     }))
     ray.shutdown()
 

@@ -161,6 +161,74 @@ def make_transcripts_table(n_convs: int, seed: int = 42,
     })
 
 
+_VOCAB_BASE = ("the data stream batch merge sort join filter map shuffle "
+               "spark ray arrow block actor task vector column row group "
+               "window session key hash index store spill limit probe scan "
+               "agg").split()
+# widened vocabulary (~341 tokens): small vocabularies give random doc
+# pairs high baseline Jaccard, which no LSH tuning can fix
+_VOCAB = _VOCAB_BASE + [f"{w}{i}" for w in _VOCAB_BASE for i in range(10)]
+
+
+def make_documents_table(n_docs: int, seed: int = 42,
+                         exact_dup_rate: float = 0.08,
+                         near_dup_rate: float = 0.08,
+                         doc_offset: int = 0) -> pa.Table:
+    """Deterministic word-salad documents with PLANTED exact and near
+    duplicates (near = an earlier doc with a few words swapped), so dedup
+    recall is measurable. ``dup_kind``: 0 unique, 1 exact dup, 2 near dup;
+    ``dup_of``: source doc id (or -1)."""
+    rng = np.random.default_rng([seed, doc_offset, 7])
+    lens = rng.integers(30, 120, size=n_docs)
+    kinds = rng.choice(3, size=n_docs,
+                       p=[1 - exact_dup_rate - near_dup_rate,
+                          exact_dup_rate, near_dup_rate])
+    kinds[: max(1, n_docs // 20)] = 0  # a pool of originals first
+    texts: list[str] = []
+    dup_of = np.full(n_docs, -1, dtype=np.int64)
+    for i in range(n_docs):
+        if kinds[i] != 0 and i > 0:
+            src = int(rng.integers(0, i))
+            dup_of[i] = src + doc_offset
+            if kinds[i] == 1:
+                texts.append(texts[src])
+                continue
+            words = texts[src].split()
+            n_swap = max(1, len(words) // 25)  # ~4% token churn
+            for _ in range(n_swap):
+                words[int(rng.integers(0, len(words)))] = \
+                    _VOCAB[int(rng.integers(0, len(_VOCAB)))]
+            texts.append(" ".join(words))
+            continue
+        kinds[i] = 0
+        words = [_VOCAB[int(w)] for w in
+                 rng.integers(0, len(_VOCAB), size=int(lens[i]))]
+        texts.append(" ".join(words))
+    return pa.table({
+        "doc_id": pa.array(np.arange(doc_offset, doc_offset + n_docs),
+                           pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "dup_kind": pa.array(kinds.astype(np.int32), pa.int32()),
+        "dup_of": pa.array(dup_of, pa.int64()),
+    })
+
+
+def write_documents(out_dir: str, n_docs: int = 100_000, seed: int = 42,
+                    num_files: int = 16) -> dict:
+    os.makedirs(out_dir, exist_ok=True)
+    per = max(1, n_docs // num_files)
+    files, off, idx = [], 0, 0
+    while off < n_docs:
+        take = min(per, n_docs - off)
+        tbl = make_documents_table(take, seed=seed, doc_offset=off)
+        path = os.path.join(out_dir, f"docs-{idx:05d}.parquet")
+        pq.write_table(tbl, path)
+        files.append(path)
+        off += take
+        idx += 1
+    return {"dir": out_dir, "files": files, "rows": n_docs, "seed": seed}
+
+
 def write_transcripts(out_dir: str, n_convs: int = 1000, seed: int = 42,
                       num_files: int = 8, row_group_size: int = 10_000) -> dict:
     """Write a deterministic multi-file transcripts dataset; returns an info

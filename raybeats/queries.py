@@ -767,7 +767,7 @@ def q_simhash(sf_dir: str):
 def q_minhash_pairs(sf_dir: str):
     from .textops.dedup import jaccard_verify, minhash_candidates
     docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32)
-    cand = minhash_candidates(docs, bands=16, num_hashes=64, shingle_k=8)
+    cand = minhash_candidates(docs, bands=16, num_hashes=96, shingle_k=8)
     return jaccard_verify(cand, docs, threshold=0.5)
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -109,9 +110,12 @@ class MinHasher:
     """Actor-pool stage: hash-permutation parameters built once per actor.
     Emits one (doc_id, band_id, band_hash) row per band — the LSH explode."""
 
-    def __init__(self, num_hashes: int = 64, bands: int = 16,
+    def __init__(self, num_hashes: int = 96, bands: int = 16,
                  shingle_k: int = 8, seed: int = 12345,
                  id_col: str = "doc_id", text_col: str = "text"):
+        # 16 bands x 6 rows: candidate threshold (1/16)^(1/6) ~ 0.63;
+        # 4-row bands admit far too many candidates on corpora with
+        # non-trivial baseline similarity
         assert num_hashes % bands == 0
         rng = np.random.default_rng(seed)
         # Mersenne prime 2^31-1: (a*x+b) with a,b,x < p stays under 2^62,
@@ -157,7 +161,7 @@ class MinHasher:
 
 
 def minhash_candidates(ds, id_col: str = "doc_id", text_col: str = "text",
-                       num_hashes: int = 64, bands: int = 16,
+                       num_hashes: int = 96, bands: int = 16,
                        shingle_k: int = 8, concurrency: int = 4):
     """→ (a, b) candidate near-duplicate id pairs (a < b), deduped."""
     import pandas as pd
@@ -203,12 +207,14 @@ def minhash_candidates(ds, id_col: str = "doc_id", text_col: str = "text",
 def jaccard_verify(pairs_ds, docs_ds, threshold: float = 0.8,
                    id_col: str = "doc_id", text_col: str = "text",
                    shingle_k: int = 8):
-    """Verify candidate pairs with exact shingle Jaccard. The candidate set
-    is small, so texts for candidate ids are broadcast to the verify tasks
-    (semi-join via id set)."""
+    """Verify candidate pairs with exact shingle Jaccard, DISTRIBUTED:
+    candidate texts are semi-joined (broadcast id set), ``ray.put`` once,
+    and the pair list is verified in parallel map_batches tasks reading
+    the broadcast dict zero-copy."""
     import ray
 
-    cand = pairs_ds.to_pandas()
+    cand = pairs_ds if isinstance(pairs_ds, pd.DataFrame) \
+        else pairs_ds.to_pandas()
     if len(cand) == 0:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64()),
@@ -225,19 +231,50 @@ def jaccard_verify(pairs_ds, docs_ds, threshold: float = 0.8,
     texts = {r[id_col]: r[text_col]
              for r in docs_ds.map_batches(pick, batch_format="pyarrow")
                              .take_all()}
-    out_a, out_b, out_j = [], [], []
-    for a, b in zip(cand["a"], cand["b"]):
-        sa = _shingle_hashes(texts[a], shingle_k)
-        sb = _shingle_hashes(texts[b], shingle_k)
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        j = inter / max(1, len(sa) + len(sb) - inter)
-        if j >= threshold:
-            out_a.append(int(a))
-            out_b.append(int(b))
-            out_j.append(j)
-    return pa.table({"a": pa.array(out_a, pa.int64()),
-                     "b": pa.array(out_b, pa.int64()),
-                     "jaccard": pa.array(out_j, pa.float64())})
+    texts_ref = ray.put(texts)
+
+    class Verify:
+        def __init__(self, ref):
+            self.texts = ray.get(ref)  # zero-copy once per actor/task
+            self.cache: dict = {}
+
+        def _sh(self, i):
+            h = self.cache.get(i)
+            if h is None:
+                h = _shingle_hashes(self.texts[i], shingle_k)
+                self.cache[i] = h
+            return h
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            out_a, out_b, out_j = [], [], []
+            for a, b in zip(tbl.column("a").to_pylist(),
+                            tbl.column("b").to_pylist()):
+                sa, sb = self._sh(a), self._sh(b)
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                j = inter / max(1, len(sa) + len(sb) - inter)
+                if j >= threshold:
+                    out_a.append(int(a))
+                    out_b.append(int(b))
+                    out_j.append(j)
+            return pa.table({"a": pa.array(out_a, pa.int64()),
+                             "b": pa.array(out_b, pa.int64()),
+                             "jaccard": pa.array(out_j, pa.float64())})
+
+    import ray.data as rd
+    pairs = rd.from_arrow(pa.table({
+        "a": pa.array(cand["a"].to_numpy(), pa.int64()),
+        "b": pa.array(cand["b"].to_numpy(), pa.int64())}))
+    n_tasks = max(1, min(32, len(cand) // 500))
+    pairs = pairs.repartition(n_tasks)
+    verified = pairs.map_batches(Verify, batch_format="pyarrow",
+                                 concurrency=(1, min(8, n_tasks)),
+                                 fn_constructor_kwargs={"ref": texts_ref})
+    tables = list(verified.iter_batches(batch_format="pyarrow"))
+    if not tables:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    return pa.concat_tables(tables)
 
 
 # ----------------------------------------------------------------- simhash

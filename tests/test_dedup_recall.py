@@ -1,0 +1,35 @@
+"""Dedup recall on the planted-duplicate document corpus."""
+
+import pyarrow.compute as pc
+
+
+def test_planted_dedup_recall(ray_session, tmp_path):
+    import ray.data as rd
+
+    from raybeats.fixtures import write_documents
+    from raybeats.textops.dedup import (exact_dedup_groups,
+                                        jaccard_verify, minhash_candidates)
+
+    info = write_documents(str(tmp_path / "docs"), n_docs=3000, seed=11,
+                           num_files=4)
+    ds = rd.read_parquet(info["files"])
+    full = ds.to_pandas()
+    planted_exact = full[full.dup_kind == 1]
+    planted_near = full[full.dup_kind == 2]
+    assert len(planted_exact) > 50 and len(planted_near) > 50
+
+    # exact dedup: every planted exact dup must fold into a group
+    groups = exact_dedup_groups(ds.select_columns(["doc_id", "text"])) \
+        .to_pandas()
+    n_folded = (groups["dups"] - 1).sum()
+    assert n_folded >= len(planted_exact)  # transitive copies can add more
+
+    # minhash near-dup: recall of planted near-dup PAIRS
+    docs = ds.select_columns(["doc_id", "text"])
+    cand = minhash_candidates(docs, num_hashes=96, bands=16, shingle_k=8)
+    verified = jaccard_verify(cand, docs, threshold=0.5).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(verified["a"], verified["b"])}
+    want = {tuple(sorted((int(r.doc_id), int(r.dup_of))))
+            for r in planted_near.itertuples()}
+    recall = len(found & want) / len(want)
+    assert recall >= 0.8, f"near-dup recall {recall:.2f}"
