@@ -308,6 +308,26 @@ class Pipeline:
         return report
 
     @staticmethod
+    def audit(out_dir: str) -> dict:
+        """The audit half of write-audit-publish: re-derive per-sink row
+        counts from the published Parquet footers and compare with every
+        partition manifest. Returns {partitions, ok, mismatches}."""
+        from .state.manifest import CheckpointManifest
+        manifest = CheckpointManifest(out_dir)
+        mismatches = []
+        n = 0
+        for pid, payload in manifest.read_all().items():
+            n += 1
+            actual = _scan_partition_counts(
+                os.path.join(out_dir, f"part={pid}"))
+            if actual != payload.get("per_sink", {}):
+                mismatches.append({"partition": pid,
+                                   "manifest": payload.get("per_sink"),
+                                   "actual": actual})
+        return {"partitions": n, "ok": not mismatches,
+                "mismatches": mismatches}
+
+    @staticmethod
     def _fold_counts(report: dict, payload: dict) -> None:
         for k in ("pipeline.events.total", "pipeline.events.published",
                   "pipeline.events.dropped"):

@@ -141,3 +141,22 @@ def test_sort_output_within_partition(ray_session, tiny_transcripts, tmp_path):
         chunk = keys[start:start + n]
         assert chunk == sorted(chunk), f
         start += n
+
+
+def test_audit_detects_tampered_partition(ray_session, tiny_transcripts,
+                                          tmp_path):
+    from raybeats.pipelines import flagship_pipeline
+    from raybeats.pipeline import Pipeline
+
+    out = str(tmp_path / "audit_out")
+    pipe = flagship_pipeline()
+    pipe.run(tiny_transcripts["files"][:2], out, partitions=2)
+    audit = Pipeline.audit(out)
+    assert audit["ok"] and audit["partitions"] == 2
+    # tamper: remove one output file -> audit must flag the partition
+    victim = glob.glob(os.path.join(out, "part=00000", "sink=es_like",
+                                    "*.parquet"))[0]
+    os.remove(victim)
+    audit2 = Pipeline.audit(out)
+    assert not audit2["ok"]
+    assert audit2["mismatches"][0]["partition"] == "00000"
