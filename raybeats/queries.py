@@ -500,6 +500,79 @@ SELECT user_id, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions,
 FROM d GROUP BY user_id"""
 
 
+def q_sliding_window(sf_dir: str):
+    """Sliding event-time window: for every event, the count of that
+    user's events in the trailing hour (inclusive). Keyed bucket shuffle,
+    then a vectorized two-pointer (searchsorted) per user."""
+    import numpy as np
+    import pandas as pd
+
+    n_buckets = 64
+
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "bucket", int_bucket(tbl.column("user_id"), n_buckets))
+
+    def windowed(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        out = []
+        for uid, u in g.groupby("user_id", sort=True):
+            ts = u["ts"].astype("int64").to_numpy()
+            lo = np.searchsorted(ts, ts - 3_600_000_000, side="left")
+            n_in_window = np.arange(1, len(ts) + 1) - lo
+            out.append(pd.DataFrame({
+                "event_id": u["event_id"].to_numpy(),
+                "user_id": uid,
+                "n_trailing_hour": n_in_window.astype("int64")}))
+        return pd.concat(out) if out else pd.DataFrame(
+            {"event_id": pd.array([], dtype="int64"),
+             "user_id": pd.array([], dtype="int64"),
+             "n_trailing_hour": pd.array([], dtype="int64")})
+
+    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(windowed, batch_format="pandas")
+
+
+SQL_SLIDING_WINDOW = """SELECT event_id, user_id,
+  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS n_trailing_hour
+FROM events"""
+
+
+def q_topk_per_user(sf_dir: str):
+    """Top-3 purchases by value per user (grouped top-k): bucketed keyed
+    shuffle + one vectorized pandas sort/head per bucket."""
+    import pandas as pd
+
+    n_buckets = 64
+
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.equal(tbl.column("event_type"), "purchase"))
+        return t.append_column(
+            "bucket", int_bucket(t.column("user_id"), n_buckets))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value", "event_id"],
+                          ascending=[True, False, True])
+        out = g.groupby("user_id", sort=True).head(3)
+        return pd.DataFrame({"user_id": out["user_id"].to_numpy(),
+                             "event_id": out["event_id"].to_numpy(),
+                             "value": out["value"].to_numpy()})
+
+    return _read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                    "value"]) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(topk, batch_format="pandas")
+
+
+SQL_TOPK_PER_USER = """SELECT user_id, event_id, value FROM events
+WHERE event_type = 'purchase'
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY value DESC, event_id) <= 3"""
+
+
 def q_dedup_by_id(sf_dir: str):
     """ES create-op duplicate semantics over a synthetic id: the events
     `props.k` value plays Meta._id; first event per id (min by ts,
@@ -811,6 +884,8 @@ QUERIES = {
                              SQL_EMBED_NEARDUP_SAMPLE),
     "window_agg": (q_window_agg, SQL_WINDOW_AGG),
     "sessionization": (q_sessionization, SQL_SESSIONIZATION),
+    "sliding_window": (q_sliding_window, SQL_SLIDING_WINDOW),
+    "topk_per_user": (q_topk_per_user, SQL_TOPK_PER_USER),
     "dedup_by_id": (q_dedup_by_id, SQL_DEDUP_BY_ID),
     "agg_lineitem": (q_agg_lineitem, SQL_AGG_LINEITEM),
     "mktsegment_counts": (q_mktsegment_counts, SQL_MKTSEGMENT_COUNTS),
