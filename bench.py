@@ -95,7 +95,8 @@ def run_queries() -> dict[str, float]:
              "routed_rows", "enrich_lookup", "dedup_exact", "token_stats",
              "knn_cosine", "agg_lineitem", "conversation_assembly",
              "minhash_pairs", "simhash", "window_agg", "sessionization",
-             "corpus_prep", "knn_ivf"]
+             "corpus_prep", "knn_ivf",
+             "sliding_window", "topk_per_user", "value_histogram"]
     out: dict[str, float] = {}
     for name in picks:
         fn, _ = QUERIES[name]

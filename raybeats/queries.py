@@ -500,6 +500,30 @@ SELECT user_id, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions,
 FROM d GROUP BY user_id"""
 
 
+def q_value_histogram(sf_dir: str):
+    """Fixed-bin histogram of event values (20 bins of width 10): derive
+    bin per batch, partial counts, tiny combine — the aggregate sketch
+    pattern with an exact oracle."""
+    def partial(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("value")
+        bin_id = pc.cast(pc.floor(pc.divide(v, 10.0)), pa.int64())
+        bin_id = pc.min_element_wise(pc.max_element_wise(bin_id, 0), 19)
+        t = pa.table({"bin": bin_id})
+        g = t.group_by("bin").aggregate([("bin", "count")])
+        return pa.table({"bin": g.column("bin"),
+                         "n": pc.cast(g.column("bin_count"), pa.int64())})
+
+    small = _read(sf_dir, "events", ["value"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    return _combine_partials(small, ["bin"], {"n": "n"})
+
+
+SQL_VALUE_HISTOGRAM = """SELECT
+  LEAST(GREATEST(CAST(floor(value / 10.0) AS BIGINT), 0), 19) AS bin,
+  COUNT(*) AS n
+FROM events GROUP BY 1"""
+
+
 def q_sliding_window(sf_dir: str):
     """Sliding event-time window: for every event, the count of that
     user's events in the trailing hour (inclusive). Keyed bucket shuffle,
@@ -885,6 +909,7 @@ QUERIES = {
     "window_agg": (q_window_agg, SQL_WINDOW_AGG),
     "sessionization": (q_sessionization, SQL_SESSIONIZATION),
     "sliding_window": (q_sliding_window, SQL_SLIDING_WINDOW),
+    "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "topk_per_user": (q_topk_per_user, SQL_TOPK_PER_USER),
     "dedup_by_id": (q_dedup_by_id, SQL_DEDUP_BY_ID),
     "agg_lineitem": (q_agg_lineitem, SQL_AGG_LINEITEM),
