@@ -10,8 +10,8 @@ generated transcript corpus (~18M turns, cached under /tmp), i.e. the
 end-to-end turns/sec number from BASELINE.md. Per-query timings cover the
 representative operators over $GRAFT_SF_DIR (default sf0.1).
 
---scaling: runs the headline twice in fresh processes at num_cpus=8 and
-num_cpus=32 on the same input and reports both throughputs plus scaling
+--scaling: runs the headline in fresh processes at num_cpus=2, 8 and 32
+on the same input and reports both N->4N pairs' throughputs plus scaling
 efficiency (the sandbox evidence for the two-cluster-size criterion).
 """
 
@@ -173,8 +173,11 @@ def main() -> None:
     ctx.execution_options.verbose_progress = False
 
     headline_sec, turns = run_headline()
-    queries = run_queries()
-    dedup = run_dedup_bench()
+    if os.environ.get("RAYBEATS_HEADLINE_ONLY"):
+        queries, dedup = {}, {}
+    else:
+        queries = run_queries()
+        dedup = run_dedup_bench()
     print(json.dumps({
         "metric": "flagship parse→enrich→route→aggregate end-to-end",
         "value": round(headline_sec, 3),
@@ -195,7 +198,10 @@ def scaling() -> None:
         # contaminate each other
         subprocess.run(["sync"], check=False)
         time.sleep(3)
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling legs only consume the headline; skip the query suite
+        # and dedup arm in child runs
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   RAYBEATS_HEADLINE_ONLY="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout

@@ -434,7 +434,10 @@ def q_window_agg(sf_dir: str):
     agg per batch → tiny combine. Sums are exact (integer cents)."""
     def partial(tbl: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(tbl.column("ts"), unit="hour")
-        cents = pc.cast(pc.round(pc.multiply(tbl.column("value"), 100.0)),
+        # DuckDB round() is half-away-from-zero; arrow defaults to
+        # half_to_even — match the oracle explicitly
+        cents = pc.cast(pc.round(pc.multiply(tbl.column("value"), 100.0),
+                                 round_mode="half_towards_infinity"),
                         pa.int64())
         t = pa.table({"user_id": tbl.column("user_id"), "hour": hour,
                       "cents": cents})
@@ -543,7 +546,10 @@ def q_sliding_window(sf_dir: str):
         for uid, u in g.groupby("user_id", sort=True):
             ts = u["ts"].astype("int64").to_numpy()
             lo = np.searchsorted(ts, ts - 3_600_000_000, side="left")
-            n_in_window = np.arange(1, len(ts) + 1) - lo
+            # side="right" includes ts-PEERS, matching SQL's RANGE ...
+            # CURRENT ROW frame semantics when timestamps tie
+            hi = np.searchsorted(ts, ts, side="right")
+            n_in_window = hi - lo
             out.append(pd.DataFrame({
                 "event_id": u["event_id"].to_numpy(),
                 "user_id": uid,
@@ -607,6 +613,10 @@ def q_dedup_by_id(sf_dir: str):
 
     def prep(tbl: pa.Table) -> pa.Table:
         t = chain(tbl)
+        # rows with no id are excluded here (the engine-level
+        # dedup_first_by_key would pass them through — ES semantics — but
+        # the oracle's PARTITION BY would fold all NULLs into one group)
+        t = t.filter(pc.is_valid(t.column("k")))
         return pa.table({"k": t.column("k"), "ts": t.column("ts"),
                          "event_id": t.column("event_id")})
 
@@ -623,6 +633,7 @@ def q_dedup_by_id(sf_dir: str):
 SQL_DEDUP_BY_ID = """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
     AS k, event_id
 FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
 QUALIFY row_number() OVER (PARTITION BY k ORDER BY ts, event_id) = 1"""
 
 
@@ -640,8 +651,6 @@ def q_corpus_prep(sf_dir: str):
     """Composed training-data prep: quality filter → exact dedup (keep
     min doc_id per content hash) → per-survivor token stats. All narrow
     except the one dedup groupby on fixed-width hash rows."""
-    import hashlib
-
     from .textops.analysis import TOKEN_RE
 
     def score_and_hash(tbl: pa.Table) -> pa.Table:
@@ -655,12 +664,12 @@ def q_corpus_prep(sf_dir: str):
         keep = pc.and_(pc.greater_equal(n_tokens, 5.0),
                        pc.greater_equal(alpha_ratio, 0.5))
         t = tbl.filter(pc.fill_null(keep, False))
-        h = [hashlib.md5(x.encode()).hexdigest()
-             for x in t.column("text").to_pylist()]
+        from .textops.dedup import _md5_column
+        h = _md5_column(t.column("text").to_pylist())
         toks = pc.cast(pc.count_substring_regex(t.column("text"), TOKEN_RE),
                        pa.int64())
         return pa.table({"doc_id": t.column("doc_id"),
-                         "h": pa.array(h, pa.string()),
+                         "h": h,
                          "n_tokens": toks})
 
     from ray.data.aggregate import Count, Min

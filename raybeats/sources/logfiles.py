@@ -105,8 +105,12 @@ class MultilineJoiner:
         start = 0
         if self.match == "after":
             for m, o in zip(msgs, offs):
-                if buf and self._matches(m) and len(buf) < self.max_lines:
-                    buf.append(m)
+                if buf and self._matches(m):
+                    if len(buf) < self.max_lines:
+                        buf.append(m)
+                    # else: overflow continuation lines are CONSUMED and
+                    # dropped (the event truncates) — they never start a
+                    # new event, matching libbeat's multiline reader
                 else:
                     if buf:
                         out_m.append(self.sep.join(buf))
@@ -159,7 +163,13 @@ def read_log_lines(paths, encoding: str = "utf-8",
     return ds.map_batches(split, batch_format="pyarrow")
 
 
-def read_ndjson(paths, **read_kwargs):
-    """NDJSON source (the reference's JSON reader path): line split +
-    ``decode_json_fields`` on the message column."""
-    return read_log_lines(paths, **read_kwargs)
+def read_ndjson(paths, expected_keys=None, target: str = "",
+                **read_kwargs):
+    """NDJSON source (the reference's JSON reader path): line split, then
+    ``decode_json_fields`` applied to the ``message`` column."""
+    from ..processors import build_chain
+    chain = build_chain([{"decode_json_fields": {
+        "fields": ["message"], "target": target,
+        "expected_keys": expected_keys}}])
+    return read_log_lines(paths, **read_kwargs) \
+        .map_batches(chain, batch_format="pyarrow")

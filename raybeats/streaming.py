@@ -97,5 +97,9 @@ def streaming_sessionize(micro_batches, gap_minutes: int = 30,
             .take_all()
         total += sum(r["rows"] for r in acks)
     parts = ray.get([a.flush.remote() for a in actors])
-    out = pa.concat_tables([p for p in parts if p.num_rows])
-    return out.sort_by("user_id")
+    nonempty = [p for p in parts if p.num_rows]
+    if not nonempty:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_sessions": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64())})
+    return pa.concat_tables(nonempty).sort_by("user_id")

@@ -28,7 +28,8 @@ class BatchTopK:
     def __init__(self, queries: np.ndarray, query_ids: list[int], k: int,
                  id_col: str = "vec_id", vec_col: str = "embedding"):
         q = queries.astype(np.float64)
-        self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        self.qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True),
+                                 1e-30)
         self.query_ids = list(query_ids)
         self.k = k
         self.id_col = id_col
@@ -137,33 +138,51 @@ class IvfIndex:
         sims = qn @ self.centroids.T
         nprobe = min(nprobe, self.centroids.shape[0])
         probes = np.argsort(-sims, axis=1)[:, :nprobe]
-        probe_sets = [set(p.tolist()) for p in probes]
-        union_probes = pa.array(sorted(set().union(*probe_sets)), pa.int32())
+        # per-query probe membership mask over centroid ids
+        probe_mask = np.zeros((len(query_ids), self.centroids.shape[0]),
+                              dtype=bool)
+        for qi, p in enumerate(probes):
+            probe_mask[qi, p] = True
+        union_probes = pa.array(sorted({int(c) for p in probes for c in p}),
+                                pa.int32())
         idx = self
 
         def local(tbl: pa.Table) -> pa.Table:
+            # top-k PER QUERY over that query's own probed lists (masking
+            # before ranking — a union-wide top-k would let other
+            # queries' centroids crowd out a query's true neighbors)
             tbl = idx.assign(tbl)
             tbl = tbl.filter(pc.is_in(tbl.column("centroid"),
                                       value_set=union_probes))
             if tbl.num_rows == 0:
                 return pa.table({"query_id": pa.array([], pa.int64()),
                                  "neighbor_id": pa.array([], pa.int64()),
-                                 "sim": pa.array([], pa.float64()),
-                                 "centroid": pa.array([], pa.int32())})
-            topk = BatchTopK(queries=q, query_ids=query_ids, k=k,
-                             id_col=idx.id_col, vec_col=idx.vec_col)
-            out = topk(tbl)
-            cent_of = dict(zip(tbl.column(idx.id_col).to_pylist(),
-                               tbl.column("centroid").to_pylist()))
-            cents = [cent_of[n] for n in out.column("neighbor_id").to_pylist()]
-            return out.append_column("centroid", pa.array(cents, pa.int32()))
+                                 "sim": pa.array([], pa.float64())})
+            m = _matrix(tbl.column(idx.vec_col))
+            ids = np.asarray(tbl.column(idx.id_col).to_pylist(),
+                             dtype=np.int64)
+            cents = np.asarray(tbl.column("centroid").to_pylist(),
+                               dtype=np.int32)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                                1e-30)
+            s = qn @ mn.T  # (nq, rows)
+            s = np.where(probe_mask[:, cents], s, -np.inf)
+            qs, ns, ss = [], [], []
+            kk = min(k + len(query_ids), s.shape[1])
+            for qi, qid in enumerate(query_ids):
+                row = s[qi]
+                top = (np.argpartition(-row, kk - 1)[:kk]
+                       if kk < len(row) else np.arange(len(row)))
+                for j in top:
+                    if np.isfinite(row[j]):
+                        qs.append(qid)
+                        ns.append(int(ids[j]))
+                        ss.append(float(row[j]))
+            return pa.table({"query_id": pa.array(qs, pa.int64()),
+                             "neighbor_id": pa.array(ns, pa.int64()),
+                             "sim": pa.array(ss, pa.float64())})
 
-        import pandas as pd
         df = ds.map_batches(local, batch_format="pyarrow").to_pandas()
-        # keep only neighbors whose centroid is probed for THAT query
-        keep = [row.centroid in probe_sets[query_ids.index(row.query_id)]
-                for row in df.itertuples()]
-        df = df[pd.Series(keep, index=df.index)]
         df = df[df["query_id"] != df["neighbor_id"]]
         df = df.sort_values(["query_id", "sim", "neighbor_id"],
                             ascending=[True, False, True])

@@ -131,3 +131,73 @@ def test_dissect_rowmode_typed_failure_is_null():
     assert vals["a"].to_pylist() == [12, None]
     assert vals["b"].to_pylist() == ["ok", "bad"]
     assert ok.to_pylist() == [True, True]
+
+
+# ---- round-1 second review findings ----
+
+def test_multiline_max_lines_truncates_not_splits():
+    from raybeats.sources.logfiles import MultilineJoiner
+    j = MultilineJoiner(mode="pattern", pattern=r"^\s", match="after",
+                        max_lines=3)
+    msgs, offs = j.join(["err", "  a", "  b", "  c", "  d", "ok"],
+                        [0, 4, 8, 12, 16, 20])
+    # overflow continuations (c, d) are consumed into truncation, NOT a
+    # new event starting with a continuation line
+    assert msgs == ["err\n  a\n  b", "ok"]
+    assert offs == [0, 20]
+
+
+def test_sliding_window_counts_ts_peers():
+    import numpy as np
+    ts = np.array([100, 100, 200], dtype=np.int64)
+    lo = np.searchsorted(ts, ts - 3_600_000_000, side="left")
+    hi = np.searchsorted(ts, ts, side="right")
+    assert list(hi - lo) == [2, 2, 3]  # peers included, like SQL RANGE
+
+
+def test_streaming_sessionize_empty(ray_session):
+    from raybeats.streaming import streaming_sessionize
+    out = streaming_sessionize([], n_buckets=2)
+    assert out.num_rows == 0
+    assert out.column_names == ["user_id", "n_sessions", "n_events"]
+
+
+def test_read_ndjson_decodes(ray_session, tmp_path):
+    from raybeats.sources import read_ndjson
+    p = tmp_path / "x.ndjson"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": 2}\nnot json\n')
+    rows = sorted(read_ndjson([str(p)], expected_keys=["a:int", "b"])
+                  .take_all(), key=lambda r: r["log.offset"])
+    assert [r["a"] for r in rows] == [1, 2, None]
+    assert rows[0]["b"] == "x"
+
+
+def test_ivf_per_query_probe_isolation(ray_session):
+    """A query's neighbors must come from ITS probed lists and must not be
+    crowded out by other queries' candidates (second-review fix)."""
+    import numpy as np
+    import ray.data as rd
+
+    from raybeats.textops.knn import IvfIndex, knn_topk
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    q, qids = [], []
+    t = ds.take(5)
+    for r in t[:3]:
+        q.append(r["embedding"])
+        qids.append(r["vec_id"])
+    q = np.array(q, dtype=np.float64)
+    index = IvfIndex.build(ds, n_centroids=8, seed=7)
+    # full probe must STILL equal brute force after the rework
+    brute = knn_topk(ds, q, qids, k=5).to_pylist()
+    full = index.search(ds, q, qids, k=5, nprobe=8).to_pylist()
+    assert sorted(map(tuple, (r.values() for r in full))) == \
+        sorted(map(tuple, (r.values() for r in brute)))
+    # subset probe returns at most k per query, all well-formed
+    sub = index.search(ds, q, qids, k=5, nprobe=2).to_pylist()
+    per_q = {}
+    for r in sub:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for qid, ranks in per_q.items():
+        assert ranks == list(range(1, len(ranks) + 1))
