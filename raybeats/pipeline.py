@@ -211,9 +211,12 @@ class Pipeline:
         from .state.manifest import CheckpointManifest, stage_and_swap
 
         _settle_fsspec_http_import()
+        source_cfg = dict(self.config.get("source") or {"type": "parquet"})
+        source_type = source_cfg.pop("type", "parquet")
         if isinstance(input_paths, str):
+            pattern = ("*.parquet" if source_type == "parquet" else "*")
             input_paths = sorted(glob_mod.glob(os.path.join(input_paths,
-                                                            "*.parquet")) or
+                                                            pattern)) or
                                  glob_mod.glob(input_paths))
         if not input_paths:
             raise ConfigError("pipeline.run: no input files")
@@ -234,16 +237,41 @@ class Pipeline:
                   "per_sink": {}, "elapsed_sec": 0.0}
         t0 = time.monotonic()
 
+        def read_source(files: list[str]):
+            """Partition reader per configured source type: parquet rows
+            (default), raw log lines, or NDJSON (the harvester path)."""
+            if source_type == "parquet":
+                # keep at least one block per input file: Ray merges small
+                # files into one 128MB block, which would serialize the
+                # chain within a partition (irrelevant at 100 TB, decisive
+                # on small benches)
+                return rd.read_parquet(files,
+                                       override_num_blocks=len(files))
+            from .sources import read_log_lines, read_ndjson
+            if source_type == "log_lines":
+                return read_log_lines(files, **source_cfg)
+            if source_type == "ndjson":
+                return read_ndjson(files, **source_cfg)
+            raise ConfigError(f"unknown source type {source_type!r}")
+
+        def count_input_rows(files: list[str]) -> int:
+            if source_type == "parquet":
+                return sum(pq.read_metadata(f).num_rows for f in files)
+            # log sources: count line terminators (cheap byte scan; the
+            # metric mirrors harvester lines-read)
+            n = 0
+            for f in files:
+                with open(f, "rb") as fh:
+                    data = fh.read()
+                n += data.count(b"\n") + (0 if data.endswith(b"\n") or
+                                          not data else 1)
+            return n
+
         def run_partition(pid_num: int, files: list[str]) -> dict:
             pid = f"{pid_num:05d}"
             part_dir = os.path.join(out_dir, f"part={pid}")
-            in_rows = sum(pq.read_metadata(f).num_rows for f in files)
-            # keep at least one block per input file: Ray merges small
-            # files into one 128MB block, which would serialize the chain
-            # within a partition (irrelevant at 100 TB, decisive on small
-            # benches)
-            ds = self.build(rd.read_parquet(
-                files, override_num_blocks=len(files)))
+            in_rows = count_input_rows(files)
+            ds = self.build(read_source(files))
             sort_cols = self.config.get("sort_output")
             if sort_cols:
                 # stable (conv_id, turn_idx) order within the partition

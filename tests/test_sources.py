@@ -82,3 +82,36 @@ def test_validate_marks_dead_letter():
     assert out.column("meta_dead_letter").to_pylist() == [False, True, True]
     flags = out.column("log_flags").to_pylist()
     assert flags[0] is None and "validation_error" in flags[1]
+
+
+def test_log_file_source_through_pipeline(ray_session, tmp_path):
+    """Raw .log files → dissect → route → partitioned sinks through the
+    config surface (the full harvester-to-output path)."""
+    from raybeats.pipeline import Pipeline
+
+    log1 = tmp_path / "app1.log"
+    log1.write_text("INFO start job=a\nERROR boom job=b\nINFO done job=c\n")
+    log2 = tmp_path / "app2.log"
+    log2.write_text("WARN slow job=d\ngarbage line\n")
+
+    pipe = Pipeline({
+        "source": {"type": "log_lines"},
+        "processors": [
+            {"dissect": {"tokenizer": "%{level} %{msg} job=%{job}",
+                         "field": "message", "target_prefix": ""}},
+        ],
+        "router": {
+            "rules": [
+                {"sink": "dead_letter",
+                 "when": {"contains": {"log_flags": "dissect_parsing_error"}}},
+                {"sink": "alerts", "when": {"equals": {"level": "ERROR"}}},
+                {"sink": "bulk"},
+            ],
+            "default": "bulk",
+        },
+    })
+    out = str(tmp_path / "out")
+    report = pipe.run([str(log1), str(log2)], out, partitions=2)
+    assert report["per_sink"] == {"alerts": 1, "bulk": 3, "dead_letter": 1}
+    assert report["pipeline.events.total"] == 5
+    assert report["pipeline.events.dropped"] == 0
