@@ -877,6 +877,12 @@ def q_minhash_pairs(sf_dir: str):
     return jaccard_verify(cand, docs, threshold=0.5)
 
 
+def q_simhash_groups(sf_dir: str):
+    from .textops.dedup import simhash_duplicate_groups
+    return simhash_duplicate_groups(
+        _read(sf_dir, "documents", ["doc_id", "text"], blocks=16))
+
+
 def q_rolling_fingerprint(sf_dir: str):
     from .textops.analysis import rolling_fingerprint
     return _read(sf_dir, "documents", ["doc_id", "text"], blocks=16) \
@@ -928,6 +934,7 @@ QUERIES = {
     "ratelimit": (q_ratelimit, None),
     "lang_id": (q_lang_id, None),
     "simhash": (q_simhash, None),
+    "simhash_groups": (q_simhash_groups, None),
     "minhash_pairs": (q_minhash_pairs, None),
     "rolling_fingerprint": (q_rolling_fingerprint, None),
     "embed_neardup_lsh": (q_embed_neardup_lsh, None),

