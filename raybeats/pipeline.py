@@ -195,8 +195,8 @@ class Pipeline:
 
     # --------------------------------------------------------------- run
     def run(self, input_paths, out_dir: str, partitions: int | None = None,
-            resume: bool = True, partition_parallelism: int | None = None,
-            ray_remote_args: dict | None = None) -> dict:
+            resume: bool = True,
+            partition_parallelism: int | None = None) -> dict:
         """Checkpointed execution: partition the input file list, process
         each unfinished partition as its own (internally parallel) Dataset,
         write per-sink Parquet with write-audit-publish, publish a manifest
@@ -269,6 +269,7 @@ class Pipeline:
 
         def run_partition(pid_num: int, files: list[str]) -> dict:
             pid = f"{pid_num:05d}"
+            t_part = time.monotonic()
             part_dir = os.path.join(out_dir, f"part={pid}")
             in_rows = count_input_rows(files)
             ds = self.build(read_source(files))
@@ -290,6 +291,10 @@ class Pipeline:
                 "pipeline.events.published": published,
                 "pipeline.events.dropped": in_rows - published,
                 "output_dir": part_dir,
+                "elapsed_sec": round(time.monotonic() - t_part, 3),
+                "rows_per_sec": round(in_rows /
+                                      max(1e-9,
+                                          time.monotonic() - t_part)),
             }
             manifest.publish(pid, payload)
             return payload
