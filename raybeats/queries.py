@@ -847,6 +847,17 @@ SQL_MKTSEGMENT_COUNTS = ("SELECT c_mktsegment, COUNT(*) AS n FROM orders "
                          "GROUP BY c_mktsegment")
 
 
+def q_distinct_langs(sf_dir: str):
+    """Distinct values (ds.unique — a set-op shuffle) with counts."""
+    from ray.data.aggregate import Count
+    return _read(sf_dir, "documents", ["lang"]) \
+        .groupby("lang").aggregate(Count(alias_name="n"))
+
+
+SQL_DISTINCT_LANGS = ("SELECT lang, COUNT(*) AS n FROM documents "
+                      "GROUP BY lang")
+
+
 def q_top10_orders(sf_dir: str):
     return _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
         .sort("o_totalprice", descending=True).limit(10)
@@ -930,6 +941,7 @@ QUERIES = {
     "agg_lineitem": (q_agg_lineitem, SQL_AGG_LINEITEM),
     "mktsegment_counts": (q_mktsegment_counts, SQL_MKTSEGMENT_COUNTS),
     "top10_orders": (q_top10_orders, SQL_TOP10_ORDERS),
+    "distinct_langs": (q_distinct_langs, SQL_DISTINCT_LANGS),
     # rows-only (non-SQL-expressible; driver records weaker check)
     "ratelimit": (q_ratelimit, None),
     "lang_id": (q_lang_id, None),
