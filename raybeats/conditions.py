@@ -209,6 +209,8 @@ def _compile_node(kind: str, body):
         return _network
 
     if kind == "or":
+        if not body:
+            raise ConfigError("empty 'or' condition")
         subs = [compile_condition(c) for c in body]
 
         def _or(tbl):
@@ -219,6 +221,8 @@ def _compile_node(kind: str, body):
         return _or
 
     if kind == "and":
+        if not body:
+            raise ConfigError("empty 'and' condition")
         subs = [compile_condition(c) for c in body]
 
         def _and(tbl):

@@ -263,3 +263,16 @@ def test_truncate_max_bytes_utf8_boundary():
     t = build_processor({"truncate_fields": {"fields": ["s"],
                                              "max_bytes": 2}}).apply(t)
     assert col(t, "s") == ["h"]  # cut lands mid-é -> dropped, not mojibake
+
+
+def test_fmtstr_nested_bracket_syntax():
+    f = EventFormatString("%{[a][b]}-x")
+    t = T(**{"a.b": pa.array(["v"])})
+    assert f.evaluate(t).to_pylist() == ["v-x"]
+
+
+def test_empty_bool_condition_rejected():
+    from raybeats.conditions import compile_condition
+    for bad in ({"or": []}, {"and": []}):
+        with pytest.raises(ConfigError):
+            compile_condition(bad)
