@@ -894,6 +894,17 @@ def q_simhash_groups(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"], blocks=16))
 
 
+def q_dedup_clusters(sf_dir: str):
+    """End-to-end near-dup clustering: minhash candidates → jaccard
+    verify → distributed connected components → (node, cluster) ids."""
+    from .textops.dedup import (duplicate_clusters, jaccard_verify,
+                                minhash_candidates)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=16)
+    cand = minhash_candidates(docs)
+    pairs = jaccard_verify(cand, docs, threshold=0.5)
+    return duplicate_clusters(pairs)
+
+
 def q_rolling_fingerprint(sf_dir: str):
     from .textops.analysis import rolling_fingerprint
     return _read(sf_dir, "documents", ["doc_id", "text"], blocks=16) \
@@ -948,6 +959,7 @@ QUERIES = {
     "simhash": (q_simhash, None),
     "simhash_groups": (q_simhash_groups, None),
     "minhash_pairs": (q_minhash_pairs, None),
+    "dedup_clusters": (q_dedup_clusters, None),
     "rolling_fingerprint": (q_rolling_fingerprint, None),
     "embed_neardup_lsh": (q_embed_neardup_lsh, None),
     "knn_ivf": (q_knn_ivf, None),

@@ -311,6 +311,88 @@ class SimHasher:
                          "simhash": pa.array(vals, pa.int64())})
 
 
+def duplicate_clusters(pairs, n_buckets: int = 32, max_iters: int = 25):
+    """Connected components over a duplicate-pair graph → (node, cluster)
+    with cluster = min node id of the component (the canonical dedup
+    cluster id).
+
+    Distributed min-label propagation: each round, every edge proposes
+    its endpoint's current label to the other endpoint and nodes keep the
+    minimum. The edge⋈label join is a bucketed cogroup (union the two
+    row kinds, groupby hash bucket, vectorized pandas merge per bucket) —
+    no driver-side graph. Labels only decrease, so the global label sum
+    is a monotone convergence metric; rounds = component diameter
+    (near-dup components are shallow).
+    """
+    import ray.data as rd
+
+    if isinstance(pairs, pa.Table):
+        tbl = pairs
+    elif isinstance(pairs, pd.DataFrame):
+        tbl = pa.Table.from_pandas(pairs, preserve_index=False)
+    else:
+        tbl = pa.concat_tables(list(pairs.iter_batches(
+            batch_format="pyarrow")))
+    if tbl.num_rows == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64())})
+    a = pc.cast(tbl.column("a"), pa.int64())
+    b = pc.cast(tbl.column("b"), pa.int64())
+    edges_tbl = pa.table({
+        "key": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a,
+                                 b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b]),
+        "other": pa.concat_arrays([b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b,
+                                   a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a]),
+    })
+    edges = rd.from_arrow(edges_tbl)
+
+    from ray.data.aggregate import Min
+
+    # init: label[n] = n
+    labels = edges.groupby("key").aggregate(Min("key", alias_name="label"))
+
+    from ..util import int_bucket
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t.column("key"), "other": t.column("other"),
+                         "label": pa.nulls(t.num_rows, pa.int64()),
+                         "bucket": int_bucket(t.column("key"), n_buckets)})
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t.column("key"),
+                         "other": pa.nulls(t.num_rows, pa.int64()),
+                         "label": t.column("label"),
+                         "bucket": int_bucket(t.column("key"), n_buckets)})
+
+    def propose(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["label"].notna()][["key", "label"]]
+        ed = g[g["label"].isna()][["key", "other"]]
+        msgs = ed.merge(lab, on="key")  # (other <- label of key)
+        return pd.DataFrame({
+            "key": pd.concat([msgs["other"], lab["key"]],
+                             ignore_index=True).astype("int64"),
+            "cand": pd.concat([msgs["label"], lab["label"]],
+                              ignore_index=True).astype("int64")})
+
+    tagged_edges = edges.map_batches(tag_edges, batch_format="pyarrow")
+    prev_sum = None
+    for _ in range(max_iters):
+        tagged_labels = labels.map_batches(tag_labels,
+                                           batch_format="pyarrow")
+        proposals = tagged_edges.union(tagged_labels) \
+            .groupby("bucket").map_groups(propose, batch_format="pandas")
+        labels = proposals.groupby("key").aggregate(
+            Min("cand", alias_name="label"))
+        from ray.data.aggregate import Sum
+        s = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    out = pa.concat_tables(list(labels.iter_batches(batch_format="pyarrow")))
+    return pa.table({"node": out.column("key"),
+                     "cluster": out.column("label")}).sort_by("node")
+
+
 def simhash_duplicate_groups(ds, id_col: str = "doc_id",
                              text_col: str = "text"):
     """SimHash near-dup grouping: identical 64-bit simhash ⇒ candidate

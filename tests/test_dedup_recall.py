@@ -33,3 +33,48 @@ def test_planted_dedup_recall(ray_session, tmp_path):
             for r in planted_near.itertuples()}
     recall = len(found & want) / len(want)
     assert recall >= 0.8, f"near-dup recall {recall:.2f}"
+
+
+def test_duplicate_clusters_match_union_find(ray_session, tmp_path):
+    """Distributed min-label propagation must equal driver union-find on
+    the planted-duplicate pair graph (chains of dups form components)."""
+    import pyarrow as pa
+
+    from raybeats.fixtures import write_documents
+    from raybeats.textops.dedup import duplicate_clusters
+
+    import ray.data as rd
+    info = write_documents(str(tmp_path / "docs"), n_docs=1500, seed=23,
+                           num_files=2)
+    full = rd.read_parquet(info["files"]).to_pandas()
+    planted = full[full.dup_kind > 0]
+    pairs = pa.table({
+        "a": pa.array(planted["doc_id"].to_numpy(), pa.int64()),
+        "b": pa.array(planted["dup_of"].to_numpy(), pa.int64())})
+    assert pairs.num_rows > 100
+
+    got = duplicate_clusters(pairs, n_buckets=8)
+    gm = dict(zip(got.column("node").to_pylist(),
+                  got.column("cluster").to_pylist()))
+
+    # reference: union-find with min-root canonicalization
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(pairs.column("a").to_pylist(),
+                    pairs.column("b").to_pylist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    want = {n: find(n) for n in parent}
+    assert gm == want
+    # at least one multi-hop chain exists (dup of a dup)
+    sizes = {}
+    for c in want.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    assert max(sizes.values()) >= 3
