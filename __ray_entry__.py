@@ -6,8 +6,14 @@ here calls ``ray.init``/``ray.shutdown``.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:  # import-safe from any CWD
+    sys.path.insert(0, _REPO)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
