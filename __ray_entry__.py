@@ -15,6 +15,12 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:  # import-safe from any CWD
     sys.path.insert(0, _REPO)
 
+import raybeats  # noqa: E402
+
+# Ray workers may not have the repo on their sys.path (the driver controls
+# its own CWD); serialize the engine by value so stages are self-contained
+raybeats.register_for_pickle_by_value()
+
 SF_SMOKE = "/root/testdata/sf0.001"
 
 

@@ -17,6 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .errors import ConfigError
+from .processors import pin_arrow_threads, set_column
 
 _SEP = "\x1f"
 
@@ -71,7 +72,6 @@ class Enricher:
             raise ConfigError("enrich: duplicate keys in side table")
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        from .processors import pin_arrow_threads, set_column
         pin_arrow_threads()
         keys = _join_keys(tbl, self.key_fields)
         idx = pc.index_in(keys, value_set=self.index)

@@ -14,6 +14,7 @@ import pyarrow.compute as pc
 
 from ..fixtures import role_tool_meta
 from ..model import FLAGS, META_DEAD_LETTER
+from ..processors import get_column, set_column
 from ..pipeline import Pipeline
 
 TOKENIZER = 'level=%{level} ts=%{event_ts} caller=%{caller} msg="%{msg}"'
@@ -21,7 +22,6 @@ TOKENIZER = 'level=%{level} ts=%{event_ts} caller=%{caller} msg="%{msg}"'
 
 def mark_dead_letter(tbl: pa.Table) -> pa.Table:
     """parse failure = dissect failed AND the turn is not valid JSON."""
-    from ..processors import get_column, set_column
     flags = get_column(tbl, FLAGS)
     if flags is None:
         flags = pa.nulls(tbl.num_rows, pa.string())

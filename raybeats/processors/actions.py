@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..errors import ConfigError
-from ..model import META_ID
+from ..model import META_COLUMNS, META_DEAD_LETTER, META_ID
 from . import (Processor, add_flag, const_column, flatten_config_map,
                get_column, register, set_column)
 
@@ -215,7 +215,6 @@ class IncludeFields(Processor):
         self.fields = list(fields)
 
     def apply(self, tbl: pa.Table) -> pa.Table:
-        from ..model import META_COLUMNS
         keep = [c for c in tbl.column_names
                 if c in self.fields or c in self.ALWAYS or c in META_COLUMNS]
         return tbl.select(keep)
@@ -570,7 +569,6 @@ class Validate(Processor):
         self.max_bytes = dict(max_field_bytes or {})
 
     def apply(self, tbl: pa.Table) -> pa.Table:
-        from ..model import META_DEAD_LETTER
         n = tbl.num_rows
         bad = pa.array([False] * n, pa.bool_())
         for f in self.required:

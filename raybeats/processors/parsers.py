@@ -19,7 +19,8 @@ import pyarrow.compute as pc
 from ..dissect import Dissector
 from ..errors import ConfigError
 from ..model import FLAG_DISSECT_ERROR, META_ID
-from . import Processor, add_flag, get_column, register, set_column
+from . import (Processor, _conform, add_flag, get_column, register,
+               set_column)
 
 
 @register("dissect")
@@ -151,7 +152,6 @@ class DockerJson(Processor):
             return matched
         if matched.num_rows == 0:
             return rest
-        from . import _conform
         schema = pa.unify_schemas([matched.schema, rest.schema],
                                   promote_options="permissive")
         return pa.concat_tables([_conform(matched, schema),

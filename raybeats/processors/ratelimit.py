@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..errors import ConfigError
-from . import Processor, register
+from . import Processor, get_column, register, set_column
 
 _UNITS = {"s": 1.0, "m": 60.0, "h": 3600.0}
 
@@ -98,7 +98,6 @@ class Timeseries(Processor):
                               target_field="_ts_fp", ignore_missing=True)
 
     def apply(self, tbl: pa.Table) -> pa.Table:
-        from . import get_column, set_column
         t = self.fp.apply(tbl)
         hexes = get_column(t, "_ts_fp")
         vals = [None if h is None else int(h[:15], 16)

@@ -23,6 +23,7 @@ from .conditions import compile_condition
 from .errors import ConfigError
 from .fmtstr import EventFormatString
 from .model import INDEX, META_DEAD_LETTER, SINK
+from .processors import set_column
 
 
 class _Rule:
@@ -83,7 +84,6 @@ class Router:
                              for k, v in (sink_indexes or {}).items()}
 
     def apply(self, tbl: pa.Table) -> pa.Table:
-        from .processors import set_column
         n = tbl.num_rows
         sink = pa.nulls(n, pa.string())
         for rule in self.rules:

@@ -22,6 +22,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .util import int_bucket
+
 
 class SessionState:
     """Per-bucket incremental session tracker (30-min-gap semantics,
@@ -86,7 +88,6 @@ def streaming_sessionize(micro_batches, gap_minutes: int = 30,
         return pd.DataFrame({"bucket": [bucket], "rows": [int(n)]})
 
     def add_bucket(tbl: pa.Table) -> pa.Table:
-        from .util import int_bucket
         return tbl.append_column(
             "bucket", int_bucket(tbl.column("user_id"), n_buckets))
 

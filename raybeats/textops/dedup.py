@@ -21,6 +21,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..util import crc32_bucket, int_bucket
+
 
 def _md5_column(texts: list[str | None]) -> pa.Array:
     return pa.array([None if t is None else
@@ -64,7 +66,6 @@ def dedup_first_by_key(ds, key: str = "meta_id",
         return tbl.filter(pc.is_null(tbl.column(key)))
 
     def with_ids(tbl: pa.Table) -> pa.Table:
-        from ..util import crc32_bucket
         t = tbl.filter(pc.is_valid(tbl.column(key)))
         return t.append_column("_bucket", crc32_bucket(t.column(key),
                                                        n_buckets))
@@ -350,8 +351,6 @@ def duplicate_clusters(pairs, n_buckets: int = 32, max_iters: int = 25):
 
     # init: label[n] = n
     labels = edges.groupby("key").aggregate(Min("key", alias_name="label"))
-
-    from ..util import int_bucket
 
     def tag_edges(t: pa.Table) -> pa.Table:
         return pa.table({"key": t.column("key"), "other": t.column("other"),
