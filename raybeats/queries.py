@@ -888,6 +888,13 @@ def q_minhash_pairs(sf_dir: str):
     return jaccard_verify(cand, docs, threshold=0.5)
 
 
+def q_simhash_neardup(sf_dir: str):
+    from .textops.dedup import simhash_near_dup_pairs
+    return simhash_near_dup_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"], blocks=16),
+        max_hamming=3)
+
+
 def q_simhash_groups(sf_dir: str):
     from .textops.dedup import simhash_duplicate_groups
     return simhash_duplicate_groups(
@@ -958,6 +965,7 @@ QUERIES = {
     "lang_id": (q_lang_id, None),
     "simhash": (q_simhash, None),
     "simhash_groups": (q_simhash_groups, None),
+    "simhash_neardup": (q_simhash_neardup, None),
     "minhash_pairs": (q_minhash_pairs, None),
     "dedup_clusters": (q_dedup_clusters, None),
     "rolling_fingerprint": (q_rolling_fingerprint, None),

@@ -312,6 +312,73 @@ class SimHasher:
                          "simhash": pa.array(vals, pa.int64())})
 
 
+def simhash_near_dup_pairs(ds, max_hamming: int = 3,
+                           id_col: str = "doc_id", text_col: str = "text"):
+    """SimHash near-dup pairs with GUARANTEED recall for small hamming
+    distance: split the 64-bit simhash into 4 chunks of 16 bits; any two
+    hashes within hamming distance 3 must share at least one chunk
+    (pigeonhole), so chunk-equality buckets contain every such pair.
+    Candidates are then verified with an exact vectorized XOR popcount.
+    Only (id, chunk) rows shuffle; 16-bit chunks keep buckets sparse."""
+    import pandas as pd
+
+    assert max_hamming <= 3, "4x16-bit chunking guarantees recall to d=3"
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        hashed = SimHasher(id_col=id_col, text_col=text_col)(tbl)
+        ids = hashed.column(id_col).to_pylist()
+        hs = hashed.column("simhash").to_pylist()
+        out_id, out_chunk, out_key, out_h = [], [], [], []
+        for i, h in zip(ids, hs):
+            for c in range(4):
+                out_id.append(i)
+                out_chunk.append(c)
+                out_key.append((h >> (16 * c)) & 0xFFFF)
+                out_h.append(h)
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "chunk": pa.array(out_chunk, pa.int32()),
+                         "chunk_key": pa.array(out_key, pa.int32()),
+                         "simhash": pa.array(out_h, pa.int64())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([id_col, "chunk", "chunk_key"])
+        sizes = g.groupby(["chunk", "chunk_key"])[id_col].transform("size")
+        g = g[sizes > 1]
+        if len(g) == 0:
+            return pd.DataFrame({"a": pd.array([], dtype="int64"),
+                                 "b": pd.array([], dtype="int64")})
+        m = g.merge(g, on=["chunk", "chunk_key"])
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        if len(m) == 0:
+            return pd.DataFrame({"a": pd.array([], dtype="int64"),
+                                 "b": pd.array([], dtype="int64")})
+        # exact hamming verify, vectorized popcount
+        x = m["simhash_x"].to_numpy().astype(np.uint64)
+        y = m["simhash_y"].to_numpy().astype(np.uint64)
+        d = np.zeros(len(m), dtype=np.int32)
+        v = x ^ y
+        for _ in range(64):
+            d += (v & np.uint64(1)).astype(np.int32)
+            v >>= np.uint64(1)
+        keep = d <= max_hamming
+        return pd.DataFrame({"a": m[f"{id_col}_x"].to_numpy()[keep],
+                             "b": m[f"{id_col}_y"].to_numpy()[keep]})
+
+    n_buckets = 64
+
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        key = pc.add(pc.multiply(pc.cast(tbl.column("chunk"), pa.int64()),
+                                 65536),
+                     pc.cast(tbl.column("chunk_key"), pa.int64()))
+        return tbl.append_column("bucket", int_bucket(key, n_buckets))
+
+    from ray.data.aggregate import Count
+    cand = ds.map_batches(explode, batch_format="pyarrow") \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pairs, batch_format="pandas")
+    return cand.groupby(["a", "b"]).aggregate(Count(alias_name="nchunks"))
+
+
 def duplicate_clusters(pairs, n_buckets: int = 32, max_iters: int = 25):
     """Connected components over a duplicate-pair graph → (node, cluster)
     with cluster = min node id of the component (the canonical dedup

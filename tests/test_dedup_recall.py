@@ -78,3 +78,38 @@ def test_duplicate_clusters_match_union_find(ray_session, tmp_path):
     for c in want.values():
         sizes[c] = sizes.get(c, 0) + 1
     assert max(sizes.values()) >= 3
+
+
+def test_simhash_band_recall_is_complete_for_small_hamming(ray_session,
+                                                           tmp_path):
+    """Pigeonhole guarantee: EVERY pair within hamming distance 3 must be
+    found by the 4x16-bit chunk bands (recall 1.0 on that subset)."""
+    import numpy as np
+    import ray.data as rd
+
+    from raybeats.fixtures import write_documents
+    from raybeats.textops.dedup import SimHasher, simhash_near_dup_pairs
+
+    info = write_documents(str(tmp_path / "docs"), n_docs=2000, seed=9,
+                           num_files=2)
+    ds = rd.read_parquet(info["files"], columns=["doc_id", "text"])
+
+    found = {(r["a"], r["b"])
+             for r in simhash_near_dup_pairs(ds, max_hamming=3).take_all()}
+
+    # ground truth: brute-force hamming over all pairs
+    hashed = ds.map_batches(SimHasher(), batch_format="pyarrow").to_pandas()
+    ids = hashed["doc_id"].to_numpy()
+    hs = hashed["simhash"].to_numpy().astype(np.uint64)
+    want = set()
+    for i in range(len(ids)):
+        v = hs[i] ^ hs[i + 1:]
+        d = np.zeros(len(v), dtype=np.int32)
+        for _ in range(64):
+            d += (v & np.uint64(1)).astype(np.int32)
+            v >>= np.uint64(1)
+        for j in np.nonzero(d <= 3)[0]:
+            a, b = int(ids[i]), int(ids[i + 1 + j])
+            want.add((min(a, b), max(a, b)))
+    assert want, "corpus has no small-hamming pairs?"
+    assert found == want
