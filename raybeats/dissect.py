@@ -386,6 +386,21 @@ class Dissector:
         if not dtype:
             return col
         v = pc.utf8_rtrim(col, " ")
+        if dtype == "ip":
+            # reference: invalid IPs become "" (convert_value); keep the
+            # vectorized path consistent with row mode
+            import ipaddress
+            out = []
+            for s in v.to_pylist():
+                if s is None:
+                    out.append(None)
+                    continue
+                try:
+                    ipaddress.ip_address(s)
+                    out.append(s)
+                except ValueError:
+                    out.append("")
+            return pa.array(out, pa.string())
         try:
             if dtype in ("long", "integer"):
                 return pc.cast(v, pa.int64() if dtype == "long" else pa.int32())

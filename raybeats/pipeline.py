@@ -100,6 +100,16 @@ class Pipeline:
         self.enrich_concurrency = config.get("enrich_concurrency", 4)
         self._enrich_ref = None
         self._enricher = None
+        # materialize the side table ONCE at construction (generator rows
+        # would be consumed by the first build; partition threads call
+        # build() concurrently)
+        self._enrich_side = None
+        if self.enrich_cfg:
+            rows = self.enrich_cfg.get("rows")
+            self._enrich_side = (rows if isinstance(rows, pa.Table)
+                                 else pa.Table.from_pylist(list(rows)))
+        import threading
+        self._enrich_lock = threading.Lock()
 
     @classmethod
     def from_yaml(cls, path_or_text: str) -> "Pipeline":
@@ -133,18 +143,18 @@ class Pipeline:
                                 zero_copy_batch=True)
         if self.enrich_cfg:
             cfg = dict(self.enrich_cfg)
-            rows = cfg.pop("rows", None)
+            cfg.pop("rows", None)
             concurrency = cfg.pop("concurrency", self.enrich_concurrency)
-            side = (rows if isinstance(rows, pa.Table)
-                    else pa.Table.from_pylist(list(rows)))
+            side = self._enrich_side
             mode = cfg.pop("mode",
                            "tasks" if side.num_rows <= 100_000 else "actors")
             if mode == "tasks":
                 # small side table: build the index once on the driver and
                 # ship the enricher inside the fused task stage (no actor
                 # pool spin-up; the stage fuses with its neighbors)
-                if self._enricher is None:
-                    self._enricher = Enricher(rows=side, **cfg)
+                with self._enrich_lock:
+                    if self._enricher is None:
+                        self._enricher = Enricher(rows=side, **cfg)
                 ds = ds.map_batches(self._enricher, batch_format="pyarrow",
                                     batch_size=self.batch_size,
                                     zero_copy_batch=True)
@@ -152,8 +162,9 @@ class Pipeline:
                 # big side table: broadcast ONCE via the object store; each
                 # actor fetches zero-copy and builds its index in __init__
                 import ray
-                if self._enrich_ref is None:
-                    self._enrich_ref = ray.put(side)
+                with self._enrich_lock:
+                    if self._enrich_ref is None:
+                        self._enrich_ref = ray.put(side)
                 ds = ds.map_batches(Enricher, batch_format="pyarrow",
                                     batch_size=self.batch_size,
                                     zero_copy_batch=True,
@@ -177,9 +188,11 @@ class Pipeline:
             if tbl.num_rows == 0:
                 return pa.table({SINK: pa.array([], pa.string()),
                                  "n": pa.array([], pa.int64())})
-            counts = tbl.group_by(SINK).aggregate([(SINK, "count")])
+            # count_all, not (SINK, "count"): the latter counts non-null
+            # values and would report a null-sink group as 0
+            counts = tbl.group_by(SINK).aggregate([([], "count_all")])
             return pa.table({SINK: counts.column(SINK),
-                             "n": counts.column(f"{SINK}_count")})
+                             "n": counts.column("count_all")})
 
         small = ds.map_batches(partial, batch_format="pyarrow")
         # the partials are a handful of rows per batch — combine on the
@@ -257,14 +270,19 @@ class Pipeline:
         def count_input_rows(files: list[str]) -> int:
             if source_type == "parquet":
                 return sum(pq.read_metadata(f).num_rows for f in files)
-            # log sources: count line terminators (cheap byte scan; the
-            # metric mirrors harvester lines-read)
+            # log sources: count line terminators in fixed-size chunks
+            # (never the whole file in driver memory)
             n = 0
             for f in files:
+                last = b""
+                empty = True
                 with open(f, "rb") as fh:
-                    data = fh.read()
-                n += data.count(b"\n") + (0 if data.endswith(b"\n") or
-                                          not data else 1)
+                    while chunk := fh.read(1 << 22):
+                        empty = False
+                        n += chunk.count(b"\n")
+                        last = chunk[-1:]
+                if not empty and last != b"\n":
+                    n += 1
             return n
 
         def run_partition(pid_num: int, files: list[str]) -> dict:

@@ -142,14 +142,24 @@ class WhenProcessor(Processor):
             raise ConfigError(
                 f"{self.inner} changed row count under a when: guard")
         out = tbl
+        type_conflict = None
         for name in new.column_names:
             new_col = get_column(new, name)
             old_col = get_column(tbl, name)
             if old_col is None:
                 old_col = pa.nulls(tbl.num_rows, new_col.type)
             elif old_col.type != new_col.type:
-                old_col = pc.cast(old_col, new_col.type)
+                try:
+                    old_col = pc.cast(old_col, new_col.type)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    # unmatched rows hold values the inner's output type
+                    # cannot represent: null them + flag instead of
+                    # aborting the batch (per-row error contract)
+                    old_col = pa.nulls(tbl.num_rows, new_col.type)
+                    type_conflict = pc.invert(mask)
             out = set_column(out, name, pc.if_else(mask, new_col, old_col))
+        if type_conflict is not None:
+            out = add_flag(out, type_conflict, "when_merge_type_conflict")
         # columns the inner REMOVED (drop_fields/rename source): per-row
         # removal in a columnar batch = null on matched rows
         for name in tbl.column_names:
@@ -172,21 +182,25 @@ class IfThenElse(Processor):
         self.then_chain = Chain(then_procs)
         self.else_chain = Chain(else_procs)
 
+    _IDX = "_ite_row_idx"
+
     def apply(self, tbl: pa.Table) -> pa.Table:
-        if tbl.num_rows == 0:
-            return tbl
+        # BOTH chains always run (even on empty splits) so the output
+        # schema is data-independent, and the original row order is
+        # restored via a hidden index column
         mask = pc.fill_null(self.cond(tbl), False)
-        a = self.then_chain(tbl.filter(mask))
-        b = self.else_chain(tbl.filter(pc.invert(mask)))
-        if a.num_rows == 0:
-            return b
-        if b.num_rows == 0:
-            return a
+        idx = pa.array(range(tbl.num_rows), pa.int64())
+        tagged = tbl.append_column(self._IDX, idx)
+        a = self.then_chain(tagged.filter(mask))
+        b = self.else_chain(tagged.filter(pc.invert(mask)))
         schema = pa.unify_schemas([a.schema, b.schema],
                                   promote_options="permissive")
-        a = _conform(a, schema)
-        b = _conform(b, schema)
-        return pa.concat_tables([a, b])
+        merged = pa.concat_tables([_conform(a, schema), _conform(b, schema)])
+        if self._IDX not in merged.column_names:
+            return merged  # a branch projected the index away: keep order
+        if merged.num_rows:
+            merged = merged.sort_by(self._IDX)
+        return merged.drop_columns([self._IDX])
 
 
 def _conform(tbl: pa.Table, schema: pa.Schema) -> pa.Table:

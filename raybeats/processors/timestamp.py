@@ -1,7 +1,8 @@
 """``timestamp`` processor (reference ``libbeat/processors/timestamp/``):
 parse a string field with a layout fallback chain into a timestamp column
 (UTC). Go reference-time layouts are translated to strftime; ``UNIX`` and
-``UNIX_MS`` numeric layouts supported."""
+``UNIX_MS`` numeric layouts supported. Arrow's strptime has no ``%f``, so
+fractional seconds are split off and re-added as microseconds."""
 
 from __future__ import annotations
 
@@ -12,13 +13,18 @@ from ..errors import ConfigError
 from . import Processor, add_flag, get_column, register, set_column
 
 # Go reference-time tokens -> strftime; longer tokens MUST precede their
-# prefixes (January before Jan, Monday before Mon)
+# prefixes/substrings (January before Jan, 2006 before 06 before single
+# digits). Bare single-digit tokens are translated last and are inherently
+# ambiguous with literal digits — Go's own parser has positional context we
+# approximate.
 _GO_TOKENS = [
     ("January", "%B"), ("Jan", "%b"), ("Monday", "%A"), ("Mon", "%a"),
     ("2006", "%Y"),
-    ("01", "%m"), ("02", "%d"), ("15", "%H"), ("04", "%M"), ("05", "%S"),
+    ("01", "%m"), ("02", "%d"), ("_2", "%d"), ("15", "%H"), ("04", "%M"),
+    ("05", "%S"), ("06", "%y"),
     ("Z07:00", "%z"), ("-07:00", "%z"), ("-0700", "%z"), ("MST", "%Z"),
-    ("PM", "%p"),
+    ("PM", "%p"), ("pm", "%p"),
+    ("3", "%I"), ("4", "%M"), ("5", "%S"), ("2", "%d"), ("1", "%m"),
 ]
 
 
@@ -34,6 +40,33 @@ def go_layout_to_strftime(layout: str) -> str:
     return out
 
 
+def _strptime_with_fraction(col: pa.Array, layout: str) -> pa.Array:
+    """Arrow strptime cannot parse %f: strip the fraction from the input,
+    parse the base, and add the fraction back as microseconds."""
+    if "%f" not in layout:
+        return pc.cast(pc.strptime(col, format=layout, unit="us",
+                                   error_is_null=True),
+                       pa.timestamp("us"))
+    base_fmt = layout.replace(".%f", "")
+    frac = pc.extract_regex(col, r"\.(?P<f>\d+)")
+    digits = pc.if_else(pc.is_valid(frac),
+                        frac.field("f") if not isinstance(frac, pa.ChunkedArray)
+                        else frac.combine_chunks().field("f"),
+                        "0")
+    # normalize to exactly 6 digits (pad right, truncate)
+    digits = pc.utf8_slice_codeunits(
+        pc.binary_join_element_wise(digits, "000000", ""), 0, 6)
+    micros = pc.cast(digits, pa.int64())
+    stripped = pc.replace_substring_regex(col, r"\.\d+", "")
+    base = pc.cast(pc.strptime(stripped, format=base_fmt, unit="us",
+                               error_is_null=True),
+                   pa.timestamp("us"))
+    shifted = pc.add(pc.cast(base, pa.int64()), micros)
+    return pc.if_else(pc.is_valid(base),
+                      pc.cast(shifted, pa.timestamp("us")),
+                      pa.nulls(len(col), pa.timestamp("us")))
+
+
 @register("timestamp")
 class Timestamp(Processor):
     def __init__(self, field: str, layouts: list[str],
@@ -45,6 +78,7 @@ class Timestamp(Processor):
                         ([layouts] if isinstance(layouts, str) else layouts)]
         self.target = target_field
         self.ignore_missing = ignore_missing
+        self.ignore_failure = ignore_failure
         if timezone not in ("UTC", "Etc/UTC", "Local", ""):
             raise ConfigError("timestamp: only UTC supported in this engine")
         if test:
@@ -74,10 +108,7 @@ class Timestamp(Processor):
                     continue
             else:
                 try:
-                    cand = pc.cast(
-                        pc.strptime(col, format=layout, unit="us",
-                                    error_is_null=True),
-                        pa.timestamp("us"))
+                    cand = _strptime_with_fraction(col, layout)
                 except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
                     continue
             result = pc.if_else(pc.is_valid(result), result, cand)
@@ -93,6 +124,15 @@ class Timestamp(Processor):
                 return tbl
             raise ConfigError(f"timestamp: missing {self.field!r}")
         parsed, ok = self._parse(pc.cast(col, pa.string()))
+        n_bad = tbl.num_rows - pc.sum(pc.cast(ok, pa.int64())).as_py() \
+            if tbl.num_rows else 0
+        if n_bad and not self.ignore_failure:
+            # reference semantics: a failing parse errors the event chain;
+            # the batch-engine equivalent of abort is raising (the task
+            # fails loudly rather than silently tolerating)
+            raise ValueError(
+                f"timestamp: {n_bad} value(s) failed to parse with layouts "
+                f"{self.layouts} (ignore_failure=false)")
         if self.target in tbl.column_names:
             old = get_column(tbl, self.target)
             if old.type == parsed.type:

@@ -201,3 +201,65 @@ def test_ivf_per_query_probe_isolation(ray_session):
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     for qid, ranks in per_q.items():
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+# ---- round-1 third review findings ----
+
+def test_fractional_second_go_layout():
+    p = build_processor({"timestamp": {
+        "field": "raw", "layouts": ["2006-01-02 15:04:05.999"],
+        "target_field": "out"}})
+    t = p.apply(pa.table({"raw": ["2024-01-02 03:04:05.123",
+                                  "2024-01-02 03:04:06"]}))
+    vals = t.column("out").to_pylist()
+    assert vals[0].microsecond == 123000
+    assert vals[1].second == 6 and vals[1].microsecond == 0
+
+
+def test_syslog_layout_tokens():
+    from raybeats.processors.timestamp import go_layout_to_strftime
+    assert go_layout_to_strftime("Jan _2 15:04:05") == "%b %d %H:%M:%S"
+
+
+def test_timestamp_ignore_failure_false_raises():
+    p = build_processor({"timestamp": {
+        "field": "raw", "layouts": ["2006-01-02"], "target_field": "out",
+        "ignore_failure": False}})
+    with pytest.raises(ValueError, match="failed to parse"):
+        p.apply(pa.table({"raw": ["bogus"]}))
+
+
+def test_when_guard_uncastable_unmatched_rows_flagged():
+    p = build_processor({"convert": {
+        "fields": [{"from": "code", "type": "long"}],
+        "when": {"equals": {"role": "tool"}}}})
+    t = p.apply(pa.table({"role": ["tool", "user"],
+                          "code": ["7", "n/a"]}))
+    assert t.column("code").to_pylist() == [7, None]
+    assert "when_merge_type_conflict" in (t.column("log_flags")
+                                          .to_pylist()[1] or "")
+
+
+def test_if_then_else_preserves_order_and_schema():
+    p = build_processor({
+        "if": {"equals": {"k": "hit"}},
+        "then": [{"add_fields": {"target": "", "fields": {"t": "T"}}}],
+        "else": [{"add_fields": {"target": "", "fields": {"e": "E"}}}]})
+    t = p.apply(pa.table({"k": ["miss", "hit", "miss"]}))
+    assert t.column("k").to_pylist() == ["miss", "hit", "miss"]
+    assert t.column("t").to_pylist() == [None, "T", None]
+    # all-miss and empty batches keep the SAME schema
+    t2 = p.apply(pa.table({"k": ["miss"]}))
+    t3 = p.apply(pa.table({"k": pa.array([], pa.string())}))
+    assert t.schema == t2.schema == t3.schema
+
+
+def test_dissect_vectorized_ip_matches_row_mode():
+    from raybeats.dissect import Dissector
+    d = Dissector("%{src|ip} %{msg}")
+    assert d.vectorized
+    vals, ok = d.dissect_column(pa.array(["10.0.0.1 hello",
+                                          "not-an-ip hello"]))
+    assert vals["src"].to_pylist() == ["10.0.0.1", ""]
+    # row mode agrees
+    assert d.dissect_convert("not-an-ip hello")["src"] == ""
