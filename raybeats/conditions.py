@@ -70,6 +70,9 @@ def compile_condition(cfg: dict):
 
 
 def _compile_node(kind: str, body):
+    if kind in ("equals", "contains", "regexp", "range", "network",
+                "has_fields") and not body:
+        raise ConfigError(f"empty {kind!r} condition")
     if kind == "equals":
         items = list(body.items())
 
@@ -166,7 +169,7 @@ def _compile_node(kind: str, body):
                          ipaddress.ip_network("::1/128")],
             "private": [ipaddress.ip_network(n) for n in
                         ("10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16",
-                         "fd00::/8")],
+                         "fc00::/7")],
             "public": None,  # = not private/loopback/unspecified
         }
 

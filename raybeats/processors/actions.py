@@ -3,6 +3,11 @@
 All are pure Arrow-compute column transforms; none iterates rows in the hot
 path except the few whose semantics require a python codec (base64, gzip,
 csv), which operate batch-at-a-time on the single affected column.
+
+``fail_on_error`` is accepted on every processor for config parity with
+the reference, but a vectorized batch engine cannot abort per event: the
+uniform behavior here is per-row null + ``log_flags`` entry (the
+reference's publisher-pipeline "log and continue" mode).
 """
 
 from __future__ import annotations
@@ -319,9 +324,12 @@ class UrlDecode(Processor):
                 if self.ignore_missing:
                     continue
                 raise ConfigError(f"urldecode: missing {src!r}")
-            needs = pc.fill_null(pc.match_substring(col, "%"), False)
+            needs = pc.fill_null(
+                pc.or_(pc.match_substring(col, "%"),
+                       pc.match_substring(col, "+")), False)
             if pc.any(needs).as_py():
-                vals = [urllib.parse.unquote_plus(v) if v is not None and "%" in v
+                vals = [urllib.parse.unquote_plus(v)
+                        if v is not None and ("%" in v or "+" in v)
                         else v for v in col.to_pylist()]
                 out = pa.array(vals, pa.string())
             else:
@@ -377,13 +385,16 @@ class ExtractArray(Processor):
             if self.ignore_missing:
                 return tbl
             raise ConfigError(f"extract_array: missing {self.field!r}")
-        lens = pc.list_value_length(col)
+        # output columns typed from the list's value type so the schema is
+        # data-independent (type inference on an all-null batch would
+        # produce a null-typed column and break block unification)
+        value_type = (col.type.value_type
+                      if pa.types.is_list(col.type) else pa.string())
+        rows = col.to_pylist()
         for target, idx in self.mappings.items():
-            ok = pc.fill_null(pc.greater(lens, idx), False)
-            vals = pa.array(
-                [row[idx] if row is not None and len(row) > idx else None
-                 for row in col.to_pylist()])
-            tbl = set_column(tbl, target, vals)
+            vals = [row[idx] if row is not None and len(row) > idx else None
+                    for row in rows]
+            tbl = set_column(tbl, target, pa.array(vals, type=value_type))
         return tbl
 
 
@@ -580,9 +591,14 @@ class Validate(Processor):
             col = get_column(tbl, f)
             if col is None:
                 continue
-            over = pc.fill_null(
-                pc.greater(pc.binary_length(pc.cast(col, pa.string())),
-                           limit), False)
+            try:
+                lens = pc.binary_length(pc.cast(col, pa.string()))
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                # non-string-castable (list/struct): serialized length
+                lens = pa.array(
+                    [None if v is None else len(str(v).encode())
+                     for v in col.to_pylist()], pa.int64())
+            over = pc.fill_null(pc.greater(lens, limit), False)
             bad = pc.or_(bad, over)
         prev = get_column(tbl, META_DEAD_LETTER)
         if prev is not None:

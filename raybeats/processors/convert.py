@@ -59,6 +59,7 @@ class Convert(Processor):
             return pc.cast(col, target), None
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
             # per-row salvage
+            lim = {"integer": 1 << 31, "long": 1 << 63}.get(typ)
             vals, bad = [], []
             for v in col.to_pylist():
                 if v is None:
@@ -67,7 +68,10 @@ class Convert(Processor):
                     continue
                 try:
                     if typ in ("integer", "long"):
-                        vals.append(int(str(v).strip()))
+                        n = int(str(v).strip())
+                        if not (-lim <= n < lim):
+                            raise ValueError("out of range")
+                        vals.append(n)
                     elif typ in ("float", "double"):
                         vals.append(float(v))
                     elif typ == "boolean":

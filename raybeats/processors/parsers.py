@@ -146,16 +146,20 @@ class DockerJson(Processor):
         return tbl.filter(mask)
 
     def apply_masked(self, tbl: pa.Table, mask) -> pa.Table:
-        matched = self.apply(tbl.filter(mask))
-        rest = tbl.filter(pc.invert(pc.fill_null(mask, False)))
-        if rest.num_rows == 0:
-            return matched
-        if matched.num_rows == 0:
-            return rest
+        # thread a hidden index so the matched/unmatched split does not
+        # permute the original row order
+        idx_col = "_dj_row_idx"
+        tagged = tbl.append_column(idx_col,
+                                   pa.array(range(tbl.num_rows), pa.int64()))
+        matched = self.apply(tagged.filter(mask))
+        rest = tagged.filter(pc.invert(pc.fill_null(mask, False)))
         schema = pa.unify_schemas([matched.schema, rest.schema],
                                   promote_options="permissive")
-        return pa.concat_tables([_conform(matched, schema),
-                                 _conform(rest, schema)])
+        merged = pa.concat_tables([_conform(matched, schema),
+                                   _conform(rest, schema)])
+        if merged.num_rows:
+            merged = merged.sort_by(idx_col)
+        return merged.drop_columns([idx_col])
 
 
 @register("decode_xml")
@@ -308,8 +312,16 @@ class DecodeJsonFields(Processor):
                 ids = [None if r is None else r.pop(self.document_id, None)
                        for r in rows]
                 if any(x is not None for x in ids):
-                    ids = [None if x is None else str(x) for x in ids]
-                    tbl = set_column(tbl, META_ID, pa.array(ids, pa.string()))
+                    new_ids = pa.array(
+                        [None if x is None else str(x) for x in ids],
+                        pa.string())
+                    old_ids = get_column(tbl, META_ID)
+                    if old_ids is not None:
+                        # merge: only rows that actually carried a
+                        # document_id overwrite an existing meta_id
+                        new_ids = pc.if_else(pc.is_valid(new_ids), new_ids,
+                                             old_ids)
+                    tbl = set_column(tbl, META_ID, new_ids)
             if self.expected is not None:
                 keys = self.expected
             else:

@@ -373,7 +373,7 @@ def q_token_stats(sf_dir: str):
 
 SQL_TOKEN_STATS = r"""SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars,
-  CAST(length(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+  CAST(length(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_tokens,
   CAST(length(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it)\b'))
        AS BIGINT) AS n_stop
 FROM documents"""
@@ -388,7 +388,7 @@ def q_quality_score(sf_dir: str):
 SQL_QUALITY_SCORE = r"""WITH f AS (
   SELECT doc_id,
     CAST(length(text) AS DOUBLE) AS n_chars,
-    CAST(length(regexp_extract_all(text, '[a-z0-9]+')) AS DOUBLE) AS n_tokens,
+    CAST(length(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS DOUBLE) AS n_tokens,
     CAST(length(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it)\b'))
          AS DOUBLE) AS n_stop,
     CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha
@@ -689,7 +689,7 @@ def q_corpus_prep(sf_dir: str):
 
 SQL_CORPUS_PREP = r"""WITH f AS (
   SELECT doc_id, text,
-    CAST(length(regexp_extract_all(text, '[a-z0-9]+')) AS DOUBLE)
+    CAST(length(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS DOUBLE)
       AS n_tokens,
     CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) /
       GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio

@@ -13,7 +13,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-TOKEN_RE = r"[a-z0-9]+"
+TOKEN_RE = r"[a-zA-Z0-9]+"
 STOPWORD_RE = r"\b(the|a|of|and|to|in|is|it)\b"
 
 _STOP_PROFILES = {

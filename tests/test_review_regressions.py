@@ -263,3 +263,82 @@ def test_dissect_vectorized_ip_matches_row_mode():
     assert vals["src"].to_pylist() == ["10.0.0.1", ""]
     # row mode agrees
     assert d.dissect_convert("not-an-ip hello")["src"] == ""
+
+
+# ---- round-1 fourth review findings ----
+
+def test_convert_overflow_flags_not_crashes():
+    t = build_processor({"convert": {"fields": [
+        {"from": "x", "to": "n", "type": "integer"}]}}).apply(
+        pa.table({"x": ["5000000000", "7"]}))
+    assert t.column("n").to_pylist() == [None, 7]
+    assert "convert_error" in (t.column("log_flags").to_pylist()[0] or "")
+
+
+def test_extract_array_schema_stable_when_all_short():
+    p = build_processor({"extract_array": {"field": "arr",
+                                           "mappings": {"third": 2}}})
+    a = p.apply(pa.table({"arr": pa.array([["x", "y", "z"]],
+                                          pa.list_(pa.string()))}))
+    b = p.apply(pa.table({"arr": pa.array([["only"]],
+                                          pa.list_(pa.string()))}))
+    assert a.schema == b.schema
+    assert a.column("third").to_pylist() == ["z"]
+    assert b.column("third").to_pylist() == [None]
+
+
+def test_document_id_merges_with_existing_meta_id():
+    import json as json_mod
+    t = pa.table({"text": [json_mod.dumps({"doc_id": "d1"}), "not json"],
+                  "meta_id": ["old1", "old2"]})
+    out = build_processor({"decode_json_fields": {
+        "fields": ["text"], "document_id": "doc_id",
+        "expected_keys": []}}).apply(t)
+    assert out.column("meta_id").to_pylist() == ["d1", "old2"]
+
+
+def test_empty_condition_bodies_rejected():
+    from raybeats.conditions import compile_condition
+    from raybeats.errors import ConfigError
+    for bad in ({"equals": {}}, {"contains": {}}, {"range": {}},
+                {"has_fields": []}):
+        with pytest.raises(ConfigError):
+            compile_condition(bad)
+
+
+def test_network_fc00_is_private():
+    from raybeats.conditions import compile_condition
+    m = compile_condition({"network": {"ip": "private"}})(
+        pa.table({"ip": ["fc00::1", "fd12::1", "2001:db8::1"]}))
+    assert m.to_pylist() == [True, True, False]
+
+
+def test_urldecode_plus_without_percent():
+    t = build_processor({"urldecode": {"fields": [{"from": "u"}]}}).apply(
+        pa.table({"u": ["a+b", "a+b%21", "plain"]}))
+    assert t.column("u").to_pylist() == ["a b", "a b!", "plain"]
+
+
+def test_validate_list_column_byte_limit():
+    p = build_processor({"validate": {"max_field_bytes": {"tags": 10}}})
+    t = p.apply(pa.table({"tags": pa.array([["a"], ["a" * 50]],
+                                           pa.list_(pa.string()))}))
+    assert t.column("meta_dead_letter").to_pylist() == [False, True]
+
+
+def test_token_stats_counts_uppercase():
+    from raybeats.textops.analysis import token_stats
+    t = token_stats(pa.table({"doc_id": [1], "text": ["HELLO World foo"]}))
+    assert t.column("n_tokens").to_pylist() == [3]
+
+
+def test_docker_json_when_guard_preserves_order():
+    t = pa.table({
+        "message": ['{"log":"x","stream":"stdout","time":"t"}',
+                    "passthrough",
+                    '{"log":"y","stream":"stdout","time":"t"}'],
+        "seq": [0, 1, 2]})
+    p = build_processor({"docker_json": {
+        "when": {"contains": {"message": "{"}}}})
+    out = p.apply(t)
+    assert out.column("seq").to_pylist() == [0, 1, 2]
