@@ -201,7 +201,8 @@ def scaling() -> None:
         # scaling legs only consume the headline; skip the query suite
         # and dedup arm in child runs
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   RAYBEATS_HEADLINE_ONLY="1")
+                   RAYBEATS_HEADLINE_ONLY="1",
+                   RAYBEATS_BENCH_RUNS="1")  # leg-level best-of-2 below
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
@@ -210,7 +211,13 @@ def scaling() -> None:
     # brings its own memory bandwidth; this box's DRAM saturates near 32
     # concurrent string-processing workers), 8->32 is the full-box pair.
     out = {}
-    results = {n: run(n) for n in (2, 8, 32)}
+    # best-of-two FRESH PROCESSES per level: session-level variance
+    # (ray session placement, page-cache state on this shared box) can
+    # skew a single leg by 30-40%
+    def best(n):
+        a, c = run(n), run(n)
+        return a if a["value"] <= c["value"] else c
+    results = {n: best(n) for n in (2, 8, 32)}
     for lo, hi in ((2, 8), (8, 32)):
         eff = (results[lo]["value"] / results[hi]["value"]) / (hi / lo)
         out[f"eff_{lo}to{hi}"] = round(eff, 3)
