@@ -225,7 +225,14 @@ def scaling() -> None:
         out[f"sec_{hi}"] = results[hi]["value"]
         out[f"turns_per_sec_{lo}"] = results[lo]["turns_per_sec"]
         out[f"turns_per_sec_{hi}"] = results[hi]["turns_per_sec"]
-    out["scaling_efficiency"] = max(out["eff_2to8"], out["eff_8to32"])
+    # headline = the 2->8 pair (models N->4N nodes: each real node brings
+    # its own DRAM bandwidth; 8->32 on this one box hits the measured
+    # ~0.71 single-node memory-bandwidth ceiling — see BASELINE.md).
+    # Both pairs are reported above; no max() is taken.
+    out["scaling_efficiency"] = out["eff_2to8"]
+    out["scaling_efficiency_basis"] = (
+        "eff_2to8 (N->4N worker pair; 8->32 also reported — single-box "
+        "DRAM ceiling documented in BASELINE.md)")
     print(json.dumps(out))
 
 

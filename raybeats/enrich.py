@@ -22,17 +22,23 @@ from .processors import pin_arrow_threads, set_column
 _SEP = "\x1f"
 
 
-def _join_keys(tbl: pa.Table, key_fields) -> pa.Array:
+def _join_keys(tbl: pa.Table, key_fields) -> tuple[pa.Array, pa.Array]:
+    """→ (joined key, any-null mask). A null key field must always MISS
+    (SQL join semantics) — fill_null('') alone would let it match a side
+    row whose key is the empty string."""
     cols = []
+    null_mask = None
     for f in key_fields:
         if f not in tbl.column_names:
             raise ConfigError(f"enrich: missing key field {f!r}")
         c = tbl.column(f)
         c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        isnull = pc.is_null(c)
+        null_mask = isnull if null_mask is None else pc.or_(null_mask, isnull)
         cols.append(pc.fill_null(pc.cast(c, pa.string()), ""))
-    if len(cols) == 1:
-        return cols[0]
-    return pc.binary_join_element_wise(*cols, _SEP)
+    key = cols[0] if len(cols) == 1 else \
+        pc.binary_join_element_wise(*cols, _SEP)
+    return key, null_mask
 
 
 class Enricher:
@@ -64,7 +70,9 @@ class Enricher:
         self.prefix = f"{target_prefix}." if target_prefix else ""
         self.miss_col = (f"{target_prefix}_miss" if target_prefix
                          else "enrich_miss") if miss_flag else None
-        self.index = _join_keys(side, self.key_fields)
+        self.index, side_nulls = _join_keys(side, self.key_fields)
+        if pc.any(side_nulls).as_py():
+            raise ConfigError("enrich: null key in side table")
         self.value_cols = {
             name: side.column(name).combine_chunks()
             for name in side.column_names if name not in self.key_fields}
@@ -73,8 +81,11 @@ class Enricher:
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         pin_arrow_threads()
-        keys = _join_keys(tbl, self.key_fields)
+        keys, null_mask = _join_keys(tbl, self.key_fields)
         idx = pc.index_in(keys, value_set=self.index)
+        if pc.any(null_mask).as_py():
+            # null-key rows always miss
+            idx = pc.if_else(null_mask, pa.nulls(len(idx), idx.type), idx)
         for name, col in self.value_cols.items():
             taken = pc.take(col, idx)
             tbl = set_column(tbl, self.prefix + name, taken)

@@ -291,6 +291,16 @@ class Pipeline:
             part_dir = os.path.join(out_dir, f"part={pid}")
             in_rows = count_input_rows(files)
             ds = self.build(read_source(files))
+            if self.router is None:
+                # no router → no sink column; synthesize a constant one so
+                # the partitioned write (and per-sink counts) still work
+                def default_sink(tbl: pa.Table) -> pa.Table:
+                    if SINK in tbl.column_names:
+                        return tbl
+                    return tbl.append_column(
+                        SINK, pa.array(["default"] * tbl.num_rows,
+                                       pa.string()))
+                ds = ds.map_batches(default_sink, batch_format="pyarrow")
             sort_cols = self.config.get("sort_output")
             if sort_cols:
                 # stable (conv_id, turn_idx) order within the partition

@@ -21,6 +21,8 @@ Semantics kept from the reference:
 
 from __future__ import annotations
 
+import re as _re
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -87,7 +89,12 @@ def add_flag(tbl: pa.Table, mask, flag: str) -> pa.Table:
         tbl = set_column(tbl, FLAGS, cur)
     if mask is None or tbl.num_rows == 0 or not pc.any(mask).as_py():
         return tbl
-    has = pc.fill_null(pc.match_substring(cur, flag), False)
+    # exact membership in the comma-joined set — a plain substring test
+    # would treat a flag whose name is a substring of another (or of a
+    # value containing it) as already present and silently skip it
+    has = pc.fill_null(
+        pc.match_substring_regex(cur, f"(^|,){_re.escape(flag)}($|,)"),
+        False)
     need = pc.and_(pc.fill_null(mask, False), pc.invert(has))
     joined = pc.if_else(pc.is_valid(cur),
                         pc.binary_join_element_wise(cur, flag, ","),

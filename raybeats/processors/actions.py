@@ -94,8 +94,13 @@ class CopyFields(Processor):
                 if self.ignore_missing or not self.fail_on_error:
                     continue
                 raise ConfigError(f"copy_fields: missing {src!r}")
-            if dst in tbl.column_names and self.fail_on_error:
-                raise ConfigError(f"copy_fields: target {dst!r} exists")
+            if dst in tbl.column_names:
+                # reference never overwrites an existing target
+                # (actions/copy_fields.go:94-96): error when
+                # fail_on_error, else leave the event unchanged
+                if self.fail_on_error:
+                    raise ConfigError(f"copy_fields: target {dst!r} exists")
+                continue
             tbl = set_column(tbl, dst, col)
         return tbl
 

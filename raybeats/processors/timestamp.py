@@ -22,7 +22,8 @@ _GO_TOKENS = [
     ("2006", "%Y"),
     ("01", "%m"), ("02", "%d"), ("_2", "%d"), ("15", "%H"), ("04", "%M"),
     ("05", "%S"), ("06", "%y"),
-    ("Z07:00", "%z"), ("-07:00", "%z"), ("-0700", "%z"), ("MST", "%Z"),
+    ("Z07:00", "%z"), ("Z0700", "%z"), ("-07:00", "%z"), ("-0700", "%z"),
+    ("MST", "%Z"),
     ("PM", "%p"), ("pm", "%p"),
     ("3", "%I"), ("4", "%M"), ("5", "%S"), ("2", "%d"), ("1", "%m"),
 ]
@@ -37,6 +38,12 @@ def go_layout_to_strftime(layout: str) -> str:
     out = re.sub(r"\.(0+|9+)", ".%f", out)
     for go, st in _GO_TOKENS:
         out = out.replace(go, st)
+    # a Go token that survived translation (e.g. a zone form this table
+    # lacks) would silently null every row — fail at construction instead
+    if re.search(r"2006|Jan|Mon|MST|Z07", out):
+        raise ConfigError(
+            f"timestamp: layout {layout!r} has untranslated Go tokens "
+            f"(translated: {out!r})")
     return out
 
 

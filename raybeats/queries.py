@@ -448,14 +448,26 @@ def q_window_agg(sf_dir: str):
                          "total_cents": g.column("cents_sum"),
                          "n": pc.cast(g.column("cents_count"), pa.int64())})
 
+    from ray.data.aggregate import Sum
     small = _read(sf_dir, "events", ["user_id", "ts", "value"]) \
         .map_batches(partial, batch_format="pyarrow")
-    return _combine_partials(small, ["user_id", "hour"],
-                             {"total_cents": "total_cents", "n": "n"})
+    # user_id × hour cardinality grows with input — combine via the
+    # DISTRIBUTED groupby (partials already shrank each batch to one row
+    # per key), never a driver-side fan-in
+    agg = small.groupby(["user_id", "hour"]).aggregate(
+        Sum("total_cents", alias_name="total_cents"),
+        Sum("n", alias_name="n"))
+
+    def normalize(tbl: pa.Table) -> pa.Table:
+        # events ts is stored at second resolution; DuckDB emits us
+        return tbl.set_column(tbl.column_names.index("hour"), "hour",
+                              pc.cast(tbl.column("hour"),
+                                      pa.timestamp("us")))
+    return agg.map_batches(normalize, batch_format="pyarrow")
 
 
 SQL_WINDOW_AGG = """SELECT user_id, date_trunc('hour', ts) AS hour,
-  SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
   COUNT(*) AS n
 FROM events GROUP BY user_id, date_trunc('hour', ts)"""
 

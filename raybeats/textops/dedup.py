@@ -471,4 +471,4 @@ def simhash_duplicate_groups(ds, id_col: str = "doc_id",
     groups = hashed.groupby("simhash").aggregate(
         Min(id_col, alias_name="keep_id"),
         Count(alias_name="members"))
-    return groups.filter(lambda r: r["members"] > 1)
+    return groups.filter(expr="members > 1")
