@@ -146,11 +146,19 @@ def run_dedup_bench() -> dict:
     survivors = ds.map_batches(
         lambda t: t.filter(pc_mod.is_in(t.column("doc_id"),
                                         value_set=keep_ids)),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
+    # materialize: the near-dup pipeline consumes the survivor corpus
+    # twice (minhash explode + the verify cogroup's docs branch); at
+    # scale you'd persist the exact-deduped corpus once, same thing
     t0 = time.monotonic()
+    # materialize the (small) candidate pair set between the two phases:
+    # checkpoints the LSH output in the object store so the verify
+    # cogroup starts from a short plan (measured faster and is the
+    # natural persist point at scale)
     cand = minhash_candidates(survivors, num_hashes=96, bands=16,
-                              shingle_k=8)
+                              shingle_k=8).materialize()
     pairs = jaccard_verify(cand, survivors, threshold=0.5)
+    n_pairs = pairs.count()  # lazy dataset: consume inside the timing
     near_sec = time.monotonic() - t0
     return {"docs": n_docs,
             "exact_sec": round(exact_sec, 2),
@@ -158,7 +166,7 @@ def run_dedup_bench() -> dict:
             "near_dup_sec": round(near_sec, 2),
             "near_dup_docs_per_sec": round(n_docs / near_sec),
             "distinct_groups": n_groups,
-            "verified_near_dup_pairs": pairs.num_rows}
+            "verified_near_dup_pairs": n_pairs}
 
 
 def main() -> None:

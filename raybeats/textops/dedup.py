@@ -119,13 +119,14 @@ class MinHasher:
         # non-trivial baseline similarity
         assert num_hashes % bands == 0
         rng = np.random.default_rng(seed)
-        # Mersenne prime 2^31-1: (a*x+b) with a,b,x < p stays under 2^62,
-        # so the uint64 arithmetic never wraps and this is a true
-        # universal hash family (a 61-bit prime would overflow mod 2^64
-        # and break the MinHash collision-probability guarantee)
-        self.p = np.uint64((1 << 31) - 1)
-        self.a = rng.integers(1, self.p, size=num_hashes, dtype=np.uint64)
-        self.b = rng.integers(0, self.p, size=num_hashes, dtype=np.uint64)
+        # multiply-only minwise family: h_i(x) = a_i * x mod 2^64 with
+        # a_i ODD (invertible, so distinct shingles never collide within
+        # a permutation). One wraparound multiply + min per permutation —
+        # ~3x cheaper than (a*x+b) mod p, whose uint64 modulo is a
+        # division; recall on planted pairs is tested to the same >=0.8
+        # bar (tests/test_dedup_recall.py)
+        self.a = rng.integers(0, 1 << 63, size=num_hashes,
+                              dtype=np.uint64) * np.uint64(2) + np.uint64(1)
         self.num_hashes = num_hashes
         self.bands = bands
         self.rows_per_band = num_hashes // bands
@@ -134,37 +135,60 @@ class MinHasher:
         self.text_col = text_col
 
     def signature(self, text: str) -> np.ndarray:
-        base = _shingle_hashes(text, self.k) % self.p
-        # (a*x+b) mod p per permutation, min over shingles (no overflow:
-        # operands < 2^31, product < 2^62)
-        vals = (base[None, :] * self.a[:, None] + self.b[:, None]) % self.p
+        base = _shingle_hashes(text, self.k)
+        # wraparound multiply per permutation, min over shingles
+        vals = base[None, :] * self.a[:, None]
         return vals.min(axis=1)
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        ids, bands, hashes = [], [], []
-        id_list = tbl.column(self.id_col).to_pylist()
-        for doc_id, text in zip(id_list, tbl.column(self.text_col).to_pylist()):
-            if not text:
+        texts = tbl.column(self.text_col).to_pylist()
+        id_np = pc.cast(tbl.column(self.id_col), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        sigs = np.empty((len(texts), self.num_hashes), dtype=np.uint64)
+        keep = np.ones(len(texts), dtype=bool)
+        for i, text in enumerate(texts):  # variable-length docs; the
+            if not text:                  # per-doc kernel is vectorized
+                keep[i] = False
                 continue
-            sig = self.signature(text)
-            for band in range(self.bands):
-                seg = sig[band * self.rows_per_band:
-                          (band + 1) * self.rows_per_band]
-                h = hashlib.md5(seg.tobytes()).hexdigest()[:16]
-                ids.append(doc_id)
-                bands.append(band)
-                hashes.append(h)
+            sigs[i] = self.signature(text)
+        sigs, ids = sigs[keep], id_np[keep]
+        n = len(ids)
+        if n == 0:
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.int64())})
+        # band hashes in ONE vectorized pass over the signature matrix:
+        # FNV-1a fold of each band's rows (no per-(doc,band) md5 calls)
+        m = sigs.reshape(n, self.bands, self.rows_per_band)
+        h = np.full((n, self.bands), 0xCBF29CE484222325, dtype=np.uint64)
+        fnv = np.uint64(0x100000001B3)
+        half = np.uint64(32)
+        for r in range(self.rows_per_band):
+            v = m[:, :, r]
+            h = (h ^ (v & np.uint64(0xFFFFFFFF))) * fnv
+            h = (h ^ (v >> half)) * fnv
+        h &= np.uint64(0x7FFFFFFFFFFFFFFF)  # int64-safe for arrow/bucketing
         return pa.table({
-            self.id_col: pa.array(ids, pa.int64()),
-            "band": pa.array(bands, pa.int32()),
-            "band_hash": pa.array(hashes, pa.string()),
+            self.id_col: pa.array(np.repeat(ids, self.bands), pa.int64()),
+            "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32),
+                                     n), pa.int32()),
+            "band_hash": pa.array(h.reshape(-1).view(np.int64), pa.int64()),
         })
 
 
 def minhash_candidates(ds, id_col: str = "doc_id", text_col: str = "text",
                        num_hashes: int = 96, bands: int = 16,
-                       shingle_k: int = 8, concurrency: int = 4):
-    """→ (a, b) candidate near-duplicate id pairs (a < b), deduped."""
+                       shingle_k: int = 8, concurrency: int = 4,
+                       n_buckets: int = 64, max_bucket: int = 256):
+    """→ (a, b) candidate near-duplicate id pairs (a < b), deduped.
+
+    ``n_buckets`` coarsens the (band, band_hash) shuffle — scale it with
+    corpus size (``util.adaptive_buckets``). ``max_bucket`` caps a
+    degenerate LSH bucket (e.g. a boilerplate band shared by a huge dup
+    class): buckets beyond the cap are deterministically truncated to
+    their ``max_bucket`` smallest ids, bounding the quadratic pairing at
+    ``max_bucket**2`` while transitive clustering still links the class
+    through its retained members."""
     import pandas as pd
 
     hasher = MinHasher(num_hashes=num_hashes, bands=bands,
@@ -172,19 +196,15 @@ def minhash_candidates(ds, id_col: str = "doc_id", text_col: str = "text",
                        text_col=text_col)
     exploded = ds.map_batches(hasher, batch_format="pyarrow")
 
-    # bucket the (band, band_hash) space into a FIXED number of groups so
-    # the shuffle produces ~n_buckets coarse groups (vectorized pandas
-    # inside each) instead of one python call per LSH bucket
-    n_buckets = 64
-
     def add_bucket(tbl: pa.Table) -> pa.Table:
-        import numpy as np
-        # deterministic across worker processes (python hash() is salted):
-        # band_hash is hex, reuse its leading bits
-        h = np.array([int(x[:8], 16) % n_buckets
-                      for x in tbl.column("band_hash").to_pylist()],
-                     dtype=np.int32)
-        return tbl.append_column("bucket", pa.array(h, pa.int32()))
+        # band_hash is already a well-mixed int64 (FNV) — fold the band id
+        # in so different bands with equal hashes land apart
+        key = pc.bit_wise_xor(
+            pc.multiply(pc.cast(tbl.column("band"), pa.int64()), 1_000_003),
+            tbl.column("band_hash"))
+        return tbl.append_column(
+            "bucket",
+            int_bucket(pc.bit_wise_and(key, 0x7FFFFFFFFFFFFFFF), n_buckets))
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates([id_col, "band", "band_hash"])
@@ -193,6 +213,9 @@ def minhash_candidates(ds, id_col: str = "doc_id", text_col: str = "text",
         if len(g) == 0:
             return pd.DataFrame({"a": pd.array([], dtype="int64"),
                                  "b": pd.array([], dtype="int64")})
+        # degenerate-bucket cap (deterministic: smallest ids survive)
+        g = g.sort_values(id_col).groupby(["band", "band_hash"],
+                                          sort=False).head(max_bucket)
         m = g.merge(g, on=["band", "band_hash"])
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
         return pd.DataFrame({"a": m[f"{id_col}_x"].to_numpy(),
@@ -207,75 +230,127 @@ def minhash_candidates(ds, id_col: str = "doc_id", text_col: str = "text",
 
 def jaccard_verify(pairs_ds, docs_ds, threshold: float = 0.8,
                    id_col: str = "doc_id", text_col: str = "text",
-                   shingle_k: int = 8):
-    """Verify candidate pairs with exact shingle Jaccard, DISTRIBUTED:
-    candidate texts are semi-joined (broadcast id set), ``ray.put`` once,
-    and the pair list is verified in parallel map_batches tasks reading
-    the broadcast dict zero-copy."""
-    import ray
+                   shingle_k: int = 8, n_buckets: int = 64):
+    """Verify candidate pairs with exact shingle Jaccard, fully
+    DISTRIBUTED: a two-stage bucketed cogroup (the same
+    union→groupby(bucket)→map_groups shape as ``duplicate_clusters``)
+    attaches each endpoint's text — pairs hash-partition by endpoint id,
+    docs by ``id_col`` — then a narrow ``map_batches`` stage computes the
+    exact Jaccard per joined pair. No driver-resident text dict: texts
+    move through the shuffle, bounded per bucket, never through the
+    driver (the round-1 ``take_all()`` was unbounded driver memory on
+    dup-heavy corpora). Returns a lazy Dataset of (a, b, jaccard)."""
+    import ray.data as rd
 
-    cand = pairs_ds if isinstance(pairs_ds, pd.DataFrame) \
-        else pairs_ds.to_pandas()
-    if len(cand) == 0:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    wanted = set(cand["a"]).union(cand["b"])
+    def _empty():
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
 
-    def pick(tbl: pa.Table) -> pa.Table:
-        mask = pc.is_in(tbl.column(id_col),
-                        value_set=pa.array(list(wanted), pa.int64()))
-        t = tbl.filter(mask)
-        return pa.table({id_col: t.column(id_col),
-                         text_col: t.column(text_col)})
+    if isinstance(pairs_ds, pd.DataFrame):
+        if len(pairs_ds) == 0:
+            return _empty()
+        pairs_ds = rd.from_arrow(pa.table({
+            "a": pa.array(pairs_ds["a"].to_numpy(), pa.int64()),
+            "b": pa.array(pairs_ds["b"].to_numpy(), pa.int64())}))
+    elif isinstance(pairs_ds, pa.Table):
+        if pairs_ds.num_rows == 0:
+            return _empty()
+        pairs_ds = rd.from_arrow(pairs_ds.select(["a", "b"]))
 
-    texts = {r[id_col]: r[text_col]
-             for r in docs_ds.map_batches(pick, batch_format="pyarrow")
-                             .take_all()}
-    texts_ref = ray.put(texts)
+    def tag_endpoints(t: pa.Table) -> pa.Table:
+        # two rows per pair — each endpoint fetches its own text in the
+        # single cogroup pass (docs stream through the shuffle ONCE)
+        a = pc.cast(t.column("a"), pa.int64())
+        b = pc.cast(t.column("b"), pa.int64())
+        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        b = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
+        n = t.num_rows
+        return pa.table({
+            "key": pa.concat_arrays([a, b]),
+            "a": pa.concat_arrays([a, a]),
+            "b": pa.concat_arrays([b, b]),
+            "doc": pa.nulls(2 * n, pa.string())})
 
-    class Verify:
-        def __init__(self, ref):
-            self.texts = ray.get(ref)  # zero-copy once per actor/task
-            self.cache: dict = {}
+    def tag_docs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t.column(id_col), pa.int64()),
+            "a": pa.nulls(t.num_rows, pa.int64()),
+            "b": pa.nulls(t.num_rows, pa.int64()),
+            # fill_null so a null-text doc stays distinguishable from an
+            # endpoint row (doc-null marks the pair side of the cogroup)
+            "doc": pc.fill_null(pc.cast(t.column(text_col), pa.string()),
+                                "")})
 
-        def _sh(self, i):
-            h = self.cache.get(i)
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", int_bucket(t.column("key"),
+                                                    n_buckets))
+
+    def attach_text(g: pd.DataFrame) -> pa.Table:
+        docs = g[g["doc"].notna()][["key", "doc"]]
+        eps = g[g["doc"].isna()][["key", "a", "b"]]
+        m = eps.merge(docs, on="key")
+        # re-key by the pair's first endpoint so both halves co-locate
+        # for the pivot (explicit arrow schema: an all-null pandas column
+        # would infer the null type downstream)
+        return pa.table({
+            "a": pa.array(m["a"].to_numpy(dtype="int64"), pa.int64()),
+            "b": pa.array(m["b"].to_numpy(dtype="int64"), pa.int64()),
+            "is_a": pa.array((m["key"] == m["a"]).to_numpy(dtype="bool"),
+                             pa.bool_()),
+            "doc": pa.array(m["doc"].tolist(), pa.string())})
+
+    halves = (pairs_ds.map_batches(tag_endpoints, batch_format="pyarrow")
+              .union(docs_ds.map_batches(tag_docs, batch_format="pyarrow"))
+              .map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("bucket").map_groups(attach_text,
+                                            batch_format="pandas"))
+
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", int_bucket(t.column("a"),
+                                                    n_buckets))
+
+    def pivot(g: pd.DataFrame) -> pa.Table:
+        left = g[g["is_a"]][["a", "b", "doc"]]
+        right = g[~g["is_a"]][["a", "b", "doc"]]
+        m = left.merge(right, on=["a", "b"], suffixes=("_a", "_b"))
+        return pa.table({
+            "a": pa.array(m["a"].to_numpy(dtype="int64"), pa.int64()),
+            "b": pa.array(m["b"].to_numpy(dtype="int64"), pa.int64()),
+            "ta": pa.array(m["doc_a"].tolist(), pa.string()),
+            "tb": pa.array(m["doc_b"].tolist(), pa.string())})
+
+    joined = (halves.map_batches(add_pair_bucket, batch_format="pyarrow")
+              .groupby("bucket").map_groups(pivot, batch_format="pandas"))
+
+    def verify(t: pa.Table) -> pa.Table:
+        cache: dict = {}
+
+        def sh(i, txt):
+            h = cache.get(i)
             if h is None:
-                h = _shingle_hashes(self.texts[i], shingle_k)
-                self.cache[i] = h
+                h = _shingle_hashes(txt, shingle_k)
+                cache[i] = h
             return h
 
-        def __call__(self, tbl: pa.Table) -> pa.Table:
-            out_a, out_b, out_j = [], [], []
-            for a, b in zip(tbl.column("a").to_pylist(),
-                            tbl.column("b").to_pylist()):
-                sa, sb = self._sh(a), self._sh(b)
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                j = inter / max(1, len(sa) + len(sb) - inter)
-                if j >= threshold:
-                    out_a.append(int(a))
-                    out_b.append(int(b))
-                    out_j.append(j)
-            return pa.table({"a": pa.array(out_a, pa.int64()),
-                             "b": pa.array(out_b, pa.int64()),
-                             "jaccard": pa.array(out_j, pa.float64())})
+        oa, ob, oj = [], [], []
+        for ai, bi, tai, tbi in zip(t.column("a").to_pylist(),
+                                    t.column("b").to_pylist(),
+                                    t.column("ta").to_pylist(),
+                                    t.column("tb").to_pylist()):
+            sa, sb = sh(ai, tai or ""), sh(bi, tbi or "")
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            j = inter / max(1, len(sa) + len(sb) - inter)
+            if j >= threshold:
+                oa.append(ai)
+                ob.append(bi)
+                oj.append(j)
+        return pa.table({"a": pa.array(oa, pa.int64()),
+                         "b": pa.array(ob, pa.int64()),
+                         "jaccard": pa.array(oj, pa.float64())})
 
-    import ray.data as rd
-    pairs = rd.from_arrow(pa.table({
-        "a": pa.array(cand["a"].to_numpy(), pa.int64()),
-        "b": pa.array(cand["b"].to_numpy(), pa.int64())}))
-    n_tasks = max(1, min(32, len(cand) // 500))
-    pairs = pairs.repartition(n_tasks)
-    verified = pairs.map_batches(Verify, batch_format="pyarrow",
-                                 concurrency=(1, min(8, n_tasks)),
-                                 fn_constructor_kwargs={"ref": texts_ref})
-    tables = list(verified.iter_batches(batch_format="pyarrow"))
-    if not tables:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    return pa.concat_tables(tables)
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------- simhash

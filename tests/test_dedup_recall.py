@@ -35,6 +35,44 @@ def test_planted_dedup_recall(ray_session, tmp_path):
     assert recall >= 0.8, f"near-dup recall {recall:.2f}"
 
 
+def test_jaccard_verify_distributed_parity(ray_session, tmp_path):
+    """The distributed cogroup verify must produce EXACTLY the pair set
+    (and jaccard values) of a driver-side reference over the same
+    candidates — and it must do so without materializing any text dict
+    on the driver (structural: the implementation only builds Datasets)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raybeats.fixtures import write_documents
+    from raybeats.textops.dedup import (_shingle_hashes, jaccard_verify,
+                                        minhash_candidates)
+
+    info = write_documents(str(tmp_path / "docs"), n_docs=2000, seed=31,
+                           num_files=4)
+    docs = rd.read_parquet(info["files"], columns=["doc_id", "text"])
+    cand = pa.concat_tables(list(
+        minhash_candidates(docs).iter_batches(batch_format="pyarrow")))
+    assert cand.num_rows > 20
+
+    ver = jaccard_verify(rd.from_arrow(cand), docs, threshold=0.5)
+    assert isinstance(ver, rd.Dataset)  # lazy, no driver fan-in
+    vt = ver.to_pandas()
+    got = sorted(zip(vt["a"], vt["b"], vt["jaccard"]))
+
+    texts = dict(zip(*[docs.to_pandas()[c] for c in ("doc_id", "text")]))
+    ref = []
+    for a, b in zip(cand.column("a").to_pylist(),
+                    cand.column("b").to_pylist()):
+        sa = _shingle_hashes(texts[a] or "", 8)
+        sb = _shingle_hashes(texts[b] or "", 8)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        j = inter / max(1, len(sa) + len(sb) - inter)
+        if j >= 0.5:
+            ref.append((a, b, j))
+    assert got == sorted(ref)
+
+
 def test_duplicate_clusters_match_union_find(ray_session, tmp_path):
     """Distributed min-label propagation must equal driver union-find on
     the planted-duplicate pair graph (chains of dups form components)."""
