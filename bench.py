@@ -155,9 +155,13 @@ def run_dedup_bench() -> dict:
     # checkpoints the LSH output in the object store so the verify
     # cogroup starts from a short plan (measured faster and is the
     # natural persist point at scale)
+    from raybeats.util import adaptive_buckets
     cand = minhash_candidates(survivors, num_hashes=96, bands=16,
-                              shingle_k=8).materialize()
-    pairs = jaccard_verify(cand, survivors, threshold=0.5)
+                              shingle_k=8,
+                              n_buckets=adaptive_buckets(16 * n_docs)) \
+        .materialize()
+    pairs = jaccard_verify(cand, survivors, threshold=0.5,
+                           n_buckets=adaptive_buckets(n_docs))
     n_pairs = pairs.count()  # lazy dataset: consume inside the timing
     near_sec = time.monotonic() - t0
     return {"docs": n_docs,

@@ -20,7 +20,7 @@ from .enrich import Enricher
 from .fixtures import role_tool_meta
 from .pipeline import Pipeline
 from .processors import build_chain
-from .util import crc32_bucket, int_bucket
+from .util import adaptive_buckets, fnv1a_bucket, int_bucket
 from .transcripts import (DISSECT_REGEX_SQL, TRANSCRIPTS_SQL,
                           derive_transcripts, read_transcripts)
 
@@ -39,6 +39,12 @@ def _read(sf_dir: str, table: str, columns=None, blocks: int | None = None):
     if blocks:
         kw["override_num_blocks"] = blocks
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
+
+
+def _nrows(sf_dir: str, table: str) -> int:
+    """Input row count from the parquet footer (metadata-only read) —
+    sizes the adaptive bucket counts without executing anything."""
+    return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
 
 
 # ------------------------------------------------------- flagship family
@@ -195,11 +201,13 @@ def q_conversation_assembly(sf_dir: str):
     per conversation — same shape salts away hot conversations at scale."""
     import pandas as pd
 
-    n_buckets = 64
+    # ~2 transcript turns per event; scale buckets with input so a group
+    # stays ~target_rows regardless of corpus size
+    n_buckets = adaptive_buckets(2 * _nrows(sf_dir, "events"))
 
     def add_bucket(tbl: pa.Table) -> pa.Table:
         return tbl.append_column(
-            "bucket", crc32_bucket(tbl.column("conv_id"), n_buckets))
+            "bucket", fnv1a_bucket(tbl.column("conv_id"), n_buckets))
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["conv_id", "turn_idx"])
@@ -479,7 +487,7 @@ def q_sessionization(sf_dir: str):
     import pandas as pd
 
     gap_us = 30 * 60 * 1_000_000
-    n_buckets = 64
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
 
     def add_bucket(tbl: pa.Table) -> pa.Table:
         return tbl.append_column(
@@ -546,7 +554,7 @@ def q_sliding_window(sf_dir: str):
     import numpy as np
     import pandas as pd
 
-    n_buckets = 64
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
 
     def add_bucket(tbl: pa.Table) -> pa.Table:
         return tbl.append_column(
@@ -588,7 +596,7 @@ def q_topk_per_user(sf_dir: str):
     shuffle + one vectorized pandas sort/head per bucket."""
     import pandas as pd
 
-    n_buckets = 64
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
 
     def add_bucket(tbl: pa.Table) -> pa.Table:
         t = tbl.filter(pc.equal(tbl.column("event_type"), "purchase"))
@@ -634,7 +642,9 @@ def q_dedup_by_id(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "props"]) \
         .map_batches(prep, batch_format="pyarrow")
-    out = dedup_first_by_key(ds, key="k", order_cols=("ts", "event_id"))
+    out = dedup_first_by_key(ds, key="k", order_cols=("ts", "event_id"),
+                             n_buckets=adaptive_buckets(
+                                 _nrows(sf_dir, "events")))
 
     def project(tbl: pa.Table) -> pa.Table:
         return pa.table({"k": tbl.column("k"),
@@ -895,16 +905,20 @@ def q_simhash(sf_dir: str):
 
 def q_minhash_pairs(sf_dir: str):
     from .textops.dedup import jaccard_verify, minhash_candidates
+    n_docs = _nrows(sf_dir, "documents")
     docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32)
-    cand = minhash_candidates(docs, bands=16, num_hashes=96, shingle_k=8)
-    return jaccard_verify(cand, docs, threshold=0.5)
+    cand = minhash_candidates(docs, bands=16, num_hashes=96, shingle_k=8,
+                              n_buckets=adaptive_buckets(16 * n_docs))
+    return jaccard_verify(cand, docs, threshold=0.5,
+                          n_buckets=adaptive_buckets(n_docs))
 
 
 def q_simhash_neardup(sf_dir: str):
     from .textops.dedup import simhash_near_dup_pairs
     return simhash_near_dup_pairs(
         _read(sf_dir, "documents", ["doc_id", "text"], blocks=16),
-        max_hamming=3)
+        max_hamming=3,
+        n_buckets=adaptive_buckets(4 * _nrows(sf_dir, "documents")))
 
 
 def q_simhash_groups(sf_dir: str):
@@ -918,10 +932,14 @@ def q_dedup_clusters(sf_dir: str):
     verify → distributed connected components → (node, cluster) ids."""
     from .textops.dedup import (duplicate_clusters, jaccard_verify,
                                 minhash_candidates)
+    n_docs = _nrows(sf_dir, "documents")
     docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=16)
-    cand = minhash_candidates(docs)
-    pairs = jaccard_verify(cand, docs, threshold=0.5)
-    return duplicate_clusters(pairs)
+    cand = minhash_candidates(docs,
+                              n_buckets=adaptive_buckets(16 * n_docs))
+    pairs = jaccard_verify(cand, docs, threshold=0.5,
+                           n_buckets=adaptive_buckets(n_docs))
+    return duplicate_clusters(pairs,
+                              n_buckets=adaptive_buckets(n_docs, lo=32))
 
 
 def q_rolling_fingerprint(sf_dir: str):

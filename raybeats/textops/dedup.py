@@ -21,7 +21,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..util import crc32_bucket, int_bucket
+from ..util import fnv1a_bucket, int_bucket
 
 
 def _md5_column(texts: list[str | None]) -> pa.Array:
@@ -67,8 +67,11 @@ def dedup_first_by_key(ds, key: str = "meta_id",
 
     def with_ids(tbl: pa.Table) -> pa.Table:
         t = tbl.filter(pc.is_valid(tbl.column(key)))
-        return t.append_column("_bucket", crc32_bucket(t.column(key),
-                                                       n_buckets))
+        col = t.column(key)
+        bucket = (int_bucket(col, n_buckets)
+                  if pa.types.is_integer(col.type)
+                  else fnv1a_bucket(col, n_buckets))
+        return t.append_column("_bucket", bucket)
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(list(order_cols)).drop_duplicates(
@@ -388,16 +391,26 @@ class SimHasher:
 
 
 def simhash_near_dup_pairs(ds, max_hamming: int = 3,
-                           id_col: str = "doc_id", text_col: str = "text"):
+                           id_col: str = "doc_id", text_col: str = "text",
+                           n_buckets: int = 64, max_unique: int = 4096):
     """SimHash near-dup pairs with GUARANTEED recall for small hamming
     distance: split the 64-bit simhash into 4 chunks of 16 bits; any two
     hashes within hamming distance 3 must share at least one chunk
     (pigeonhole), so chunk-equality buckets contain every such pair.
     Candidates are then verified with an exact vectorized XOR popcount.
-    Only (id, chunk) rows shuffle; 16-bit chunks keep buckets sparse."""
+    Only (id, chunk) rows shuffle; 16-bit chunks keep buckets sparse.
+
+    Degenerate-bucket safety: the quadratic compare runs on the UNIQUE
+    simhashes of a chunk bucket (class representatives), so a huge
+    identical-hash class (e.g. empty docs → simhash 0) costs one row,
+    not k². ``max_unique`` caps distinct hashes per bucket and
+    ``max_class`` caps the per-class pair expansion (both deterministic
+    smallest-first truncations; transitive clustering links truncated
+    members through the retained ones)."""
     import pandas as pd
 
     assert max_hamming <= 3, "4x16-bit chunking guarantees recall to d=3"
+    max_class = 1024
 
     def explode(tbl: pa.Table) -> pa.Table:
         hashed = SimHasher(id_col=id_col, text_col=text_col)(tbl)
@@ -416,18 +429,26 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3,
                          "simhash": pa.array(out_h, pa.int64())})
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.array([], dtype="int64"),
+                              "b": pd.array([], dtype="int64")})
         g = g.drop_duplicates([id_col, "chunk", "chunk_key"])
         sizes = g.groupby(["chunk", "chunk_key"])[id_col].transform("size")
         g = g[sizes > 1]
         if len(g) == 0:
-            return pd.DataFrame({"a": pd.array([], dtype="int64"),
-                                 "b": pd.array([], dtype="int64")})
-        m = g.merge(g, on=["chunk", "chunk_key"])
-        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+            return empty
+        # class-member cap (identical full simhash within a chunk bucket)
+        g = g.sort_values(id_col).groupby(
+            ["chunk", "chunk_key", "simhash"], sort=False).head(max_class)
+        # representative compare on UNIQUE simhashes per bucket
+        u = g.drop_duplicates(["chunk", "chunk_key", "simhash"])[
+            ["chunk", "chunk_key", "simhash"]]
+        u = u.sort_values("simhash").groupby(
+            ["chunk", "chunk_key"], sort=False).head(max_unique)
+        m = u.merge(u, on=["chunk", "chunk_key"])
+        m = m[m["simhash_x"] <= m["simhash_y"]]
         if len(m) == 0:
-            return pd.DataFrame({"a": pd.array([], dtype="int64"),
-                                 "b": pd.array([], dtype="int64")})
-        # exact hamming verify, vectorized popcount
+            return empty
+        # exact hamming verify on class reps, vectorized popcount
         x = m["simhash_x"].to_numpy().astype(np.uint64)
         y = m["simhash_y"].to_numpy().astype(np.uint64)
         d = np.zeros(len(m), dtype=np.int32)
@@ -435,11 +456,21 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3,
         for _ in range(64):
             d += (v & np.uint64(1)).astype(np.int32)
             v >>= np.uint64(1)
-        keep = d <= max_hamming
-        return pd.DataFrame({"a": m[f"{id_col}_x"].to_numpy()[keep],
-                             "b": m[f"{id_col}_y"].to_numpy()[keep]})
-
-    n_buckets = 64
+        m = m[d <= max_hamming]
+        if len(m) == 0:
+            return empty
+        # expand class pairs back to member id pairs
+        ga = g.rename(columns={id_col: "ida", "simhash": "simhash_x"})[
+            ["chunk", "chunk_key", "simhash_x", "ida"]]
+        gb = g.rename(columns={id_col: "idb", "simhash": "simhash_y"})[
+            ["chunk", "chunk_key", "simhash_y", "idb"]]
+        e = m.merge(ga, on=["chunk", "chunk_key", "simhash_x"]) \
+             .merge(gb, on=["chunk", "chunk_key", "simhash_y"])
+        ida = e["ida"].to_numpy(dtype="int64")
+        idb = e["idb"].to_numpy(dtype="int64")
+        lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
+        keep = lo < hi
+        return pd.DataFrame({"a": lo[keep], "b": hi[keep]})
 
     def add_bucket(tbl: pa.Table) -> pa.Table:
         key = pc.add(pc.multiply(pc.cast(tbl.column("chunk"), pa.int64()),
