@@ -741,10 +741,42 @@ def q_knn_ivf(sf_dir: str):
                         k=5, nprobe=4)
 
 
+def q_knn_ivf_full(sf_dir: str):
+    """IVF ANN probing ALL centroid lists — exactly brute force, so the
+    brute-force SQL oracle applies bit-for-bit (the exactness property
+    the approximate q_knn_ivf relies on, now oracle-checked instead of
+    only unit-tested)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from .textops.knn import IvfIndex
+    qt = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        filter=pc.field("vec_id") < 3).sort_by("vec_id")
+    queries = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=16)
+    index = IvfIndex.build(ds, n_centroids=16, seed=7)
+    return index.search(ds, queries, qt.column("vec_id").to_pylist(),
+                        k=5, nprobe=16)
+
+
+def _planted_embeddings(ids: "np.ndarray", m: "np.ndarray"):
+    """Deterministic near-dup planting (the fixture has no natural
+    cos ≥ 0.9 pairs — max off-diagonal cosine is ~0.51, which made the
+    round-1 oracle vacuous): every vec_id < 50 gains a scaled copy
+    (id + 100000, vector × 1.25 — cosine exactly 1 to fp). The SAME
+    augmentation is expressed in the oracle SQL via list_transform, so
+    the ≥ 0.9 predicate now must find exactly the planted pairs."""
+    import numpy as np
+    sel = ids < 50
+    return (np.concatenate([ids, ids[sel] + 100000]),
+            np.vstack([m, m[sel] * 1.25]))
+
+
 def q_embed_neardup_sample(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.9) on a bounded
-    sample (vec_id < 300) — exact, SQL-oracled. One numpy matmul per
-    batch pair; the unbounded-scale path is q_embed_neardup_lsh."""
+    sample (vec_id < 300, plus planted near-dup copies) — exact,
+    SQL-oracled. One numpy matmul per batch pair; the unbounded-scale
+    path is q_embed_neardup_lsh."""
     import numpy as np
     import pyarrow.dataset as pads
 
@@ -752,17 +784,27 @@ def q_embed_neardup_sample(sf_dir: str):
         filter=pc.field("vec_id") < 300).sort_by("vec_id")
     ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
     m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    ids, m = _planted_embeddings(ids, m)
     mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
     sims = mn @ mn.T
     ai, bi = np.nonzero(np.triu(sims >= 0.9, k=1))
-    return pa.table({"a": pa.array(ids[ai], pa.int64()),
-                     "b": pa.array(ids[bi], pa.int64())})
+    a, b = ids[ai], ids[bi]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pa.table({"a": pa.array(lo, pa.int64()),
+                     "b": pa.array(hi, pa.int64())})
 
 
-SQL_EMBED_NEARDUP_SAMPLE = """WITH e AS (
+_EMBED_AUGMENT_SQL = """base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-  FROM embeddings WHERE vec_id < 300)
-SELECT x.vec_id AS a, y.vec_id AS b
+  FROM embeddings {where}),
+planted AS (
+  SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 1.25) AS v
+  FROM base WHERE vec_id < 50),
+e AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM planted)"""
+
+SQL_EMBED_NEARDUP_SAMPLE = f"""WITH {_EMBED_AUGMENT_SQL.format(
+    where='WHERE vec_id < 300')}
+SELECT LEAST(x.vec_id, y.vec_id) AS a, GREATEST(x.vec_id, y.vec_id) AS b
 FROM e x, e y
 WHERE x.vec_id < y.vec_id
   AND list_cosine_similarity(x.v, y.v) >= 0.9"""
@@ -771,22 +813,34 @@ WHERE x.vec_id < y.vec_id
 def q_embed_neardup_lsh(sf_dir: str):
     """Scale path for embedding near-dup: random-hyperplane LSH buckets
     (narrow emit of (vec_id, bucket)), exact cosine verify only within
-    buckets. Rows-only check (bucket boundaries are probabilistic)."""
+    buckets. SQL-oracled against the exhaustive O(n²) predicate: the
+    planted pairs (scaled copies → identical hyperplane signs) always
+    co-bucket, and no natural pair reaches cos 0.9 in this fixture, so
+    the probabilistic bucketing provably recovers the full answer here."""
     import numpy as np
     import pandas as pd
 
-    from .textops.knn import LshBucketer
+    from .textops.knn import LshBucketer, _matrix
     import pyarrow.parquet as pq_mod
     dim = len(pq_mod.read_table(f"{sf_dir}/embeddings.parquet",
                                 columns=["embedding"]).column(0)[0])
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=16)
     bucketer = LshBucketer(dim=dim, n_planes=10, seed=99)
 
+    def augment(tbl: pa.Table) -> pa.Table:
+        ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+        m = _matrix(tbl.column("embedding"))
+        ids, m = _planted_embeddings(ids, m)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(m.tolist(), pa.list_(pa.float64()))})
+
     def with_vec(tbl: pa.Table) -> pa.Table:
         out = bucketer(tbl)
         return out.append_column("embedding", tbl.column("embedding"))
 
-    bucketed = ds.map_batches(with_vec, batch_format="pyarrow")
+    bucketed = ds.map_batches(augment, batch_format="pyarrow") \
+        .map_batches(with_vec, batch_format="pyarrow")
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -804,6 +858,13 @@ def q_embed_neardup_lsh(sf_dir: str):
 
     return bucketed.groupby("bucket").map_groups(verify,
                                                  batch_format="pandas")
+
+
+SQL_EMBED_NEARDUP_LSH = f"""WITH {_EMBED_AUGMENT_SQL.format(where='')}
+SELECT LEAST(x.vec_id, y.vec_id) AS a, GREATEST(x.vec_id, y.vec_id) AS b
+FROM e x, e y
+WHERE x.vec_id < y.vec_id
+  AND list_cosine_similarity(x.v, y.v) >= 0.9"""
 
 
 # ------------------------------------------------------ relational demos
@@ -922,9 +983,25 @@ def q_simhash_neardup(sf_dir: str):
 
 
 def q_simhash_groups(sf_dir: str):
+    """Hamming-0 simhash duplicate groups. The fixture has almost no
+    natural simhash collisions (round 1: a single 1-row result asserted
+    nothing), so every doc_id < 25 gains an exact-copy row
+    (doc_id + 1_000_000) — the planted identical-text classes must all
+    surface as groups with ≥ 2 members."""
     from .textops.dedup import simhash_duplicate_groups
-    return simhash_duplicate_groups(
-        _read(sf_dir, "documents", ["doc_id", "text"], blocks=16))
+
+    def augment(tbl: pa.Table) -> pa.Table:
+        sel = tbl.filter(pc.less(tbl.column("doc_id"), 25))
+        if sel.num_rows == 0:
+            return tbl
+        planted = pa.table({
+            "doc_id": pc.add(sel.column("doc_id"), 1_000_000),
+            "text": sel.column("text")})
+        return pa.concat_tables([tbl.select(["doc_id", "text"]), planted])
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=16) \
+        .map_batches(augment, batch_format="pyarrow")
+    return simhash_duplicate_groups(ds)
 
 
 def q_dedup_clusters(sf_dir: str):
@@ -990,6 +1067,8 @@ QUERIES = {
     "mktsegment_counts": (q_mktsegment_counts, SQL_MKTSEGMENT_COUNTS),
     "top10_orders": (q_top10_orders, SQL_TOP10_ORDERS),
     "distinct_langs": (q_distinct_langs, SQL_DISTINCT_LANGS),
+    "embed_neardup_lsh": (q_embed_neardup_lsh, SQL_EMBED_NEARDUP_LSH),
+    "knn_ivf_full": (q_knn_ivf_full, SQL_KNN_COSINE),
     # rows-only (non-SQL-expressible; driver records weaker check)
     "ratelimit": (q_ratelimit, None),
     "lang_id": (q_lang_id, None),
@@ -999,7 +1078,6 @@ QUERIES = {
     "minhash_pairs": (q_minhash_pairs, None),
     "dedup_clusters": (q_dedup_clusters, None),
     "rolling_fingerprint": (q_rolling_fingerprint, None),
-    "embed_neardup_lsh": (q_embed_neardup_lsh, None),
     "knn_ivf": (q_knn_ivf, None),
     "media_features": (q_media_features, None),
 }
