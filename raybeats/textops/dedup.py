@@ -359,7 +359,11 @@ def jaccard_verify(pairs_ds, docs_ds, threshold: float = 0.8,
 # ----------------------------------------------------------------- simhash
 
 class SimHasher:
-    """64-bit SimHash over token md5 hashes; narrow map_batches stage."""
+    """64-bit SimHash over vectorized FNV-1a token hashes; narrow
+    map_batches stage. Unique tokens are hashed ONCE per batch (one
+    padded-matrix FNV pass, :func:`raybeats.util.fnv1a_u64`) and the
+    per-document bit votes reduce with ``np.add.reduceat`` — no
+    per-token md5 calls, no per-document python loop."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         import re
@@ -368,26 +372,40 @@ class SimHasher:
         self.text_col = text_col
 
     def simhash(self, text: str) -> int:
-        toks = self.token_re.findall(text.lower())
-        if not toks:
-            return 0
-        hs = np.array([int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
-                                      "little") for t in toks],
-                      dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int32)
-        votes = bits.sum(axis=0) * 2 - len(hs)
-        out = 0
-        for i, v in enumerate(votes):
-            if v > 0:
-                out |= (1 << i)
-        return out & 0x7FFFFFFFFFFFFFFF
+        """Single-doc convenience (tests); same kernel as __call__."""
+        tbl = pa.table({self.id_col: pa.array([0], pa.int64()),
+                        self.text_col: pa.array([text], pa.string())})
+        return self(tbl).column("simhash")[0].as_py()
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        vals = [self.simhash(t or "")
-                for t in tbl.column(self.text_col).to_pylist()]
+        import itertools
+
+        from ..util import fnv1a_u64
+
+        texts = tbl.column(self.text_col).to_pylist()
+        tok_lists = [self.token_re.findall((t or "").lower())
+                     for t in texts]
+        lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        if lens.sum():
+            flat = list(itertools.chain.from_iterable(tok_lists))
+            hs = fnv1a_u64(pa.array(flat, pa.string()))
+            bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1,
+                                 bitorder="little").astype(np.int32)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            nonzero = lens > 0
+            sums = np.zeros((len(texts), 64), dtype=np.int32)
+            # reduceat over nonzero-segment starts: zero-length segments
+            # occupy no rows, so consecutive nonzero starts bound exactly
+            sums[nonzero] = np.add.reduceat(bits, starts[nonzero], axis=0)
+            votes = 2 * sums - lens[:, None].astype(np.int32)
+            hv = np.packbits(votes > 0, axis=1, bitorder="little") \
+                .copy().view(np.uint64).ravel()
+            out = np.where(nonzero, hv, np.uint64(0))
+        out &= np.uint64(0x7FFFFFFFFFFFFFFF)
         return pa.table({self.id_col: tbl.column(self.id_col),
-                         "simhash": pa.array(vals, pa.int64())})
+                         "simhash": pa.array(out.view(np.int64),
+                                             pa.int64())})
 
 
 def simhash_near_dup_pairs(ds, max_hamming: int = 3,

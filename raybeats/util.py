@@ -35,11 +35,12 @@ def crc32_bucket(col, n_buckets: int) -> pa.Array:
                     pa.int32())
 
 
-def fnv1a_bucket(col, n_buckets: int) -> pa.Array:
-    """Deterministic bucket id (int32) for a SHORT string key column,
-    vectorized: FNV-1a folded over a padded byte matrix built straight
-    from the arrow buffers (no per-row python). Memory is
-    ``n_rows × max_len`` bytes — use for key columns (ids), not text."""
+def fnv1a_u64(col) -> "object":
+    """Vectorized 64-bit FNV-1a of a SHORT string column: folded over a
+    padded byte matrix built straight from the arrow buffers (no per-row
+    python). Memory is ``n_rows × max_len`` bytes — use for key/token
+    columns, not long text. Returns a numpy uint64 array (null → hash of
+    the empty string; mask separately if nulls matter)."""
     import numpy as np
 
     if isinstance(col, pa.ChunkedArray):
@@ -47,8 +48,9 @@ def fnv1a_bucket(col, n_buckets: int) -> pa.Array:
     col = pc.cast(col, pa.string())
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     n = len(col)
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
     if n == 0:
-        return pa.array([], pa.int32())
+        return h
     bufs = col.buffers()
     offs = np.frombuffer(bufs[1], dtype=np.int32)[col.offset:
                                                   col.offset + n + 1]
@@ -57,7 +59,6 @@ def fnv1a_bucket(col, n_buckets: int) -> pa.Array:
     starts = offs[:-1].astype(np.int64)
     lens = offs[1:].astype(np.int64) - starts
     max_len = int(lens.max())
-    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
     fnv = np.uint64(0x100000001B3)
     if max_len:
         pos = np.arange(max_len, dtype=np.int64)
@@ -67,9 +68,25 @@ def fnv1a_bucket(col, n_buckets: int) -> pa.Array:
         m = np.where(valid, data[idx], 0).astype(np.uint64)
         for j in range(max_len):
             h = np.where(valid[:, j], (h ^ m[:, j]) * fnv, h)
+    return h
+
+
+def fnv1a_bucket(col, n_buckets: int) -> pa.Array:
+    """Deterministic bucket id (int32) for a SHORT string key column —
+    vectorized FNV-1a (see :func:`fnv1a_u64`) mod ``n_buckets``."""
+    import numpy as np
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.cast(col, pa.string())
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(col) == 0:
+        return pa.array([], pa.int32())
+    h = fnv1a_u64(col)
     out = pa.array((h % np.uint64(n_buckets)).astype(np.int32), pa.int32())
     if col.null_count:
-        out = pc.if_else(pc.is_valid(col), out, pa.nulls(n, pa.int32()))
+        out = pc.if_else(pc.is_valid(col), out, pa.nulls(len(col),
+                                                         pa.int32()))
     return out
 
 
