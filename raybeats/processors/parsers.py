@@ -240,6 +240,16 @@ class DecodeJsonFields(Processor):
     ``<target>._raw``-free manner only if ``keep_unexpected_json`` names a
     column to hold the raw remainder. ``document_id`` extracts that key
     into ``meta_id`` and removes it from the decoded map.
+
+    ``max_depth`` follows the reference's ``unmarshal`` semantics
+    (``decode_json_fields.go:176-214``): it limits recursive re-decoding
+    of nested JSON *strings* (depth 1 = top-level decode only); nested
+    OBJECTS always flatten fully to dotted column names (the columnar
+    image of the reference's nested event map). ``expand_keys`` de-dots
+    literal dotted keys into the nested structure with deep merging
+    (``jsontransform/expand.go:37-80``); a conflicting expansion (object
+    vs scalar at the same path) marks the row as a decode error, like
+    the reference's error event.
     """
 
     _TYPES = {"str": pa.string(), "int": pa.int64(), "float": pa.float64(),
@@ -249,7 +259,8 @@ class DecodeJsonFields(Processor):
                  expected_keys: list[str] | None = None,
                  max_depth: int = 1, process_array: bool = False,
                  overwrite_keys: bool = False, add_error_key: bool = False,
-                 document_id: str = "", ignore_missing: bool = True):
+                 document_id: str = "", ignore_missing: bool = True,
+                 expand_keys: bool = False):
         self.fields = [fields] if isinstance(fields, str) else list(fields)
         self.prefix = f"{target}." if target else ""
         self.max_depth = max_depth
@@ -258,6 +269,7 @@ class DecodeJsonFields(Processor):
         self.add_error_key = add_error_key
         self.document_id = document_id
         self.ignore_missing = ignore_missing
+        self.expand_keys = expand_keys
         self.expected: list[tuple[str, pa.DataType]] | None = None
         if expected_keys is not None:
             self.expected = []
@@ -268,13 +280,83 @@ class DecodeJsonFields(Processor):
                 else:
                     self.expected.append((k, pa.string()))
 
-    def _flatten(self, obj, depth: int, prefix: str, out: dict):
+    def _flatten(self, obj, prefix: str, out: dict):
         for k, v in obj.items():
             key = prefix + k
-            if isinstance(v, dict) and depth < self.max_depth:
-                self._flatten(v, depth + 1, key + ".", out)
+            if isinstance(v, dict):
+                self._flatten(v, key + ".", out)
             else:
                 out[key] = v
+
+    def _deep_decode(self, obj, depth_left: int):
+        """Reference unmarshal (``decode_json_fields.go:176-214``): only
+        structured JSON STRING values that are IMMEDIATE children of a
+        freshly-decoded container re-decode, consuming one depth level
+        each; nested objects block further re-decoding. Arrays re-decode
+        only with process_array (kept as the original string otherwise)."""
+        if depth_left <= 1 or not isinstance(obj, (dict, list)):
+            return obj
+
+        def try_str(v):
+            if isinstance(v, str):
+                s = v.strip()
+                if s.startswith("{") or s.startswith("["):
+                    try:
+                        inner = json.loads(s)
+                    except (json.JSONDecodeError, ValueError):
+                        return v
+                    if isinstance(inner, list) and not self.process_array:
+                        return v
+                    return self._deep_decode(inner, depth_left - 1)
+            return v
+
+        if isinstance(obj, dict):
+            return {k: try_str(v) for k, v in obj.items()}
+        return [try_str(v) for v in obj]
+
+    @classmethod
+    def _merge(cls, dst: dict, src: dict) -> bool:
+        for k, v in src.items():
+            old = dst.get(k)
+            if old is None and k not in dst:
+                dst[k] = v
+            elif isinstance(old, dict) and isinstance(v, dict):
+                if not cls._merge(old, v):
+                    return False
+            else:
+                return False  # conflicting key
+        return True
+
+    def _expand(self, obj: dict):
+        """De-dot literal dotted keys into nested maps with deep merge
+        (``jsontransform/expand.go``). → (expanded, ok); ok=False on a
+        conflicting expansion (the reference errors the event)."""
+        out: dict = {}
+        for k, v in obj.items():
+            if isinstance(v, dict):
+                v, ok = self._expand(v)
+                if not ok:
+                    return None, False
+            parts = k.split(".") if "." in k else [k]
+            cur = out
+            for p in parts[:-1]:
+                nxt = cur.get(p)
+                if nxt is None and p not in cur:
+                    nxt = {}
+                    cur[p] = nxt
+                elif not isinstance(nxt, dict):
+                    return None, False
+                cur = nxt
+            leaf = parts[-1]
+            old = cur.get(leaf)
+            if old is None and leaf not in cur:
+                cur[leaf] = v
+            elif isinstance(old, dict) and isinstance(v, dict):
+                if not self._merge(old, v):
+                    return None, False
+            else:
+                return None, False
+        return out, True
 
     def apply(self, tbl: pa.Table) -> pa.Table:
         n = tbl.num_rows
@@ -300,9 +382,15 @@ class DecodeJsonFields(Processor):
                     except (json.JSONDecodeError, ValueError):
                         bad[i] = True
                         continue
+                    obj = self._deep_decode(obj, self.max_depth)
+                    if isinstance(obj, dict) and self.expand_keys:
+                        obj, ok_exp = self._expand(obj)
+                        if not ok_exp:
+                            bad[i] = True
+                            continue
                     if isinstance(obj, dict):
                         flat: dict = {}
-                        self._flatten(obj, 1, "", flat)
+                        self._flatten(obj, "", flat)
                         rows[i] = flat
                     elif isinstance(obj, list) and self.process_array:
                         rows[i] = {"array": obj}

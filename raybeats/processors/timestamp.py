@@ -86,13 +86,49 @@ class Timestamp(Processor):
         self.target = target_field
         self.ignore_missing = ignore_missing
         self.ignore_failure = ignore_failure
-        if timezone not in ("UTC", "Etc/UTC", "Local", ""):
-            raise ConfigError("timestamp: only UTC supported in this engine")
+        # timezone config (timestamp/config.go): naive layouts are
+        # interpreted in this zone and normalized to UTC. IANA names go
+        # through arrow's assume_timezone (DST-correct, vectorized);
+        # fixed ±HH:MM offsets are applied arithmetically ("Local" is
+        # UTC in this engine — a cluster has no meaningful local zone).
+        import re
+        tz = timezone or "UTC"
+        self.tz_name: str | None = None
+        self.tz_offset_us: int | None = None
+        if tz not in ("UTC", "Etc/UTC", "Local"):
+            m = re.fullmatch(r"([+-])(\d{2}):?(\d{2})", tz)
+            if m:
+                sign = 1 if m.group(1) == "+" else -1
+                self.tz_offset_us = sign * 1_000_000 * (
+                    int(m.group(2)) * 3600 + int(m.group(3)) * 60)
+            else:
+                try:
+                    # non-empty probe: arrow defers tz-db lookup on
+                    # empty input, so an empty array never raises
+                    pc.assume_timezone(pa.array([0], pa.timestamp("us")),
+                                       timezone=tz)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    raise ConfigError(
+                        f"timestamp: unknown timezone {tz!r}")
+                self.tz_name = tz
         if test:
             probe = pa.array(test, pa.string())
             parsed, _ = self._parse(probe)
             if parsed.null_count:
                 raise ConfigError(f"timestamp: test values failed: {test}")
+
+    def _localize(self, cand: pa.Array) -> pa.Array:
+        """Interpret a naive parse in the configured zone → UTC."""
+        if self.tz_name:
+            aware = pc.assume_timezone(cand, timezone=self.tz_name,
+                                       ambiguous="earliest",
+                                       nonexistent="earliest")
+            return pc.cast(aware, pa.timestamp("us"))
+        if self.tz_offset_us is not None:
+            shifted = pc.subtract(pc.cast(cand, pa.int64()),
+                                  self.tz_offset_us)
+            return pc.cast(shifted, pa.timestamp("us"))
+        return cand
 
     def _parse(self, col: pa.Array):
         result = pa.nulls(len(col), pa.timestamp("us"))
@@ -118,6 +154,8 @@ class Timestamp(Processor):
                     cand = _strptime_with_fraction(col, layout)
                 except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
                     continue
+                if "%z" not in layout and "%Z" not in layout:
+                    cand = self._localize(cand)
             result = pc.if_else(pc.is_valid(result), result, cand)
             if result.null_count == 0:
                 break

@@ -121,6 +121,36 @@ def test_timestamp_layouts():
     assert vals[1] is None
 
 
+def test_timestamp_timezone_config():
+    """timezone config (timestamp/config.go): naive layouts interpret in
+    the configured zone and normalize to UTC — IANA names are
+    DST-correct, fixed offsets arithmetic."""
+    from raybeats.processors.timestamp import Timestamp
+    ts = Timestamp(field="s", layouts=["2006-01-02 15:04:05"],
+                   target_field="p", timezone="Europe/Berlin")
+    out = ts.apply(pa.table({"s": ["2024-03-01 10:00:00",
+                                   "2024-07-01 10:00:00"]}))
+    # CET (+1) in March, CEST (+2) in July
+    assert [v.hour for v in col(out, "p")] == [9, 8]
+    ts2 = Timestamp(field="s", layouts=["2006-01-02 15:04:05"],
+                    target_field="p", timezone="-05:00")
+    out2 = ts2.apply(pa.table({"s": ["2024-03-01 10:00:00"]}))
+    assert col(out2, "p")[0].hour == 15
+    # zoned layouts ignore the timezone config (the value carries it)
+    ts3 = Timestamp(field="s", layouts=["2006-01-02T15:04:05Z0700"],
+                    target_field="p", timezone="Europe/Berlin")
+    out3 = ts3.apply(pa.table({"s": ["2024-03-01T10:00:00+0100"]}))
+    assert col(out3, "p")[0].hour == 9
+    with pytest.raises(ConfigError):
+        Timestamp(field="s", layouts=["2006-01-02"], timezone="Not/AZone")
+
+
+def test_timestamp_untranslatable_layout_raises():
+    from raybeats.processors.timestamp import Timestamp
+    with pytest.raises(ConfigError):
+        Timestamp(field="s", layouts=["15:04 Z07"], target_field="p")
+
+
 def test_decode_json_fields():
     rows = [json.dumps({"event": "go", "k": 7, "doc_id": "d1",
                         "nested": {"a": 1}}),
@@ -136,6 +166,53 @@ def test_decode_json_fields():
     assert col(t, "j.nested.a") == [1, None, None]
     assert col(t, META_ID) == ["d1", None, None]
     assert col(t, "json_ok") == [True, False, False]
+
+
+def test_decode_json_expand_keys():
+    """Reference TestExpandKeys (decode_json_fields_test.go:427-445):
+    dotted keys de-dot and deep-merge with nested objects."""
+    rows = [json.dumps({"a.b": {"c": "c"}, "a.b.d": "d"})]
+    t = T(text=pa.array(rows))
+    out = build_processor({"decode_json_fields": {
+        "fields": ["text"], "target": "", "expand_keys": True,
+        "expected_keys": ["a.b.c", "a.b.d"]}}).apply(t)
+    assert col(out, "a.b.c") == ["c"]
+    assert col(out, "a.b.d") == ["d"]
+    assert col(out, "json_ok") == [True]
+
+
+def test_decode_json_expand_keys_conflict_errors():
+    """Reference TestExpandKeysError (decode_json_fields_test.go:447-473):
+    a conflicting expansion (scalar vs object at the same path) errors
+    the event instead of writing keys."""
+    rows = [json.dumps({"a.b": "c", "a.b.c": "d"}),
+            json.dumps({"a.b": "x"})]
+    t = T(text=pa.array(rows))
+    out = build_processor({"decode_json_fields": {
+        "fields": ["text"], "target": "", "expand_keys": True,
+        "add_error_key": True, "expected_keys": ["a.b"]}}).apply(t)
+    assert col(out, "json_ok") == [False, True]
+    assert col(out, "a.b") == [None, "x"]
+    flags = col(out, "log_flags")
+    assert "json_decode_error" in (flags[0] or "")
+
+
+def test_decode_json_max_depth_string_redecode():
+    """Reference unmarshal semantics: max_depth limits recursive
+    re-decoding of nested JSON STRINGS; strings inside nested OBJECTS
+    do not re-decode (decode_json_fields.go:176-214)."""
+    inner = json.dumps({"b": 1})
+    rows = [json.dumps({"a": inner, "o": {"inner": inner}})]
+    shallow = build_processor({"decode_json_fields": {
+        "fields": ["text"], "target": "", "max_depth": 1,
+        "expected_keys": ["a", "o.inner"]}}).apply(T(text=pa.array(rows)))
+    assert col(shallow, "a") == [inner]  # kept as the raw string
+    deep = build_processor({"decode_json_fields": {
+        "fields": ["text"], "target": "", "max_depth": 2,
+        "expected_keys": ["a.b:int", "o.inner"]}}).apply(
+            T(text=pa.array(rows)))
+    assert col(deep, "a.b") == [1]  # immediate child string re-decoded
+    assert col(deep, "o.inner") == [inner]  # blocked by the object
 
 
 def test_base64_and_gzip():
