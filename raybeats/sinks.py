@@ -1,0 +1,173 @@
+"""Output sinks beyond the per-sink parquet writer: a kafka-style
+fields-hash partitioned layout and codec-rendered NDJSON.
+
+Ray-Data-first shapes: the partition/topic columns are derived
+vectorized inside ``map_batches`` and the write is one partitioned
+``write_parquet`` (partition dirs = kafka topic/partition lanes, so a
+downstream consumer reads one lane per worker); the NDJSON sink renders
+each block and writes one file per block from the task itself — the
+returned manifest rows are the audit trail, no driver fan-in of data.
+"""
+
+from __future__ import annotations
+
+import glob as glob_mod
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .errors import ConfigError
+from .fmtstr import EventFormatString
+from .util import fnv1a_u32_fold
+
+
+def add_kafka_partition(tbl: pa.Table, hash_fields: list[str],
+                        n_partitions: int, topic: str = "events",
+                        topic_fmt: EventFormatString | None = None,
+                        drop_fail: bool = False) -> pa.Table:
+    """Derive (topic, partition) columns per the reference's fields-hash
+    partitioner (``kafka/partition.go:240-277``): one FNV-32a hasher fed
+    the string form of each configured field's bytes in order, then
+    ``hash2Partition`` → ``(h & 0x7FFFFFFF) % n`` (``partition.go:274-277``).
+
+    Divergence (documented): on a missing hash field the reference picks
+    a RANDOM partition (non-reproducible); this engine either drops the
+    rows (``drop_fail=True``, the reference's ``random: false`` path) or
+    hashes the remaining fields deterministically."""
+    n = tbl.num_rows
+    missing = [f for f in hash_fields if f not in tbl.column_names]
+    if missing and drop_fail:
+        tbl = tbl.slice(0, 0)
+        n = 0
+    h = np.full(n, 0x811C9DC5, dtype=np.uint32)
+    for f in hash_fields:
+        if f in tbl.column_names:
+            h = fnv1a_u32_fold(tbl.column(f), h)
+    part = (h.astype(np.int64) & 0x7FFFFFFF) % n_partitions
+    if topic_fmt is not None:
+        topics = pc.fill_null(topic_fmt.evaluate(tbl), topic)
+    else:
+        topics = pa.array([topic] * n, pa.string())
+    tbl = tbl.append_column("topic", topics)
+    return tbl.append_column("partition", pa.array(part, pa.int64()))
+
+
+def write_kafka_layout(ds, out_dir: str, hash_fields: list[str],
+                       n_partitions: int = 12, topic: str = "events",
+                       drop_fail: bool = False) -> dict:
+    """Write ``out_dir/topic=T/partition=P/*.parquet`` with a manifest
+    row per (topic, partition) lane (counts re-derived from the written
+    footers — write-audit-publish, same as the pipeline sinks). ``topic``
+    may be an event format string (``%{[field]}`` refs)."""
+    topic_fmt = EventFormatString(topic) if "%{" in topic else None
+    os.makedirs(out_dir, exist_ok=True)  # all-dropped inputs still publish
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        return add_kafka_partition(tbl, hash_fields, n_partitions,
+                                   topic=topic, topic_fmt=topic_fmt,
+                                   drop_fail=drop_fail)
+
+    ds.map_batches(tag, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["topic", "partition"])
+    lanes: dict[str, int] = {}
+    for tdir in sorted(glob_mod.glob(os.path.join(out_dir, "topic=*"))):
+        tname = os.path.basename(tdir).split("=", 1)[1]
+        for pdir in sorted(glob_mod.glob(os.path.join(tdir,
+                                                      "partition=*"))):
+            pnum = os.path.basename(pdir).split("=", 1)[1]
+            rows = sum(pq.read_metadata(f).num_rows for f in
+                       glob_mod.glob(os.path.join(pdir, "*.parquet")))
+            lanes[f"{tname}/{pnum}"] = rows
+    manifest = {"topic": topic, "hash_fields": list(hash_fields),
+                "n_partitions": n_partitions, "lanes": lanes,
+                "rows": sum(lanes.values())}
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+# ------------------------------------------------------------- codecs
+
+def _escape_html(s: str) -> str:
+    # Go's SetEscapeHTML(true): <, >, & escape wherever they appear in
+    # strings; structural JSON never contains them, so a global replace
+    # over the serialized text is exact (outputs/codec/json/json.go)
+    return (s.replace("&", "\\u0026").replace("<", "\\u003c")
+             .replace(">", "\\u003e"))
+
+
+def encode_json_lines(tbl: pa.Table, pretty: bool = False,
+                      escape_html: bool = False) -> list[str]:
+    """``codec/json``: one JSON document per event. Output encoding is
+    inherently per-row (it feeds a line-oriented consumer); keys are
+    sorted for determinism. NaN/inf render as null (the reference's
+    IgnoreInvalidFloat)."""
+    out = []
+    for r in tbl.to_pylist():
+        clean = {k: (None if isinstance(v, float) and
+                     (v != v or v in (float("inf"), float("-inf"))) else v)
+                 for k, v in r.items()}
+        s = json.dumps(clean, sort_keys=True, default=str,
+                       indent=2 if pretty else None,
+                       separators=None if pretty else (",", ":"))
+        out.append(_escape_html(s) if escape_html else s)
+    return out
+
+
+def write_ndjson(ds, out_dir: str, codec: dict | None = None) -> dict:
+    """Codec-rendered newline-delimited sink (``outputs/codec``):
+
+    * ``{"json": {"pretty": ..., "escape_html": ...}}`` (default) — one
+      JSON document per event (pretty documents still newline-separated);
+    * ``{"format": {"string": "..."}}`` — each event rendered through the
+      event format string (``codec/format``); rows where the format
+      evaluates to null are dropped and counted, mirroring the codec
+      error path.
+
+    Each block writes its own ``part-*.ndjson`` file from the task; the
+    manifest aggregates (file, rows, dropped) — no data through the
+    driver."""
+    codec = codec or {"json": {}}
+    if len(codec) != 1 or next(iter(codec)) not in ("json", "format"):
+        raise ConfigError(f"write_ndjson: unknown codec {codec!r}")
+    kind, cfg = next(iter(codec.items()))
+    fmt = None
+    if kind == "format":
+        if not cfg.get("string"):
+            raise ConfigError("write_ndjson: format codec needs 'string'")
+        fmt = EventFormatString(cfg["string"])
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(tbl: pa.Table) -> pa.Table:
+        import uuid
+        dropped = 0
+        if fmt is not None:
+            rendered = fmt.evaluate(tbl)
+            dropped = rendered.null_count
+            lines = [x for x in rendered.to_pylist() if x is not None]
+        else:
+            lines = encode_json_lines(tbl,
+                                      pretty=cfg.get("pretty", False),
+                                      escape_html=cfg.get("escape_html",
+                                                          False))
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.ndjson")
+        with open(path, "w") as f:
+            for line in lines:
+                f.write(line)
+                f.write("\n")
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "rows": pa.array([len(lines)], pa.int64()),
+                         "dropped": pa.array([dropped], pa.int64())})
+
+    parts = [r for r in ds.map_batches(write_block,
+                                       batch_format="pyarrow").take_all()]
+    manifest = {"codec": kind, "files": sorted(p["path"] for p in parts),
+                "rows": sum(p["rows"] for p in parts),
+                "dropped": sum(p["dropped"] for p in parts)}
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest

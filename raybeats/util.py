@@ -90,6 +90,48 @@ def fnv1a_bucket(col, n_buckets: int) -> pa.Array:
     return out
 
 
+def fnv1a_u32_fold(col, h=None) -> "object":
+    """Vectorized 32-bit FNV-1a over a string column, CHAINABLE: pass the
+    previous field's hash vector as ``h`` to hash the concatenation of
+    several fields' bytes exactly like the reference's single hasher fed
+    field-by-field (``kafka/partition.go:240-277``). Null values
+    contribute no bytes. Returns a numpy uint32 array."""
+    import numpy as np
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.cast(col, pa.string())
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(col)
+    if h is None:
+        h = np.full(n, 0x811C9DC5, dtype=np.uint32)
+    else:
+        h = h.astype(np.uint32, copy=True)
+    if n == 0:
+        return h
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[col.offset:
+                                                  col.offset + n + 1]
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.zeros(0, np.uint8))
+    starts = offs[:-1].astype(np.int64)
+    lens = offs[1:].astype(np.int64) - starts
+    if col.null_count:
+        valid_mask = np.array(pc.is_valid(col).to_pylist(), dtype=bool)
+        lens = np.where(valid_mask, lens, 0)
+    max_len = int(lens.max()) if n else 0
+    prime = np.uint32(0x01000193)
+    if max_len:
+        pos = np.arange(max_len, dtype=np.int64)
+        idx = np.minimum(starts[:, None] + pos[None, :],
+                         max(0, len(data) - 1))
+        valid = pos[None, :] < lens[:, None]
+        m = np.where(valid, data[idx], 0).astype(np.uint32)
+        for j in range(max_len):
+            h = np.where(valid[:, j], (h ^ m[:, j]) * prime, h)
+    return h
+
+
 def adaptive_buckets(nrows: int, target_rows: int = 100_000,
                      lo: int = 64, hi: int = 1 << 20) -> int:
     """Bucket count for coarsened keyed shuffles: scales LINEARLY with

@@ -1,0 +1,135 @@
+"""Kafka-style hash-partitioned sink layout + codec NDJSON sink."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+
+def _fnv32(parts: list[str]) -> int:
+    h = 0x811C9DC5
+    for p in parts:
+        for b in p.encode("utf-8"):
+            h = ((h ^ b) * 0x01000193) & 0xFFFFFFFF
+    return h
+
+
+def _tbl():
+    return pa.table({
+        "conv_id": ["c1", "c2", "c1", "c3", None],
+        "role": ["user", "tool", "user", "system", "user"],
+        "n": [1, 2, 3, 4, 5]})
+
+
+def test_kafka_partition_matches_reference_hash():
+    from raybeats.sinks import add_kafka_partition
+    out = add_kafka_partition(_tbl(), ["conv_id", "role"], 12)
+    got = out.column("partition").to_pylist()
+    want = [(_fnv32([c or "", r]) & 0x7FFFFFFF) % 12
+            for c, r in zip(["c1", "c2", "c1", "c3", None],
+                            ["user", "tool", "user", "system", "user"])]
+    assert got == want
+    # same key fields -> same partition (rows 0 and 2)
+    assert got[0] == got[2]
+
+
+def test_kafka_layout_write(ray_session, tmp_path):
+    import ray.data as rd
+
+    from raybeats.sinks import write_kafka_layout
+    out = str(tmp_path / "kafka")
+    man = write_kafka_layout(rd.from_arrow(_tbl()), out,
+                             hash_fields=["conv_id"], n_partitions=4,
+                             topic="turns")
+    assert man["rows"] == 5
+    assert sum(man["lanes"].values()) == 5
+    assert all(k.startswith("turns/") for k in man["lanes"])
+    # every lane holds only rows whose key hashes to it, and a key never
+    # spans two lanes
+    seen: dict[str, str] = {}
+    for lane in man["lanes"]:
+        pdir = os.path.join(out, f"topic=turns/partition={lane.split('/')[1]}")
+        t = pa.concat_tables(list(
+            rd.read_parquet(pdir).iter_batches(batch_format="pyarrow")))
+        for c in t.column("conv_id").to_pylist():
+            key = c or ""
+            assert seen.setdefault(key, lane) == lane
+    assert json.load(open(os.path.join(out, "manifest.json")))["rows"] == 5
+
+
+def test_kafka_layout_topic_fmtstr_and_drop_fail(ray_session, tmp_path):
+    import ray.data as rd
+
+    from raybeats.sinks import write_kafka_layout
+    man = write_kafka_layout(rd.from_arrow(_tbl()),
+                             str(tmp_path / "k2"),
+                             hash_fields=["conv_id"], n_partitions=2,
+                             topic="t-%{[role]}")
+    topics = {lane.split("/")[0] for lane in man["lanes"]}
+    assert topics == {"t-user", "t-tool", "t-system"}
+    man2 = write_kafka_layout(rd.from_arrow(_tbl()),
+                              str(tmp_path / "k3"),
+                              hash_fields=["absent"], n_partitions=2,
+                              drop_fail=True)
+    assert man2["rows"] == 0
+
+
+def test_ndjson_json_codec(ray_session, tmp_path):
+    import ray.data as rd
+
+    from raybeats.sinks import write_ndjson
+    out = str(tmp_path / "nd")
+    man = write_ndjson(rd.from_arrow(_tbl()), out)
+    assert man["rows"] == 5 and man["dropped"] == 0
+    rows = []
+    for f in man["files"]:
+        with open(f) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert sorted(r["n"] for r in rows) == [1, 2, 3, 4, 5]
+    # compact one-line documents
+    with open(man["files"][0]) as fh:
+        assert all("\n" not in line.rstrip("\n") for line in fh)
+
+
+def test_ndjson_escape_html_and_pretty(ray_session, tmp_path):
+    import ray.data as rd
+
+    from raybeats.sinks import write_ndjson
+    t = pa.table({"msg": ["<b>&x</b>"]})
+    man = write_ndjson(rd.from_arrow(t), str(tmp_path / "esc"),
+                       codec={"json": {"escape_html": True}})
+    text = open(man["files"][0]).read()
+    assert "\\u003cb\\u003e\\u0026x" in text and "<" not in text
+    assert json.loads(text)["msg"] == "<b>&x</b>"  # escapes round-trip
+    man2 = write_ndjson(rd.from_arrow(t), str(tmp_path / "pretty"),
+                        codec={"json": {"pretty": True}})
+    assert "  " in open(man2["files"][0]).read()
+
+
+def test_ndjson_format_codec(ray_session, tmp_path):
+    import ray.data as rd
+
+    from raybeats.sinks import write_ndjson
+    man = write_ndjson(rd.from_arrow(_tbl()), str(tmp_path / "fmt"),
+                       codec={"format": {
+                           "string": "%{[role]} said %{[n]}"}})
+    lines = []
+    for f in man["files"]:
+        lines += open(f).read().splitlines()
+    assert "user said 1" in lines and "tool said 2" in lines
+    assert man["rows"] == 5 and man["dropped"] == 0
+    # null-rendering rows drop and are counted
+    man2 = write_ndjson(rd.from_arrow(_tbl()), str(tmp_path / "fmt2"),
+                        codec={"format": {"string": "%{[conv_id]}"}})
+    assert man2["dropped"] == 1 and man2["rows"] == 4
+
+
+def test_ndjson_bad_codec_rejected(ray_session, tmp_path):
+    import ray.data as rd
+
+    from raybeats.errors import ConfigError
+    from raybeats.sinks import write_ndjson
+    with pytest.raises(ConfigError):
+        write_ndjson(rd.from_arrow(_tbl()), str(tmp_path / "x"),
+                     codec={"nope": {}})
