@@ -661,12 +661,32 @@ QUALIFY row_number() OVER (PARTITION BY k ORDER BY ts, event_id) = 1"""
 
 def q_ratelimit(sf_dir: str):
     """Keyed event-time token-bucket rate limiting over derived
-    transcripts (1 turn/min per conversation). Stateful scan — no SQL
-    oracle (rows-only check)."""
-    from .processors import build_chain as bc
-    chain = bc([{"rate_limit": {"limit": "1/m", "fields": ["conv_id"]}}])
-    return read_transcripts(sf_dir).map_batches(chain,
-                                                batch_format="pyarrow")
+    transcripts (1 turn/min per conversation), CO-PARTITIONED: conv_id
+    hash-buckets shuffle so every key's rows meet exactly one bucket
+    state — deterministic and key-exact, per the processor's own
+    contract (``processors/ratelimit.py`` module docstring). Groups
+    pre-sort on (conv_id, ts, turn_idx) so event-time ties break
+    deterministically. Stateful scan — no SQL oracle (rows-only check);
+    parity with a single-process application and run-to-run stability
+    are unit-tested (tests/test_stateful_ops.py)."""
+    from .processors.ratelimit import RateLimit
+
+    n_buckets = adaptive_buckets(2 * _nrows(sf_dir, "events"))
+
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "bucket", fnv1a_bucket(tbl.column("conv_id"), n_buckets))
+
+    def limit(group: pa.Table) -> pa.Table:
+        rl = RateLimit(limit="1/m", fields=["conv_id"])
+        g = group.drop_columns(["bucket"]).sort_by(
+            [("conv_id", "ascending"), ("ts", "ascending"),
+             ("turn_idx", "ascending")])
+        return rl.apply(g)
+
+    return read_transcripts(sf_dir) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(limit, batch_format="pyarrow")
 
 
 def q_corpus_prep(sf_dir: str):

@@ -84,3 +84,33 @@ def test_media_feature_stage(ray_session):
     f1 = {r["media_id"]: r["features"] for r in out}
     f2 = {r["media_id"]: r["features"] for r in again}
     assert f1 == f2
+
+
+def test_ratelimit_keyed_query_deterministic_and_key_exact(ray_session):
+    """q_ratelimit co-partitions by conv_id: the surviving row set must
+    equal a single-process application of the same limiter to the whole
+    (globally sorted) input, and be identical across runs."""
+    from raybeats.processors.ratelimit import RateLimit
+    from raybeats.queries import q_ratelimit
+    from raybeats.transcripts import read_transcripts
+
+    sf = "/root/testdata/sf0.001"
+
+    def rowset(ds):
+        t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+        return sorted(zip(t.column("conv_id").to_pylist(),
+                          t.column("turn_idx").to_pylist()))
+
+    got1 = rowset(q_ratelimit(sf))
+    got2 = rowset(q_ratelimit(sf))
+    assert got1 == got2  # run-to-run stable
+
+    # single-process oracle: same limiter over the whole sorted corpus
+    full = pa.concat_tables(list(
+        read_transcripts(sf).iter_batches(batch_format="pyarrow")))
+    full = full.sort_by([("conv_id", "ascending"), ("ts", "ascending"),
+                         ("turn_idx", "ascending")])
+    want = RateLimit(limit="1/m", fields=["conv_id"]).apply(full)
+    assert got1 == sorted(zip(want.column("conv_id").to_pylist(),
+                              want.column("turn_idx").to_pylist()))
+    assert 0 < len(got1) < full.num_rows  # the limiter actually bit
