@@ -209,7 +209,8 @@ class Pipeline:
     # --------------------------------------------------------------- run
     def run(self, input_paths, out_dir: str, partitions: int | None = None,
             resume: bool = True,
-            partition_parallelism: int | None = None) -> dict:
+            partition_parallelism: int | None = None,
+            coalesce_runs: int = 1) -> dict:
         """Checkpointed execution: partition the input file list, process
         each unfinished partition as its own (internally parallel) Dataset,
         write per-sink Parquet with write-audit-publish, publish a manifest
@@ -218,7 +219,16 @@ class Pipeline:
         ``partition_parallelism`` driver threads overlap partition
         executions (Ray schedules their tasks on one shared CPU pool), so
         per-partition fixed costs amortize; manifests still publish
-        per-partition, preserving resume granularity."""
+        per-partition, preserving resume granularity.
+
+        ``coalesce_runs`` > 1 combines that many partitions into ONE
+        spanning Dataset execution (each branch tagged with its partition
+        id, one partitioned write, then per-partition swap + manifest
+        publish). This pays the per-execution fixed cost (plan build,
+        executor start/stop) once per GROUP — the knob that recovers
+        high-core-count efficiency — at the price of coarser mid-run
+        resume granularity: a kill during a group re-runs the whole
+        group (finished groups still skip)."""
         import ray.data as rd
 
         from .state.manifest import CheckpointManifest, stage_and_swap
@@ -327,6 +337,105 @@ class Pipeline:
             manifest.publish(pid, payload)
             return payload
 
+        def run_partition_group(items: list[tuple[int, list[str]]]) \
+                -> list[dict]:
+            """One spanning Dataset over several partitions: build each
+            branch, tag it with its pid AFTER the chain (a config's
+            drop/include_fields must not eat the lane column), union,
+            ONE partitioned write into a group staging dir, then swap +
+            publish every partition individually."""
+            t_grp = time.monotonic()
+            in_rows = {f"{p:05d}": count_input_rows(f) for p, f in items}
+            if source_type == "parquet":
+                # ONE read over the whole group with per-file provenance:
+                # a single fused plan (read→chain→enrich→route→write)
+                # pipelines far better than a union of per-partition
+                # branches. The lane id derives from the source path
+                # before the chain — a config that drops unknown columns
+                # must preserve "part" (documented coalesce requirement).
+                all_files = [f for _, fs in items for f in fs]
+                base_pid = {os.path.basename(f): f"{p:05d}"
+                            for p, fs in items for f in fs}
+                pid_keys = pa.array(sorted(base_pid), pa.string())
+                pid_vals = pa.array([base_pid[k]
+                                     for k in sorted(base_pid)], pa.string())
+
+                def derive_part(tbl: pa.Table) -> pa.Table:
+                    names = pc.replace_substring_regex(
+                        tbl.column("path"), r"^.*/", "")
+                    idx = pc.index_in(names, value_set=pid_keys)
+                    return tbl.drop_columns(["path"]).append_column(
+                        "part", pc.take(pid_vals, idx))
+
+                raw = rd.read_parquet(all_files, include_paths=True,
+                                      override_num_blocks=len(all_files))
+                ds = self.build(raw.map_batches(derive_part,
+                                                batch_format="pyarrow"))
+                if self.router is None:
+                    def default_sink(tbl: pa.Table) -> pa.Table:
+                        if SINK in tbl.column_names:
+                            return tbl
+                        return tbl.append_column(
+                            SINK, pa.array(["default"] * tbl.num_rows,
+                                           pa.string()))
+                    ds = ds.map_batches(default_sink,
+                                        batch_format="pyarrow")
+            else:
+                branches = []
+                for pid_num, files in items:
+                    pid = f"{pid_num:05d}"
+                    b = self.build(read_source(files))
+
+                    def tag(tbl: pa.Table, pid=pid) -> pa.Table:
+                        if SINK not in tbl.column_names:
+                            tbl = tbl.append_column(
+                                SINK, pa.array(["default"] * tbl.num_rows,
+                                               pa.string()))
+                        return tbl.append_column(
+                            "part", pa.array([pid] * tbl.num_rows,
+                                             pa.string()))
+                    branches.append(b.map_batches(tag,
+                                                  batch_format="pyarrow"))
+                ds = branches[0]
+                for b in branches[1:]:
+                    ds = ds.union(b)
+            sort_cols = self.config.get("sort_output")
+            if sort_cols:
+                ds = ds.sort(["part"] + list(sort_cols))
+            gid = f"{items[0][0]:05d}"
+            staging = os.path.join(out_dir, f"_group_{gid}.staging")
+            import shutil
+            shutil.rmtree(staging, ignore_errors=True)
+            ds.write_parquet(staging, partition_cols=["part", SINK])
+            elapsed = round(time.monotonic() - t_grp, 3)
+            payloads = []
+            for pid_num, files in items:
+                pid = f"{pid_num:05d}"
+                part_dir = os.path.join(out_dir, f"part={pid}")
+                src = os.path.join(staging, f"part={pid}")
+                os.makedirs(src, exist_ok=True)  # all-dropped partition
+                if os.path.exists(part_dir):
+                    shutil.rmtree(part_dir)
+                os.replace(src, part_dir)
+                sink_counts = _scan_partition_counts(part_dir)
+                published = sum(sink_counts.values())
+                rows = in_rows[pid]
+                payload = {
+                    "input_files": files,
+                    "input_rows": rows,
+                    "per_sink": sink_counts,
+                    "pipeline.events.total": rows,
+                    "pipeline.events.published": published,
+                    "pipeline.events.dropped": rows - published,
+                    "output_dir": part_dir,
+                    "coalesced_group": gid,
+                    "elapsed_sec": elapsed,
+                }
+                manifest.publish(pid, payload)
+                payloads.append(payload)
+            shutil.rmtree(staging, ignore_errors=True)
+            return payloads
+
         todo = []
         for pid_num, files in enumerate(groups):
             pid = f"{pid_num:05d}"
@@ -344,14 +453,36 @@ class Pipeline:
                 failures.append((f"{pid_num:05d}", repr(e)))
                 return None
 
-        workers = partition_parallelism or min(4, max(1, len(todo)))
-        if workers <= 1 or len(todo) <= 1:
-            results = [attempt(p, f) for p, f in todo]
+        def attempt_group(items: list[tuple[int, list[str]]]):
+            try:
+                return run_partition_group(items)
+            except Exception as e:  # the whole group fails together
+                failures.extend((f"{p:05d}", repr(e)) for p, _ in items)
+                return None
+
+        results: list[dict | None] = []
+        if coalesce_runs > 1 and len(todo) > 1:
+            batches = [todo[i:i + coalesce_runs]
+                       for i in range(0, len(todo), coalesce_runs)]
+            workers = partition_parallelism or min(4, max(1, len(batches)))
+            if workers <= 1 or len(batches) <= 1:
+                grouped = [attempt_group(b) for b in batches]
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    futs = [pool.submit(attempt_group, b) for b in batches]
+                    grouped = [fut.result() for fut in futs]
+            for g in grouped:
+                results.extend(g or [])
         else:
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=workers) as pool:
-                futs = [pool.submit(attempt, p, f) for p, f in todo]
-                results = [fut.result() for fut in futs]
+            workers = partition_parallelism or min(4, max(1, len(todo)))
+            if workers <= 1 or len(todo) <= 1:
+                results = [attempt(p, f) for p, f in todo]
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    futs = [pool.submit(attempt, p, f) for p, f in todo]
+                    results = [fut.result() for fut in futs]
         for payload in results:
             if payload is not None:
                 self._fold_counts(report, payload)

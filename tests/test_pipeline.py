@@ -160,3 +160,51 @@ def test_audit_detects_tampered_partition(ray_session, tiny_transcripts,
     audit2 = Pipeline.audit(out)
     assert not audit2["ok"]
     assert audit2["mismatches"][0]["partition"] == "00000"
+
+
+def test_coalesced_group_run_matches_per_partition(ray_session,
+                                                   tiny_transcripts,
+                                                   tmp_path):
+    """coalesce_runs>1: one spanning Dataset per group, but identical
+    per-partition manifests / per-sink counts / resume behavior as the
+    per-partition path."""
+    from raybeats.pipelines import flagship_pipeline
+
+    base = str(tmp_path / "base")
+    coal = str(tmp_path / "coal")
+    pipe = flagship_pipeline(enrich_concurrency=2)
+    r1 = pipe.run(tiny_transcripts["files"], base, partitions=4)
+    r2 = pipe.run(tiny_transcripts["files"], coal, partitions=4,
+                  coalesce_runs=2)
+    assert r2["partitions_run"] == 4
+    assert r2["per_sink"] == r1["per_sink"]
+    assert r2["pipeline.events.published"] == r1["pipeline.events.published"]
+
+    # per-partition manifests exist and agree with the data on disk
+    from raybeats.pipeline import Pipeline
+    audit = Pipeline.audit(coal)
+    assert audit["ok"] and audit["partitions"] == 4
+    # and per-partition row contents match the per-partition run
+    for pid in range(4):
+        a = sorted(r["fingerprint"] for f in glob.glob(
+            os.path.join(base, f"part={pid:05d}", "*", "*.parquet"))
+            for r in pq.read_table(f, columns=["fingerprint"]).to_pylist())
+        b = sorted(r["fingerprint"] for f in glob.glob(
+            os.path.join(coal, f"part={pid:05d}", "*", "*.parquet"))
+            for r in pq.read_table(f, columns=["fingerprint"]).to_pylist())
+        assert a == b, pid
+
+    # resume: everything skips; no staging leftovers
+    r3 = pipe.run(tiny_transcripts["files"], coal, partitions=4,
+                  coalesce_runs=2)
+    assert r3["partitions_run"] == 0 and r3["partitions_skipped"] == 4
+    assert not glob.glob(os.path.join(coal, "_group_*"))
+
+    # partial resume: drop one partition's manifest+data; only its GROUP
+    # re-runs (coarser granularity, still no re-emit of finished groups)
+    os.remove(os.path.join(coal, "_manifest", "part-00003.json"))
+    shutil.rmtree(os.path.join(coal, "part=00003"))
+    r4 = pipe.run(tiny_transcripts["files"], coal, partitions=4,
+                  coalesce_runs=2)
+    assert r4["partitions_run"] == 1 and r4["partitions_skipped"] == 3
+    assert Pipeline.audit(coal)["ok"]
