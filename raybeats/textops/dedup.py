@@ -503,7 +503,8 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3,
     return cand.groupby(["a", "b"]).aggregate(Count(alias_name="nchunks"))
 
 
-def duplicate_clusters(pairs, n_buckets: int = 32, max_iters: int = 25):
+def duplicate_clusters(pairs, n_buckets: int = 32, max_iters: int = 25,
+                       small_graph_threshold: int = 200_000):
     """Connected components over a duplicate-pair graph → (node, cluster)
     with cluster = min node id of the component (the canonical dedup
     cluster id).
@@ -518,30 +519,63 @@ def duplicate_clusters(pairs, n_buckets: int = 32, max_iters: int = 25):
     """
     import ray.data as rd
 
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "cluster": pa.array([], pa.int64())})
+    if isinstance(pairs, pd.DataFrame):
+        pairs = pa.Table.from_pandas(pairs, preserve_index=False)
     if isinstance(pairs, pa.Table):
-        tbl = pairs
-    elif isinstance(pairs, pd.DataFrame):
-        tbl = pa.Table.from_pandas(pairs, preserve_index=False)
-    else:
-        tbl = pa.concat_tables(list(pairs.iter_batches(
+        if pairs.num_rows == 0:
+            return rd.from_arrow(empty)
+        pairs = rd.from_arrow(pairs.select(["a", "b"]))
+    pairs = pairs.materialize()  # consumed once per round below
+    n_edges = pairs.count()
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+    if n_edges <= small_graph_threshold:
+        # small graphs: per-round distributed overhead (several shuffles
+        # × rounds) dwarfs the work — exact driver union-find under a
+        # BOUNDED edge budget, distributed propagation above it
+        t = pa.concat_tables(list(pairs.iter_batches(
             batch_format="pyarrow")))
-    if tbl.num_rows == 0:
-        return pa.table({"node": pa.array([], pa.int64()),
-                         "cluster": pa.array([], pa.int64())})
-    a = pc.cast(tbl.column("a"), pa.int64())
-    b = pc.cast(tbl.column("b"), pa.int64())
-    edges_tbl = pa.table({
-        "key": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a,
-                                 b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b]),
-        "other": pa.concat_arrays([b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b,
-                                   a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a]),
-    })
-    edges = rd.from_arrow(edges_tbl)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(t.column("a").to_pylist(),
+                        t.column("b").to_pylist()):
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        nodes = sorted(parent)
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "cluster": pa.array([find(n) for n in nodes], pa.int64())}))
+
+    def bidir(t: pa.Table) -> pa.Table:
+        # the edge set stays a Dataset end-to-end (no driver fan-in);
+        # each batch emits both directions
+        a = pc.cast(t.column("a"), pa.int64())
+        b = pc.cast(t.column("b"), pa.int64())
+        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        b = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
+        return pa.table({"key": pa.concat_arrays([a, b]),
+                         "other": pa.concat_arrays([b, a])})
+
+    edges = pairs.map_batches(bidir, batch_format="pyarrow")
 
     from ray.data.aggregate import Min
 
     # init: label[n] = n
-    labels = edges.groupby("key").aggregate(Min("key", alias_name="label"))
+    # materialize the per-round small states (edges once, labels each
+    # round): object-store resident + spillable, and it caps lineage —
+    # a lazy chain here would re-execute every prior round (and the
+    # upstream candidate pipeline) on each consumption
+    labels = edges.groupby("key").aggregate(
+        Min("key", alias_name="label")).materialize()
 
     def tag_edges(t: pa.Table) -> pa.Table:
         return pa.table({"key": t.column("key"), "other": t.column("other"),
@@ -564,7 +598,8 @@ def duplicate_clusters(pairs, n_buckets: int = 32, max_iters: int = 25):
             "cand": pd.concat([msgs["label"], lab["label"]],
                               ignore_index=True).astype("int64")})
 
-    tagged_edges = edges.map_batches(tag_edges, batch_format="pyarrow")
+    tagged_edges = edges.map_batches(tag_edges,
+                                     batch_format="pyarrow").materialize()
     prev_sum = None
     for _ in range(max_iters):
         tagged_labels = labels.map_batches(tag_labels,
@@ -572,15 +607,19 @@ def duplicate_clusters(pairs, n_buckets: int = 32, max_iters: int = 25):
         proposals = tagged_edges.union(tagged_labels) \
             .groupby("bucket").map_groups(propose, batch_format="pandas")
         labels = proposals.groupby("key").aggregate(
-            Min("cand", alias_name="label"))
+            Min("cand", alias_name="label")).materialize()
         from ray.data.aggregate import Sum
         s = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if s == prev_sum:
             break
         prev_sum = s
-    out = pa.concat_tables(list(labels.iter_batches(batch_format="pyarrow")))
-    return pa.table({"node": out.column("key"),
-                     "cluster": out.column("label")}).sort_by("node")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("key"),
+                         "cluster": t.column("label")})
+    # lazy result: (node, cluster) stays distributed — no driver concat
+    # (round-1 nit); callers sort/materialize as needed
+    return labels.map_batches(rename, batch_format="pyarrow").sort("node")
 
 
 def simhash_duplicate_groups(ds, id_col: str = "doc_id",

@@ -91,9 +91,18 @@ def test_duplicate_clusters_match_union_find(ray_session, tmp_path):
         "b": pa.array(planted["dup_of"].to_numpy(), pa.int64())})
     assert pairs.num_rows > 100
 
-    got = duplicate_clusters(pairs, n_buckets=8)
-    gm = dict(zip(got.column("node").to_pylist(),
-                  got.column("cluster").to_pylist()))
+    import pyarrow as pa_mod
+
+    def run(**kw):
+        t = pa_mod.concat_tables(list(
+            duplicate_clusters(pairs, n_buckets=8, **kw)
+            .iter_batches(batch_format="pyarrow")))
+        return dict(zip(t.column("node").to_pylist(),
+                        t.column("cluster").to_pylist()))
+
+    gm = run()  # small-graph fast path
+    # distributed min-label propagation path must agree exactly
+    assert run(small_graph_threshold=0) == gm
 
     # reference: union-find with min-root canonicalization
     parent: dict = {}
