@@ -67,6 +67,85 @@ class SessionState:
         })
 
 
+class TrailingWindowState:
+    """Per-bucket incremental sliding-window counter: for every event,
+    the count of that user's events in the trailing ``window_us``
+    (inclusive). State per user is only the timestamps still inside the
+    window (bounded by window × per-key rate), merged with each arriving
+    micro-batch via one searchsorted pass per user."""
+
+    def __init__(self, window_us: int):
+        self.window_us = window_us
+        self.buf: dict[int, np.ndarray] = {}
+
+    def process(self, tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "user_id": pa.array([], pa.int64()),
+                          "n_trailing_hour": pa.array([], pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        g = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        out = []
+        nothing = np.array([], dtype=np.int64)
+        for uid, u in g.groupby("user_id", sort=False):
+            ts = u["ts"].astype("int64").to_numpy()
+            allts = np.concatenate([self.buf.get(uid, nothing), ts])
+            lo = np.searchsorted(allts, ts - self.window_us, side="left")
+            hi = np.searchsorted(allts, ts, side="right")
+            out.append(pd.DataFrame({
+                "event_id": u["event_id"].to_numpy(),
+                "user_id": np.int64(uid),
+                "n_trailing_hour": (hi - lo).astype("int64")}))
+            # keep the boundary value: the batch frame (RANGE ... 1 HOUR
+            # PRECEDING) INCLUDES an event exactly window_us older
+            self.buf[uid] = allts[allts >= ts[-1] - self.window_us]
+        df = pd.concat(out)
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+            "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+            "n_trailing_hour": pa.array(df["n_trailing_hour"].to_numpy(),
+                                        pa.int64())})
+
+
+def streaming_sliding_window(micro_batches, window_minutes: int = 60,
+                             n_buckets: int = 4):
+    """Incremental counterpart of the batch ``sliding_window`` query:
+    per-event trailing-window counts over time-ordered micro-batches,
+    keyed actor state per bucket. The union of per-batch outputs equals
+    the batch query exactly (tested)."""
+    import ray
+
+    window_us = window_minutes * 60 * 1_000_000
+    Actor = ray.remote(TrailingWindowState)
+    actors = [Actor.remote(window_us) for _ in range(n_buckets)]
+
+    def route(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["bucket"].iloc[0])
+        tbl = pa.Table.from_pandas(g.drop(columns=["bucket"]),
+                                   preserve_index=False)
+        res = ray.get(actors[bucket].process.remote(tbl))
+        return res.to_pandas()
+
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "bucket", int_bucket(tbl.column("user_id"), n_buckets))
+
+    parts = []
+    for slice_ds in micro_batches:
+        got = slice_ds.map_batches(add_bucket, batch_format="pyarrow") \
+            .groupby("bucket").map_groups(route, batch_format="pandas") \
+            .take_all()
+        parts.extend(got)
+    if not parts:
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "user_id": pa.array([], pa.int64()),
+                         "n_trailing_hour": pa.array([], pa.int64())})
+    import pyarrow.compute as pc  # noqa: F401  (sort below)
+    out = pa.Table.from_pylist(parts)
+    return out.sort_by([("user_id", "ascending"),
+                        ("event_id", "ascending")])
+
+
 def streaming_sessionize(micro_batches, gap_minutes: int = 30,
                          n_buckets: int = 4):
     """``micro_batches``: iterable of ``ray.data.Dataset`` slices in

@@ -24,3 +24,23 @@ def test_streaming_sessionize_equals_batch(ray_session):
     batch = sorted(q_sessionization(SF).take_all(),
                    key=lambda r: r["user_id"])
     assert streamed == batch
+
+
+def test_streaming_sliding_window_equals_batch(ray_session):
+    import ray.data as rd
+
+    from raybeats.queries import q_sliding_window
+    from raybeats.streaming import streaming_sliding_window
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["user_id", "ts", "event_id"]).sort_by("ts")
+    n = t.num_rows
+    slices = [rd.from_arrow(t.slice(i * n // 4,
+                                    (i + 1) * n // 4 - i * n // 4))
+              for i in range(4)]
+    streamed = streaming_sliding_window(slices, n_buckets=3).to_pylist()
+
+    batch = sorted(q_sliding_window(SF).take_all(),
+                   key=lambda r: (r["user_id"], r["event_id"]))
+    assert streamed == batch
+    assert any(r["n_trailing_hour"] > 1 for r in streamed)
