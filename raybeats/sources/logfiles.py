@@ -163,6 +163,58 @@ def read_log_lines(paths, encoding: str = "utf-8",
     return ds.map_batches(split, batch_format="pyarrow")
 
 
+def read_log_lines_incremental(paths, store, identity: str = "native",
+                               encoding: str = "utf-8",
+                               line_terminator: bytes = b"\n",
+                               max_bytes: int | None = None,
+                               multiline: dict | None = None):
+    """Resumable harvester: read only each file's NEW complete lines
+    since the last ACKed cursor (rotation-aware — see
+    :mod:`raybeats.sources.identity`). Returns ``(dataset, plans)``;
+    after the consumer has published, call
+    ``identity.commit_scan(store, plans)`` to ACK.
+
+    Rotation semantics inherited from the identity module: a renamed
+    file keeps its inode identity (no re-read), a copy-truncated file
+    restarts at offset 0, a fresh file at the old path is a new
+    identity. Line offsets are absolute file offsets."""
+    import ray.data as rd
+
+    from .identity import plan_scan
+    plans = plan_scan(list(paths), store, identity=identity,
+                      line_terminator=line_terminator)
+    joiner = MultilineJoiner(**multiline) if multiline else None
+    empty = pa.table({"message": pa.array([], pa.string()),
+                      "log.offset": pa.array([], pa.int64()),
+                      "log.file.path": pa.array([], pa.string())})
+    if not plans:
+        return rd.from_arrow(empty), plans
+
+    def load(batch: pa.Table) -> pa.Table:
+        msgs_all, offs_all, paths_all = [], [], []
+        for path, start, end in zip(batch.column("path").to_pylist(),
+                                    batch.column("start").to_pylist(),
+                                    batch.column("end").to_pylist()):
+            with open(path, "rb") as f:
+                f.seek(start)
+                data = f.read(end - start)
+            msgs, offs = _split_file(path, data, encoding,
+                                     line_terminator, max_bytes)
+            if joiner is not None:
+                msgs, offs = joiner.join(msgs, offs)
+            msgs_all.extend(msgs)
+            offs_all.extend(o + start for o in offs)
+            paths_all.extend([path] * len(msgs))
+        return pa.table({
+            "message": pa.array(msgs_all, pa.string()),
+            "log.offset": pa.array(offs_all, pa.int64()),
+            "log.file.path": pa.array(paths_all, pa.string()),
+        })
+
+    ds = rd.from_items(plans).map_batches(load, batch_format="pyarrow")
+    return ds, plans
+
+
 def read_ndjson(paths, expected_keys=None, target: str = "",
                 **read_kwargs):
     """NDJSON source (the reference's JSON reader path): line split, then

@@ -115,3 +115,67 @@ def test_log_file_source_through_pipeline(ray_session, tmp_path):
     assert report["per_sink"] == {"alerts": 1, "bulk": 3, "dead_letter": 1}
     assert report["pipeline.events.total"] == 5
     assert report["pipeline.events.dropped"] == 0
+
+
+def test_incremental_harvester_append_rotate_truncate(ray_session,
+                                                      tmp_path):
+    """filestream identity semantics: appends read only new complete
+    lines; a renamed (rotated) file keeps its inode cursor; a
+    copy-truncated file restarts at 0; a fresh file at the old path is
+    a new identity."""
+    import os
+    import shutil
+
+    from raybeats.sources.identity import CursorStore, commit_scan
+    from raybeats.sources.logfiles import read_log_lines_incremental
+
+    log = str(tmp_path / "app.log")
+    store = CursorStore(str(tmp_path / "cursors.json"))
+
+    def ingest():
+        ds, plans = read_log_lines_incremental([log], store)
+        rows = sorted(ds.take_all(), key=lambda r: r["log.offset"])
+        commit_scan(store, plans)
+        return rows
+
+    with open(log, "w") as f:
+        f.write("one\ntwo\npartial")
+    rows = ingest()
+    assert [r["message"] for r in rows] == ["one", "two"]  # partial waits
+    assert [r["log.offset"] for r in rows] == [0, 4]
+
+    with open(log, "a") as f:
+        f.write(" line\nthree\n")
+    rows = ingest()
+    assert [r["message"] for r in rows] == ["partial line", "three"]
+    assert rows[0]["log.offset"] == 8  # absolute offset
+
+    # rename rotation: same inode under a new name -> nothing re-read
+    rotated = str(tmp_path / "app.log.1")
+    os.rename(log, rotated)
+    with open(log, "w") as f:
+        f.write("fresh\n")
+    ds, plans = read_log_lines_incremental([log, rotated], store)
+    rows = sorted(ds.take_all(), key=lambda r: r["log.file.path"])
+    commit_scan(store, plans)
+    assert [r["message"] for r in rows] == ["fresh"]  # only the new file
+
+    # copy-truncate: same inode, size < cursor -> restart at 0 (the
+    # reference's detectability boundary too: filestream.go:238-250
+    # compares offset > size, so a truncate-then-write-LONGER file is
+    # indistinguishable from an append there as well)
+    shutil.copy(log, str(tmp_path / "app.log.bak"))
+    with open(log, "w") as f:
+        pass  # truncate
+    with open(log, "a") as f:
+        f.write("ok\n")
+    ds, plans = read_log_lines_incremental([log], store)
+    rows = ds.take_all()
+    commit_scan(store, plans)
+    assert [r["message"] for r in rows] == ["ok"]
+    assert rows[0]["log.offset"] == 0
+
+    # cursors survive a store reload (registrar restart)
+    store2 = CursorStore(str(tmp_path / "cursors.json"))
+    ds, plans = read_log_lines_incremental([log, rotated], store2)
+    assert ds.count() == 0 and plans == []
