@@ -106,16 +106,23 @@ def run_queries() -> dict[str, float]:
              "corpus_prep", "knn_ivf",
              "sliding_window", "topk_per_user", "value_histogram"]
     out: dict[str, float] = {}
+    # best-of-N per query: this box's first-touch/writeback stalls skew
+    # single shots by 2-3x (same reason the headline is best-of-2)
+    runs = int(os.environ.get("RAYBEATS_QUERY_RUNS", "2"))
     for name in picks:
         fn, _ = QUERIES[name]
-        t0 = time.monotonic()
-        result = fn(SF_DIR)
-        if isinstance(result, ray.data.Dataset):
-            n = result.count()
-        else:
-            n = result.num_rows if hasattr(result, "num_rows") else len(result)
-        out[name] = round(time.monotonic() - t0, 3)
-        assert n >= 0
+        best = float("inf")
+        for _ in range(max(1, runs)):
+            t0 = time.monotonic()
+            result = fn(SF_DIR)
+            if isinstance(result, ray.data.Dataset):
+                n = result.count()
+            else:
+                n = result.num_rows if hasattr(result, "num_rows") \
+                    else len(result)
+            best = min(best, time.monotonic() - t0)
+            assert n >= 0
+        out[name] = round(best, 3)
     return out
 
 
@@ -140,13 +147,18 @@ def run_dedup_bench() -> dict:
             json.dump(info, f)
     warm_cache(info["files"])
     ds = rd.read_parquet(info["files"], columns=["doc_id", "text"])
-    t0 = time.monotonic()
-    groups = exact_dedup_groups(ds)
-    keep_ids = pa.array(
-        [r["keep_id"] for r in groups.select_columns(["keep_id"]).take_all()],
-        type=__import__("pyarrow").int64())
-    n_groups = len(keep_ids)
-    exact_sec = time.monotonic() - t0
+    # best-of-N arms (same box-variance rationale as the headline)
+    runs = int(os.environ.get("RAYBEATS_DEDUP_RUNS", "2"))
+    exact_sec = float("inf")
+    for _ in range(max(1, runs)):
+        t0 = time.monotonic()
+        groups = exact_dedup_groups(ds)
+        keep_ids = pa.array(
+            [r["keep_id"]
+             for r in groups.select_columns(["keep_id"]).take_all()],
+            type=__import__("pyarrow").int64())
+        n_groups = len(keep_ids)
+        exact_sec = min(exact_sec, time.monotonic() - t0)
     # near-dup runs on the exact-deduped survivors (standard composition:
     # exact-dup clusters would otherwise explode LSH buckets into k^2
     # candidate pairs for k copies)
@@ -158,20 +170,22 @@ def run_dedup_bench() -> dict:
     # materialize: the near-dup pipeline consumes the survivor corpus
     # twice (minhash explode + the verify cogroup's docs branch); at
     # scale you'd persist the exact-deduped corpus once, same thing
-    t0 = time.monotonic()
-    # materialize the (small) candidate pair set between the two phases:
-    # checkpoints the LSH output in the object store so the verify
-    # cogroup starts from a short plan (measured faster and is the
-    # natural persist point at scale)
     from raybeats.util import adaptive_buckets
-    cand = minhash_candidates(survivors, num_hashes=96, bands=16,
-                              shingle_k=8,
-                              n_buckets=adaptive_buckets(16 * n_docs)) \
-        .materialize()
-    pairs = jaccard_verify(cand, survivors, threshold=0.5,
-                           n_buckets=adaptive_buckets(n_docs))
-    n_pairs = pairs.count()  # lazy dataset: consume inside the timing
-    near_sec = time.monotonic() - t0
+    near_sec = float("inf")
+    for _ in range(max(1, runs)):
+        t0 = time.monotonic()
+        # materialize the (small) candidate pair set between the two
+        # phases: checkpoints the LSH output in the object store so the
+        # verify cogroup starts from a short plan (measured faster and
+        # is the natural persist point at scale)
+        cand = minhash_candidates(survivors, num_hashes=96, bands=16,
+                                  shingle_k=8,
+                                  n_buckets=adaptive_buckets(16 * n_docs)) \
+            .materialize()
+        pairs = jaccard_verify(cand, survivors, threshold=0.5,
+                               n_buckets=adaptive_buckets(n_docs))
+        n_pairs = pairs.count()  # lazy dataset: consume inside timing
+        near_sec = min(near_sec, time.monotonic() - t0)
     return {"docs": n_docs,
             "exact_sec": round(exact_sec, 2),
             "exact_docs_per_sec": round(n_docs / exact_sec),

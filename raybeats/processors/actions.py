@@ -501,14 +501,73 @@ class DetectMimeType(Processor):
 @register("registered_domain")
 class RegisteredDomain(Processor):
     """eTLD+1 of a hostname (``registered_domain/``); built-in suffix list
-    approximation of the public-suffix database."""
+    approximation of the public-suffix database (the full PSL needs a
+    vendored data file — no network in this environment). The built-in
+    set covers the common two- and three-label public suffixes; extras
+    can be passed via ``custom_suffixes``."""
 
-    SUFFIXES = {"co.uk", "org.uk", "ac.uk", "com.au", "net.au", "co.jp",
-                "com.br", "com.cn", "co.in", "com.mx"}
+    # widely-known multi-label public suffixes (country-code second-level
+    # registrations + common hosting suffixes)
+    SUFFIXES = {
+        # UK / IE
+        "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "me.uk", "ltd.uk",
+        "plc.uk", "sch.uk", "nhs.uk",
+        # AU / NZ
+        "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+        "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
+        # JP / KR / CN / TW / HK / SG / IN
+        "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp",
+        "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr",
+        "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+        "com.tw", "org.tw", "gov.tw", "idv.tw",
+        "com.hk", "org.hk", "edu.hk", "gov.hk",
+        "com.sg", "org.sg", "edu.sg", "gov.sg",
+        "co.in", "net.in", "org.in", "gen.in", "firm.in", "ac.in",
+        "gov.in", "res.in", "edu.in",
+        # Americas
+        "com.br", "net.br", "org.br", "gov.br", "edu.br",
+        "com.mx", "org.mx", "gob.mx", "edu.mx",
+        "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+        "com.co", "net.co", "org.co", "gov.co", "edu.co",
+        "com.pe", "com.cl", "com.ve", "com.uy", "com.ec",
+        # Europe / Middle East / Africa
+        "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
+        "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl",
+        "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+        "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+        "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+        "com.ru", "net.ru", "org.ru", "spb.ru", "msk.ru",
+        "com.gr", "org.gr", "net.gr", "edu.gr", "gov.gr",
+        "com.pt", "org.pt", "edu.pt", "gov.pt",
+        "com.eg", "com.sa", "com.ae", "com.ng", "com.gh", "co.ke",
+        "or.ke", "ac.ke", "go.ke",
+        # SE Asia
+        "co.th", "or.th", "ac.th", "go.th", "in.th",
+        "com.my", "net.my", "org.my", "edu.my", "gov.my",
+        "co.id", "or.id", "ac.id", "go.id", "web.id", "my.id",
+        "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+        "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+        "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
+        "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd",
+        # generic hosting / infrastructure suffixes
+        "github.io", "gitlab.io", "pages.dev", "web.app", "firebaseapp.com",
+        "herokuapp.com", "appspot.com", "blogspot.com", "netlify.app",
+        "vercel.app", "azurewebsites.net", "cloudfront.net", "amazonaws.com",
+        "s3.amazonaws.com", "fastly.net", "wordpress.com", "tumblr.com",
+    }
+    # three-label public suffixes checked before the two-label set
+    SUFFIXES3 = {"pvt.k12.ma.us", "s3.amazonaws.com"} | {
+        s for s in SUFFIXES if s.count(".") == 2}
 
     def __init__(self, field: str, target_field: str,
-                 ignore_missing: bool = False, ignore_failure: bool = True):
+                 ignore_missing: bool = False, ignore_failure: bool = True,
+                 custom_suffixes: list[str] | None = None):
         self.field, self.target = field, target_field
+        self.suffixes = set(self.SUFFIXES)
+        self.suffixes3 = set(self.SUFFIXES3)
+        for s in custom_suffixes or []:
+            s = s.lower().strip(".")
+            (self.suffixes3 if s.count(".") == 2 else self.suffixes).add(s)
 
     def _etld1(self, host: str | None) -> str | None:
         if not host:
@@ -516,8 +575,11 @@ class RegisteredDomain(Processor):
         parts = host.lower().rstrip(".").split(".")
         if len(parts) < 2:
             return None
+        if len(parts) >= 3 and ".".join(parts[-3:]) in self.suffixes3 \
+                and len(parts) >= 4:
+            return ".".join(parts[-4:])
         tail2 = ".".join(parts[-2:])
-        if tail2 in self.SUFFIXES and len(parts) >= 3:
+        if tail2 in self.suffixes and len(parts) >= 3:
             return ".".join(parts[-3:])
         return tail2
 
