@@ -295,3 +295,4 @@ from . import convert as _convert            # noqa: E402,F401
 from . import timestamp as _timestamp        # noqa: E402,F401
 from . import fingerprint as _fingerprint    # noqa: E402,F401
 from . import ratelimit as _ratelimit        # noqa: E402,F401
+from . import network as _network            # noqa: E402,F401

@@ -228,6 +228,170 @@ class DecodeXml(Processor):
         return add_flag(tbl, pa.array(bad, pa.bool_()), "decode_xml_error")
 
 
+@register("decode_xml_wineventlog")
+class DecodeXmlWinEventLog(Processor):
+    """Windows Event Log XML → ``winlog.*`` (+ ECS) columns
+    (``decode_xml_wineventlog/processor.go``; field shapes from the
+    reference's own test expectations, ``processor_test.go:43-105``):
+    System metadata, ``event_data.*`` from ``<Data Name=..>``, rendered
+    message/level/task/opcode/keywords, audit outcome from the keywords
+    mask (success ``0x20000000000000`` / failure ``0x10000000000000``).
+    Static-schema narrowing like ``decode_xml``: columns are the keys
+    seen in the batch unless ``expected_keys`` pins them."""
+
+    _NS = "{http://schemas.microsoft.com/win/2004/08/events/event}"
+    _LEVELS = {"0": "information", "1": "critical", "2": "error",
+               "3": "warning", "4": "information", "5": "verbose"}
+
+    def __init__(self, field: str = "message", target: str = "winlog",
+                 overwrite_keys: bool = True, map_ecs_fields: bool = True,
+                 ignore_missing: bool = False, ignore_failure: bool = False,
+                 expected_keys: list[str] | None = None):
+        self.field = field
+        self.prefix = f"{target}." if target else ""
+        self.ecs = map_ecs_fields
+        self.ignore_missing = ignore_missing
+        self.expected = list(expected_keys) if expected_keys else None
+
+    def _decode_one(self, text: str) -> dict | None:
+        import xml.etree.ElementTree as ET
+        try:
+            root = ET.fromstring(text)
+        except ET.ParseError:
+            return None
+        if not root.tag.endswith("Event"):
+            return None
+        ns = self._NS if root.tag.startswith("{") else ""
+
+        def find(parent, name):
+            return parent.find(f"{ns}{name}") if parent is not None else None
+
+        out: dict = {}
+        system = find(root, "System")
+        provider = find(system, "Provider")
+        if provider is not None:
+            if provider.get("Name"):
+                out["provider_name"] = provider.get("Name")
+            if provider.get("Guid"):
+                out["provider_guid"] = provider.get("Guid")
+        for tag, key in (("EventID", "event_id"), ("Channel", "channel"),
+                         ("Computer", "computer_name")):
+            el = find(system, tag)
+            if el is not None and el.text:
+                out[key] = el.text
+        rec = find(system, "EventRecordID")
+        if rec is not None and rec.text:
+            out["record_id"] = int(rec.text)
+        corr = find(system, "Correlation")
+        if corr is not None and corr.get("ActivityID"):
+            out["activity_id"] = corr.get("ActivityID")
+        execu = find(system, "Execution")
+        if execu is not None:
+            if execu.get("ProcessID"):
+                out["process.pid"] = int(execu.get("ProcessID"))
+            if execu.get("ThreadID"):
+                out["process.thread.id"] = int(execu.get("ThreadID"))
+        tc = find(system, "TimeCreated")
+        if tc is not None and tc.get("SystemTime"):
+            out["time_created"] = tc.get("SystemTime")
+        keywords_mask = None
+        kw = find(system, "Keywords")
+        if kw is not None and kw.text:
+            try:
+                keywords_mask = int(kw.text, 16)
+            except ValueError:
+                pass
+        level_num = find(system, "Level")
+
+        data = find(root, "EventData")
+        if data is not None:
+            for d in data.findall(f"{ns}Data"):
+                name = d.get("Name")
+                if name:
+                    out[f"event_data.{name}"] = d.text or ""
+        rendering = find(root, "RenderingInfo")
+        if rendering is not None:
+            for tag, key in (("Message", "message"), ("Task", "task"),
+                             ("Opcode", "opcode")):
+                el = find(rendering, tag)
+                if el is not None and el.text:
+                    out[key] = el.text
+            lvl = find(rendering, "Level")
+            if lvl is not None and lvl.text:
+                out["level"] = lvl.text.lower()
+            kws = find(rendering, "Keywords")
+            if kws is not None:
+                vals = [k.text for k in kws.findall(f"{ns}Keyword")
+                        if k.text]
+                if vals:
+                    out["keywords"] = ",".join(vals)
+        if "level" not in out and level_num is not None and level_num.text:
+            out["level"] = self._LEVELS.get(level_num.text, "")
+        if keywords_mask is not None:
+            if keywords_mask & 0x20000000000000:
+                out["outcome"] = "success"
+            elif keywords_mask & 0x10000000000000:
+                out["outcome"] = "failure"
+        return out
+
+    def apply(self, tbl: pa.Table) -> pa.Table:
+        col = get_column(tbl, self.field)
+        if col is None:
+            if self.ignore_missing:
+                return tbl
+            raise ConfigError(
+                f"decode_xml_wineventlog: missing {self.field!r}")
+        rows, bad = [], []
+        for v in col.to_pylist():
+            if not v or not v.lstrip().startswith("<"):
+                rows.append(None)
+                bad.append(v is not None)
+                continue
+            decoded = self._decode_one(v)
+            rows.append(decoded)
+            bad.append(decoded is None)
+        keys = self.expected
+        if keys is None:
+            seen: list[str] = []
+            for r in rows:
+                if r:
+                    for k in r:
+                        if k not in seen:
+                            seen.append(k)
+            keys = seen
+        int_keys = {"record_id", "process.pid", "process.thread.id"}
+        for key in keys:
+            vals = [None if r is None else r.get(key) for r in rows]
+            if key in int_keys:
+                arr = pa.array(vals, pa.int64())
+            elif key == "time_created":
+                arr = pc.cast(pc.strptime(
+                    pc.replace_substring_regex(
+                        pa.array(vals, pa.string()), r"\.\d+Z?$", ""),
+                    format="%Y-%m-%dT%H:%M:%S", unit="us",
+                    error_is_null=True), pa.timestamp("us"))
+            else:
+                arr = pa.array(vals, pa.string())
+            tbl = set_column(tbl, self.prefix + key, arr)
+        if self.ecs:
+            ecs_map = {"event.action": "task", "event.code": "event_id",
+                       "event.outcome": "outcome",
+                       "event.provider": "provider_name",
+                       "host.name": "computer_name",
+                       "log.level": "level", "message": "message"}
+            for ecs_key, src in ecs_map.items():
+                vals = [None if r is None else r.get(src) for r in rows]
+                if any(v is not None for v in vals):
+                    tbl = set_column(tbl, ecs_key,
+                                     pa.array(vals, pa.string()))
+            tbl = set_column(
+                tbl, "event.kind",
+                pa.array(["event" if r is not None else None
+                          for r in rows], pa.string()))
+        return add_flag(tbl, pa.array(bad, pa.bool_()),
+                        "wineventlog_decode_error")
+
+
 @register("decode_json_fields")
 class DecodeJsonFields(Processor):
     """Parse JSON string field(s) (``actions/decode_json_fields.go``).

@@ -141,9 +141,7 @@ class LookupEnrich(Processor):
         return self.enricher(tbl)
 
 
-_stub("community_id", "network 5-tuple flow hashing needs packet fields")
 _stub("translate_sid", "Windows SID resolution needs an OS account store")
-_stub("decode_xml_wineventlog", "Windows event-log XML schema")
 _stub("dns", "no resolver in this environment; use lookup_enrich with a "
       "resolution table")
 _stub("add_docker_metadata", "no Docker daemon; use lookup_enrich with a "

@@ -353,3 +353,66 @@ def test_empty_bool_condition_rejected():
     for bad in ({"or": []}, {"and": []}):
         with pytest.raises(ConfigError):
             compile_condition(bad)
+
+
+def test_decode_xml_wineventlog_reference_case():
+    """The reference's own processor test event
+    (decode_xml_wineventlog/processor_test.go:43-105)."""
+    xml = ("<Event xmlns='http://schemas.microsoft.com/win/2004/08/events/event'>"
+           "<System><Provider Name='Microsoft-Windows-Security-Auditing' "
+           "Guid='{54849625-5478-4994-a5ba-3e3b0328c30d}'/>"
+           "<EventID>4672</EventID><Version>0</Version><Level>0</Level>"
+           "<Task>12548</Task><Opcode>0</Opcode>"
+           "<Keywords>0x8020000000000000</Keywords>"
+           "<TimeCreated SystemTime='2021-03-23T09:56:13.137310000Z'/>"
+           "<EventRecordID>11303</EventRecordID>"
+           "<Correlation ActivityID='{ffb23523-1f32-0000-c335-b2ff321fd701}'/>"
+           "<Execution ProcessID='652' ThreadID='4660'/>"
+           "<Channel>Security</Channel><Computer>vagrant</Computer>"
+           "<Security/></System>"
+           "<EventData><Data Name='SubjectUserSid'>S-1-5-18</Data>"
+           "<Data Name='SubjectUserName'>SYSTEM</Data></EventData>"
+           "<RenderingInfo Culture='en-US'>"
+           "<Message>Special privileges assigned to new logon.</Message>"
+           "<Level>Information</Level><Task>Special Logon</Task>"
+           "<Opcode>Info</Opcode><Channel>Security</Channel>"
+           "<Provider>Microsoft Windows security auditing.</Provider>"
+           "<Keywords><Keyword>Audit Success</Keyword></Keywords>"
+           "</RenderingInfo></Event>")
+    t = T(message=pa.array([xml, "not xml"]))
+    out = build_processor({"decode_xml_wineventlog": {}}).apply(t)
+
+    def c(name):
+        return out.column(name).to_pylist()
+
+    assert c("winlog.event_id") == ["4672", None]
+    assert c("winlog.provider_name") == [
+        "Microsoft-Windows-Security-Auditing", None]
+    assert c("winlog.provider_guid") == [
+        "{54849625-5478-4994-a5ba-3e3b0328c30d}", None]
+    assert c("winlog.record_id") == [11303, None]
+    assert c("winlog.computer_name") == ["vagrant", None]
+    assert c("winlog.channel") == ["Security", None]
+    assert c("winlog.activity_id") == [
+        "{ffb23523-1f32-0000-c335-b2ff321fd701}", None]
+    assert c("winlog.process.pid") == [652, None]
+    assert c("winlog.process.thread.id") == [4660, None]
+    assert c("winlog.level") == ["information", None]
+    assert c("winlog.task") == ["Special Logon", None]
+    assert c("winlog.opcode") == ["Info", None]
+    assert c("winlog.keywords") == ["Audit Success", None]
+    assert c("winlog.outcome") == ["success", None]
+    assert c("winlog.event_data.SubjectUserSid") == ["S-1-5-18", None]
+    tc = c("winlog.time_created")[0]
+    assert tc.year == 2021 and tc.second == 13
+    # ECS mapping
+    assert c("event.code") == ["4672", None]
+    assert c("event.action") == ["Special Logon", None]
+    assert c("event.outcome") == ["success", None]
+    assert c("event.kind") == ["event", None]
+    assert c("host.name") == ["vagrant", None]
+    assert c("log.level") == ["information", None]
+    assert c("message") == [
+        "Special privileges assigned to new logon.", None]
+    flags = c("log_flags")
+    assert flags[0] is None and "wineventlog_decode_error" in flags[1]

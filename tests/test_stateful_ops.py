@@ -46,9 +46,46 @@ def test_decode_xml():
 
 
 def test_stub_processors_raise():
-    for name in ("community_id", "translate_sid"):
+    for name in ("translate_sid",):
         with pytest.raises(NotImplementedError):
             build_processor({name: {}})
+
+
+def test_community_id_reference_vectors():
+    """Golden hashes from the reference's own test suite
+    (``processors/communityid/communityid_test.go:56-148``)."""
+    base = {
+        "source.ip": "128.232.110.120", "source.port": 34855,
+        "destination.ip": "66.35.250.204", "destination.port": 80,
+    }
+
+    def run(extra, seed=0, drop=()):
+        row = {k: v for k, v in {**base, **extra}.items()
+               if k not in drop}
+        cols = {k: [v] for k, v in row.items()}
+        t = pa.table(cols)
+        p = build_processor({"community_id": {"seed": seed}})
+        return p.apply(t).column("network.community_id")[0].as_py()
+
+    assert run({"network.transport": "TCP"}) == \
+        "1:LQU9qZlK+B5F3KDmev6m5PMibrg="
+    assert run({"network.transport": "TCP"}, seed=123) == \
+        "1:hTSGlFQnR58UCk+NfKRZzA32dPg="
+    assert run({"network.transport": "icmp", "icmp.type": 3,
+                "icmp.code": 3}) == "1:KF3iG9XD24nhlSy4r1TcYIr5mfE="
+    assert run({"network.transport": "icmp"}) == \
+        "1:PAE85ZfR4SbNXl5URZwWYyDehwU="
+    assert run({"network.transport": "igmp"},
+               drop=("source.port", "destination.port")) == \
+        "1:D3t8Q1aFA6Ev0A/AO4i9PnU3AeI="
+    assert run({"network.transport": "2"},
+               drop=("source.port", "destination.port")) == \
+        "1:D3t8Q1aFA6Ev0A/AO4i9PnU3AeI="
+    assert run({"network.iana_number": 6}) == \
+        "1:LQU9qZlK+B5F3KDmev6m5PMibrg="
+    # invalid tuple -> null, not an error
+    assert run({"network.transport": "tcp", "source.ip": "not-an-ip"}) \
+        is None
 
 
 def test_dedup_first_by_key(ray_session):
