@@ -387,6 +387,43 @@ SQL_TOKEN_STATS = r"""SELECT doc_id,
 FROM documents"""
 
 
+def q_token_topk(sf_dir: str):
+    """Corpus-wide heavy hitters: top 25 tokens by total occurrences.
+    The wide shuffle is pre-aggregated — each batch combines its own
+    token counts (one np.unique pass) so the groupby moves one row per
+    (batch, distinct-token), never one per token occurrence; ties break
+    deterministically (count desc, token asc) on both sides."""
+    import numpy as np
+    import re as re_mod
+
+    from ray.data.aggregate import Sum
+    tok_re = re_mod.compile(r"[a-z0-9]+")
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in tbl.column("text").to_pylist():
+            toks.extend(tok_re.findall((t or "").lower()))
+        if not toks:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uniq, counts = np.unique(np.array(toks, dtype=object),
+                                 return_counts=True)
+        return pa.table({"token": pa.array(uniq.tolist(), pa.string()),
+                         "n": pa.array(counts.astype("int64"), pa.int64())})
+
+    agg = _read(sf_dir, "documents", ["text"], blocks=16) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("n", alias_name="n"))
+    return agg.sort(["n", "token"], descending=[True, False]).limit(25)
+
+
+SQL_TOKEN_TOPK = r"""WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents)
+SELECT token, COUNT(*) AS n FROM toks
+GROUP BY token ORDER BY n DESC, token LIMIT 25"""
+
+
 def q_quality_score(sf_dir: str):
     from .textops.analysis import quality_score
     return _read(sf_dir, "documents", ["doc_id", "text"]) \
@@ -1073,6 +1110,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "corpus_prep": (q_corpus_prep, SQL_CORPUS_PREP),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "token_topk": (q_token_topk, SQL_TOKEN_TOPK),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "embed_neardup_sample": (q_embed_neardup_sample,

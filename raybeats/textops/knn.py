@@ -195,6 +195,57 @@ class IvfIndex:
         })
 
 
+def write_ivf_partitioned(ds, index: "IvfIndex", out_dir: str) -> dict:
+    """Persist the corpus partitioned BY CENTROID
+    (``centroid=<k>/*.parquet``): the search-side half of IVF at scale —
+    a query then reads only its probed centroid directories, so the scan
+    itself prunes (not just the in-memory mask). Returns
+    {centroid: rows} from the written footers."""
+    import glob as glob_mod
+    import os
+
+    import pyarrow.parquet as pq
+
+    ds.map_batches(index.assign, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["centroid"])
+    lanes = {}
+    for d in sorted(glob_mod.glob(os.path.join(out_dir, "centroid=*"))):
+        k = int(os.path.basename(d).split("=", 1)[1])
+        lanes[k] = sum(pq.read_metadata(f).num_rows for f in
+                       glob_mod.glob(os.path.join(d, "*.parquet")))
+    return lanes
+
+
+def search_ivf_partitioned(out_dir: str, index: "IvfIndex",
+                           queries: np.ndarray, query_ids: list[int],
+                           k: int = 5, nprobe: int = 4) -> pa.Table:
+    """Search a centroid-partitioned corpus reading ONLY the union of
+    the queries' probed lists from storage (prune at the read — at
+    100 TB the unprobed lanes never leave the object store). Results
+    equal :meth:`IvfIndex.search` on the full dataset exactly
+    (tested)."""
+    import glob as glob_mod
+    import os
+
+    import ray.data as rd
+
+    q = queries.astype(np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    sims = qn @ index.centroids.T
+    nprobe = min(nprobe, index.centroids.shape[0])
+    probes = np.argsort(-sims, axis=1)[:, :nprobe]
+    union = sorted({int(c) for p in probes for c in p})
+    dirs = [f for c in union
+            for f in glob_mod.glob(os.path.join(out_dir, f"centroid={c}",
+                                                "*.parquet"))]
+    if not dirs:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    ds = rd.read_parquet(dirs, columns=[index.id_col, index.vec_col])
+    return index.search(ds, queries, query_ids, k=k, nprobe=nprobe)
+
+
 class LshBucketer:
     """Scale path: random-hyperplane LSH bucket id per vector; candidate
     search only touches matching buckets (narrow emit of (bucket, id))."""
