@@ -1082,6 +1082,19 @@ def q_rolling_fingerprint(sf_dir: str):
         .map_batches(rolling_fingerprint, batch_format="pyarrow")
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT user_id): fixed-size
+    register partials per batch, bounded driver merge. Rows-only check
+    (the estimate is approximate by construction); accuracy vs exact is
+    asserted in tests/test_sketches.py (<5% at this scale, ~0.8% rse)."""
+    from .textops.sketches import approx_distinct
+    est = approx_distinct(_read(sf_dir, "events", ["user_id"], blocks=8),
+                          "user_id", p=14)
+    return pa.table({"metric": pa.array(["approx_distinct_users"],
+                                        pa.string()),
+                     "estimate": pa.array([float(est)], pa.float64())})
+
+
 def q_media_features(sf_dir: str):
     import ray.data as rd
 
@@ -1137,5 +1150,6 @@ QUERIES = {
     "dedup_clusters": (q_dedup_clusters, None),
     "rolling_fingerprint": (q_rolling_fingerprint, None),
     "knn_ivf": (q_knn_ivf, None),
+    "approx_distinct_users": (q_approx_distinct_users, None),
     "media_features": (q_media_features, None),
 }

@@ -1,0 +1,108 @@
+"""Mergeable sketches for wide aggregates: HyperLogLog distinct count.
+
+The 100-TB shape: each batch folds its values into a FIXED-SIZE register
+array inside ``map_batches`` (one row of ``m`` bytes per batch — the
+combiner pattern), partials merge by element-wise max anywhere (tasks,
+tree, or driver: the fan-in is ``n_batches × m`` bytes regardless of
+data volume, which is what makes a sketch a sketch). Standard HLL
+(Flajolet et al. 2007) with the linear-counting small-range correction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import fnv1a_u64
+
+
+def _fmix64(h: np.ndarray) -> np.ndarray:
+    """Murmur3 finalizer: FNV-1a's last multiply barely avalanches into
+    the TOP bits for short inputs (consecutive single-char keys share
+    their high 12+ bits), and HLL indexes by the top p bits — mix first."""
+    h = h.astype(np.uint64, copy=True)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(33)
+    return h
+
+
+class HyperLogLog:
+    """Vectorized HLL with 2**p registers (p=14 → 16 KiB, ~0.8% rse)."""
+
+    def __init__(self, p: int = 14):
+        assert 4 <= p <= 18
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashed(self, h: np.ndarray) -> None:
+        """Fold 64-bit hashes: register index = top p bits, rank = count
+        of leading zeros in the remaining 64-p bits + 1."""
+        h = h.astype(np.uint64, copy=False)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        suffix = h & np.uint64((1 << (64 - self.p)) - 1)
+        # bit_length via frexp: exact for suffix < 2^53 (any p >= 11);
+        # below that the float rounding could only carry at the 2^-52
+        # tail — immaterial to the estimator
+        width = 64 - self.p
+        s = suffix.astype(np.float64)
+        with np.errstate(divide="ignore"):
+            _, exp = np.frexp(s)
+        bit_length = np.where(suffix > 0, exp, 0).astype(np.int64)
+        rho = (width - bit_length + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rho)
+
+    def add_column(self, col) -> None:
+        """Fold an arrow column (strings hash directly, other types via
+        string cast — nulls skipped, matching COUNT(DISTINCT))."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = pc.is_valid(col)
+        if not pc.any(valid).as_py():
+            return
+        col = col.filter(valid)
+        self.add_hashed(_fmix64(fnv1a_u64(pc.cast(col, pa.string()))))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert other.p == self.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def merge_registers(self, regs: np.ndarray) -> None:
+        np.maximum(self.registers, regs.astype(np.uint8),
+                   out=self.registers)
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        raw = alpha * m * m / inv.sum()
+        zeros = int((self.registers == 0).sum())
+        if raw <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # linear counting
+        return raw
+
+
+def approx_distinct(ds, column: str, p: int = 14) -> float:
+    """Distributed approximate COUNT(DISTINCT column): per-batch HLL
+    partials (one m-byte register row each) merged on the driver —
+    bounded fan-in regardless of input size."""
+    m = 1 << p
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        hll = HyperLogLog(p)
+        hll.add_column(tbl.column(column))
+        return pa.table({"regs": pa.array([hll.registers.tobytes()],
+                                          pa.binary())})
+
+    merged = HyperLogLog(p)
+    for batch in ds.map_batches(partial, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        for blob in batch.column("regs").to_pylist():
+            merged.merge_registers(np.frombuffer(blob, dtype=np.uint8,
+                                                 count=m))
+    return merged.estimate()
