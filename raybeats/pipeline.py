@@ -304,13 +304,7 @@ class Pipeline:
             if self.router is None:
                 # no router → no sink column; synthesize a constant one so
                 # the partitioned write (and per-sink counts) still work
-                def default_sink(tbl: pa.Table) -> pa.Table:
-                    if SINK in tbl.column_names:
-                        return tbl
-                    return tbl.append_column(
-                        SINK, pa.array(["default"] * tbl.num_rows,
-                                       pa.string()))
-                ds = ds.map_batches(default_sink, batch_format="pyarrow")
+                ds = ds.map_batches(_ensure_sink, batch_format="pyarrow")
             sort_cols = self.config.get("sort_output")
             if sort_cols:
                 # stable (conv_id, turn_idx) order within the partition
@@ -354,16 +348,24 @@ class Pipeline:
                 # before the chain — a config that drops unknown columns
                 # must preserve "part" (documented coalesce requirement).
                 all_files = [f for _, fs in items for f in fs]
-                base_pid = {os.path.basename(f): f"{p:05d}"
+                # keyed by FULL path — basenames collide across dirs
+                # (e.g. dir1/events.parquet + dir2/events.parquet would
+                # silently misattribute partitions)
+                path_pid = {os.path.abspath(f): f"{p:05d}"
                             for p, fs in items for f in fs}
-                pid_keys = pa.array(sorted(base_pid), pa.string())
-                pid_vals = pa.array([base_pid[k]
-                                     for k in sorted(base_pid)], pa.string())
+                pid_keys = pa.array(sorted(path_pid), pa.string())
+                pid_vals = pa.array([path_pid[k]
+                                     for k in sorted(path_pid)], pa.string())
 
                 def derive_part(tbl: pa.Table) -> pa.Table:
-                    names = pc.replace_substring_regex(
-                        tbl.column("path"), r"^.*/", "")
-                    idx = pc.index_in(names, value_set=pid_keys)
+                    idx = pc.index_in(tbl.column("path"),
+                                      value_set=pid_keys)
+                    if pc.any(pc.is_null(idx)).as_py():
+                        seen = set(tbl.column("path").to_pylist())
+                        raise RuntimeError(
+                            "coalesced run: reader path does not match "
+                            f"planned input paths (sample: "
+                            f"{sorted(seen)[:2]})")
                     return tbl.drop_columns(["path"]).append_column(
                         "part", pc.take(pid_vals, idx))
 
@@ -372,13 +374,7 @@ class Pipeline:
                 ds = self.build(raw.map_batches(derive_part,
                                                 batch_format="pyarrow"))
                 if self.router is None:
-                    def default_sink(tbl: pa.Table) -> pa.Table:
-                        if SINK in tbl.column_names:
-                            return tbl
-                        return tbl.append_column(
-                            SINK, pa.array(["default"] * tbl.num_rows,
-                                           pa.string()))
-                    ds = ds.map_batches(default_sink,
+                    ds = ds.map_batches(_ensure_sink,
                                         batch_format="pyarrow")
             else:
                 branches = []
@@ -387,10 +383,7 @@ class Pipeline:
                     b = self.build(read_source(files))
 
                     def tag(tbl: pa.Table, pid=pid) -> pa.Table:
-                        if SINK not in tbl.column_names:
-                            tbl = tbl.append_column(
-                                SINK, pa.array(["default"] * tbl.num_rows,
-                                               pa.string()))
+                        tbl = _ensure_sink(tbl)
                         return tbl.append_column(
                             "part", pa.array([pid] * tbl.num_rows,
                                              pa.string()))
@@ -526,6 +519,14 @@ class Pipeline:
             report[k] += payload.get(k, 0)
         for sink, n in payload.get("per_sink", {}).items():
             report["per_sink"][sink] = report["per_sink"].get(sink, 0) + n
+
+
+def _ensure_sink(tbl: pa.Table, sink: str = "default") -> pa.Table:
+    """Synthesize a constant sink lane when no router produced one."""
+    if SINK in tbl.column_names:
+        return tbl
+    return tbl.append_column(SINK, pa.array([sink] * tbl.num_rows,
+                                            pa.string()))
 
 
 def _settle_fsspec_http_import() -> None:

@@ -556,8 +556,7 @@ class RegisteredDomain(Processor):
         "s3.amazonaws.com", "fastly.net", "wordpress.com", "tumblr.com",
     }
     # three-label public suffixes checked before the two-label set
-    SUFFIXES3 = {"pvt.k12.ma.us", "s3.amazonaws.com"} | {
-        s for s in SUFFIXES if s.count(".") == 2}
+    SUFFIXES3 = {s for s in SUFFIXES if s.count(".") == 2}
 
     def __init__(self, field: str, target_field: str,
                  ignore_missing: bool = False, ignore_failure: bool = True,
@@ -567,6 +566,12 @@ class RegisteredDomain(Processor):
         self.suffixes3 = set(self.SUFFIXES3)
         for s in custom_suffixes or []:
             s = s.lower().strip(".")
+            if s.count(".") > 2:
+                # only 2- and 3-label suffixes are matchable; rejecting
+                # loudly beats a suffix that silently never fires
+                raise ConfigError(
+                    f"registered_domain: custom suffix {s!r} has more "
+                    f"than three labels (unsupported)")
             (self.suffixes3 if s.count(".") == 2 else self.suffixes).add(s)
 
     def _etld1(self, host: str | None) -> str | None:

@@ -259,6 +259,14 @@ class DecodeXmlWinEventLog(Processor):
             root = ET.fromstring(text)
         except ET.ParseError:
             return None
+        try:
+            return self._map_event(root)
+        except ValueError:
+            # malformed numeric field (e.g. hex EventRecordID): flag the
+            # ROW, never fail the whole batch task
+            return None
+
+    def _map_event(self, root) -> dict | None:
         if not root.tag.endswith("Event"):
             return None
         ns = self._NS if root.tag.startswith("{") else ""
@@ -365,10 +373,14 @@ class DecodeXmlWinEventLog(Processor):
             if key in int_keys:
                 arr = pa.array(vals, pa.int64())
             elif key == "time_created":
-                arr = pc.cast(pc.strptime(
+                # strip the fraction and the trailing Z independently —
+                # SystemTime may carry either, both, or neither
+                cleaned = pc.replace_substring_regex(
                     pc.replace_substring_regex(
-                        pa.array(vals, pa.string()), r"\.\d+Z?$", ""),
-                    format="%Y-%m-%dT%H:%M:%S", unit="us",
+                        pa.array(vals, pa.string()), r"\.\d+", ""),
+                    r"Z$", "")
+                arr = pc.cast(pc.strptime(
+                    cleaned, format="%Y-%m-%dT%H:%M:%S", unit="us",
                     error_is_null=True), pa.timestamp("us"))
             else:
                 arr = pa.array(vals, pa.string())

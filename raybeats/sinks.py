@@ -63,16 +63,22 @@ def write_kafka_layout(ds, out_dir: str, hash_fields: list[str],
     row per (topic, partition) lane (counts re-derived from the written
     footers — write-audit-publish, same as the pipeline sinks). ``topic``
     may be an event format string (``%{[field]}`` refs)."""
+    from .state.manifest import stage_and_swap
+
     topic_fmt = EventFormatString(topic) if "%{" in topic else None
-    os.makedirs(out_dir, exist_ok=True)  # all-dropped inputs still publish
 
     def tag(tbl: pa.Table) -> pa.Table:
         return add_kafka_partition(tbl, hash_fields, n_partitions,
                                    topic=topic, topic_fmt=topic_fmt,
                                    drop_fail=drop_fail)
 
-    ds.map_batches(tag, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["topic", "partition"])
+    # write-audit-publish: stage + atomic swap so a crashed or re-run
+    # write never leaves stale generations that the footer scan would
+    # double-count
+    stage_and_swap(out_dir,
+                   lambda staging: ds.map_batches(
+                       tag, batch_format="pyarrow").write_parquet(
+                           staging, partition_cols=["topic", "partition"]))
     lanes: dict[str, int] = {}
     for tdir in sorted(glob_mod.glob(os.path.join(out_dir, "topic=*"))):
         tname = os.path.basename(tdir).split("=", 1)[1]
@@ -140,7 +146,12 @@ def write_ndjson(ds, out_dir: str, codec: dict | None = None) -> dict:
         if not cfg.get("string"):
             raise ConfigError("write_ndjson: format codec needs 'string'")
         fmt = EventFormatString(cfg["string"])
-    os.makedirs(out_dir, exist_ok=True)
+    # stage + swap: re-runs replace the directory instead of
+    # accumulating stale part files next to a fresh manifest
+    staging = out_dir.rstrip("/") + ".staging"
+    import shutil
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging, exist_ok=True)
 
     def write_block(tbl: pa.Table) -> pa.Table:
         import uuid
@@ -154,18 +165,23 @@ def write_ndjson(ds, out_dir: str, codec: dict | None = None) -> dict:
                                       pretty=cfg.get("pretty", False),
                                       escape_html=cfg.get("escape_html",
                                                           False))
-        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.ndjson")
-        with open(path, "w") as f:
+        name = f"part-{uuid.uuid4().hex}.ndjson"
+        with open(os.path.join(staging, name), "w") as f:
             for line in lines:
                 f.write(line)
                 f.write("\n")
-        return pa.table({"path": pa.array([path], pa.string()),
+        return pa.table({"name": pa.array([name], pa.string()),
                          "rows": pa.array([len(lines)], pa.int64()),
                          "dropped": pa.array([dropped], pa.int64())})
 
     parts = [r for r in ds.map_batches(write_block,
                                        batch_format="pyarrow").take_all()]
-    manifest = {"codec": kind, "files": sorted(p["path"] for p in parts),
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.replace(staging, out_dir)
+    manifest = {"codec": kind,
+                "files": sorted(os.path.join(out_dir, p["name"])
+                                for p in parts),
                 "rows": sum(p["rows"] for p in parts),
                 "dropped": sum(p["dropped"] for p in parts)}
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:

@@ -177,7 +177,15 @@ def read_log_lines_incremental(paths, store, identity: str = "native",
     Rotation semantics inherited from the identity module: a renamed
     file keeps its inode identity (no re-read), a copy-truncated file
     restarts at offset 0, a fresh file at the old path is a new
-    identity. Line offsets are absolute file offsets."""
+    identity. Line offsets are absolute file offsets.
+
+    Multiline + incremental: each scan FLUSHES its trailing multiline
+    event even if continuation lines are still being appended — the
+    same behavior as the reference's ``multiline.timeout`` (default 5 s,
+    ``libbeat/reader/multiline/pattern.go``) firing between scans, where
+    a pending event flushes and later continuation lines start a new
+    event. Scans therefore ack up to the last complete LINE, not the
+    last complete multiline EVENT."""
     import ray.data as rd
 
     from .identity import plan_scan

@@ -72,19 +72,28 @@ class TrailingWindowState:
     the count of that user's events in the trailing ``window_us``
     (inclusive). State per user is only the timestamps still inside the
     window (bounded by window × per-key rate), merged with each arriving
-    micro-batch via one searchsorted pass per user."""
+    micro-batch via one searchsorted pass per user.
+
+    Watermark handling: the batch RANGE frame counts equal-timestamp
+    PEERS, and a peer of this batch's maximum timestamp may still
+    arrive in the next micro-batch (time-ordered input guarantees only
+    ts >= max). Rows at the batch max are therefore DEFERRED and
+    emitted with the next batch (or at ``flush``), keeping exact parity
+    with the batch query across arbitrary micro-batch boundaries."""
+
+    _EMPTY = pa.table({"event_id": pa.array([], pa.int64()),
+                       "user_id": pa.array([], pa.int64()),
+                       "n_trailing_hour": pa.array([], pa.int64())})
 
     def __init__(self, window_us: int):
         self.window_us = window_us
         self.buf: dict[int, np.ndarray] = {}
+        self.pending: pd.DataFrame | None = None
 
-    def process(self, tbl: pa.Table) -> pa.Table:
-        empty = pa.table({"event_id": pa.array([], pa.int64()),
-                          "user_id": pa.array([], pa.int64()),
-                          "n_trailing_hour": pa.array([], pa.int64())})
-        if tbl.num_rows == 0:
-            return empty
-        g = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    def _emit(self, g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return self._EMPTY
+        g = g.sort_values(["user_id", "ts", "event_id"])
         out = []
         nothing = np.array([], dtype=np.int64)
         for uid, u in g.groupby("user_id", sort=False):
@@ -105,6 +114,22 @@ class TrailingWindowState:
             "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
             "n_trailing_hour": pa.array(df["n_trailing_hour"].to_numpy(),
                                         pa.int64())})
+
+    def process(self, tbl: pa.Table) -> pa.Table:
+        frames = [] if self.pending is None else [self.pending]
+        if tbl.num_rows:
+            frames.append(tbl.to_pandas())
+        if not frames:
+            return self._EMPTY
+        g = pd.concat(frames, ignore_index=True)
+        max_ts = g["ts"].astype("int64").max()
+        at_max = g["ts"].astype("int64") == max_ts
+        self.pending = g[at_max]
+        return self._emit(g[~at_max])
+
+    def flush(self) -> pa.Table:
+        g, self.pending = self.pending, None
+        return self._emit(g if g is not None else pd.DataFrame())
 
 
 def streaming_sliding_window(micro_batches, window_minutes: int = 60,
@@ -136,6 +161,9 @@ def streaming_sliding_window(micro_batches, window_minutes: int = 60,
             .groupby("bucket").map_groups(route, batch_format="pandas") \
             .take_all()
         parts.extend(got)
+    # end-of-stream: flush deferred max-watermark rows from every actor
+    for flushed in ray.get([a.flush.remote() for a in actors]):
+        parts.extend(flushed.to_pylist())
     if not parts:
         return pa.table({"event_id": pa.array([], pa.int64()),
                          "user_id": pa.array([], pa.int64()),

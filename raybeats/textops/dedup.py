@@ -144,6 +144,12 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
+        id_valid = pc.is_valid(tbl.column(self.id_col))
+        if not pc.all(id_valid).as_py():
+            # null ids cannot participate in id-keyed pairing; skipping
+            # them mirrors the empty-text skip (a null id would turn the
+            # numpy id vector float and crash the int64 emit)
+            tbl = tbl.filter(id_valid)
         texts = tbl.column(self.text_col).to_pylist()
         id_np = pc.cast(tbl.column(self.id_col), pa.int64()) \
             .to_numpy(zero_copy_only=False)
@@ -188,10 +194,11 @@ def minhash_candidates(ds, id_col: str = "doc_id", text_col: str = "text",
     ``n_buckets`` coarsens the (band, band_hash) shuffle — scale it with
     corpus size (``util.adaptive_buckets``). ``max_bucket`` caps a
     degenerate LSH bucket (e.g. a boilerplate band shared by a huge dup
-    class): buckets beyond the cap are deterministically truncated to
-    their ``max_bucket`` smallest ids, bounding the quadratic pairing at
-    ``max_bucket**2`` while transitive clustering still links the class
-    through its retained members."""
+    class): the quadratic pairing runs only among the bucket's
+    ``max_bucket`` smallest ids, and every member beyond the cap emits
+    ONE star candidate to the bucket's minimum id — linear extra cost
+    that keeps over-cap members reachable (they verify individually and
+    transitive clustering links them through the hub)."""
     import pandas as pd
 
     hasher = MinHasher(num_hashes=num_hashes, bands=bands,
@@ -216,13 +223,24 @@ def minhash_candidates(ds, id_col: str = "doc_id", text_col: str = "text",
         if len(g) == 0:
             return pd.DataFrame({"a": pd.array([], dtype="int64"),
                                  "b": pd.array([], dtype="int64")})
-        # degenerate-bucket cap (deterministic: smallest ids survive)
-        g = g.sort_values(id_col).groupby(["band", "band_hash"],
-                                          sort=False).head(max_bucket)
-        m = g.merge(g, on=["band", "band_hash"])
+        # degenerate-bucket cap: quadratic pairing among the smallest
+        # max_bucket ids; members beyond the cap star-link to the
+        # bucket's min id (linear) so nothing becomes unreachable
+        g = g.sort_values(id_col)
+        capped = g.groupby(["band", "band_hash"],
+                           sort=False).head(max_bucket)
+        m = capped.merge(capped, on=["band", "band_hash"])
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
-        return pd.DataFrame({"a": m[f"{id_col}_x"].to_numpy(),
-                             "b": m[f"{id_col}_y"].to_numpy()})
+        a = m[f"{id_col}_x"].to_numpy()
+        b = m[f"{id_col}_y"].to_numpy()
+        extras = g.loc[g.index.difference(capped.index)]
+        if len(extras):
+            mins = g.groupby(["band", "band_hash"], sort=False)[id_col] \
+                .min().rename("hub").reset_index()
+            star = extras.merge(mins, on=["band", "band_hash"])
+            a = np.concatenate([a, star["hub"].to_numpy()])
+            b = np.concatenate([b, star[id_col].to_numpy()])
+        return pd.DataFrame({"a": a, "b": b})
 
     cand = exploded.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(pairs, batch_format="pandas")
@@ -454,9 +472,23 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3,
         g = g[sizes > 1]
         if len(g) == 0:
             return empty
-        # class-member cap (identical full simhash within a chunk bucket)
-        g = g.sort_values(id_col).groupby(
-            ["chunk", "chunk_key", "simhash"], sort=False).head(max_class)
+        # class-member cap (identical full simhash within a chunk
+        # bucket): over-cap members star-link to the class min id —
+        # hamming 0 by construction, so they stay in the result and
+        # transitive clustering folds them into the class
+        g_all = g.sort_values(id_col)
+        g = g_all.groupby(["chunk", "chunk_key", "simhash"],
+                          sort=False).head(max_class)
+        star_extras = g_all.loc[g_all.index.difference(g.index)]
+        star_a = star_b = None
+        if len(star_extras):
+            class_min = g_all.groupby(
+                ["chunk", "chunk_key", "simhash"], sort=False)[id_col] \
+                .min().rename("hub").reset_index()
+            star = star_extras.merge(class_min,
+                                     on=["chunk", "chunk_key", "simhash"])
+            star_a = star["hub"].to_numpy(dtype="int64")
+            star_b = star[id_col].to_numpy(dtype="int64")
         # representative compare on UNIQUE simhashes per bucket
         u = g.drop_duplicates(["chunk", "chunk_key", "simhash"])[
             ["chunk", "chunk_key", "simhash"]]
@@ -486,6 +518,9 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3,
              .merge(gb, on=["chunk", "chunk_key", "simhash_y"])
         ida = e["ida"].to_numpy(dtype="int64")
         idb = e["idb"].to_numpy(dtype="int64")
+        if star_a is not None:
+            ida = np.concatenate([ida, star_a])
+            idb = np.concatenate([idb, star_b])
         lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
         keep = lo < hi
         return pd.DataFrame({"a": lo[keep], "b": hi[keep]})

@@ -160,3 +160,27 @@ def test_simhash_band_recall_is_complete_for_small_hamming(ray_session,
             want.add((min(a, b), max(a, b)))
     assert want, "corpus has no small-hamming pairs?"
     assert found == want
+
+
+def test_minhash_overcap_members_stay_reachable(ray_session):
+    """A duplicate class larger than max_bucket must still link ALL its
+    members (star candidates to the bucket hub), not silently orphan
+    the beyond-cap ids."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raybeats.textops.dedup import (duplicate_clusters,
+                                        jaccard_verify,
+                                        minhash_candidates)
+
+    n = 120
+    text = "the same exact document body repeated verbatim many times " * 5
+    docs = pa.table({"doc_id": pa.array(list(range(n)), pa.int64()),
+                     "text": pa.array([text] * n, pa.string())})
+    ds = rd.from_arrow(docs).repartition(4)
+    cand = minhash_candidates(ds, max_bucket=16)
+    pairs = jaccard_verify(cand, ds, threshold=0.5)
+    labels = pa.concat_tables(list(
+        duplicate_clusters(pairs).iter_batches(batch_format="pyarrow")))
+    assert labels.num_rows == n  # every doc is in the graph
+    assert set(labels.column("cluster").to_pylist()) == {0}  # one class

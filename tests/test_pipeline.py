@@ -208,3 +208,31 @@ def test_coalesced_group_run_matches_per_partition(ray_session,
                   coalesce_runs=2)
     assert r4["partitions_run"] == 1 and r4["partitions_skipped"] == 3
     assert Pipeline.audit(coal)["ok"]
+
+
+def test_coalesced_run_same_basename_across_dirs(ray_session, tmp_path):
+    """Partition provenance keys by FULL path: two input files with the
+    SAME basename in different directories must land in their own
+    partitions (a basename key would silently merge them)."""
+    import pyarrow as pa
+
+    from raybeats.pipeline import Pipeline
+
+    files = []
+    for i, d in enumerate(("d1", "d2")):
+        p = tmp_path / d
+        p.mkdir()
+        f = str(p / "data.parquet")
+        pq.write_table(pa.table({"text": [f"row-{i}-{j}" for j in range(5)],
+                                 "src": [i] * 5}), f)
+        files.append(f)
+    out = str(tmp_path / "out")
+    rep = Pipeline({}).run(files, out, partitions=2, coalesce_runs=2)
+    assert rep["partitions_run"] == 2
+    assert rep["pipeline.events.published"] == 10
+    for pid, src in ((0, 0), (1, 1)):
+        rows = []
+        for f in glob.glob(os.path.join(out, f"part={pid:05d}", "*",
+                                        "*.parquet")):
+            rows.extend(pq.read_table(f, columns=["src"]).to_pylist())
+        assert len(rows) == 5 and {r["src"] for r in rows} == {src}, pid

@@ -44,3 +44,27 @@ def test_streaming_sliding_window_equals_batch(ray_session):
                    key=lambda r: (r["user_id"], r["event_id"]))
     assert streamed == batch
     assert any(r["n_trailing_hour"] > 1 for r in streamed)
+
+
+def test_streaming_sliding_window_tie_straddles_boundary(ray_session):
+    """Equal-timestamp peers of one user split across micro-batches must
+    still count each other (the batch RANGE frame counts ts-peers) —
+    the deferred-watermark path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raybeats.streaming import streaming_sliding_window
+
+    ts0 = 1_700_000_000_000_000
+    s1 = pa.table({"user_id": pa.array([7], pa.int64()),
+                   "ts": pa.array([ts0], pa.timestamp("us")),
+                   "event_id": pa.array([1], pa.int64())})
+    s2 = pa.table({"user_id": pa.array([7, 7], pa.int64()),
+                   "ts": pa.array([ts0, ts0 + 10_000_000],
+                                  pa.timestamp("us")),
+                   "event_id": pa.array([2, 3], pa.int64())})
+    out = streaming_sliding_window([rd.from_arrow(s1), rd.from_arrow(s2)],
+                                   n_buckets=2).to_pylist()
+    got = {r["event_id"]: r["n_trailing_hour"] for r in out}
+    # e1 and e2 are ts-peers (count each other); e3 sees all three
+    assert got == {1: 2, 2: 2, 3: 3}
