@@ -348,11 +348,11 @@ class Pipeline:
                 # before the chain — a config that drops unknown columns
                 # must preserve "part" (documented coalesce requirement).
                 all_files = [f for _, fs in items for f in fs]
-                # keyed by FULL path — basenames collide across dirs
-                # (e.g. dir1/events.parquet + dir2/events.parquet would
-                # silently misattribute partitions)
-                path_pid = {os.path.abspath(f): f"{p:05d}"
-                            for p, fs in items for f in fs}
+                # keyed by the VERBATIM input path — basenames collide
+                # across dirs, and Ray's include_paths echoes the input
+                # string as-is (absolutizing here would break relative
+                # inputs)
+                path_pid = {f: f"{p:05d}" for p, fs in items for f in fs}
                 pid_keys = pa.array(sorted(path_pid), pa.string())
                 pid_vals = pa.array([path_pid[k]
                                      for k in sorted(path_pid)], pa.string())

@@ -146,39 +146,36 @@ def write_ndjson(ds, out_dir: str, codec: dict | None = None) -> dict:
         if not cfg.get("string"):
             raise ConfigError("write_ndjson: format codec needs 'string'")
         fmt = EventFormatString(cfg["string"])
-    # stage + swap: re-runs replace the directory instead of
-    # accumulating stale part files next to a fresh manifest
-    staging = out_dir.rstrip("/") + ".staging"
-    import shutil
-    shutil.rmtree(staging, ignore_errors=True)
-    os.makedirs(staging, exist_ok=True)
+    from .state.manifest import stage_and_swap
 
-    def write_block(tbl: pa.Table) -> pa.Table:
-        import uuid
-        dropped = 0
-        if fmt is not None:
-            rendered = fmt.evaluate(tbl)
-            dropped = rendered.null_count
-            lines = [x for x in rendered.to_pylist() if x is not None]
-        else:
-            lines = encode_json_lines(tbl,
-                                      pretty=cfg.get("pretty", False),
-                                      escape_html=cfg.get("escape_html",
-                                                          False))
-        name = f"part-{uuid.uuid4().hex}.ndjson"
-        with open(os.path.join(staging, name), "w") as f:
-            for line in lines:
-                f.write(line)
-                f.write("\n")
-        return pa.table({"name": pa.array([name], pa.string()),
-                         "rows": pa.array([len(lines)], pa.int64()),
-                         "dropped": pa.array([dropped], pa.int64())})
+    def run_write(staging: str) -> None:
+        def write_block(tbl: pa.Table) -> pa.Table:
+            import uuid
+            dropped = 0
+            if fmt is not None:
+                rendered = fmt.evaluate(tbl)
+                dropped = rendered.null_count
+                lines = [x for x in rendered.to_pylist() if x is not None]
+            else:
+                lines = encode_json_lines(
+                    tbl, pretty=cfg.get("pretty", False),
+                    escape_html=cfg.get("escape_html", False))
+            name = f"part-{uuid.uuid4().hex}.ndjson"
+            with open(os.path.join(staging, name), "w") as f:
+                for line in lines:
+                    f.write(line)
+                    f.write("\n")
+            return pa.table({"name": pa.array([name], pa.string()),
+                             "rows": pa.array([len(lines)], pa.int64()),
+                             "dropped": pa.array([dropped], pa.int64())})
 
-    parts = [r for r in ds.map_batches(write_block,
-                                       batch_format="pyarrow").take_all()]
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
-    os.replace(staging, out_dir)
+        parts.extend(ds.map_batches(write_block,
+                                    batch_format="pyarrow").take_all())
+
+    # stage + atomic swap (shared write-audit-publish helper): re-runs
+    # replace the directory instead of accumulating stale part files
+    parts: list[dict] = []
+    stage_and_swap(out_dir, run_write)
     manifest = {"codec": kind,
                 "files": sorted(os.path.join(out_dir, p["name"])
                                 for p in parts),

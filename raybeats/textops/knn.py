@@ -206,8 +206,14 @@ def write_ivf_partitioned(ds, index: "IvfIndex", out_dir: str) -> dict:
 
     import pyarrow.parquet as pq
 
-    ds.map_batches(index.assign, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["centroid"])
+    from ..state.manifest import stage_and_swap
+
+    # stage + atomic swap: a re-run (rebuilt index / refreshed corpus)
+    # replaces the layout instead of accumulating stale generations
+    stage_and_swap(out_dir,
+                   lambda staging: ds.map_batches(
+                       index.assign, batch_format="pyarrow").write_parquet(
+                           staging, partition_cols=["centroid"]))
     lanes = {}
     for d in sorted(glob_mod.glob(os.path.join(out_dir, "centroid=*"))):
         k = int(os.path.basename(d).split("=", 1)[1])

@@ -34,7 +34,10 @@ class HyperLogLog:
     """Vectorized HLL with 2**p registers (p=14 → 16 KiB, ~0.8% rse)."""
 
     def __init__(self, p: int = 14):
-        assert 4 <= p <= 18
+        # p >= 7 keeps the asymptotic alpha formula within its validity
+        # range (m >= 128 per the HLL paper; smaller m needs the fixed
+        # alpha_16/32/64 constants this implementation omits)
+        assert 7 <= p <= 18
         self.p = p
         self.m = 1 << p
         self.registers = np.zeros(self.m, dtype=np.uint8)

@@ -133,3 +133,40 @@ def test_ndjson_bad_codec_rejected(ray_session, tmp_path):
     with pytest.raises(ConfigError):
         write_ndjson(rd.from_arrow(_tbl()), str(tmp_path / "x"),
                      codec={"nope": {}})
+
+
+def test_sink_reruns_replace_not_accumulate(ray_session, tmp_path):
+    """Re-running a sink over the same out_dir must REPLACE the previous
+    generation (stage+swap), never double the manifest counts."""
+    import ray.data as rd
+
+    from raybeats.sinks import write_kafka_layout, write_ndjson
+    kdir, ndir = str(tmp_path / "k"), str(tmp_path / "n")
+    for _ in range(2):
+        man_k = write_kafka_layout(rd.from_arrow(_tbl()), kdir,
+                                   hash_fields=["conv_id"], n_partitions=4)
+        man_n = write_ndjson(rd.from_arrow(_tbl()), ndir)
+    assert man_k["rows"] == 5 and sum(man_k["lanes"].values()) == 5
+    assert man_n["rows"] == 5 and len(man_n["files"]) >= 1
+    stale = [f for f in os.listdir(ndir) if f.endswith(".ndjson")
+             and os.path.join(ndir, f) not in man_n["files"]]
+    assert stale == []
+
+
+def test_ivf_rerun_replaces(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raybeats.textops.knn import IvfIndex, write_ivf_partitioned
+    rng = np.random.default_rng(1)
+    t = pa.table({"vec_id": pa.array(range(100), pa.int64()),
+                  "embedding": pa.array(
+                      rng.standard_normal((100, 8)).tolist(),
+                      pa.list_(pa.float64()))})
+    ds = rd.from_arrow(t).repartition(4)
+    index = IvfIndex.build(ds, n_centroids=4, seed=3)
+    out = str(tmp_path / "ivf")
+    for _ in range(2):
+        lanes = write_ivf_partitioned(ds, index, out)
+    assert sum(lanes.values()) == 100
