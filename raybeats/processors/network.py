@@ -86,6 +86,70 @@ def _to_proto(v) -> int | None:
     return _TRANSPORTS.get(s) or _TRANSPORTS.get(s.lower())
 
 
+@register("translate_sid")
+class TranslateSid(Processor):
+    """Windows SID → account name/type/domain
+    (``processors/translate_sid/``). The reference resolves through the
+    host OS's LookupAccountSid; a cluster engine has no Windows account
+    store, so the directory arrives as DATA: ``accounts`` rows (or an
+    ``accounts_parquet`` side table) with columns
+    ``sid, account_name, account_type, domain`` — the same
+    broadcast-dictionary shape as every other lookup enrich (documented
+    divergence; resolution semantics, config surface and per-row
+    miss/failure behavior follow the reference,
+    ``translate_sid/config.go:22-37``)."""
+
+    def __init__(self, field: str, account_name_target: str = "",
+                 account_type_target: str = "", domain_target: str = "",
+                 ignore_missing: bool = False, ignore_failure: bool = False,
+                 accounts: list[dict] | None = None,
+                 accounts_parquet: str | None = None):
+        from ..errors import ConfigError
+        if not (account_name_target or account_type_target
+                or domain_target):
+            raise ConfigError(
+                "translate_sid: at least one target field must be "
+                "configured (account_name_target, account_type_target, "
+                "and/or domain_target)")
+        side = accounts
+        if accounts_parquet:
+            import pyarrow.parquet as pq
+            side = pq.read_table(accounts_parquet).to_pylist()
+        if not side:
+            raise ConfigError(
+                "translate_sid: this engine resolves SIDs from a "
+                "provided account table (accounts/accounts_parquet) — "
+                "there is no OS account store on a cluster")
+        self.index = {r["sid"]: r for r in side}
+        self.field = field
+        self.targets = [(t, k) for t, k in
+                        ((account_name_target, "account_name"),
+                         (account_type_target, "account_type"),
+                         (domain_target, "domain")) if t]
+        self.ignore_missing = ignore_missing
+        self.ignore_failure = ignore_failure
+
+    def apply(self, tbl: pa.Table) -> pa.Table:
+        from ..errors import ConfigError
+        col = get_column(tbl, self.field)
+        if col is None:
+            if self.ignore_missing:
+                return tbl
+            raise ConfigError(f"translate_sid: missing {self.field!r}")
+        sids = col.to_pylist()
+        misses = [s for s in sids
+                  if s is not None and s not in self.index]
+        if misses and not self.ignore_failure:
+            raise ValueError(
+                f"translate_sid: {len(misses)} unresolvable SID(s), "
+                f"e.g. {misses[0]!r} (ignore_failure=false)")
+        for target, key in self.targets:
+            vals = [None if s is None else
+                    (self.index.get(s) or {}).get(key) for s in sids]
+            tbl = set_column(tbl, target, pa.array(vals, pa.string()))
+        return tbl
+
+
 @register("community_id")
 class CommunityId(Processor):
     """ECS-default field wiring (``communityid/config.go:40-50``):

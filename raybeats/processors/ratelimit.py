@@ -141,7 +141,6 @@ class LookupEnrich(Processor):
         return self.enricher(tbl)
 
 
-_stub("translate_sid", "Windows SID resolution needs an OS account store")
 _stub("dns", "no resolver in this environment; use lookup_enrich with a "
       "resolution table")
 _stub("add_docker_metadata", "no Docker daemon; use lookup_enrich with a "

@@ -46,9 +46,37 @@ def test_decode_xml():
 
 
 def test_stub_processors_raise():
-    for name in ("translate_sid",):
+    # env-bound metadata enrichers stay stubs pointing at lookup_enrich
+    for name in ("dns", "add_docker_metadata"):
         with pytest.raises(NotImplementedError):
             build_processor({name: {}})
+
+
+def test_translate_sid_with_account_table():
+    """translate_sid resolves from a provided account directory (the
+    reference's LookupAccountSid semantics over data instead of the OS;
+    config surface from translate_sid/config.go:22-37)."""
+    accounts = [{"sid": "S-1-5-18", "account_name": "SYSTEM",
+                 "account_type": "Well Known Group",
+                 "domain": "NT AUTHORITY"}]
+    p = build_processor({"translate_sid": {
+        "field": "sid", "account_name_target": "user.name",
+        "domain_target": "user.domain", "accounts": accounts,
+        "ignore_failure": True}})
+    t = p.apply(pa.table({"sid": ["S-1-5-18", "S-1-0-0", None]}))
+    assert t.column("user.name").to_pylist() == ["SYSTEM", None, None]
+    assert t.column("user.domain").to_pylist() == \
+        ["NT AUTHORITY", None, None]
+    # no targets configured -> ConfigError (reference Validate)
+    with pytest.raises(ConfigError):
+        build_processor({"translate_sid": {
+            "field": "sid", "accounts": accounts}})
+    # unresolvable SID with ignore_failure=false -> loud error
+    strict = build_processor({"translate_sid": {
+        "field": "sid", "account_name_target": "n",
+        "accounts": accounts}})
+    with pytest.raises(ValueError):
+        strict.apply(pa.table({"sid": ["S-1-0-0"]}))
 
 
 def test_community_id_reference_vectors():
