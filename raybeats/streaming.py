@@ -174,6 +174,86 @@ def streaming_sliding_window(micro_batches, window_minutes: int = 60,
                         ("event_id", "ascending")])
 
 
+class TumblingWindowState:
+    """Per-bucket incremental tumbling-window aggregate: exact integer
+    cents sums per (user_id, hour). Each arriving micro-batch folds one
+    vectorized arrow partial into the keyed dict — state is one row per
+    live window key, flushed at end of stream. Matches the batch
+    ``window_agg`` query exactly (same half-away-from-zero rounding)."""
+
+    def __init__(self):
+        self.state: dict[tuple[int, int], list[int]] = {}
+
+    def process(self, tbl: pa.Table) -> int:
+        import pyarrow.compute as pc
+        if tbl.num_rows == 0:
+            return 0
+        # normalize to µs BEFORE the int cast (source ts may be
+        # second-resolution; flush rebuilds timestamp[us] from the ints)
+        hour = pc.cast(pc.cast(pc.floor_temporal(tbl.column("ts"),
+                                                 unit="hour"),
+                               pa.timestamp("us")), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(tbl.column("value"), 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        t = pa.table({"u": tbl.column("user_id"), "h": hour, "c": cents})
+        g = t.group_by(["u", "h"]).aggregate([("c", "sum"),
+                                              ("c", "count")])
+        for u, h, s, n in zip(g.column("u").to_pylist(),
+                              g.column("h").to_pylist(),
+                              g.column("c_sum").to_pylist(),
+                              g.column("c_count").to_pylist()):
+            st = self.state.setdefault((u, h), [0, 0])
+            st[0] += s
+            st[1] += n
+        return tbl.num_rows
+
+    def flush(self) -> pa.Table:
+        keys = sorted(self.state)
+        return pa.table({
+            "user_id": pa.array([k[0] for k in keys], pa.int64()),
+            "hour": pa.array([k[1] for k in keys], pa.timestamp("us")),
+            "total_cents": pa.array([self.state[k][0] for k in keys],
+                                    pa.int64()),
+            "n": pa.array([self.state[k][1] for k in keys], pa.int64()),
+        })
+
+
+def streaming_window_agg(micro_batches, n_buckets: int = 4):
+    """Incremental counterpart of the batch ``window_agg`` query
+    (tumbling hour windows): keyed actor state per bucket, flush equals
+    the batch result exactly (tested)."""
+    import ray
+
+    Actor = ray.remote(TumblingWindowState)
+    actors = [Actor.remote() for _ in range(n_buckets)]
+
+    def route(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["bucket"].iloc[0])
+        tbl = pa.Table.from_pandas(g.drop(columns=["bucket"]),
+                                   preserve_index=False)
+        n = ray.get(actors[bucket].process.remote(tbl))
+        return pd.DataFrame({"bucket": [bucket], "rows": [int(n)]})
+
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "bucket", int_bucket(tbl.column("user_id"), n_buckets))
+
+    for slice_ds in micro_batches:
+        slice_ds.map_batches(add_bucket, batch_format="pyarrow") \
+            .groupby("bucket").map_groups(route, batch_format="pandas") \
+            .take_all()
+    parts = [p for p in ray.get([a.flush.remote() for a in actors])
+             if p.num_rows]
+    if not parts:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "hour": pa.array([], pa.timestamp("us")),
+                         "total_cents": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    return pa.concat_tables(parts).sort_by([("user_id", "ascending"),
+                                            ("hour", "ascending")])
+
+
 def streaming_sessionize(micro_batches, gap_minutes: int = 30,
                          n_buckets: int = 4):
     """``micro_batches``: iterable of ``ray.data.Dataset`` slices in

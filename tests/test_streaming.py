@@ -68,3 +68,26 @@ def test_streaming_sliding_window_tie_straddles_boundary(ray_session):
     got = {r["event_id"]: r["n_trailing_hour"] for r in out}
     # e1 and e2 are ts-peers (count each other); e3 sees all three
     assert got == {1: 2, 2: 2, 3: 3}
+
+
+def test_streaming_window_agg_equals_batch(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raybeats.queries import q_window_agg
+    from raybeats.streaming import streaming_window_agg
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["user_id", "ts", "value"]).sort_by("ts")
+    n = t.num_rows
+    slices = [rd.from_arrow(t.slice(i * n // 3,
+                                    (i + 1) * n // 3 - i * n // 3))
+              for i in range(3)]
+    streamed = streaming_window_agg(slices, n_buckets=3).to_pylist()
+
+    batch = pa.concat_tables(list(
+        q_window_agg(SF).iter_batches(batch_format="pyarrow")))
+    want = sorted(batch.to_pylist(),
+                  key=lambda r: (r["user_id"], r["hour"]))
+    assert streamed == want
+    assert len(streamed) > 50
