@@ -192,7 +192,8 @@ def run_dedup_bench() -> dict:
         # is the natural persist point at scale)
         cand = minhash_candidates(survivors, num_hashes=96, bands=16,
                                   shingle_k=8,
-                                  n_buckets=adaptive_buckets(16 * n_docs)) \
+                                  n_buckets=adaptive_buckets(16 * n_docs),
+                                  dedup=False) \
             .materialize()
         pairs = jaccard_verify(cand, survivors, threshold=0.5,
                                n_buckets=adaptive_buckets(n_docs))

@@ -1026,7 +1026,8 @@ def q_minhash_pairs(sf_dir: str):
     n_docs = _nrows(sf_dir, "documents")
     docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32)
     cand = minhash_candidates(docs, bands=16, num_hashes=96, shingle_k=8,
-                              n_buckets=adaptive_buckets(16 * n_docs))
+                              n_buckets=adaptive_buckets(16 * n_docs),
+                              dedup=False)  # verify cogroup dedups
     return jaccard_verify(cand, docs, threshold=0.5,
                           n_buckets=adaptive_buckets(n_docs))
 
@@ -1069,7 +1070,8 @@ def q_dedup_clusters(sf_dir: str):
     n_docs = _nrows(sf_dir, "documents")
     docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=16)
     cand = minhash_candidates(docs,
-                              n_buckets=adaptive_buckets(16 * n_docs))
+                              n_buckets=adaptive_buckets(16 * n_docs),
+                              dedup=False)  # verify cogroup dedups
     pairs = jaccard_verify(cand, docs, threshold=0.5,
                            n_buckets=adaptive_buckets(n_docs))
     return duplicate_clusters(pairs,

@@ -188,7 +188,8 @@ class MinHasher:
 def minhash_candidates(ds, id_col: str = "doc_id", text_col: str = "text",
                        num_hashes: int = 96, bands: int = 16,
                        shingle_k: int = 8, concurrency: int = 4,
-                       n_buckets: int = 64, max_bucket: int = 256):
+                       n_buckets: int = 64, max_bucket: int = 256,
+                       dedup: bool = True):
     """→ (a, b) candidate near-duplicate id pairs (a < b), deduped.
 
     ``n_buckets`` coarsens the (band, band_hash) shuffle — scale it with
@@ -244,6 +245,10 @@ def minhash_candidates(ds, id_col: str = "doc_id", text_col: str = "text",
 
     cand = exploded.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(pairs, batch_format="pandas")
+    if not dedup:
+        # callers feeding jaccard_verify can skip this whole shuffle:
+        # the verify cogroup dedups (a, b) per pivot bucket for free
+        return cand
     # dedup pairs discovered in multiple bands (tiny relative to corpus)
     from ray.data.aggregate import Count
     return cand.groupby(["a", "b"]).aggregate(Count(alias_name="nbands"))
@@ -310,7 +315,10 @@ def jaccard_verify(pairs_ds, docs_ds, threshold: float = 0.8,
 
     def attach_text(g: pd.DataFrame) -> pa.Table:
         docs = g[g["doc"].notna()][["key", "doc"]]
-        eps = g[g["doc"].isna()][["key", "a", "b"]]
+        # dedup duplicate candidates here (pairs found by several LSH
+        # bands) — lets upstream skip its own dedup shuffle
+        eps = g[g["doc"].isna()][["key", "a", "b"]] \
+            .drop_duplicates(["key", "a", "b"])
         m = eps.merge(docs, on="key")
         # re-key by the pair's first endpoint so both halves co-locate
         # for the pivot (explicit arrow schema: an all-null pandas column
@@ -333,8 +341,9 @@ def jaccard_verify(pairs_ds, docs_ds, threshold: float = 0.8,
                                                     n_buckets))
 
     def pivot(g: pd.DataFrame) -> pa.Table:
-        left = g[g["is_a"]][["a", "b", "doc"]]
-        right = g[~g["is_a"]][["a", "b", "doc"]]
+        left = g[g["is_a"]][["a", "b", "doc"]].drop_duplicates(["a", "b"])
+        right = g[~g["is_a"]][["a", "b", "doc"]] \
+            .drop_duplicates(["a", "b"])
         m = left.merge(right, on=["a", "b"], suffixes=("_a", "_b"))
         return pa.table({
             "a": pa.array(m["a"].to_numpy(dtype="int64"), pa.int64()),
