@@ -493,21 +493,27 @@ def q_window_agg(sf_dir: str):
                          "total_cents": g.column("cents_sum"),
                          "n": pc.cast(g.column("cents_count"), pa.int64())})
 
-    from ray.data.aggregate import Sum
-    small = _read(sf_dir, "events", ["user_id", "ts", "value"]) \
-        .map_batches(partial, batch_format="pyarrow")
-    # user_id × hour cardinality grows with input — combine via the
-    # DISTRIBUTED groupby (partials already shrank each batch to one row
-    # per key), never a driver-side fan-in
-    agg = small.groupby(["user_id", "hour"]).aggregate(
-        Sum("total_cents", alias_name="total_cents"),
-        Sum("n", alias_name="n"))
-
     def normalize(tbl: pa.Table) -> pa.Table:
         # events ts is stored at second resolution; DuckDB emits us
         return tbl.set_column(tbl.column_names.index("hour"), "hour",
                               pc.cast(tbl.column("hour"),
                                       pa.timestamp("us")))
+
+    small = _read(sf_dir, "events", ["user_id", "ts", "value"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    # user_id × hour cardinality grows with input, so the combine is the
+    # DISTRIBUTED groupby by default; below a statically-known input
+    # budget (parquet footer rows bound the partial rows) one driver
+    # arrow group_by beats the multi-second Ray shuffle floor — the same
+    # bounded-fast-path pattern as duplicate_clusters
+    if _nrows(sf_dir, "events") <= 2_000_000:
+        return normalize(_combine_partials(
+            small, ["user_id", "hour"],
+            {"total_cents": "total_cents", "n": "n"}))
+    from ray.data.aggregate import Sum
+    agg = small.groupby(["user_id", "hour"]).aggregate(
+        Sum("total_cents", alias_name="total_cents"),
+        Sum("n", alias_name="n"))
     return agg.map_batches(normalize, batch_format="pyarrow")
 
 

@@ -83,3 +83,29 @@ def test_entry_smoke(ray_session):
     df = to_df(e.entry())
     assert len(df) > 0
     assert set(e.oracle_sql()).issubset(set(e.queries()))
+
+
+def test_window_agg_combine_paths_agree(ray_session, monkeypatch):
+    """The bounded driver-combine fast path and the distributed groupby
+    path must produce identical (values AND schema) window_agg results."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import raybeats.queries as q
+
+    def run():
+        r = q.q_window_agg("/root/testdata/sf0.001")
+        if isinstance(r, rd.Dataset):
+            r = pa.concat_tables(list(r.iter_batches(
+                batch_format="pyarrow")))
+        return r
+
+    fast = run()  # sf fixtures sit under the 2M-row budget
+    monkeypatch.setattr(q, "_nrows", lambda *a: 10**9)
+    dist = run()
+    assert fast.schema.types == dist.schema.types
+    key = lambda t: sorted(zip(t.column("user_id").to_pylist(),
+                               t.column("hour").to_pylist(),
+                               t.column("total_cents").to_pylist(),
+                               t.column("n").to_pylist()))
+    assert key(fast) == key(dist) and fast.num_rows > 0
