@@ -85,8 +85,10 @@ def test_streaming_window_agg_equals_batch(ray_session):
               for i in range(3)]
     streamed = streaming_window_agg(slices, n_buckets=3).to_pylist()
 
-    batch = pa.concat_tables(list(
-        q_window_agg(SF).iter_batches(batch_format="pyarrow")))
+    batch = q_window_agg(SF)
+    if isinstance(batch, rd.Dataset):
+        batch = pa.concat_tables(list(
+            batch.iter_batches(batch_format="pyarrow")))
     want = sorted(batch.to_pylist(),
                   key=lambda r: (r["user_id"], r["hour"]))
     assert streamed == want
