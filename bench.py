@@ -97,10 +97,11 @@ def run_headline() -> tuple[float, int]:
         worst = max(worst, took)
         assert report["pipeline.events.published"] > 0
         i += 1
-        # host-contention insurance: when two runs disagree wildly the
+        # host-contention insurance: when the runs disagree wildly the
         # window is degraded (this shared box shows phantom load with
-        # 99% in-VM idle) — buy one extra sample
-        if i == max(1, runs) and runs >= 2 and runs < 4 \
+        # 99% in-VM idle) — buy ONE extra sample, once
+        if i == runs and runs == int(os.environ.get(
+                "RAYBEATS_BENCH_RUNS", "2")) and runs >= 2 \
                 and worst / max(elapsed, 1e-9) > 1.5:
             runs += 1
     return elapsed, info["rows"]

@@ -20,6 +20,7 @@ import struct
 
 import pyarrow as pa
 
+from ..errors import ConfigError
 from . import Processor, get_column, register, set_column
 
 _TRANSPORTS = {"icmp": 1, "igmp": 2, "tcp": 6, "udp": 17, "gre": 47,
@@ -104,7 +105,6 @@ class TranslateSid(Processor):
                  ignore_missing: bool = False, ignore_failure: bool = False,
                  accounts: list[dict] | None = None,
                  accounts_parquet: str | None = None):
-        from ..errors import ConfigError
         if not (account_name_target or account_type_target
                 or domain_target):
             raise ConfigError(
@@ -130,7 +130,6 @@ class TranslateSid(Processor):
         self.ignore_failure = ignore_failure
 
     def apply(self, tbl: pa.Table) -> pa.Table:
-        from ..errors import ConfigError
         col = get_column(tbl, self.field)
         if col is None:
             if self.ignore_missing:

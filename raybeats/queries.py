@@ -477,27 +477,10 @@ def q_window_agg(sf_dir: str):
     """Tumbling event-time window aggregate (hour buckets) — the windowed
     aggregate the reference lacks, expressed as derive-bucket → partial
     agg per batch → tiny combine. Sums are exact (integer cents)."""
-    def partial(tbl: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(tbl.column("ts"), unit="hour")
-        # DuckDB round() is half-away-from-zero; arrow defaults to
-        # half_to_even — match the oracle explicitly
-        cents = pc.cast(pc.round(pc.multiply(tbl.column("value"), 100.0),
-                                 round_mode="half_towards_infinity"),
-                        pa.int64())
-        t = pa.table({"user_id": tbl.column("user_id"), "hour": hour,
-                      "cents": cents})
-        g = t.group_by(["user_id", "hour"]).aggregate(
-            [("cents", "sum"), ("cents", "count")])
-        return pa.table({"user_id": g.column("user_id"),
-                         "hour": g.column("hour"),
-                         "total_cents": g.column("cents_sum"),
-                         "n": pc.cast(g.column("cents_count"), pa.int64())})
-
-    def normalize(tbl: pa.Table) -> pa.Table:
-        # events ts is stored at second resolution; DuckDB emits us
-        return tbl.set_column(tbl.column_names.index("hour"), "hour",
-                              pc.cast(tbl.column("hour"),
-                                      pa.timestamp("us")))
+    # partial kernel shared with the streaming TumblingWindowState so
+    # the flush-equals-batch invariant cannot drift (util.py); hour is
+    # already normalized to µs (DuckDB's resolution) inside it
+    from .util import hour_cents_partial as partial
 
     small = _read(sf_dir, "events", ["user_id", "ts", "value"]) \
         .map_batches(partial, batch_format="pyarrow")
@@ -507,13 +490,20 @@ def q_window_agg(sf_dir: str):
     # arrow group_by beats the multi-second Ray shuffle floor — the same
     # bounded-fast-path pattern as duplicate_clusters
     if _nrows(sf_dir, "events") <= 2_000_000:
-        return normalize(_combine_partials(
+        return _combine_partials(
             small, ["user_id", "hour"],
-            {"total_cents": "total_cents", "n": "n"}))
+            {"total_cents": "total_cents", "n": "n"})
     from ray.data.aggregate import Sum
     agg = small.groupby(["user_id", "hour"]).aggregate(
         Sum("total_cents", alias_name="total_cents"),
         Sum("n", alias_name="n"))
+
+    def normalize(tbl: pa.Table) -> pa.Table:
+        # Ray's hash-aggregate demotes the timestamp key's unit; DuckDB
+        # (and the fast path) emit µs
+        return tbl.set_column(tbl.column_names.index("hour"), "hour",
+                              pc.cast(tbl.column("hour"),
+                                      pa.timestamp("us")))
     return agg.map_batches(normalize, batch_format="pyarrow")
 
 

@@ -22,7 +22,44 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .util import int_bucket
+from .util import hour_cents_partial, int_bucket
+
+
+def _drive_keyed_actors(micro_batches, state_cls, ctor_args: tuple,
+                        n_buckets: int, collect_rows: bool = False,
+                        key_col: str = "user_id"):
+    """Shared micro-batch → keyed-actor fan-in (used by all streaming
+    window modes): bucket rows by key, forward each bucket's group to
+    its long-lived state actor in event-time order. Returns
+    ``(actors, collected_rows)`` — ``collected_rows`` holds the actors'
+    per-batch result rows when ``collect_rows`` (the actor's ``process``
+    then returns a table; otherwise an ack count)."""
+    import ray
+
+    Actor = ray.remote(state_cls)
+    actors = [Actor.remote(*ctor_args) for _ in range(n_buckets)]
+
+    def route(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["bucket"].iloc[0])
+        tbl = pa.Table.from_pandas(g.drop(columns=["bucket"]),
+                                   preserve_index=False)
+        res = ray.get(actors[bucket].process.remote(tbl))
+        if collect_rows:
+            return res.to_pandas()
+        return pd.DataFrame({"bucket": [bucket], "rows": [int(res)]})
+
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "bucket", int_bucket(tbl.column(key_col), n_buckets))
+
+    collected: list[dict] = []
+    for slice_ds in micro_batches:
+        got = slice_ds.map_batches(add_bucket, batch_format="pyarrow") \
+            .groupby("bucket").map_groups(route, batch_format="pandas") \
+            .take_all()
+        if collect_rows:
+            collected.extend(got)
+    return actors, collected
 
 
 class SessionState:
@@ -141,70 +178,44 @@ def streaming_sliding_window(micro_batches, window_minutes: int = 60,
     import ray
 
     window_us = window_minutes * 60 * 1_000_000
-    Actor = ray.remote(TrailingWindowState)
-    actors = [Actor.remote(window_us) for _ in range(n_buckets)]
-
-    def route(g: pd.DataFrame) -> pd.DataFrame:
-        bucket = int(g["bucket"].iloc[0])
-        tbl = pa.Table.from_pandas(g.drop(columns=["bucket"]),
-                                   preserve_index=False)
-        res = ray.get(actors[bucket].process.remote(tbl))
-        return res.to_pandas()
-
-    def add_bucket(tbl: pa.Table) -> pa.Table:
-        return tbl.append_column(
-            "bucket", int_bucket(tbl.column("user_id"), n_buckets))
-
-    parts = []
-    for slice_ds in micro_batches:
-        got = slice_ds.map_batches(add_bucket, batch_format="pyarrow") \
-            .groupby("bucket").map_groups(route, batch_format="pandas") \
-            .take_all()
-        parts.extend(got)
+    actors, parts = _drive_keyed_actors(micro_batches, TrailingWindowState,
+                                        (window_us,), n_buckets,
+                                        collect_rows=True)
     # end-of-stream: flush deferred max-watermark rows from every actor
     for flushed in ray.get([a.flush.remote() for a in actors]):
         parts.extend(flushed.to_pylist())
     if not parts:
-        return pa.table({"event_id": pa.array([], pa.int64()),
-                         "user_id": pa.array([], pa.int64()),
-                         "n_trailing_hour": pa.array([], pa.int64())})
-    import pyarrow.compute as pc  # noqa: F401  (sort below)
-    out = pa.Table.from_pylist(parts)
-    return out.sort_by([("user_id", "ascending"),
-                        ("event_id", "ascending")])
+        return TrailingWindowState._EMPTY
+    return pa.Table.from_pylist(parts).sort_by(
+        [("user_id", "ascending"), ("event_id", "ascending")])
 
 
 class TumblingWindowState:
     """Per-bucket incremental tumbling-window aggregate: exact integer
     cents sums per (user_id, hour). Each arriving micro-batch folds one
-    vectorized arrow partial into the keyed dict — state is one row per
-    live window key, flushed at end of stream. Matches the batch
-    ``window_agg`` query exactly (same half-away-from-zero rounding)."""
+    vectorized arrow partial — the SAME ``util.hour_cents_partial``
+    kernel the batch ``window_agg`` query uses, so the flush-equals-
+    batch parity cannot drift — into the keyed dict; state is one row
+    per live window key, flushed at end of stream."""
 
     def __init__(self):
-        self.state: dict[tuple[int, int], list[int]] = {}
+        self.state: dict[tuple, list[int]] = {}
 
     def process(self, tbl: pa.Table) -> int:
-        import pyarrow.compute as pc
         if tbl.num_rows == 0:
             return 0
-        # normalize to µs BEFORE the int cast (source ts may be
-        # second-resolution; flush rebuilds timestamp[us] from the ints)
-        hour = pc.cast(pc.cast(pc.floor_temporal(tbl.column("ts"),
-                                                 unit="hour"),
-                               pa.timestamp("us")), pa.int64())
-        cents = pc.cast(pc.round(pc.multiply(tbl.column("value"), 100.0),
-                                 round_mode="half_towards_infinity"),
-                        pa.int64())
-        t = pa.table({"u": tbl.column("user_id"), "h": hour, "c": cents})
-        g = t.group_by(["u", "h"]).aggregate([("c", "sum"),
-                                              ("c", "count")])
-        for u, h, s, n in zip(g.column("u").to_pylist(),
-                              g.column("h").to_pylist(),
-                              g.column("c_sum").to_pylist(),
-                              g.column("c_count").to_pylist()):
+        g = hour_cents_partial(tbl)
+        for u, h, s, n in zip(g.column("user_id").to_pylist(),
+                              g.column("hour").to_pylist(),
+                              g.column("total_cents").to_pylist(),
+                              g.column("n").to_pylist()):
+            if s is None and n == 0:
+                # all-null value group: nothing to fold (arrow's sum of
+                # an all-null group is null; the batch combine likewise
+                # sums nothing for it)
+                continue
             st = self.state.setdefault((u, h), [0, 0])
-            st[0] += s
+            st[0] += s or 0
             st[1] += n
         return tbl.num_rows
 
@@ -225,24 +236,8 @@ def streaming_window_agg(micro_batches, n_buckets: int = 4):
     the batch result exactly (tested)."""
     import ray
 
-    Actor = ray.remote(TumblingWindowState)
-    actors = [Actor.remote() for _ in range(n_buckets)]
-
-    def route(g: pd.DataFrame) -> pd.DataFrame:
-        bucket = int(g["bucket"].iloc[0])
-        tbl = pa.Table.from_pandas(g.drop(columns=["bucket"]),
-                                   preserve_index=False)
-        n = ray.get(actors[bucket].process.remote(tbl))
-        return pd.DataFrame({"bucket": [bucket], "rows": [int(n)]})
-
-    def add_bucket(tbl: pa.Table) -> pa.Table:
-        return tbl.append_column(
-            "bucket", int_bucket(tbl.column("user_id"), n_buckets))
-
-    for slice_ds in micro_batches:
-        slice_ds.map_batches(add_bucket, batch_format="pyarrow") \
-            .groupby("bucket").map_groups(route, batch_format="pandas") \
-            .take_all()
+    actors, _ = _drive_keyed_actors(micro_batches, TumblingWindowState,
+                                    (), n_buckets)
     parts = [p for p in ray.get([a.flush.remote() for a in actors])
              if p.num_rows]
     if not parts:
@@ -262,28 +257,8 @@ def streaming_sessionize(micro_batches, gap_minutes: int = 30,
     import ray
 
     gap_us = gap_minutes * 60 * 1_000_000
-    Actor = ray.remote(SessionState)
-    actors = [Actor.remote(gap_us) for _ in range(n_buckets)]
-
-    def route(g: pd.DataFrame) -> pd.DataFrame:
-        # one task per bucket per micro-batch: forward the whole group to
-        # the bucket's state actor and wait (keeps event-time order)
-        bucket = int(g["bucket"].iloc[0])
-        tbl = pa.Table.from_pandas(g.drop(columns=["bucket"]),
-                                   preserve_index=False)
-        n = ray.get(actors[bucket].process.remote(tbl))
-        return pd.DataFrame({"bucket": [bucket], "rows": [int(n)]})
-
-    def add_bucket(tbl: pa.Table) -> pa.Table:
-        return tbl.append_column(
-            "bucket", int_bucket(tbl.column("user_id"), n_buckets))
-
-    total = 0
-    for slice_ds in micro_batches:
-        acks = slice_ds.map_batches(add_bucket, batch_format="pyarrow") \
-            .groupby("bucket").map_groups(route, batch_format="pandas") \
-            .take_all()
-        total += sum(r["rows"] for r in acks)
+    actors, _ = _drive_keyed_actors(micro_batches, SessionState,
+                                    (gap_us,), n_buckets)
     parts = ray.get([a.flush.remote() for a in actors])
     nonempty = [p for p in parts if p.num_rows]
     if not nonempty:

@@ -132,6 +132,27 @@ def fnv1a_u32_fold(col, h=None) -> "object":
     return h
 
 
+def hour_cents_partial(tbl: pa.Table) -> pa.Table:
+    """Shared tumbling-window partial kernel (batch ``window_agg`` query
+    AND the streaming ``TumblingWindowState`` fold use THIS function, so
+    their flush-equals-batch parity cannot drift): hour-floor the ``ts``
+    column (normalized to µs), exact integer cents via DuckDB-compatible
+    half-away-from-zero rounding, one partial row per (user_id, hour)."""
+    hour = pc.cast(pc.floor_temporal(tbl.column("ts"), unit="hour"),
+                   pa.timestamp("us"))
+    cents = pc.cast(pc.round(pc.multiply(tbl.column("value"), 100.0),
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+    t = pa.table({"user_id": tbl.column("user_id"), "hour": hour,
+                  "cents": cents})
+    g = t.group_by(["user_id", "hour"]).aggregate(
+        [("cents", "sum"), ("cents", "count")])
+    return pa.table({"user_id": g.column("user_id"),
+                     "hour": g.column("hour"),
+                     "total_cents": g.column("cents_sum"),
+                     "n": pc.cast(g.column("cents_count"), pa.int64())})
+
+
 def adaptive_buckets(nrows: int, target_rows: int = 100_000,
                      lo: int = 64, hi: int = 1 << 20) -> int:
     """Bucket count for coarsened keyed shuffles: scales LINEARLY with
