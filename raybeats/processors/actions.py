@@ -467,11 +467,48 @@ class DetectMimeType(Processor):
     """Content sniff of a field → ``target``
     (``actions/detect_mime_type.go``); magic-byte heuristic."""
 
-    MAGIC = [(b"\x1f\x8b", "application/gzip"),
-             (b"\x89PNG", "image/png"),
-             (b"\xff\xd8\xff", "image/jpeg"),
-             (b"%PDF", "application/pdf"),
-             (b"PK\x03\x04", "application/zip")]
+    # prefix magic bytes, longest-prefix-first within a first-byte group
+    # (signature set mirrors the sniffing table the reference's mime
+    # package wraps — libbeat/mime/{byte,string}.go via h2non/filetype)
+    MAGIC = [
+        (b"\x89PNG\r\n\x1a\n", "image/png"),
+        (b"\x89PNG", "image/png"),
+        (b"\xff\xd8\xff", "image/jpeg"),
+        (b"GIF87a", "image/gif"), (b"GIF89a", "image/gif"),
+        (b"BM", "image/bmp"),
+        (b"II*\x00", "image/tiff"), (b"MM\x00*", "image/tiff"),
+        (b"%PDF", "application/pdf"),
+        (b"PK\x03\x04", "application/zip"),
+        (b"Rar!\x1a\x07", "application/vnd.rar"),
+        (b"7z\xbc\xaf\x27\x1c", "application/x-7z-compressed"),
+        (b"\x1f\x8b", "application/gzip"),
+        (b"BZh", "application/x-bzip2"),
+        (b"\xfd7zXZ\x00", "application/x-xz"),
+        (b"\x28\xb5\x2f\xfd", "application/zstd"),
+        (b"ustar", None),  # tar magic sits at offset 257; handled below
+        (b"ID3", "audio/mpeg"),
+        (b"\xff\xfb", "audio/mpeg"), (b"\xff\xf3", "audio/mpeg"),
+        (b"fLaC", "audio/x-flac"),
+        (b"OggS", "audio/ogg"),
+        (b"\x1aE\xdf\xa3", "video/x-matroska"),
+        (b"\x00\x00\x00\x14ftyp", "video/mp4"),
+        (b"\x00\x00\x00\x18ftyp", "video/mp4"),
+        (b"\x00\x00\x00\x1cftyp", "video/mp4"),
+        (b"\x00\x00\x00\x20ftyp", "video/mp4"),
+        (b"wOFF", "font/woff"), (b"wOF2", "font/woff2"),
+        (b"\x7fELF", "application/x-executable"),
+        (b"MZ", "application/vnd.microsoft.portable-executable"),
+        (b"\x00asm", "application/wasm"),
+        (b"SQLite format 3\x00", "application/vnd.sqlite3"),
+        (b"PAR1", "application/vnd.apache.parquet"),
+    ]
+    # container refinements for zip-based formats (first PK entry name)
+    _ZIP_KINDS = [(b"word/", "application/vnd.openxmlformats-officedocument"
+                   ".wordprocessingml.document"),
+                  (b"xl/", "application/vnd.openxmlformats-officedocument"
+                   ".spreadsheetml.sheet"),
+                  (b"ppt/", "application/vnd.openxmlformats-officedocument"
+                   ".presentationml.presentation")]
 
     def __init__(self, field: str, target: str):
         self.field, self.target = field, target
@@ -481,8 +518,16 @@ class DetectMimeType(Processor):
             return None
         b = v.encode("utf-8", "ignore") if isinstance(v, str) else bytes(v)
         for magic, mime in self.MAGIC:
-            if b.startswith(magic):
+            if mime is not None and b.startswith(magic):
+                if mime == "application/zip":
+                    for marker, refined in self._ZIP_KINDS:
+                        if marker in b[:256]:
+                            return refined
                 return mime
+        if len(b) > 262 and b[257:262] == b"ustar":
+            return "application/x-tar"
+        if b[4:8] == b"ftyp":  # mp4 family with other box sizes
+            return "video/mp4"
         s = b.lstrip()
         if s.startswith((b"{", b"[")):
             return "application/json"

@@ -416,3 +416,30 @@ def test_decode_xml_wineventlog_reference_case():
         "Special privileges assigned to new logon.", None]
     flags = c("log_flags")
     assert flags[0] is None and "wineventlog_decode_error" in flags[1]
+
+
+def test_detect_mime_type_signatures():
+    cases = {
+        b"\x89PNG\r\n\x1a\n....": "image/png",
+        b"\xff\xd8\xff\xe0..": "image/jpeg",
+        b"GIF89a....": "image/gif",
+        b"%PDF-1.4": "application/pdf",
+        b"PK\x03\x04plainzip": "application/zip",
+        b"PK\x03\x04..xl/workbook.xml": (
+            "application/vnd.openxmlformats-officedocument"
+            ".spreadsheetml.sheet"),
+        b"\x1f\x8bgz": "application/gzip",
+        b"fLaC...": "audio/x-flac",
+        b"\x00\x00\x00\x18ftypmp42": "video/mp4",
+        b"\x00\x00\x00\x24ftypisom": "video/mp4",  # odd box size fallback
+        b"\x7fELF..": "application/x-executable",
+        b"PAR1...": "application/vnd.apache.parquet",
+        b'{"a": 1}': "application/json",
+        b"<xml/>": "text/xml",
+        b"hello world": "text/plain",
+        (b"x" * 257 + b"ustar" + b"\x00" * 50): "application/x-tar",
+    }
+    p = build_processor({"detect_mime_type": {"field": "b",
+                                              "target": "mime"}})
+    t = p.apply(T(b=pa.array(list(cases), pa.binary())))
+    assert col(t, "mime") == list(cases.values())
