@@ -179,3 +179,32 @@ def test_incremental_harvester_append_rotate_truncate(ray_session,
     store2 = CursorStore(str(tmp_path / "cursors.json"))
     ds, plans = read_log_lines_incremental([log, rotated], store2)
     assert ds.count() == 0 and plans == []
+
+
+def test_incremental_multiline_flushes_at_scan(ray_session, tmp_path):
+    """Multiline + incremental scans: the trailing multiline event
+    flushes at scan end (the reference's multiline.timeout behavior) and
+    later continuation lines start a new event; acked offsets stay
+    line-accurate."""
+    from raybeats.sources.identity import CursorStore, commit_scan
+    from raybeats.sources.logfiles import read_log_lines_incremental
+
+    log = str(tmp_path / "app.log")
+    store = CursorStore(str(tmp_path / "cur.json"))
+    ml = {"mode": "pattern", "pattern": r"^\s", "match": "after"}
+
+    def ingest():
+        ds, plans = read_log_lines_incremental([log], store, multiline=ml)
+        rows = sorted(ds.take_all(), key=lambda r: r["log.offset"])
+        commit_scan(store, plans)
+        return [r["message"] for r in rows]
+
+    with open(log, "w") as f:
+        f.write("ERROR boom\n  at frame1\n  at frame2\n")
+    assert ingest() == ["ERROR boom\n  at frame1\n  at frame2"]
+
+    # continuation lines appended AFTER the flush start a new event
+    # (same as the reference when multiline.timeout fired in between)
+    with open(log, "a") as f:
+        f.write("  at frame3\nINFO next\n")
+    assert ingest() == ["  at frame3", "INFO next"]
