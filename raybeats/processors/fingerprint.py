@@ -26,6 +26,69 @@ from . import Processor, get_column, register, set_column
 
 _METHODS = {"md5", "sha1", "sha256", "sha384", "sha512"}
 
+# xxh64 constants (public XXH64 specification)
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """Pure-python XXH64 (spec-exact; validated against the public test
+    vectors and the reference's fingerprint golden digest) — fallback
+    for the absent xxhash wheel. Per-row cost like the hashlib path."""
+    data = bytes(data)
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i <= n - 32:
+            v1 = (_rotl((v1 + int.from_bytes(data[i:i + 8], "little")
+                         * _P2) & _M64, 31) * _P1) & _M64
+            v2 = (_rotl((v2 + int.from_bytes(data[i + 8:i + 16], "little")
+                         * _P2) & _M64, 31) * _P1) & _M64
+            v3 = (_rotl((v3 + int.from_bytes(data[i + 16:i + 24], "little")
+                         * _P2) & _M64, 31) * _P1) & _M64
+            v4 = (_rotl((v4 + int.from_bytes(data[i + 24:i + 32], "little")
+                         * _P2) & _M64, 31) * _P1) & _M64
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
+             + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ ((_rotl((v * _P2) & _M64, 31) * _P1) & _M64))
+                 * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i <= n - 8:
+        k = int.from_bytes(data[i:i + 8], "little")
+        h = (h ^ ((_rotl((k * _P2) & _M64, 31) * _P1) & _M64)) & _M64
+        h = (_rotl(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i <= n - 4:
+        h = (h ^ (int.from_bytes(data[i:i + 4], "little") * _P1)) & _M64
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h = (h ^ (data[i] * _P5)) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
 
 def _format_column(col: pa.Array) -> pa.Array:
     t = col.type
@@ -51,12 +114,7 @@ class Fingerprint(Processor):
     def __init__(self, fields: list[str], method: str = "sha256",
                  encoding: str = "hex", target_field: str = "fingerprint",
                  ignore_missing: bool = False):
-        if method == "xxhash":
-            try:
-                import xxhash  # noqa: F401
-            except ImportError as e:
-                raise ConfigError("fingerprint: xxhash unavailable") from e
-        elif method not in _METHODS:
+        if method != "xxhash" and method not in _METHODS:
             raise ConfigError(f"fingerprint: bad method {method!r}")
         if encoding not in ("hex", "base32", "base64"):
             raise ConfigError(f"fingerprint: bad encoding {encoding!r}")
@@ -68,8 +126,9 @@ class Fingerprint(Processor):
 
     def _digest(self, data: bytes) -> str:
         if self.method == "xxhash":
-            import xxhash
-            raw = xxhash.xxh64(data).digest()
+            # big-endian digest bytes, matching Sum() of the reference's
+            # hash.Hash adapter (fingerprint/hash.go:57)
+            raw = xxh64(data).to_bytes(8, "big")
         else:
             raw = hashlib.new(self.method, data).digest()
         if self.encoding == "hex":

@@ -443,3 +443,19 @@ def test_detect_mime_type_signatures():
                                               "target": "mime"}})
     t = p.apply(T(b=pa.array(list(cases), pa.binary())))
     assert col(t, "mime") == list(cases.values())
+
+
+def test_fingerprint_xxhash_golden():
+    """Pure-python XXH64: public spec vectors + the reference's own
+    fingerprint golden digest (fingerprint_test.go:77-93)."""
+    from raybeats.processors.fingerprint import xxh64
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"", seed=1) == 0xD5AFBA1336A3BE4B
+    # 43 bytes: exercises the 32-byte stripe loop (public vector)
+    assert xxh64(b"The quick brown fox jumps over the lazy dog") == \
+        0x0B242D361FDA71BC
+    p = build_processor({"fingerprint": {
+        "fields": ["field1", "field2"], "method": "xxhash"}})
+    t = p.apply(T(field1=pa.array(["foo"]), field2=pa.array(["bar"]),
+                  unused_field=pa.array(["baz"])))
+    assert col(t, "fingerprint") == ["37bc50682fba6686"]
