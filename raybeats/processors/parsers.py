@@ -251,6 +251,8 @@ class DecodeXmlWinEventLog(Processor):
         self.prefix = f"{target}." if target else ""
         self.ecs = map_ecs_fields
         self.ignore_missing = ignore_missing
+        self.ignore_failure = ignore_failure
+        self.overwrite_keys = overwrite_keys
         self.expected = list(expected_keys) if expected_keys else None
 
     def _decode_one(self, text: str) -> dict | None:
@@ -358,6 +360,13 @@ class DecodeXmlWinEventLog(Processor):
             decoded = self._decode_one(v)
             rows.append(decoded)
             bad.append(decoded is None)
+        if not self.ignore_failure and any(bad):
+            # reference error path: a failing decode errors the event;
+            # the batch-engine abort equivalent is raising loudly (same
+            # convention as Timestamp with ignore_failure=false)
+            raise ValueError(
+                f"decode_xml_wineventlog: {sum(bad)} value(s) failed to "
+                f"decode (ignore_failure=false)")
         keys = self.expected
         if keys is None:
             seen: list[str] = []
@@ -368,6 +377,14 @@ class DecodeXmlWinEventLog(Processor):
                             seen.append(k)
             keys = seen
         int_keys = {"record_id", "process.pid", "process.thread.id"}
+
+        def put(t: pa.Table, name: str, arr) -> pa.Table:
+            # overwrite_keys=false (reference config): existing event
+            # columns win over decoded ones
+            if not self.overwrite_keys and name in t.column_names:
+                return t
+            return set_column(t, name, arr)
+
         for key in keys:
             vals = [None if r is None else r.get(key) for r in rows]
             if key in int_keys:
@@ -384,7 +401,7 @@ class DecodeXmlWinEventLog(Processor):
                     error_is_null=True), pa.timestamp("us"))
             else:
                 arr = pa.array(vals, pa.string())
-            tbl = set_column(tbl, self.prefix + key, arr)
+            tbl = put(tbl, self.prefix + key, arr)
         if self.ecs:
             ecs_map = {"event.action": "task", "event.code": "event_id",
                        "event.outcome": "outcome",
@@ -394,9 +411,8 @@ class DecodeXmlWinEventLog(Processor):
             for ecs_key, src in ecs_map.items():
                 vals = [None if r is None else r.get(src) for r in rows]
                 if any(v is not None for v in vals):
-                    tbl = set_column(tbl, ecs_key,
-                                     pa.array(vals, pa.string()))
-            tbl = set_column(
+                    tbl = put(tbl, ecs_key, pa.array(vals, pa.string()))
+            tbl = put(
                 tbl, "event.kind",
                 pa.array(["event" if r is not None else None
                           for r in rows], pa.string()))

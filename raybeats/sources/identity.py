@@ -71,15 +71,18 @@ def _last_terminator_end(path: str, start: int, size: int,
     """End offset (exclusive) of the last complete line in
     [start, size), scanning a bounded tail window backwards; ``start``
     when none found."""
+    tlen = len(terminator)
     with open(path, "rb") as f:
         pos = size
         while pos > start:
             lo = max(start, pos - _TAIL_SCAN)
             f.seek(lo)
-            chunk = f.read(pos - lo)
+            # read past `pos` by tlen-1 so a terminator straddling the
+            # window boundary is still seen (multi-byte terminators)
+            chunk = f.read(min(size, pos + tlen - 1) - lo)
             idx = chunk.rfind(terminator)
-            if idx >= 0:
-                return lo + idx + 1
+            if idx >= 0 and lo + idx + tlen <= size:
+                return lo + idx + tlen
             pos = lo
     return start
 

@@ -355,30 +355,42 @@ def jaccard_verify(pairs_ds, docs_ds, threshold: float = 0.8,
               .groupby("bucket").map_groups(pivot, batch_format="pandas"))
 
     def verify(t: pa.Table) -> pa.Table:
-        cache: dict = {}
-
-        def sh(i, txt):
-            h = cache.get(i)
-            if h is None:
-                h = _shingle_hashes(txt, shingle_k)
-                cache[i] = h
-            return h
-
-        oa, ob, oj = [], [], []
-        for ai, bi, tai, tbi in zip(t.column("a").to_pylist(),
-                                    t.column("b").to_pylist(),
-                                    t.column("ta").to_pylist(),
-                                    t.column("tb").to_pylist()):
-            sa, sb = sh(ai, tai or ""), sh(bi, tbi or "")
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            j = inter / max(1, len(sa) + len(sb) - inter)
-            if j >= threshold:
-                oa.append(ai)
-                ob.append(bi)
-                oj.append(j)
-        return pa.table({"a": pa.array(oa, pa.int64()),
-                         "b": pa.array(ob, pa.int64()),
-                         "jaccard": pa.array(oj, pa.float64())})
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        n_pairs = t.num_rows
+        if n_pairs == 0:
+            return empty
+        a = pc.cast(t.column("a"), pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(t.column("b"), pa.int64()).to_numpy(zero_copy_only=False)
+        # shingle-hash each DISTINCT endpoint doc ONCE per batch (a hub
+        # doc appearing in many pairs used to recompute per occurrence)
+        texts = t.column("ta").to_pylist() + t.column("tb").to_pylist()
+        ids = np.concatenate([a, b])
+        uniq, first = np.unique(ids, return_index=True)
+        sh = {int(u): _shingle_hashes(texts[i] or "", shingle_k)
+              for u, i in zip(uniq, first)}
+        # intersection counts for ALL pairs in one sorted pass: tag each
+        # endpoint's (already-unique) hash set with its pair index, sort
+        # by (pair, hash) — an adjacent duplicate within a pair means
+        # the hash is in both sides
+        segs = [sh[int(x)] for pr in zip(a, b) for x in pr]
+        seg_lens = np.fromiter((len(s) for s in segs), dtype=np.int64,
+                               count=2 * n_pairs)
+        big = np.concatenate(segs) if segs else np.array([], np.uint64)
+        tags = np.repeat(np.arange(2 * n_pairs, dtype=np.int64) >> 1,
+                         seg_lens)
+        order = np.lexsort((big, tags))
+        sb_, st_ = big[order], tags[order]
+        dup = (sb_[1:] == sb_[:-1]) & (st_[1:] == st_[:-1])
+        inter = np.bincount(st_[1:][dup], minlength=n_pairs)
+        sizes = seg_lens.reshape(-1, 2)
+        union = np.maximum(sizes[:, 0] + sizes[:, 1] - inter, 1)
+        j = inter / union
+        keep = j >= threshold
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64()),
+                         "jaccard": pa.array(j[keep], pa.float64())})
 
     return joined.map_batches(verify, batch_format="pyarrow")
 
@@ -448,91 +460,41 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3,
     Degenerate-bucket safety: the quadratic compare runs on the UNIQUE
     simhashes of a chunk bucket (class representatives), so a huge
     identical-hash class (e.g. empty docs → simhash 0) costs one row,
-    not k². ``max_unique`` caps distinct hashes per bucket and
-    ``max_class`` caps the per-class pair expansion (both deterministic
-    smallest-first truncations; transitive clustering links truncated
-    members through the retained ones)."""
-    import pandas as pd
-
+    not k². A bucket with more than ``max_unique`` DISTINCT hashes
+    recurses into multi-index sub-buckets (4 × 12-bit sub-chunks of the
+    remaining 48 bits — the pigeonhole applies again, so the d≤3
+    guarantee survives; only a sub-bucket still over the cap truncates,
+    with a warning). ``max_class`` caps the per-class pair expansion
+    (deterministic smallest-first truncation; over-cap members
+    star-link to the class min — hamming 0 — so transitive clustering
+    keeps them reachable)."""
     assert max_hamming <= 3, "4x16-bit chunking guarantees recall to d=3"
     max_class = 1024
 
     def explode(tbl: pa.Table) -> pa.Table:
         hashed = SimHasher(id_col=id_col, text_col=text_col)(tbl)
-        ids = hashed.column(id_col).to_pylist()
-        hs = hashed.column("simhash").to_pylist()
-        out_id, out_chunk, out_key, out_h = [], [], [], []
-        for i, h in zip(ids, hs):
-            for c in range(4):
-                out_id.append(i)
-                out_chunk.append(c)
-                out_key.append((h >> (16 * c)) & 0xFFFF)
-                out_h.append(h)
-        return pa.table({id_col: pa.array(out_id, pa.int64()),
-                         "chunk": pa.array(out_chunk, pa.int32()),
-                         "chunk_key": pa.array(out_key, pa.int32()),
-                         "simhash": pa.array(out_h, pa.int64())})
+        ids = pc.cast(hashed.column(id_col), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        hs = hashed.column("simhash").to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(np.uint64)
+        n = len(ids)
+        # one np.repeat/shift/mask pass — no per-row python
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        keys = ((hs[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)) \
+            .astype(np.int32).ravel()
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, 4), pa.int64()),
+            "chunk": pa.array(np.tile(np.arange(4, dtype=np.int32), n),
+                              pa.int32()),
+            "chunk_key": pa.array(keys, pa.int32()),
+            "simhash": pa.array(np.repeat(hs.view(np.int64), 4),
+                                pa.int64())})
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": pd.array([], dtype="int64"),
-                              "b": pd.array([], dtype="int64")})
-        g = g.drop_duplicates([id_col, "chunk", "chunk_key"])
-        sizes = g.groupby(["chunk", "chunk_key"])[id_col].transform("size")
-        g = g[sizes > 1]
-        if len(g) == 0:
-            return empty
-        # class-member cap (identical full simhash within a chunk
-        # bucket): over-cap members star-link to the class min id —
-        # hamming 0 by construction, so they stay in the result and
-        # transitive clustering folds them into the class
-        g_all = g.sort_values(id_col)
-        g = g_all.groupby(["chunk", "chunk_key", "simhash"],
-                          sort=False).head(max_class)
-        star_extras = g_all.loc[g_all.index.difference(g.index)]
-        star_a = star_b = None
-        if len(star_extras):
-            class_min = g_all.groupby(
-                ["chunk", "chunk_key", "simhash"], sort=False)[id_col] \
-                .min().rename("hub").reset_index()
-            star = star_extras.merge(class_min,
-                                     on=["chunk", "chunk_key", "simhash"])
-            star_a = star["hub"].to_numpy(dtype="int64")
-            star_b = star[id_col].to_numpy(dtype="int64")
-        # representative compare on UNIQUE simhashes per bucket
-        u = g.drop_duplicates(["chunk", "chunk_key", "simhash"])[
-            ["chunk", "chunk_key", "simhash"]]
-        u = u.sort_values("simhash").groupby(
-            ["chunk", "chunk_key"], sort=False).head(max_unique)
-        m = u.merge(u, on=["chunk", "chunk_key"])
-        m = m[m["simhash_x"] <= m["simhash_y"]]
-        if len(m) == 0:
-            return empty
-        # exact hamming verify on class reps, vectorized popcount
-        x = m["simhash_x"].to_numpy().astype(np.uint64)
-        y = m["simhash_y"].to_numpy().astype(np.uint64)
-        d = np.zeros(len(m), dtype=np.int32)
-        v = x ^ y
-        for _ in range(64):
-            d += (v & np.uint64(1)).astype(np.int32)
-            v >>= np.uint64(1)
-        m = m[d <= max_hamming]
-        if len(m) == 0:
-            return empty
-        # expand class pairs back to member id pairs
-        ga = g.rename(columns={id_col: "ida", "simhash": "simhash_x"})[
-            ["chunk", "chunk_key", "simhash_x", "ida"]]
-        gb = g.rename(columns={id_col: "idb", "simhash": "simhash_y"})[
-            ["chunk", "chunk_key", "simhash_y", "idb"]]
-        e = m.merge(ga, on=["chunk", "chunk_key", "simhash_x"]) \
-             .merge(gb, on=["chunk", "chunk_key", "simhash_y"])
-        ida = e["ida"].to_numpy(dtype="int64")
-        idb = e["idb"].to_numpy(dtype="int64")
-        if star_a is not None:
-            ida = np.concatenate([ida, star_a])
-            idb = np.concatenate([idb, star_b])
-        lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
-        keep = lo < hi
-        return pd.DataFrame({"a": lo[keep], "b": hi[keep]})
+        return _simhash_bucket_pairs(g, id_col=id_col,
+                                     max_hamming=max_hamming,
+                                     max_unique=max_unique,
+                                     max_class=max_class)
 
     def add_bucket(tbl: pa.Table) -> pa.Table:
         key = pc.add(pc.multiply(pc.cast(tbl.column("chunk"), pa.int64()),
@@ -545,6 +507,119 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3,
         .map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(pairs, batch_format="pandas")
     return cand.groupby(["a", "b"]).aggregate(Count(alias_name="nchunks"))
+
+
+def _simhash_bucket_pairs(g: "pd.DataFrame", id_col: str = "doc_id",
+                          max_hamming: int = 3, max_unique: int = 4096,
+                          max_class: int = 1024) -> "pd.DataFrame":
+    """Per-shuffle-bucket simhash candidate pairing (the map_groups
+    kernel of :func:`simhash_near_dup_pairs`, module-level so the
+    degenerate-bucket paths are directly testable)."""
+    empty = pd.DataFrame({"a": pd.array([], dtype="int64"),
+                          "b": pd.array([], dtype="int64")})
+    g = g.drop_duplicates([id_col, "chunk", "chunk_key"])
+    sizes = g.groupby(["chunk", "chunk_key"])[id_col].transform("size")
+    g = g[sizes > 1]
+    if len(g) == 0:
+        return empty
+    # class-member cap (identical full simhash within a chunk
+    # bucket): over-cap members star-link to the class min id —
+    # hamming 0 by construction, so they stay in the result and
+    # transitive clustering folds them into the class
+    g_all = g.sort_values(id_col)
+    g = g_all.groupby(["chunk", "chunk_key", "simhash"],
+                      sort=False).head(max_class)
+    star_extras = g_all.loc[g_all.index.difference(g.index)]
+    star_a = star_b = None
+    if len(star_extras):
+        class_min = g_all.groupby(
+            ["chunk", "chunk_key", "simhash"], sort=False)[id_col] \
+            .min().rename("hub").reset_index()
+        star = star_extras.merge(class_min,
+                                 on=["chunk", "chunk_key", "simhash"])
+        star_a = star["hub"].to_numpy(dtype="int64")
+        star_b = star[id_col].to_numpy(dtype="int64")
+    # representative compare on UNIQUE simhashes per bucket; buckets
+    # beyond max_unique uniques recurse into multi-index sub-buckets
+    # instead of truncating (the r2 silent recall hole)
+    u = g.drop_duplicates(["chunk", "chunk_key", "simhash"])[
+        ["chunk", "chunk_key", "simhash"]]
+    gsz = u.groupby(["chunk", "chunk_key"])["simhash"] \
+        .transform("size")
+    m_parts = []
+    small_u = u[gsz <= max_unique]
+    if len(small_u):
+        mm = small_u.merge(small_u, on=["chunk", "chunk_key"])
+        m_parts.append(mm[mm["simhash_x"] <= mm["simhash_y"]])
+    big_u = u[gsz > max_unique]
+    if len(big_u):
+        # multi-index recursion (the pigeonhole again, one level
+        # down — "Fast Search in Hamming Space with Multi-Index
+        # Hashing" shape): bucket members already agree on their
+        # 16-bit chunk, so ≤3 differing bits spread over 4
+        # sub-chunks of the REMAINING 48 bits leave at least one
+        # sub-chunk equal. Sub-bucket-equality keeps the d≤3
+        # guarantee while cutting a degenerate bucket by up to
+        # 2^12. A sub-bucket still over max_unique (>4096 distinct
+        # hashes agreeing on 28 bits) truncates with a warning.
+        h = big_u["simhash"].to_numpy().astype(np.uint64)
+        c = big_u["chunk"].to_numpy().astype(np.uint64)
+        shift_c = np.uint64(16) * c
+        low = h & ((np.uint64(1) << shift_c) - np.uint64(1))
+        rem = low | ((h >> (shift_c + np.uint64(16))) << shift_c)
+        rows = []
+        for j in range(4):
+            sub = ((rem >> np.uint64(12 * j)) & np.uint64(0xFFF)) \
+                .astype(np.int64)
+            rows.append(big_u.assign(sub=np.int32(j), subkey=sub))
+        eb = pd.concat(rows, ignore_index=True)
+        ssz = eb.groupby(["chunk", "chunk_key", "sub", "subkey"])[
+            "simhash"].transform("size")
+        if (ssz > max_unique).any():
+            import warnings
+            warnings.warn(
+                "simhash_near_dup_pairs: sub-bucket over max_unique "
+                "truncated — recall guarantee does not cover the "
+                "truncated hashes", stacklevel=2)
+            eb = eb.sort_values("simhash").groupby(
+                ["chunk", "chunk_key", "sub", "subkey"],
+                sort=False).head(max_unique)
+        mm = eb.merge(eb, on=["chunk", "chunk_key", "sub", "subkey"])
+        mm = mm[mm["simhash_x"] <= mm["simhash_y"]]
+        m_parts.append(
+            mm[["chunk", "chunk_key", "simhash_x", "simhash_y"]]
+            .drop_duplicates())
+    m = (pd.concat(m_parts, ignore_index=True) if m_parts
+         else pd.DataFrame(columns=["chunk", "chunk_key",
+                                    "simhash_x", "simhash_y"]))
+    if len(m) == 0:
+        return empty
+    # exact hamming verify on class reps, vectorized popcount
+    x = m["simhash_x"].to_numpy().astype(np.uint64)
+    y = m["simhash_y"].to_numpy().astype(np.uint64)
+    d = np.zeros(len(m), dtype=np.int32)
+    v = x ^ y
+    for _ in range(64):
+        d += (v & np.uint64(1)).astype(np.int32)
+        v >>= np.uint64(1)
+    m = m[d <= max_hamming]
+    if len(m) == 0:
+        return empty
+    # expand class pairs back to member id pairs
+    ga = g.rename(columns={id_col: "ida", "simhash": "simhash_x"})[
+        ["chunk", "chunk_key", "simhash_x", "ida"]]
+    gb = g.rename(columns={id_col: "idb", "simhash": "simhash_y"})[
+        ["chunk", "chunk_key", "simhash_y", "idb"]]
+    e = m.merge(ga, on=["chunk", "chunk_key", "simhash_x"]) \
+         .merge(gb, on=["chunk", "chunk_key", "simhash_y"])
+    ida = e["ida"].to_numpy(dtype="int64")
+    idb = e["idb"].to_numpy(dtype="int64")
+    if star_a is not None:
+        ida = np.concatenate([ida, star_a])
+        idb = np.concatenate([idb, star_b])
+    lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
+    keep = lo < hi
+    return pd.DataFrame({"a": lo[keep], "b": hi[keep]})
 
 
 def duplicate_clusters(pairs, n_buckets: int = 32, max_iters: int = 25,

@@ -24,12 +24,19 @@ def int_bucket(col, n_buckets: int) -> pa.Array:
     return pc.cast(imod(col, n_buckets), pa.int32())
 
 
+_FNV64_VEC_MAX_LEN = 512  # padded-matrix width bound (see fnv1a_u64)
+
+
 def fnv1a_u64(col) -> "object":
     """Vectorized 64-bit FNV-1a of a SHORT string column: folded over a
     padded byte matrix built straight from the arrow buffers (no per-row
-    python). Memory is ``n_rows × max_len`` bytes — use for key/token
-    columns, not long text. Returns a numpy uint64 array (null → hash of
-    the empty string; mask separately if nulls matter)."""
+    python). Memory is ``n_rows × min(max_len, 512)`` bytes: rows longer
+    than the bound (a degenerate hex/base64 blob token in a log corpus
+    would otherwise inflate the matrix to total_rows × blob_len and OOM
+    a worker) are hashed exactly by a per-row fallback instead — same
+    FNV-1a value, never a truncation. Returns a numpy uint64 array
+    (null → hash of the empty string; mask separately if nulls
+    matter)."""
     import numpy as np
 
     if isinstance(col, pa.ChunkedArray):
@@ -49,14 +56,28 @@ def fnv1a_u64(col) -> "object":
     lens = offs[1:].astype(np.int64) - starts
     max_len = int(lens.max())
     fnv = np.uint64(0x100000001B3)
+    long_rows = None
+    if max_len > _FNV64_VEC_MAX_LEN:
+        long_rows = np.nonzero(lens > _FNV64_VEC_MAX_LEN)[0]
+        vec_lens = np.where(lens > _FNV64_VEC_MAX_LEN, 0, lens)
+        max_len = int(vec_lens.max()) if n else 0
+    else:
+        vec_lens = lens
     if max_len:
         pos = np.arange(max_len, dtype=np.int64)
         idx = np.minimum(starts[:, None] + pos[None, :],
                          max(0, len(data) - 1))
-        valid = pos[None, :] < lens[:, None]
+        valid = pos[None, :] < vec_lens[:, None]
         m = np.where(valid, data[idx], 0).astype(np.uint64)
         for j in range(max_len):
             h = np.where(valid[:, j], (h ^ m[:, j]) * fnv, h)
+    if long_rows is not None and len(long_rows):
+        mask64 = (1 << 64) - 1
+        for i in long_rows:
+            v = 0xCBF29CE484222325
+            for byte in data[starts[i]:starts[i] + lens[i]].tobytes():
+                v = ((v ^ byte) * 0x100000001B3) & mask64
+            h[i] = v
     return h
 
 

@@ -184,3 +184,53 @@ def test_minhash_overcap_members_stay_reachable(ray_session):
         duplicate_clusters(pairs).iter_batches(batch_format="pyarrow")))
     assert labels.num_rows == n  # every doc is in the graph
     assert set(labels.column("cluster").to_pylist()) == {0}  # one class
+
+
+def test_simhash_bucket_overcap_uniques_multi_index_recall():
+    """A chunk bucket with more distinct simhashes than max_unique must
+    NOT silently drop pairs (the r2 recall hole): the multi-index
+    sub-bucket recursion finds every hamming<=3 pair among them."""
+    import numpy as np
+    import pandas as pd
+
+    from raybeats.textops.dedup import _simhash_bucket_pairs
+
+    rng = np.random.default_rng(11)
+    key = 0x1234
+    n = 60
+    # distinct hashes agreeing on chunk 0 (low 16 bits == key)
+    uppers = rng.choice(1 << 40, size=n, replace=False).astype(np.uint64)
+    hashes = (uppers << np.uint64(16)) | np.uint64(key)
+    # plant near pairs: flip 1-3 bits in the upper 48 of some hashes
+    for i, (src, bits) in enumerate([(0, [20]), (1, [25, 33]),
+                                     (2, [17, 40, 60])]):
+        h = hashes[src]
+        for b in bits:
+            h ^= np.uint64(1) << np.uint64(b)
+        hashes[10 + i] = h
+    hashes &= np.uint64(0x7FFFFFFFFFFFFFFF)
+    hashes = np.unique(hashes)
+    n = len(hashes)
+    g = pd.DataFrame({"doc_id": np.arange(n, dtype="int64"),
+                      "chunk": np.int32(0),
+                      "chunk_key": np.int32(key),
+                      "simhash": hashes.view(np.int64)})
+
+    def brute(max_h):
+        out = set()
+        for i in range(n):
+            for j in range(i + 1, n):
+                d = bin(int(hashes[i]) ^ int(hashes[j])).count("1")
+                if d <= max_h:
+                    out.add((i, j))
+        return out
+
+    expect = brute(3)
+    assert len(expect) >= 3  # the planted pairs survived uniquing
+    # max_unique far below n forces the multi-index path
+    got = _simhash_bucket_pairs(g, max_hamming=3, max_unique=8)
+    got_pairs = set(zip(got["a"].tolist(), got["b"].tolist()))
+    assert got_pairs == expect
+    # and the small-bucket quadratic path agrees
+    got_q = _simhash_bucket_pairs(g, max_hamming=3, max_unique=4096)
+    assert set(zip(got_q["a"].tolist(), got_q["b"].tolist())) == expect

@@ -380,7 +380,12 @@ def test_decode_xml_wineventlog_reference_case():
            "<Keywords><Keyword>Audit Success</Keyword></Keywords>"
            "</RenderingInfo></Event>")
     t = T(message=pa.array([xml, "not xml"]))
-    out = build_processor({"decode_xml_wineventlog": {}}).apply(t)
+    # reference default is ignore_failure=false → a bad row raises; the
+    # flag-row path needs the explicit opt-in
+    with pytest.raises(ValueError, match="decode_xml_wineventlog"):
+        build_processor({"decode_xml_wineventlog": {}}).apply(t)
+    out = build_processor(
+        {"decode_xml_wineventlog": {"ignore_failure": True}}).apply(t)
 
     def c(name):
         return out.column(name).to_pylist()
