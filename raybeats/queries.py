@@ -864,12 +864,18 @@ WHERE x.vec_id < y.vec_id
 
 
 def q_embed_neardup_lsh(sf_dir: str):
-    """Scale path for embedding near-dup: random-hyperplane LSH buckets
-    (narrow emit of (vec_id, bucket)), exact cosine verify only within
-    buckets. SQL-oracled against the exhaustive O(n²) predicate: the
-    planted pairs (scaled copies → identical hyperplane signs) always
-    co-bucket, and no natural pair reaches cos 0.9 in this fixture, so
-    the probabilistic bucketing provably recovers the full answer here."""
+    """Scale path for embedding near-dup: BANDED random-hyperplane LSH
+    (4 independent tables) with an input-ADAPTIVE plane count —
+    ``n_planes`` grows log2 with the corpus so expected bucket
+    population stays ≈128 and the in-bucket O(b²) cosine verify stays
+    bounded at any scale (round-2's fixed 10-plane bucketer was the
+    last fixed-cardinality shuffle). Degenerate buckets cap at
+    ``max_bucket`` with cosine-verified star links to the bucket hub.
+    SQL-oracled against the exhaustive O(n²) predicate: the planted
+    pairs (scaled copies → identical hyperplane signs in EVERY band)
+    always co-bucket, and no natural pair reaches cos 0.9 in this
+    fixture, so the probabilistic bucketing provably recovers the full
+    answer here."""
     import numpy as np
     import pandas as pd
 
@@ -877,8 +883,15 @@ def q_embed_neardup_lsh(sf_dir: str):
     import pyarrow.parquet as pq_mod
     dim = len(pq_mod.read_table(f"{sf_dir}/embeddings.parquet",
                                 columns=["embedding"]).column(0)[0])
+    nrows = _nrows(sf_dir, "embeddings") + 50  # + planted copies
+    n_bands = 4
+    max_bucket = 2048
+    bucketer = LshBucketer(
+        dim=dim, seed=99, n_bands=n_bands,
+        n_planes=LshBucketer.adaptive_planes(nrows, target_bucket=128))
+    # coarsen the (band, bucket) shuffle with input-scaled cardinality
+    n_buckets = adaptive_buckets(n_bands * nrows)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=16)
-    bucketer = LshBucketer(dim=dim, n_planes=10, seed=99)
 
     def augment(tbl: pa.Table) -> pa.Table:
         ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
@@ -889,28 +902,65 @@ def q_embed_neardup_lsh(sf_dir: str):
             "embedding": pa.array(m.tolist(), pa.list_(pa.float64()))})
 
     def with_vec(tbl: pa.Table) -> pa.Table:
-        out = bucketer(tbl)
-        return out.append_column("embedding", tbl.column("embedding"))
+        out = bucketer(tbl)  # n_bands rows per vector, id-major order
+        idx = np.repeat(np.arange(tbl.num_rows, dtype=np.int64),
+                        bucketer.n_bands)
+        emb = tbl.column("embedding").take(pa.array(idx, pa.int64()))
+        out = out.append_column("embedding", emb)
+        key = pc.bit_wise_xor(
+            pc.multiply(pc.cast(out.column("band"), pa.int64()), 1_000_003),
+            out.column("bucket"))
+        return out.append_column(
+            "sbucket",
+            int_bucket(pc.bit_wise_and(key, 0x7FFFFFFFFFFFFFFF), n_buckets))
 
     bucketed = ds.map_batches(augment, batch_format="pyarrow") \
         .map_batches(with_vec, batch_format="pyarrow")
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+        out_a: list = []
+        out_b: list = []
+        for _, sub in g.groupby(["band", "bucket"], sort=False):
+            if len(sub) < 2:
+                continue
+            sub = sub.sort_values("vec_id")
+            head = sub.head(max_bucket)
+            ids = head["vec_id"].to_numpy()
+            m = np.array(list(head["embedding"]), dtype=np.float64)
+            mn = m / np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            sims = mn @ mn.T
+            ai, bi = np.nonzero(np.triu(sims >= 0.9, k=1))
+            out_a.append(ids[ai])
+            out_b.append(ids[bi])
+            if len(sub) > max_bucket:
+                # over-cap members: exact-cosine star links vs the hub
+                # (linear) keep them reachable through clustering
+                extras = sub.iloc[max_bucket:]
+                em = np.array(list(extras["embedding"]), dtype=np.float64)
+                emn = em / np.maximum(
+                    np.linalg.norm(em, axis=1, keepdims=True), 1e-30)
+                s = emn @ mn[0]
+                hit = s >= 0.9
+                out_a.append(np.full(int(hit.sum()), ids[0]))
+                out_b.append(extras["vec_id"].to_numpy()[hit])
+        if not out_a:
             return pd.DataFrame({"a": pd.array([], dtype="int64"),
                                  "b": pd.array([], dtype="int64")})
-        ids = g["vec_id"].to_numpy()
-        m = np.array(list(g["embedding"]), dtype=np.float64)
-        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        sims = mn @ mn.T
-        ai, bi = np.nonzero(np.triu(sims >= 0.9, k=1))
-        a, b = ids[ai], ids[bi]
+        a = np.concatenate(out_a).astype("int64")
+        b = np.concatenate(out_b).astype("int64")
         lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"a": lo.astype("int64"),
-                             "b": hi.astype("int64")})
+        return pd.DataFrame({"a": lo, "b": hi})
 
-    return bucketed.groupby("bucket").map_groups(verify,
-                                                 batch_format="pandas")
+    cand = bucketed.groupby("sbucket").map_groups(verify,
+                                                  batch_format="pandas")
+    # a pair found in several bands must emit once
+    from ray.data.aggregate import Count
+    deduped = cand.groupby(["a", "b"]).aggregate(Count(alias_name="nb"))
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table({"a": tbl.column("a"), "b": tbl.column("b")})
+    return deduped.map_batches(project, batch_format="pyarrow")
 
 
 SQL_EMBED_NEARDUP_LSH = f"""WITH {_EMBED_AUGMENT_SQL.format(where='')}

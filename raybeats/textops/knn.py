@@ -253,21 +253,54 @@ def search_ivf_partitioned(out_dir: str, index: "IvfIndex",
 
 
 class LshBucketer:
-    """Scale path: random-hyperplane LSH bucket id per vector; candidate
-    search only touches matching buckets (narrow emit of (bucket, id))."""
+    """Scale path: banded random-hyperplane LSH — ``n_bands``
+    independent tables of ``n_planes`` hyperplanes each; a vector emits
+    one (id, band, bucket) row per band and candidate verification only
+    touches same-(band, bucket) groups.
+
+    Sizing (the ``adaptive_buckets`` idea in sign space): expected
+    bucket population is ``nrows / 2**n_planes``, so ``n_planes`` must
+    GROW with the corpus (``adaptive_planes``) to keep the in-bucket
+    O(b²) verify bounded — a fixed plane count was round-2's one
+    remaining fixed-cardinality shuffle. Recall for near (not
+    identical) pairs is then recovered by the band count: a cos-s pair
+    agrees on one plane with p = 1 - arccos(s)/π, on a whole band with
+    p**n_planes, and on at least one of L bands with 1-(1-p^k)^L."""
 
     def __init__(self, dim: int, n_planes: int = 12, seed: int = 99,
-                 id_col: str = "vec_id", vec_col: str = "embedding"):
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_bands: int = 1):
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((n_planes, dim))
+        self.planes = rng.standard_normal((n_bands, n_planes, dim))
+        self.n_bands = n_bands
+        self.n_planes = n_planes
         self.id_col = id_col
         self.vec_col = vec_col
 
+    @staticmethod
+    def adaptive_planes(nrows: int, target_bucket: int = 128,
+                        lo: int = 8, hi: int = 30) -> int:
+        """Plane count keeping E[bucket size] ≈ ``target_bucket``."""
+        import math
+        return int(max(lo, min(hi, math.ceil(
+            math.log2(max(2.0, nrows / max(1, target_bucket)))))))
+
     def __call__(self, tbl: pa.Table) -> pa.Table:
         m = _matrix(tbl.column(self.vec_col))
-        bits = (m @ self.planes.T) > 0
-        bucket = np.zeros(len(m), dtype=np.int64)
-        for i in range(bits.shape[1]):
-            bucket |= bits[:, i].astype(np.int64) << i
-        return pa.table({self.id_col: tbl.column(self.id_col),
-                         "bucket": pa.array(bucket, pa.int64())})
+        n = len(m)
+        ids = pc.cast(tbl.column(self.id_col), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        # (n, n_bands, n_planes) sign bits → per-band bucket ids in one
+        # tensordot + packbits-style fold
+        proj = np.tensordot(m, self.planes, axes=([1], [2]))  # n×L×k
+        bits = proj > 0
+        weights = (np.int64(1) << np.arange(self.n_planes,
+                                            dtype=np.int64))
+        bucket = bits.astype(np.int64) @ weights  # (n, n_bands)
+        return pa.table({
+            self.id_col: pa.array(np.repeat(ids, self.n_bands),
+                                  pa.int64()),
+            "band": pa.array(np.tile(np.arange(self.n_bands,
+                                               dtype=np.int32), n),
+                             pa.int32()),
+            "bucket": pa.array(bucket.reshape(-1), pa.int64())})
