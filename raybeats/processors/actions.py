@@ -543,103 +543,136 @@ class DetectMimeType(Processor):
         return set_column(tbl, self.target, pa.array(vals, pa.string()))
 
 
+def _load_psl_rules(path: str | None = None):
+    """Parse the vendored public-suffix snapshot
+    (``raybeats/data/public_suffix_snapshot.dat``, publicsuffix.org rule
+    format) → (exact_rules, wildcard_bases, exception_rules) as sets of
+    dotted strings. Loaded once per processor construction; the sets
+    ship in the stage closure (broadcast, not per-batch)."""
+    import os
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                            "data", "public_suffix_snapshot.dat")
+    exact, wildcard, exception = set(), set(), set()
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip().lower()
+            if not line or line.startswith("//"):
+                continue
+            if line.startswith("!"):
+                exception.add(line[1:])
+            elif line.startswith("*."):
+                wildcard.add(line[2:])
+            else:
+                exact.add(line)
+    return exact, wildcard, exception
+
+
 @register("registered_domain")
 class RegisteredDomain(Processor):
-    """eTLD+1 of a hostname (``registered_domain/``); built-in suffix list
-    approximation of the public-suffix database (the full PSL needs a
-    vendored data file — no network in this environment). The built-in
-    set covers the common two- and three-label public suffixes; extras
-    can be passed via ``custom_suffixes``."""
+    """eTLD+1 / subdomain / eTLD of a hostname
+    (``registered_domain/registered_domain.go:21-132``), implementing
+    the public-suffix-list algorithm over a VENDORED snapshot of the
+    public suffix database (``data/public_suffix_snapshot.dat`` —
+    public data, no network at runtime; the reference links the full
+    golang.org/x/net/publicsuffix table):
 
-    # widely-known multi-label public suffixes (country-code second-level
-    # registrations + common hosting suffixes)
-    SUFFIXES = {
-        # UK / IE
-        "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "me.uk", "ltd.uk",
-        "plc.uk", "sch.uk", "nhs.uk",
-        # AU / NZ
-        "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
-        "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
-        # JP / KR / CN / TW / HK / SG / IN
-        "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp",
-        "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr",
-        "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
-        "com.tw", "org.tw", "gov.tw", "idv.tw",
-        "com.hk", "org.hk", "edu.hk", "gov.hk",
-        "com.sg", "org.sg", "edu.sg", "gov.sg",
-        "co.in", "net.in", "org.in", "gen.in", "firm.in", "ac.in",
-        "gov.in", "res.in", "edu.in",
-        # Americas
-        "com.br", "net.br", "org.br", "gov.br", "edu.br",
-        "com.mx", "org.mx", "gob.mx", "edu.mx",
-        "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
-        "com.co", "net.co", "org.co", "gov.co", "edu.co",
-        "com.pe", "com.cl", "com.ve", "com.uy", "com.ec",
-        # Europe / Middle East / Africa
-        "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
-        "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl",
-        "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
-        "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
-        "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
-        "com.ru", "net.ru", "org.ru", "spb.ru", "msk.ru",
-        "com.gr", "org.gr", "net.gr", "edu.gr", "gov.gr",
-        "com.pt", "org.pt", "edu.pt", "gov.pt",
-        "com.eg", "com.sa", "com.ae", "com.ng", "com.gh", "co.ke",
-        "or.ke", "ac.ke", "go.ke",
-        # SE Asia
-        "co.th", "or.th", "ac.th", "go.th", "in.th",
-        "com.my", "net.my", "org.my", "edu.my", "gov.my",
-        "co.id", "or.id", "ac.id", "go.id", "web.id", "my.id",
-        "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
-        "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
-        "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
-        "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd",
-        # generic hosting / infrastructure suffixes
-        "github.io", "gitlab.io", "pages.dev", "web.app", "firebaseapp.com",
-        "herokuapp.com", "appspot.com", "blogspot.com", "netlify.app",
-        "vercel.app", "azurewebsites.net", "cloudfront.net", "amazonaws.com",
-        "s3.amazonaws.com", "fastly.net", "wordpress.com", "tumblr.com",
-    }
-    # three-label public suffixes checked before the two-label set
-    SUFFIXES3 = {s for s in SUFFIXES if s.count(".") == 2}
+    * exact, ``*.``-wildcard and ``!``-exception rules; the prevailing
+      match is the exception if any, else the longest rule;
+    * unlisted TLDs fall to the implicit ``*`` default rule (so
+      ``www.example.zz`` → ``example.zz`` like the reference);
+    * a hostname that IS a public suffix has no registered domain
+      (reference errors; this engine emits null — and raises when
+      ``ignore_failure=false``, the Timestamp convention).
+
+    ``custom_suffixes`` adds extra rules (PSL syntax, any label
+    count)."""
 
     def __init__(self, field: str, target_field: str,
+                 target_subdomain_field: str | None = None,
+                 target_etld_field: str | None = None,
                  ignore_missing: bool = False, ignore_failure: bool = True,
                  custom_suffixes: list[str] | None = None):
         self.field, self.target = field, target_field
-        self.suffixes = set(self.SUFFIXES)
-        self.suffixes3 = set(self.SUFFIXES3)
+        self.target_sub = target_subdomain_field
+        self.target_etld = target_etld_field
+        self.ignore_missing = ignore_missing
+        self.ignore_failure = ignore_failure
+        self.exact, self.wildcard, self.exception = _load_psl_rules()
         for s in custom_suffixes or []:
             s = s.lower().strip(".")
-            if s.count(".") > 2:
-                # only 2- and 3-label suffixes are matchable; rejecting
-                # loudly beats a suffix that silently never fires
-                raise ConfigError(
-                    f"registered_domain: custom suffix {s!r} has more "
-                    f"than three labels (unsupported)")
-            (self.suffixes3 if s.count(".") == 2 else self.suffixes).add(s)
+            if s.startswith("!"):
+                self.exception.add(s[1:])
+            elif s.startswith("*."):
+                self.wildcard.add(s[2:])
+            elif s:
+                self.exact.add(s)
 
-    def _etld1(self, host: str | None) -> str | None:
+    def _suffix_len(self, labels: list[str]) -> int:
+        """Number of labels in the prevailing public suffix (PSL
+        algorithm: exception wins, else longest match, else the
+        implicit ``*`` rule = 1)."""
+        n = len(labels)
+        best = 1  # implicit * default rule
+        for i in range(n):
+            s = ".".join(labels[i:])
+            if s in self.exception:
+                return n - i - 1  # exception: rule minus leftmost label
+            if s in self.exact and n - i > best:
+                best = n - i
+            # wildcard *.base matches exactly one extra label
+            if i + 1 <= n and ".".join(labels[i + 1:]) in self.wildcard \
+                    and n - i > best:
+                best = n - i
+        return best
+
+    def _split(self, host: str | None):
+        """→ (registered_domain, subdomain, etld) or (None, None, None)
+        when the hostname has no registered domain (bare suffix /
+        single label / empty)."""
         if not host:
-            return None
-        parts = host.lower().rstrip(".").split(".")
-        if len(parts) < 2:
-            return None
-        if len(parts) >= 3 and ".".join(parts[-3:]) in self.suffixes3 \
-                and len(parts) >= 4:
-            return ".".join(parts[-4:])
-        tail2 = ".".join(parts[-2:])
-        if tail2 in self.suffixes and len(parts) >= 3:
-            return ".".join(parts[-3:])
-        return tail2
+            return None, None, None
+        h = host.lower().rstrip(".")
+        if not h or "." not in h:
+            return None, None, None
+        labels = h.split(".")
+        if any(not p for p in labels):
+            return None, None, None
+        ps = self._suffix_len(labels)
+        if ps >= len(labels):
+            return None, None, None  # hostname IS a public suffix
+        etld = ".".join(labels[-ps:])
+        rd = ".".join(labels[-(ps + 1):])
+        sub = ".".join(labels[:-(ps + 1)]) or None
+        return rd, sub, etld
 
     def apply(self, tbl: pa.Table) -> pa.Table:
         col = get_column(tbl, self.field)
         if col is None:
-            return tbl
-        vals = [self._etld1(v) for v in col.to_pylist()]
-        return set_column(tbl, self.target, pa.array(vals, pa.string()))
-
+            if self.ignore_missing:
+                return tbl
+            raise ConfigError(f"registered_domain: missing {self.field!r}")
+        rds, subs, etlds = [], [], []
+        n_bad = 0
+        for v in col.to_pylist():
+            rd, sub, etld = self._split(v)
+            if rd is None and v:
+                n_bad += 1
+            rds.append(rd)
+            subs.append(sub)
+            etlds.append(etld)
+        if n_bad and not self.ignore_failure:
+            raise ValueError(
+                f"registered_domain: {n_bad} value(s) have no registered "
+                f"domain (ignore_failure=false)")
+        tbl = set_column(tbl, self.target, pa.array(rds, pa.string()))
+        if self.target_sub:
+            tbl = set_column(tbl, self.target_sub,
+                             pa.array(subs, pa.string()))
+        if self.target_etld:
+            tbl = set_column(tbl, self.target_etld,
+                             pa.array(etlds, pa.string()))
+        return tbl
 
 @register("add_locale")
 class AddLocale(Processor):

@@ -65,3 +65,72 @@ def test_wineventlog_overwrite_keys_false_preserves_existing():
         "overwrite_keys": False, "ignore_failure": True}}).apply(t)
     assert out.column("winlog.channel").to_pylist() == ["pre-existing"]
     assert out.column("winlog.computer_name").to_pylist() == ["box"]
+
+
+def test_registered_domain_reference_cases():
+    """The reference's own test table, verbatim
+    (registered_domain/registered_domain_test.go:30-47)."""
+    from raybeats.processors import build_processor
+    cases = [
+        # (domain, registered_domain, subdomain, etld) — None = absent
+        ("www.google.com", "google.com", "www", "com"),
+        ("www.google.co.uk", "google.co.uk", "www", "co.uk"),
+        ("www.mail.google.co.uk", "google.co.uk", "www.mail", "co.uk"),
+        ("google.com", "google.com", None, "com"),
+        ("www.ak.local", "ak.local", "www", "local"),
+        ("www.navy.mil", "navy.mil", "www", "mil"),
+        # error rows (bare suffix / empty / single label) → null
+        ("com", None, None, None),
+        (".", None, None, None),
+        ("", None, None, None),
+        ("localhost", None, None, None),
+    ]
+    p = build_processor({"registered_domain": {
+        "field": "domain", "target_field": "registered_domain",
+        "target_subdomain_field": "subdomain",
+        "target_etld_field": "etld"}})
+    t = p.apply(pa.table({"domain": pa.array([c[0] for c in cases],
+                                             pa.string())}))
+    assert t.column("registered_domain").to_pylist() == \
+        [c[1] for c in cases]
+    assert t.column("subdomain").to_pylist() == [c[2] for c in cases]
+    assert t.column("etld").to_pylist() == [c[3] for c in cases]
+
+
+def test_registered_domain_psl_wildcard_and_exception():
+    from raybeats.processors import build_processor
+    p = build_processor({"registered_domain": {
+        "field": "d", "target_field": "rd", "target_etld_field": "etld"}})
+    t = p.apply(pa.table({"d": pa.array([
+        "foo.bar.kawasaki.jp",   # *.kawasaki.jp wildcard: etld=bar.kawasaki.jp
+        "city.kawasaki.jp",      # !city.kawasaki.jp exception: etld=kawasaki.jp
+        "sub.city.kawasaki.jp",
+        "www.example.ck",        # *.ck wildcard
+        "www.ck",                # !www.ck exception → registered domain www.ck
+        "bucket.s3.amazonaws.com",       # private-section 3-label suffix
+        "s3.amazonaws.com",              # bare suffix → null
+        "a.b.github.io",
+    ], pa.string())}))
+    assert t.column("rd").to_pylist() == [
+        "foo.bar.kawasaki.jp", "city.kawasaki.jp", "city.kawasaki.jp",
+        "www.example.ck", "www.ck", "bucket.s3.amazonaws.com", None,
+        "b.github.io"]
+    assert t.column("etld").to_pylist() == [
+        "bar.kawasaki.jp", "kawasaki.jp", "kawasaki.jp",
+        "example.ck", "ck", "s3.amazonaws.com", None, "github.io"]
+
+
+def test_registered_domain_custom_suffixes_and_failure_mode():
+    import pytest as _pytest
+
+    from raybeats.processors import build_processor
+    p = build_processor({"registered_domain": {
+        "field": "d", "target_field": "rd",
+        "custom_suffixes": ["internal.corp", "*.dyn.corp"]}})
+    t = p.apply(pa.table({"d": pa.array(
+        ["svc.a.internal.corp", "x.y.dyn.corp"], pa.string())}))
+    assert t.column("rd").to_pylist() == ["a.internal.corp", "x.y.dyn.corp"]
+    strict = build_processor({"registered_domain": {
+        "field": "d", "target_field": "rd", "ignore_failure": False}})
+    with _pytest.raises(ValueError, match="registered_domain"):
+        strict.apply(pa.table({"d": pa.array(["com"], pa.string())}))
