@@ -699,9 +699,10 @@ def q_ratelimit(sf_dir: str):
     state — deterministic and key-exact, per the processor's own
     contract (``processors/ratelimit.py`` module docstring). Groups
     pre-sort on (conv_id, ts, turn_idx) so event-time ties break
-    deterministically. Stateful scan — no SQL oracle (rows-only check);
-    parity with a single-process application and run-to-run stability
-    are unit-tested (tests/test_stateful_ops.py)."""
+    deterministically. Oracled by ``SQL_RATELIMIT`` (recursive-CTE token
+    bucket, bit-identical double arithmetic); parity with a
+    single-process application and run-to-run stability are also
+    unit-tested (tests/test_stateful_ops.py)."""
     from .processors.ratelimit import RateLimit
 
     n_buckets = adaptive_buckets(2 * _nrows(sf_dir, "events"))
@@ -720,6 +721,36 @@ def q_ratelimit(sf_dir: str):
     return read_transcripts(sf_dir) \
         .map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(limit, batch_format="pyarrow")
+
+
+# the 1/m-per-conv token bucket IS SQL-expressible after all (round-2
+# verdict #7): with burst=1 the per-key state is a single (tokens, last)
+# recurrence, stepped by a recursive CTE one turn-rank per iteration —
+# identical IEEE double ops in the same order as RateLimit.apply, so the
+# keep decisions bit-match (verified at sf0.001 and sf0.01)
+SQL_RATELIMIT = _T.replace("WITH ", "WITH RECURSIVE ", 1) + r""",
+tt AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY ts, turn_idx) AS rn,
+         epoch_us(ts) / 1000000.0 AS sec
+  FROM transcripts),
+rec AS (
+  SELECT conv_id, rn, sec, CAST(0.0 AS DOUBLE) AS tokens, TRUE AS keep
+  FROM tt WHERE rn = 1
+  UNION ALL
+  SELECT tt.conv_id, tt.rn, tt.sec,
+    CASE WHEN LEAST(1.0, rec.tokens + (tt.sec - rec.sec) * (1.0/60.0))
+              >= 1.0
+         THEN LEAST(1.0, rec.tokens + (tt.sec - rec.sec) * (1.0/60.0))
+              - 1.0
+         ELSE LEAST(1.0, rec.tokens + (tt.sec - rec.sec) * (1.0/60.0))
+         END,
+    LEAST(1.0, rec.tokens + (tt.sec - rec.sec) * (1.0/60.0)) >= 1.0
+  FROM rec JOIN tt ON tt.conv_id = rec.conv_id AND tt.rn = rec.rn + 1)
+SELECT t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts
+FROM rec JOIN tt t ON t.conv_id = rec.conv_id AND t.rn = rec.rn
+WHERE rec.keep"""
 
 
 def q_corpus_prep(sf_dir: str):
@@ -1061,6 +1092,36 @@ def q_lang_id(sf_dir: str):
         .map_batches(LangId(), batch_format="pyarrow")
 
 
+# the stopword-profile heuristic is exactly SQL-expressible: distinct
+# [a-z]+ tokens ∩ each profile, argmax with first-in-order tie-breaking
+# (the CASE chain implements "first strict max" en>es>de>fr), the zh
+# branch via the >30% non-ascii test — full oracle, not rows-only
+SQL_LANG_ID = r"""WITH f AS (
+  SELECT doc_id, text,
+    len(regexp_extract_all(text, '[^\x00-\x7F]')) AS n_na,
+    length(text) AS n_ch,
+    list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS toks
+  FROM documents),
+c AS (SELECT doc_id, n_na, n_ch,
+  len(list_intersect(toks, ['the','and','of','a','to','in','is','it',
+                            'for','on'])) AS en,
+  len(list_intersect(toks, ['el','la','de','que','y','en','un','los',
+                            'se','no'])) AS es,
+  len(list_intersect(toks, ['der','die','und','das','in','von','zu',
+                            'den','mit','ist'])) AS de,
+  len(list_intersect(toks, ['le','la','de','et','les','des','un','une',
+                            'du','est'])) AS fr
+  FROM f)
+SELECT doc_id, CASE
+  WHEN n_na > 0.3 * n_ch THEN 'zh'
+  WHEN en = 0 AND es = 0 AND de = 0 AND fr = 0 THEN 'und'
+  WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+  WHEN es >= de AND es >= fr THEN 'es'
+  WHEN de >= fr THEN 'de'
+  ELSE 'fr' END AS lang_pred
+FROM c"""
+
+
 def q_simhash(sf_dir: str):
     from .textops.dedup import SimHasher
     return _read(sf_dir, "documents", ["doc_id", "text"], blocks=16) \
@@ -1188,9 +1249,13 @@ QUERIES = {
     "distinct_langs": (q_distinct_langs, SQL_DISTINCT_LANGS),
     "embed_neardup_lsh": (q_embed_neardup_lsh, SQL_EMBED_NEARDUP_LSH),
     "knn_ivf_full": (q_knn_ivf_full, SQL_KNN_COSINE),
-    # rows-only (non-SQL-expressible; driver records weaker check)
-    "ratelimit": (q_ratelimit, None),
-    "lang_id": (q_lang_id, None),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "ratelimit": (q_ratelimit, SQL_RATELIMIT),
+    # rows-only (non-SQL-expressible; driver records weaker check).
+    # simhash_groups stays here deliberately: the md5-equality-class
+    # oracle (round-2 verdict #7) is empirically WRONG for this corpus —
+    # planted near-dup texts (different md5) share identical simhashes,
+    # so simhash groups merge md5 classes (checked at sf0.001/sf0.01).
     "simhash": (q_simhash, None),
     "simhash_groups": (q_simhash_groups, None),
     "simhash_neardup": (q_simhash_neardup, None),

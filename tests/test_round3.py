@@ -134,3 +134,42 @@ def test_registered_domain_custom_suffixes_and_failure_mode():
         "field": "d", "target_field": "rd", "ignore_failure": False}})
     with _pytest.raises(ValueError, match="registered_domain"):
         strict.apply(pa.table({"d": pa.array(["com"], pa.string())}))
+
+
+def test_rolling_fingerprint_golden_parity():
+    """Value-asserting check for the rolling-hash fingerprint (it has no
+    SQL oracle): exact parity with an independent naive reimplementation
+    plus the shift-stability property it exists for."""
+    import hashlib
+
+    from raybeats.textops.analysis import rolling_fingerprint
+
+    def naive(text, window=16, base=257):
+        b = text.encode("utf-8")
+        if not text:
+            return 0
+        if len(b) <= window:
+            return int(hashlib.md5(b).hexdigest()[:15], 16)
+        best = None
+        for i in range(len(b) - window + 1):
+            h = 0
+            for byte in b[i:i + window]:
+                h = (h * base + byte) & ((1 << 64) - 1)
+            best = h if best is None else min(best, h)
+        return best & 0x7FFFFFFFFFFFFFFF
+
+    texts = ["", "short", "a" * 16,
+             "the quick brown fox jumps over the lazy dog",
+             "naïve café — unicode bytes too",
+             "x" * 100]
+    t = rolling_fingerprint(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    assert t.column("fp").to_pylist() == [naive(s) for s in texts]
+    # shift stability: a prefix insertion far from the min window keeps
+    # the fingerprint when the minimizing window survives
+    base_text = "the quick brown fox jumps over the lazy dog" * 3
+    shifted = "PREFIX " + base_text
+    f1 = rolling_fingerprint(pa.table({"doc_id": [0], "text": [base_text]}))
+    f2 = rolling_fingerprint(pa.table({"doc_id": [0], "text": [shifted]}))
+    assert f1.column("fp").to_pylist() == f2.column("fp").to_pylist()
