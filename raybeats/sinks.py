@@ -96,6 +96,66 @@ def write_kafka_layout(ds, out_dir: str, hash_fields: list[str],
     return manifest
 
 
+def read_kafka_lanes(out_dir: str, topics: list[str] | None = None,
+                     order_cols: tuple[str, ...] | None = None,
+                     columns: list[str] | None = None):
+    """Consumer half of the kafka-style layout (the reference ships the
+    PRODUCER half, ``kafka/partition.go:141-277``; real consumers read
+    one partition per group member): one Ray task per
+    ``topic=T/partition=P`` lane, so lanes process in parallel but each
+    lane's rows stay together and in order — the kafka per-partition
+    ordering contract. Parquet part files carry no append order, so the
+    deterministic equivalent is an explicit per-lane sort on
+    ``order_cols`` (e.g. the event-time columns the producer wrote);
+    per-KEY ordering follows because the fields-hash partitioner sends
+    a key to exactly one lane.
+
+    Returns a lazy Dataset of the lane rows with (topic, partition)
+    attached. ``topics`` filters lanes at the SCAN (unselected topics
+    never leave storage); ``columns`` prunes the parquet read."""
+    import ray.data as rd
+
+    lanes = []
+    for tdir in sorted(glob_mod.glob(os.path.join(out_dir, "topic=*"))):
+        tname = os.path.basename(tdir).split("=", 1)[1]
+        if topics is not None and tname not in topics:
+            continue
+        for pdir in sorted(glob_mod.glob(os.path.join(tdir,
+                                                      "partition=*"))):
+            lanes.append({"topic": tname,
+                          "partition": int(os.path.basename(pdir)
+                                           .split("=", 1)[1]),
+                          "dir": pdir})
+    empty = pa.table({"topic": pa.array([], pa.string()),
+                      "partition": pa.array([], pa.int64())})
+    if not lanes:
+        return rd.from_arrow(empty)
+
+    def read_lane(batch: pa.Table):
+        # batch_size=1 → exactly one lane per call; the generator yields
+        # the lane as one ordered table (never interleaved with another
+        # lane's rows)
+        for row in batch.to_pylist():
+            files = sorted(glob_mod.glob(os.path.join(row["dir"],
+                                                      "*.parquet")))
+            if not files:
+                continue
+            t = pa.concat_tables([pq.read_table(f, columns=columns)
+                                  for f in files])
+            if order_cols:
+                t = t.sort_by([(c, "ascending") for c in order_cols])
+            n = t.num_rows
+            t = t.append_column("topic",
+                                pa.array([row["topic"]] * n, pa.string()))
+            t = t.append_column("partition",
+                                pa.array([row["partition"]] * n,
+                                         pa.int64()))
+            yield t
+
+    return rd.from_items(lanes, override_num_blocks=len(lanes)) \
+        .map_batches(read_lane, batch_size=1, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- codecs
 
 def _escape_html(s: str) -> str:

@@ -170,3 +170,66 @@ def test_ivf_rerun_replaces(ray_session, tmp_path):
     for _ in range(2):
         lanes = write_ivf_partitioned(ds, index, out)
     assert sum(lanes.values()) == 100
+
+
+def test_kafka_lane_consumer_round_trip(ray_session, tmp_path):
+    """Round-trip: produce multi-topic fields-hash layout → lane-parallel
+    consume → per-lane contiguity + per-key ordering preserved (the
+    kafka per-partition contract; ref partition.go is the producer
+    half)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raybeats.sinks import read_kafka_lanes, write_kafka_layout
+
+    n = 400
+    t = pa.table({
+        "conv_id": pa.array([f"c{i % 23}" for i in range(n)], pa.string()),
+        "turn_idx": pa.array([i // 23 for i in range(n)], pa.int64()),
+        "kind": pa.array(["a" if i % 3 else "b" for i in range(n)],
+                         pa.string()),
+        "ts": pa.array(range(n), pa.int64()),
+    })
+    out = str(tmp_path / "kafka")
+    man = write_kafka_layout(rd.from_arrow(t).repartition(7), out,
+                             hash_fields=["conv_id"], n_partitions=5,
+                             topic="t-%{[kind]}")
+    assert man["rows"] == n and len(man["lanes"]) > 1
+
+    consumed = read_kafka_lanes(out, order_cols=("ts",)).take_all()
+    assert len(consumed) == n
+    # 1) lanes are contiguous in consumption order and internally
+    #    ts-ordered (never interleaved)
+    seen_lanes = []
+    prev_lane, prev_ts = None, None
+    for r in consumed:
+        lane = (r["topic"], r["partition"])
+        if lane != prev_lane:
+            assert lane not in seen_lanes  # a lane appears exactly once
+            seen_lanes.append(lane)
+            prev_ts = -1
+        assert r["ts"] > prev_ts
+        prev_lane, prev_ts = lane, r["ts"]
+    # 2) every key lives in exactly one lane, so per-key order == input
+    by_key = {}
+    for r in consumed:
+        by_key.setdefault(r["conv_id"], []).append(r)
+    for key, rows in by_key.items():
+        # the fields-hash partitioner puts a key on ONE partition number
+        assert len({r["partition"] for r in rows}) == 1
+        # kafka contract: per (key, topic) rows arrive in append order
+        per_topic: dict = {}
+        for r in rows:
+            per_topic.setdefault(r["topic"], []).append(r["turn_idx"])
+        for seq in per_topic.values():
+            assert seq == sorted(seq)
+    # 3) full round trip: same multiset of rows
+    got = sorted((r["conv_id"], r["turn_idx"]) for r in consumed)
+    want = sorted(zip(t.column("conv_id").to_pylist(),
+                      t.column("turn_idx").to_pylist()))
+    assert got == want
+    # 4) topic filter prunes at the scan
+    only_b = read_kafka_lanes(out, topics=["t-b"]).take_all()
+    assert {r["topic"] for r in only_b} == {"t-b"}
+    assert len(only_b) == sum(v for k, v in man["lanes"].items()
+                              if k.startswith("t-b/"))
