@@ -4,11 +4,13 @@ cross-batch keyed state in actors.
 Ray Data has no event-time windows/watermarks; the reference is an
 unbounded shipper. The bridge (per the Ray Data streaming-workload
 pattern): treat the input as a time-ordered sequence of micro-batches
-(files / time slices), key the state space into B hash buckets, and hold
-each bucket's per-key state in ONE long-lived actor. Each micro-batch is
-a keyed shuffle (``groupby(bucket)``) whose per-bucket task forwards its
-group to the bucket's actor; the driver advances micro-batches in order,
-so every actor sees its keys' rows in event-time order.
+(files / time slices), key the state space into B hash buckets, and
+host the per-key state in a small pool of long-lived actors (bucket →
+actor by modulo). Each micro-batch is a keyed shuffle
+(``groupby(bucket)``) whose per-bucket task PUSHES its group to the
+bucket's actor asynchronously — no task slot blocks on the actor; the
+driver fences micro-batches with an executed-count barrier, so every
+actor still sees its keys' rows in event-time order.
 
 This is the documented "raw actors as a last resort" case: a shared
 mutable index the Dataset API cannot express. Demonstrated with
@@ -27,38 +29,92 @@ from .util import hour_cents_partial, int_bucket
 
 def _drive_keyed_actors(micro_batches, state_cls, ctor_args: tuple,
                         n_buckets: int, collect_rows: bool = False,
-                        key_col: str = "user_id"):
+                        key_col: str = "user_id",
+                        n_actors: int | None = None):
     """Shared micro-batch → keyed-actor fan-in (used by all streaming
-    window modes): bucket rows by key, forward each bucket's group to
-    its long-lived state actor in event-time order. Returns
-    ``(actors, collected_rows)`` — ``collected_rows`` holds the actors'
-    per-batch result rows when ``collect_rows`` (the actor's ``process``
-    then returns a table; otherwise an ack count)."""
+    window modes): bucket rows by key, PUSH each bucket's group to its
+    state actor asynchronously (fire from the map_groups task, no
+    synchronous per-group ``ray.get`` — round-2's blocked-task-slot
+    finding), and fence micro-batches with a processed-count barrier so
+    every actor sees its keys' rows in event-time order.
+
+    State is keyed by the EVENT key inside ``state_cls``, so buckets
+    exist only for shuffle parallelism: a small pool of ``n_actors``
+    hosts (bucket → actor by modulo) replaces round 2's one long-lived
+    actor per bucket. The barrier polls each actor's executed-call
+    count against the acks the route tasks report — a count ≥ expected
+    proves the pushes EXECUTED (not merely enqueued), which a plain
+    marker task cannot (cross-submitter actor-queue order is
+    unspecified). Returns ``(actors, collected_rows)`` —
+    ``collected_rows`` holds the actors' buffered per-batch result rows
+    when ``collect_rows`` (the actor's ``process`` returns a table)."""
+    import time
+
     import ray
 
-    Actor = ray.remote(state_cls)
-    actors = [Actor.remote(*ctor_args) for _ in range(n_buckets)]
+    n_actors = n_actors or min(n_buckets, 8)
+
+    class _Host(state_cls):
+        """Per-actor wrapper: counts executed pushes (the barrier
+        signal) and buffers per-batch result tables for the driver to
+        drain once — results never ride the push path."""
+
+        def __init__(self, *args):
+            super().__init__(*args)
+            self._n_done = 0
+            self._buf: list[pa.Table] = []
+
+        def process(self, tbl: pa.Table):
+            res = super().process(tbl)
+            if isinstance(res, pa.Table):
+                self._buf.append(res)
+            self._n_done += 1
+            return None
+
+        def processed_count(self) -> int:
+            return self._n_done
+
+        def drain(self) -> list[pa.Table]:
+            out, self._buf = self._buf, []
+            return out
+
+    Actor = ray.remote(_Host)
+    actors = [Actor.remote(*ctor_args) for _ in range(n_actors)]
 
     def route(g: pd.DataFrame) -> pd.DataFrame:
         bucket = int(g["bucket"].iloc[0])
         tbl = pa.Table.from_pandas(g.drop(columns=["bucket"]),
                                    preserve_index=False)
-        res = ray.get(actors[bucket].process.remote(tbl))
-        if collect_rows:
-            return res.to_pandas()
-        return pd.DataFrame({"bucket": [bucket], "rows": [int(res)]})
+        # async push: the task slot frees as soon as the call is
+        # submitted; ordering across micro-batches comes from the
+        # driver's count barrier below
+        actors[bucket % n_actors].process.remote(tbl)
+        return pd.DataFrame({"actor": [bucket % n_actors]})
 
     def add_bucket(tbl: pa.Table) -> pa.Table:
         return tbl.append_column(
             "bucket", int_bucket(tbl.column(key_col), n_buckets))
 
-    collected: list[dict] = []
+    expected = [0] * n_actors
     for slice_ds in micro_batches:
-        got = slice_ds.map_batches(add_bucket, batch_format="pyarrow") \
+        acks = slice_ds.map_batches(add_bucket, batch_format="pyarrow") \
             .groupby("bucket").map_groups(route, batch_format="pandas") \
             .take_all()
-        if collect_rows:
-            collected.extend(got)
+        for r in acks:
+            expected[int(r["actor"])] += 1
+        # event-time fence: micro-batch N+1 must not reach an actor
+        # before N's pushes have run there
+        while True:
+            counts = ray.get([a.processed_count.remote() for a in actors])
+            if all(c >= e for c, e in zip(counts, expected)):
+                break
+            time.sleep(0.005)
+
+    collected: list[dict] = []
+    if collect_rows:
+        for tables in ray.get([a.drain.remote() for a in actors]):
+            for t in tables:
+                collected.extend(t.to_pylist())
     return actors, collected
 
 
