@@ -234,3 +234,24 @@ def test_simhash_bucket_overcap_uniques_multi_index_recall():
     # and the small-bucket quadratic path agrees
     got_q = _simhash_bucket_pairs(g, max_hamming=3, max_unique=4096)
     assert set(zip(got_q["a"].tolist(), got_q["b"].tolist())) == expect
+
+
+def test_jaccard_verify_paths_agree(ray_session, tmp_path, monkeypatch):
+    """The bounded broadcast fast path and the unbounded cogroup path
+    must return identical (a, b, jaccard) sets for the same input."""
+    import ray.data as rd
+
+    from raybeats.fixtures import write_documents
+    from raybeats.textops import dedup as dd
+
+    info = write_documents(str(tmp_path / "docs"), n_docs=1500, seed=77,
+                           num_files=4)
+    docs = rd.read_parquet(info["files"], columns=["doc_id", "text"])
+    cand = dd.minhash_candidates(docs, dedup=False)
+    fast = dd.jaccard_verify(cand, docs, threshold=0.5).to_pandas()
+    monkeypatch.setattr(dd, "_FAST_VERIFY_MAX_PAIRS", 0)
+    cand2 = dd.minhash_candidates(docs, dedup=False)
+    slow = dd.jaccard_verify(cand2, docs, threshold=0.5).to_pandas()
+    assert len(fast) > 5
+    assert sorted(zip(fast["a"], fast["b"], fast["jaccard"])) == \
+        sorted(zip(slow["a"], slow["b"], slow["jaccard"]))

@@ -173,3 +173,41 @@ def test_rolling_fingerprint_golden_parity():
     f1 = rolling_fingerprint(pa.table({"doc_id": [0], "text": [base_text]}))
     f2 = rolling_fingerprint(pa.table({"doc_id": [0], "text": [shifted]}))
     assert f1.column("fp").to_pylist() == f2.column("fp").to_pylist()
+
+
+def test_simhash_matches_independent_naive_impl():
+    """SimHasher's vectorized kernel vs a from-scratch per-token naive
+    simhash (independent reimplementation — FNV-1a token hashes, bit
+    votes). Strengthens the rows-only `simhash` query with a value
+    assertion."""
+    import re
+
+    from raybeats.textops.dedup import SimHasher
+
+    def fnv64(b: bytes) -> int:
+        v = 0xCBF29CE484222325
+        for byte in b:
+            v = ((v ^ byte) * 0x100000001B3) & ((1 << 64) - 1)
+        return v
+
+    def naive(text: str) -> int:
+        toks = re.findall(r"[a-z0-9]+", (text or "").lower())
+        if not toks:
+            return 0
+        votes = [0] * 64
+        for t in toks:
+            h = fnv64(t.encode())
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        out = 0
+        for i in range(64):
+            if votes[i] > 0:
+                out |= 1 << i
+        return out & 0x7FFFFFFFFFFFFFFF
+    texts = ["hello world", "", "the quick brown fox 42 jumps",
+             "AAA aaa BBB", "x" * 600 + " tail token",  # long-token path
+             "ünïcode tokens stay ascii-split"]
+    t = SimHasher()(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    assert t.column("simhash").to_pylist() == [naive(s) for s in texts]
