@@ -255,6 +255,11 @@ def minhash_candidates(ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 _FAST_VERIFY_MAX_PAIRS = 2_000_000  # 32 MB of ids — the driver budget
+# tiny-candidate driver path (same convention as duplicate_clusters'
+# bounded union-find): referenced texts must also fit under a byte cap,
+# checked while streaming them in — else fall back to the broadcast path
+_DRIVER_VERIFY_MAX_PAIRS = 20_000
+_DRIVER_VERIFY_MAX_BYTES = 256 << 20
 
 
 def _pair_intersections(segs: list) -> "np.ndarray":
@@ -277,9 +282,15 @@ def _pair_intersections(segs: list) -> "np.ndarray":
 def jaccard_verify(pairs_ds, docs_ds, threshold: float = 0.8,
                    id_col: str = "doc_id", text_col: str = "text",
                    shingle_k: int = 8, n_buckets: int = 64):
-    """Verify candidate pairs with exact shingle Jaccard, fully
-    DISTRIBUTED. Two shapes, picked by candidate count:
+    """Verify candidate pairs with exact shingle Jaccard. Three shapes,
+    picked by candidate count:
 
+    * ``≤ _DRIVER_VERIFY_MAX_PAIRS``: a scan-level semi-join fetches
+      ONLY the referenced texts to the driver (streamed, byte-capped —
+      over-cap falls through to the next tier) and one local vectorized
+      kernel verifies everything — zero shuffles, which matters because
+      Ray's groupby floor (~2 s) dwarfs the compute at tiny candidate
+      counts. Same bounded-driver convention as ``duplicate_clusters``.
     * ``≤ _FAST_VERIFY_MAX_PAIRS`` (the common case after LSH): the
       PAIR IDS (two int64 columns — bounded, unlike round 1's text
       dict) materialize on the driver, which broadcasts a CSR routing
@@ -316,6 +327,12 @@ def jaccard_verify(pairs_ds, docs_ds, threshold: float = 0.8,
     n_cand = pairs_ds.count()
     if n_cand == 0:
         return _empty()
+    if n_cand <= _DRIVER_VERIFY_MAX_PAIRS:
+        out = _jaccard_verify_driver(
+            pairs_ds, docs_ds, threshold=threshold, id_col=id_col,
+            text_col=text_col, shingle_k=shingle_k)
+        if out is not None:
+            return out
     if n_cand <= _FAST_VERIFY_MAX_PAIRS:
         return _jaccard_verify_broadcast(
             pairs_ds, docs_ds, threshold=threshold, id_col=id_col,
@@ -325,13 +342,8 @@ def jaccard_verify(pairs_ds, docs_ds, threshold: float = 0.8,
         text_col=text_col, shingle_k=shingle_k, n_buckets=n_buckets)
 
 
-def _jaccard_verify_broadcast(pairs_ds, docs_ds, threshold: float,
-                              id_col: str, text_col: str,
-                              shingle_k: int, n_buckets: int):
-    """Bounded-candidate fast path (see :func:`jaccard_verify`)."""
-    import ray
-    import ray.data as rd
-
+def _canonical_pairs(pairs_ds):
+    """Driver-side (a, b) → deduplicated (lo, hi) int64 arrays."""
     t = pa.concat_tables(list(pairs_ds.select_columns(["a", "b"])
                               .iter_batches(batch_format="pyarrow")))
     a = pc.cast(t.column("a"), pa.int64()).to_numpy(zero_copy_only=False)
@@ -341,7 +353,71 @@ def _jaccard_verify_broadcast(pairs_ds, docs_ds, threshold: float,
     lo, hi = lo[order], hi[order]
     keep = np.concatenate([[True], (lo[1:] != lo[:-1]) |
                            (hi[1:] != hi[:-1])])
-    pa_ids, pb_ids = lo[keep], hi[keep]
+    return lo[keep], hi[keep]
+
+
+def _jaccard_verify_driver(pairs_ds, docs_ds, threshold: float,
+                           id_col: str, text_col: str, shingle_k: int):
+    """Tiny-candidate driver path (see :func:`jaccard_verify`).
+    Returns ``None`` when the referenced texts exceed the byte cap —
+    the caller then takes the broadcast path instead."""
+    import ray.data as rd
+
+    ga, gb = _canonical_pairs(pairs_ds)
+    uids_arr = pa.array(np.unique(np.concatenate([ga, gb])), pa.int64())
+
+    def semi_join(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, text_col])
+        return t.filter(pc.is_in(pc.cast(t.column(id_col), pa.int64()),
+                                 value_set=uids_arr))
+
+    parts, total = [], 0
+    for tbl in docs_ds.map_batches(
+            semi_join, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        parts.append(tbl)
+        total += tbl.nbytes
+        if total > _DRIVER_VERIFY_MAX_BYTES:
+            return None
+    got = pa.concat_tables(parts) if parts else None
+    sh: dict = {}
+    if got is not None and got.num_rows:
+        ids = pc.cast(got.column(id_col), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        texts = pc.fill_null(pc.cast(got.column(text_col), pa.string()),
+                             "").to_pylist()
+        uniq, first = np.unique(ids, return_index=True)
+        sh = {int(u): _shingle_hashes(texts[i], shingle_k)
+              for u, i in zip(uniq, first)}
+    present = np.array([int(x) in sh and int(y) in sh
+                        for x, y in zip(ga, gb)], dtype=bool)
+    ga, gb = ga[present], gb[present]
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if len(ga) == 0:
+        return rd.from_arrow(empty)
+    segs = [sh[int(v)] for pr in zip(ga, gb) for v in pr]
+    inter = _pair_intersections(segs)
+    sizes = np.fromiter((len(s_) for s_ in segs), dtype=np.int64,
+                        count=2 * len(ga)).reshape(-1, 2)
+    union = np.maximum(sizes[:, 0] + sizes[:, 1] - inter, 1)
+    j = inter / union
+    keep = j >= threshold
+    return rd.from_arrow(pa.table({
+        "a": pa.array(ga[keep], pa.int64()),
+        "b": pa.array(gb[keep], pa.int64()),
+        "jaccard": pa.array(j[keep], pa.float64())}))
+
+
+def _jaccard_verify_broadcast(pairs_ds, docs_ds, threshold: float,
+                              id_col: str, text_col: str,
+                              shingle_k: int, n_buckets: int):
+    """Bounded-candidate fast path (see :func:`jaccard_verify`)."""
+    import ray
+    import ray.data as rd
+
+    pa_ids, pb_ids = _canonical_pairs(pairs_ds)
     n_pairs = len(pa_ids)
     nb = int(max(1, min(n_buckets, -(-n_pairs // 512))))
     # round-robin pair→bucket: perfectly balanced by construction

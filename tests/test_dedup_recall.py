@@ -237,8 +237,9 @@ def test_simhash_bucket_overcap_uniques_multi_index_recall():
 
 
 def test_jaccard_verify_paths_agree(ray_session, tmp_path, monkeypatch):
-    """The bounded broadcast fast path and the unbounded cogroup path
-    must return identical (a, b, jaccard) sets for the same input."""
+    """The driver, broadcast and cogroup tiers must return identical
+    (a, b, jaccard) sets for the same input; the driver byte-cap
+    fallback must land on the broadcast path, not fail."""
     import ray.data as rd
 
     from raybeats.fixtures import write_documents
@@ -248,10 +249,22 @@ def test_jaccard_verify_paths_agree(ray_session, tmp_path, monkeypatch):
                            num_files=4)
     docs = rd.read_parquet(info["files"], columns=["doc_id", "text"])
     cand = dd.minhash_candidates(docs, dedup=False)
-    fast = dd.jaccard_verify(cand, docs, threshold=0.5).to_pandas()
-    monkeypatch.setattr(dd, "_FAST_VERIFY_MAX_PAIRS", 0)
+    driver = dd.jaccard_verify(cand, docs, threshold=0.5).to_pandas()
+    monkeypatch.setattr(dd, "_DRIVER_VERIFY_MAX_PAIRS", 0)
     cand2 = dd.minhash_candidates(docs, dedup=False)
-    slow = dd.jaccard_verify(cand2, docs, threshold=0.5).to_pandas()
-    assert len(fast) > 5
-    assert sorted(zip(fast["a"], fast["b"], fast["jaccard"])) == \
-        sorted(zip(slow["a"], slow["b"], slow["jaccard"]))
+    bcast = dd.jaccard_verify(cand2, docs, threshold=0.5).to_pandas()
+    monkeypatch.setattr(dd, "_FAST_VERIFY_MAX_PAIRS", 0)
+    cand3 = dd.minhash_candidates(docs, dedup=False)
+    cogrp = dd.jaccard_verify(cand3, docs, threshold=0.5).to_pandas()
+    # byte-cap fallback: driver tier admits the pairs but aborts the
+    # text fetch and must fall through to broadcast
+    monkeypatch.setattr(dd, "_DRIVER_VERIFY_MAX_PAIRS", 10**9)
+    monkeypatch.setattr(dd, "_FAST_VERIFY_MAX_PAIRS", 10**9)
+    monkeypatch.setattr(dd, "_DRIVER_VERIFY_MAX_BYTES", 0)
+    cand4 = dd.minhash_candidates(docs, dedup=False)
+    fell = dd.jaccard_verify(cand4, docs, threshold=0.5).to_pandas()
+    assert len(driver) > 5
+    expect = sorted(zip(driver["a"], driver["b"], driver["jaccard"]))
+    for other in (bcast, cogrp, fell):
+        assert sorted(zip(other["a"], other["b"],
+                          other["jaccard"])) == expect
