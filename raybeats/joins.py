@@ -1,0 +1,211 @@
+"""Temporal joins the Dataset API lacks: as-of join and range join.
+
+Reference parity: the reference engine has no join operator (its
+enrich/lookup processors are the closest analogue), but SURVEY.md §2.8
+and the large-scale-pipeline brief name as-of and range joins as core
+custom operators; these are the Ray-Data-first compositions.
+
+* :func:`asof_join` — one keyed shuffle (bucketed union cogroup, the
+  ``conversation_assembly`` shape) then a fully-vectorized per-group
+  kernel: both sides merge-sort by (key, ts) and a single
+  ``np.maximum.accumulate`` carries the latest right-row index past
+  each left row — no per-key python loop, O((l+r) log(l+r)) per group.
+* :func:`range_join_broadcast` — the small interval side broadcasts
+  (``ray.put`` once, read per task), each batch joins vectorized; no
+  shuffle at all. Intended for interval tables that fit in one object
+  (bands, SLA windows, calendars); a billion-interval side would need
+  the cogroup shape instead.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .util import adaptive_buckets, fnv1a_bucket
+
+_SIDE = "__asof_side"
+_BKT = "__asof_bucket"
+_TS = "__asof_ts"
+_RPREF = "__r_"
+
+
+def asof_join(left_ds, right_ds, *, on: str = "ts", by: str = "user_id",
+              right_cols: dict[str, str], direction: str = "backward",
+              tolerance_us: int | None = None, how: str = "left",
+              n_buckets: int | None = None):
+    """As-of join: attach to each left row the nearest right row with
+    the same ``by`` key and ``right.on <= left.on`` (``backward``) or
+    ``>=`` (``forward``); ties on ``on`` admit the right row.
+
+    ``right_cols`` maps right column → output name (may include ``on``
+    itself, e.g. ``{"ts": "err_ts"}``). ``how`` is ``left`` (no-match →
+    nulls) or ``inner``. Rows where the right side has duplicate
+    (key, on) values pick one deterministically (the last in
+    (key, on, input-order) sort order).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction {direction!r}")
+    mult = 1 if direction == "backward" else -1
+
+    left_schema = getattr(left_ds.schema(), "base_schema",
+                          left_ds.schema())
+    right_schema = getattr(right_ds.schema(), "base_schema",
+                           right_ds.schema())
+    left_names = list(left_schema.names)
+    rsrc = list(right_cols)
+    out_names = list(right_cols.values())
+    if set(out_names) & set(left_names):
+        raise ValueError("right_cols output names collide with left")
+    rtypes = {n: right_schema.field(n).type for n in rsrc}
+    if n_buckets is None:
+        n_buckets = adaptive_buckets(left_ds.count() + right_ds.count())
+
+    # one union schema so the two sides concatenate into one shuffle:
+    # bucket, side, key, int64 ts, left payload, prefixed right payload
+    def _tag(side: int):
+        def tag(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            key = t.column(by)
+            cols = {
+                _BKT: fnv1a_bucket(key, n_buckets),
+                _SIDE: pa.array(np.full(n, side, np.int8)),
+                by: key,
+                _TS: pc.cast(t.column(on), pa.int64()),
+            }
+            for c in left_names:
+                if c in (by,):
+                    continue
+                cols[c] = (t.column(c) if side == 0
+                           else pa.nulls(n, left_schema.field(c).type))
+            for c in rsrc:
+                cols[_RPREF + c] = (t.column(c) if side == 1
+                                    else pa.nulls(n, rtypes[c]))
+            return pa.table(cols)
+        return tag
+
+    tagged = left_ds.map_batches(_tag(0), batch_format="pyarrow").union(
+        right_ds.map_batches(_tag(1), batch_format="pyarrow"))
+
+    def join_group(g: pa.Table) -> pa.Table:
+        side = g.column(_SIDE).to_numpy(zero_copy_only=False)
+        lmask, rmask = side == 0, side == 1
+        left = g.filter(pa.array(lmask))
+        right = g.filter(pa.array(rmask))
+        out_cols = {c: left.column(c) for c in left_names}
+        nl, nr = left.num_rows, right.num_rows
+        if nr == 0:
+            match = np.full(nl, -1, np.int64)
+            rsorted = right
+        else:
+            lk = left.column(by).to_numpy(zero_copy_only=False)
+            rk = right.column(by).to_numpy(zero_copy_only=False)
+            lt = mult * left.column(_TS).to_numpy(zero_copy_only=False)
+            rt = mult * right.column(_TS).to_numpy(zero_copy_only=False)
+            codes = np.unique(np.concatenate([lk, rk]),
+                              return_inverse=True)[1]
+            lc, rc = codes[:nl], codes[nl:]
+            rorder = np.lexsort((rt, rc))
+            rsorted = right.take(pa.array(rorder, pa.int64()))
+            rc_s, rt_s = rc[rorder], rt[rorder]
+            # merged (key, ts) order, right rows first at equal ts so
+            # equality admits the right row; the running max of
+            # right-row indices at each left position IS the as-of match
+            mk = np.concatenate([rc_s, lc])
+            mt = np.concatenate([rt_s, lt])
+            prio = np.concatenate([np.zeros(nr, np.int8),
+                                   np.ones(nl, np.int8)])
+            morder = np.lexsort((prio, mt, mk))
+            rid = np.concatenate([np.arange(nr, dtype=np.int64),
+                                  np.full(nl, -1, np.int64)])[morder]
+            carry = np.maximum.accumulate(rid)
+            at_left = rid == -1
+            match_sorted = carry[at_left]
+            # a carried index from a previous key is not a match
+            key_sorted = mk[morder][at_left]
+            ok = (match_sorted >= 0)
+            valid = match_sorted.clip(min=0)
+            ok &= rc_s[valid] == key_sorted
+            if tolerance_us is not None:
+                lt_sorted = mt[morder][at_left]
+                ok &= (lt_sorted - rt_s[valid]) <= tolerance_us
+            match_sorted = np.where(ok, match_sorted, -1)
+            # back to the group's left-row order
+            match = np.empty(nl, np.int64)
+            match[morder[at_left] - nr] = match_sorted
+        idx = pa.array(np.where(match >= 0, match, 0), pa.int64())
+        mask = pa.array(match >= 0)
+        for src, dst in zip(rsrc, out_names):
+            col = rsorted.column(_RPREF + src) if nr else \
+                pa.nulls(0, rtypes[src])
+            taken = pc.take(col.combine_chunks() if
+                            isinstance(col, pa.ChunkedArray) else col,
+                            idx) if nr else pa.nulls(nl, rtypes[src])
+            out_cols[dst] = pc.if_else(mask, taken,
+                                       pa.nulls(nl, rtypes[src])) \
+                if nr else taken
+        out = pa.table(out_cols)
+        if how == "inner":
+            out = out.filter(mask)
+        return out
+
+    return (tagged.groupby(_BKT)
+            .map_groups(join_group, batch_format="pyarrow"))
+
+
+def range_join_broadcast(ds, intervals: pa.Table, *, value_col: str,
+                         lo_col: str = "lo", hi_col: str = "hi",
+                         closed: str = "left",
+                         max_intervals: int = 65_536):
+    """Inner-join each row to EVERY interval containing
+    ``row[value_col]`` (intervals may overlap — each match emits a
+    row). The interval table broadcasts once via ``ray.put``; each
+    batch joins with one vectorized mask per interval (no shuffle).
+    ``closed``: ``left`` = ``lo <= v < hi``, ``both`` = ``lo <= v <=
+    hi``. Bounded to ``max_intervals`` — per the no-silent-caps
+    convention an over-limit side raises rather than degrades."""
+    import ray
+
+    if intervals.num_rows > max_intervals:
+        raise ValueError(
+            f"{intervals.num_rows} intervals > {max_intervals}: "
+            "broadcast range join is for small interval sides; use the "
+            "cogroup shape for large ones")
+    if closed not in ("left", "both"):
+        raise ValueError(f"closed {closed!r}")
+    iv_ref = ray.put({
+        "lo": pc.cast(intervals.column(lo_col), pa.float64())
+        .to_numpy(zero_copy_only=False),
+        "hi": pc.cast(intervals.column(hi_col), pa.float64())
+        .to_numpy(zero_copy_only=False),
+        "table": intervals,
+    })
+
+    def join_batch(t: pa.Table) -> pa.Table:
+        iv = ray.get(iv_ref)
+        v = pc.cast(t.column(value_col), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        row_parts, iv_parts = [], []
+        for i in range(len(iv["lo"])):
+            m = v >= iv["lo"][i]
+            m &= (v <= iv["hi"][i]) if closed == "both" \
+                else (v < iv["hi"][i])
+            rows = np.nonzero(m)[0]
+            if len(rows):
+                row_parts.append(rows)
+                iv_parts.append(np.full(len(rows), i, np.int64))
+        if not row_parts:
+            rows = pa.array([], pa.int64())
+            ivs = pa.array([], pa.int64())
+        else:
+            rows = pa.array(np.concatenate(row_parts), pa.int64())
+            ivs = pa.array(np.concatenate(iv_parts), pa.int64())
+        out = t.take(rows)
+        for c in iv["table"].column_names:
+            col = iv["table"].column(c)
+            out = out.append_column(c, pc.take(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                else col, ivs))
+        return out
+
+    return ds.map_batches(join_batch, batch_format="pyarrow")

@@ -1212,6 +1212,76 @@ def q_media_features(sf_dir: str):
     return extract_media_features(media, concurrency=2, batch_size=32)
 
 
+# ------------------------------------------------------- temporal joins
+
+def q_asof_join(sf_dir: str):
+    """Backward as-of join: each purchase event gets the latest prior
+    error event for the same user (state-enrich at event time — the
+    classic as-of shape). One keyed shuffle; vectorized merge kernel
+    (raybeats/joins.py). (user_id, ts) is collision-free in this corpus
+    at every sf (checked), so no tie-break is needed for determinism."""
+    from .joins import asof_join
+
+    nb = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def _split(tp: str, keep: list):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("event_type"), tp))
+            return t.select(keep)
+        return f
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    purchases = ev.map_batches(
+        _split("purchase", ["event_id", "ts", "user_id", "value"]),
+        batch_format="pyarrow").rename_columns(
+        {"value": "purchase_value"})
+    errors = ev.map_batches(
+        _split("error", ["ts", "user_id", "value"]),
+        batch_format="pyarrow")
+    return asof_join(purchases, errors, on="ts", by="user_id",
+                     right_cols={"ts": "err_ts", "value": "err_value"},
+                     direction="backward", how="left", n_buckets=nb)
+
+
+SQL_ASOF_JOIN = """
+SELECT l.event_id, l.ts, l.user_id, l.value AS purchase_value,
+       r.ts AS err_ts, r.value AS err_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+_VALUE_BANDS = [("micro", 0.0, 15.0), ("low", 10.0, 60.0),
+                ("mid", 50.0, 130.0), ("high", 120.0, 1_000_000.0)]
+
+
+def q_range_join(sf_dir: str):
+    """Range join events to OVERLAPPING value bands (one output row per
+    containing band — a true interval join, not binning). The band
+    table broadcasts once; no shuffle (raybeats/joins.py)."""
+    from .joins import range_join_broadcast
+
+    bands = pa.table({
+        "band": pa.array([b[0] for b in _VALUE_BANDS], pa.string()),
+        "lo": pa.array([b[1] for b in _VALUE_BANDS], pa.float64()),
+        "hi": pa.array([b[2] for b in _VALUE_BANDS], pa.float64())})
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+    return range_join_broadcast(ev, bands, value_col="value",
+                                closed="left")
+
+
+SQL_RANGE_JOIN = """
+SELECT e.event_id, e.value, b.band, b.lo, b.hi
+FROM events e JOIN (
+  SELECT * FROM (VALUES {bands}) t(band, lo, hi)) b
+  ON e.value >= b.lo AND e.value < b.hi
+""".format(bands=", ".join(
+    f"('{n}', CAST({lo} AS DOUBLE), CAST({hi} AS DOUBLE))"
+    for n, lo, hi in _VALUE_BANDS))
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -1251,6 +1321,8 @@ QUERIES = {
     "knn_ivf_full": (q_knn_ivf_full, SQL_KNN_COSINE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "ratelimit": (q_ratelimit, SQL_RATELIMIT),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

@@ -1,0 +1,115 @@
+"""As-of and range join operator tests (raybeats/joins.py)."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raybeats.joins import asof_join, range_join_broadcast
+
+
+def _left():
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array([100, 200, 300, 150, 50], pa.int64()).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7, 9, 9], pa.int64()),
+    }))
+
+
+def _right():
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "ts": pa.array([90, 200, 250, 160, 400], pa.int64()).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7, 9, 9], pa.int64()),
+        "state": pa.array(["a", "b", "c", "d", "e"], pa.string()),
+    }))
+
+
+def _run(**kw):
+    out = asof_join(_left(), _right(), on="ts", by="user_id",
+                    right_cols={"state": "state", "ts": "rts"},
+                    n_buckets=4, **kw).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def test_asof_backward_left():
+    out = _run()
+    # user 7: ts100→90(a); ts200→200(b, equality admits); ts300→250(c)
+    # user 9: ts150→none (160 is later); ts50→none
+    assert out["state"].tolist() == ["a", "b", "c", None, None]
+    assert out["rts"].iloc[0].value == 90_000  # ns in pandas
+
+
+def test_asof_forward():
+    out = _run(direction="forward")
+    # nearest at-or-after: 100→200? no — 7 has 200,250 after 100 → 200(b)
+    # 200→200(b); 300→400? 400 is user 9 → no match for user 7
+    # 150→160(d); 50→160(d)
+    assert out["state"].tolist() == ["b", "b", None, "d", "d"]
+
+
+def test_asof_tolerance_and_inner():
+    out = _run(tolerance_us=20)
+    assert out["state"].tolist() == ["a", "b", None, None, None]
+    inner = _run(how="inner")
+    assert inner["state"].tolist() == ["a", "b", "c"]
+
+
+def test_asof_right_dup_key_ts_picks_last_sorted():
+    import ray.data as rd
+    left = rd.from_arrow(pa.table({
+        "ts": pa.array([10], pa.int64()), "k": pa.array([1], pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "ts": pa.array([5, 5], pa.int64()),
+        "k": pa.array([1, 1], pa.int64()),
+        "v": pa.array(["first", "second"], pa.string())}))
+    out = asof_join(left, right, on="ts", by="k",
+                    right_cols={"v": "v"}, n_buckets=2).to_pandas()
+    assert out["v"].tolist() == ["second"]  # last in stable sort order
+
+
+def test_asof_empty_right_side():
+    import ray.data as rd
+    right = rd.from_arrow(pa.table({
+        "ts": pa.array([], pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([], pa.int64()),
+        "state": pa.array([], pa.string())}))
+    out = asof_join(_left(), right, on="ts", by="user_id",
+                    right_cols={"state": "state"}, n_buckets=2).to_pandas()
+    assert len(out) == 5 and out["state"].isna().all()
+
+
+def _bands():
+    return pa.table({
+        "band": pa.array(["x", "y"], pa.string()),
+        "lo": pa.array([0.0, 5.0], pa.float64()),
+        "hi": pa.array([10.0, 20.0], pa.float64())})
+
+
+def test_range_join_overlapping_emits_per_band():
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "v": pa.array([7.0, 3.0, 25.0], pa.float64())}))
+    out = range_join_broadcast(ds, _bands(), value_col="v").to_pandas()
+    got = sorted(zip(out["id"], out["band"]))
+    assert got == [(1, "x"), (1, "y"), (2, "x")]  # 7 in both, 3 in x,
+    # 25 in none
+
+
+def test_range_join_closed_both_and_cap():
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array([1], pa.int64()),
+        "v": pa.array([10.0], pa.float64())}))
+    left_closed = range_join_broadcast(ds, _bands(), value_col="v")
+    assert left_closed.to_pandas()["band"].tolist() == ["y"]
+    both = range_join_broadcast(ds, _bands(), value_col="v",
+                                closed="both")
+    assert sorted(both.to_pandas()["band"]) == ["x", "y"]
+    big = pa.table({"band": pa.array(["b"] * 10, pa.string()),
+                    "lo": pa.array(np.zeros(10), pa.float64()),
+                    "hi": pa.array(np.ones(10), pa.float64())})
+    with pytest.raises(ValueError, match="intervals"):
+        range_join_broadcast(ds, big, value_col="v", max_intervals=5)
