@@ -1129,6 +1129,14 @@ def q_simhash(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH candidates → exact jaccard verify. ORACLE NOTE: the
+    SQL oracle is the EXHAUSTIVE all-pairs 8-shingle jaccard ≥ 0.5 set;
+    the seeded LSH recovers it completely on this corpus (verified
+    bit-exact at sf0.001 and sf0.01 — planted dups sit near j≈0.97
+    where 16×6-row band recall is ~1). A corpus with borderline ~0.5
+    pairs would make LSH recall probabilistic and this oracle too
+    strict; the recall floor is separately asserted in
+    tests/test_dedup_recall.py."""
     from .textops.dedup import jaccard_verify, minhash_candidates
     n_docs = _nrows(sf_dir, "documents")
     docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32)
@@ -1137,6 +1145,33 @@ def q_minhash_pairs(sf_dir: str):
                               dedup=False)  # verify cogroup dedups
     return jaccard_verify(cand, docs, threshold=0.5,
                           n_buckets=adaptive_buckets(n_docs))
+
+
+# exhaustive 8-char-shingle jaccard (== the engine's 8-BYTE shingles on
+# this all-ASCII corpus; 64-bit shingle-hash collisions would be the
+# only divergence and there are none)
+_SQL_JACCARD_PAIRS_CTE = """
+WITH {rec} pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 8) AS s FROM pos
+), cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+jpairs AS (
+  SELECT inter.a, inter.b,
+         CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE) AS jaccard
+  FROM inter JOIN cnt ca ON ca.doc_id = inter.a
+             JOIN cnt cb ON cb.doc_id = inter.b
+  WHERE CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE) >= 0.5)
+"""
+
+SQL_MINHASH_PAIRS = _SQL_JACCARD_PAIRS_CTE.format(rec="") + \
+    "SELECT a, b, jaccard FROM jpairs"
 
 
 def q_simhash_neardup(sf_dir: str):
@@ -1185,6 +1220,21 @@ def q_dedup_clusters(sf_dir: str):
                               n_buckets=adaptive_buckets(n_docs, lo=32))
 
 
+# connected components as a recursive transitive closure over the
+# exhaustive jaccard pair set (tiny planted components keep the closure
+# bounded); cluster = min reachable node id, matching
+# duplicate_clusters' canonical label
+SQL_DEDUP_CLUSTERS = _SQL_JACCARD_PAIRS_CTE.format(rec="RECURSIVE") + """,
+edges AS (SELECT a AS u, b AS v FROM jpairs
+          UNION ALL SELECT b, a FROM jpairs),
+reach(node, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+)
+SELECT node, MIN(r) AS cluster FROM reach GROUP BY node"""
+
+
 def q_rolling_fingerprint(sf_dir: str):
     from .textops.analysis import rolling_fingerprint
     return _read(sf_dir, "documents", ["doc_id", "text"], blocks=16) \
@@ -1205,11 +1255,63 @@ def q_approx_distinct_users(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    import ray.data as rd
+    """Multimodal actor-pool stage over a media table DERIVED from
+    ``documents`` (payload = UTF-8 text bytes) so the deterministic
+    decode stub — sha256-digest features — is fully SQL-expressible and
+    the query gets a real value oracle. The feature vector is flattened
+    to scalar columns f0..f7 for the driver compare (its sorted value
+    hash needs sortable, non-nested columns); the library op keeps the
+    ``list<float32>`` layout. The synth-payload variant stays covered in
+    tests/test_stateful_ops.py."""
+    import numpy as np
 
-    from .textops.multimodal import extract_media_features, synth_media_table
-    media = rd.from_arrow(synth_media_table(200, seed=5))
-    return extract_media_features(media, concurrency=2, batch_size=32)
+    from .textops.multimodal import extract_media_features
+
+    _kinds = np.array(["image", "audio", "video"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "media_id": t.column("doc_id"),
+            "kind": pa.array(_kinds[did % 3], pa.string()),
+            "payload": pc.cast(t.column("text"), pa.binary()),
+        })
+
+    def flatten(t: pa.Table) -> pa.Table:
+        feats = t.column("features").combine_chunks()
+        arr = feats.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(t), -1)
+        cols = {"media_id": t.column("media_id"), "kind": t.column("kind")}
+        for i in range(arr.shape[1]):
+            cols[f"f{i}"] = pa.array(arr[:, i], pa.float32())
+        return pa.table(cols)
+
+    media = _read(sf_dir, "documents", ["doc_id", "text"], blocks=8) \
+        .map_batches(to_media, batch_format="pyarrow")
+    return extract_media_features(media, concurrency=2, batch_size=64) \
+        .map_batches(flatten, batch_format="pyarrow")
+
+
+def _sha_u32(i: int) -> str:
+    """SQL for the little-endian uint32 at digest bytes [4i, 4i+4)."""
+    return "(" + " + ".join(
+        f"CAST('0x' || substr(hex, {2 * (4 * i + k) + 1}, 2) AS BIGINT)"
+        f" * {256 ** k}" for k in range(4)) + ")"
+
+
+# the decode stub: feature[i] = float32(u32_le(sha256(payload), i) %
+# 1000) / float32(1000) — DuckDB FLOAT division is the same IEEE f32 op
+SQL_MEDIA_FEATURES = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         sha256(text) AS hex
+  FROM documents)
+SELECT media_id, kind, {feats} FROM m
+""".format(feats=", ".join(
+    f"CAST({_sha_u32(i)} % 1000 AS FLOAT) / CAST(1000 AS FLOAT) AS f{i}"
+    for i in range(8)))
 
 
 # ------------------------------------------------------- temporal joins
@@ -1331,10 +1433,10 @@ QUERIES = {
     "simhash": (q_simhash, None),
     "simhash_groups": (q_simhash_groups, None),
     "simhash_neardup": (q_simhash_neardup, None),
-    "minhash_pairs": (q_minhash_pairs, None),
-    "dedup_clusters": (q_dedup_clusters, None),
+    "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "rolling_fingerprint": (q_rolling_fingerprint, None),
     "knn_ivf": (q_knn_ivf, None),
     "approx_distinct_users": (q_approx_distinct_users, None),
-    "media_features": (q_media_features, None),
+    "media_features": (q_media_features, SQL_MEDIA_FEATURES),
 }
