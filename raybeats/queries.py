@@ -447,6 +447,148 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
 FROM f"""
 
 
+# planted PII suffix (engine + SQL both append it for doc_id % 7 == 0 so
+# the scrub oracle is non-vacuous on a synthetic corpus with no real PII)
+_PII_PLANT = " Contact user{id}@example.com ssn 123-45-6789 ip 10.0.0.1"
+
+
+def q_pii_scrub(sf_dir: str):
+    from .textops.curation import pii_scrub
+    from .util import imod
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id")
+        suffix = pc.binary_join_element_wise(
+            " Contact user", pc.cast(did, pa.string()),
+            "@example.com ssn 123-45-6789 ip 10.0.0.1", "")
+        text = pc.if_else(pc.equal(imod(did, 7), 0),
+                          pc.binary_join_element_wise(
+                              t.column("text"), suffix, ""),
+                          t.column("text"))
+        return pa.table({"doc_id": did, "text": text})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(plant, batch_format="pyarrow") \
+        .map_batches(pii_scrub, batch_format="pyarrow")
+
+
+# staged exactly like the engine: count each pattern on the text as the
+# previous replacement left it (email → ssn → ip)
+SQL_PII_SCRUB = r"""WITH d AS (
+  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' Contact user' ||
+    CAST(doc_id AS VARCHAR) || '@example.com ssn 123-45-6789 ip 10.0.0.1'
+    ELSE text END AS t0 FROM documents),
+s1 AS (SELECT doc_id, t0,
+  CAST(length(regexp_extract_all(t0,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+    '<EMAIL>', 'g') AS t1 FROM d),
+s2 AS (SELECT doc_id, n_email,
+  CAST(length(regexp_extract_all(t1, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT)
+    AS n_ssn,
+  regexp_replace(t1, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t2 FROM s1)
+SELECT doc_id,
+  regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+    AS clean_text,
+  n_email, n_ssn,
+  CAST(length(regexp_extract_all(t2,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip
+FROM s2"""
+
+
+def q_repetition_stats(sf_dir: str):
+    from .textops.curation import repetition_stats
+    from .util import imod
+
+    def plant(t: pa.Table) -> pa.Table:
+        # doc_id % 13 == 0 gets 30 repeated filler tokens so the keep
+        # filter actually fires on this low-repetition synthetic corpus
+        did = t.column("doc_id")
+        text = pc.if_else(pc.equal(imod(did, 13), 0),
+                          pc.binary_join_element_wise(
+                              t.column("text"), " spam" * 30, ""),
+                          t.column("text"))
+        return pa.table({"doc_id": did, "text": text})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"], blocks=8) \
+        .map_batches(plant, batch_format="pyarrow") \
+        .map_batches(repetition_stats, batch_format="pyarrow")
+
+
+SQL_REPETITION_STATS = """WITH d AS (
+  SELECT doc_id, CASE WHEN doc_id % 13 = 0
+    THEN text || repeat(' spam', 30) ELSE text END AS text FROM documents),
+t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+      AS tok FROM d),
+g AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+s AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+             MAX(c) AS max_c FROM g GROUP BY 1)
+SELECT d.doc_id,
+  CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(s.n_distinct, 0) AS DOUBLE)
+    / GREATEST(CAST(COALESCE(s.n_tokens, 0) AS DOUBLE), 1.0)
+    AS distinct_ratio,
+  CAST(COALESCE(s.max_c, 0) AS DOUBLE)
+    / GREATEST(CAST(COALESCE(s.n_tokens, 0) AS DOUBLE), 1.0) AS top_ratio,
+  (COALESCE(s.n_tokens, 0) >= 5
+   AND CAST(COALESCE(s.n_distinct, 0) AS DOUBLE)
+       / GREATEST(CAST(COALESCE(s.n_tokens, 0) AS DOUBLE), 1.0) >= 0.3
+   AND CAST(COALESCE(s.max_c, 0) AS DOUBLE)
+       / GREATEST(CAST(COALESCE(s.n_tokens, 0) AS DOUBLE), 1.0) <= 0.2)
+    AS keep
+FROM d LEFT JOIN s ON s.doc_id = d.doc_id"""
+
+
+def q_hash_split(sf_dir: str):
+    from .textops.curation import hash_split
+    return _read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(hash_split, batch_format="pyarrow")
+
+
+SQL_HASH_SPLIT = """WITH h AS (
+  SELECT doc_id, CAST(CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296
+                      AS BIGINT) AS m FROM documents),
+b AS (SELECT doc_id, xor(m, m >> 15) % 100 AS bucket FROM h)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+       ELSE 'test' END AS split FROM b"""
+
+
+def q_contamination(sf_dir: str):
+    """Benchmark-contamination flag: the 'benchmark suite' is derived
+    deterministically from the corpus itself (40-char snippets of the
+    first 100 docs with doc_id % 97 == 0) so the oracle is
+    self-contained; in production the snippet set is a fixed external
+    artifact broadcast via ``ray.put``, bounded by suite size — never by
+    corpus size."""
+    from .textops.curation import ContaminationFlagger
+    from .util import imod
+
+    bench = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(lambda t: t.filter(pc.and_(
+            pc.equal(imod(t.column("doc_id"), 97), 0),
+            pc.greater_equal(pc.utf8_length(t.column("text")), 60))),
+            batch_format="pyarrow") \
+        .sort("doc_id").limit(100)
+    snippets = sorted({r["text"][20:60] for r in bench.take_all()})
+    return _read(sf_dir, "documents", ["doc_id", "text"], blocks=8) \
+        .map_batches(ContaminationFlagger, batch_format="pyarrow",
+                     concurrency=(1, 4),
+                     fn_constructor_kwargs={"snippets": snippets})
+
+
+SQL_CONTAMINATION = """WITH b AS (
+  SELECT DISTINCT substr(text, 21, 40) AS snip FROM (
+    SELECT doc_id, text FROM documents
+    WHERE doc_id % 97 = 0 AND length(text) >= 60
+    ORDER BY doc_id LIMIT 100)),
+n AS (SELECT d.doc_id,
+        (SELECT COUNT(*) FROM b WHERE contains(d.text, b.snip)) AS n_hits
+      FROM documents d)
+SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+       n_hits > 0 AS contaminated FROM n"""
+
+
 def q_knn_cosine(sf_dir: str):
     import pyarrow.dataset as pads
 
@@ -1406,6 +1548,10 @@ QUERIES = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "token_topk": (q_token_topk, SQL_TOKEN_TOPK),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "contamination": (q_contamination, SQL_CONTAMINATION),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "embed_neardup_sample": (q_embed_neardup_sample,
                              SQL_EMBED_NEARDUP_SAMPLE),

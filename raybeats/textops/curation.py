@@ -1,0 +1,161 @@
+"""Corpus-curation operators for training-data pipelines: PII scrubbing,
+Gopher-style repetition statistics, deterministic train/val/test hash
+splits, and benchmark-contamination flagging.
+
+All are narrow (shuffle-free) vectorized ``map_batches`` stages over the
+``documents`` table; every kernel is chosen so an exact DuckDB oracle
+exists (RE2 regex semantics on both sides, IEEE double ratios of integer
+counts, HUGEINT-safe modular hashing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# RE2 patterns — pyarrow and DuckDB both compile RE2, so
+# count_substring_regex / replace_substring_regex match
+# len(regexp_extract_all(...)) / regexp_replace(..., 'g') exactly.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub(tbl: pa.Table, text_col: str = "text") -> pa.Table:
+    """Redact emails, SSN-shaped ids and IPv4 addresses.
+
+    Patterns are applied in a fixed stage order (email → ssn → ip), each
+    counted on the text AS THE PREVIOUS STAGE LEFT IT — an IP-shaped
+    substring inside an email must not be double-counted, and staging
+    makes the count/replace pair deterministic and SQL-mirrorable.
+    """
+    t0 = tbl.column(text_col)
+    n_email = pc.count_substring_regex(t0, PII_EMAIL)
+    t1 = pc.replace_substring_regex(t0, PII_EMAIL, "<EMAIL>")
+    n_ssn = pc.count_substring_regex(t1, PII_SSN)
+    t2 = pc.replace_substring_regex(t1, PII_SSN, "<SSN>")
+    n_ip = pc.count_substring_regex(t2, PII_IP)
+    t3 = pc.replace_substring_regex(t2, PII_IP, "<IP>")
+    return pa.table({
+        "doc_id": tbl.column("doc_id"),
+        "clean_text": t3,
+        "n_email": pc.cast(n_email, pa.int64()),
+        "n_ssn": pc.cast(n_ssn, pa.int64()),
+        "n_ip": pc.cast(n_ip, pa.int64()),
+    })
+
+
+def _flat_token_hashes(text: pa.ChunkedArray | pa.Array):
+    """Lowercase → [a-z0-9]+ tokens → (row_id, fnv1a hash) flat arrays.
+
+    Splitting on the complement class and dropping empties yields the
+    same token multiset per row as ``regexp_extract_all(lower(text),
+    '[a-z0-9]+')``.
+    """
+    from ..util import fnv1a_u64
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), "[^a-z0-9]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten()
+    row_id = np.repeat(np.arange(len(toks), dtype=np.int64),
+                       np.diff(offsets))
+    nonempty = pc.greater(pc.utf8_length(flat), 0)
+    row_id = row_id[nonempty.to_numpy(zero_copy_only=False)]
+    hashes = fnv1a_u64(flat.filter(nonempty))
+    return row_id, hashes, len(toks)
+
+
+def repetition_stats(tbl: pa.Table, text_col: str = "text",
+                     min_tokens: int = 5, min_distinct_ratio: float = 0.3,
+                     max_top_ratio: float = 0.2) -> pa.Table:
+    """Gopher-style within-document repetition features: token count,
+    distinct-token ratio, top-token frequency ratio, and a keep flag.
+    One lexsort over the flattened (row, token-hash) pairs computes all
+    per-row distinct/run-length stats — no python loop over rows.
+    """
+    row_id, hashes, n_rows = _flat_token_hashes(tbl.column(text_col))
+    n_tokens = np.bincount(row_id, minlength=n_rows).astype(np.int64)
+    n_distinct = np.zeros(n_rows, dtype=np.int64)
+    max_run = np.zeros(n_rows, dtype=np.int64)
+    if len(row_id):
+        order = np.lexsort((hashes, row_id))
+        r, h = row_id[order], hashes[order]
+        # boundaries where (row, hash) changes → run starts
+        new_run = np.empty(len(r), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (r[1:] != r[:-1]) | (h[1:] != h[:-1])
+        starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(starts, len(r)))
+        run_row = r[starts]
+        np.add.at(n_distinct, run_row, 1)
+        np.maximum.at(max_run, run_row, run_len)
+    denom = np.maximum(n_tokens, 1).astype(np.float64)
+    distinct_ratio = n_distinct / denom
+    top_ratio = max_run / denom
+    keep = ((n_tokens >= min_tokens) & (distinct_ratio >= min_distinct_ratio)
+            & (top_ratio <= max_top_ratio))
+    return pa.table({
+        "doc_id": tbl.column("doc_id"),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "distinct_ratio": pa.array(distinct_ratio, pa.float64()),
+        "top_ratio": pa.array(top_ratio, pa.float64()),
+        "keep": pa.array(keep, pa.bool_()),
+    })
+
+
+# multiplicative-hash split constants (Knuth); the product stays inside
+# int64 for ids < ~2^32, and the SQL side widens through HUGEINT so both
+# engines compute the identical 32-bit mix
+_SPLIT_MULT = 2654435761
+_SPLIT_MOD = 1 << 32
+
+
+def hash_split(tbl: pa.Table, id_col: str = "doc_id",
+               train_pct: int = 80, val_pct: int = 10) -> pa.Table:
+    """Deterministic train/val/test assignment from a multiplicative
+    hash of the id — stable across runs, machines and partitionings (the
+    property a resumable 100-TB curation job needs; a content-keyed
+    split would use the fingerprint column instead)."""
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False) \
+        .astype(np.uint64)
+    h = (ids * np.uint64(_SPLIT_MULT)) % np.uint64(_SPLIT_MOD)
+    h = h ^ (h >> np.uint64(15))
+    bucket = (h % np.uint64(100)).astype(np.int64)
+    split = np.where(bucket < train_pct, "train",
+                     np.where(bucket < train_pct + val_pct, "val", "test"))
+    return pa.table({
+        "doc_id": tbl.column(id_col),
+        "bucket": pa.array(bucket, pa.int64()),
+        "split": pa.array(split, pa.string()),
+    })
+
+
+class ContaminationFlagger:
+    """Actor-pool stage: flag documents containing any benchmark snippet.
+
+    The snippet set is broadcast once (``ray.put`` upstream / actor
+    ``__init__`` here) and each snippet is one vectorized
+    ``match_substring`` pass over the batch — K passes for K snippets,
+    bounded by the benchmark-suite size (a fixed external artifact in
+    production, ~1e4-1e5 n-grams), never by the corpus.
+    """
+
+    def __init__(self, snippets: list[str] | object):
+        import ray
+        if isinstance(snippets, ray.ObjectRef):
+            snippets = ray.get(snippets)
+        self.snippets = list(snippets)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        hits = np.zeros(len(tbl), dtype=np.int64)
+        for snip in self.snippets:
+            hits += pc.match_substring(text, snip).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": tbl.column("doc_id"),
+            "n_hits": pa.array(hits, pa.int64()),
+            "contaminated": pa.array(hits > 0, pa.bool_()),
+        })

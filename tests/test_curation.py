@@ -1,0 +1,140 @@
+"""Corpus-curation operators: PII scrub, repetition stats, hash split,
+contamination flag (pure-kernel tests — no Ray session needed except
+where a Dataset query is driven)."""
+
+import numpy as np
+import pyarrow as pa
+
+from raybeats.textops.curation import (ContaminationFlagger, hash_split,
+                                       pii_scrub, repetition_stats)
+
+
+def _docs(rows):
+    return pa.table({"doc_id": pa.array(range(len(rows)), pa.int64()),
+                     "text": pa.array(rows, pa.string())})
+
+
+class TestPiiScrub:
+    def test_redacts_all_three_kinds(self):
+        t = pii_scrub(_docs([
+            "mail bob.smith+x@corp.example.org now",
+            "ssn is 123-45-6789 ok",
+            "from 192.168.0.17 port 80",
+            "clean text with no pii at all",
+        ]))
+        assert t.column("clean_text").to_pylist() == [
+            "mail <EMAIL> now", "ssn is <SSN> ok",
+            "from <IP> port 80", "clean text with no pii at all"]
+        assert t.column("n_email").to_pylist() == [1, 0, 0, 0]
+        assert t.column("n_ssn").to_pylist() == [0, 1, 0, 0]
+        assert t.column("n_ip").to_pylist() == [0, 0, 1, 0]
+
+    def test_ip_inside_email_not_double_counted(self):
+        # host part contains an IP-shaped run; staging replaces the email
+        # FIRST so the ip pass never sees it
+        t = pii_scrub(_docs(["x u@10.1.2.34.example.com y"]))
+        row = t.to_pylist()[0]
+        assert row["clean_text"] == "x <EMAIL> y"
+        assert (row["n_email"], row["n_ip"]) == (1, 0)
+
+    def test_numeric_tld_is_ip_not_email(self):
+        # u@10.1.2.34 is NOT a valid email (numeric TLD) — the ip pass
+        # correctly picks up the address instead
+        row = pii_scrub(_docs(["x u@10.1.2.34 y"])).to_pylist()[0]
+        assert row["clean_text"] == "x u@<IP> y"
+        assert (row["n_email"], row["n_ip"]) == (0, 1)
+
+    def test_multiple_matches_counted(self):
+        t = pii_scrub(_docs(["a@b.co c@d.io and 1.2.3.4 5.6.7.8"]))
+        row = t.to_pylist()[0]
+        assert row["n_email"] == 2 and row["n_ip"] == 2
+        assert row["clean_text"] == "<EMAIL> <EMAIL> and <IP> <IP>"
+
+
+class TestRepetitionStats:
+    def test_repetitive_doc_dropped(self):
+        varied = "the quick brown fox jumps over a lazy dog today"
+        spammy = "buy now " * 20
+        t = repetition_stats(_docs([varied, spammy]))
+        keep = t.column("keep").to_pylist()
+        assert keep == [True, False]
+        ratios = t.column("distinct_ratio").to_pylist()
+        assert ratios[0] > 0.9 and ratios[1] < 0.3
+
+    def test_counts_match_naive(self):
+        texts = ["One two TWO three;three,three", "", "x"]
+        t = repetition_stats(_docs(texts))
+        import re
+        for i, text in enumerate(texts):
+            toks = re.findall(r"[a-z0-9]+", text.lower())
+            assert t.column("n_tokens")[i].as_py() == len(toks)
+            want_distinct = len(set(toks)) / max(len(toks), 1)
+            assert abs(t.column("distinct_ratio")[i].as_py()
+                       - want_distinct) < 1e-12
+            want_top = (max((toks.count(w) for w in set(toks)), default=0)
+                        / max(len(toks), 1))
+            assert abs(t.column("top_ratio")[i].as_py() - want_top) < 1e-12
+
+    def test_short_doc_dropped(self):
+        t = repetition_stats(_docs(["one two three"]))
+        assert t.column("keep").to_pylist() == [False]  # < 5 tokens
+
+
+class TestHashSplit:
+    def test_deterministic_and_partition_invariant(self):
+        t = pa.table({"doc_id": pa.array(range(1000), pa.int64())})
+        a = hash_split(t)
+        # same ids in a different batch slicing → same assignment
+        b = pa.concat_tables([hash_split(t.slice(0, 337)),
+                              hash_split(t.slice(337))])
+        assert a.equals(b)
+
+    def test_proportions(self):
+        t = pa.table({"doc_id": pa.array(range(20000), pa.int64())})
+        s = hash_split(t).column("split").to_pylist()
+        frac_train = s.count("train") / len(s)
+        frac_val = s.count("val") / len(s)
+        assert 0.77 < frac_train < 0.83
+        assert 0.08 < frac_val < 0.12
+
+    def test_buckets_cover_range(self):
+        t = pa.table({"doc_id": pa.array(range(5000), pa.int64())})
+        b = hash_split(t).column("bucket").to_pylist()
+        assert min(b) >= 0 and max(b) <= 99
+        assert len(set(b)) > 90  # multiplicative mix actually spreads
+
+
+class TestContamination:
+    def test_flags_containing_docs_only(self):
+        snip = "forbidden benchmark passage"
+        f = ContaminationFlagger([snip, "another eval answer"])
+        t = f(_docs([
+            f"prefix {snip} suffix",
+            "innocent document",
+            "has another eval answer and " + snip,
+        ]))
+        assert t.column("contaminated").to_pylist() == [True, False, True]
+        assert t.column("n_hits").to_pylist() == [1, 0, 2]
+
+
+def test_curation_queries_smoke(ray_session):
+    """Drive the four Dataset queries end-to-end at sf0.001."""
+    from raybeats.queries import (q_contamination, q_hash_split, q_pii_scrub,
+                                  q_repetition_stats)
+    sf = "/root/testdata/sf0.001"
+    pii = q_pii_scrub(sf).to_pandas()
+    planted = pii[pii.doc_id % 7 == 0]
+    assert (planted.n_email >= 1).all() and (planted.n_ip >= 1).all()
+    assert not pii.clean_text.str.contains("@example.com").any()
+
+    rep = q_repetition_stats(sf).to_pandas()
+    assert not rep[rep.doc_id % 13 == 0].keep.any()  # planted spam dropped
+    assert rep[rep.doc_id % 13 != 0].keep.mean() > 0.9
+
+    spl = q_hash_split(sf).to_pandas()
+    assert set(spl.split.unique()) <= {"train", "val", "test"}
+
+    con = q_contamination(sf).to_pandas()
+    src = con[(con.doc_id % 97 == 0)]
+    assert (src.n_hits >= 1).any()  # snippet sources flag themselves
+    assert (con.n_hits == 0).any()
