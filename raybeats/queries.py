@@ -564,13 +564,22 @@ def q_contamination(sf_dir: str):
     from .textops.curation import ContaminationFlagger
     from .util import imod
 
-    bench = _read(sf_dir, "documents", ["doc_id", "text"]) \
-        .map_batches(lambda t: t.filter(pc.and_(
+    def local_top100(t: pa.Table) -> pa.Table:
+        # per-batch candidate filter + LOCAL lowest-100 doc_ids: the
+        # driver merge then sees ≤ 100 × n_blocks tiny rows — no
+        # distributed sort (Ray's sort floor dwarfs this selection)
+        t = t.filter(pc.and_(
             pc.equal(imod(t.column("doc_id"), 97), 0),
-            pc.greater_equal(pc.utf8_length(t.column("text")), 60))),
-            batch_format="pyarrow") \
-        .sort("doc_id").limit(100)
-    snippets = sorted({r["text"][20:60] for r in bench.take_all()})
+            pc.greater_equal(pc.utf8_length(t.column("text")), 60)))
+        return t.sort_by("doc_id").slice(0, 100)
+
+    cand = pa.concat_tables(_read(sf_dir, "documents", ["doc_id", "text"])
+                            .map_batches(local_top100,
+                                         batch_format="pyarrow")
+                            .iter_batches(batch_format="pyarrow"),
+                            promote_options="default")
+    bench = cand.sort_by("doc_id").slice(0, 100)
+    snippets = sorted({t[20:60] for t in bench.column("text").to_pylist()})
     return _read(sf_dir, "documents", ["doc_id", "text"], blocks=8) \
         .map_batches(ContaminationFlagger, batch_format="pyarrow",
                      concurrency=(1, 4),
@@ -1468,22 +1477,19 @@ def q_asof_join(sf_dir: str):
 
     nb = adaptive_buckets(_nrows(sf_dir, "events"))
 
-    def _split(tp: str, keep: list):
-        def f(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.equal(t.column("event_type"), tp))
-            return t.select(keep)
-        return f
+    def split(t: pa.Table):
+        # both sides slice the SAME scan → single-scan asof_join mode
+        p = t.filter(pc.equal(t.column("event_type"), "purchase")) \
+            .select(["event_id", "ts", "user_id", "value"]) \
+            .rename_columns(["event_id", "ts", "user_id",
+                             "purchase_value"])
+        e = t.filter(pc.equal(t.column("event_type"), "error")) \
+            .select(["ts", "user_id", "value"])
+        return p, e
 
     ev = _read(sf_dir, "events",
                ["event_id", "ts", "user_id", "event_type", "value"])
-    purchases = ev.map_batches(
-        _split("purchase", ["event_id", "ts", "user_id", "value"]),
-        batch_format="pyarrow").rename_columns(
-        {"value": "purchase_value"})
-    errors = ev.map_batches(
-        _split("error", ["ts", "user_id", "value"]),
-        batch_format="pyarrow")
-    return asof_join(purchases, errors, on="ts", by="user_id",
+    return asof_join(ev, on="ts", by="user_id", split=split,
                      right_cols={"ts": "err_ts", "value": "err_value"},
                      direction="backward", how="left", n_buckets=nb)
 

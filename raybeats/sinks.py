@@ -98,7 +98,8 @@ def write_kafka_layout(ds, out_dir: str, hash_fields: list[str],
 
 def read_kafka_lanes(out_dir: str, topics: list[str] | None = None,
                      order_cols: tuple[str, ...] | None = None,
-                     columns: list[str] | None = None):
+                     columns: list[str] | None = None,
+                     row_filter=None):
     """Consumer half of the kafka-style layout (the reference ships the
     PRODUCER half, ``kafka/partition.go:141-277``; real consumers read
     one partition per group member): one Ray task per
@@ -112,7 +113,11 @@ def read_kafka_lanes(out_dir: str, topics: list[str] | None = None,
 
     Returns a lazy Dataset of the lane rows with (topic, partition)
     attached. ``topics`` filters lanes at the SCAN (unselected topics
-    never leave storage); ``columns`` prunes the parquet read."""
+    never leave storage); ``columns`` prunes the parquet read;
+    ``row_filter`` (a ``pyarrow.dataset`` expression, e.g. a time-range
+    predicate) pushes down to the parquet scan so pruned row groups
+    never leave storage — the replay-a-time-slice path the streaming
+    bridge uses."""
     import ray.data as rd
 
     lanes = []
@@ -140,7 +145,8 @@ def read_kafka_lanes(out_dir: str, topics: list[str] | None = None,
                                                       "*.parquet")))
             if not files:
                 continue
-            t = pa.concat_tables([pq.read_table(f, columns=columns)
+            t = pa.concat_tables([pq.read_table(f, columns=columns,
+                                                filters=row_filter)
                                   for f in files])
             if order_cols:
                 t = t.sort_by([(c, "ascending") for c in order_cols])

@@ -305,6 +305,70 @@ def streaming_window_agg(micro_batches, n_buckets: int = 4):
                                             ("hour", "ascending")])
 
 
+def kafka_micro_batches(out_dir: str, time_col: str = "ts",
+                        n_slices: int = 4, topics: list[str] | None = None,
+                        columns: list[str] | None = None,
+                        order_cols: tuple[str, ...] | None = None):
+    """Bridge the kafka-layout CONSUMER into the streaming modes: yield
+    the lanes under ``out_dir`` as ``n_slices`` event-time micro-batch
+    Datasets in global time order — exactly the contract
+    ``_drive_keyed_actors`` needs (batch N's events precede batch
+    N+1's; within a batch the state kernels sort).
+
+    Slice boundaries come from the lane parquet FOOTER statistics
+    (metadata-only scan); each slice replays through
+    :func:`raybeats.sinks.read_kafka_lanes` with a pushed-down
+    time-range predicate, so row groups outside the slice never leave
+    storage. A real deployment tails lanes incrementally instead of
+    replaying; the slice replay is the deterministic batch equivalent.
+    """
+    import glob as glob_mod
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from .sinks import read_kafka_lanes
+
+    files = sorted(glob_mod.glob(os.path.join(
+        out_dir, "topic=*", "partition=*", "*.parquet")))
+    if topics is not None:
+        allowed = {f"topic={t}" for t in topics}
+        files = [f for f in files
+                 if os.path.basename(os.path.dirname(os.path.dirname(f)))
+                 in allowed]
+    lo = hi = None
+    for f in files:
+        md = pq.read_metadata(f)
+        idx = md.schema.to_arrow_schema().get_field_index(time_col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                # stats disabled for this file: fall back to a pruned
+                # single-column read
+                col = pq.read_table(f, columns=[time_col]).column(0)
+                import pyarrow.compute as pc2
+                mn, mx = pc2.min(col).as_py(), pc2.max(col).as_py()
+            else:
+                mn, mx = st.min, st.max
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+    if lo is None:
+        return
+    lo_us = pa.scalar(lo, pa.timestamp("us")).value
+    hi_us = pa.scalar(hi, pa.timestamp("us")).value
+    step = max(1, (hi_us - lo_us) // n_slices + 1)
+    for k in range(n_slices):
+        a = pa.scalar(lo_us + k * step, pa.timestamp("us"))
+        b = pa.scalar(min(lo_us + (k + 1) * step, hi_us + 1),
+                      pa.timestamp("us"))
+        if a.value > hi_us:
+            break
+        expr = (pads.field(time_col) >= a) & (pads.field(time_col) < b)
+        yield read_kafka_lanes(out_dir, topics=topics, columns=columns,
+                               order_cols=order_cols, row_filter=expr)
+
+
 def streaming_sessionize(micro_batches, gap_minutes: int = 30,
                          n_buckets: int = 4):
     """``micro_batches``: iterable of ``ray.data.Dataset`` slices in
