@@ -554,6 +554,25 @@ SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
        ELSE 'test' END AS split FROM b"""
 
 
+def q_quota_sample(sf_dir: str):
+    """Per-language quota sample (cap 20 docs/lang, deterministic hash
+    priority): per-batch local prune → tiny groupby finalize, so the
+    shuffle carries only quota-bounded fixed-width rows."""
+    from .textops.curation import quota_sample
+    return quota_sample(_read(sf_dir, "documents", ["doc_id", "lang"]),
+                        group_col="lang", n_per_group=20)
+
+
+SQL_QUOTA_SAMPLE = """WITH h AS (
+  SELECT doc_id, lang,
+    CAST(CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296 AS BIGINT) AS m
+  FROM documents),
+p AS (SELECT doc_id, lang, xor(m, m >> 15) AS prio FROM h),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY prio, doc_id) AS rn FROM p)
+SELECT lang, doc_id, CAST(prio AS BIGINT) AS prio FROM r WHERE rn <= 20"""
+
+
 def q_contamination(sf_dir: str):
     """Benchmark-contamination flag: the 'benchmark suite' is derived
     deterministically from the corpus itself (40-char snippets of the
@@ -1557,6 +1576,7 @@ QUERIES = {
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "quota_sample": (q_quota_sample, SQL_QUOTA_SAMPLE),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "embed_neardup_sample": (q_embed_neardup_sample,

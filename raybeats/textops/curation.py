@@ -132,6 +132,51 @@ def hash_split(tbl: pa.Table, id_col: str = "doc_id",
     })
 
 
+def _mix32(ids: np.ndarray) -> np.ndarray:
+    """The shared 32-bit multiplicative mix (see hash_split)."""
+    h = (ids.astype(np.uint64) * np.uint64(_SPLIT_MULT)) \
+        % np.uint64(_SPLIT_MOD)
+    return h ^ (h >> np.uint64(15))
+
+
+def quota_sample(ds, group_col: str = "lang", id_col: str = "doc_id",
+                 n_per_group: int = 20):
+    """Deterministic per-group quota sample: keep the ``n_per_group``
+    rows with the lowest (hash-priority, id) per group — the
+    "cap documents per source/language" curation step.
+
+    Scale shape: each batch prunes LOCALLY to ≤ n_per_group rows per
+    group first, so the groupby that finalizes sees only
+    ``blocks × groups × n`` pre-pruned fixed-width rows — the shuffle
+    volume is set by the quota, never the corpus. Priority is the same
+    multiplicative mix as :func:`hash_split` (stable across runs and
+    partitionings; ties broken by id).
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        prio = _mix32(ids).astype(np.int64)
+        sub = pa.table({group_col: t.column(group_col),
+                        id_col: t.column(id_col),
+                        "prio": pa.array(prio, pa.int64())})
+        sub = sub.sort_by([(group_col, "ascending"),
+                           ("prio", "ascending"), (id_col, "ascending")])
+        g = sub.column(group_col).to_numpy(zero_copy_only=False)
+        new_grp = np.empty(len(sub), dtype=bool)
+        if len(sub):
+            new_grp[0] = True
+            new_grp[1:] = g[1:] != g[:-1]
+        rank = np.arange(len(sub)) - \
+            np.maximum.accumulate(np.where(new_grp, np.arange(len(sub)),
+                                           -1))
+        return sub.filter(pa.array(rank < n_per_group))
+
+    def finalize(grp: pa.Table) -> pa.Table:
+        return partial(grp)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col).map_groups(finalize, batch_format="pyarrow")
+
+
 class ContaminationFlagger:
     """Actor-pool stage: flag documents containing any benchmark snippet.
 

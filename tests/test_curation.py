@@ -104,6 +104,37 @@ class TestHashSplit:
         assert len(set(b)) > 90  # multiplicative mix actually spreads
 
 
+class TestQuotaSample:
+    def test_quota_respected_and_deterministic(self, ray_session):
+        import ray.data as rd
+
+        from raybeats.textops.curation import quota_sample
+        t = pa.table({
+            "doc_id": pa.array(range(500), pa.int64()),
+            "lang": pa.array([["en", "de", "fr"][i % 3]
+                              for i in range(500)], pa.string())})
+        out = quota_sample(rd.from_arrow(t).repartition(4),
+                           n_per_group=7).to_pandas()
+        assert (out.groupby("lang").size() == 7).all()
+        # partition-invariant: a different block split picks the SAME rows
+        out2 = quota_sample(rd.from_arrow(t).repartition(9),
+                            n_per_group=7).to_pandas()
+        a = out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+        b = out2.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_small_group_kept_whole(self, ray_session):
+        import ray.data as rd
+
+        from raybeats.textops.curation import quota_sample
+        t = pa.table({"doc_id": pa.array(range(10), pa.int64()),
+                      "lang": pa.array(["en"] * 8 + ["zh"] * 2,
+                                       pa.string())})
+        out = quota_sample(rd.from_arrow(t), n_per_group=5).to_pandas()
+        sizes = out.groupby("lang").size()
+        assert sizes["en"] == 5 and sizes["zh"] == 2
+
+
 class TestContamination:
     def test_flags_containing_docs_only(self):
         snip = "forbidden benchmark passage"
