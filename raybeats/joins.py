@@ -15,6 +15,8 @@ custom operators; these are the Ray-Data-first compositions.
   shuffle at all. Intended for interval tables that fit in one object
   (bands, SLA windows, calendars); a billion-interval side would need
   the cogroup shape instead.
+* :func:`hash_join` — large×large equi-join: Ray Data's native
+  hash-shuffle join with input-adaptive partition sizing.
 """
 from __future__ import annotations
 
@@ -175,6 +177,50 @@ def asof_join(left_ds, right_ds=None, *, on: str = "ts",
 
     return (tagged.groupby(_BKT)
             .map_groups(join_group, batch_format="pyarrow"))
+
+
+_JOIN_TYPES = {"inner": "inner", "left": "left_outer",
+               "right": "right_outer", "full": "full_outer"}
+
+
+def hash_join(left_ds, right_ds, *, on, right_on=None, how: str = "inner",
+              num_partitions: int | None = None, left_suffix=None,
+              right_suffix: str = "_r", target_rows: int = 500_000):
+    """Distributed large×large equi-join — the join family the
+    broadcast (`enrich` lookup / :func:`range_join_broadcast`) and
+    temporal (:func:`asof_join`) paths don't cover.
+
+    Thin wrapper over Ray Data's native hash-shuffle join
+    (``Dataset.join``): both sides hash-partition on the key across
+    ``num_partitions`` aggregating actors, i.e. ONE all-to-all
+    exchange of both tables. Pick the broadcast lookup join when one
+    side fits in the object store; pick this when BOTH sides are
+    large. ``num_partitions`` defaults to input-linear sizing
+    (~``target_rows`` rows per partition, floor 8) per the repo's
+    no-fixed-cardinality-shuffle convention, so per-aggregator memory
+    stays bounded as the corpus grows while the partition count — not
+    the partition size — absorbs the scale.
+
+    ``on`` / ``right_on`` are a column name or tuple of names;
+    ``how`` ∈ inner/left/right/full. When key names differ, only the
+    left key column appears in the output (Ray keeps both sides'
+    non-key payload, suffixing collisions with ``right_suffix``).
+    """
+    on = (on,) if isinstance(on, str) else tuple(on)
+    if right_on is not None and isinstance(right_on, str):
+        right_on = (right_on,)
+    elif right_on is not None:
+        right_on = tuple(right_on)
+    if how not in _JOIN_TYPES:
+        raise ValueError(f"how {how!r}: one of {sorted(_JOIN_TYPES)}")
+    if num_partitions is None:
+        num_partitions = adaptive_buckets(
+            left_ds.count() + right_ds.count(),
+            target_rows=target_rows, lo=8, hi=1 << 16)
+    return left_ds.join(right_ds, _JOIN_TYPES[how], num_partitions,
+                        on=on, right_on=right_on,
+                        left_suffix=left_suffix,
+                        right_suffix=right_suffix)
 
 
 def range_join_broadcast(ds, intervals: pa.Table, *, value_col: str,

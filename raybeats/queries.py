@@ -1551,6 +1551,85 @@ FROM events e JOIN (
     for n, lo, hi in _VALUE_BANDS))
 
 
+def q_hash_join_rows(sf_dir: str):
+    """Row-level large×large equi-join: every lineitem of a
+    high-value order, via ONE native hash-shuffle join
+    (:func:`raybeats.joins.hash_join`), partitions sized to the input.
+    Both reads are column-pruned; the orders side filters BEFORE the
+    join so only matching keys enter the exchange."""
+    from .joins import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_totalprice", "o_orderpriority"]) \
+        .map_batches(lambda t: t.filter(
+            pc.greater(t.column("o_totalprice"), 250_000.0)),
+            batch_format="pyarrow")
+    out = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                    how="inner")
+    return out.select_columns(["l_orderkey", "l_linenumber",
+                               "l_extendedprice", "o_totalprice",
+                               "o_orderpriority"])
+
+
+SQL_HASH_JOIN_ROWS = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, o_totalprice,
+       o_orderpriority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > 250000.0"""
+
+
+def q_join_revenue(sf_dir: str):
+    """Join-then-aggregate (TPC-H-Q3-ish): revenue per order priority
+    over completed orders. hash_join exchanges both large tables once;
+    revenue is per-row floor-cents int64 so the distributed sum is
+    exact and associative (float sums are order-dependent and would
+    break the driver's value hash); the groupby is per-batch partials
+    + tiny driver combine — only (batch × priority) rows move after
+    the join."""
+    from .joins import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus",
+                                      "o_orderpriority"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t.column("o_orderstatus"), "F"))
+            .drop_columns(["o_orderstatus"]), batch_format="pyarrow")
+    joined = hash_join(li, orders, on="l_orderkey",
+                       right_on="o_orderkey", how="inner")
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * (1.0 - disc) * 100.0).astype(np.int64)
+        tt = pa.table({"o_orderpriority": t.column("o_orderpriority"),
+                       "rev": pa.array(cents, pa.int64())})
+        g = tt.group_by(["o_orderpriority"]).aggregate(
+            [("rev", "sum"), ("rev", "count")])
+        return pa.table({
+            "o_orderpriority": g.column("o_orderpriority"),
+            "revenue_cents": g.column("rev_sum"),
+            "n_items": pc.cast(g.column("rev_count"), pa.int64())})
+
+    small = joined.map_batches(partial, batch_format="pyarrow")
+    return _combine_partials(small, ["o_orderpriority"],
+                             {"revenue_cents": "revenue_cents",
+                              "n_items": "n_items"})
+
+
+SQL_JOIN_REVENUE = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -1597,6 +1676,8 @@ QUERIES = {
     "ratelimit": (q_ratelimit, SQL_RATELIMIT),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "hash_join_rows": (q_hash_join_rows, SQL_HASH_JOIN_ROWS),
+    "join_revenue": (q_join_revenue, SQL_JOIN_REVENUE),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

@@ -113,3 +113,60 @@ def test_range_join_closed_both_and_cap():
                     "hi": pa.array(np.ones(10), pa.float64())})
     with pytest.raises(ValueError, match="intervals"):
         range_join_broadcast(ds, big, value_col="v", max_intervals=5)
+
+
+# ------------------------------------------------------------ hash_join
+
+def _hj_sides():
+    import ray.data as rd
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 3, 4], pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d", "e"], pa.string())}))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([2, 3, 3, 5], pa.int64()),
+        "rv": pa.array([20, 30, 31, 50], pa.int64())}))
+    return left, right
+
+
+def test_hash_join_inner_duplicates_multiply(ray_session):
+    from raybeats.joins import hash_join
+    left, right = _hj_sides()
+    out = hash_join(left, right, on="k", right_on="rk",
+                    how="inner", num_partitions=3).to_pandas()
+    got = sorted(zip(out["k"], out["lv"], out["rv"]))
+    # k=3 has 2 left rows x 2 right rows = 4 output rows
+    assert got == [(2, "b", 20), (3, "c", 30), (3, "c", 31),
+                   (3, "d", 30), (3, "d", 31)]
+
+
+def test_hash_join_left_outer_nulls(ray_session):
+    from raybeats.joins import hash_join
+    left, right = _hj_sides()
+    out = hash_join(left, right, on="k", right_on="rk",
+                    how="left", num_partitions=3).to_pandas()
+    unmatched = out[out["rv"].isna()]["k"].tolist()
+    assert sorted(unmatched) == [1, 4]
+    assert len(out) == 7  # 5 matches + 2 null-extended
+
+
+def test_hash_join_collision_suffix_and_validation(ray_session):
+    import ray.data as rd
+    from raybeats.joins import hash_join
+    left = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                   "v": pa.array([10], pa.int64())}))
+    right = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                    "v": pa.array([99], pa.int64())}))
+    out = hash_join(left, right, on="k", num_partitions=2).to_pandas()
+    assert out["v"].tolist() == [10] and out["v_r"].tolist() == [99]
+    with pytest.raises(ValueError, match="how"):
+        hash_join(left, right, on="k", how="cross")
+
+
+def test_hash_join_adaptive_partitions_scale():
+    # partition count grows linearly with input, floor 8 — no
+    # fixed-cardinality shuffle (counts only; no execution needed)
+    from raybeats.util import adaptive_buckets
+    assert adaptive_buckets(1000, target_rows=500_000, lo=8,
+                            hi=1 << 16) == 8
+    assert adaptive_buckets(500_000_000, target_rows=500_000, lo=8,
+                            hi=1 << 16) == 1000
