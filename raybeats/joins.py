@@ -196,7 +196,10 @@ def hash_join(left_ds, right_ds, *, on, right_on=None, how: str = "inner",
     exchange of both tables. Pick the broadcast lookup join when one
     side fits in the object store; pick this when BOTH sides are
     large. ``num_partitions`` defaults to input-linear sizing
-    (~``target_rows`` rows per partition, floor 8) per the repo's
+    (~``target_rows`` rows per partition, floor 4 — each partition is
+    a long-lived aggregator actor, and measured locally the actor
+    startup/exchange overhead beats added parallelism below ~500k rows
+    per side) per the repo's
     no-fixed-cardinality-shuffle convention, so per-aggregator memory
     stays bounded as the corpus grows while the partition count — not
     the partition size — absorbs the scale.
@@ -216,7 +219,7 @@ def hash_join(left_ds, right_ds, *, on, right_on=None, how: str = "inner",
     if num_partitions is None:
         num_partitions = adaptive_buckets(
             left_ds.count() + right_ds.count(),
-            target_rows=target_rows, lo=8, hi=1 << 16)
+            target_rows=target_rows, lo=4, hi=1 << 16)
     return left_ds.join(right_ds, _JOIN_TYPES[how], num_partitions,
                         on=on, right_on=right_on,
                         left_suffix=left_suffix,

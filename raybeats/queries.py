@@ -1630,6 +1630,35 @@ WHERE o_orderstatus = 'F'
 GROUP BY o_orderpriority"""
 
 
+def q_quantiles(sf_dir: str):
+    """Exact p50/p95/p99 of the (cent-quantized) event value per
+    event_type with NO global sort: per-batch (key, quantum, count)
+    pre-aggregation bounds the keyed shuffle by value range ×
+    precision, never corpus size (raybeats/aggregates.py)."""
+    from .aggregates import grouped_exact_quantiles
+    return grouped_exact_quantiles(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        value_col="value", by="event_type", qs=(0.5, 0.95, 0.99))
+
+
+SQL_QUANTILES = """
+WITH c AS (SELECT event_type,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS q FROM events),
+g AS (SELECT event_type, q, COUNT(*) AS cnt FROM c
+      GROUP BY event_type, q),
+s AS (SELECT event_type, q,
+        SUM(cnt) OVER (PARTITION BY event_type ORDER BY q) AS cum,
+        SUM(cnt) OVER (PARTITION BY event_type) AS total FROM g)
+SELECT event_type, CAST(MAX(total) AS BIGINT) AS n,
+  CAST(MIN(CASE WHEN cum >= CEIL(0.5 * total) THEN q END)
+       AS BIGINT) AS p50_cents,
+  CAST(MIN(CASE WHEN cum >= CEIL(0.95 * total) THEN q END)
+       AS BIGINT) AS p95_cents,
+  CAST(MIN(CASE WHEN cum >= CEIL(0.99 * total) THEN q END)
+       AS BIGINT) AS p99_cents
+FROM s GROUP BY event_type"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -1678,6 +1707,7 @@ QUERIES = {
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "hash_join_rows": (q_hash_join_rows, SQL_HASH_JOIN_ROWS),
     "join_revenue": (q_join_revenue, SQL_JOIN_REVENUE),
+    "quantiles": (q_quantiles, SQL_QUANTILES),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

@@ -163,10 +163,10 @@ def test_hash_join_collision_suffix_and_validation(ray_session):
 
 
 def test_hash_join_adaptive_partitions_scale():
-    # partition count grows linearly with input, floor 8 — no
+    # partition count grows linearly with input, floor 4 — no
     # fixed-cardinality shuffle (counts only; no execution needed)
     from raybeats.util import adaptive_buckets
-    assert adaptive_buckets(1000, target_rows=500_000, lo=8,
-                            hi=1 << 16) == 8
-    assert adaptive_buckets(500_000_000, target_rows=500_000, lo=8,
+    assert adaptive_buckets(1000, target_rows=500_000, lo=4,
+                            hi=1 << 16) == 4
+    assert adaptive_buckets(500_000_000, target_rows=500_000, lo=4,
                             hi=1 << 16) == 1000
