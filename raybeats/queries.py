@@ -1659,6 +1659,58 @@ SELECT event_type, CAST(MAX(total) AS BIGINT) AS n,
 FROM s GROUP BY event_type"""
 
 
+def q_inverted_index(sf_dir: str):
+    """Inverted-index statistics: per token, document frequency (df)
+    and total term frequency (tf) over the corpus. Exactly-one-shuffle
+    build: a document's rows live wholly inside one batch, so each
+    batch's (token, docs-containing, occurrences) partial sums to the
+    EXACT global df/tf — the groupby moves one row per
+    (batch, distinct-token), never per token occurrence. Same
+    tokenizer as ``token_topk`` ([a-z0-9]+ on lowered text)."""
+    import re as re_mod
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+    tok_re = re_mod.compile(r"[a-z0-9]+")
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        idx: list[int] = []
+        for i, t in enumerate(tbl.column("text").to_pylist()):
+            f = tok_re.findall((t or "").lower())
+            toks.extend(f)
+            idx.extend([i] * len(f))
+        if not toks:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "tf": pa.array([], pa.int64())})
+        arr = np.array(toks, dtype=object)
+        di = np.array(idx, np.int64)
+        uniq_t, inv = np.unique(arr, return_inverse=True)
+        tf = np.bincount(inv, minlength=len(uniq_t))
+        # df: distinct (doc, token) pairs in this batch
+        pairs = np.unique(di * len(uniq_t) + inv)
+        df = np.bincount(pairs % len(uniq_t), minlength=len(uniq_t))
+        return pa.table({
+            "token": pa.array(uniq_t.tolist(), pa.string()),
+            "df": pa.array(df.astype(np.int64), pa.int64()),
+            "tf": pa.array(tf.astype(np.int64), pa.int64())})
+
+    return _read(sf_dir, "documents", ["text"], blocks=16) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("df", alias_name="df"),
+                                    Sum("tf", alias_name="tf"))
+
+
+SQL_INVERTED_INDEX = r"""WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents)
+SELECT token, COUNT(DISTINCT doc_id) AS df,
+       CAST(COUNT(*) AS BIGINT) AS tf
+FROM toks GROUP BY token"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -1708,6 +1760,7 @@ QUERIES = {
     "hash_join_rows": (q_hash_join_rows, SQL_HASH_JOIN_ROWS),
     "join_revenue": (q_join_revenue, SQL_JOIN_REVENUE),
     "quantiles": (q_quantiles, SQL_QUANTILES),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

@@ -59,3 +59,25 @@ class TestGroupedExactQuantiles:
             grouped_exact_quantiles(ds, qs=(0.0, 0.5))
         with pytest.raises(ValueError, match="qs"):
             grouped_exact_quantiles(ds, qs=())
+
+
+class TestInvertedIndex:
+    def test_df_tf_exact_across_partitions(self, ray_session):
+        import ray.data as rd
+        from raybeats.queries import QUERIES
+        import duckdb
+        import os, tempfile
+        # df counts documents, tf counts occurrences — and both must be
+        # partition-invariant because a doc's row is atomic in a batch
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["cat cat dog", "dog", "CAT!", "fish"],
+                             pa.string())})
+        with tempfile.TemporaryDirectory() as d:
+            import pyarrow.parquet as pq_
+            pq_.write_table(t, os.path.join(d, "documents.parquet"))
+            out = QUERIES["inverted_index"][0](d).to_pandas() \
+                .set_index("token")
+        assert out.loc["cat", "df"] == 2 and out.loc["cat", "tf"] == 3
+        assert out.loc["dog", "df"] == 2 and out.loc["dog", "tf"] == 2
+        assert out.loc["fish", "df"] == 1 and out.loc["fish", "tf"] == 1
