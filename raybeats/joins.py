@@ -17,6 +17,10 @@ custom operators; these are the Ray-Data-first compositions.
   the cogroup shape instead.
 * :func:`hash_join` — large×large equi-join: Ray Data's native
   hash-shuffle join with input-adaptive partition sizing.
+* :func:`key_filter_join` — large×large SEMI / ANTI join (keep left
+  rows whose key does / does not appear on the right) — the
+  dedup-against-a-reference-corpus primitive; one bucketed-union
+  shuffle, right side reduced to its key column before it moves.
 """
 from __future__ import annotations
 
@@ -224,6 +228,75 @@ def hash_join(left_ds, right_ds, *, on, right_on=None, how: str = "inner",
                         on=on, right_on=right_on,
                         left_suffix=left_suffix,
                         right_suffix=right_suffix)
+
+
+def key_filter_join(left_ds, right_ds, *, on: str, right_on: str | None
+                    = None, keep: str = "anti",
+                    n_buckets: int | None = None):
+    """Distributed SEMI (``keep='semi'``) or ANTI (``keep='anti'``)
+    join: return left rows whose ``on`` key does (semi) / does not
+    (anti) appear in the right side's ``right_on`` column.
+
+    This is the dedup-against-a-reference-corpus primitive (drop
+    documents whose hash already exists in a prior training set; keep
+    only allowlisted users). Both sides are large: the right side
+    projects to its DISTINCT key column per batch before anything
+    moves, then ONE keyed bucketed-union shuffle co-locates left rows
+    with the right keys that could match them; the per-group
+    membership test is a single vectorized ``pc.is_in``. Buckets scale
+    with input (`adaptive_buckets`). A right side small enough to
+    broadcast should use the `enrich` lookup path instead — this shape
+    is for reference sets too big for one object.
+    """
+    if keep not in ("semi", "anti"):
+        raise ValueError(f"keep {keep!r}: 'semi' or 'anti'")
+    right_on = right_on or on
+    left_schema = getattr(left_ds.schema(), "base_schema",
+                          left_ds.schema())
+    left_names = list(left_schema.names)
+    key_type = left_schema.field(on).type
+    if n_buckets is None:
+        n_buckets = adaptive_buckets(left_ds.count() + right_ds.count())
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {_BKT: fnv1a_bucket(t.column(on), n_buckets),
+                _SIDE: pa.array(np.zeros(t.num_rows, np.int8))}
+        for c in left_names:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        # distinct keys only — at 100 TB the reference corpus moves as
+        # deduped fixed-width keys, not rows
+        keys = pc.cast(t.column(right_on), key_type).unique()
+        n = len(keys)
+        cols = {_BKT: fnv1a_bucket(keys, n_buckets),
+                _SIDE: pa.array(np.ones(n, np.int8)),
+                on: keys}
+        for c in left_names:
+            if c != on:
+                cols[c] = pa.nulls(n, left_schema.field(c).type)
+        return pa.table(cols)
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow") \
+        .union(right_ds.map_batches(tag_right, batch_format="pyarrow"))
+
+    def filter_group(g: pa.Table) -> pa.Table:
+        side = g.column(_SIDE).to_numpy(zero_copy_only=False)
+        left = g.filter(pa.array(side == 0))
+        rkeys = g.filter(pa.array(side == 1)).column(on)
+        if len(rkeys):
+            member = pc.is_in(left.column(on),
+                              value_set=rkeys.combine_chunks())
+            mask = member if keep == "semi" else \
+                pc.invert(pc.fill_null(member, False))
+        else:
+            mask = pa.array(np.full(left.num_rows,
+                                    keep == "anti", bool))
+        return left.filter(mask).select(left_names)
+
+    return (tagged.groupby(_BKT)
+            .map_groups(filter_group, batch_format="pyarrow"))
 
 
 def range_join_broadcast(ds, intervals: pa.Table, *, value_col: str,

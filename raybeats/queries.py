@@ -1711,6 +1711,30 @@ SELECT token, COUNT(DISTINCT doc_id) AS df,
 FROM toks GROUP BY token"""
 
 
+def q_anti_join(sf_dir: str):
+    """Dedup-against-a-reference-set: events whose user is NOT in the
+    allowlist (customers of one segment). Large×large ANTI join — the
+    right side moves as per-batch-deduped fixed-width keys through ONE
+    bucketed-union shuffle; per-group test is one vectorized is_in
+    (raybeats/joins.key_filter_join)."""
+    from .joins import key_filter_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+    allow = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t.column("c_mktsegment"), "AUTOMOBILE"))
+            .select(["c_custkey"]), batch_format="pyarrow")
+    return key_filter_join(ev, allow, on="user_id",
+                           right_on="c_custkey", keep="anti")
+
+
+SQL_ANTI_JOIN = """
+SELECT event_id, user_id FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = e.user_id
+                    AND c.c_mktsegment = 'AUTOMOBILE')"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -1761,6 +1785,7 @@ QUERIES = {
     "join_revenue": (q_join_revenue, SQL_JOIN_REVENUE),
     "quantiles": (q_quantiles, SQL_QUANTILES),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

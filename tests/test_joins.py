@@ -170,3 +170,40 @@ def test_hash_join_adaptive_partitions_scale():
                             hi=1 << 16) == 4
     assert adaptive_buckets(500_000_000, target_rows=500_000, lo=4,
                             hi=1 << 16) == 1000
+
+
+# ------------------------------------------------------- key_filter_join
+
+def test_key_filter_join_semi_and_anti(ray_session):
+    import ray.data as rd
+    from raybeats.joins import key_filter_join
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 2], pa.int64()),
+        "v": pa.array(["a", "b", "c", "d", "e"], pa.string())}))
+    # right has duplicates — membership, not multiplicity, must decide
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([2, 2, 4, 9], pa.int64())}))
+    semi = key_filter_join(left, right, on="k", right_on="rk",
+                           keep="semi").to_pandas()
+    assert sorted(zip(semi["k"], semi["v"])) == \
+        [(2, "b"), (2, "e"), (4, "d")]
+    anti = key_filter_join(left, right, on="k", right_on="rk",
+                           keep="anti").to_pandas()
+    assert sorted(zip(anti["k"], anti["v"])) == [(1, "a"), (3, "c")]
+    with pytest.raises(ValueError, match="keep"):
+        key_filter_join(left, right, on="k", keep="inner")
+
+
+def test_key_filter_join_empty_right_side(ray_session):
+    import ray.data as rd
+    from raybeats.joins import key_filter_join
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "v": pa.array(["a", "b"], pa.string())}))
+    empty = rd.from_arrow(pa.table({"rk": pa.array([], pa.int64())}))
+    anti = key_filter_join(left, empty, on="k", right_on="rk",
+                           keep="anti").to_pandas()
+    assert sorted(anti["k"]) == [1, 2]
+    semi = key_filter_join(left, empty, on="k", right_on="rk",
+                           keep="semi").to_pandas()
+    assert len(semi) == 0
