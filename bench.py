@@ -120,7 +120,8 @@ def run_queries() -> dict[str, float]:
              "token_topk", "asof_join", "range_join", "pii_scrub",
              "repetition_stats", "hash_split", "contamination",
              "quota_sample", "hash_join_rows", "join_revenue",
-             "quantiles", "inverted_index", "anti_join"]
+             "quantiles", "inverted_index", "anti_join",
+             "distinctive_terms"]
     out: dict[str, float] = {}
     # best-of-N per query: this box's first-touch/writeback stalls skew
     # single shots by 2-3x (same reason the headline is best-of-2)

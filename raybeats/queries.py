@@ -1735,6 +1735,74 @@ WHERE NOT EXISTS (SELECT 1 FROM customer c
                     AND c.c_mktsegment = 'AUTOMOBILE')"""
 
 
+def q_distinctive_terms(sf_dir: str):
+    """Per-document distinctive terms: top-3 tokens ranked by
+    (df asc, tf desc, token asc) — tf-idf's intent with an EXACT
+    integer lexicographic rank (float idf ordering is libm-dependent
+    and would flake the driver hash; rarity-then-frequency is the same
+    signal). Two-phase shape: the df table (bounded vocab) builds once
+    via the ``inverted_index`` shuffle, collects small, broadcasts via
+    ``ray.put``; scoring is then a NARROW map_batches — per-doc tf +
+    one lexsort, no second shuffle."""
+    import ray
+
+    df_tbl = pa.concat_tables(list(
+        q_inverted_index(sf_dir).iter_batches(batch_format="pyarrow")))
+    df_map = dict(zip(df_tbl.column("token").to_pylist(),
+                      df_tbl.column("df").to_pylist()))
+    ref = ray.put(df_map)
+
+    def score(tbl: pa.Table) -> pa.Table:
+        import re as re_mod
+        import numpy as np
+        import ray as _ray
+        dfm = _ray.get(ref)
+        tok_re = re_mod.compile(r"[a-z0-9]+")
+        out = {"doc_id": [], "token": [], "df": [], "tf": [],
+               "rank": []}
+        for did, text in zip(tbl.column("doc_id").to_pylist(),
+                             tbl.column("text").to_pylist()):
+            toks = tok_re.findall((text or "").lower())
+            if not toks:
+                continue
+            uniq, counts = np.unique(np.array(toks, dtype=object),
+                                     return_counts=True)
+            dfs = np.array([dfm[t] for t in uniq], np.int64)
+            order = np.lexsort((uniq, -counts, dfs))[:3]
+            for r, i in enumerate(order, 1):
+                out["doc_id"].append(did)
+                out["token"].append(uniq[i])
+                out["df"].append(int(dfs[i]))
+                out["tf"].append(int(counts[i]))
+                out["rank"].append(r)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "token": pa.array(out["token"], pa.string()),
+            "df": pa.array(out["df"], pa.int64()),
+            "tf": pa.array(out["tf"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"], blocks=16) \
+        .map_batches(score, batch_format="pyarrow")
+
+
+SQL_DISTINCTIVE_TERMS = r"""WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       FROM toks GROUP BY token),
+r AS (SELECT tf.doc_id, tf.token, df.df, tf.tf,
+        row_number() OVER (PARTITION BY tf.doc_id
+                           ORDER BY df.df, tf.tf DESC, tf.token)
+          AS rank
+      FROM tf JOIN df USING (token))
+SELECT doc_id, token, df, tf, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -1786,6 +1854,7 @@ QUERIES = {
     "quantiles": (q_quantiles, SQL_QUANTILES),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "distinctive_terms": (q_distinctive_terms, SQL_DISTINCTIVE_TERMS),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —
