@@ -1754,33 +1754,54 @@ def q_distinctive_terms(sf_dir: str):
 
     def score(tbl: pa.Table) -> pa.Table:
         import re as re_mod
+
         import numpy as np
         import ray as _ray
         dfm = _ray.get(ref)
+        vocab = np.array(sorted(dfm), dtype=object)
+        dfv = np.array([dfm[t] for t in vocab], np.int64)
         tok_re = re_mod.compile(r"[a-z0-9]+")
-        out = {"doc_id": [], "token": [], "df": [], "tf": [],
-               "rank": []}
-        for did, text in zip(tbl.column("doc_id").to_pylist(),
-                             tbl.column("text").to_pylist()):
-            toks = tok_re.findall((text or "").lower())
-            if not toks:
-                continue
-            uniq, counts = np.unique(np.array(toks, dtype=object),
-                                     return_counts=True)
-            dfs = np.array([dfm[t] for t in uniq], np.int64)
-            order = np.lexsort((uniq, -counts, dfs))[:3]
-            for r, i in enumerate(order, 1):
-                out["doc_id"].append(did)
-                out["token"].append(uniq[i])
-                out["df"].append(int(dfs[i]))
-                out["tf"].append(int(counts[i]))
-                out["rank"].append(r)
+        toks: list[str] = []
+        didx: list[int] = []
+        for i, text in enumerate(tbl.column("text").to_pylist()):
+            f = tok_re.findall((text or "").lower())
+            toks.extend(f)
+            didx.extend([i] * len(f))
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "token": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64())})
+        if not toks:
+            return empty
+        # one flattened pass: tf per (doc, token) pair, df via a
+        # searchsorted vocab lookup, ONE global lexsort, then a
+        # running-group rank — no per-doc python loop
+        code = np.searchsorted(vocab, np.array(toks, dtype=object))
+        pair = np.array(didx, np.int64) * len(vocab) + code
+        upair, tf = np.unique(pair, return_counts=True)
+        pdoc, pcode = upair // len(vocab), upair % len(vocab)
+        pdf = dfv[pcode]
+        ptok = vocab[pcode]
+        order = np.lexsort((ptok, -tf, pdf, pdoc))
+        sd = pdoc[order]
+        new_grp = np.empty(len(sd), bool)
+        new_grp[0] = True
+        new_grp[1:] = sd[1:] != sd[:-1]
+        pos = np.arange(len(sd))
+        rank = pos - np.maximum.accumulate(
+            np.where(new_grp, pos, -1)) + 1
+        keep = rank <= 3
+        sel = order[keep]
+        doc_ids = tbl.column("doc_id").to_numpy(
+            zero_copy_only=False)[pdoc[sel]]
         return pa.table({
-            "doc_id": pa.array(out["doc_id"], pa.int64()),
-            "token": pa.array(out["token"], pa.string()),
-            "df": pa.array(out["df"], pa.int64()),
-            "tf": pa.array(out["tf"], pa.int64()),
-            "rank": pa.array(out["rank"], pa.int64())})
+            "doc_id": pa.array(doc_ids.astype(np.int64), pa.int64()),
+            "token": pa.array(ptok[sel].tolist(), pa.string()),
+            "df": pa.array(pdf[sel], pa.int64()),
+            "tf": pa.array(tf[sel].astype(np.int64), pa.int64()),
+            "rank": pa.array(rank[keep].astype(np.int64), pa.int64())})
 
     return _read(sf_dir, "documents", ["doc_id", "text"], blocks=16) \
         .map_batches(score, batch_format="pyarrow")
