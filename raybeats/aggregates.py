@@ -50,8 +50,12 @@ def grouped_exact_quantiles(ds, *, value_col: str = "value",
 
     def partial(t: pa.Table) -> pa.Table:
         v = t.column(value_col).to_numpy(zero_copy_only=False)
-        quanta = np.floor(v * scale).astype(np.int64)
-        tt = pa.table({by: t.column(by),
+        # nulls/NaN are ignored (SQL-aggregate convention) — floor(NaN)
+        # .astype(int64) would otherwise sort a garbage INT64_MIN
+        # quantum first and silently shift every rank
+        ok = ~np.isnan(v)
+        quanta = np.floor(v[ok] * scale).astype(np.int64)
+        tt = pa.table({by: t.column(by).filter(pa.array(ok)),
                        "q": pa.array(quanta, pa.int64())})
         g = tt.group_by([by, "q"]).aggregate([("q", "count")])
         return pa.table({by: g.column(by), "q": g.column("q"),

@@ -212,6 +212,12 @@ def hash_join(left_ds, right_ds, *, on, right_on=None, how: str = "inner",
     ``how`` ∈ inner/left/right/full. When key names differ, only the
     left key column appears in the output (Ray keeps both sides'
     non-key payload, suffixing collisions with ``right_suffix``).
+
+    NOTE: the default sizing calls ``count()`` on both inputs — free
+    for plain parquet reads (metadata-only) but a full execution for
+    inputs behind ``map_batches`` transforms. Such callers should pass
+    ``num_partitions`` (pre-filter `_nrows`-style footer counts are a
+    fine upper bound).
     """
     on = (on,) if isinstance(on, str) else tuple(on)
     if right_on is not None and isinstance(right_on, str):
@@ -244,9 +250,14 @@ def key_filter_join(left_ds, right_ds, *, on: str, right_on: str | None
     moves, then ONE keyed bucketed-union shuffle co-locates left rows
     with the right keys that could match them; the per-group
     membership test is a single vectorized ``pc.is_in``. Buckets scale
-    with input (`adaptive_buckets`). A right side small enough to
-    broadcast should use the `enrich` lookup path instead — this shape
-    is for reference sets too big for one object.
+    with input (`adaptive_buckets`); as with :func:`hash_join`, pass
+    ``n_buckets`` when an input hides transforms behind ``map_batches``
+    (the default sizing ``count()`` would execute them once just to
+    size the shuffle). A right side small enough to broadcast should
+    use the `enrich` lookup path instead — this shape is for reference
+    sets too big for one object. Null keys never match (SQL
+    EXISTS/NOT EXISTS semantics): null-key left rows are dropped by
+    ``semi`` and kept by ``anti``.
     """
     if keep not in ("semi", "anti"):
         raise ValueError(f"keep {keep!r}: 'semi' or 'anti'")
@@ -267,15 +278,18 @@ def key_filter_join(left_ds, right_ds, *, on: str, right_on: str | None
 
     def tag_right(t: pa.Table) -> pa.Table:
         # distinct keys only — at 100 TB the reference corpus moves as
-        # deduped fixed-width keys, not rows
-        keys = pc.cast(t.column(right_on), key_type).unique()
+        # deduped fixed-width keys, not rows. Nulls drop here: SQL
+        # EXISTS equality never matches NULL, but Arrow is_in would
+        # (null-key left rows must land in the no-match branch)
+        keys = pc.cast(t.column(right_on), key_type).unique() \
+            .drop_null()
         n = len(keys)
         cols = {_BKT: fnv1a_bucket(keys, n_buckets),
-                _SIDE: pa.array(np.ones(n, np.int8)),
-                on: keys}
+                _SIDE: pa.array(np.ones(n, np.int8))}
+        # SAME column order as tag_left — the union must see one schema
         for c in left_names:
-            if c != on:
-                cols[c] = pa.nulls(n, left_schema.field(c).type)
+            cols[c] = keys if c == on else \
+                pa.nulls(n, left_schema.field(c).type)
         return pa.table(cols)
 
     tagged = left_ds.map_batches(tag_left, batch_format="pyarrow") \

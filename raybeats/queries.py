@@ -1566,8 +1566,13 @@ def q_hash_join_rows(sf_dir: str):
         .map_batches(lambda t: t.filter(
             pc.greater(t.column("o_totalprice"), 250_000.0)),
             batch_format="pyarrow")
+    # partition count from parquet footers (metadata-only): counting
+    # the filtered side would execute the filter once just for sizing
+    nparts = adaptive_buckets(
+        _nrows(sf_dir, "lineitem") + _nrows(sf_dir, "orders"),
+        target_rows=500_000, lo=4, hi=1 << 16)
     out = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
-                    how="inner")
+                    how="inner", num_partitions=nparts)
     return out.select_columns(["l_orderkey", "l_linenumber",
                                "l_extendedprice", "o_totalprice",
                                "o_orderpriority"])
@@ -1597,8 +1602,12 @@ def q_join_revenue(sf_dir: str):
         .map_batches(lambda t: t.filter(
             pc.equal(t.column("o_orderstatus"), "F"))
             .drop_columns(["o_orderstatus"]), batch_format="pyarrow")
+    nparts = adaptive_buckets(
+        _nrows(sf_dir, "lineitem") + _nrows(sf_dir, "orders"),
+        target_rows=500_000, lo=4, hi=1 << 16)
     joined = hash_join(li, orders, on="l_orderkey",
-                       right_on="o_orderkey", how="inner")
+                       right_on="o_orderkey", how="inner",
+                       num_partitions=nparts)
 
     def partial(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -1724,8 +1733,10 @@ def q_anti_join(sf_dir: str):
         .map_batches(lambda t: t.filter(
             pc.equal(t.column("c_mktsegment"), "AUTOMOBILE"))
             .select(["c_custkey"]), batch_format="pyarrow")
-    return key_filter_join(ev, allow, on="user_id",
-                           right_on="c_custkey", keep="anti")
+    return key_filter_join(
+        ev, allow, on="user_id", right_on="c_custkey", keep="anti",
+        n_buckets=adaptive_buckets(_nrows(sf_dir, "events") +
+                                   _nrows(sf_dir, "customer")))
 
 
 SQL_ANTI_JOIN = """
@@ -1746,20 +1757,25 @@ def q_distinctive_terms(sf_dir: str):
     one lexsort, no second shuffle."""
     import ray
 
+    import numpy as _np
     df_tbl = pa.concat_tables(list(
-        q_inverted_index(sf_dir).iter_batches(batch_format="pyarrow")))
-    df_map = dict(zip(df_tbl.column("token").to_pylist(),
-                      df_tbl.column("df").to_pylist()))
-    ref = ray.put(df_map)
+        q_inverted_index(sf_dir).iter_batches(batch_format="pyarrow"))) \
+        .sort_by("token")
+    # prebuild the sorted vocab + df arrays ONCE on the driver — the
+    # per-batch cost is then just the searchsorted lookup, not an
+    # O(V log V) python re-sort of the whole vocabulary per batch
+    vocab_arr = _np.array(df_tbl.column("token").to_pylist(),
+                          dtype=object)
+    dfv_arr = df_tbl.column("df").to_numpy(zero_copy_only=False) \
+        .astype(_np.int64)
+    ref = ray.put((vocab_arr, dfv_arr))
 
     def score(tbl: pa.Table) -> pa.Table:
         import re as re_mod
 
         import numpy as np
         import ray as _ray
-        dfm = _ray.get(ref)
-        vocab = np.array(sorted(dfm), dtype=object)
-        dfv = np.array([dfm[t] for t in vocab], np.int64)
+        vocab, dfv = _ray.get(ref)
         tok_re = re_mod.compile(r"[a-z0-9]+")
         toks: list[str] = []
         didx: list[int] = []

@@ -81,3 +81,17 @@ class TestInvertedIndex:
         assert out.loc["cat", "df"] == 2 and out.loc["cat", "tf"] == 3
         assert out.loc["dog", "df"] == 2 and out.loc["dog", "tf"] == 2
         assert out.loc["fish", "df"] == 1 and out.loc["fish", "tf"] == 1
+
+
+def test_quantiles_ignore_nan_and_null(ray_session):
+    import ray.data as rd
+    # nulls/NaN ignored like SQL aggregates — not folded into garbage
+    # INT64_MIN quanta (review finding)
+    t = pa.table({
+        "event_type": pa.array(["a"] * 6, pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0, None, float("nan"), 4.0],
+                          pa.float64())})
+    out = grouped_exact_quantiles(rd.from_arrow(t)).to_pandas()
+    assert out.loc[0, "n"] == 4
+    assert out.loc[0, "p50_cents"] == 200
+    assert out.loc[0, "p99_cents"] == 400

@@ -207,3 +207,37 @@ def test_key_filter_join_empty_right_side(ray_session):
     semi = key_filter_join(left, empty, on="k", right_on="rk",
                            keep="semi").to_pandas()
     assert len(semi) == 0
+
+
+def test_key_filter_join_null_right_keys_never_match(ray_session):
+    # SQL EXISTS equality never matches NULL; arrow is_in WOULD match
+    # null-to-null, so tag_right must drop null keys (review finding)
+    import ray.data as rd
+    from raybeats.joins import key_filter_join
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, None, 3], pa.int64()),
+        "v": pa.array(["a", "b", "c"], pa.string())}))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([None, 3], pa.int64())}))
+    semi = key_filter_join(left, right, on="k", right_on="rk",
+                           keep="semi").to_pandas()
+    assert semi["v"].tolist() == ["c"]  # null-key left row NOT matched
+    anti = key_filter_join(left, right, on="k", right_on="rk",
+                           keep="anti").to_pandas()
+    assert sorted(anti["v"]) == ["a", "b"]  # null-key left row kept
+
+
+def test_key_filter_join_key_not_first_column(ray_session):
+    # union schema must line up when `on` is not the left table's first
+    # column (the shipped anti_join query shape — review finding)
+    import ray.data as rd
+    from raybeats.joins import key_filter_join
+    left = rd.from_arrow(pa.table({
+        "payload": pa.array([10, 20, 30], pa.int64()),
+        "k": pa.array([1, 2, 3], pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([2], pa.int64())}))
+    anti = key_filter_join(left, right, on="k", right_on="rk",
+                           keep="anti").to_pandas()
+    got = sorted(zip(anti["k"], anti["payload"]))
+    assert got == [(1, 10), (3, 30)]  # payload stays with its own key
