@@ -1840,6 +1840,127 @@ SELECT doc_id, token, df, tf, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 3"""
 
 
+def q_curation_pipeline(sf_dir: str):
+    """The end-to-end corpus-curation flagship in ONE lazy plan:
+    plant-PII → pii_scrub → quality filter (on the SCRUBBED text) →
+    exact dedup (min doc_id per md5 of clean text) → deterministic
+    train/val/test hash split. Everything is narrow map_batches except
+    the single dedup groupby, which moves only fixed-width
+    (hash, id, counters) rows — the composition inherits each
+    operator's scale shape unchanged."""
+    from ray.data.aggregate import Count, Min
+
+    from .textops.curation import _mix32, pii_scrub
+    from .util import imod
+
+    def plant(t: pa.Table) -> pa.Table:
+        # row-local deterministic planting (fixture has no natural
+        # dups/PII): doc_id%13==1 docs share one of 5 seed texts —
+        # scrubbing then collapses even the PII-suffixed variants onto
+        # the same clean text, exercising dedup ACROSS the scrub stage
+        did = t.column("doc_id")
+        base = pc.if_else(
+            pc.equal(imod(did, 13), 1),
+            pc.binary_join_element_wise(
+                "duplicate seed text number ",
+                pc.cast(imod(did, 5), pa.string()), ""),
+            t.column("text"))
+        suffix = pc.binary_join_element_wise(
+            " Contact user", pc.cast(did, pa.string()),
+            "@example.com ssn 123-45-6789 ip 10.0.0.1", "")
+        text = pc.if_else(pc.equal(imod(did, 7), 0),
+                          pc.binary_join_element_wise(base, suffix, ""),
+                          base)
+        return pa.table({"doc_id": did, "text": text})
+
+    def scrub_score(tbl: pa.Table) -> pa.Table:
+        from .textops.dedup import _md5_column
+        t = pii_scrub(tbl)
+        text = t.column("clean_text")
+        n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+        n_tokens = pc.cast(
+            pc.count_substring_regex(text, r"[a-zA-Z0-9]+"),
+            pa.float64())
+        n_alpha = pc.cast(pc.count_substring_regex(text, r"[A-Za-z]"),
+                          pa.float64())
+        alpha_ratio = pc.divide(n_alpha,
+                                pc.max_element_wise(n_chars, 1.0))
+        keep = pc.and_(pc.greater_equal(n_tokens, 5.0),
+                       pc.greater_equal(alpha_ratio, 0.5))
+        t = t.filter(pc.fill_null(keep, False))
+        n_red = pc.add(pc.add(t.column("n_email"), t.column("n_ssn")),
+                       t.column("n_ip"))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "h": _md5_column(t.column("clean_text").to_pylist()),
+            "n_red": n_red})
+
+    groups = _read(sf_dir, "documents", ["doc_id", "text"], blocks=16) \
+        .map_batches(plant, batch_format="pyarrow") \
+        .map_batches(scrub_score, batch_format="pyarrow") \
+        .groupby("h").aggregate(Min("doc_id", alias_name="doc_id"),
+                                Min("n_red", alias_name="n_red"),
+                                Count(alias_name="dups"))
+
+    def split(t: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        bucket = (_mix32(ids) % np.uint64(100)).astype(np.int64)
+        lab = np.where(bucket < 80, "train",
+                       np.where(bucket < 90, "val", "test"))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_red": t.column("n_red"),
+            "dups": t.column("dups"),
+            "bucket": pa.array(bucket, pa.int64()),
+            "split": pa.array(lab.tolist(), pa.string())})
+
+    return groups.map_batches(split, batch_format="pyarrow")
+
+
+SQL_CURATION_PIPELINE = r"""WITH p AS (
+  SELECT doc_id, CASE WHEN doc_id % 13 = 1
+    THEN 'duplicate seed text number ' || CAST(doc_id % 5 AS VARCHAR)
+    ELSE text END AS base FROM documents),
+d AS (
+  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN base || ' Contact user' ||
+    CAST(doc_id AS VARCHAR) || '@example.com ssn 123-45-6789 ip 10.0.0.1'
+    ELSE base END AS t0 FROM p),
+s1 AS (SELECT doc_id,
+  CAST(length(regexp_extract_all(t0,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+    AS n_email,
+  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+    '<EMAIL>', 'g') AS t1 FROM d),
+s2 AS (SELECT doc_id, n_email,
+  CAST(length(regexp_extract_all(t1, '\b\d{3}-\d{2}-\d{4}\b'))
+    AS BIGINT) AS n_ssn,
+  regexp_replace(t1, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t2
+  FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ssn,
+  CAST(length(regexp_extract_all(t2,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+  regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+    '<IP>', 'g') AS clean_text FROM s2),
+q AS (SELECT doc_id, clean_text, n_email + n_ssn + n_ip AS n_red,
+  CAST(length(regexp_extract_all(clean_text, '[a-zA-Z0-9]+'))
+    AS DOUBLE) AS n_tokens,
+  CAST(length(regexp_extract_all(clean_text, '[A-Za-z]')) AS DOUBLE) /
+    GREATEST(CAST(length(clean_text) AS DOUBLE), 1.0) AS alpha_ratio
+  FROM s3),
+kept AS (SELECT * FROM q WHERE n_tokens >= 5 AND alpha_ratio >= 0.5),
+g AS (SELECT MIN(doc_id) AS doc_id, CAST(MIN(n_red) AS BIGINT) AS n_red,
+      COUNT(*) AS dups FROM kept GROUP BY md5(clean_text)),
+h AS (SELECT doc_id, n_red, dups,
+  CAST(CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296 AS BIGINT)
+    AS m FROM g),
+b AS (SELECT doc_id, n_red, dups, xor(m, m >> 15) % 100 AS bucket
+      FROM h)
+SELECT doc_id, n_red, dups, CAST(bucket AS BIGINT) AS bucket,
+  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+       ELSE 'test' END AS split FROM b"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -1892,6 +2013,7 @@ QUERIES = {
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
     "distinctive_terms": (q_distinctive_terms, SQL_DISTINCTIVE_TERMS),
+    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —
