@@ -121,7 +121,8 @@ def run_queries() -> dict[str, float]:
              "repetition_stats", "hash_split", "contamination",
              "quota_sample", "hash_join_rows", "join_revenue",
              "quantiles", "inverted_index", "anti_join",
-             "distinctive_terms", "curation_pipeline"]
+             "distinctive_terms", "curation_pipeline",
+             "semi_join_bloom"]
     out: dict[str, float] = {}
     # best-of-N per query: this box's first-touch/writeback stalls skew
     # single shots by 2-3x (same reason the headline is best-of-2)

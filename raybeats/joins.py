@@ -238,7 +238,8 @@ def hash_join(left_ds, right_ds, *, on, right_on=None, how: str = "inner",
 
 def key_filter_join(left_ds, right_ds, *, on: str, right_on: str | None
                     = None, keep: str = "anti",
-                    n_buckets: int | None = None):
+                    n_buckets: int | None = None,
+                    left_schema: pa.Schema | None = None):
     """Distributed SEMI (``keep='semi'``) or ANTI (``keep='anti'``)
     join: return left rows whose ``on`` key does (semi) / does not
     (anti) appear in the right side's ``right_on`` column.
@@ -253,7 +254,12 @@ def key_filter_join(left_ds, right_ds, *, on: str, right_on: str | None
     with input (`adaptive_buckets`); as with :func:`hash_join`, pass
     ``n_buckets`` when an input hides transforms behind ``map_batches``
     (the default sizing ``count()`` would execute them once just to
-    size the shuffle). A right side small enough to broadcast should
+    size the shuffle) — and ``left_schema`` for the same reason: the
+    default ``left_ds.schema()`` fetch runs a limit-1 execution of a
+    transformed lineage, which both wastes a pass and can wedge when
+    that lineage holds a fixed-size actor pool as wide as the cluster
+    (every CPU parked in probe actors, none left for the limit's task
+    ops). A right side small enough to broadcast should
     use the `enrich` lookup path instead — this shape is for reference
     sets too big for one object. Null keys never match (SQL
     EXISTS/NOT EXISTS semantics): null-key left rows are dropped by
@@ -262,8 +268,9 @@ def key_filter_join(left_ds, right_ds, *, on: str, right_on: str | None
     if keep not in ("semi", "anti"):
         raise ValueError(f"keep {keep!r}: 'semi' or 'anti'")
     right_on = right_on or on
-    left_schema = getattr(left_ds.schema(), "base_schema",
-                          left_ds.schema())
+    if left_schema is None:
+        left_schema = getattr(left_ds.schema(), "base_schema",
+                              left_ds.schema())
     left_names = list(left_schema.names)
     key_type = left_schema.field(on).type
     if n_buckets is None:
@@ -369,3 +376,184 @@ def range_join_broadcast(ds, intervals: pa.Table, *, value_col: str,
         return out
 
     return ds.map_batches(join_batch, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- bloom join
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants,
+    Steele/Lea/Flood 2014) — full-avalanche 64-bit mix for integer
+    keys; numpy uint64 arithmetic wraps mod 2^64 as the algorithm
+    requires."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _key_hash64(col) -> tuple[np.ndarray, np.ndarray]:
+    """64-bit hash of a key column plus its null mask. Integer keys mix
+    numerically (splitmix64 — no string round-trip); everything else
+    hashes through the vectorized FNV-1a string kernel. Null slots get
+    the hash of 0/"" — callers must mask them with the returned null
+    mask (SQL join semantics: NULL never matches)."""
+    from .util import fnv1a_u64
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    null = pc.is_null(col).to_numpy(zero_copy_only=False)
+    if pa.types.is_integer(col.type):
+        vals = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+        return _splitmix64(vals), null
+    return fnv1a_u64(pc.fill_null(pc.cast(col, pa.string()), "")), null
+
+
+def bloom_params(n_keys: int, fpp: float = 0.01,
+                 max_bits: int = 1 << 30) -> tuple[int, int]:
+    """Standard bloom sizing: bits/key = -log2(fpp)/ln(2), k =
+    bits/key·ln(2). ``max_bits`` caps the broadcast bitmap at 128 MiB —
+    beyond that the cap does NOT break correctness (a bloom filter has
+    no false negatives at any size), it only raises the false-positive
+    rate, which the exact confirm stage absorbs; noted per the
+    no-silent-caps convention."""
+    import math
+    bits_per_key = -math.log2(fpp) / math.log(2)
+    n_bits = min(max_bits, max(1024, int(n_keys * bits_per_key)))
+    k = max(1, round(bits_per_key * math.log(2)))
+    return n_bits, k
+
+
+def _bloom_positions(h1: np.ndarray, i: int, n_bits: int) -> np.ndarray:
+    # Kirsch-Mitzenmacher double hashing: pos_i = h1 + i·h2, h2 odd
+    h2 = _splitmix64(h1) | np.uint64(1)
+    return (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+
+
+def build_bloom(right_ds, *, on: str, n_bits: int,
+                n_hashes: int) -> np.ndarray:
+    """One narrow scan over the right side builds a bloom bitmap:
+    each batch dedups + hashes its keys and emits a local bitmap
+    partial (one uint64-word row, fixed ``n_bits/8`` bytes regardless
+    of batch size); the driver OR-merges the partials — a bounded
+    reduction (#blocks × bitmap), the same shape as the HLL sketch
+    merge. Returns the merged uint64 word array."""
+    n_words = (n_bits + 63) // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = np.zeros(n_words, np.uint64)
+        keys = t.column(on).unique()
+        h1, null = _key_hash64(keys)
+        h1 = h1[~null]
+        for i in range(n_hashes):
+            pos = _bloom_positions(h1, i, n_bits)
+            np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"__bloom": pa.array([words.tobytes()],
+                                             pa.large_binary())})
+
+    acc = np.zeros(n_words, np.uint64)
+    partials = right_ds.map_batches(partial, batch_format="pyarrow")
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for buf in b.column("__bloom").to_pylist():
+            acc |= np.frombuffer(buf, np.uint64)
+    return acc
+
+
+class _BloomProbe:
+    """Actor-pool probe stage: the bitmap ships once per actor via
+    ``ray.put`` (plasma-shared per node), never per batch. Emits the
+    input rows plus a ``__bloom_hit`` candidate column."""
+
+    def __init__(self, words_ref, on: str, n_bits: int, n_hashes: int):
+        import ray
+        self.words = ray.get(words_ref) if not isinstance(
+            words_ref, np.ndarray) else words_ref
+        self.on, self.n_bits, self.n_hashes = on, n_bits, n_hashes
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        h1, null = _key_hash64(t.column(self.on))
+        hit = np.ones(len(h1), bool)
+        for i in range(self.n_hashes):
+            pos = _bloom_positions(h1, i, self.n_bits)
+            bits = (self.words[(pos >> np.uint64(6)).astype(np.int64)]
+                    >> (pos & np.uint64(63))) & np.uint64(1)
+            hit &= bits.astype(bool)
+        hit &= ~null  # NULL never matches (SQL EXISTS semantics)
+        return t.append_column("__bloom_hit", pa.array(hit, pa.bool_()))
+
+
+def bloom_filter_join(left_ds, right_ds, *, on: str,
+                      right_on: str | None = None, keep: str = "anti",
+                      fpp: float = 0.01, right_count: int | None = None,
+                      n_buckets: int | None = None,
+                      probe_concurrency: int = 4,
+                      left_schema: pa.Schema | None = None):
+    """SEMI / ANTI join with a bloom prefilter — the scale path of
+    :func:`key_filter_join`. Result is EXACT (bit-identical to
+    ``key_filter_join``): the bloom pass has no false negatives, so
+    every definite non-member resolves with NO shuffle, and only the
+    candidate rows (true members + ~``fpp`` false positives) enter the
+    exact confirm shuffle. At 100 TB with a selective filter this cuts
+    the all-to-all exchange from the whole left table to roughly the
+    match set: build (one narrow right scan, bounded bitmap reduce) →
+    broadcast → narrow probe → confirm shuffle over candidates only.
+
+    ``right_count`` sizes the bitmap (pass the parquet footer count —
+    ``.count()`` on a transformed input would execute it once just for
+    sizing); it defaults to ``right_ds.count()``. ``n_buckets`` sizes
+    the confirm shuffle, same caveat; ``left_schema`` skips the
+    ``left_ds.schema()`` fetch when the left side hides transforms (a
+    schema fetch on a transformed lineage runs it once with limit 1).
+    A bitmap capped at ``max_bits`` (see :func:`bloom_params`)
+    degrades fpp, never correctness."""
+    if keep not in ("semi", "anti"):
+        raise ValueError(f"keep {keep!r}: 'semi' or 'anti'")
+    right_on = right_on or on
+    if right_count is None:
+        right_count = right_ds.count()
+    if n_buckets is None:
+        # size the confirm shuffle WITHOUT counting the candidate
+        # lineage (that would execute the probe once just for sizing);
+        # candidates ≈ members + fpp·left ≲ a small multiple of right
+        n_buckets = adaptive_buckets(max(2 * right_count, 1))
+    n_bits, n_hashes = bloom_params(right_count, fpp)
+    import ray
+    words_ref = ray.put(build_bloom(right_ds, on=right_on,
+                                    n_bits=n_bits, n_hashes=n_hashes))
+    if left_schema is None:
+        left_schema = getattr(left_ds.schema(), "base_schema",
+                              left_ds.schema())
+    left_names = list(left_schema.names)
+    # autoscaling pool (1, N), not fixed N: a fixed pool as wide as the
+    # cluster parks every CPU in probe actors and starves the task-pool
+    # ops sharing the pipeline (deadlocks a 4-cpu test session)
+    probed = left_ds.map_batches(
+        _BloomProbe, fn_constructor_args=(words_ref, on, n_bits,
+                                          n_hashes),
+        batch_format="pyarrow", concurrency=(1, probe_concurrency))
+
+    def take_hits(t: pa.Table) -> pa.Table:
+        return t.filter(t.column("__bloom_hit")).select(left_names)
+
+    candidates = probed.map_batches(take_hits, batch_format="pyarrow")
+    # pass the schema we already know — letting key_filter_join fetch
+    # it would run a limit-1 execution of the whole probe lineage
+    confirmed = key_filter_join(candidates, right_ds, on=on,
+                                right_on=right_on, keep=keep,
+                                n_buckets=n_buckets,
+                                left_schema=left_schema)
+    if keep == "semi":
+        return confirmed
+    # anti: bloom misses are DEFINITE non-members (kept, zero shuffle);
+    # only candidates need the exact confirm. The two branches fork the
+    # probed stream, which Ray Data recomputes per consumer — the left
+    # side is scanned+probed twice (both passes narrow). For a
+    # selective anti filter that still beats the alternative (the
+    # WHOLE left table through the confirm all-to-all); a caller that
+    # can't afford the second scan uses key_filter_join directly.
+
+    def take_misses(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t.column("__bloom_hit"))) \
+            .select(left_names)
+
+    misses = probed.map_batches(take_misses, batch_format="pyarrow")
+    return misses.union(confirmed)

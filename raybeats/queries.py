@@ -1961,6 +1961,35 @@ SELECT doc_id, n_red, dups, CAST(bucket AS BIGINT) AS bucket,
        ELSE 'test' END AS split FROM b"""
 
 
+def q_semi_join_bloom(sf_dir: str):
+    """Keep only events from allowlisted users — the SEMI counterpart
+    of ``anti_join``, on the bloom-prefilter scale path
+    (raybeats/joins.bloom_filter_join): one narrow right scan builds a
+    broadcast bloom bitmap, the left probe is narrow, and ONLY the
+    candidate rows (true members + ~1% false positives) enter the
+    exact confirm shuffle — at 100 TB the all-to-all moves the match
+    set, not the corpus. Result is exact (bloom has no false
+    negatives; the confirm removes the false positives)."""
+    from .joins import bloom_filter_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+    allow = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t.column("c_mktsegment"), "MACHINERY"))
+            .select(["c_custkey"]), batch_format="pyarrow")
+    return bloom_filter_join(
+        ev, allow, on="user_id", right_on="c_custkey", keep="semi",
+        right_count=_nrows(sf_dir, "customer"),
+        n_buckets=adaptive_buckets(_nrows(sf_dir, "customer") * 2))
+
+
+SQL_SEMI_JOIN_BLOOM = """
+SELECT event_id, user_id FROM events e
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = e.user_id
+                AND c.c_mktsegment = 'MACHINERY')"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -2014,6 +2043,7 @@ QUERIES = {
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
     "distinctive_terms": (q_distinctive_terms, SQL_DISTINCTIVE_TERMS),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
+    "semi_join_bloom": (q_semi_join_bloom, SQL_SEMI_JOIN_BLOOM),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

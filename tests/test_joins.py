@@ -241,3 +241,85 @@ def test_key_filter_join_key_not_first_column(ray_session):
                            keep="anti").to_pandas()
     got = sorted(zip(anti["k"], anti["payload"]))
     assert got == [(1, 10), (3, 30)]  # payload stays with its own key
+
+
+# --------------------------------------------------------- bloom join
+
+def _bloom_fixture():
+    import ray.data as rd
+    rng = np.random.default_rng(7)
+    lk = rng.integers(0, 1000, 400)
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(lk, pa.int64()),
+        "v": pa.array([f"v{i}" for i in range(400)], pa.string())}))
+    rk = rng.integers(0, 1000, 150)
+    right = rd.from_arrow(pa.table({"rk": pa.array(rk, pa.int64())}))
+    return left, right, set(rk.tolist())
+
+
+def test_bloom_join_parity_with_key_filter_join(ray_session):
+    from raybeats.joins import bloom_filter_join, key_filter_join
+    left, right, _ = _bloom_fixture()
+    for keep in ("semi", "anti"):
+        b = bloom_filter_join(left, right, on="k", right_on="rk",
+                              keep=keep, right_count=150,
+                              n_buckets=4).to_pandas()
+        e = key_filter_join(left, right, on="k", right_on="rk",
+                            keep=keep, n_buckets=4).to_pandas()
+        assert sorted(zip(b["k"], b["v"])) == sorted(zip(e["k"], e["v"]))
+
+
+def test_bloom_join_exact_vs_membership(ray_session):
+    from raybeats.joins import bloom_filter_join
+    left, right, members = _bloom_fixture()
+    semi = bloom_filter_join(left, right, on="k", right_on="rk",
+                             keep="semi", right_count=150,
+                             n_buckets=4).to_pandas()
+    assert all(k in members for k in semi["k"])
+    anti = bloom_filter_join(left, right, on="k", right_on="rk",
+                             keep="anti", right_count=150,
+                             n_buckets=4).to_pandas()
+    assert all(k not in members for k in anti["k"])
+    assert len(semi) + len(anti) == 400
+
+
+def test_bloom_join_string_keys_nulls_and_empty_right(ray_session):
+    import ray.data as rd
+    from raybeats.joins import bloom_filter_join
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(["a", None, "c", "d"], pa.string()),
+        "v": pa.array([1, 2, 3, 4], pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([None, "c", "zz"], pa.string())}))
+    semi = bloom_filter_join(left, right, on="k", keep="semi",
+                             right_count=3, n_buckets=2).to_pandas()
+    assert semi["v"].tolist() == [3]  # NULL never matches
+    anti = bloom_filter_join(left, right, on="k", keep="anti",
+                             right_count=3, n_buckets=2).to_pandas()
+    assert sorted(anti["v"]) == [1, 2, 4]  # null-key row kept
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.string())}))
+    anti2 = bloom_filter_join(left, empty, on="k", keep="anti",
+                              right_count=0, n_buckets=2).to_pandas()
+    assert sorted(anti2["v"]) == [1, 2, 3, 4]
+
+
+def test_bloom_prefilter_false_positive_rate_bounded():
+    # the probe alone (before the exact confirm) must pass true members
+    # (no false negatives — structural) and reject ~all non-members at
+    # the sized fpp; checked on disjoint key ranges so ground truth is
+    # exact
+    import ray
+
+    from raybeats.joins import (_BloomProbe, bloom_params, build_bloom)
+    import ray.data as rd
+    right = rd.from_arrow(pa.table(
+        {"rk": pa.array(range(0, 5000), pa.int64())}))
+    n_bits, k = bloom_params(5000, fpp=0.01)
+    words = build_bloom(right, on="rk", n_bits=n_bits, n_hashes=k)
+    probe = _BloomProbe(ray.put(words), "k", n_bits, k)
+    members = pa.table({"k": pa.array(range(0, 5000), pa.int64())})
+    assert probe(members).column("__bloom_hit").to_pandas().all()
+    outsiders = pa.table(
+        {"k": pa.array(range(100000, 110000), pa.int64())})
+    fp = probe(outsiders).column("__bloom_hit").to_pandas().mean()
+    assert fp < 0.03  # sized for 1%; 3x headroom, zero flake margin
