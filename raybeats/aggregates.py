@@ -80,3 +80,145 @@ def grouped_exact_quantiles(ds, *, value_col: str = "value",
 
     return ds.map_batches(partial, batch_format="pyarrow") \
              .groupby(by).map_groups(finalize, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- keep-latest compaction
+
+def _key_codes(col) -> np.ndarray:
+    """Per-batch integer codes for an arbitrary key column (grouping
+    within one batch only — codes are NOT stable across batches and
+    never leave the kernel). Non-null integer keys pass through
+    zero-copy; everything else (strings, nullable ints — SQL
+    ``PARTITION BY`` puts all NULLs in one partition) goes through
+    pandas factorize, which is a single vectorized C pass."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type) and col.null_count == 0:
+        return col.to_numpy(zero_copy_only=False)
+    import pandas as pd
+    codes, _ = pd.factorize(col.to_pandas(), use_na_sentinel=False)
+    return codes
+
+
+def keep_latest(ds, *, key: str, order_by: tuple[str, ...],
+                n_buckets: int):
+    """Compaction: keep ONE row per ``key`` — the row with the maximum
+    ``order_by`` tuple (``ROW_NUMBER() OVER (PARTITION BY key ORDER BY
+    order_by... DESC) = 1``). The upsert/keep-newest-version primitive
+    of a curation pipeline (latest snapshot per document id, last event
+    per user).
+
+    Scale shape: keep-latest is an associative, commutative SELECTION,
+    so each batch first compacts locally (≤ one row per distinct key
+    per batch — a narrow pass that does the heavy reduction where the
+    data already is), and only those survivors enter ONE keyed bucketed
+    shuffle whose groups re-apply the same kernel. The all-to-all moves
+    at most ``keys × blocks`` rows, never the corpus. Buckets must be
+    sized by the caller (`adaptive_buckets` over the parquet footer
+    count — ``.count()`` on a transformed lineage would execute it
+    once just for sizing).
+
+    ``order_by`` columns must be integers or timestamps (cast to int64
+    epoch internally) and should form a total order per key (append a
+    unique id as the last tiebreak; otherwise ties resolve
+    deterministically but arbitrarily). NULL order values sort as
+    -inf (oldest). The reference engine has no compaction operator —
+    its registrar keeps latest-offset state per file
+    (filebeat/registrar semantics); this is that idea generalized to
+    a keyed dataset."""
+    from .util import fnv1a_bucket
+
+    i64min = np.iinfo(np.int64).min
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        karr = _key_codes(t.column(key))
+        ocols = [pc.fill_null(pc.cast(t.column(c), pa.int64()), i64min)
+                 .to_numpy(zero_copy_only=False) for c in order_by]
+        # lexsort: last key is primary → (tiebreaks..., first order
+        # col, key); the LAST row of each key run is its max
+        order = np.lexsort(tuple(reversed(ocols)) + (karr,))
+        ks = karr[order]
+        last = np.append(ks[1:] != ks[:-1], True)
+        return t.take(pa.array(order[np.nonzero(last)[0]], pa.int64()))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__kl_bkt", fnv1a_bucket(t.column(key), n_buckets))
+
+    def final(g: pa.Table) -> pa.Table:
+        return kernel(g.drop_columns(["__kl_bkt"]))
+
+    return (ds.map_batches(kernel, batch_format="pyarrow")
+              .map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("__kl_bkt")
+              .map_groups(final, batch_format="pyarrow"))
+
+
+# ------------------------------------------------------- rollup aggregate
+
+def rollup_cents_partial(keys: list[str], cents_col: str):
+    """Partial kernel for a one-pass ROLLUP aggregate: for each batch,
+    emit partial (sum, count) rows for EVERY rollup level — the full
+    key tuple, each proper prefix, and the grand total — tagged with
+    the SQL ``GROUPING()`` bitmask in ``lvl`` (bit i set = keys[i]
+    rolled up; levels 0, 1, 3, ... for two keys). Rolled-up key slots
+    carry ``""`` placeholders through the combine (constant within a
+    level, so they collide with nothing — ``lvl`` is part of the
+    combine key) and :func:`rollup_null_levels` nulls them afterwards.
+
+    One scan, one combine: the naive alternative re-aggregates the
+    corpus once per level. Partial output is bounded by
+    ``Σ_level distinct(level keys)`` per batch — fixed-width rows,
+    independent of batch size. String keys only (the placeholder is a
+    string); cents must already be an exact int64 column (see the
+    half-away cents recipe in `util.hour_cents_partial`)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        outs = []
+        nk = len(keys)
+        for p in range(nk, -1, -1):  # prefix length nk..0
+            lvl = (1 << (nk - p)) - 1
+            kept = keys[:p]
+            if kept:
+                g = (t.select(kept + [cents_col]).group_by(kept)
+                     .aggregate([(cents_col, "sum"),
+                                 (cents_col, "count")]))
+                n = g.num_rows
+                cols = {c: g.column(c) for c in kept}
+                sums = g.column(f"{cents_col}_sum")
+                cnts = pc.cast(g.column(f"{cents_col}_count"), pa.int64())
+            else:
+                n = 1
+                cols = {}
+                c = t.column(cents_col)
+                sums = pa.array([pc.sum(c).as_py() or 0], pa.int64())
+                cnts = pa.array([len(c) - c.null_count], pa.int64())
+            for k in keys[p:]:
+                cols[k] = pa.array([""] * n, pa.string())
+            cols["lvl"] = pa.array([lvl] * n, pa.int64())
+            cols["__sum"] = sums
+            cols["__n"] = cnts
+            outs.append(pa.table({c: cols[c] for c in
+                                  keys + ["lvl", "__sum", "__n"]}))
+        return pa.concat_tables(outs)
+
+    return partial
+
+
+def rollup_null_levels(t: pa.Table, keys: list[str]) -> pa.Table:
+    """Replace the rollup placeholder ``""`` with NULL in every key
+    slot whose ``lvl`` bit is set — after this the rows match SQL
+    ``GROUP BY ROLLUP`` output exactly."""
+    lvl = t.column("lvl").to_numpy(zero_copy_only=False)
+    nk = len(keys)
+    for i, k in enumerate(keys):
+        rolled = pa.array((lvl >> (nk - 1 - i)) & 1 > 0)
+        col = t.column(k)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = t.set_column(t.column_names.index(k), k,
+                         pc.if_else(rolled, pa.scalar(None, pa.string()),
+                                    col))
+    return t

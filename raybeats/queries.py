@@ -1990,6 +1990,80 @@ WHERE EXISTS (SELECT 1 FROM customer c
                 AND c.c_mktsegment = 'MACHINERY')"""
 
 
+def q_latest_event(sf_dir: str):
+    """Compaction: the newest event per user (ts desc, event_id desc
+    tiebreak) — keep-newest-version-per-key, the upsert primitive.
+    Each batch compacts locally before the single keyed shuffle
+    (raybeats/aggregates.keep_latest), so the all-to-all moves at most
+    keys × blocks rows."""
+    from .aggregates import keep_latest
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    return keep_latest(ds, key="user_id", order_by=("ts", "event_id"),
+                       n_buckets=adaptive_buckets(
+                           _nrows(sf_dir, "events")))
+
+
+SQL_LATEST_EVENT = """
+SELECT event_id, ts, user_id, event_type, value FROM (
+  SELECT event_id, ts, user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1"""
+
+
+def q_rollup_revenue(sf_dir: str):
+    """One-pass GROUP BY ROLLUP (l_returnflag, l_linestatus): revenue
+    at every level — full tuple, per-returnflag subtotal, grand total —
+    from ONE scan. Each batch emits partials for all levels tagged
+    with the SQL GROUPING() bitmask (raybeats/aggregates
+    .rollup_cents_partial); the combine moves Σ_level distinct-keys
+    fixed-width rows per batch, never the corpus. Revenue is exact
+    int64 cents (half-away rounding, the window_agg recipe) — float
+    sums are order-dependent across engines."""
+    from .aggregates import rollup_cents_partial, rollup_null_levels
+
+    keys = ["l_returnflag", "l_linestatus"]
+    partial = rollup_cents_partial(keys, "cents")
+
+    def derive(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount"))), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"l_returnflag": t.column("l_returnflag"),
+                         "l_linestatus": t.column("l_linestatus"),
+                         "cents": cents})
+
+    small = _read(sf_dir, "lineitem",
+                  ["l_returnflag", "l_linestatus", "l_extendedprice",
+                   "l_discount"]) \
+        .map_batches(lambda t: partial(derive(t)), batch_format="pyarrow")
+    # level cardinality is bounded by the finest level (flag×status ≤ 9
+    # here) — below the footer-row budget one driver combine beats the
+    # multi-second Ray shuffle floor, same pattern as window_agg
+    if _nrows(sf_dir, "lineitem") <= 2_000_000:
+        merged = _combine_partials(small, keys + ["lvl"],
+                                   {"__sum": "revenue_cents", "__n": "n"})
+        return rollup_null_levels(merged, keys)
+    from ray.data.aggregate import Sum
+    agg = small.groupby(keys + ["lvl"]).aggregate(
+        Sum("__sum", alias_name="revenue_cents"),
+        Sum("__n", alias_name="n"))
+    return agg.map_batches(lambda t: rollup_null_levels(t, keys),
+                           batch_format="pyarrow")
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl,
+  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+  COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -2044,6 +2118,8 @@ QUERIES = {
     "distinctive_terms": (q_distinctive_terms, SQL_DISTINCTIVE_TERMS),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "semi_join_bloom": (q_semi_join_bloom, SQL_SEMI_JOIN_BLOOM),
+    "latest_event": (q_latest_event, SQL_LATEST_EVENT),
+    "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

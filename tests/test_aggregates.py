@@ -95,3 +95,122 @@ def test_quantiles_ignore_nan_and_null(ray_session):
     assert out.loc[0, "n"] == 4
     assert out.loc[0, "p50_cents"] == 200
     assert out.loc[0, "p99_cents"] == 400
+
+
+# ------------------------------------------------------------ keep_latest
+
+class TestKeepLatest:
+    def _naive(self, df):
+        import pandas as pd
+        return (df.sort_values(["ts", "event_id"])
+                  .groupby("k", dropna=False).tail(1))
+
+    def test_matches_pandas_and_partition_invariant(self, ray_session):
+        import ray.data as rd
+        from raybeats.aggregates import keep_latest
+        rng = np.random.default_rng(11)
+        n = 3000
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 80, n), pa.int64()),
+            "ts": pa.array(rng.integers(0, 500, n), pa.int64()),
+            "event_id": pa.array(rng.permutation(n), pa.int64()),
+            "payload": pa.array([f"p{i}" for i in range(n)], pa.string())})
+        want = self._naive(t.to_pandas())
+        want = sorted(zip(want["k"], want["event_id"], want["payload"]))
+        for parts in (1, 7):
+            got = keep_latest(rd.from_arrow(t).repartition(parts),
+                              key="k", order_by=("ts", "event_id"),
+                              n_buckets=5).to_pandas()
+            rows = sorted(zip(got["k"], got["event_id"], got["payload"]))
+            assert rows == want
+
+    def test_string_keys_null_key_group_and_null_order(self, ray_session):
+        import ray.data as rd
+        from raybeats.aggregates import keep_latest
+        # null keys form ONE group (SQL PARTITION BY semantics); null
+        # order values sort oldest
+        t = pa.table({
+            "k": pa.array(["a", "a", None, None, "b"], pa.string()),
+            "ts": pa.array([5, 9, 2, None, 1], pa.int64()),
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64())})
+        got = keep_latest(rd.from_arrow(t).repartition(2), key="k",
+                          order_by=("ts", "event_id"),
+                          n_buckets=2).to_pandas()
+        picked = {(None if k is None or (isinstance(k, float)) else k): e
+                  for k, e in zip(got["k"].where(got["k"].notna(), None),
+                                  got["event_id"])}
+        assert picked == {"a": 2, None: 3, "b": 5}
+
+    def test_timestamp_order_column(self, ray_session):
+        import ray.data as rd
+        from raybeats.aggregates import keep_latest
+        t = pa.table({
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "ts": pa.array([1_000_000, 2_000_000, 500],
+                           pa.timestamp("us")),
+            "event_id": pa.array([10, 20, 30], pa.int64())})
+        got = keep_latest(rd.from_arrow(t), key="k",
+                          order_by=("ts", "event_id"),
+                          n_buckets=2).to_pandas()
+        assert sorted(zip(got["k"], got["event_id"])) == [(1, 20), (2, 30)]
+
+
+# ---------------------------------------------------------------- rollup
+
+class TestRollup:
+    def _fixture(self, n=2000, seed=3):
+        rng = np.random.default_rng(seed)
+        return pa.table({
+            "a": pa.array(rng.choice(["x", "y", "z"], n), pa.string()),
+            "b": pa.array(rng.choice(["p", "q"], n), pa.string()),
+            "cents": pa.array(rng.integers(-500, 500, n), pa.int64())})
+
+    def _duck(self, t):
+        import duckdb
+        con = duckdb.connect()
+        con.register("t", t)
+        return con.execute(
+            """SELECT a, b, CAST(GROUPING(a, b) AS BIGINT) AS lvl,
+                 CAST(SUM(cents) AS BIGINT) AS s, COUNT(*) AS n
+               FROM t GROUP BY ROLLUP (a, b)""").arrow()
+
+    @staticmethod
+    def _rows(tbl, s_col="s"):
+        rows = zip(tbl.column("a").to_pylist(),
+                   tbl.column("b").to_pylist(),
+                   tbl.column("lvl").to_pylist(),
+                   tbl.column(s_col).to_pylist(),
+                   tbl.column("n").to_pylist())
+        return sorted(rows, key=lambda r: (r[2], r[0] or "", r[1] or ""))
+
+    def test_distributed_groupby_path_matches_duckdb(self, ray_session):
+        # the gate only exercises the bounded driver fast path; this
+        # drives the Ray groupby combine the 100-TB input would take
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+        from raybeats.aggregates import (rollup_cents_partial,
+                                         rollup_null_levels)
+        t = self._fixture()
+        partial = rollup_cents_partial(["a", "b"], "cents")
+        small = rd.from_arrow(t).repartition(5) \
+            .map_batches(partial, batch_format="pyarrow")
+        agg = small.groupby(["a", "b", "lvl"]).aggregate(
+            Sum("__sum", alias_name="s"), Sum("__n", alias_name="n"))
+        got = pa.concat_tables(list(agg.map_batches(
+            lambda x: rollup_null_levels(x, ["a", "b"]),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow")))
+        assert self._rows(got) == self._rows(self._duck(t))
+
+    def test_partial_bitmask_and_placeholders(self):
+        from raybeats.aggregates import rollup_cents_partial
+        t = pa.table({"a": pa.array(["x", "y"]),
+                      "b": pa.array(["p", "p"]),
+                      "cents": pa.array([10, -4], pa.int64())})
+        out = rollup_cents_partial(["a", "b"], "cents")(t)
+        lvls = sorted(set(out.column("lvl").to_pylist()))
+        assert lvls == [0, 1, 3]
+        grand = out.filter(pa.compute.equal(out.column("lvl"), 3))
+        assert grand.num_rows == 1
+        assert grand.column("__sum").to_pylist() == [6]
+        assert grand.column("a").to_pylist() == [""]
+        assert grand.column("b").to_pylist() == [""]
