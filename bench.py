@@ -122,7 +122,8 @@ def run_queries() -> dict[str, float]:
              "quota_sample", "hash_join_rows", "join_revenue",
              "quantiles", "inverted_index", "anti_join",
              "distinctive_terms", "curation_pipeline",
-             "semi_join_bloom", "latest_event", "rollup_revenue"]
+             "semi_join_bloom", "latest_event", "rollup_revenue",
+             "cube_orders"]
     out: dict[str, float] = {}
     # best-of-N per query: this box's first-touch/writeback stalls skew
     # single shots by 2-3x (same reason the headline is best-of-2)

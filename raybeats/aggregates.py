@@ -158,29 +158,43 @@ def keep_latest(ds, *, key: str, order_by: tuple[str, ...],
 
 # ------------------------------------------------------- rollup aggregate
 
-def rollup_cents_partial(keys: list[str], cents_col: str):
-    """Partial kernel for a one-pass ROLLUP aggregate: for each batch,
-    emit partial (sum, count) rows for EVERY rollup level — the full
-    key tuple, each proper prefix, and the grand total — tagged with
-    the SQL ``GROUPING()`` bitmask in ``lvl`` (bit i set = keys[i]
-    rolled up; levels 0, 1, 3, ... for two keys). Rolled-up key slots
-    carry ``""`` placeholders through the combine (constant within a
-    level, so they collide with nothing — ``lvl`` is part of the
-    combine key) and :func:`rollup_null_levels` nulls them afterwards.
+def rollup_cents_partial(keys: list[str], cents_col: str,
+                         sets: list[tuple[str, ...]] | None = None):
+    """Partial kernel for a one-pass ROLLUP / CUBE / GROUPING SETS
+    aggregate: for each batch, emit partial (sum, count) rows for
+    EVERY grouping set, tagged with the SQL ``GROUPING()`` bitmask in
+    ``lvl`` (bit i set = keys[i] rolled up). ``sets`` defaults to the
+    ROLLUP levels (full tuple, each proper prefix, grand total —
+    levels 0, 1, 3 for two keys); pass all subsets for CUBE or any
+    explicit list for GROUPING SETS. Rolled-up key slots carry ``""``
+    placeholders through the combine (constant within a level, so they
+    collide with nothing — ``lvl`` is part of the combine key) and
+    :func:`rollup_null_levels` nulls them afterwards.
 
     One scan, one combine: the naive alternative re-aggregates the
-    corpus once per level. Partial output is bounded by
-    ``Σ_level distinct(level keys)`` per batch — fixed-width rows,
+    corpus once per grouping set. Partial output is bounded by
+    ``Σ_set distinct(set keys)`` per batch — fixed-width rows,
     independent of batch size. String keys only (the placeholder is a
     string); cents must already be an exact int64 column (see the
     half-away cents recipe in `util.hour_cents_partial`)."""
+    if sets is None:
+        sets = [tuple(keys[:p]) for p in range(len(keys), -1, -1)]
+    seen = set()
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s!r} not a subset of {keys}")
+        if s in seen:
+            raise ValueError(f"duplicate grouping set {s!r}")
+        seen.add(s)
 
     def partial(t: pa.Table) -> pa.Table:
         outs = []
         nk = len(keys)
-        for p in range(nk, -1, -1):  # prefix length nk..0
-            lvl = (1 << (nk - p)) - 1
-            kept = keys[:p]
+        for kept_set in sets:
+            lvl = sum(1 << (nk - 1 - i) for i, k in enumerate(keys)
+                      if k not in kept_set)
+            # keep the caller's key order, not the set's
+            kept = [k for k in keys if k in kept_set]
             if kept:
                 g = (t.select(kept + [cents_col]).group_by(kept)
                      .aggregate([(cents_col, "sum"),
@@ -195,8 +209,9 @@ def rollup_cents_partial(keys: list[str], cents_col: str):
                 c = t.column(cents_col)
                 sums = pa.array([pc.sum(c).as_py() or 0], pa.int64())
                 cnts = pa.array([len(c) - c.null_count], pa.int64())
-            for k in keys[p:]:
-                cols[k] = pa.array([""] * n, pa.string())
+            for k in keys:
+                if k not in kept_set:
+                    cols[k] = pa.array([""] * n, pa.string())
             cols["lvl"] = pa.array([lvl] * n, pa.int64())
             cols["__sum"] = sums
             cols["__n"] = cnts
@@ -205,6 +220,14 @@ def rollup_cents_partial(keys: list[str], cents_col: str):
         return pa.concat_tables(outs)
 
     return partial
+
+
+def cube_sets(keys: list[str]) -> list[tuple[str, ...]]:
+    """All subsets of ``keys`` — the ``GROUP BY CUBE`` grouping-set
+    list for :func:`rollup_cents_partial`."""
+    from itertools import combinations
+    return [s for r in range(len(keys), -1, -1)
+            for s in combinations(keys, r)]
 
 
 def rollup_null_levels(t: pa.Table, keys: list[str]) -> pa.Table:

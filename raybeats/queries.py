@@ -2064,6 +2064,48 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
 
 
+def q_cube_orders(sf_dir: str):
+    """GROUP BY CUBE (o_orderstatus, o_orderpriority) in one pass —
+    the same one-scan grouping-sets kernel as rollup_revenue, with all
+    2^k subsets (aggregates.cube_sets). Exact int64 cents."""
+    from .aggregates import (cube_sets, rollup_cents_partial,
+                             rollup_null_levels)
+
+    keys = ["o_orderstatus", "o_orderpriority"]
+    partial = rollup_cents_partial(keys, "cents", sets=cube_sets(keys))
+
+    def derive(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"),
+                                             100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({keys[0]: t.column(keys[0]),
+                         keys[1]: t.column(keys[1]), "cents": cents})
+
+    small = _read(sf_dir, "orders",
+                  ["o_orderstatus", "o_orderpriority", "o_totalprice"]) \
+        .map_batches(lambda t: partial(derive(t)), batch_format="pyarrow")
+    if _nrows(sf_dir, "orders") <= 2_000_000:
+        merged = _combine_partials(small, keys + ["lvl"],
+                                   {"__sum": "total_cents", "__n": "n"})
+        return rollup_null_levels(merged, keys)
+    from ray.data.aggregate import Sum
+    agg = small.groupby(keys + ["lvl"]).aggregate(
+        Sum("__sum", alias_name="total_cents"),
+        Sum("__n", alias_name="n"))
+    return agg.map_batches(lambda t: rollup_null_levels(t, keys),
+                           batch_format="pyarrow")
+
+
+SQL_CUBE_ORDERS = """
+SELECT o_orderstatus, o_orderpriority,
+  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS lvl,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS total_cents,
+  COUNT(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -2120,6 +2162,7 @@ QUERIES = {
     "semi_join_bloom": (q_semi_join_bloom, SQL_SEMI_JOIN_BLOOM),
     "latest_event": (q_latest_event, SQL_LATEST_EVENT),
     "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
+    "cube_orders": (q_cube_orders, SQL_CUBE_ORDERS),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

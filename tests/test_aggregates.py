@@ -214,3 +214,36 @@ class TestRollup:
         assert grand.column("__sum").to_pylist() == [6]
         assert grand.column("a").to_pylist() == [""]
         assert grand.column("b").to_pylist() == [""]
+
+    def test_cube_distributed_path_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+        from raybeats.aggregates import (cube_sets, rollup_cents_partial,
+                                         rollup_null_levels)
+        t = self._fixture(seed=9)
+        partial = rollup_cents_partial(["a", "b"], "cents",
+                                       sets=cube_sets(["a", "b"]))
+        small = rd.from_arrow(t).repartition(4) \
+            .map_batches(partial, batch_format="pyarrow")
+        agg = small.groupby(["a", "b", "lvl"]).aggregate(
+            Sum("__sum", alias_name="s"), Sum("__n", alias_name="n"))
+        got = pa.concat_tables(list(agg.map_batches(
+            lambda x: rollup_null_levels(x, ["a", "b"]),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow")))
+        con = duckdb.connect()
+        con.register("t", t)
+        want = con.execute(
+            """SELECT a, b, CAST(GROUPING(a, b) AS BIGINT) AS lvl,
+                 CAST(SUM(cents) AS BIGINT) AS s, COUNT(*) AS n
+               FROM t GROUP BY CUBE (a, b)""").arrow()
+        assert self._rows(got) == self._rows(want)
+        # cube has the b-only level (lvl=2) that rollup lacks
+        assert 2 in set(got.column("lvl").to_pylist())
+
+    def test_grouping_set_validation(self):
+        from raybeats.aggregates import rollup_cents_partial
+        with pytest.raises(ValueError, match="not a subset"):
+            rollup_cents_partial(["a"], "c", sets=[("zz",)])
+        with pytest.raises(ValueError, match="duplicate"):
+            rollup_cents_partial(["a"], "c", sets=[("a",), ("a",)])
