@@ -176,16 +176,25 @@ def rollup_cents_partial(keys: list[str], cents_col: str,
     ``Σ_set distinct(set keys)`` per batch — fixed-width rows,
     independent of batch size. String keys only (the placeholder is a
     string); cents must already be an exact int64 column (see the
-    half-away cents recipe in `util.hour_cents_partial`)."""
+    half-away cents recipe in `util.hour_cents_partial`). Edge: a
+    dataset that yields ZERO batches emits no rows at all, where SQL
+    would still return one grand-total row (COUNT 0, SUM NULL) — an
+    all-empty-batches input does emit it."""
     if sets is None:
         sets = [tuple(keys[:p]) for p in range(len(keys), -1, -1)]
     seen = set()
     for s in sets:
         if not set(s) <= set(keys):
             raise ValueError(f"grouping set {s!r} not a subset of {keys}")
-        if s in seen:
+        if len(set(s)) != len(s):
+            raise ValueError(f"grouping set {s!r} repeats a key")
+        # canonicalize before the duplicate check: the kernel reorders
+        # each set to the caller's key order, so ('b','a') IS ('a','b')
+        # and letting both through would silently double the aggregates
+        canon = frozenset(s)
+        if canon in seen:
             raise ValueError(f"duplicate grouping set {s!r}")
-        seen.add(s)
+        seen.add(canon)
 
     def partial(t: pa.Table) -> pa.Table:
         outs = []
@@ -196,19 +205,24 @@ def rollup_cents_partial(keys: list[str], cents_col: str,
             # keep the caller's key order, not the set's
             kept = [k for k in keys if k in kept_set]
             if kept:
+                # COUNT(*) semantics (count_all), matching the SQL
+                # oracles — plain "count" is only_valid and would drop
+                # null-cents rows from n
                 g = (t.select(kept + [cents_col]).group_by(kept)
-                     .aggregate([(cents_col, "sum"),
-                                 (cents_col, "count")]))
+                     .aggregate([(cents_col, "sum"), ([], "count_all")]))
                 n = g.num_rows
                 cols = {c: g.column(c) for c in kept}
                 sums = g.column(f"{cents_col}_sum")
-                cnts = pc.cast(g.column(f"{cents_col}_count"), pa.int64())
+                cnts = pc.cast(g.column("count_all"), pa.int64())
             else:
                 n = 1
                 cols = {}
                 c = t.column(cents_col)
-                sums = pa.array([pc.sum(c).as_py() or 0], pa.int64())
-                cnts = pa.array([len(c) - c.null_count], pa.int64())
+                # SUM of no/all-null values is NULL (SQL), not 0; the
+                # combine's Sum skips null partials, so an all-null
+                # input stays NULL end-to-end
+                sums = pa.array([pc.sum(c).as_py()], pa.int64())
+                cnts = pa.array([len(c)], pa.int64())
             for k in keys:
                 if k not in kept_set:
                     cols[k] = pa.array([""] * n, pa.string())

@@ -429,18 +429,29 @@ def _bloom_positions(h1: np.ndarray, i: int, n_bits: int) -> np.ndarray:
 
 
 def build_bloom(right_ds, *, on: str, n_bits: int,
-                n_hashes: int) -> np.ndarray:
+                n_hashes: int, key_type: pa.DataType | None = None) \
+        -> np.ndarray:
     """One narrow scan over the right side builds a bloom bitmap:
     each batch dedups + hashes its keys and emits a local bitmap
     partial (one uint64-word row, fixed ``n_bits/8`` bytes regardless
     of batch size); the driver OR-merges the partials — a bounded
     reduction (#blocks × bitmap), the same shape as the HLL sketch
-    merge. Returns the merged uint64 word array."""
+    merge. Returns the merged uint64 word array.
+
+    ``key_type`` (pass the PROBE side's key type) casts keys before
+    hashing — `_key_hash64` dispatches on the column's own type
+    (splitmix64 for integers, FNV-1a-of-string otherwise), so a
+    string right side probed by an integer left side would otherwise
+    hash through a different kernel and produce false NEGATIVES,
+    breaking the no-false-negative exactness contract."""
     n_words = (n_bits + 63) // 64
 
     def partial(t: pa.Table) -> pa.Table:
         words = np.zeros(n_words, np.uint64)
-        keys = t.column(on).unique()
+        keys = t.column(on)
+        if key_type is not None and keys.type != key_type:
+            keys = pc.cast(keys, key_type)
+        keys = keys.unique()
         h1, null = _key_hash64(keys)
         h1 = h1[~null]
         for i in range(n_hashes):
@@ -484,6 +495,7 @@ class _BloomProbe:
 def bloom_filter_join(left_ds, right_ds, *, on: str,
                       right_on: str | None = None, keep: str = "anti",
                       fpp: float = 0.01, right_count: int | None = None,
+                      left_count: int | None = None,
                       n_buckets: int | None = None,
                       probe_concurrency: int = 4,
                       left_schema: pa.Schema | None = None):
@@ -499,12 +511,24 @@ def bloom_filter_join(left_ds, right_ds, *, on: str,
 
     ``right_count`` sizes the bitmap (pass the parquet footer count —
     ``.count()`` on a transformed input would execute it once just for
-    sizing); it defaults to ``right_ds.count()``. ``n_buckets`` sizes
-    the confirm shuffle, same caveat; ``left_schema`` skips the
-    ``left_ds.schema()`` fetch when the left side hides transforms (a
-    schema fetch on a transformed lineage runs it once with limit 1).
-    A bitmap capped at ``max_bits`` (see :func:`bloom_params`)
-    degrades fpp, never correctness."""
+    sizing); it defaults to ``right_ds.count()``. ``left_count``
+    (same footer-count caveat) sizes the confirm shuffle for the
+    WORST case — candidate volume scales with left-side match
+    multiplicity plus ``fpp × left``, not with right-side key count,
+    so when it's omitted the default ``2 × right_count`` sizing
+    under-buckets a low-selectivity filter over a huge left side;
+    pass it (or an explicit ``n_buckets``) for anything big.
+    ``left_schema`` skips the ``left_ds.schema()`` fetch when the
+    left side hides transforms (a schema fetch on a transformed
+    lineage runs it once with limit 1). A bitmap capped at
+    ``max_bits`` (see :func:`bloom_params`) degrades fpp, never
+    correctness.
+
+    Exactness precondition: the left lineage must be DETERMINISTIC.
+    The anti path scans it twice (misses branch + confirm branch) and
+    Ray recomputes lineage per consumer — a nondeterministic upstream
+    (sampling, unseeded shuffle) would give the two scans different
+    row sets."""
     if keep not in ("semi", "anti"):
         raise ValueError(f"keep {keep!r}: 'semi' or 'anti'")
     right_on = right_on or on
@@ -512,17 +536,21 @@ def bloom_filter_join(left_ds, right_ds, *, on: str,
         right_count = right_ds.count()
     if n_buckets is None:
         # size the confirm shuffle WITHOUT counting the candidate
-        # lineage (that would execute the probe once just for sizing);
-        # candidates ≈ members + fpp·left ≲ a small multiple of right
-        n_buckets = adaptive_buckets(max(2 * right_count, 1))
+        # lineage (that would execute the probe once just for sizing).
+        # With left_count: worst case is every left row a candidate.
+        # Without: candidates ≈ members + fpp·left ≲ a small multiple
+        # of right — only safe when the filter is selective.
+        n_buckets = adaptive_buckets(
+            max(2 * right_count, left_count or 0, 1))
     n_bits, n_hashes = bloom_params(right_count, fpp)
-    import ray
-    words_ref = ray.put(build_bloom(right_ds, on=right_on,
-                                    n_bits=n_bits, n_hashes=n_hashes))
     if left_schema is None:
         left_schema = getattr(left_ds.schema(), "base_schema",
                               left_ds.schema())
     left_names = list(left_schema.names)
+    import ray
+    words_ref = ray.put(build_bloom(
+        right_ds, on=right_on, n_bits=n_bits, n_hashes=n_hashes,
+        key_type=left_schema.field(on).type))
     # autoscaling pool (1, N), not fixed N: a fixed pool as wide as the
     # cluster parks every CPU in probe actors and starves the task-pool
     # ops sharing the pipeline (deadlocks a 4-cpu test session)

@@ -1980,7 +1980,7 @@ def q_semi_join_bloom(sf_dir: str):
     return bloom_filter_join(
         ev, allow, on="user_id", right_on="c_custkey", keep="semi",
         right_count=_nrows(sf_dir, "customer"),
-        n_buckets=adaptive_buckets(_nrows(sf_dir, "customer") * 2))
+        left_count=_nrows(sf_dir, "events"))
 
 
 SQL_SEMI_JOIN_BLOOM = """

@@ -247,3 +247,45 @@ class TestRollup:
             rollup_cents_partial(["a"], "c", sets=[("zz",)])
         with pytest.raises(ValueError, match="duplicate"):
             rollup_cents_partial(["a"], "c", sets=[("a",), ("a",)])
+
+    def test_reordered_and_repeated_grouping_sets_rejected(self):
+        from raybeats.aggregates import rollup_cents_partial
+        # ('b','a') canonicalizes to ('a','b') in the kernel — letting
+        # both through would double that level's aggregates
+        with pytest.raises(ValueError, match="duplicate"):
+            rollup_cents_partial(["a", "b"], "c",
+                                 sets=[("a", "b"), ("b", "a")])
+        with pytest.raises(ValueError, match="repeats"):
+            rollup_cents_partial(["a", "b"], "c", sets=[("a", "a")])
+
+    def test_count_star_and_null_sum_semantics(self, ray_session):
+        # n is COUNT(*) (null-cents rows counted); SUM of an all-null
+        # group is NULL, not 0 — both matching the SQL oracles
+        import duckdb
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+        from raybeats.aggregates import (rollup_cents_partial,
+                                         rollup_null_levels)
+        t = pa.table({
+            "a": pa.array(["x", "x", "y", "y"], pa.string()),
+            "b": pa.array(["p", "p", "q", "q"], pa.string()),
+            "cents": pa.array([5, None, None, None], pa.int64())})
+        partial = rollup_cents_partial(["a", "b"], "cents")
+        small = rd.from_arrow(t).repartition(2) \
+            .map_batches(partial, batch_format="pyarrow")
+        agg = small.groupby(["a", "b", "lvl"]).aggregate(
+            Sum("__sum", alias_name="s"), Sum("__n", alias_name="n"))
+        got = pa.concat_tables(list(agg.map_batches(
+            lambda x: rollup_null_levels(x, ["a", "b"]),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow")))
+        con = duckdb.connect()
+        con.register("t", t)
+        want = con.execute(
+            """SELECT a, b, CAST(GROUPING(a, b) AS BIGINT) AS lvl,
+                 CAST(SUM(cents) AS BIGINT) AS s, COUNT(*) AS n
+               FROM t GROUP BY ROLLUP (a, b)""").arrow()
+        assert self._rows(got) == self._rows(want)
+        # the (y, q) group counts 2 rows despite all-null cents, and
+        # its sum is NULL
+        yq = [r for r in self._rows(got) if r[0] == "y" and r[2] == 0]
+        assert yq == [("y", "q", 0, None, 2)]

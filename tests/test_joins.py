@@ -323,3 +323,26 @@ def test_bloom_prefilter_false_positive_rate_bounded():
         {"k": pa.array(range(100000, 110000), pa.int64())})
     fp = probe(outsiders).column("__bloom_hit").to_pandas().mean()
     assert fp < 0.03  # sized for 1%; 3x headroom, zero flake margin
+
+
+def test_bloom_join_heterogeneous_key_types(ray_session):
+    # right side is a STRING column of digits, left is int64: without
+    # casting the build keys to the probe type the two sides hash
+    # through different kernels (splitmix64 vs fnv) and the bloom gets
+    # false negatives — semi silently drops true matches
+    import ray.data as rd
+    from raybeats.joins import bloom_filter_join, key_filter_join
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "v": pa.array(list("abcde"), pa.string())}))
+    right = rd.from_arrow(pa.table(
+        {"k": pa.array(["2", "4", "9"], pa.string())}))
+    semi = bloom_filter_join(left, right, on="k", keep="semi",
+                             right_count=3, n_buckets=2).to_pandas()
+    assert sorted(semi["k"]) == [2, 4]
+    e = key_filter_join(left, right, on="k", keep="semi",
+                        n_buckets=2).to_pandas()
+    assert sorted(semi["k"]) == sorted(e["k"])
+    anti = bloom_filter_join(left, right, on="k", keep="anti",
+                             right_count=3, n_buckets=2).to_pandas()
+    assert sorted(anti["k"]) == [1, 3, 5]
