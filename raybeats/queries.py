@@ -2106,6 +2106,35 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
 
 
+def q_embedding_centroids(sf_dir: str):
+    """Grouped EXACT vector reduce over the embedding column:
+    per-label component-wise int64-quantized sums + vector counts
+    (textops/knn.centroid_sum_partial), exploded to one row per
+    (label, component) so the cross-engine compare never hashes
+    floats or lists. Partials are labels × dim fixed rows per batch;
+    the combine is bounded by labels × dim × blocks (labels is a
+    small categorical here — a high-cardinality ``by`` would take the
+    distributed groupby like window_agg)."""
+    from .textops.knn import centroid_sum_partial
+
+    small = _read(sf_dir, "embeddings", ["label", "embedding"]) \
+        .map_batches(centroid_sum_partial, batch_format="pyarrow")
+    return _combine_partials(small, ["label", "idx"],
+                             {"s": "s", "n": "n"})
+
+
+SQL_EMBEDDING_CENTROIDS = """
+WITH x AS (
+  SELECT label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings)
+SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS idx,
+  CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+       AS BIGINT) AS s,
+  COUNT(*) AS n
+FROM x GROUP BY label, i"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -2163,6 +2192,8 @@ QUERIES = {
     "latest_event": (q_latest_event, SQL_LATEST_EVENT),
     "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
     "cube_orders": (q_cube_orders, SQL_CUBE_ORDERS),
+    "embedding_centroids": (q_embedding_centroids,
+                            SQL_EMBEDDING_CENTROIDS),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

@@ -304,3 +304,53 @@ class LshBucketer:
                                                dtype=np.int32), n),
                              pa.int32()),
             "bucket": pa.array(bucket.reshape(-1), pa.int64())})
+
+
+# ------------------------------------------------------ vector aggregates
+
+def centroid_sum_partial(t: pa.Table, *, vec_col: str = "embedding",
+                         by: str = "label",
+                         scale: int = 1_000_000) -> pa.Table:
+    """Per-batch partial for a grouped EXACT vector reduce: each
+    embedding component quantizes to int64 (``round(v * scale)``,
+    half-away — the cents recipe lifted to vectors; float sums are
+    order-dependent across engines, integer sums are not) and the
+    batch emits one row per (group, component): ``by``, ``idx``
+    (1-based, mirroring SQL list indexing), ``s`` (component sum),
+    ``n`` (vector count). Partial volume is ``groups × dim`` fixed
+    rows per batch — independent of batch size — so the combine is a
+    tiny keyed sum and the centroid itself is ``s / (n·scale)`` at
+    whatever precision the consumer wants. Ragged vectors raise."""
+    emb = t.column(vec_col)
+    emb = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
+    lab = t.column(by)
+    n = len(emb)
+    if n == 0:
+        return pa.table({by: pa.array([], pa.int64()),
+                         "idx": pa.array([], pa.int64()),
+                         "s": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    offs = emb.offsets.to_numpy(zero_copy_only=False)
+    lens = np.diff(offs)
+    d = int(lens[0])
+    if not (lens == d).all():
+        raise ValueError(f"ragged {vec_col}: dims {lens.min()}..{lens.max()}")
+    # float64 BEFORE the scale multiply — SQL promotes the float32
+    # element to DOUBLE first, and matching the op order keeps the
+    # rounding bit-identical
+    q = pc.cast(pc.round(pc.multiply(pc.cast(emb.values, pa.float64()),
+                                     float(scale)),
+                         round_mode="half_towards_infinity"),
+                pa.int64()).to_numpy(zero_copy_only=False)
+    labs = pc.cast(lab, pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.argsort(labs, kind="stable")
+    sl = labs[order]
+    uniq, start = np.unique(sl, return_index=True)
+    sums = np.add.reduceat(q.reshape(n, d)[order], start, axis=0)
+    counts = np.diff(np.append(start, n))
+    return pa.table({
+        by: pa.array(np.repeat(uniq, d), pa.int64()),
+        "idx": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                len(uniq)), pa.int64()),
+        "s": pa.array(sums.ravel(), pa.int64()),
+        "n": pa.array(np.repeat(counts, d), pa.int64())})

@@ -1,6 +1,8 @@
 import numpy as np
+import pyarrow as pa
 import pyarrow.dataset as pads
 import pyarrow.compute as pc
+import pytest
 
 SF = "/root/testdata/sf0.001"
 
@@ -125,3 +127,54 @@ def test_lsh_banded_emit_shape():
     d2 = t2.to_pandas()
     g = d2.groupby("band")["bucket"].nunique()
     assert (g == 1).all()
+
+
+# ------------------------------------------------------ centroid sums
+
+def test_centroid_sum_partial_parity_and_partition_invariance(ray_session):
+    import ray.data as rd
+    from raybeats.textops.knn import centroid_sum_partial
+    rng = np.random.default_rng(5)
+    n, d = 400, 16
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    lab = rng.integers(0, 7, n)
+    t = pa.table({"label": pa.array(lab, pa.int32()),
+                  "embedding": pa.array(list(m), pa.list_(pa.float32()))})
+    # independent naive reference: quantize half-away then integer-sum
+    q = np.where(m.astype(np.float64) * 1e6 >= 0,
+                 np.floor(m.astype(np.float64) * 1e6 + 0.5),
+                 np.ceil(m.astype(np.float64) * 1e6 - 0.5)).astype(np.int64)
+    want = {}
+    for g in np.unique(lab):
+        s = q[lab == g].sum(axis=0)
+        for i in range(d):
+            want[(int(g), i + 1)] = (int(s[i]), int((lab == g).sum()))
+    for parts in (1, 9):
+        out = rd.from_arrow(t).repartition(parts) \
+            .map_batches(centroid_sum_partial, batch_format="pyarrow")
+        merged = pa.concat_tables(
+            list(out.iter_batches(batch_format="pyarrow")))
+        g = merged.group_by(["label", "idx"]).aggregate(
+            [("s", "sum"), ("n", "sum")])
+        got = {(l, i): (s, c) for l, i, s, c in zip(
+            g.column("label").to_pylist(), g.column("idx").to_pylist(),
+            g.column("s_sum").to_pylist(), g.column("n_sum").to_pylist())}
+        assert got == want
+
+
+def test_centroid_sum_partial_ragged_raises():
+    from raybeats.textops.knn import centroid_sum_partial
+    t = pa.table({"label": pa.array([1, 2], pa.int32()),
+                  "embedding": pa.array([[1.0, 2.0], [3.0]],
+                                        pa.list_(pa.float32()))})
+    with pytest.raises(ValueError, match="ragged"):
+        centroid_sum_partial(t)
+
+
+def test_centroid_sum_partial_empty_batch():
+    from raybeats.textops.knn import centroid_sum_partial
+    t = pa.table({"label": pa.array([], pa.int32()),
+                  "embedding": pa.array([], pa.list_(pa.float32()))})
+    out = centroid_sum_partial(t)
+    assert out.num_rows == 0
+    assert out.column_names == ["label", "idx", "s", "n"]
