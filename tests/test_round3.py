@@ -211,3 +211,34 @@ def test_simhash_matches_independent_naive_impl():
         "doc_id": pa.array(range(len(texts)), pa.int64()),
         "text": pa.array(texts, pa.string())}))
     assert t.column("simhash").to_pylist() == [naive(s) for s in texts]
+
+
+def test_running_sum_negative_values_and_duckdb_parity(ray_session, tmp_path):
+    # negative cents break any monotone-base shortcut; parity vs the
+    # window-function oracle on a synthetic table with sign flips
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from raybeats.queries import QUERIES, SQL_RUNNING_SUM
+
+    rng = np.random.default_rng(13)
+    n = 500
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10**9, n), pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 9, n), pa.int64()),
+        "event_type": pa.array(["x"] * n, pa.string()),
+        "value": pa.array(rng.normal(0, 50, n), pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string())})
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = QUERIES["running_sum"][0](str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * "
+                f"FROM '{tmp_path}/events.parquet'")
+    want = con.execute(SQL_RUNNING_SUM).df()
+    g = got.sort_values("event_id").reset_index(drop=True)
+    w = want.sort_values("event_id").reset_index(drop=True)
+    assert (g["running_cents"].to_numpy()
+            == w["running_cents"].to_numpy()).all()
+    assert (g["running_cents"] < 0).any()  # sign flips actually hit
