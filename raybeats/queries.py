@@ -2193,6 +2193,50 @@ SELECT event_id, user_id,
 FROM events"""
 
 
+def q_event_gaps(sf_dir: str):
+    """LAG window shape: per event, microseconds since the same
+    user's PREVIOUS event (NULL for each user's first) — the
+    inter-arrival-time primitive sessionization thresholds are built
+    on. Same bucketed-cogroup contract as running_sum; per bucket one
+    lexsort + one vectorized diff with run starts nulled."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", int_bucket(t.column("user_id"), n_buckets))
+
+    def gaps(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(g.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        us, tss = u[order], ts[order]
+        gap = np.empty(len(us), np.int64)
+        gap[1:] = tss[1:] - tss[:-1]
+        gap[0] = 0
+        first = np.append(True, us[1:] != us[:-1])
+        return pa.table({
+            "event_id": pa.array(eid[order], pa.int64()),
+            "user_id": pa.array(us, pa.int64()),
+            "gap_us": pa.array(gap, pa.int64(), mask=first)})
+
+    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(gaps, batch_format="pyarrow")
+
+
+SQL_EVENT_GAPS = """
+SELECT event_id, user_id,
+  CAST(date_diff('microsecond',
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id), ts)
+       AS BIGINT) AS gap_us
+FROM events"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -2253,6 +2297,7 @@ QUERIES = {
     "embedding_centroids": (q_embedding_centroids,
                             SQL_EMBEDDING_CENTROIDS),
     "running_sum": (q_running_sum, SQL_RUNNING_SUM),
+    "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

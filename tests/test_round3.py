@@ -242,3 +242,34 @@ def test_running_sum_negative_values_and_duckdb_parity(ray_session, tmp_path):
     assert (g["running_cents"].to_numpy()
             == w["running_cents"].to_numpy()).all()
     assert (g["running_cents"] < 0).any()  # sign flips actually hit
+
+
+def test_event_gaps_nulls_first_event_per_user(ray_session, tmp_path):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from raybeats.queries import QUERIES, SQL_EVENT_GAPS
+
+    rng = np.random.default_rng(29)
+    n = 300
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10**8, n), pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 6, n), pa.int64()),
+        "event_type": pa.array(["x"] * n, pa.string()),
+        "value": pa.array(np.zeros(n), pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string())})
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = QUERIES["event_gaps"][0](str(tmp_path)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * "
+                f"FROM '{tmp_path}/events.parquet'")
+    want = con.execute(SQL_EVENT_GAPS).df() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert got["gap_us"].isna().sum() == 6  # one NULL per user
+    ga, wa = got["gap_us"].to_numpy(), want["gap_us"].to_numpy()
+    both = ~(np.isnan(ga) | np.isnan(wa))
+    assert (np.isnan(ga) == np.isnan(wa)).all()
+    assert (ga[both] == wa[both]).all()
