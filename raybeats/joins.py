@@ -461,9 +461,24 @@ def build_bloom(right_ds, *, on: str, n_bits: int,
         return pa.table({"__bloom": pa.array([words.tobytes()],
                                              pa.large_binary())})
 
+    def or_merge(t: pa.Table) -> pa.Table:
+        words = np.zeros(n_words, np.uint64)
+        for buf in t.column("__bloom").to_pylist():
+            words |= np.frombuffer(buf, np.uint64)
+        return pa.table({"__bloom": pa.array([words.tobytes()],
+                                             pa.large_binary())})
+
     acc = np.zeros(n_words, np.uint64)
     partials = right_ds.map_batches(partial, batch_format="pyarrow")
-    for b in partials.iter_batches(batch_format="pyarrow"):
+    # worker-side fan-in BEFORE the driver merge: each or_merge batch
+    # collapses up to 32 block bitmaps into one, so the driver pulls
+    # ~#blocks/32 bitmaps instead of every block's (at a 128 MiB
+    # capped bitmap × thousands of right-side blocks the un-fanned
+    # driver loop would stream the whole partial set through one
+    # process — the exact driver-bottleneck shape this repo bans)
+    merged = partials.map_batches(or_merge, batch_format="pyarrow",
+                                  batch_size=32)
+    for b in merged.iter_batches(batch_format="pyarrow"):
         for buf in b.column("__bloom").to_pylist():
             acc |= np.frombuffer(buf, np.uint64)
     return acc
