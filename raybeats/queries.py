@@ -2237,6 +2237,61 @@ SELECT event_id, user_id,
 FROM events"""
 
 
+def _footer_max(sf_dir: str, table: str, col: str) -> int:
+    """Max of a column from parquet row-group statistics — metadata
+    only, nothing executes."""
+    md = pq.read_metadata(f"{sf_dir}/{table}.parquet")
+    mx = None
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            if c.path_in_schema == col and c.statistics is not None \
+                    and c.statistics.has_min_max:
+                v = c.statistics.max
+                mx = v if mx is None else max(mx, v)
+    if mx is None:
+        raise ValueError(f"no {col} statistics in {table} footer")
+    return int(mx)
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing for training batches: each document gets the
+    pack id its first token lands in under a running 4096-token
+    boundary over doc_id order (textops/curation.pack_sequences — a
+    two-pass distributed prefix sum over monotone id-range buckets;
+    nothing global sorts). Token counts share the token_stats
+    regex so the SQL window mirror is exact."""
+    from .textops.analysis import token_stats
+    from .textops.curation import pack_sequences
+
+    toks = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(lambda t: token_stats(t)
+                     .select(["doc_id", "n_tokens"]),
+                     batch_format="pyarrow")
+    return pack_sequences(toks, budget=4096,
+                          id_max=_footer_max(sf_dir, "documents",
+                                             "doc_id"),
+                          tok_col="n_tokens")
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH tok AS (
+  SELECT doc_id,
+    CAST(length(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT)
+      AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum
+  FROM tok)
+SELECT doc_id, n_tokens,
+       CAST((cum - n_tokens) // 4096 AS BIGINT) AS pack_id
+FROM c"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -2298,6 +2353,7 @@ QUERIES = {
                             SQL_EMBEDDING_CENTROIDS),
     "running_sum": (q_running_sum, SQL_RUNNING_SUM),
     "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

@@ -204,3 +204,72 @@ class ContaminationFlagger:
             "n_hits": pa.array(hits, pa.int64()),
             "contaminated": pa.array(hits > 0, pa.bool_()),
         })
+
+
+def pack_sequences(ds, *, budget: int, id_max: int,
+                   id_col: str = "doc_id", tok_col: str = "n_tok",
+                   n_buckets: int = 64):
+    """Deterministic sequence packing: assign each document the
+    training-pack id its FIRST token lands in under a running
+    ``budget``-token boundary over ``id_col`` order —
+    ``pack_id = (cumsum(n_tok) - n_tok) // budget``. The contiguous
+    streaming-pack contract (docs may straddle pack boundaries; the
+    straddler belongs to the pack it starts in) rather than greedy bin
+    packing, BECAUSE it is order-deterministic, partition-invariant
+    and exactly mirrorable as a SQL running-sum window — a greedy
+    packer's output depends on visit order and cannot be oracled.
+
+    A global ordered cumsum is the textbook sequential op; here it is
+    a two-pass distributed prefix sum: pass 1 (narrow) emits per-batch
+    token totals per monotone id-range bucket (``id * n_buckets //
+    (id_max+1)`` — monotone in id, so bucket order IS id order) and
+    the driver exclusive-prefixes the ``n_buckets`` totals; pass 2 is
+    ONE keyed shuffle whose groups sort locally by id and add their
+    bucket's offset. Nothing global ever sorts; the driver sees
+    ``n_buckets × blocks`` fixed-width partial rows. ``id_max`` comes
+    from footer stats (a ``.count()``/max scan on a transformed
+    lineage would execute it just for sizing).
+
+    Input must already carry ``tok_col`` (see `analysis.token_stats`
+    for the oracle-mirrorable token count). Ids must be non-negative
+    and ≤ ``id_max``; token counts non-negative."""
+    span = id_max + 1
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col)
+        bkt = pc.cast(pc.divide(pc.multiply(pc.cast(ids, pa.int64()),
+                                            n_buckets), span),
+                      pa.int32())
+        return pa.table({id_col: ids, tok_col: t.column(tok_col),
+                         "bucket": bkt})
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    def bucket_totals(t: pa.Table) -> pa.Table:
+        g = t.group_by("bucket").aggregate([(tok_col, "sum")])
+        return pa.table({"bucket": g.column("bucket"),
+                         "tot": g.column(f"{tok_col}_sum")})
+
+    totals = np.zeros(n_buckets, np.int64)
+    for b in bucketed.map_batches(bucket_totals, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        np.add.at(totals, b.column("bucket").to_numpy(zero_copy_only=False),
+                  b.column("tot").to_numpy(zero_copy_only=False))
+    offsets = np.zeros(n_buckets, np.int64)
+    np.cumsum(totals[:-1], out=offsets[1:])
+
+    def finalize(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        tok = g.column(tok_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        cum = np.cumsum(tok[order])
+        bkt = int(g.column("bucket")[0].as_py())
+        start = offsets[bkt] + cum - tok[order]
+        out = np.empty(len(ids), np.int64)
+        out[order] = start // budget
+        return pa.table({id_col: g.column(id_col),
+                         tok_col: g.column(tok_col),
+                         "pack_id": pa.array(out, pa.int64())})
+
+    return bucketed.groupby("bucket").map_groups(
+        finalize, batch_format="pyarrow")

@@ -169,3 +169,39 @@ def test_curation_queries_smoke(ray_session):
     src = con[(con.doc_id % 97 == 0)]
     assert (src.n_hits >= 1).any()  # snippet sources flag themselves
     assert (con.n_hits == 0).any()
+
+
+class TestPackSequences:
+    def test_matches_naive_prefix_sum_and_partition_invariant(
+            self, ray_session):
+        import ray.data as rd
+        from raybeats.textops.curation import pack_sequences
+        rng = np.random.default_rng(17)
+        # sparse, shuffled ids — bucket monotonicity must not assume
+        # dense or ordered input
+        ids = rng.permutation(np.arange(0, 5000, 3))
+        tok = rng.integers(0, 900, len(ids))
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "n_tok": pa.array(tok, pa.int64())})
+        order = np.argsort(ids)
+        cum = np.cumsum(tok[order])
+        want = dict(zip(ids[order].tolist(),
+                        ((cum - tok[order]) // 512).tolist()))
+        for parts in (1, 11):
+            out = pack_sequences(
+                rd.from_arrow(t).repartition(parts), budget=512,
+                id_max=int(ids.max()), n_buckets=16).to_pandas()
+            got = dict(zip(out["doc_id"], out["pack_id"]))
+            assert got == want
+
+    def test_straddler_belongs_to_starting_pack(self, ray_session):
+        import ray.data as rd
+        from raybeats.textops.curation import pack_sequences
+        # doc 1 starts at token 90 (< 100) but spans past the boundary:
+        # it belongs to pack 0
+        t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                      "n_tok": pa.array([90, 50, 10], pa.int64())})
+        out = pack_sequences(rd.from_arrow(t), budget=100, id_max=2,
+                             n_buckets=2).to_pandas() \
+            .sort_values("doc_id")
+        assert out["pack_id"].tolist() == [0, 0, 1]
