@@ -21,6 +21,14 @@ custom operators; these are the Ray-Data-first compositions.
   rows whose key does / does not appear on the right) — the
   dedup-against-a-reference-corpus primitive; one bucketed-union
   shuffle, right side reduced to its key column before it moves.
+* :func:`bloom_filter_join` — the SEMI/ANTI scale path: a broadcast
+  bloom bitmap resolves definite non-members with no shuffle; only
+  candidates enter the exact confirm. Result is exact.
+* :func:`interval_point_join` — large×large containment join
+  (point ∈ [lo, hi)) via grid cells: one keyed shuffle, per-bucket
+  sorted points + searchsorted, per-cell clipping for exactly-once
+  pairs. The complement of the broadcast range join when the
+  interval side also scales with the corpus.
 """
 from __future__ import annotations
 
@@ -600,3 +608,138 @@ def bloom_filter_join(left_ds, right_ds, *, on: str,
 
     misses = probed.map_batches(take_misses, batch_format="pyarrow")
     return misses.union(confirmed)
+
+
+# --------------------------------------------- large×large interval join
+
+def interval_point_join(points_ds, intervals_ds, *, value_col: str,
+                        lo_col: str, hi_col: str, cell: int,
+                        n_buckets: int,
+                        point_schema: pa.Schema | None = None,
+                        interval_schema: pa.Schema | None = None,
+                        max_span_cells: int = 64):
+    """Inner containment join where BOTH sides are large: emit one row
+    per (point, interval) with ``lo <= point_value < hi`` — the
+    large×large complement of :func:`range_join_broadcast` (which
+    requires an interval side small enough to ``ray.put``).
+
+    Scale shape (the grid/spatial-join pattern): time quantizes to
+    ``cell``-sized grid cells;每 interval replicates to every cell it
+    overlaps (bounded: an interval spanning more than
+    ``max_span_cells`` cells raises — no silent caps) and each point
+    maps to exactly ONE cell, so one keyed bucketed-union shuffle
+    co-locates every possible match and nothing else is ever
+    compared. The per-group kernel sorts the bucket's points once and
+    answers each interval copy with two ``searchsorted`` probes — and
+    clips each copy's [lo, hi) to ITS OWN cell's range, so a pair is
+    found exactly once (in the point's cell) even when several of an
+    interval's cells hash to the same bucket. O((P + I)·log P +
+    output) per bucket; output volume is the join's true cardinality,
+    never a cross product.
+
+    ``value_col`` / ``lo_col`` / ``hi_col`` must be timestamps or
+    integers (cast to int64 internally; ``cell`` in those units).
+    ``point_schema`` / ``interval_schema`` skip the ``.schema()``
+    fetch on transformed lineages (the limit-1-execution caveat
+    documented on :func:`key_filter_join`). Column names must not
+    collide across the two sides."""
+    if point_schema is None:
+        point_schema = getattr(points_ds.schema(), "base_schema",
+                               points_ds.schema())
+    if interval_schema is None:
+        interval_schema = getattr(intervals_ds.schema(), "base_schema",
+                                  intervals_ds.schema())
+    p_names = list(point_schema.names)
+    i_names = list(interval_schema.names)
+    clash = set(p_names) & set(i_names)
+    if clash:
+        raise ValueError(f"column collision across sides: {clash}")
+    out_names = p_names + i_names
+    cell_i = int(cell)
+
+    def _i64(col):
+        return pc.cast(pc.cast(col, pa.int64()), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+
+    def tag_points(t: pa.Table) -> pa.Table:
+        v = _i64(t.column(value_col))
+        g = v // cell_i
+        cols = {"__cell": pa.array(g, pa.int64()),
+                "__bkt": pa.array((g % n_buckets).astype(np.int32),
+                                  pa.int32()),
+                "__side": pa.array(np.zeros(len(v), np.int8))}
+        for c in p_names:
+            cols[c] = t.column(c)
+        for c in i_names:
+            cols[c] = pa.nulls(len(v), interval_schema.field(c).type)
+        return pa.table(cols)
+
+    def tag_intervals(t: pa.Table) -> pa.Table:
+        lo = _i64(t.column(lo_col))
+        hi = _i64(t.column(hi_col))
+        g0 = lo // cell_i
+        g1 = np.maximum(g0, (hi - 1) // cell_i)  # empty iv stays 1 cell
+        span = g1 - g0 + 1
+        if len(span) and span.max() > max_span_cells:
+            raise ValueError(
+                f"interval spans {int(span.max())} cells > "
+                f"{max_span_cells}: raise `cell` or split the interval")
+        ridx = np.repeat(np.arange(len(lo)), span)
+        # vectorized per-interval cell ranges (aranges trick)
+        offs = np.cumsum(span) - span
+        g = g0[ridx] + (np.arange(int(span.sum())) - offs[ridx])
+        cols = {"__cell": pa.array(g, pa.int64()),
+                "__bkt": pa.array((g % n_buckets).astype(np.int32),
+                                  pa.int32()),
+                "__side": pa.array(np.ones(len(g), np.int8))}
+        for c in p_names:
+            cols[c] = pa.nulls(len(g), point_schema.field(c).type)
+        for c in i_names:
+            col = t.column(c)
+            col = col.combine_chunks() if isinstance(
+                col, pa.ChunkedArray) else col
+            cols[c] = pc.take(col, pa.array(ridx, pa.int64()))
+        return pa.table(cols)
+
+    tagged = points_ds.map_batches(tag_points, batch_format="pyarrow") \
+        .union(intervals_ds.map_batches(tag_intervals,
+                                        batch_format="pyarrow"))
+
+    def join_group(grp: pa.Table) -> pa.Table:
+        side = grp.column("__side").to_numpy(zero_copy_only=False)
+        pts = grp.filter(pa.array(side == 0))
+        ivs = grp.filter(pa.array(side == 1))
+        if pts.num_rows == 0 or ivs.num_rows == 0:
+            return grp.slice(0, 0).select(out_names)
+        pv = _i64(pts.column(value_col))
+        order = np.argsort(pv, kind="stable")
+        pv_s = pv[order]
+        lo = _i64(ivs.column(lo_col))
+        hi = _i64(ivs.column(hi_col))
+        gcell = ivs.column("__cell").to_numpy(zero_copy_only=False)
+        # clip each copy's window to its own cell so a pair matches
+        # exactly once — in the point's cell
+        lo_c = np.maximum(lo, gcell * cell_i)
+        hi_c = np.minimum(hi, (gcell + 1) * cell_i)
+        starts = np.searchsorted(pv_s, lo_c, side="left")
+        ends = np.searchsorted(pv_s, hi_c, side="left")
+        lens = np.maximum(ends - starts, 0)
+        total = int(lens.sum())
+        if total == 0:
+            return grp.slice(0, 0).select(out_names)
+        iidx = np.repeat(np.arange(len(lo)), lens)
+        offs = np.cumsum(lens) - lens
+        pidx = starts[iidx] + (np.arange(total) - offs[iidx])
+        ptake = pa.array(order[pidx], pa.int64())
+        itake = pa.array(iidx, pa.int64())
+        cols = {c: pc.take(pts.column(c).combine_chunks()
+                           if isinstance(pts.column(c), pa.ChunkedArray)
+                           else pts.column(c), ptake) for c in p_names}
+        for c in i_names:
+            col = ivs.column(c)
+            cols[c] = pc.take(col.combine_chunks() if isinstance(
+                col, pa.ChunkedArray) else col, itake)
+        return pa.table({c: cols[c] for c in out_names})
+
+    return tagged.groupby("__bkt").map_groups(join_group,
+                                              batch_format="pyarrow")

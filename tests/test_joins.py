@@ -346,3 +346,78 @@ def test_bloom_join_heterogeneous_key_types(ray_session):
     anti = bloom_filter_join(left, right, on="k", keep="anti",
                              right_count=3, n_buckets=2).to_pandas()
     assert sorted(anti["k"]) == [1, 3, 5]
+
+
+# ------------------------------------------- large×large interval join
+
+class TestIntervalPointJoin:
+    def _naive(self, pv, lo, hi):
+        out = []
+        for pi, v in enumerate(pv):
+            for ii in range(len(lo)):
+                if lo[ii] <= v < hi[ii]:
+                    out.append((pi, ii))
+        return sorted(out)
+
+    def test_parity_with_nested_loop_and_no_double_match(self, ray_session):
+        import ray.data as rd
+        from raybeats.joins import interval_point_join
+        rng = np.random.default_rng(23)
+        pv = rng.integers(0, 10_000, 600)
+        lo = rng.integers(0, 10_000, 150)
+        hi = lo + rng.integers(0, 900, 150)  # spans up to 9 cells of 100
+        pts = rd.from_arrow(pa.table({
+            "pid": pa.array(np.arange(600), pa.int64()),
+            "v": pa.array(pv, pa.int64())})).repartition(5)
+        ivs = rd.from_arrow(pa.table({
+            "iid": pa.array(np.arange(150), pa.int64()),
+            "lo": pa.array(lo, pa.int64()),
+            "hi": pa.array(hi, pa.int64())})).repartition(3)
+        # n_buckets=1 collapses every cell into ONE group: a straddling
+        # interval has many copies in that group and per-cell clipping
+        # is the only thing preventing duplicate pairs
+        for nb in (1, 7):
+            out = interval_point_join(
+                pts, ivs, value_col="v", lo_col="lo", hi_col="hi",
+                cell=100, n_buckets=nb).to_pandas()
+            got = sorted(zip(out["pid"], out["iid"]))
+            assert got == self._naive(pv, lo, hi), nb
+
+    def test_empty_interval_and_boundaries(self, ray_session):
+        import ray.data as rd
+        from raybeats.joins import interval_point_join
+        pts = rd.from_arrow(pa.table({
+            "pid": pa.array([0, 1, 2], pa.int64()),
+            "v": pa.array([100, 199, 200], pa.int64())}))
+        ivs = rd.from_arrow(pa.table({
+            "iid": pa.array([0, 1], pa.int64()),
+            "lo": pa.array([100, 300], pa.int64()),
+            "hi": pa.array([200, 300], pa.int64())}))  # second is empty
+        out = interval_point_join(pts, ivs, value_col="v", lo_col="lo",
+                                  hi_col="hi", cell=50,
+                                  n_buckets=2).to_pandas()
+        # lo inclusive, hi exclusive; empty interval matches nothing
+        assert sorted(zip(out["pid"], out["iid"])) == [(0, 0), (1, 0)]
+
+    def test_span_cap_raises(self, ray_session):
+        import ray.data as rd
+        from raybeats.joins import interval_point_join
+        pts = rd.from_arrow(pa.table({"v": pa.array([1], pa.int64())}))
+        ivs = rd.from_arrow(pa.table({
+            "lo": pa.array([0], pa.int64()),
+            "hi": pa.array([10_000_000], pa.int64())}))
+        with pytest.raises(Exception, match="cells"):
+            interval_point_join(pts, ivs, value_col="v", lo_col="lo",
+                                hi_col="hi", cell=10, n_buckets=2,
+                                max_span_cells=8).to_pandas()
+
+    def test_column_collision_rejected(self, ray_session):
+        import ray.data as rd
+        from raybeats.joins import interval_point_join
+        pts = rd.from_arrow(pa.table({"v": pa.array([1], pa.int64())}))
+        ivs = rd.from_arrow(pa.table({
+            "v": pa.array([0], pa.int64()),
+            "hi": pa.array([2], pa.int64())}))
+        with pytest.raises(ValueError, match="collision"):
+            interval_point_join(pts, ivs, value_col="v", lo_col="v",
+                                hi_col="hi", cell=10, n_buckets=2)
