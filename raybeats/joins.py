@@ -469,26 +469,43 @@ def build_bloom(right_ds, *, on: str, n_bits: int,
         return pa.table({"__bloom": pa.array([words.tobytes()],
                                              pa.large_binary())})
 
+    def _iter_bitmaps(col):
+        # zero-copy views into the arrow large_binary buffers —
+        # .to_pylist() would duplicate every bitmap as python bytes
+        arr = col.combine_chunks() if isinstance(
+            col, pa.ChunkedArray) else col
+        if len(arr) == 0 or arr.buffers()[2] is None:
+            return
+        # honor a sliced view's offset into the shared buffers
+        off = np.frombuffer(arr.buffers()[1], np.int64,
+                            len(arr) + 1 + arr.offset)[arr.offset:]
+        dat = np.frombuffer(arr.buffers()[2], np.uint8)
+        for i in range(len(arr)):
+            yield dat[off[i]:off[i + 1]].view(np.uint64)
+
     def or_merge(t: pa.Table) -> pa.Table:
         words = np.zeros(n_words, np.uint64)
-        for buf in t.column("__bloom").to_pylist():
-            words |= np.frombuffer(buf, np.uint64)
+        for bm in _iter_bitmaps(t.column("__bloom")):
+            words |= bm
         return pa.table({"__bloom": pa.array([words.tobytes()],
                                              pa.large_binary())})
 
     acc = np.zeros(n_words, np.uint64)
     partials = right_ds.map_batches(partial, batch_format="pyarrow")
     # worker-side fan-in BEFORE the driver merge: each or_merge batch
-    # collapses up to 32 block bitmaps into one, so the driver pulls
-    # ~#blocks/32 bitmaps instead of every block's (at a 128 MiB
+    # collapses a group of block bitmaps into one, so the driver pulls
+    # ~#blocks/fan_in bitmaps instead of every block's (at a 128 MiB
     # capped bitmap × thousands of right-side blocks the un-fanned
     # driver loop would stream the whole partial set through one
-    # process — the exact driver-bottleneck shape this repo bans)
+    # process — the exact driver-bottleneck shape this repo bans).
+    # fan-in sized so one task's input batch stays ≤ ~512 MiB of
+    # bitmaps regardless of n_bits
+    fan_in = int(max(2, min(32, (512 << 20) // max(1, n_words * 8))))
     merged = partials.map_batches(or_merge, batch_format="pyarrow",
-                                  batch_size=32)
+                                  batch_size=fan_in)
     for b in merged.iter_batches(batch_format="pyarrow"):
-        for buf in b.column("__bloom").to_pylist():
-            acc |= np.frombuffer(buf, np.uint64)
+        for bm in _iter_bitmaps(b.column("__bloom")):
+            acc |= bm
     return acc
 
 
@@ -624,8 +641,8 @@ def interval_point_join(points_ds, intervals_ds, *, value_col: str,
     requires an interval side small enough to ``ray.put``).
 
     Scale shape (the grid/spatial-join pattern): time quantizes to
-    ``cell``-sized grid cells;每 interval replicates to every cell it
-    overlaps (bounded: an interval spanning more than
+    ``cell``-sized grid cells; every interval replicates to every cell
+    it overlaps (bounded: an interval spanning more than
     ``max_span_cells`` cells raises — no silent caps) and each point
     maps to exactly ONE cell, so one keyed bucketed-union shuffle
     co-locates every possible match and nothing else is ever
@@ -637,12 +654,25 @@ def interval_point_join(points_ds, intervals_ds, *, value_col: str,
     output) per bucket; output volume is the join's true cardinality,
     never a cross product.
 
+    GROUP-SIZE KNOB — ``n_buckets`` alone cannot shrink a group below
+    one cell's points (a cell is atomic under cell-hash bucketing):
+    the per-group materialization bound is ``cell``, NOT ``n_buckets``.
+    When cells outnumber buckets, groups hold several cells; when the
+    corpus grows, shrink ``cell`` (and raise ``max_span_cells``
+    accordingly) — interval replication grows linearly with
+    span/cell while group volume shrinks linearly, and the per-cell
+    clip keeps the result exact at any cell size. E.g. day-long
+    intervals at 100 TB: hour cells → 24-25 copies per interval,
+    groups 1/24th the size.
+
     ``value_col`` / ``lo_col`` / ``hi_col`` must be timestamps or
     integers (cast to int64 internally; ``cell`` in those units).
-    ``point_schema`` / ``interval_schema`` skip the ``.schema()``
-    fetch on transformed lineages (the limit-1-execution caveat
-    documented on :func:`key_filter_join`). Column names must not
-    collide across the two sides."""
+    Rows with NULL value/lo/hi never match (SQL range-predicate
+    semantics) and are dropped at the tag stage. ``point_schema`` /
+    ``interval_schema`` skip the ``.schema()`` fetch on transformed
+    lineages (the limit-1-execution caveat documented on
+    :func:`key_filter_join`). Column names must not collide across
+    the two sides or with the ``__cell``/``__bkt``/``__side`` tags."""
     if point_schema is None:
         point_schema = getattr(points_ds.schema(), "base_schema",
                                points_ds.schema())
@@ -654,19 +684,30 @@ def interval_point_join(points_ds, intervals_ds, *, value_col: str,
     clash = set(p_names) & set(i_names)
     if clash:
         raise ValueError(f"column collision across sides: {clash}")
+    reserved = {"__cell", "__bkt", "__side"} & set(p_names + i_names)
+    if reserved:
+        raise ValueError(f"reserved column names in input: {reserved}")
     out_names = p_names + i_names
     cell_i = int(cell)
 
     def _i64(col):
-        return pc.cast(pc.cast(col, pa.int64()), pa.int64()) \
-            .to_numpy(zero_copy_only=False)
+        return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+
+    def _drop_null(t: pa.Table, cols: list[str]) -> pa.Table:
+        for c in cols:
+            if t.column(c).null_count:
+                t = t.filter(pc.is_valid(t.column(c)))
+        return t
+
+    def _bkt(g: np.ndarray) -> pa.Array:
+        return pa.array((g % n_buckets).astype(np.int32), pa.int32())
 
     def tag_points(t: pa.Table) -> pa.Table:
+        t = _drop_null(t, [value_col])
         v = _i64(t.column(value_col))
         g = v // cell_i
         cols = {"__cell": pa.array(g, pa.int64()),
-                "__bkt": pa.array((g % n_buckets).astype(np.int32),
-                                  pa.int32()),
+                "__bkt": _bkt(g),
                 "__side": pa.array(np.zeros(len(v), np.int8))}
         for c in p_names:
             cols[c] = t.column(c)
@@ -675,6 +716,7 @@ def interval_point_join(points_ds, intervals_ds, *, value_col: str,
         return pa.table(cols)
 
     def tag_intervals(t: pa.Table) -> pa.Table:
+        t = _drop_null(t, [lo_col, hi_col])
         lo = _i64(t.column(lo_col))
         hi = _i64(t.column(hi_col))
         g0 = lo // cell_i
@@ -689,8 +731,7 @@ def interval_point_join(points_ds, intervals_ds, *, value_col: str,
         offs = np.cumsum(span) - span
         g = g0[ridx] + (np.arange(int(span.sum())) - offs[ridx])
         cols = {"__cell": pa.array(g, pa.int64()),
-                "__bkt": pa.array((g % n_buckets).astype(np.int32),
-                                  pa.int32()),
+                "__bkt": _bkt(g),
                 "__side": pa.array(np.ones(len(g), np.int8))}
         for c in p_names:
             cols[c] = pa.nulls(len(g), point_schema.field(c).type)

@@ -243,7 +243,13 @@ def pack_sequences(ds, *, budget: int, id_max: int,
         return pa.table({id_col: ids, tok_col: t.column(tok_col),
                          "bucket": bkt})
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    # materialize the 3-int64-column projection: BOTH passes consume it
+    # (totals scan + the final groupby) and Ray recomputes lineage per
+    # consumer — without this the upstream (typically the full-text
+    # read + token regex, the query's dominant cost) would execute
+    # twice. 24 bytes/doc in the object store, spillable.
+    bucketed = ds.map_batches(add_bucket,
+                              batch_format="pyarrow").materialize()
 
     def bucket_totals(t: pa.Table) -> pa.Table:
         g = t.group_by("bucket").aggregate([(tok_col, "sum")])

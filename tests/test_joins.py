@@ -421,3 +421,33 @@ class TestIntervalPointJoin:
         with pytest.raises(ValueError, match="collision"):
             interval_point_join(pts, ivs, value_col="v", lo_col="v",
                                 hi_col="hi", cell=10, n_buckets=2)
+
+    def test_nulls_never_match_and_are_dropped(self, ray_session):
+        import ray.data as rd
+        from raybeats.joins import interval_point_join
+        pts = rd.from_arrow(pa.table({
+            "pid": pa.array([0, 1, 2], pa.int64()),
+            "v": pa.array([100, None, 150], pa.int64())}))
+        ivs = rd.from_arrow(pa.table({
+            "iid": pa.array([0, 1], pa.int64()),
+            "lo": pa.array([100, None], pa.int64()),
+            "hi": pa.array([200, 300], pa.int64())}))
+        out = interval_point_join(pts, ivs, value_col="v", lo_col="lo",
+                                  hi_col="hi", cell=50,
+                                  n_buckets=2).to_pandas()
+        # null point value and null-lo interval drop (SQL predicate
+        # semantics) instead of crashing the int64 cast
+        assert sorted(zip(out["pid"], out["iid"])) == [(0, 0), (2, 0)]
+
+    def test_reserved_column_names_rejected(self, ray_session):
+        import ray.data as rd
+        from raybeats.joins import interval_point_join
+        pts = rd.from_arrow(pa.table({
+            "__side": pa.array([1], pa.int64()),
+            "v": pa.array([1], pa.int64())}))
+        ivs = rd.from_arrow(pa.table({
+            "lo": pa.array([0], pa.int64()),
+            "hi": pa.array([2], pa.int64())}))
+        with pytest.raises(ValueError, match="reserved"):
+            interval_point_join(pts, ivs, value_col="v", lo_col="lo",
+                                hi_col="hi", cell=10, n_buckets=2)
