@@ -124,7 +124,8 @@ def run_queries() -> dict[str, float]:
              "distinctive_terms", "curation_pipeline",
              "semi_join_bloom", "latest_event", "rollup_revenue",
              "cube_orders", "embedding_centroids", "running_sum",
-             "event_gaps", "pack_sequences", "ship_window_join"]
+             "event_gaps", "pack_sequences", "ship_window_join",
+             "frame_sample"]
     out: dict[str, float] = {}
     # best-of-N per query: this box's first-touch/writeback stalls skew
     # single shots by 2-3x (same reason the headline is best-of-2)

@@ -2342,6 +2342,45 @@ FROM lineitem l JOIN iv
   ON l.l_shipdate >= iv.lo AND l.l_shipdate < iv.hi"""
 
 
+def q_frame_sample(sf_dir: str):
+    """Video frame-sampling plumbing (textops/multimodal
+    .sample_frames): the 'video' rows of the documents-derived media
+    table get a deterministic duration (n_chars × 10 ms) and explode
+    to one row per 2.5 s sample — the flat-map multimodal shape, no
+    shuffle. Timing/index arithmetic is real and integer-exact; the
+    per-frame decode is the container's digest stub, chosen
+    SQL-expressible so the whole pipeline has a value oracle."""
+    from .textops.multimodal import sample_frames
+
+    def to_video(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(did % 3 == 2))
+        return pa.table({
+            "media_id": t.column("doc_id"),
+            "payload": pc.cast(t.column("text"), pa.binary()),
+            "duration_ms": pc.multiply(t.column("n_chars"), 10)})
+
+    vids = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]) \
+        .map_batches(to_video, batch_format="pyarrow")
+    return sample_frames(vids, every_ms=2500, fps=30)
+
+
+SQL_FRAME_SAMPLE = """
+WITH v AS (
+  SELECT doc_id AS media_id, text, n_chars * 10 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2 AND n_chars > 0),
+f AS (
+  SELECT media_id, text,
+         unnest(generate_series(0,
+             CAST((duration_ms - 1) // 2500 AS BIGINT))) AS k
+  FROM v)
+SELECT media_id, CAST(k * 2500 AS BIGINT) AS ts_ms,
+       CAST(k * 2500 * 30 // 1000 AS BIGINT) AS frame_idx,
+       substr(sha256(text || '-' || CAST(k * 2500 AS VARCHAR)), 1, 8)
+         AS frame_sig
+FROM f"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -2405,6 +2444,7 @@ QUERIES = {
     "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "ship_window_join": (q_ship_window_join, SQL_SHIP_WINDOW_JOIN),
+    "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

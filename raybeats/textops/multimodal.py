@@ -14,6 +14,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -88,3 +89,114 @@ def extract_media_features(ds, concurrency: int = 2, batch_size: int = 64,
                           batch_size=batch_size,
                           concurrency=(1, concurrency),
                           fn_constructor_kwargs={"feature_dim": feature_dim})
+
+
+class MediaResizer:
+    """Actor-pool resize stage. The RESIZE ITSELF is a deterministic
+    STUB (no image codecs in this container — a real deployment swaps
+    ``_resize_stub`` for PIL/opencv inside the same actor); the real,
+    tested parts are the aspect-preserving target arithmetic, the
+    metadata update travelling beside the blob, and the byte-aware
+    actor-pool batch shape."""
+
+    def __init__(self, target_w: int, real_resizer=None):
+        if target_w <= 0:
+            raise ValueError(f"target_w must be positive: {target_w}")
+        self.target_w = target_w
+        self.resizer = real_resizer
+
+    @staticmethod
+    def target_size(w: int, h: int, target_w: int) -> tuple[int, int]:
+        """Aspect-preserving integer target: width clamps to
+        ``target_w`` (never upscales), height floors proportionally
+        with a 1px minimum."""
+        nw = min(int(w), target_w)
+        nh = max(1, (int(h) * nw) // max(1, int(w)))
+        return nw, nh
+
+    def _resize_stub(self, payload: bytes, nw: int, nh: int) -> bytes:
+        # STUB: stands in for decode → resample → re-encode
+        import hashlib as _h
+        seed = _h.sha256(payload).digest()
+        need = max(1, (nw * nh) // 64)
+        return (seed * (need // len(seed) + 1))[:need]
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        w = tbl.column("width").to_numpy(zero_copy_only=False)
+        h = tbl.column("height").to_numpy(zero_copy_only=False)
+        sizes = [self.target_size(int(a), int(b), self.target_w)
+                 for a, b in zip(w, h)]
+        payloads = []
+        for p, (nw, nh) in zip(tbl.column("payload").to_pylist(), sizes):
+            if p is None:
+                payloads.append(None)
+            elif self.resizer is not None:  # pragma: no cover
+                payloads.append(self.resizer(p, nw, nh))
+            else:
+                payloads.append(self._resize_stub(bytes(p), nw, nh))
+        return pa.table({
+            "media_id": tbl.column("media_id"),
+            "kind": tbl.column("kind"),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([s[0] for s in sizes], pa.int32()),
+            "height": pa.array([s[1] for s in sizes], pa.int32()),
+        })
+
+
+def resize_media(ds, target_w: int = 256, concurrency: int = 2,
+                 batch_size: int = 64):
+    """Actor-pool resize with byte-aware batch sizing (same rationale
+    as :func:`extract_media_features`)."""
+    return ds.map_batches(MediaResizer, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=(1, concurrency),
+                          fn_constructor_kwargs={"target_w": target_w})
+
+
+def sample_frames_table(t: pa.Table, *, every_ms: int, fps: int,
+                        sig_len: int = 8) -> pa.Table:
+    """Frame-sampling kernel (flat-map shape): each video row explodes
+    to one row per sampled frame at ``every_ms`` spacing over
+    ``[0, duration_ms)`` — ``ceil(duration/every)`` frames, at least
+    one for any positive duration. The timing/index arithmetic
+    (``ts_ms = k·every_ms``, ``frame_idx = ts_ms·fps // 1000``) is
+    REAL and integer-exact; the per-frame decode is the container's
+    deterministic digest STUB (``sha256(payload ‖ '-' ‖ ts)`` hex
+    prefix), kept SQL-expressible so the pipeline gets a value oracle.
+    Rows with non-positive duration emit no frames (nothing to
+    sample). Vectorized explode via np.repeat + the aranges trick —
+    only the per-frame digest is a python loop (it stands in for the
+    decode call, which dominates it in any real deployment)."""
+    import hashlib as _h
+
+    dur = t.column("duration_ms").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    n_frames = np.where(dur > 0, (dur - 1) // every_ms + 1, 0)
+    ridx = np.repeat(np.arange(len(dur)), n_frames)
+    offs = np.cumsum(n_frames) - n_frames
+    k = np.arange(int(n_frames.sum())) - offs[ridx]
+    ts = k * every_ms
+    payloads = t.column("payload").to_pylist()
+    sigs = [_h.sha256(bytes(payloads[r]) + b"-" + str(int(ts_i)).encode())
+            .hexdigest()[:sig_len] if payloads[r] is not None else None
+            for r, ts_i in zip(ridx, ts)]
+    mid = t.column("media_id")
+    mid = mid.combine_chunks() if isinstance(mid, pa.ChunkedArray) else mid
+    return pa.table({
+        "media_id": pc.take(mid, pa.array(ridx, pa.int64())),
+        "ts_ms": pa.array(ts, pa.int64()),
+        "frame_idx": pa.array(ts * fps // 1000, pa.int64()),
+        "frame_sig": pa.array(sigs, pa.string()),
+    })
+
+
+def sample_frames(ds, *, every_ms: int = 2500, fps: int = 30,
+                  concurrency: int = 2, batch_size: int = 64):
+    """Actor-shaped frame sampling over a media dataset — one output
+    row per sampled frame. Narrow (no shuffle): the explode happens
+    inside each batch."""
+    import functools
+    return ds.map_batches(
+        functools.partial(sample_frames_table, every_ms=every_ms,
+                          fps=fps),
+        batch_format="pyarrow", batch_size=batch_size)

@@ -179,3 +179,40 @@ def test_ratelimit_keyed_query_deterministic_and_key_exact(ray_session):
     assert got1 == sorted(zip(want.column("conv_id").to_pylist(),
                               want.column("turn_idx").to_pylist()))
     assert 0 < len(got1) < full.num_rows  # the limiter actually bit
+
+
+def test_media_resizer_aspect_math_and_plumbing(ray_session):
+    import ray.data as rd
+    from raybeats.textops.multimodal import (MediaResizer, resize_media,
+                                             synth_media_table)
+    # aspect arithmetic is the real (non-stub) part: exact integer
+    # floors, never upscales, 1px floor
+    assert MediaResizer.target_size(640, 480, 256) == (256, 192)
+    assert MediaResizer.target_size(100, 50, 256) == (100, 50)  # no upscale
+    assert MediaResizer.target_size(10000, 2, 256) == (256, 1)  # 1px floor
+    out = resize_media(rd.from_arrow(synth_media_table(30, seed=7)),
+                       target_w=64).to_pandas()
+    assert len(out) == 30
+    assert (out["width"] <= 64).all()
+    assert (out["height"] >= 1).all()
+    assert out["payload"].notna().all()
+
+
+def test_sample_frames_timing_arithmetic_and_explode(ray_session):
+    import hashlib
+    import ray.data as rd
+    from raybeats.textops.multimodal import sample_frames
+    t = pa.table({
+        "media_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "payload": pa.array([b"aa", b"bb", b"cc", b"dd"], pa.binary()),
+        # 6000ms -> frames at 0, 2500, 5000; 2500 -> 0; 1 -> 0; 0 -> none
+        "duration_ms": pa.array([6000, 2500, 1, 0], pa.int32())})
+    out = sample_frames(rd.from_arrow(t).repartition(2),
+                        every_ms=2500, fps=30).to_pandas() \
+        .sort_values(["media_id", "ts_ms"]).reset_index(drop=True)
+    got = list(zip(out["media_id"], out["ts_ms"], out["frame_idx"]))
+    assert got == [(1, 0, 0), (1, 2500, 75), (1, 5000, 150),
+                   (2, 0, 0), (3, 0, 0)]
+    # digest stub matches its documented definition exactly
+    want = hashlib.sha256(b"aa-2500").hexdigest()[:8]
+    assert out.loc[1, "frame_sig"] == want
