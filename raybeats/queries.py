@@ -2139,50 +2139,24 @@ def q_running_sum(sf_dir: str):
     """Per-user cumulative running total (the ordered window-function
     shape: SUM() OVER (PARTITION BY key ORDER BY ts)). Partitioning
     assumption: one group sees all of a user's rows — the same
-    bucketed-cogroup contract as sessionization; within a bucket the
-    kernel is ONE lexsort + segmented cumsum over int64 cents (exact;
-    a float running sum would be order-dependent across engines)."""
-    import numpy as np
+    bucketed-cogroup contract as sessionization. The per-group kernel
+    is the SHARED ``util.running_cents_fold`` (one lexsort + segmented
+    exact-cents cumsum, per-segment np.repeat bases so negative values
+    stay correct) — the streaming ``RunningTotalState`` folds the same
+    literal function, so batch/stream parity cannot drift."""
+    from .util import running_cents_fold
 
     n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0),
-                                 round_mode="half_towards_infinity"),
-                        pa.int64())
-        return pa.table({
-            "event_id": t.column("event_id"),
-            "user_id": t.column("user_id"),
-            "ts": t.column("ts"),
-            "cents": cents,
-            "bucket": int_bucket(t.column("user_id"), n_buckets)})
-
-    def running(g: pa.Table) -> pa.Table:
-        u = g.column("user_id").to_numpy(zero_copy_only=False)
-        ts = pc.cast(g.column("ts"), pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        eid = g.column("event_id").to_numpy(zero_copy_only=False)
-        cents = g.column("cents").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts, u))
-        cum = np.cumsum(cents[order])
-        # segmented cumsum: subtract the global total preceding each
-        # user-run (np.repeat of per-segment bases — no sign assumption
-        # on cents, unlike a maximum.accumulate trick)
-        us = u[order]
-        starts = np.nonzero(np.append(True, us[1:] != us[:-1]))[0]
-        seg_base = np.zeros(len(starts), np.int64)
-        seg_base[1:] = cum[starts[1:] - 1]
-        lens = np.diff(np.append(starts, len(us)))
-        run_cents = cum - np.repeat(seg_base, lens)
-        return pa.table({
-            "event_id": pa.array(eid[order], pa.int64()),
-            "user_id": pa.array(u[order], pa.int64()),
-            "running_cents": pa.array(run_cents, pa.int64())})
+        return t.append_column(
+            "bucket", int_bucket(t.column("user_id"), n_buckets))
 
     return _read(sf_dir, "events",
                  ["event_id", "user_id", "ts", "value"]) \
         .map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(running, batch_format="pyarrow")
+        .groupby("bucket").map_groups(running_cents_fold,
+                                      batch_format="pyarrow")
 
 
 SQL_RUNNING_SUM = """

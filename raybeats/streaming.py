@@ -386,3 +386,67 @@ def streaming_sessionize(micro_batches, gap_minutes: int = 30,
                          "n_sessions": pa.array([], pa.int64()),
                          "n_events": pa.array([], pa.int64())})
     return pa.concat_tables(nonempty).sort_by("user_id")
+
+
+class RunningTotalState:
+    """Per-bucket incremental running total: for every event, the
+    user's cumulative exact-cents total so far — the streaming
+    counterpart of the batch ``running_sum`` query, folding the SAME
+    ``util.running_cents_fold`` kernel so parity cannot drift. Carried
+    state is one int per live user.
+
+    Watermark handling: rows at each micro-batch's maximum timestamp
+    are DEFERRED to the next batch (or flush) — time-ordered input
+    guarantees only ``ts >= max``, and a same-ts row with a smaller
+    event_id arriving later would otherwise have been folded out of
+    (ts, event_id) order."""
+
+    _EMPTY = pa.table({"event_id": pa.array([], pa.int64()),
+                       "user_id": pa.array([], pa.int64()),
+                       "running_cents": pa.array([], pa.int64())})
+
+    def __init__(self):
+        self.carry: dict[int, int] = {}
+        self.pending: pa.Table | None = None
+
+    def process(self, tbl: pa.Table) -> pa.Table:
+        from .util import running_cents_fold
+        parts = [] if self.pending is None else [self.pending]
+        if tbl.num_rows:
+            parts.append(tbl.select(["event_id", "user_id", "ts",
+                                     "value"]))
+        if not parts:
+            return self._EMPTY
+        g = pa.concat_tables(parts, promote_options="default")
+        ts = g.column("ts")
+        max_ts = pa.compute.max(ts)
+        at_max = pa.compute.equal(ts, max_ts)
+        self.pending = g.filter(at_max)
+        rest = g.filter(pa.compute.invert(at_max))
+        if rest.num_rows == 0:
+            return self._EMPTY
+        return running_cents_fold(rest, self.carry)
+
+    def flush(self) -> pa.Table:
+        from .util import running_cents_fold
+        g, self.pending = self.pending, None
+        if g is None or g.num_rows == 0:
+            return self._EMPTY
+        return running_cents_fold(g, self.carry)
+
+
+def streaming_running_total(micro_batches, n_buckets: int = 4):
+    """Incremental counterpart of the batch ``running_sum`` query:
+    per-event cumulative totals over time-ordered micro-batches, keyed
+    actor state per bucket. The union of per-batch outputs equals the
+    batch query exactly (tested)."""
+    import ray
+
+    actors, parts = _drive_keyed_actors(micro_batches, RunningTotalState,
+                                        (), n_buckets, collect_rows=True)
+    for flushed in ray.get([a.flush.remote() for a in actors]):
+        parts.extend(flushed.to_pylist())
+    if not parts:
+        return RunningTotalState._EMPTY
+    return pa.Table.from_pylist(parts).sort_by(
+        [("user_id", "ascending"), ("event_id", "ascending")])

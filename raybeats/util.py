@@ -172,3 +172,43 @@ def adaptive_buckets(nrows: int, target_rows: int = 100_000,
     parallelism floor) nor above ``hi``."""
     import math
     return int(max(lo, min(hi, math.ceil(nrows / max(1, target_rows)))))
+
+
+def running_cents_fold(tbl: pa.Table,
+                       carry: dict[int, int] | None = None) -> pa.Table:
+    """Shared per-user running-total kernel (the batch ``running_sum``
+    query AND the streaming ``RunningTotalState`` fold use THIS
+    function, so their parity cannot drift — the hour_cents_partial
+    convention): sort by (user_id, ts, event_id), exact half-away
+    int64 cents, segmented cumulative sum via per-segment ``np.repeat``
+    bases (correct for negative values). With ``carry`` (streaming),
+    each user's segment continues from the carried total and the dict
+    is updated in place with the new totals."""
+    import numpy as np
+
+    u = tbl.column("user_id").to_numpy(zero_copy_only=False)
+    ts = pc.cast(tbl.column("ts"), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+    cents = pc.cast(pc.round(pc.multiply(tbl.column("value"), 100.0),
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, ts, u))
+    us = u[order]
+    cum = np.cumsum(cents[order])
+    starts = np.nonzero(np.append(True, us[1:] != us[:-1]))[0]
+    seg_base = np.zeros(len(starts), np.int64)
+    seg_base[1:] = cum[starts[1:] - 1]
+    lens = np.diff(np.append(starts, len(us)))
+    run = cum - np.repeat(seg_base, lens)
+    if carry is not None and len(starts):
+        seg_users = us[starts]
+        base = np.array([carry.get(int(x), 0) for x in seg_users],
+                        np.int64)
+        run = run + np.repeat(base, lens)
+        for x, tot in zip(seg_users, run[starts + lens - 1]):
+            carry[int(x)] = int(tot)
+    return pa.table({
+        "event_id": pa.array(eid[order], pa.int64()),
+        "user_id": pa.array(us, pa.int64()),
+        "running_cents": pa.array(run, pa.int64())})

@@ -93,3 +93,49 @@ def test_streaming_window_agg_equals_batch(ray_session):
                   key=lambda r: (r["user_id"], r["hour"]))
     assert streamed == want
     assert len(streamed) > 50
+
+
+def test_streaming_running_total_equals_batch(ray_session):
+    import ray.data as rd
+
+    from raybeats.queries import q_running_sum
+    from raybeats.streaming import streaming_running_total
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_id", "user_id", "ts", "value"]) \
+        .sort_by("ts")
+    n = t.num_rows
+    slices = [rd.from_arrow(t.slice(i * n // 4,
+                                    (i + 1) * n // 4 - i * n // 4))
+              for i in range(4)]
+    streamed = streaming_running_total(slices, n_buckets=3).to_pylist()
+
+    batch = sorted(q_running_sum(SF).take_all(),
+                   key=lambda r: (r["user_id"], r["event_id"]))
+    assert streamed == batch
+
+
+def test_streaming_running_total_tie_straddles_boundary(ray_session):
+    """A same-ts, smaller-event_id row arriving in the NEXT micro-batch
+    must still fold in (ts, event_id) order — the deferred-watermark
+    path; and negative values must carry correctly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raybeats.streaming import streaming_running_total
+
+    ts0 = 1_700_000_000_000_000
+    s1 = pa.table({"event_id": pa.array([5], pa.int64()),
+                   "user_id": pa.array([7], pa.int64()),
+                   "ts": pa.array([ts0], pa.timestamp("us")),
+                   "value": pa.array([1.0], pa.float64())})
+    s2 = pa.table({"event_id": pa.array([2, 9], pa.int64()),
+                   "user_id": pa.array([7, 7], pa.int64()),
+                   "ts": pa.array([ts0, ts0 + 1_000_000],
+                                  pa.timestamp("us")),
+                   "value": pa.array([-3.0, 10.0], pa.float64())})
+    out = streaming_running_total([rd.from_arrow(s1), rd.from_arrow(s2)],
+                                  n_buckets=2).to_pylist()
+    got = {r["event_id"]: r["running_cents"] for r in out}
+    # order by (ts, event_id): e2(-300) -> e5(+100) -> e9(+1000)
+    assert got == {2: -300, 5: -200, 9: 800}
