@@ -205,3 +205,26 @@ class TestPackSequences:
                              n_buckets=2).to_pandas() \
             .sort_values("doc_id")
         assert out["pack_id"].tolist() == [0, 0, 1]
+
+    def test_pack_sequences_randomized_sweep(self, ray_session):
+        import ray.data as rd
+        from raybeats.textops.curation import pack_sequences
+        for seed in range(5):
+            rng = np.random.default_rng(500 + seed)
+            n = int(rng.integers(1, 400))
+            ids = rng.choice(np.arange(0, 4 * n), size=n, replace=False)
+            tok = rng.integers(0, 300, n)
+            budget = int(rng.choice([1, 64, 999]))
+            nb = int(rng.choice([1, 8, 32]))
+            t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                          "n_tok": pa.array(tok, pa.int64())})
+            order = np.argsort(ids)
+            cum = np.cumsum(tok[order])
+            want = dict(zip(ids[order].tolist(),
+                            ((cum - tok[order]) // budget).tolist()))
+            out = pack_sequences(
+                rd.from_arrow(t).repartition(int(rng.integers(1, 9))),
+                budget=budget, id_max=int(ids.max()),
+                n_buckets=nb).to_pandas()
+            got = dict(zip(out["doc_id"], out["pack_id"]))
+            assert got == want, (seed, budget, nb)

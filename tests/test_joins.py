@@ -451,3 +451,35 @@ class TestIntervalPointJoin:
         with pytest.raises(ValueError, match="reserved"):
             interval_point_join(pts, ivs, value_col="v", lo_col="lo",
                                 hi_col="hi", cell=10, n_buckets=2)
+
+
+def test_interval_point_join_property(ray_session):
+    # hypothesis-style randomized sweep (fixed seeds, deterministic):
+    # random cells/buckets/intervals vs the nested loop, including
+    # adversarial cases — empty sides, all-in-one-cell, giant cells
+    import ray.data as rd
+    from raybeats.joins import interval_point_join
+    for seed in range(6):
+        rng = np.random.default_rng(1000 + seed)
+        n_p = int(rng.integers(0, 120))
+        n_i = int(rng.integers(0, 40))
+        cell = int(rng.choice([1, 7, 100, 10_000]))
+        nb = int(rng.choice([1, 3, 16]))
+        pv = rng.integers(-500, 500, n_p)
+        lo = rng.integers(-500, 500, n_i)
+        hi = lo + rng.integers(0, 3 * cell + 2, n_i)
+        pts = rd.from_arrow(pa.table({
+            "pid": pa.array(np.arange(n_p), pa.int64()),
+            "v": pa.array(pv, pa.int64())}))
+        ivs = rd.from_arrow(pa.table({
+            "iid": pa.array(np.arange(n_i), pa.int64()),
+            "lo": pa.array(lo, pa.int64()),
+            "hi": pa.array(hi, pa.int64())}))
+        out = interval_point_join(pts, ivs, value_col="v", lo_col="lo",
+                                  hi_col="hi", cell=cell, n_buckets=nb,
+                                  max_span_cells=4 * cell + 4).to_pandas()
+        # an all-empty Ray result loses its schema (known gotcha)
+        got = sorted(zip(out["pid"], out["iid"])) if len(out) else []
+        want = sorted((p, i) for p in range(n_p) for i in range(n_i)
+                      if lo[i] <= pv[p] < hi[i])
+        assert got == want, (seed, cell, nb)
