@@ -2355,6 +2355,48 @@ SELECT media_id, CAST(k * 2500 AS BIGINT) AS ts_ms,
 FROM f"""
 
 
+def q_mixture_oversample(sf_dir: str):
+    """Dataset-mixing oversampling (textops/curation.oversample_rows):
+    each document repeats per its source's epoch weight — floor plus a
+    deterministic id-hash Bernoulli on the fractional permille, so
+    reruns/retries emit identical rows (no RNG). Weights here derive
+    from the source suffix (500 + 250·n mod 2000 permille, spanning
+    sub-1 and >1 epochs) so the oracle is self-contained. Narrow
+    per-batch explode, no shuffle."""
+    from .textops.curation import oversample_rows
+
+    def fn(t: pa.Table) -> pa.Table:
+        import numpy as np
+        n = pc.cast(pc.utf8_slice_codeunits(t.column("source"), 3, 99),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        millis = 500 + (n * 250) % 2000
+        return oversample_rows(
+            t.select(["doc_id", "source"]), millis.astype(np.int64))
+
+    return _read(sf_dir, "documents", ["doc_id", "source"]) \
+        .map_batches(fn, batch_format="pyarrow")
+
+
+SQL_MIXTURE_OVERSAMPLE = """
+WITH w AS (
+  SELECT doc_id, source,
+    500 + (CAST(substr(source, 4) AS BIGINT) * 250) % 2000 AS millis,
+    CAST(CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296 AS BIGINT)
+      AS m
+  FROM documents),
+c AS (
+  SELECT doc_id, source,
+    millis // 1000
+    + CASE WHEN xor(m, m >> 15)
+                < (millis % 1000) * 4294967296 // 1000
+           THEN 1 ELSE 0 END AS cnt
+  FROM w)
+SELECT doc_id, source,
+       CAST(unnest(generate_series(1, CAST(cnt AS BIGINT))) AS BIGINT)
+         AS epoch
+FROM c WHERE cnt > 0"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -2419,6 +2461,7 @@ QUERIES = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "ship_window_join": (q_ship_window_join, SQL_SHIP_WINDOW_JOIN),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
+    "mixture_oversample": (q_mixture_oversample, SQL_MIXTURE_OVERSAMPLE),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

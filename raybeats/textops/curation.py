@@ -279,3 +279,54 @@ def pack_sequences(ds, *, budget: int, id_max: int,
 
     return bucketed.groupby("bucket").map_groups(
         finalize, batch_format="pyarrow")
+
+
+def oversample_rows(t: pa.Table, millis: np.ndarray,
+                    id_col: str = "doc_id") -> pa.Table:
+    """Deterministic mixture-oversampling kernel: emit each row
+    ``floor(millis/1000)`` times plus one more iff the row's shared
+    32-bit mix (`_mix32`, the hash_split/quota hash) falls under the
+    fractional-part threshold — integer-exact on both engines
+    (``(millis % 1000) * 2^32 // 1000``, no float rounding). Output
+    repeats the row with ``epoch`` = 1..count; count-0 rows drop.
+    Narrow (per-batch explode, no shuffle): the dataset-mixing
+    primitive (epochs per source) of a training-data pipeline."""
+    millis = millis.astype(np.int64)
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    prio = _mix32(ids).astype(np.int64)
+    thresh = (millis % 1000) * (1 << 32) // 1000
+    cnt = millis // 1000 + (prio < thresh)
+    ridx = np.repeat(np.arange(len(cnt)), cnt)
+    offs = np.cumsum(cnt) - cnt
+    epoch = np.arange(int(cnt.sum())) - offs[ridx] + 1
+    cols = {}
+    for c in t.column_names:
+        col = t.column(c)
+        col = col.combine_chunks() if isinstance(
+            col, pa.ChunkedArray) else col
+        cols[c] = pc.take(col, pa.array(ridx, pa.int64()))
+    cols["epoch"] = pa.array(epoch, pa.int64())
+    return pa.table(cols)
+
+
+def oversample_mixture(ds, weights_millis: dict[str, int], *,
+                       source_col: str = "source",
+                       id_col: str = "doc_id",
+                       default_millis: int = 1000):
+    """Per-source mixture oversampling: each row of source ``s`` is
+    emitted ``weights_millis[s] / 1000`` epochs in expectation —
+    exactly ``floor`` plus a deterministic id-hash Bernoulli on the
+    remainder, so reruns and retried partitions emit identical rows
+    (no RNG state). Weights are integer permille (2250 = 2.25 epochs);
+    unknown sources get ``default_millis``. The weight dict is tiny
+    and ships in the task closure."""
+    if any(m < 0 for m in weights_millis.values()) or default_millis < 0:
+        raise ValueError("weights must be non-negative permille ints")
+
+    def fn(t: pa.Table) -> pa.Table:
+        src = t.column(source_col).to_pylist()
+        millis = np.array([weights_millis.get(s, default_millis)
+                           for s in src], np.int64)
+        return oversample_rows(t, millis, id_col=id_col)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -4,6 +4,7 @@ where a Dataset query is driven)."""
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from raybeats.textops.curation import (ContaminationFlagger, hash_split,
                                        pii_scrub, repetition_stats)
@@ -228,3 +229,48 @@ class TestPackSequences:
                 n_buckets=nb).to_pandas()
             got = dict(zip(out["doc_id"], out["pack_id"]))
             assert got == want, (seed, budget, nb)
+
+
+class TestOversampleMixture:
+    def test_expectation_floor_and_determinism(self, ray_session):
+        import ray.data as rd
+        from raybeats.textops.curation import oversample_mixture
+        n = 4000
+        t = pa.table({
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "source": pa.array(["a" if i % 2 == 0 else "b"
+                                for i in range(n)], pa.string())})
+        w = {"a": 2250, "b": 500}  # 2.25 and 0.5 epochs
+        outs = []
+        for parts in (1, 7):
+            out = oversample_mixture(rd.from_arrow(t).repartition(parts),
+                                     w).to_pandas()
+            outs.append(sorted(zip(out["doc_id"], out["epoch"])))
+        assert outs[0] == outs[1]  # partition-invariant, no RNG
+        df = outs[0]
+        per_doc = {}
+        for d, e in df:
+            per_doc[d] = max(per_doc.get(d, 0), e)
+        a_counts = [per_doc.get(i, 0) for i in range(0, n, 2)]
+        b_counts = [per_doc.get(i, 0) for i in range(1, n, 2)]
+        assert set(a_counts) <= {2, 3}      # floor 2 + bernoulli
+        assert set(b_counts) <= {0, 1}      # floor 0 + bernoulli
+        # empirical epoch rate within 10% of the weight
+        assert abs(sum(a_counts) / len(a_counts) - 2.25) < 0.1
+        assert abs(sum(b_counts) / len(b_counts) - 0.5) < 0.1
+        # epochs are 1..count, dense
+        for d, e in df:
+            assert 1 <= e <= per_doc[d]
+
+    def test_zero_weight_and_default(self, ray_session):
+        import ray.data as rd
+        from raybeats.textops.curation import oversample_mixture
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "source": pa.array(["drop", "keep", "unknown"], pa.string())})
+        out = oversample_mixture(
+            rd.from_arrow(t), {"drop": 0, "keep": 1000},
+            default_millis=1000).to_pandas()
+        assert sorted(zip(out["doc_id"], out["epoch"])) == [(2, 1), (3, 1)]
+        with pytest.raises(ValueError, match="non-negative"):
+            oversample_mixture(rd.from_arrow(t), {"a": -1})
