@@ -83,8 +83,12 @@ def _drive_keyed_actors(micro_batches, state_cls, ctor_args: tuple,
 
     def route(g: pd.DataFrame) -> pd.DataFrame:
         bucket = int(g["bucket"].iloc[0])
-        tbl = pa.Table.from_pandas(g.drop(columns=["bucket"]),
-                                   preserve_index=False)
+        # the bucket column STAYS in the pushed table: states that defer
+        # watermark rows must key their pending state per bucket —
+        # several buckets share one actor (bucket % n_actors), and a
+        # deferral max computed over another bucket's rows would fold a
+        # boundary tie prematurely
+        tbl = pa.Table.from_pandas(g, preserve_index=False)
         # async push: the task slot frees as soon as the call is
         # submitted; ordering across micro-batches comes from the
         # driver's count barrier below
@@ -181,7 +185,11 @@ class TrailingWindowState:
     def __init__(self, window_us: int):
         self.window_us = window_us
         self.buf: dict[int, np.ndarray] = {}
-        self.pending: pd.DataFrame | None = None
+        # pending is keyed PER BUCKET: several buckets share one actor,
+        # and each push is one bucket's group — a deferral max computed
+        # over another bucket's (possibly later-ts) rows would fold a
+        # boundary tie before its same-ts peer arrives
+        self.pending: dict[int, pd.DataFrame] = {}
 
     def _emit(self, g: pd.DataFrame) -> pa.Table:
         if len(g) == 0:
@@ -209,7 +217,9 @@ class TrailingWindowState:
                                         pa.int64())})
 
     def process(self, tbl: pa.Table) -> pa.Table:
-        frames = [] if self.pending is None else [self.pending]
+        bkt = int(tbl.column("bucket")[0].as_py()) if tbl.num_rows else -1
+        prev = self.pending.pop(bkt, None)
+        frames = [] if prev is None else [prev]
         if tbl.num_rows:
             frames.append(tbl.to_pandas())
         if not frames:
@@ -217,11 +227,14 @@ class TrailingWindowState:
         g = pd.concat(frames, ignore_index=True)
         max_ts = g["ts"].astype("int64").max()
         at_max = g["ts"].astype("int64") == max_ts
-        self.pending = g[at_max]
+        self.pending[bkt] = g[at_max]
         return self._emit(g[~at_max])
 
     def flush(self) -> pa.Table:
-        g, self.pending = self.pending, None
+        frames, self.pending = list(self.pending.values()), {}
+        # buckets partition the key space, so their deferred rows are
+        # disjoint user sets — flush order across buckets is irrelevant
+        g = pd.concat(frames, ignore_index=True) if frames else None
         return self._emit(g if g is not None else pd.DataFrame())
 
 
@@ -399,7 +412,12 @@ class RunningTotalState:
     are DEFERRED to the next batch (or flush) — time-ordered input
     guarantees only ``ts >= max``, and a same-ts row with a smaller
     event_id arriving later would otherwise have been folded out of
-    (ts, event_id) order."""
+    (ts, event_id) order. Pending state is keyed PER BUCKET (several
+    buckets share one actor; a deferral max computed over another
+    bucket's rows would fold a boundary tie prematurely). A null ``ts``
+    raises: a time-ordered stream cannot place it, and silently
+    dropping or misordering it would break the documented batch parity
+    (the batch kernel sorts nulls last)."""
 
     _EMPTY = pa.table({"event_id": pa.array([], pa.int64()),
                        "user_id": pa.array([], pa.int64()),
@@ -407,11 +425,16 @@ class RunningTotalState:
 
     def __init__(self):
         self.carry: dict[int, int] = {}
-        self.pending: pa.Table | None = None
+        self.pending: dict[int, pa.Table] = {}
 
     def process(self, tbl: pa.Table) -> pa.Table:
         from .util import running_cents_fold
-        parts = [] if self.pending is None else [self.pending]
+        bkt = int(tbl.column("bucket")[0].as_py()) if tbl.num_rows else -1
+        if tbl.num_rows and tbl.column("ts").null_count:
+            raise ValueError("null ts in a time-ordered stream: the row "
+                             "cannot be placed in event-time order")
+        prev = self.pending.pop(bkt, None)
+        parts = [] if prev is None else [prev]
         if tbl.num_rows:
             parts.append(tbl.select(["event_id", "user_id", "ts",
                                      "value"]))
@@ -421,7 +444,7 @@ class RunningTotalState:
         ts = g.column("ts")
         max_ts = pa.compute.max(ts)
         at_max = pa.compute.equal(ts, max_ts)
-        self.pending = g.filter(at_max)
+        self.pending[bkt] = g.filter(at_max)
         rest = g.filter(pa.compute.invert(at_max))
         if rest.num_rows == 0:
             return self._EMPTY
@@ -429,10 +452,14 @@ class RunningTotalState:
 
     def flush(self) -> pa.Table:
         from .util import running_cents_fold
-        g, self.pending = self.pending, None
-        if g is None or g.num_rows == 0:
+        parts, self.pending = list(self.pending.values()), {}
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
             return self._EMPTY
-        return running_cents_fold(g, self.carry)
+        # buckets partition the key space — disjoint users, any order
+        return running_cents_fold(
+            pa.concat_tables(parts, promote_options="default"),
+            self.carry)
 
 
 def streaming_running_total(micro_batches, n_buckets: int = 4):

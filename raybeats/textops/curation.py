@@ -323,10 +323,19 @@ def oversample_mixture(ds, weights_millis: dict[str, int], *,
     if any(m < 0 for m in weights_millis.values()) or default_millis < 0:
         raise ValueError("weights must be non-negative permille ints")
 
+    keys = pa.array(list(weights_millis), pa.string())
+    vals = np.fromiter(weights_millis.values(), np.int64,
+                       len(weights_millis))
+
     def fn(t: pa.Table) -> pa.Table:
-        src = t.column(source_col).to_pylist()
-        millis = np.array([weights_millis.get(s, default_millis)
-                           for s in src], np.int64)
+        # vectorized dict lookup: index_in + take, default for misses
+        idx = pc.index_in(t.column(source_col), value_set=keys) \
+            .to_numpy(zero_copy_only=False)
+        known = ~np.isnan(idx) if idx.dtype.kind == "f" else \
+            np.ones(len(idx), bool)
+        millis = np.full(t.num_rows, default_millis, np.int64)
+        if known.any():
+            millis[known] = vals[idx[known].astype(np.int64)]
         return oversample_rows(t, millis, id_col=id_col)
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -122,24 +122,30 @@ class MediaResizer:
         return (seed * (need // len(seed) + 1))[:need]
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        w = tbl.column("width").to_numpy(zero_copy_only=False)
-        h = tbl.column("height").to_numpy(zero_copy_only=False)
+        w = tbl.column("width").to_pylist()
+        h = tbl.column("height").to_pylist()
+        # null width/height (metadata unknown): the row passes through
+        # untouched with null output metadata — one unknown row must
+        # not kill the whole actor-pool batch
         sizes = [self.target_size(int(a), int(b), self.target_w)
+                 if a is not None and b is not None else None
                  for a, b in zip(w, h)]
         payloads = []
-        for p, (nw, nh) in zip(tbl.column("payload").to_pylist(), sizes):
-            if p is None:
-                payloads.append(None)
+        for p, s in zip(tbl.column("payload").to_pylist(), sizes):
+            if p is None or s is None:
+                payloads.append(p)
             elif self.resizer is not None:  # pragma: no cover
-                payloads.append(self.resizer(p, nw, nh))
+                payloads.append(self.resizer(p, *s))
             else:
-                payloads.append(self._resize_stub(bytes(p), nw, nh))
+                payloads.append(self._resize_stub(bytes(p), *s))
         return pa.table({
             "media_id": tbl.column("media_id"),
             "kind": tbl.column("kind"),
             "payload": pa.array(payloads, pa.binary()),
-            "width": pa.array([s[0] for s in sizes], pa.int32()),
-            "height": pa.array([s[1] for s in sizes], pa.int32()),
+            "width": pa.array([s[0] if s else None for s in sizes],
+                              pa.int32()),
+            "height": pa.array([s[1] if s else None for s in sizes],
+                               pa.int32()),
         })
 
 
@@ -191,10 +197,11 @@ def sample_frames_table(t: pa.Table, *, every_ms: int, fps: int,
 
 
 def sample_frames(ds, *, every_ms: int = 2500, fps: int = 30,
-                  concurrency: int = 2, batch_size: int = 64):
-    """Actor-shaped frame sampling over a media dataset — one output
-    row per sampled frame. Narrow (no shuffle): the explode happens
-    inside each batch."""
+                  batch_size: int = 64):
+    """Frame sampling over a media dataset — one output row per
+    sampled frame. Narrow (no shuffle, stateless task pool): the
+    explode happens inside each batch; ``batch_size`` is the
+    byte-aware knob (rows × payload bytes in the worker heap)."""
     import functools
     return ds.map_batches(
         functools.partial(sample_frames_table, every_ms=every_ms,

@@ -139,3 +139,33 @@ def test_streaming_running_total_tie_straddles_boundary(ray_session):
     got = {r["event_id"]: r["running_cents"] for r in out}
     # order by (ts, event_id): e2(-300) -> e5(+100) -> e9(+1000)
     assert got == {2: -300, 5: -200, 9: 800}
+
+
+def test_streaming_running_total_bucket_sharing_watermark(ray_session):
+    """With n_buckets > n_actors, several buckets share one actor; a
+    deferral max computed over the actor-wide pending would fold a
+    boundary tie prematurely when ANOTHER bucket's later-ts rows
+    arrive. Pending must be keyed per bucket: user 0 (bucket 0) and
+    user 8 (bucket 8) both land on actor 0 at n_buckets=9."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raybeats.streaming import streaming_running_total
+
+    ts0 = 1_700_000_000_000_000
+
+    def slice_(eids, uids, tss, vals):
+        return rd.from_arrow(pa.table({
+            "event_id": pa.array(eids, pa.int64()),
+            "user_id": pa.array(uids, pa.int64()),
+            "ts": pa.array(tss, pa.timestamp("us")),
+            "value": pa.array(vals, pa.float64())}))
+
+    out = streaming_running_total([
+        slice_([5], [0], [ts0], [1.0]),            # bucket 0, tie seed
+        slice_([7], [8], [ts0 + 1_000_000], [5.0]),  # bucket 8, same actor
+        slice_([2], [0], [ts0], [-3.0]),           # the late tie, bucket 0
+    ], n_buckets=9).to_pylist()
+    got = {r["event_id"]: r["running_cents"] for r in out}
+    # (ts, event_id) order for user 0: e2(-300) then e5(-200)
+    assert got == {2: -300, 5: -200, 7: 500}
