@@ -57,21 +57,37 @@ def _drive_keyed_actors(micro_batches, state_cls, ctor_args: tuple,
     class _Host(state_cls):
         """Per-actor wrapper: counts executed pushes (the barrier
         signal) and buffers per-batch result tables for the driver to
-        drain once — results never ride the push path."""
+        drain once — results never ride the push path.
+
+        Errors CANNOT be raised out of ``process``: the push is
+        fire-and-forget (its ObjectRef is dropped), so a raise would
+        only be logged while ``_n_done`` stalls and the driver's count
+        barrier spins forever. Instead the first error is captured and
+        re-raised from ``processed_count`` — the call the driver DOES
+        ``ray.get`` — so a bad record fails the run loudly instead of
+        hanging it."""
 
         def __init__(self, *args):
             super().__init__(*args)
             self._n_done = 0
             self._buf: list[pa.Table] = []
+            self._err: Exception | None = None
 
         def process(self, tbl: pa.Table):
-            res = super().process(tbl)
-            if isinstance(res, pa.Table):
-                self._buf.append(res)
-            self._n_done += 1
+            try:
+                res = super().process(tbl)
+                if isinstance(res, pa.Table):
+                    self._buf.append(res)
+            except Exception as e:  # surfaced via processed_count
+                if self._err is None:
+                    self._err = e
+            finally:
+                self._n_done += 1
             return None
 
         def processed_count(self) -> int:
+            if self._err is not None:
+                raise self._err
             return self._n_done
 
         def drain(self) -> list[pa.Table]:
@@ -122,6 +138,46 @@ def _drive_keyed_actors(micro_batches, state_cls, ctor_args: tuple,
     return actors, collected
 
 
+class _PerBucketPending:
+    """Shared keyed watermark-deferral state for the window modes that
+    defer boundary rows (Trailing / RunningTotal): pending rows are
+    keyed PER BUCKET because several buckets share one actor
+    (``bucket % n_actors``) and each push is one bucket's group — a
+    deferral max computed over another bucket's (possibly later-ts)
+    rows would fold a boundary tie before its same-ts peer arrives.
+    Buckets partition the key space, so drain order is irrelevant.
+    Single-sourced here so the invariant cannot diverge between the
+    pandas and arrow dialects."""
+
+    def __init__(self):
+        self._pending: dict[int, object] = {}
+
+    @staticmethod
+    def bucket_of(tbl: pa.Table) -> int:
+        return int(tbl.column("bucket")[0].as_py()) if tbl.num_rows \
+            else -1
+
+    @staticmethod
+    def check_ts_not_null(tbl: pa.Table) -> None:
+        """A null ts cannot be placed in event-time order; raise (the
+        _Host wrapper surfaces it through the driver barrier) rather
+        than silently dropping (arrow filter) or folding int64-min
+        garbage (pandas NaT astype)."""
+        if tbl.num_rows and tbl.column("ts").null_count:
+            raise ValueError("null ts in a time-ordered stream: the "
+                             "row cannot be placed in event-time order")
+
+    def pop_pending(self, bkt: int):
+        return self._pending.pop(bkt, None)
+
+    def defer(self, bkt: int, payload) -> None:
+        self._pending[bkt] = payload
+
+    def drain_pending(self) -> list:
+        out, self._pending = list(self._pending.values()), {}
+        return out
+
+
 class SessionState:
     """Per-bucket incremental session tracker (30-min-gap semantics,
     vectorized within each arriving micro-batch)."""
@@ -164,7 +220,7 @@ class SessionState:
         })
 
 
-class TrailingWindowState:
+class TrailingWindowState(_PerBucketPending):
     """Per-bucket incremental sliding-window counter: for every event,
     the count of that user's events in the trailing ``window_us``
     (inclusive). State per user is only the timestamps still inside the
@@ -183,13 +239,9 @@ class TrailingWindowState:
                        "n_trailing_hour": pa.array([], pa.int64())})
 
     def __init__(self, window_us: int):
+        _PerBucketPending.__init__(self)
         self.window_us = window_us
         self.buf: dict[int, np.ndarray] = {}
-        # pending is keyed PER BUCKET: several buckets share one actor,
-        # and each push is one bucket's group — a deferral max computed
-        # over another bucket's (possibly later-ts) rows would fold a
-        # boundary tie before its same-ts peer arrives
-        self.pending: dict[int, pd.DataFrame] = {}
 
     def _emit(self, g: pd.DataFrame) -> pa.Table:
         if len(g) == 0:
@@ -217,8 +269,9 @@ class TrailingWindowState:
                                         pa.int64())})
 
     def process(self, tbl: pa.Table) -> pa.Table:
-        bkt = int(tbl.column("bucket")[0].as_py()) if tbl.num_rows else -1
-        prev = self.pending.pop(bkt, None)
+        self.check_ts_not_null(tbl)
+        bkt = self.bucket_of(tbl)
+        prev = self.pop_pending(bkt)
         frames = [] if prev is None else [prev]
         if tbl.num_rows:
             frames.append(tbl.to_pandas())
@@ -227,13 +280,11 @@ class TrailingWindowState:
         g = pd.concat(frames, ignore_index=True)
         max_ts = g["ts"].astype("int64").max()
         at_max = g["ts"].astype("int64") == max_ts
-        self.pending[bkt] = g[at_max]
+        self.defer(bkt, g[at_max])
         return self._emit(g[~at_max])
 
     def flush(self) -> pa.Table:
-        frames, self.pending = list(self.pending.values()), {}
-        # buckets partition the key space, so their deferred rows are
-        # disjoint user sets — flush order across buckets is irrelevant
+        frames = self.drain_pending()
         g = pd.concat(frames, ignore_index=True) if frames else None
         return self._emit(g if g is not None else pd.DataFrame())
 
@@ -401,7 +452,7 @@ def streaming_sessionize(micro_batches, gap_minutes: int = 30,
     return pa.concat_tables(nonempty).sort_by("user_id")
 
 
-class RunningTotalState:
+class RunningTotalState(_PerBucketPending):
     """Per-bucket incremental running total: for every event, the
     user's cumulative exact-cents total so far — the streaming
     counterpart of the batch ``running_sum`` query, folding the SAME
@@ -424,16 +475,14 @@ class RunningTotalState:
                        "running_cents": pa.array([], pa.int64())})
 
     def __init__(self):
+        _PerBucketPending.__init__(self)
         self.carry: dict[int, int] = {}
-        self.pending: dict[int, pa.Table] = {}
 
     def process(self, tbl: pa.Table) -> pa.Table:
         from .util import running_cents_fold
-        bkt = int(tbl.column("bucket")[0].as_py()) if tbl.num_rows else -1
-        if tbl.num_rows and tbl.column("ts").null_count:
-            raise ValueError("null ts in a time-ordered stream: the row "
-                             "cannot be placed in event-time order")
-        prev = self.pending.pop(bkt, None)
+        self.check_ts_not_null(tbl)
+        bkt = self.bucket_of(tbl)
+        prev = self.pop_pending(bkt)
         parts = [] if prev is None else [prev]
         if tbl.num_rows:
             parts.append(tbl.select(["event_id", "user_id", "ts",
@@ -444,7 +493,7 @@ class RunningTotalState:
         ts = g.column("ts")
         max_ts = pa.compute.max(ts)
         at_max = pa.compute.equal(ts, max_ts)
-        self.pending[bkt] = g.filter(at_max)
+        self.defer(bkt, g.filter(at_max))
         rest = g.filter(pa.compute.invert(at_max))
         if rest.num_rows == 0:
             return self._EMPTY
@@ -452,11 +501,9 @@ class RunningTotalState:
 
     def flush(self) -> pa.Table:
         from .util import running_cents_fold
-        parts, self.pending = list(self.pending.values()), {}
-        parts = [p for p in parts if p.num_rows]
+        parts = [p for p in self.drain_pending() if p.num_rows]
         if not parts:
             return self._EMPTY
-        # buckets partition the key space — disjoint users, any order
         return running_cents_fold(
             pa.concat_tables(parts, promote_options="default"),
             self.carry)

@@ -169,3 +169,26 @@ def test_streaming_running_total_bucket_sharing_watermark(ray_session):
     got = {r["event_id"]: r["running_cents"] for r in out}
     # (ts, event_id) order for user 0: e2(-300) then e5(-200)
     assert got == {2: -300, 5: -200, 7: 500}
+
+
+def test_streaming_null_ts_fails_loudly_not_hangs(ray_session):
+    """A null ts row must surface as a driver-side error via the count
+    barrier — raising inside the fire-and-forget push would only be
+    logged while the barrier spins forever."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from raybeats.streaming import (streaming_running_total,
+                                    streaming_sliding_window)
+
+    bad = pa.table({"event_id": pa.array([1], pa.int64()),
+                    "user_id": pa.array([3], pa.int64()),
+                    "ts": pa.array([None], pa.timestamp("us")),
+                    "value": pa.array([1.0], pa.float64())})
+    with pytest.raises(Exception, match="null ts"):
+        streaming_running_total([rd.from_arrow(bad)], n_buckets=2)
+    with pytest.raises(Exception, match="null ts"):
+        streaming_sliding_window(
+            [rd.from_arrow(bad.select(["event_id", "user_id", "ts"]))],
+            n_buckets=2)
