@@ -192,3 +192,32 @@ def test_streaming_null_ts_fails_loudly_not_hangs(ray_session):
         streaming_sliding_window(
             [rd.from_arrow(bad.select(["event_id", "user_id", "ts"]))],
             n_buckets=2)
+
+
+def test_streaming_sliding_window_bucket_sharing_watermark(ray_session):
+    """TrailingWindowState's pending must also be per-bucket: user 0
+    (bucket 0) and user 8 (bucket 8) share actor 0 at n_buckets=9, and
+    bucket 8's later-ts push must not fold user 0's deferred ts-peer
+    before its tie arrives."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raybeats.streaming import streaming_sliding_window
+
+    ts0 = 1_700_000_000_000_000
+
+    def slice_(eids, uids, tss):
+        return rd.from_arrow(pa.table({
+            "event_id": pa.array(eids, pa.int64()),
+            "user_id": pa.array(uids, pa.int64()),
+            "ts": pa.array(tss, pa.timestamp("us"))}))
+
+    out = streaming_sliding_window([
+        slice_([1], [0], [ts0]),               # bucket 0, deferred
+        slice_([9], [8], [ts0 + 1_000_000]),   # bucket 8, same actor
+        slice_([2], [0], [ts0]),               # user 0's ts-peer
+    ], n_buckets=9).to_pylist()
+    got = {r["event_id"]: r["n_trailing_hour"] for r in out}
+    # e1 and e2 are ts-peers and must count each other (RANGE frame);
+    # premature folding of e1 would give e1=1
+    assert got == {1: 2, 2: 2, 9: 1}
