@@ -136,13 +136,22 @@ def asof_join(left_ds, right_ds=None, *, on: str = "ts",
             match = np.full(nl, -1, np.int64)
             rsorted = right
         else:
-            lk = left.column(by).to_numpy(zero_copy_only=False)
-            rk = right.column(by).to_numpy(zero_copy_only=False)
             lt = mult * left.column(_TS).to_numpy(zero_copy_only=False)
             rt = mult * right.column(_TS).to_numpy(zero_copy_only=False)
-            codes = np.unique(np.concatenate([lk, rk]),
-                              return_inverse=True)[1]
+            # null-aware key coding (SQL ASOF/EXISTS semantics: NULL
+            # never matches NULL): arrow dictionary indices instead of
+            # np.unique — nulls would collapse as equal NaNs for int
+            # keys and raise TypeError for string keys. Null left keys
+            # code -1, null right keys -2, so they never pair; a
+            # null-key left row still emits (with null right payload)
+            # under how='left'.
+            both = pa.concat_arrays([
+                left.column(by).combine_chunks(),
+                right.column(by).combine_chunks()])
+            codes = pc.fill_null(pc.dictionary_encode(both).indices, -1) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
             lc, rc = codes[:nl], codes[nl:]
+            rc = np.where(rc < 0, -2, rc)
             rorder = np.lexsort((rt, rc))
             rsorted = right.take(pa.array(rorder, pa.int64()))
             rc_s, rt_s = rc[rorder], rt[rorder]
@@ -335,7 +344,10 @@ def range_join_broadcast(ds, intervals: pa.Table, *, value_col: str,
     """Inner-join each row to EVERY interval containing
     ``row[value_col]`` (intervals may overlap — each match emits a
     row). The interval table broadcasts once via ``ray.put``; each
-    batch joins with one vectorized mask per interval (no shuffle).
+    batch sorts its values ONCE and answers every interval with two
+    ``searchsorted`` probes (the same kernel shape as
+    :func:`interval_point_join`'s per-group join) — O((B + K)·log B +
+    output) per batch, not K full-column mask passes.
     ``closed``: ``left`` = ``lo <= v < hi``, ``both`` = ``lo <= v <=
     hi``. Bounded to ``max_intervals`` — per the no-silent-caps
     convention an over-limit side raises rather than degrades."""
@@ -360,21 +372,28 @@ def range_join_broadcast(ds, intervals: pa.Table, *, value_col: str,
         iv = ray.get(iv_ref)
         v = pc.cast(t.column(value_col), pa.float64()) \
             .to_numpy(zero_copy_only=False)
-        row_parts, iv_parts = [], []
-        for i in range(len(iv["lo"])):
-            m = v >= iv["lo"][i]
-            m &= (v <= iv["hi"][i]) if closed == "both" \
-                else (v < iv["hi"][i])
-            rows = np.nonzero(m)[0]
-            if len(rows):
-                row_parts.append(rows)
-                iv_parts.append(np.full(len(rows), i, np.int64))
-        if not row_parts:
+        # sort the batch once; each interval is two binary-search
+        # probes into the sorted values, then one np.repeat/aranges
+        # explode emits all (row, interval) pairs. NaN values sort
+        # past any finite hi, NaN lo/hi bounds yield empty windows —
+        # the same never-match semantics as the comparison masks.
+        order = np.argsort(v, kind="stable")
+        v_s = v[order]
+        starts = np.searchsorted(v_s, iv["lo"], side="left")
+        ends = np.searchsorted(v_s, iv["hi"],
+                               side="right" if closed == "both"
+                               else "left")
+        lens = np.maximum(ends - starts, 0)
+        total = int(lens.sum())
+        if total == 0:
             rows = pa.array([], pa.int64())
             ivs = pa.array([], pa.int64())
         else:
-            rows = pa.array(np.concatenate(row_parts), pa.int64())
-            ivs = pa.array(np.concatenate(iv_parts), pa.int64())
+            iidx = np.repeat(np.arange(len(lens)), lens)
+            offs = np.cumsum(lens) - lens
+            pidx = starts[iidx] + (np.arange(total) - offs[iidx])
+            rows = pa.array(order[pidx], pa.int64())
+            ivs = pa.array(iidx, pa.int64())
         out = t.take(rows)
         for c in iv["table"].column_names:
             col = iv["table"].column(c)
@@ -436,15 +455,109 @@ def _bloom_positions(h1: np.ndarray, i: int, n_bits: int) -> np.ndarray:
     return (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
 
 
+def _bloom_key_positions(t: pa.Table, on: str, n_bits: int, n_hashes: int,
+                         key_type: pa.DataType | None) -> np.ndarray:
+    """All bloom bit positions for one batch's deduped non-null keys
+    (uint64 array of length ≤ distinct-keys × n_hashes)."""
+    keys = t.column(on)
+    if key_type is not None and keys.type != key_type:
+        keys = pc.cast(keys, key_type)
+    keys = keys.unique()
+    h1, null = _key_hash64(keys)
+    h1 = h1[~null]
+    if len(h1) == 0:
+        return np.array([], np.uint64)
+    return np.concatenate([_bloom_positions(h1, i, n_bits)
+                           for i in range(n_hashes)])
+
+
+def _bloom_set_bits(words: np.ndarray, pos: np.ndarray) -> None:
+    np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (pos & np.uint64(63)))
+
+
+_KIND_BITMAP, _KIND_SPARSE = 0, 1
+
+
+def _bloom_partial_table(t: pa.Table, *, on: str, n_bits: int,
+                         n_hashes: int,
+                         key_type: pa.DataType | None = None) -> pa.Table:
+    """One batch's bloom partial: a full ``n_bits/8``-byte bitmap when
+    the batch sets many bits, or a SPARSE uint32 position list when the
+    set-bit count is small (< ``n_bits/32`` positions — the break-even
+    where 4-byte positions undercut the bitmap bytes). Sparse partials
+    cut the per-block object traffic from bitmap-size to
+    output-proportional for many-block right sides whose distinct keys
+    per block ≪ bitmap bits; the merged bitmap is bit-for-bit identical
+    either way (tested). uint32 positions are always safe: ``n_bits``
+    is capped at 2^30 (`bloom_params`)."""
+    pos = np.unique(_bloom_key_positions(t, on, n_bits, n_hashes,
+                                         key_type))
+    if len(pos) < n_bits // 32:
+        payload = pos.astype(np.uint32).tobytes()
+        kind = _KIND_SPARSE
+    else:
+        words = np.zeros((n_bits + 63) // 64, np.uint64)
+        _bloom_set_bits(words, pos)
+        payload = words.tobytes()
+        kind = _KIND_BITMAP
+    return pa.table({"__bloom": pa.array([payload], pa.large_binary()),
+                     "__kind": pa.array([kind], pa.int8())})
+
+
+def _iter_bloom_payloads(col):
+    # zero-copy uint8 views into the arrow large_binary buffers —
+    # .to_pylist() would duplicate every payload as python bytes
+    arr = col.combine_chunks() if isinstance(
+        col, pa.ChunkedArray) else col
+    if len(arr) == 0 or arr.buffers()[2] is None:
+        return
+    # honor a sliced view's offset into the shared buffers
+    off = np.frombuffer(arr.buffers()[1], np.int64,
+                        len(arr) + 1 + arr.offset)[arr.offset:]
+    dat = np.frombuffer(arr.buffers()[2], np.uint8)
+    for i in range(len(arr)):
+        yield dat[off[i]:off[i + 1]]
+
+
+def _bloom_merge_table(t: pa.Table, n_bits: int) -> pa.Table:
+    """OR-merge a batch of mixed bitmap/sparse partials; stays sparse
+    when every input is sparse and the union is still under the sparse
+    break-even, else densifies."""
+    kinds = t.column("__kind").to_numpy(zero_copy_only=False)
+    sparse_parts, words = [], None
+    for payload, kind in zip(_iter_bloom_payloads(t.column("__bloom")),
+                             kinds):
+        if kind == _KIND_SPARSE:
+            sparse_parts.append(payload.view(np.uint32))
+        else:
+            if words is None:
+                words = np.zeros((n_bits + 63) // 64, np.uint64)
+            words |= payload.view(np.uint64)
+    pos = np.unique(np.concatenate(sparse_parts)) if sparse_parts \
+        else np.array([], np.uint32)
+    if words is None and len(pos) < n_bits // 32:
+        return pa.table({
+            "__bloom": pa.array([pos.tobytes()], pa.large_binary()),
+            "__kind": pa.array([_KIND_SPARSE], pa.int8())})
+    if words is None:
+        words = np.zeros((n_bits + 63) // 64, np.uint64)
+    if len(pos):
+        _bloom_set_bits(words, pos.astype(np.uint64))
+    return pa.table({"__bloom": pa.array([words.tobytes()],
+                                         pa.large_binary()),
+                     "__kind": pa.array([_KIND_BITMAP], pa.int8())})
+
+
 def build_bloom(right_ds, *, on: str, n_bits: int,
                 n_hashes: int, key_type: pa.DataType | None = None) \
         -> np.ndarray:
     """One narrow scan over the right side builds a bloom bitmap:
-    each batch dedups + hashes its keys and emits a local bitmap
-    partial (one uint64-word row, fixed ``n_bits/8`` bytes regardless
-    of batch size); the driver OR-merges the partials — a bounded
-    reduction (#blocks × bitmap), the same shape as the HLL sketch
-    merge. Returns the merged uint64 word array.
+    each batch dedups + hashes its keys and emits a local partial
+    (a full bitmap row, or a sparse position list when the batch sets
+    few bits — see `_bloom_partial_table`); the driver OR-merges the
+    partials — a bounded reduction (#blocks × partial), the same shape
+    as the HLL sketch merge. Returns the merged uint64 word array.
 
     ``key_type`` (pass the PROBE side's key type) casts keys before
     hashing — `_key_hash64` dispatches on the column's own type
@@ -455,40 +568,11 @@ def build_bloom(right_ds, *, on: str, n_bits: int,
     n_words = (n_bits + 63) // 64
 
     def partial(t: pa.Table) -> pa.Table:
-        words = np.zeros(n_words, np.uint64)
-        keys = t.column(on)
-        if key_type is not None and keys.type != key_type:
-            keys = pc.cast(keys, key_type)
-        keys = keys.unique()
-        h1, null = _key_hash64(keys)
-        h1 = h1[~null]
-        for i in range(n_hashes):
-            pos = _bloom_positions(h1, i, n_bits)
-            np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
-                             np.uint64(1) << (pos & np.uint64(63)))
-        return pa.table({"__bloom": pa.array([words.tobytes()],
-                                             pa.large_binary())})
-
-    def _iter_bitmaps(col):
-        # zero-copy views into the arrow large_binary buffers —
-        # .to_pylist() would duplicate every bitmap as python bytes
-        arr = col.combine_chunks() if isinstance(
-            col, pa.ChunkedArray) else col
-        if len(arr) == 0 or arr.buffers()[2] is None:
-            return
-        # honor a sliced view's offset into the shared buffers
-        off = np.frombuffer(arr.buffers()[1], np.int64,
-                            len(arr) + 1 + arr.offset)[arr.offset:]
-        dat = np.frombuffer(arr.buffers()[2], np.uint8)
-        for i in range(len(arr)):
-            yield dat[off[i]:off[i + 1]].view(np.uint64)
+        return _bloom_partial_table(t, on=on, n_bits=n_bits,
+                                    n_hashes=n_hashes, key_type=key_type)
 
     def or_merge(t: pa.Table) -> pa.Table:
-        words = np.zeros(n_words, np.uint64)
-        for bm in _iter_bitmaps(t.column("__bloom")):
-            words |= bm
-        return pa.table({"__bloom": pa.array([words.tobytes()],
-                                             pa.large_binary())})
+        return _bloom_merge_table(t, n_bits)
 
     acc = np.zeros(n_words, np.uint64)
     partials = right_ds.map_batches(partial, batch_format="pyarrow")
@@ -503,19 +587,62 @@ def build_bloom(right_ds, *, on: str, n_bits: int,
     fan_in = int(max(2, min(32, (512 << 20) // max(1, n_words * 8))))
     merged = partials.map_batches(or_merge, batch_format="pyarrow",
                                   batch_size=fan_in)
+    sparse_acc = []
     for b in merged.iter_batches(batch_format="pyarrow"):
-        for bm in _iter_bitmaps(b.column("__bloom")):
-            acc |= bm
+        kinds = b.column("__kind").to_numpy(zero_copy_only=False)
+        for payload, kind in zip(
+                _iter_bloom_payloads(b.column("__bloom")), kinds):
+            if kind == _KIND_SPARSE:
+                sparse_acc.append(payload.view(np.uint32))
+            else:
+                acc |= payload.view(np.uint64)
+    if sparse_acc:
+        _bloom_set_bits(acc, np.concatenate(sparse_acc).astype(np.uint64))
     return acc
+
+
+class _BitmapHolder:
+    """Rendezvous actor for the FUSED bloom build: the build thread
+    deposits an ObjectRef to the finished bitmap (wrapped in a list so
+    the actor call does not auto-deref it — probes plasma-share the
+    one object instead of each ``get`` materializing a copy), and
+    probe actors block in ``get`` (asyncio event — the actor stays
+    responsive) until it lands. A build failure is re-raised here so
+    the waiting probes fail the run loudly instead of hanging it."""
+
+    def __init__(self):
+        import asyncio
+        self._event = asyncio.Event()
+        self._ref_box: list | None = None
+        self._err: str | None = None
+
+    def set_result(self, ref_box: list) -> None:
+        self._ref_box = ref_box
+        self._event.set()
+
+    def set_error(self, msg: str) -> None:
+        self._err = msg
+        self._event.set()
+
+    async def get(self) -> list:
+        await self._event.wait()
+        if self._err is not None:
+            raise RuntimeError(f"bloom build failed: {self._err}")
+        return self._ref_box
 
 
 class _BloomProbe:
     """Actor-pool probe stage: the bitmap ships once per actor via
     ``ray.put`` (plasma-shared per node), never per batch. Emits the
-    input rows plus a ``__bloom_hit`` candidate column."""
+    input rows plus a ``__bloom_hit`` candidate column. ``words_ref``
+    may be the array itself, an ObjectRef, or a `_BitmapHolder` handle
+    (the fused path — ``__init__`` blocks until the overlapped build
+    deposits the bitmap)."""
 
     def __init__(self, words_ref, on: str, n_bits: int, n_hashes: int):
         import ray
+        if isinstance(words_ref, ray.actor.ActorHandle):
+            words_ref = ray.get(words_ref.get.remote())[0]
         self.words = ray.get(words_ref) if not isinstance(
             words_ref, np.ndarray) else words_ref
         self.on, self.n_bits, self.n_hashes = on, n_bits, n_hashes
@@ -538,7 +665,8 @@ def bloom_filter_join(left_ds, right_ds, *, on: str,
                       left_count: int | None = None,
                       n_buckets: int | None = None,
                       probe_concurrency: int = 4,
-                      left_schema: pa.Schema | None = None):
+                      left_schema: pa.Schema | None = None,
+                      fused: bool = True):
     """SEMI / ANTI join with a bloom prefilter — the scale path of
     :func:`key_filter_join`. Result is EXACT (bit-identical to
     ``key_filter_join``): the bloom pass has no false negatives, so
@@ -568,7 +696,19 @@ def bloom_filter_join(left_ds, right_ds, *, on: str,
     The anti path scans it twice (misses branch + confirm branch) and
     Ray recomputes lineage per consumer — a nondeterministic upstream
     (sampling, unseeded shuffle) would give the two scans different
-    row sets."""
+    row sets.
+
+    ``fused`` (default): the bloom build runs in a background driver
+    thread OVERLAPPED with the main (probe + confirm) execution —
+    probe actors block on a `_BitmapHolder` rendezvous until the
+    bitmap lands, while the left read / right tag stages of the
+    confirm execution proceed on the remaining slots, so the caller
+    pays ~max(build, confirm) wall-clock instead of build + confirm
+    (each Dataset execution carries a fixed scheduler floor).
+    Exactly-once is unchanged: the build still consumes its own
+    execution via ``iter_batches``. ``fused=False`` keeps the
+    sequential two-execution form (deterministic timing for
+    benchmarking the phases separately)."""
     if keep not in ("semi", "anti"):
         raise ValueError(f"keep {keep!r}: 'semi' or 'anti'")
     right_on = right_on or on
@@ -587,10 +727,32 @@ def bloom_filter_join(left_ds, right_ds, *, on: str,
         left_schema = getattr(left_ds.schema(), "base_schema",
                               left_ds.schema())
     left_names = list(left_schema.names)
+    if "__bloom_hit" in left_names:
+        raise ValueError("reserved column name in input: __bloom_hit")
     import ray
-    words_ref = ray.put(build_bloom(
-        right_ds, on=right_on, n_bits=n_bits, n_hashes=n_hashes,
-        key_type=left_schema.field(on).type))
+    key_type = left_schema.field(on).type
+    if fused:
+        import threading
+        holder = ray.remote(_BitmapHolder).remote()
+
+        def _build():
+            try:
+                words = build_bloom(right_ds, on=right_on, n_bits=n_bits,
+                                    n_hashes=n_hashes, key_type=key_type)
+                ray.get(holder.set_result.remote([ray.put(words)]))
+            except Exception as e:  # surfaced from _BitmapHolder.get
+                try:
+                    ray.get(holder.set_error.remote(repr(e)))
+                except Exception:
+                    pass
+
+        threading.Thread(target=_build, daemon=True,
+                         name="bloom-build").start()
+        words_ref = holder
+    else:
+        words_ref = ray.put(build_bloom(
+            right_ds, on=right_on, n_bits=n_bits, n_hashes=n_hashes,
+            key_type=key_type))
     # autoscaling pool (1, N), not fixed N: a fixed pool as wide as the
     # cluster parks every CPU in probe actors and starves the task-pool
     # ops sharing the pipeline (deadlocks a 4-cpu test session)

@@ -582,16 +582,19 @@ class RegisteredDomain(Processor):
     * unlisted TLDs fall to the implicit ``*`` default rule (so
       ``www.example.zz`` → ``example.zz`` like the reference);
     * a hostname that IS a public suffix has no registered domain
-      (reference errors; this engine emits null — and raises when
-      ``ignore_failure=false``, the Timestamp convention).
+      (reference errors; with ``ignore_failure=true`` this engine emits
+      null instead of raising).
 
-    ``custom_suffixes`` adds extra rules (PSL syntax, any label
-    count)."""
+    ``ignore_failure`` defaults false, matching the reference config
+    default (``registered_domain/config.go``); the missing-field path
+    passes the event through when IgnoreMissing OR IgnoreFailure is
+    set, like ``registered_domain.go:79``. ``custom_suffixes`` adds
+    extra rules (PSL syntax, any label count)."""
 
     def __init__(self, field: str, target_field: str,
                  target_subdomain_field: str | None = None,
                  target_etld_field: str | None = None,
-                 ignore_missing: bool = False, ignore_failure: bool = True,
+                 ignore_missing: bool = False, ignore_failure: bool = False,
                  custom_suffixes: list[str] | None = None):
         self.field, self.target = field, target_field
         self.target_sub = target_subdomain_field
@@ -649,7 +652,7 @@ class RegisteredDomain(Processor):
     def apply(self, tbl: pa.Table) -> pa.Table:
         col = get_column(tbl, self.field)
         if col is None:
-            if self.ignore_missing:
+            if self.ignore_missing or self.ignore_failure:
                 return tbl
             raise ConfigError(f"registered_domain: missing {self.field!r}")
         rds, subs, etlds = [], [], []

@@ -41,51 +41,79 @@ def _drive_keyed_actors(micro_batches, state_cls, ctor_args: tuple,
     State is keyed by the EVENT key inside ``state_cls``, so buckets
     exist only for shuffle parallelism: a small pool of ``n_actors``
     hosts (bucket → actor by modulo) replaces round 2's one long-lived
-    actor per bucket. The barrier polls each actor's executed-call
-    count against the acks the route tasks report — a count ≥ expected
-    proves the pushes EXECUTED (not merely enqueued), which a plain
-    marker task cannot (cross-submitter actor-queue order is
-    unspecified). Returns ``(actors, collected_rows)`` —
-    ``collected_rows`` holds the actors' buffered per-batch result rows
-    when ``collect_rows`` (the actor's ``process`` returns a table)."""
-    import time
+    actor per bucket. The barrier awaits each actor's executed-push
+    count reaching the acks the route tasks report (one blocking
+    ``wait_processed`` ObjectRef per actor per micro-batch — an
+    asyncio event inside the actor, no driver poll loop) — a count ≥
+    expected proves the pushes EXECUTED (not merely enqueued), which a
+    plain marker task cannot (cross-submitter actor-queue order is
+    unspecified).
 
+    Exactly-once folds under at-least-once task retries: each push is
+    tagged with its ``(micro_batch, bucket)`` id — route runs inside a
+    Ray Data ``map_groups`` task, and a worker that dies AFTER
+    submitting its push but before its ack row is observed gets
+    retried, re-pushing the same group; the actor drops already-seen
+    ids, so the retried push neither double-folds state nor
+    double-counts toward the barrier (the ack side deduplicates
+    naturally: only the successful attempt's ack row reaches
+    ``take_all``).
+
+    Returns ``(actors, collected_rows)`` — ``collected_rows`` holds
+    the actors' buffered per-batch result rows when ``collect_rows``
+    (the actor's ``process`` returns a table)."""
     import ray
 
     n_actors = n_actors or min(n_buckets, 8)
 
     class _Host(state_cls):
-        """Per-actor wrapper: counts executed pushes (the barrier
-        signal) and buffers per-batch result tables for the driver to
+        """Per-actor wrapper: deduplicates pushes by their
+        ``(micro_batch, bucket)`` id (at-least-once task retries replay
+        a push; folding it twice would silently diverge from batch),
+        counts executed pushes (the barrier signal, asyncio-event
+        driven), and buffers per-batch result tables for the driver to
         drain once — results never ride the push path.
 
         Errors CANNOT be raised out of ``process``: the push is
         fire-and-forget (its ObjectRef is dropped), so a raise would
         only be logged while ``_n_done`` stalls and the driver's count
-        barrier spins forever. Instead the first error is captured and
-        re-raised from ``processed_count`` — the call the driver DOES
+        barrier waits forever. Instead the first error is captured and
+        re-raised from ``wait_processed`` — the call the driver DOES
         ``ray.get`` — so a bad record fails the run loudly instead of
-        hanging it."""
+        hanging it. ``wait_processed`` being ``async`` makes the actor
+        an asyncio actor, so the blocked barrier call does not stall
+        queued ``process`` calls; ``process`` itself is sync (no await
+        points), so each fold stays atomic."""
 
         def __init__(self, *args):
+            import asyncio
             super().__init__(*args)
             self._n_done = 0
             self._buf: list[pa.Table] = []
             self._err: Exception | None = None
+            self._seen: set[tuple[int, int]] = set()
+            self._done_event = asyncio.Event()
 
-        def process(self, tbl: pa.Table):
+        def process(self, tbl: pa.Table, push_id: tuple[int, int]):
+            if push_id in self._seen:
+                return None  # retried task replaying its push: drop
+            self._seen.add(push_id)
             try:
                 res = super().process(tbl)
                 if isinstance(res, pa.Table):
                     self._buf.append(res)
-            except Exception as e:  # surfaced via processed_count
+            except Exception as e:  # surfaced via wait_processed
                 if self._err is None:
                     self._err = e
             finally:
                 self._n_done += 1
+                self._done_event.set()
             return None
 
-        def processed_count(self) -> int:
+        async def wait_processed(self, expected: int) -> int:
+            while self._n_done < expected:
+                await self._done_event.wait()
+                self._done_event.clear()
             if self._err is not None:
                 raise self._err
             return self._n_done
@@ -97,38 +125,41 @@ def _drive_keyed_actors(micro_batches, state_cls, ctor_args: tuple,
     Actor = ray.remote(_Host)
     actors = [Actor.remote(*ctor_args) for _ in range(n_actors)]
 
-    def route(g: pd.DataFrame) -> pd.DataFrame:
-        bucket = int(g["bucket"].iloc[0])
-        # the bucket column STAYS in the pushed table: states that defer
-        # watermark rows must key their pending state per bucket —
-        # several buckets share one actor (bucket % n_actors), and a
-        # deferral max computed over another bucket's rows would fold a
-        # boundary tie prematurely
-        tbl = pa.Table.from_pandas(g, preserve_index=False)
-        # async push: the task slot frees as soon as the call is
-        # submitted; ordering across micro-batches comes from the
-        # driver's count barrier below
-        actors[bucket % n_actors].process.remote(tbl)
-        return pd.DataFrame({"actor": [bucket % n_actors]})
+    def make_route(batch_idx: int):
+        def route(g: pa.Table) -> pa.Table:
+            bucket = int(g.column("bucket")[0].as_py())
+            # the bucket column STAYS in the pushed table: states that
+            # defer watermark rows must key their pending state per
+            # bucket — several buckets share one actor
+            # (bucket % n_actors), and a deferral max computed over
+            # another bucket's rows would fold a boundary tie
+            # prematurely. Async push: the task slot frees as soon as
+            # the call is submitted; ordering across micro-batches
+            # comes from the driver's barrier below. The (batch,
+            # bucket) id makes a retry's replayed push a no-op.
+            actors[bucket % n_actors].process.remote(
+                g, (batch_idx, bucket))
+            return pa.table({"actor": pa.array([bucket % n_actors],
+                                               pa.int64())})
+        return route
 
     def add_bucket(tbl: pa.Table) -> pa.Table:
         return tbl.append_column(
             "bucket", int_bucket(tbl.column(key_col), n_buckets))
 
     expected = [0] * n_actors
-    for slice_ds in micro_batches:
+    for batch_idx, slice_ds in enumerate(micro_batches):
         acks = slice_ds.map_batches(add_bucket, batch_format="pyarrow") \
-            .groupby("bucket").map_groups(route, batch_format="pandas") \
+            .groupby("bucket").map_groups(make_route(batch_idx),
+                                          batch_format="pyarrow") \
             .take_all()
         for r in acks:
             expected[int(r["actor"])] += 1
         # event-time fence: micro-batch N+1 must not reach an actor
-        # before N's pushes have run there
-        while True:
-            counts = ray.get([a.processed_count.remote() for a in actors])
-            if all(c >= e for c, e in zip(counts, expected)):
-                break
-            time.sleep(0.005)
+        # before N's pushes have run there — one blocking ObjectRef
+        # per actor, resolved by the actor's own asyncio event
+        ray.get([a.wait_processed.remote(e)
+                 for a, e in zip(actors, expected)])
 
     collected: list[dict] = []
     if collect_rows:

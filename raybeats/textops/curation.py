@@ -177,28 +177,143 @@ def quota_sample(ds, group_col: str = "lang", id_col: str = "doc_id",
         .groupby(group_col).map_groups(finalize, batch_format="pyarrow")
 
 
-class ContaminationFlagger:
-    """Actor-pool stage: flag documents containing any benchmark snippet.
+def _shingle_hash(h: np.ndarray, w: int) -> np.ndarray:
+    """Rolling width-``w`` combine of consecutive token hashes: one
+    uint64 value per start position (``len(h) - w + 1`` outputs),
+    ``s = fold((s * FNV_PRIME) ^ h_j)`` — vectorized as ``w`` shifted
+    passes, no per-position loop."""
+    n = max(0, len(h) - w + 1)
+    s = np.full(n, 0xCBF29CE484222325, np.uint64)
+    prime = np.uint64(1099511628211)
+    for j in range(w):
+        s = (s * prime) ^ h[j:j + n]
+    return s
 
-    The snippet set is broadcast once (``ray.put`` upstream / actor
-    ``__init__`` here) and each snippet is one vectorized
-    ``match_substring`` pass over the batch — K passes for K snippets,
-    bounded by the benchmark-suite size (a fixed external artifact in
-    production, ~1e4-1e5 n-grams), never by the corpus.
+
+class ContaminationFlagger:
+    """Actor-pool stage: flag documents containing any benchmark snippet
+    (exact, case-sensitive substring — ``contains()`` semantics).
+
+    ONE shingle-hash probe pass per batch, not K substring scans: at
+    ``__init__`` each snippet's INTERIOR tokens (its first and last
+    token may be words cut mid-character by the snippet boundary, so
+    they are excluded — any true substring occurrence embeds the
+    interior tokens as complete, contiguous doc tokens) yield a probe
+    shingle of width ≤ ``probe_w`` whose rolling hash lands in a
+    per-width lookup table. Per batch the doc text tokenizes ONCE
+    (`_flat_token_hashes`, the repetition_stats kernel — the SAME
+    kernel tokenizes the snippets, so probe hashes cannot diverge),
+    each width's rolling shingle hashes probe the table with one
+    vectorized ``np.isin``, and only the candidate (row, snippet)
+    pairs get the exact ``match_substring`` confirm — work is
+    tokenize + O(widths ≤ 3) probes + output-proportional confirm,
+    never suite × corpus. Snippets with no interior token (≤ 2
+    tokens — pathological for a benchmark suite) fall back to the
+    per-snippet exact scan, bounded by their count.
+
+    The probe is a lowercase token hash, so it over-admits (case /
+    punctuation variants become candidates); the confirm stage is
+    exact, so the result is identical to the K-scan kernel (tested at
+    10k+ snippets). No false negatives: a snippet substring occurrence
+    always contributes its interior-token shingle to the doc's token
+    stream.
     """
 
-    def __init__(self, snippets: list[str] | object):
+    def __init__(self, snippets: list[str] | object, probe_w: int = 3):
         import ray
         if isinstance(snippets, ray.ObjectRef):
             snippets = ray.get(snippets)
         self.snippets = list(snippets)
+        self.n_probe_passes = 0  # per-batch probe-pass counter (tests)
+        row_id, hashes, _ = _flat_token_hashes(
+            pa.array(self.snippets, pa.string()))
+        counts = np.bincount(row_id, minlength=len(self.snippets))
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        interior = counts - 2
+        self.fallback = np.flatnonzero(interior <= 0).tolist()
+        # per width: each snippet's probe shingle = the rolling hash at
+        # its first-interior-token position, read from ONE full-stream
+        # shingle pass per width (no per-snippet slicing)
+        self.by_width: dict[int, tuple] = {}
+        for w in range(1, probe_w + 1):
+            sel = np.flatnonzero(interior >= probe_w) if w == probe_w \
+                else np.flatnonzero(interior == w)
+            if len(sel) == 0:
+                continue
+            sh = _shingle_hash(hashes, w)
+            probes = sh[offs[sel] + 1]
+            order = np.argsort(probes, kind="stable")
+            # (dedup'd probe set for isin, sorted probes + aligned
+            # snippet ids for the searchsorted hash→snippets expand)
+            self.by_width[w] = (np.unique(probes), probes[order],
+                                sel[order].astype(np.int64))
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         text = tbl.column("text")
+        text = text.combine_chunks() if isinstance(
+            text, pa.ChunkedArray) else text
         hits = np.zeros(len(tbl), dtype=np.int64)
-        for snip in self.snippets:
-            hits += pc.match_substring(text, snip).to_numpy(
+        for i in self.fallback:
+            hits += pc.match_substring(text, self.snippets[i]).to_numpy(
                 zero_copy_only=False).astype(np.int64)
+        if not self.by_width:
+            return self._emit(tbl, hits)
+        row_id, h, _ = _flat_token_hashes(text)
+        pair_rows, pair_snips = [], []
+        for w, (uniq, ph_sorted, sid_sorted) in self.by_width.items():
+            if len(h) < w:
+                continue
+            self.n_probe_passes += 1
+            n = len(h) - w + 1
+            sh = _shingle_hash(h, w)
+            # a shingle must not span two rows
+            m = (row_id[:n] == row_id[w - 1:]) & np.isin(sh, uniq)
+            if not m.any():
+                continue
+            pos = np.flatnonzero(m)
+            pr, ph = row_id[pos], sh[pos]
+            # dedupe (row, hash): several occurrences in one doc are
+            # one candidate
+            order = np.lexsort((ph, pr))
+            pr, ph = pr[order], ph[order]
+            first = np.empty(len(pr), bool)
+            first[0] = True
+            first[1:] = (pr[1:] != pr[:-1]) | (ph[1:] != ph[:-1])
+            pr, ph = pr[first], ph[first]
+            # expand hash → snippet ids (a probe hash may be shared by
+            # several snippets): searchsorted window + aranges explode
+            lo = np.searchsorted(ph_sorted, ph, side="left")
+            hi = np.searchsorted(ph_sorted, ph, side="right")
+            lens = hi - lo
+            tot = int(lens.sum())
+            ridx = np.repeat(np.arange(len(ph)), lens)
+            o2 = np.cumsum(lens) - lens
+            pair_rows.append(pr[ridx])
+            pair_snips.append(sid_sorted[lo[ridx] +
+                                         (np.arange(tot) - o2[ridx])])
+        if pair_rows:
+            rows_all = np.concatenate(pair_rows)
+            snips_all = np.concatenate(pair_snips)
+            # exact confirm, one C-level str-find per candidate pair —
+            # output-proportional (the pair count), never suite ×
+            # corpus. A per-snippet vectorized match_substring would
+            # pay one take+kernel dispatch per snippet-with-candidates
+            # (~ms each), which loses badly when a low-selectivity
+            # probe yields many snippets with few rows each. (row,
+            # snippet) pairs are unique here — one probe hash per
+            # snippet, (row, hash) deduped above — so each hit adds
+            # exactly 1.
+            texts = text.to_pylist()
+            snips = self.snippets
+            ok = np.fromiter(
+                (snips[s] in texts[r]
+                 for s, r in zip(snips_all.tolist(), rows_all.tolist())),
+                bool, len(rows_all))
+            np.add.at(hits, rows_all[ok], 1)
+        return self._emit(tbl, hits)
+
+    @staticmethod
+    def _emit(tbl: pa.Table, hits: np.ndarray) -> pa.Table:
         return pa.table({
             "doc_id": tbl.column("doc_id"),
             "n_hits": pa.array(hits, pa.int64()),
@@ -208,7 +323,7 @@ class ContaminationFlagger:
 
 def pack_sequences(ds, *, budget: int, id_max: int,
                    id_col: str = "doc_id", tok_col: str = "n_tok",
-                   n_buckets: int = 64):
+                   n_buckets: int | None = None):
     """Deterministic sequence packing: assign each document the
     training-pack id its FIRST token lands in under a running
     ``budget``-token boundary over ``id_col`` order —
@@ -232,8 +347,20 @@ def pack_sequences(ds, *, budget: int, id_max: int,
 
     Input must already carry ``tok_col`` (see `analysis.token_stats`
     for the oracle-mirrorable token count). Ids must be non-negative
-    and ≤ ``id_max``; token counts non-negative."""
+    and ≤ ``id_max``; token counts non-negative.
+
+    ``n_buckets`` defaults to ``adaptive_buckets(id_max + 1)`` — the
+    bucket count scales with the id span so each finalize group
+    materializes a bounded ~``target_rows`` slice of the 24-byte
+    projection regardless of corpus size (a fixed count would make
+    each group corpus/k rows). The id span is the right sizing proxy
+    here because the buckets are monotone id RANGES: density below
+    1 only makes groups smaller. The result is invariant to
+    ``n_buckets`` (the prefix offsets are exact at any split)."""
+    from ..util import adaptive_buckets
     span = id_max + 1
+    if n_buckets is None:
+        n_buckets = adaptive_buckets(span)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         ids = t.column(id_col)

@@ -335,10 +335,13 @@ def centroid_sum_partial(t: pa.Table, *, vec_col: str = "embedding",
     d = int(lens[0])
     if not (lens == d).all():
         raise ValueError(f"ragged {vec_col}: dims {lens.min()}..{lens.max()}")
-    # float64 BEFORE the scale multiply — SQL promotes the float32
-    # element to DOUBLE first, and matching the op order keeps the
-    # rounding bit-identical
-    q = pc.cast(pc.round(pc.multiply(pc.cast(emb.values, pa.float64()),
+    # .flatten(), not .values: a zero-copy SLICED ListArray's .values
+    # spans the whole backing buffer while its offsets window into it —
+    # the reshape below would see size n_backing×d and raise; flatten
+    # honors the slice window. float64 BEFORE the scale multiply — SQL
+    # promotes the float32 element to DOUBLE first, and matching the op
+    # order keeps the rounding bit-identical
+    q = pc.cast(pc.round(pc.multiply(pc.cast(emb.flatten(), pa.float64()),
                                      float(scale)),
                          round_mode="half_towards_infinity"),
                 pa.int64()).to_numpy(zero_copy_only=False)

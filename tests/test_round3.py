@@ -88,7 +88,10 @@ def test_registered_domain_reference_cases():
     p = build_processor({"registered_domain": {
         "field": "domain", "target_field": "registered_domain",
         "target_subdomain_field": "subdomain",
-        "target_etld_field": "etld"}})
+        "target_etld_field": "etld",
+        # the error rows below must emit null, not raise (the
+        # reference's config DEFAULT is ignore_failure=false)
+        "ignore_failure": True}})
     t = p.apply(pa.table({"domain": pa.array([c[0] for c in cases],
                                              pa.string())}))
     assert t.column("registered_domain").to_pylist() == \
@@ -100,7 +103,8 @@ def test_registered_domain_reference_cases():
 def test_registered_domain_psl_wildcard_and_exception():
     from raybeats.processors import build_processor
     p = build_processor({"registered_domain": {
-        "field": "d", "target_field": "rd", "target_etld_field": "etld"}})
+        "field": "d", "target_field": "rd", "target_etld_field": "etld",
+        "ignore_failure": True}})  # the bare-suffix row emits null
     t = p.apply(pa.table({"d": pa.array([
         "foo.bar.kawasaki.jp",   # *.kawasaki.jp wildcard: etld=bar.kawasaki.jp
         "city.kawasaki.jp",      # !city.kawasaki.jp exception: etld=kawasaki.jp
@@ -130,10 +134,22 @@ def test_registered_domain_custom_suffixes_and_failure_mode():
     t = p.apply(pa.table({"d": pa.array(
         ["svc.a.internal.corp", "x.y.dyn.corp"], pa.string())}))
     assert t.column("rd").to_pylist() == ["a.internal.corp", "x.y.dyn.corp"]
+    # ignore_failure DEFAULTS false (reference config default): a bare
+    # suffix raises unless the caller opts out
     strict = build_processor({"registered_domain": {
-        "field": "d", "target_field": "rd", "ignore_failure": False}})
+        "field": "d", "target_field": "rd"}})
     with _pytest.raises(ValueError, match="registered_domain"):
         strict.apply(pa.table({"d": pa.array(["com"], pa.string())}))
+    # missing field passes through when EITHER ignore flag is set
+    # (registered_domain.go:79), raises when neither is
+    lax = build_processor({"registered_domain": {
+        "field": "absent", "target_field": "rd", "ignore_failure": True}})
+    t2 = pa.table({"d": pa.array(["a.com"], pa.string())})
+    assert lax.apply(t2) == t2
+    with _pytest.raises(Exception, match="missing"):
+        strict_missing = build_processor({"registered_domain": {
+            "field": "absent", "target_field": "rd"}})
+        strict_missing.apply(t2)
 
 
 def test_rolling_fingerprint_golden_parity():
