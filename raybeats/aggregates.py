@@ -82,6 +82,49 @@ def grouped_exact_quantiles(ds, *, value_col: str = "value",
              .groupby(by).map_groups(finalize, batch_format="pyarrow")
 
 
+def global_discrete_quantile(ds, *, value_col: str, q: float,
+                             scale: int = 1) -> tuple[int, int]:
+    """EXACT corpus-wide discrete quantile of ``floor(value * scale)``
+    with no shuffle at all: each batch pre-aggregates to (quantum,
+    count) rows — bounded by the value range × precision, never the
+    corpus — and the driver folds them into one dict and takes the
+    smallest quantum whose cumulative count reaches ``ceil(q * n)``
+    (the `grouped_exact_quantiles` selection rule with a single
+    implicit group). Returns ``(threshold_quantum, n_rows)``.
+
+    This is the threshold half of a quantile-gated filter ("drop the
+    bottom p% by quality"): compute once, broadcast the scalar into
+    the filter stage's closure. Nulls/NaNs are ignored (SQL-aggregate
+    convention)."""
+    if not (0.0 < q <= 1.0):
+        raise ValueError(f"q must be in (0, 1]: {q!r}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column(value_col), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        quanta = np.floor(v[ok] * scale).astype(np.int64)
+        uniq, counts = np.unique(quanta, return_counts=True)
+        return pa.table({"q": pa.array(uniq, pa.int64()),
+                         "cnt": pa.array(counts.astype(np.int64),
+                                         pa.int64())})
+
+    acc: dict[int, int] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for quantum, cnt in zip(
+                b.column("q").to_numpy(zero_copy_only=False),
+                b.column("cnt").to_numpy(zero_copy_only=False)):
+            acc[int(quantum)] = acc.get(int(quantum), 0) + int(cnt)
+    if not acc:
+        raise ValueError(f"no non-null {value_col!r} values")
+    uniq = np.array(sorted(acc), np.int64)
+    cum = np.cumsum([acc[int(u)] for u in uniq])
+    total = int(cum[-1])
+    idx = int(np.searchsorted(cum, np.ceil(q * total), side="left"))
+    return int(uniq[idx]), total
+
+
 # ----------------------------------------------------- keep-latest compaction
 
 def _key_codes(col) -> np.ndarray:

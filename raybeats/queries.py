@@ -2397,6 +2397,144 @@ SELECT doc_id, source,
 FROM c WHERE cnt > 0"""
 
 
+def q_bigram_topk(sf_dir: str):
+    """Corpus-wide top-25 bigrams — the n-gram statistics primitive of
+    a training-data pipeline (vocabulary induction, boilerplate
+    detection). Per-batch partials (`analysis.bigram_counts_partial`:
+    tokens flatten once, adjacency is two shifted views) mean the
+    groupby moves one row per (batch, distinct bigram), never one per
+    occurrence; ties break (count desc, bigram asc) on both sides."""
+    from ray.data.aggregate import Sum
+
+    from .textops.analysis import bigram_counts_partial
+    agg = _read(sf_dir, "documents", ["text"], blocks=16) \
+        .map_batches(bigram_counts_partial, batch_format="pyarrow") \
+        .groupby("bigram").aggregate(Sum("n", alias_name="n"))
+    return agg.sort(["n", "bigram"], descending=[True, False]).limit(25)
+
+
+SQL_BIGRAM_TOPK = r"""WITH t AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents),
+b AS (
+  SELECT unnest(list_transform(
+    generate_series(1, greatest(len(toks) - 1, 0)),
+    i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t)
+SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 25"""
+
+
+def q_quality_filter(sf_dir: str):
+    """Quantile-gated curation filter: drop the shortest 25% of the
+    corpus by token count — the 'drop the bottom p% by quality' step
+    where the cutoff is a CORPUS statistic, not a constant. Two-phase
+    threshold-broadcast shape (aggregates.global_discrete_quantile):
+    phase 1 folds per-batch (quantum, count) partials — bounded by the
+    value range, never the corpus — into one exact driver-side
+    threshold; phase 2 broadcasts that scalar in the filter closure.
+    The 16-byte (doc_id, n_tokens) projection is materialized because
+    BOTH phases consume it and Ray recomputes lineage per consumer —
+    without it the text read + token regex (the dominant cost) would
+    run twice."""
+    from .aggregates import global_discrete_quantile
+    from .textops.analysis import token_stats
+
+    proj = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(lambda t: token_stats(t)
+                     .select(["doc_id", "n_tokens"]),
+                     batch_format="pyarrow").materialize()
+    thr, _ = global_discrete_quantile(proj, value_col="n_tokens", q=0.25)
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n_tokens"), thr))
+
+    return proj.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_QUALITY_FILTER = r"""WITH tok AS (
+  SELECT doc_id,
+    CAST(length(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT)
+      AS n_tokens
+  FROM documents),
+g AS (SELECT n_tokens AS q, COUNT(*) AS cnt FROM tok GROUP BY q),
+s AS (SELECT q, SUM(cnt) OVER (ORDER BY q) AS cum,
+             SUM(cnt) OVER () AS total FROM g),
+thr AS (SELECT MIN(CASE WHEN cum >= CEIL(0.25 * total) THEN q END) AS t
+        FROM s)
+SELECT doc_id, n_tokens FROM tok, thr WHERE n_tokens >= thr.t"""
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Near-dup cluster CANONICALIZATION — the step after clustering
+    that dedup pipelines actually ship: per cluster keep the best
+    member (longest by token count, ties → smallest id). Composes the
+    engine's own primitives end-to-end: minhash-LSH candidates →
+    exact jaccard verify → connected components → one hash-shuffle
+    join against the narrow (doc_id, n_tokens) projection →
+    `keep_latest` compaction (local argmax per batch, then one
+    bounded keyed shuffle). The cluster map is materialized (16 B per
+    duplicate doc, spillable) so the join's internal schema fetch
+    cannot re-execute the whole minhash + verify + CC lineage."""
+    from .aggregates import keep_latest
+    from .joins import hash_join
+    from .textops.analysis import token_stats
+    from .textops.dedup import (duplicate_clusters, jaccard_verify,
+                                minhash_candidates)
+
+    n_docs = _nrows(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=16)
+    cand = minhash_candidates(docs,
+                              n_buckets=adaptive_buckets(16 * n_docs),
+                              dedup=False)  # verify cogroup dedups
+    pairs = jaccard_verify(cand, docs, threshold=0.5,
+                           n_buckets=adaptive_buckets(n_docs))
+    clusters = duplicate_clusters(
+        pairs, n_buckets=adaptive_buckets(n_docs, lo=32)).materialize()
+    toks = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(lambda t: token_stats(t)
+                     .select(["doc_id", "n_tokens"]),
+                     batch_format="pyarrow")
+    joined = hash_join(clusters, toks, on="node", right_on="doc_id",
+                       how="inner",
+                       num_partitions=adaptive_buckets(2 * n_docs, lo=4))
+
+    def neg(t: pa.Table) -> pa.Table:
+        # keep_latest keeps the MAX order tuple; negate the id so the
+        # tiebreak lands on the SMALLEST doc_id
+        return t.append_column("neg_id", pc.negate(t.column("node")))
+
+    best = keep_latest(joined.map_batches(neg, batch_format="pyarrow"),
+                       key="cluster", order_by=("n_tokens", "neg_id"),
+                       n_buckets=adaptive_buckets(n_docs, lo=32))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"cluster": t.column("cluster"),
+                         "keep_id": t.column("node"),
+                         "n_tokens": t.column("n_tokens")})
+
+    return best.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DEDUP_KEEP_BEST = _SQL_JACCARD_PAIRS_CTE.format(rec="RECURSIVE") + """,
+edges AS (SELECT a AS u, b AS v FROM jpairs
+          UNION ALL SELECT b, a FROM jpairs),
+reach(node, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+),
+cl AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
+tok AS (SELECT doc_id,
+  CAST(length(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT)
+    AS n_tokens
+  FROM documents),
+m AS (SELECT cl.cluster, cl.node, tok.n_tokens
+      FROM cl JOIN tok ON tok.doc_id = cl.node),
+r2 AS (SELECT *, row_number() OVER (PARTITION BY cluster
+        ORDER BY n_tokens DESC, node ASC) AS rn FROM m)
+SELECT cluster, node AS keep_id, n_tokens FROM r2 WHERE rn = 1"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -2462,6 +2600,9 @@ QUERIES = {
     "ship_window_join": (q_ship_window_join, SQL_SHIP_WINDOW_JOIN),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "mixture_oversample": (q_mixture_oversample, SQL_MIXTURE_OVERSAMPLE),
+    "bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK),
+    "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
+    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

@@ -94,6 +94,42 @@ class LangId:
                          "lang_pred": pa.array(langs, pa.string())})
 
 
+def bigram_counts_partial(tbl: pa.Table, text_col: str = "text") \
+        -> pa.Table:
+    """Per-batch bigram count partial: lowercase ``[a-z0-9]+`` tokens
+    (the token_topk tokenizer), adjacent same-document pairs joined
+    with a single space, counted with one arrow group_by — the shuffle
+    downstream moves one row per (batch, distinct bigram), never one
+    per occurrence. Fully vectorized: tokens flatten once, adjacency is
+    two shifted views + a same-row mask, the join is one
+    ``binary_join_element_wise`` kernel."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(tbl.column(text_col)), "[^a-z0-9]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten()
+    row_id = np.repeat(np.arange(len(toks), dtype=np.int64),
+                       np.diff(offsets))
+    nonempty = pc.greater(pc.utf8_length(flat), 0)
+    row_id = row_id[nonempty.to_numpy(zero_copy_only=False)]
+    flat = flat.filter(nonempty)
+    empty = pa.table({"bigram": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    if len(flat) < 2:
+        return empty
+    same_row = pa.array(row_id[:-1] == row_id[1:])
+    a = flat.slice(0, len(flat) - 1).filter(same_row)
+    b = flat.slice(1).filter(same_row)
+    if len(a) == 0:
+        return empty
+    big = pc.binary_join_element_wise(a, b, " ")
+    g = pa.table({"bigram": big}).group_by("bigram") \
+        .aggregate([([], "count_all")])
+    return pa.table({"bigram": g.column("bigram"),
+                     "n": pc.cast(g.column("count_all"), pa.int64())})
+
+
 def rolling_fingerprint(tbl: pa.Table, text_col: str = "text",
                         window: int = 16) -> pa.Table:
     """Polynomial rolling-hash document fingerprint (Rabin-Karp style):

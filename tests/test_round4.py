@@ -377,3 +377,65 @@ def test_simhash_golden_fixture_parity(ray_session, name):
     got = got.replace_schema_metadata(None)
     assert got.schema == exp.schema
     assert got.equals(exp)
+
+
+# --------------------------------------------- new round-4 operators
+
+class TestBigramCounts:
+    def test_matches_naive(self):
+        import re
+
+        from raybeats.textops.analysis import bigram_counts_partial
+        docs = ["Hello world, hello World!", "one", "", "a b a b a",
+                "punct...only!!!", "Mixed CASE tokens 123 here",
+                None]
+        tbl = pa.table({"text": pa.array(docs, pa.string())})
+        got = {r["bigram"]: r["n"]
+               for r in bigram_counts_partial(tbl).to_pylist()}
+        exp: dict[str, int] = {}
+        for d in docs:
+            toks = re.findall(r"[a-z0-9]+", (d or "").lower())
+            for x, y in zip(toks, toks[1:]):
+                exp[f"{x} {y}"] = exp.get(f"{x} {y}", 0) + 1
+        assert got == exp
+
+    def test_no_cross_document_bigrams(self):
+        from raybeats.textops.analysis import bigram_counts_partial
+        tbl = pa.table({"text": pa.array(["alpha beta", "beta gamma"])})
+        got = {r["bigram"] for r in bigram_counts_partial(tbl).to_pylist()}
+        assert got == {"alpha beta", "beta gamma"}  # no "beta beta"
+
+    def test_empty_batch(self):
+        from raybeats.textops.analysis import bigram_counts_partial
+        out = bigram_counts_partial(
+            pa.table({"text": pa.array([], pa.string())}))
+        assert out.num_rows == 0
+
+
+class TestGlobalDiscreteQuantile:
+    def test_matches_rank_definition(self, ray_session):
+        import ray.data as rd
+
+        from raybeats.aggregates import global_discrete_quantile
+        rng = np.random.RandomState(9)
+        v = rng.randint(0, 200, 5000).astype(np.float64)
+        v[::97] = np.nan  # ignored like SQL aggregates
+        ds = rd.from_arrow(pa.table({"x": pa.array(v)})).repartition(7)
+        clean = np.sort(v[~np.isnan(v)]).astype(np.int64)
+        for q in (0.25, 0.5, 0.9, 1.0):
+            thr, n = global_discrete_quantile(ds, value_col="x", q=q)
+            assert n == len(clean)
+            # smallest quantum whose cumulative count >= ceil(q*n)
+            assert thr == int(clean[int(np.ceil(q * n)) - 1])
+
+    def test_rejects_bad_q_and_all_null(self, ray_session):
+        import ray.data as rd
+
+        from raybeats.aggregates import global_discrete_quantile
+        ds = rd.from_arrow(pa.table({"x": pa.array([1.0])}))
+        with pytest.raises(ValueError, match="q must"):
+            global_discrete_quantile(ds, value_col="x", q=0.0)
+        nulls = rd.from_arrow(pa.table({"x": pa.array([None, None],
+                                                      pa.float64())}))
+        with pytest.raises(ValueError, match="no non-null"):
+            global_discrete_quantile(nulls, value_col="x", q=0.5)
