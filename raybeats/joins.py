@@ -375,8 +375,10 @@ def range_join_broadcast(ds, intervals: pa.Table, *, value_col: str,
         # sort the batch once; each interval is two binary-search
         # probes into the sorted values, then one np.repeat/aranges
         # explode emits all (row, interval) pairs. NaN values sort
-        # past any finite hi, NaN lo/hi bounds yield empty windows —
-        # the same never-match semantics as the comparison masks.
+        # past any finite hi so they never match; a NaN/null BOUND must
+        # be masked explicitly — searchsorted would place a NaN hi
+        # after every finite value (matching everything >= lo) where
+        # the comparison-mask semantics match nothing.
         order = np.argsort(v, kind="stable")
         v_s = v[order]
         starts = np.searchsorted(v_s, iv["lo"], side="left")
@@ -384,6 +386,7 @@ def range_join_broadcast(ds, intervals: pa.Table, *, value_col: str,
                                side="right" if closed == "both"
                                else "left")
         lens = np.maximum(ends - starts, 0)
+        lens[np.isnan(iv["lo"]) | np.isnan(iv["hi"])] = 0
         total = int(lens.sum())
         if total == 0:
             rows = pa.array([], pa.int64())
@@ -731,6 +734,20 @@ def bloom_filter_join(left_ds, right_ds, *, on: str,
         raise ValueError("reserved column name in input: __bloom_hit")
     import ray
     key_type = left_schema.field(on).type
+    if fused:
+        # DEADLOCK GUARD: fused probes block holding their actor CPU
+        # until the background build finishes, and the build's own map
+        # tasks need CPUs to run. Cap the probe pools so blocked actors
+        # can never park every core (the anti path forks the probed
+        # stream into TWO pools), and fall back to the sequential form
+        # on clusters too small to carve out build headroom.
+        total_cpus = int(ray.cluster_resources().get("CPU", 0) or 0)
+        if total_cpus < 4:
+            fused = False
+        else:
+            n_pools = 2 if keep == "anti" else 1
+            probe_concurrency = max(
+                1, min(probe_concurrency, (total_cpus - 2) // n_pools))
     if fused:
         import threading
         holder = ray.remote(_BitmapHolder).remote()

@@ -2235,14 +2235,14 @@ def q_pack_sequences(sf_dir: str):
     boundary over doc_id order (textops/curation.pack_sequences — a
     two-pass distributed prefix sum over monotone id-range buckets;
     nothing global sorts). Token counts share the token_stats
-    regex so the SQL window mirror is exact."""
-    from .textops.analysis import token_stats
+    TOKEN_RE (one-regex `token_counts` — the full token_stats would
+    also pay the stopword regex and char-length scans just to drop
+    them) so the SQL window mirror is exact."""
+    from .textops.analysis import token_counts
     from .textops.curation import pack_sequences
 
     toks = _read(sf_dir, "documents", ["doc_id", "text"]) \
-        .map_batches(lambda t: token_stats(t)
-                     .select(["doc_id", "n_tokens"]),
-                     batch_format="pyarrow")
+        .map_batches(token_counts, batch_format="pyarrow")
     return pack_sequences(toks, budget=4096,
                           id_max=_footer_max(sf_dir, "documents",
                                              "doc_id"),
@@ -2437,11 +2437,10 @@ def q_quality_filter(sf_dir: str):
     without it the text read + token regex (the dominant cost) would
     run twice."""
     from .aggregates import global_discrete_quantile
-    from .textops.analysis import token_stats
+    from .textops.analysis import token_counts
 
     proj = _read(sf_dir, "documents", ["doc_id", "text"]) \
-        .map_batches(lambda t: token_stats(t)
-                     .select(["doc_id", "n_tokens"]),
+        .map_batches(token_counts,
                      batch_format="pyarrow").materialize()
     thr, _ = global_discrete_quantile(proj, value_col="n_tokens", q=0.25)
 
@@ -2477,7 +2476,7 @@ def q_dedup_keep_best(sf_dir: str):
     cannot re-execute the whole minhash + verify + CC lineage."""
     from .aggregates import keep_latest
     from .joins import hash_join
-    from .textops.analysis import token_stats
+    from .textops.analysis import token_counts
     from .textops.dedup import (duplicate_clusters, jaccard_verify,
                                 minhash_candidates)
 
@@ -2491,9 +2490,7 @@ def q_dedup_keep_best(sf_dir: str):
     clusters = duplicate_clusters(
         pairs, n_buckets=adaptive_buckets(n_docs, lo=32)).materialize()
     toks = _read(sf_dir, "documents", ["doc_id", "text"]) \
-        .map_batches(lambda t: token_stats(t)
-                     .select(["doc_id", "n_tokens"]),
-                     batch_format="pyarrow")
+        .map_batches(token_counts, batch_format="pyarrow")
     joined = hash_join(clusters, toks, on="node", right_on="doc_id",
                        how="inner",
                        num_partitions=adaptive_buckets(2 * n_docs, lo=4))

@@ -26,6 +26,41 @@ _STOP_PROFILES = {
 }
 
 
+def flat_tokens(text: pa.ChunkedArray | pa.Array):
+    """Lowercase ``[a-z0-9]+`` tokens of a string column, flattened:
+    ``(row_id, tokens, n_rows)`` — the same token multiset per row as
+    ``regexp_extract_all(lower(text), '[a-z0-9]+')`` (split on the
+    complement class, empties dropped). Single-sourced here so the
+    bigram, repetition and contamination kernels cannot desynchronize
+    their tokenizers."""
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), "[^a-z0-9]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten()
+    row_id = np.repeat(np.arange(len(toks), dtype=np.int64),
+                       np.diff(offsets))
+    nonempty = pc.greater(pc.utf8_length(flat), 0)
+    row_id = row_id[nonempty.to_numpy(zero_copy_only=False)]
+    return row_id, flat.filter(nonempty), len(toks)
+
+
+def token_counts(tbl: pa.Table, text_col: str = "text") -> pa.Table:
+    """doc_id + n_tokens ONLY — one regex pass. `token_stats` also runs
+    the stopword regex and a char-length kernel over the full text;
+    callers that immediately discard those columns (quality_filter,
+    pack_sequences, dedup_keep_best) should not pay two extra
+    full-corpus scans. Same TOKEN_RE, so the SQL mirror
+    (``length(regexp_extract_all(text, '[a-zA-Z0-9]+'))``) is
+    unchanged."""
+    return pa.table({
+        "doc_id": tbl.column("doc_id"),
+        "n_tokens": pc.cast(
+            pc.count_substring_regex(tbl.column(text_col), TOKEN_RE),
+            pa.int64()),
+    })
+
+
 def token_stats(tbl: pa.Table, text_col: str = "text") -> pa.Table:
     """doc_id, n_chars, n_tokens, n_stop — pure Arrow kernels."""
     text = tbl.column(text_col)
@@ -103,17 +138,7 @@ def bigram_counts_partial(tbl: pa.Table, text_col: str = "text") \
     per occurrence. Fully vectorized: tokens flatten once, adjacency is
     two shifted views + a same-row mask, the join is one
     ``binary_join_element_wise`` kernel."""
-    toks = pc.split_pattern_regex(
-        pc.utf8_lower(tbl.column(text_col)), "[^a-z0-9]+")
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = toks.flatten()
-    row_id = np.repeat(np.arange(len(toks), dtype=np.int64),
-                       np.diff(offsets))
-    nonempty = pc.greater(pc.utf8_length(flat), 0)
-    row_id = row_id[nonempty.to_numpy(zero_copy_only=False)]
-    flat = flat.filter(nonempty)
+    row_id, flat, _ = flat_tokens(tbl.column(text_col))
     empty = pa.table({"bigram": pa.array([], pa.string()),
                       "n": pa.array([], pa.int64())})
     if len(flat) < 2:

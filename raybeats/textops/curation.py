@@ -47,24 +47,14 @@ def pii_scrub(tbl: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def _flat_token_hashes(text: pa.ChunkedArray | pa.Array):
-    """Lowercase → [a-z0-9]+ tokens → (row_id, fnv1a hash) flat arrays.
-
-    Splitting on the complement class and dropping empties yields the
-    same token multiset per row as ``regexp_extract_all(lower(text),
-    '[a-z0-9]+')``.
-    """
+    """Lowercase → [a-z0-9]+ tokens → (row_id, fnv1a hash) flat arrays
+    (`analysis.flat_tokens` + the vectorized FNV kernel — tokenizer
+    single-sourced so the repetition/contamination/bigram kernels
+    cannot drift apart)."""
     from ..util import fnv1a_u64
-    toks = pc.split_pattern_regex(pc.utf8_lower(text), "[^a-z0-9]+")
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = toks.flatten()
-    row_id = np.repeat(np.arange(len(toks), dtype=np.int64),
-                       np.diff(offsets))
-    nonempty = pc.greater(pc.utf8_length(flat), 0)
-    row_id = row_id[nonempty.to_numpy(zero_copy_only=False)]
-    hashes = fnv1a_u64(flat.filter(nonempty))
-    return row_id, hashes, len(toks)
+    from .analysis import flat_tokens
+    row_id, flat, n_rows = flat_tokens(text)
+    return row_id, fnv1a_u64(flat), n_rows
 
 
 def repetition_stats(tbl: pa.Table, text_col: str = "text",
@@ -303,7 +293,13 @@ class ContaminationFlagger:
             # snippet) pairs are unique here — one probe hash per
             # snippet, (row, hash) deduped above — so each hit adds
             # exactly 1.
-            texts = text.to_pylist()
+            # convert only the CANDIDATE rows' text to python strings —
+            # a whole-batch to_pylist would copy every multi-KB doc to
+            # serve a handful of checks
+            cand_rows = np.unique(rows_all)
+            texts = dict(zip(cand_rows.tolist(),
+                             text.take(pa.array(cand_rows, pa.int64()))
+                             .to_pylist()))
             snips = self.snippets
             ok = np.fromiter(
                 (snips[s] in texts[r]

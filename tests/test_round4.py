@@ -130,12 +130,19 @@ def test_range_join_broadcast_nan_and_null_never_match(ray_session):
     t = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
                   "value": pa.array([5.0, None, float("nan")],
                                     pa.float64())})
-    iv = pa.table({"lo": pa.array([0.0, None], pa.float64()),
-                   "hi": pa.array([10.0, None], pa.float64()),
-                   "band": pa.array([0, 1], pa.int64())})
-    got = range_join_broadcast(rd.from_arrow(t), iv,
-                               value_col="value").take_all()
-    assert [(r["id"], r["band"]) for r in got] == [(1, 0)]
+    # one-sided NaN bounds are the trap: searchsorted would place a
+    # NaN hi past every finite value (matching everything >= lo)
+    # where the comparison-mask semantics match nothing
+    iv = pa.table({"lo": pa.array([0.0, None, 0.0, float("nan")],
+                                  pa.float64()),
+                   "hi": pa.array([10.0, None, None, 10.0],
+                                  pa.float64()),
+                   "band": pa.array([0, 1, 2, 3], pa.int64())})
+    for closed in ("left", "both"):
+        got = range_join_broadcast(rd.from_arrow(t), iv,
+                                   value_col="value",
+                                   closed=closed).take_all()
+        assert [(r["id"], r["band"]) for r in got] == [(1, 0)], closed
 
 
 # ----------------------------------------------- asof join null keys
