@@ -1522,6 +1522,46 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
 """
 
 
+def q_asof_forward(sf_dir: str):
+    """FORWARD as-of join with a tolerance: each error event gets the
+    user's NEXT purchase, but only if it lands within one hour —
+    the time-to-recovery / conversion-after-failure shape. Exercises
+    the asof operator's forward direction and tolerance gate (a match
+    farther than the tolerance nulls out rather than falling back to
+    a later one — nearest-only semantics, like the SQL mirror's CASE
+    over DuckDB's forward ASOF JOIN). Same single-scan split and
+    keyed-shuffle shape as ``asof_join``."""
+    from .joins import asof_join
+
+    nb = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def split(t: pa.Table):
+        e = t.filter(pc.equal(t.column("event_type"), "error")) \
+            .select(["event_id", "ts", "user_id"])
+        p = t.filter(pc.equal(t.column("event_type"), "purchase")) \
+            .select(["ts", "user_id", "value"])
+        return e, p
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    return asof_join(ev, on="ts", by="user_id", split=split,
+                     right_cols={"ts": "next_ts", "value": "next_value"},
+                     direction="forward", tolerance_us=3_600_000_000,
+                     how="left", n_buckets=nb)
+
+
+SQL_ASOF_FORWARD = """
+SELECT l.event_id, l.ts, l.user_id,
+       CASE WHEN r.ts - l.ts <= INTERVAL 1 HOUR THEN r.ts END
+         AS next_ts,
+       CASE WHEN r.ts - l.ts <= INTERVAL 1 HOUR THEN r.value END
+         AS next_value
+FROM (SELECT * FROM events WHERE event_type = 'error') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
+
 _VALUE_BANDS = [("micro", 0.0, 15.0), ("low", 10.0, 60.0),
                 ("mid", 50.0, 130.0), ("high", 120.0, 1_000_000.0)]
 
@@ -2577,6 +2617,7 @@ QUERIES = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "ratelimit": (q_ratelimit, SQL_RATELIMIT),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "asof_forward": (q_asof_forward, SQL_ASOF_FORWARD),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "hash_join_rows": (q_hash_join_rows, SQL_HASH_JOIN_ROWS),
     "join_revenue": (q_join_revenue, SQL_JOIN_REVENUE),

@@ -446,3 +446,29 @@ class TestGlobalDiscreteQuantile:
                                                       pa.float64())}))
         with pytest.raises(ValueError, match="no non-null"):
             global_discrete_quantile(nulls, value_col="x", q=0.5)
+
+
+# ----------------------------------------- forward as-of with tolerance
+
+def test_asof_forward_tolerance(ray_session):
+    """Forward direction picks the nearest FOLLOWING right row (ties on
+    ts admit it); a nearest match farther than the tolerance nulls out
+    rather than falling back to a later one."""
+    import ray.data as rd
+
+    from raybeats.joins import asof_join
+    lt = pa.table({"event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                   "ts": pa.array([100, 200, 300, 400],
+                                  pa.timestamp("us")),
+                   "user_id": pa.array([7, 7, 7, 9], pa.int64())})
+    rt = pa.table({"ts": pa.array([150, 200, 1000], pa.timestamp("us")),
+                   "user_id": pa.array([7, 7, 7], pa.int64()),
+                   "v": pa.array([10, 20, 30], pa.int64())})
+    out = asof_join(rd.from_arrow(lt), rd.from_arrow(rt), on="ts",
+                    by="user_id", right_cols={"v": "v"},
+                    direction="forward", tolerance_us=500,
+                    how="left", n_buckets=2).take_all()
+    got = {r["event_id"]: r["v"] for r in out}
+    # 1 -> 150(v=10); 2 -> 200 ties admit (v=20); 3 -> nearest is 1000,
+    # 700us away > 500 tolerance -> null (no fallback); 4 -> no user 9
+    assert got == {1: 10, 2: 20, 3: None, 4: None}
