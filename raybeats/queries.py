@@ -2175,6 +2175,55 @@ SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS idx,
 FROM x GROUP BY label, i"""
 
 
+def q_kmeans_iter(sf_dir: str):
+    """One EXACT k-means (Lloyd) iteration over the embedding column —
+    the iterative-ML primitive (vector quantization / IVF training):
+    assign every vector to its nearest seed centroid (vectorized
+    squared-L2 argmin per batch against the broadcast 8-seed matrix,
+    ties → lowest id) and emit the per-cluster int64-quantized
+    component sums + counts (the `embedding_centroids` reduce keyed by
+    the ASSIGNED cluster instead of a stored label — new centroids are
+    s/(n·scale) at whatever precision the consumer wants, and a full
+    k-means is this query looped with the seeds swapped). Partials are
+    clusters × dim fixed rows per batch; nothing shuffles."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from .textops.knn import centroid_sum_partial, kmeans_assign
+
+    seeds = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        filter=pc.field("vec_id") < 8, columns=["vec_id", "embedding"]) \
+        .sort_by("vec_id")
+    cents = np.array(seeds.column("embedding").to_pylist(),
+                     dtype=np.float64)
+
+    def assign_partial(t: pa.Table) -> pa.Table:
+        return centroid_sum_partial(
+            kmeans_assign(t, centroids=cents), by="cid")
+
+    small = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(assign_partial, batch_format="pyarrow")
+    return _combine_partials(small, ["cid", "idx"], {"s": "s", "n": "n"})
+
+
+SQL_KMEANS_ITER = """
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings WHERE vec_id < 8),
+a AS (SELECT e.vec_id, e.embedding, c.cid,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.ce),
+                   c.cid) AS rn
+      FROM embeddings e, c),
+l AS (SELECT embedding, cid FROM a WHERE rn = 1),
+x AS (SELECT cid, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS i FROM l)
+SELECT CAST(cid AS BIGINT) AS cid, CAST(i AS BIGINT) AS idx,
+  CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+       AS BIGINT) AS s,
+  COUNT(*) AS n
+FROM x GROUP BY cid, i"""
+
+
 def q_running_sum(sf_dir: str):
     """Per-user cumulative running total (the ordered window-function
     shape: SUM() OVER (PARTITION BY key ORDER BY ts)). Partitioning
@@ -2618,6 +2667,7 @@ QUERIES = {
     "ratelimit": (q_ratelimit, SQL_RATELIMIT),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "asof_forward": (q_asof_forward, SQL_ASOF_FORWARD),
+    "kmeans_iter": (q_kmeans_iter, SQL_KMEANS_ITER),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "hash_join_rows": (q_hash_join_rows, SQL_HASH_JOIN_ROWS),
     "join_revenue": (q_join_revenue, SQL_JOIN_REVENUE),

@@ -306,6 +306,34 @@ class LshBucketer:
             "bucket": pa.array(bucket.reshape(-1), pa.int64())})
 
 
+def kmeans_assign(t: pa.Table, *, centroids: np.ndarray,
+                  vec_col: str = "embedding",
+                  out_col: str = "cid") -> pa.Table:
+    """Assign each vector to its nearest centroid (squared-L2 argmin;
+    ties break to the LOWEST centroid id — np.argmin's first
+    occurrence, mirroring the SQL ``ORDER BY distance, cid`` window).
+    One vectorized (n, k, d) pass per batch against the broadcast
+    centroid matrix — the assignment half of a Lloyd/k-means
+    iteration (the reduce half is `centroid_sum_partial`). Float64
+    math after casting, matching SQL's DOUBLE promotion; squared vs
+    sqrt distance orders identically."""
+    emb = t.column(vec_col)
+    emb = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
+    n = len(emb)
+    if n == 0:
+        return t.append_column(out_col, pa.array([], pa.int64()))
+    offs = emb.offsets.to_numpy(zero_copy_only=False)
+    lens = np.diff(offs)
+    d = centroids.shape[1]
+    if not (lens == d).all():
+        raise ValueError(f"vector dim != centroid dim {d}")
+    e = pc.cast(emb.flatten(), pa.float64()) \
+        .to_numpy(zero_copy_only=False).reshape(n, d)
+    d2 = ((e[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    lab = np.argmin(d2, axis=1).astype(np.int64)
+    return t.append_column(out_col, pa.array(lab, pa.int64()))
+
+
 # ------------------------------------------------------ vector aggregates
 
 def centroid_sum_partial(t: pa.Table, *, vec_col: str = "embedding",

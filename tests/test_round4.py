@@ -472,3 +472,27 @@ def test_asof_forward_tolerance(ray_session):
     # 1 -> 150(v=10); 2 -> 200 ties admit (v=20); 3 -> nearest is 1000,
     # 700us away > 500 tolerance -> null (no fallback); 4 -> no user 9
     assert got == {1: 10, 2: 20, 3: None, 4: None}
+
+
+# ------------------------------------------------- k-means assignment
+
+def test_kmeans_assign_matches_brute_force_and_tiebreak():
+    from raybeats.textops.knn import kmeans_assign
+    rng = np.random.RandomState(4)
+    e = rng.randn(50, 8)
+    c = rng.randn(5, 8)
+    t = pa.table({"vec_id": pa.array(range(50), pa.int64()),
+                  "embedding": pa.array(e.astype(np.float32).tolist(),
+                                        pa.list_(pa.float32()))})
+    cents = np.array(t.column("embedding").to_pylist(), np.float64)[:0]
+    e64 = np.array(t.column("embedding").to_pylist(), np.float64)
+    got = kmeans_assign(t, centroids=c).column("cid").to_pylist()
+    exp = [int(np.argmin(((v - c) ** 2).sum(1))) for v in e64]
+    assert got == exp
+    # exact tie (duplicate centroids) breaks to the LOWEST cid
+    cdup = np.vstack([c[0], c[0], c])
+    got2 = kmeans_assign(t, centroids=cdup).column("cid").to_pylist()
+    assert all(g != 1 for g in got2)  # index 0 shadows its duplicate 1
+    # dim mismatch raises
+    with pytest.raises(ValueError, match="dim"):
+        kmeans_assign(t, centroids=np.zeros((3, 5)))

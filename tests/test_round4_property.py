@@ -1,0 +1,64 @@
+"""Property tests for the round-4 kernels: the contamination shingle
+probe and the broadcast range join must equal their naive definitions on
+arbitrary inputs (unicode, punctuation-only, mid-token snippet cuts,
+empty/degenerate intervals, NaN bounds)."""
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from hypothesis import given, settings, strategies as st
+
+# text with ascii words, unicode, digits and punctuation so tokenizer
+# edges (empty tokens, non-ascii lowercasing) get exercised
+_text = st.text(
+    alphabet=st.sampled_from(list("abcXYZ019 .,-_@é漢\t")), max_size=60)
+
+
+@settings(max_examples=120, deadline=None)
+@given(docs=st.lists(_text, min_size=1, max_size=12),
+       cuts=st.lists(st.tuples(st.integers(0, 11), st.integers(0, 50),
+                               st.integers(1, 20)),
+                     min_size=1, max_size=10))
+def test_contamination_equals_naive_scan(docs, cuts):
+    from raybeats.textops.curation import ContaminationFlagger
+    snips = []
+    for di, start, width in cuts:
+        d = docs[di % len(docs)]
+        s = d[start:start + width]
+        if s:
+            snips.append(s)
+    if not snips:
+        snips = ["zz never matches"]
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    got = ContaminationFlagger(snips)(tbl).column("n_hits").to_pylist()
+    # per-entry semantics: a snippet passed twice counts twice (matches
+    # the K-scan kernel; q_contamination dedupes upstream)
+    exp = [sum(s in d for s in snips) for d in docs]
+    assert got == exp, (docs, snips)
+
+
+@settings(max_examples=40, deadline=None)
+@given(vals=st.lists(st.floats(allow_infinity=False, width=32),
+                     min_size=0, max_size=40),
+       ivs=st.lists(st.tuples(st.floats(allow_infinity=False, width=32),
+                              st.floats(allow_infinity=False, width=32)),
+                    min_size=1, max_size=15),
+       closed=st.sampled_from(["left", "both"]))
+def test_range_join_equals_mask_semantics(ray_session, vals, ivs, closed):
+    import ray.data as rd
+
+    from raybeats.joins import range_join_broadcast
+    t = pa.table({"id": pa.array(range(len(vals)), pa.int64()),
+                  "value": pa.array(vals, pa.float64())})
+    iv = pa.table({"lo": pa.array([a for a, _ in ivs], pa.float64()),
+                   "hi": pa.array([b for _, b in ivs], pa.float64()),
+                   "band": pa.array(range(len(ivs)), pa.int64())})
+    got = sorted((r["id"], r["band"]) for r in range_join_broadcast(
+        rd.from_arrow(t), iv, value_col="value", closed=closed)
+        .take_all())
+    v = np.array(vals, np.float64)
+    exp = []
+    for i, (a, b) in enumerate(ivs):
+        m = (v >= a) & ((v <= b) if closed == "both" else (v < b))
+        exp.extend((int(r), i) for r in np.nonzero(m)[0])
+    assert got == sorted(exp)
