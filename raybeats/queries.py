@@ -2196,12 +2196,17 @@ def q_kmeans_iter(sf_dir: str):
         .sort_by("vec_id")
     cents = np.array(seeds.column("embedding").to_pylist(),
                      dtype=np.float64)
+    # label clusters by the seeds' ACTUAL vec_ids (ascending, so the
+    # first-occurrence argmin tiebreak = lowest cid like the SQL
+    # window) — positional labels only coincide when ids are 0..k-1
+    seed_ids = np.array(seeds.column("vec_id").to_pylist(), np.int64)
 
     def assign_partial(t: pa.Table) -> pa.Table:
         return centroid_sum_partial(
-            kmeans_assign(t, centroids=cents), by="cid")
+            kmeans_assign(t, centroids=cents, centroid_ids=seed_ids),
+            by="cid")
 
-    small = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+    small = _read(sf_dir, "embeddings", ["embedding"], blocks=16) \
         .map_batches(assign_partial, batch_format="pyarrow")
     return _combine_partials(small, ["cid", "idx"], {"s": "s", "n": "n"})
 

@@ -307,30 +307,40 @@ class LshBucketer:
 
 
 def kmeans_assign(t: pa.Table, *, centroids: np.ndarray,
+                  centroid_ids: np.ndarray | None = None,
                   vec_col: str = "embedding",
                   out_col: str = "cid") -> pa.Table:
     """Assign each vector to its nearest centroid (squared-L2 argmin;
-    ties break to the LOWEST centroid id — np.argmin's first
-    occurrence, mirroring the SQL ``ORDER BY distance, cid`` window).
-    One vectorized (n, k, d) pass per batch against the broadcast
-    centroid matrix — the assignment half of a Lloyd/k-means
-    iteration (the reduce half is `centroid_sum_partial`). Float64
-    math after casting, matching SQL's DOUBLE promotion; squared vs
-    sqrt distance orders identically."""
+    ties break to the FIRST centroid row — np.argmin's first
+    occurrence, so pass centroids in ascending-id order to mirror the
+    SQL ``ORDER BY distance, cid`` window). The assignment half of a
+    Lloyd/k-means iteration (the reduce half is
+    `centroid_sum_partial`). One (n, d) temporary per centroid — NOT
+    an (n, k, d) broadcast cube, which would transiently be 2k× the
+    float32 batch payload; the per-row double ops and their reduction
+    order are identical either way. ``centroid_ids`` maps the
+    positional argmin to real ids (the oracle labels clusters by
+    vec_id, not seed position — positions only coincide when seed ids
+    happen to be 0..k-1). Float64 math after casting, matching SQL's
+    DOUBLE promotion; squared vs sqrt distance orders identically in
+    exact arithmetic — as with the cosine oracle, cross-engine argmin
+    stability assumes distances are not within ~1 ulp of each other."""
+    if centroids.ndim != 2 or centroids.shape[0] == 0:
+        raise ValueError("centroids must be a non-empty (k, d) matrix")
+    k, d = centroids.shape
+    if centroid_ids is None:
+        centroid_ids = np.arange(k, dtype=np.int64)
     emb = t.column(vec_col)
-    emb = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
-    n = len(emb)
+    n = t.num_rows
     if n == 0:
         return t.append_column(out_col, pa.array([], pa.int64()))
-    offs = emb.offsets.to_numpy(zero_copy_only=False)
-    lens = np.diff(offs)
-    d = centroids.shape[1]
-    if not (lens == d).all():
-        raise ValueError(f"vector dim != centroid dim {d}")
-    e = pc.cast(emb.flatten(), pa.float64()) \
-        .to_numpy(zero_copy_only=False).reshape(n, d)
-    d2 = ((e[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-    lab = np.argmin(d2, axis=1).astype(np.int64)
+    e = _matrix(emb)
+    if e.shape[1] != d:
+        raise ValueError(f"vector dim {e.shape[1]} != centroid dim {d}")
+    d2 = np.empty((n, k), np.float64)
+    for j in range(k):
+        d2[:, j] = ((e - centroids[j]) ** 2).sum(axis=1)
+    lab = np.asarray(centroid_ids, np.int64)[np.argmin(d2, axis=1)]
     return t.append_column(out_col, pa.array(lab, pa.int64()))
 
 

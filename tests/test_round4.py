@@ -484,15 +484,21 @@ def test_kmeans_assign_matches_brute_force_and_tiebreak():
     t = pa.table({"vec_id": pa.array(range(50), pa.int64()),
                   "embedding": pa.array(e.astype(np.float32).tolist(),
                                         pa.list_(pa.float32()))})
-    cents = np.array(t.column("embedding").to_pylist(), np.float64)[:0]
     e64 = np.array(t.column("embedding").to_pylist(), np.float64)
     got = kmeans_assign(t, centroids=c).column("cid").to_pylist()
     exp = [int(np.argmin(((v - c) ** 2).sum(1))) for v in e64]
     assert got == exp
-    # exact tie (duplicate centroids) breaks to the LOWEST cid
+    # centroid_ids map the positional argmin to real cluster ids
+    ids = np.array([10, 20, 30, 40, 50], np.int64)
+    got_ids = kmeans_assign(t, centroids=c, centroid_ids=ids) \
+        .column("cid").to_pylist()
+    assert got_ids == [int(ids[g]) for g in exp]
+    # exact tie (duplicate centroids) breaks to the FIRST row
     cdup = np.vstack([c[0], c[0], c])
     got2 = kmeans_assign(t, centroids=cdup).column("cid").to_pylist()
     assert all(g != 1 for g in got2)  # index 0 shadows its duplicate 1
-    # dim mismatch raises
+    # dim mismatch and empty centroid matrix raise
     with pytest.raises(ValueError, match="dim"):
         kmeans_assign(t, centroids=np.zeros((3, 5)))
+    with pytest.raises(ValueError, match="non-empty"):
+        kmeans_assign(t, centroids=np.zeros((0, 8)))
