@@ -2229,6 +2229,38 @@ SELECT CAST(cid AS BIGINT) AS cid, CAST(i AS BIGINT) AS idx,
 FROM x GROUP BY cid, i"""
 
 
+def q_token_heavy_hitters(sf_dir: str):
+    """Corpus-wide top-25 tokens via the mergeable Misra-Gries sketch
+    (textops/sketches.heavy_hitters) — NO shuffle: each batch reduces
+    its exact local counts to a fixed 4096-entry summary, the driver
+    sums key-wise and reduces once. The scale path of the exact
+    ``token_topk`` groupby for web-scale key cardinalities (tokens,
+    URLs, ids) where per-batch distinct rows would swamp the shuffle.
+    On this corpus the vocabulary (31 tokens) is far below the summary
+    capacity, so the estimates are EXACT with bound 0 and the DuckDB
+    mirror holds verbatim; the approximation regime (capacity
+    overflow, nonzero bound) is value-asserted in
+    tests/test_sketches.py against the MG guarantee
+    ``est ≤ true ≤ est + bound``."""
+    from .textops.analysis import flat_tokens
+    from .textops.sketches import heavy_hitters
+
+    def explode(t: pa.Table) -> pa.Table:
+        _, flat, _ = flat_tokens(t.column("text"))
+        return pa.table({"token": flat})
+
+    ds = _read(sf_dir, "documents", ["text"], blocks=16) \
+        .map_batches(explode, batch_format="pyarrow")
+    return heavy_hitters(ds, "token", k=25, m=4096)
+
+
+SQL_TOKEN_HEAVY_HITTERS = r"""WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS key
+  FROM documents)
+SELECT key, COUNT(*) AS est, CAST(0 AS BIGINT) AS bound FROM toks
+GROUP BY key ORDER BY est DESC, key LIMIT 25"""
+
+
 def q_running_sum(sf_dir: str):
     """Per-user cumulative running total (the ordered window-function
     shape: SUM() OVER (PARTITION BY key ORDER BY ts)). Partitioning
@@ -2673,6 +2705,8 @@ QUERIES = {
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "asof_forward": (q_asof_forward, SQL_ASOF_FORWARD),
     "kmeans_iter": (q_kmeans_iter, SQL_KMEANS_ITER),
+    "token_heavy_hitters": (q_token_heavy_hitters,
+                            SQL_TOKEN_HEAVY_HITTERS),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "hash_join_rows": (q_hash_join_rows, SQL_HASH_JOIN_ROWS),
     "join_revenue": (q_join_revenue, SQL_JOIN_REVENUE),

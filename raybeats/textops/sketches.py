@@ -90,6 +90,89 @@ class HyperLogLog:
         return raw
 
 
+def mg_summarize(keys: np.ndarray, counts: np.ndarray,
+                 m: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """One Misra-Gries reduction: keep the ``m`` largest counts after
+    subtracting the (m+1)-th largest from everything (counts ≤ 0
+    drop). Returns ``(keys, reduced_counts, offset)`` where ``offset``
+    is the amount subtracted — the summary's contribution to the
+    global underestimate bound. The classic mergeable-summaries result
+    (Agarwal et al., PODS'12): summing summaries key-wise and reducing
+    again is itself an MG summary whose error bound is the SUM of the
+    offsets, so partials can merge in any shape (tasks, tree, driver)."""
+    if len(keys) <= m:
+        return keys, counts, 0
+    order = np.argsort(counts, kind="stable")[::-1]
+    offset = int(counts[order[m]])
+    keep = order[:m]
+    reduced = counts[keep] - offset
+    pos = reduced > 0
+    return keys[keep][pos], reduced[pos], offset
+
+
+def heavy_hitters(ds, column: str, k: int = 25,
+                  m: int = 4096) -> pa.Table:
+    """Approximate corpus-wide top-k heavy hitters with NO shuffle:
+    each batch reduces its exact local counts to an ``m``-entry
+    Misra-Gries summary (fixed-width rows regardless of batch
+    cardinality), the driver sums summaries key-wise and reduces once
+    more. Estimates UNDERCOUNT by at most ``bound`` = Σ offsets
+    (≈ N/(m+1) per reduction): ``est ≤ true ≤ est + bound``, and any
+    key with true count > bound is guaranteed present.
+
+    This is the scale path of the exact ``token_topk`` groupby: that
+    shuffle moves one row per (batch, distinct key) — fine for a
+    bounded vocabulary, unbounded for web-scale token/URL/id columns —
+    while the sketch's fan-in is ``n_batches × m`` rows no matter how
+    many distinct keys exist. Returns (key, est, bound) for the top
+    ``k`` by estimate (count desc, key asc — deterministic), plus the
+    global bound on every row."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        col = tbl.column(column)
+        col = col.combine_chunks() if isinstance(
+            col, pa.ChunkedArray) else col
+        col = pc.cast(col.drop_null(), pa.string())
+        g = pa.table({"k": col}).group_by("k") \
+            .aggregate([([], "count_all")])
+        keys = g.column("k").to_numpy(zero_copy_only=False)
+        counts = g.column("count_all").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keys, counts, off = mg_summarize(keys, counts, m)
+        # one sentinel null-key row per batch carries its offset
+        return pa.table({
+            "key": pa.array(keys.tolist() + [None], pa.string()),
+            "cnt": pa.array(np.append(counts, off), pa.int64()),
+        })
+
+    acc: dict[str, int] = {}
+    total_off = 0
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for key, cnt in zip(b.column("key").to_pylist(),
+                            b.column("cnt").to_numpy(
+                                zero_copy_only=False)):
+            if key is None:
+                total_off += int(cnt)
+            elif cnt > 0:
+                acc[key] = acc.get(key, 0) + int(cnt)
+    if acc:
+        keys = np.array(list(acc.keys()), object)
+        counts = np.fromiter(acc.values(), np.int64, len(acc))
+        keys, counts, off2 = mg_summarize(keys, counts, m)
+        total_off += off2
+    else:
+        keys = np.array([], object)
+        counts = np.array([], np.int64)
+    order = np.lexsort((keys, -counts))[:k]
+    return pa.table({
+        "key": pa.array(keys[order].tolist(), pa.string()),
+        "est": pa.array(counts[order], pa.int64()),
+        "bound": pa.array(np.full(len(order), total_off, np.int64),
+                          pa.int64()),
+    })
+
+
 def approx_distinct(ds, column: str, p: int = 14) -> float:
     """Distributed approximate COUNT(DISTINCT column): per-batch HLL
     partials (one m-byte register row each) merged on the driver —

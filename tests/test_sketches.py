@@ -59,3 +59,52 @@ def test_approx_distinct_distributed(ray_session):
                          override_num_blocks=8)
     est = approx_distinct(ds, "user_id", p=14)
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+class TestHeavyHitters:
+    def test_exact_when_capacity_exceeds_cardinality(self, ray_session):
+        import ray.data as rd
+
+        from raybeats.textops.sketches import heavy_hitters
+        vals = ["a"] * 50 + ["b"] * 30 + ["c"] * 20 + ["d"] * 5
+        ds = rd.from_arrow(pa.table({"k": pa.array(vals)})).repartition(4)
+        out = heavy_hitters(ds, "k", k=3, m=100)
+        assert out.column("key").to_pylist() == ["a", "b", "c"]
+        assert out.column("est").to_pylist() == [50, 30, 20]
+        assert out.column("bound").to_pylist() == [0, 0, 0]
+
+    def test_mg_bound_holds_under_overflow(self, ray_session):
+        import ray.data as rd
+
+        from raybeats.textops.sketches import heavy_hitters
+        rng = np.random.RandomState(13)
+        # zipf-ish: a few heavy keys over a long tail that overflows m
+        tail = [f"t{i}" for i in rng.randint(0, 5000, 20_000)]
+        heavy = ["h0"] * 3000 + ["h1"] * 2000 + ["h2"] * 1200
+        vals = np.array(heavy + tail, object)
+        rng.shuffle(vals)
+        ds = rd.from_arrow(pa.table({"k": pa.array(vals.tolist())})) \
+            .repartition(8)
+        out = heavy_hitters(ds, "k", k=10, m=256)
+        import collections
+        true = collections.Counter(vals.tolist())
+        bound = out.column("bound")[0].as_py()
+        assert bound > 0  # the tail overflowed the summary
+        for key, est in zip(out.column("key").to_pylist(),
+                            out.column("est").to_pylist()):
+            assert est <= true[key] <= est + bound, (key, est, bound)
+        # every key whose true count exceeds the bound must be present
+        got = set(out.column("key").to_pylist())
+        for key in ("h0", "h1", "h2"):
+            assert true[key] > bound and key in got
+
+    def test_mg_summarize_reduction_rule(self):
+        from raybeats.textops.sketches import mg_summarize
+        keys = np.array(list("abcde"), object)
+        counts = np.array([10, 8, 5, 3, 1], np.int64)
+        k2, c2, off = mg_summarize(keys, counts, 3)
+        assert off == 3  # the (m+1)-th largest
+        assert list(k2) == ["a", "b", "c"] and list(c2) == [7, 5, 2]
+        # no-op below capacity
+        k3, c3, off3 = mg_summarize(keys, counts, 5)
+        assert off3 == 0 and list(k3) == list(keys)
