@@ -250,3 +250,36 @@ def write_ndjson(ds, out_dir: str, codec: dict | None = None) -> dict:
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
+
+
+def read_ndjson(out_dir: str, columns: list[str] | None = None):
+    """Reader half of :func:`write_ndjson`'s default compact ``json``
+    codec (one JSON document per line — the reference's file/console
+    output format, ``outputs/fileout``): one lazy Dataset over the
+    ``part-*.ndjson`` files, parsed by arrow's JSON reader inside Ray's
+    ``read_json`` tasks (parallel per file, streaming). The ``pretty``
+    and ``format`` codecs are render-only (multi-line / lossy) and have
+    no reader.
+
+    JSON is a row-oriented TEXT format: there is no parse-time column
+    pruning, so ``columns`` projects AFTER the parse
+    (``select_columns``). The engine's scale-path interchange format
+    stays parquet — this reader exists to consume ndjson feeds
+    produced by shippers, not to make ndjson a storage format. Type
+    note: the json codec renders timestamps as ISO strings and arrow's
+    JSON reader type-infers them back (to second precision — the
+    codec's rendered granularity), so a write→read round trip
+    preserves values at the codec's fidelity, exactly like
+    re-ingesting any shipper's output (asserted in tests)."""
+    import ray.data as rd
+
+    files = sorted(glob_mod.glob(os.path.join(out_dir, "part-*.ndjson")))
+    if not files:
+        raise ConfigError(f"read_ndjson: no part-*.ndjson under "
+                          f"{out_dir!r}")
+    # Ray's default extension filter rejects .ndjson; the files are
+    # plain line-delimited JSON, so accept the extension explicitly
+    ds = rd.read_json(files, file_extensions=["ndjson"])
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds

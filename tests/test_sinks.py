@@ -233,3 +233,33 @@ def test_kafka_lane_consumer_round_trip(ray_session, tmp_path):
     assert {r["topic"] for r in only_b} == {"t-b"}
     assert len(only_b) == sum(v for k, v in man["lanes"].items()
                               if k.startswith("t-b/"))
+
+
+def test_ndjson_write_read_round_trip(ray_session, tmp_path):
+    """read_ndjson consumes write_ndjson's compact json codec back into
+    a Dataset: values round-trip at the codec's fidelity (timestamps
+    render as ISO strings and type-infer back at second precision),
+    column projection works, and non-json codecs have no reader."""
+    import datetime
+    import ray.data as rd
+
+    from raybeats.errors import ConfigError
+    from raybeats.sinks import read_ndjson, write_ndjson
+    t = pa.table({
+        "a": pa.array([1, 2, 3], pa.int64()),
+        "s": pa.array(["x", "y", None], pa.string()),
+        "ts": pa.array([1_000_000, 2_000_000, 3_000_000],
+                       pa.timestamp("us"))})
+    out = str(tmp_path / "nd")
+    man = write_ndjson(rd.from_arrow(t), out)
+    assert man["rows"] == 3
+    back = sorted(read_ndjson(out).take_all(), key=lambda r: r["a"])
+    assert [r["a"] for r in back] == [1, 2, 3]
+    assert [r["s"] for r in back] == ["x", "y", None]
+    assert [r["ts"] for r in back] == [
+        datetime.datetime(1970, 1, 1, 0, 0, s) for s in (1, 2, 3)]
+    proj = read_ndjson(out, columns=["a"]).take_all()
+    assert sorted(r["a"] for r in proj) == [1, 2, 3]
+    assert all(set(r) == {"a"} for r in proj)
+    with pytest.raises(ConfigError, match="no part"):
+        read_ndjson(str(tmp_path / "missing"))
