@@ -98,6 +98,23 @@ def global_discrete_quantile(ds, *, value_col: str, q: float,
     convention)."""
     if not (0.0 < q <= 1.0):
         raise ValueError(f"q must be in (0, 1]: {q!r}")
+    uniq, cum = fold_quantum_cdf(ds, value_col=value_col, scale=scale)
+    if len(uniq) == 0:
+        raise ValueError(f"no non-null {value_col!r} values")
+    total = int(cum[-1])
+    idx = int(np.searchsorted(cum, np.ceil(q * total), side="left"))
+    return int(uniq[idx]), total
+
+
+def fold_quantum_cdf(ds, *, value_col: str, scale: int = 1) \
+        -> tuple[np.ndarray, np.ndarray]:
+    """Exact corpus-wide discrete CDF of ``floor(value * scale)``:
+    per-batch (quantum, count) partials — bounded by the value range ×
+    precision, never the corpus — folded into sorted quanta and their
+    cumulative counts ``(uniq, cum)``; ``cum[i]`` = number of rows with
+    quantum ≤ ``uniq[i]``. Nulls/NaNs are ignored (SQL-aggregate
+    convention). The broadcastable half of quantile thresholds
+    (`global_discrete_quantile`) and per-row percentile ranks."""
 
     def partial(t: pa.Table) -> pa.Table:
         v = pc.cast(t.column(value_col), pa.float64()) \
@@ -116,13 +133,10 @@ def global_discrete_quantile(ds, *, value_col: str, q: float,
                 b.column("q").to_numpy(zero_copy_only=False),
                 b.column("cnt").to_numpy(zero_copy_only=False)):
             acc[int(quantum)] = acc.get(int(quantum), 0) + int(cnt)
-    if not acc:
-        raise ValueError(f"no non-null {value_col!r} values")
     uniq = np.array(sorted(acc), np.int64)
-    cum = np.cumsum([acc[int(u)] for u in uniq])
-    total = int(cum[-1])
-    idx = int(np.searchsorted(cum, np.ceil(q * total), side="left"))
-    return int(uniq[idx]), total
+    cum = np.cumsum([acc[int(u)] for u in uniq]).astype(np.int64) \
+        if len(uniq) else np.array([], np.int64)
+    return uniq, cum
 
 
 # ----------------------------------------------------- keep-latest compaction

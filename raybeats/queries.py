@@ -2229,6 +2229,48 @@ SELECT CAST(cid AS BIGINT) AS cid, CAST(i AS BIGINT) AS idx,
 FROM x GROUP BY cid, i"""
 
 
+def q_value_percentile(sf_dir: str):
+    """Per-event exact percentile position: how many events (corpus-
+    wide) have a cent-quantized value ≤ this event's — the global-CDF
+    normalization step of feature pipelines (score → rank). Two narrow
+    passes, no shuffle: pass 1 folds per-batch (quantum, count)
+    partials into the exact CDF (`aggregates.fold_quantum_cdf` —
+    bounded by value range × precision, the quantiles-partial shape);
+    pass 2 broadcasts the two int64 CDF arrays in the map closure and
+    answers every row with one searchsorted. Integer output (cum count
+    ≤, not a float ratio) so the cross-engine hash is exact; consumers
+    divide by n at whatever precision they want."""
+    import numpy as np
+
+    from .aggregates import fold_quantum_cdf
+
+    cdf_uniq, cdf_cum = fold_quantum_cdf(
+        _read(sf_dir, "events", ["value"]), value_col="value", scale=100)
+
+    def rank(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column("value"), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        quanta = np.floor(v[ok] * 100).astype(np.int64)
+        idx = np.searchsorted(cdf_uniq, quanta, side="left")
+        return pa.table({
+            "event_id": t.column("event_id").filter(pa.array(ok)),
+            "cents": pa.array(quanta, pa.int64()),
+            "cum_le": pa.array(cdf_cum[idx], pa.int64())})
+
+    return _read(sf_dir, "events", ["event_id", "value"], blocks=8) \
+        .map_batches(rank, batch_format="pyarrow")
+
+
+SQL_VALUE_PERCENTILE = """
+WITH c AS (SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS q
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+g AS (SELECT q, COUNT(*) AS cnt FROM c GROUP BY q),
+s AS (SELECT q, SUM(cnt) OVER (ORDER BY q) AS cum FROM g)
+SELECT c.event_id, c.q AS cents, CAST(s.cum AS BIGINT) AS cum_le
+FROM c JOIN s USING (q)"""
+
+
 def q_token_heavy_hitters(sf_dir: str):
     """Corpus-wide top-25 tokens via the mergeable Misra-Gries sketch
     (textops/sketches.heavy_hitters) — NO shuffle: each batch reduces
@@ -2707,6 +2749,7 @@ QUERIES = {
     "kmeans_iter": (q_kmeans_iter, SQL_KMEANS_ITER),
     "token_heavy_hitters": (q_token_heavy_hitters,
                             SQL_TOKEN_HEAVY_HITTERS),
+    "value_percentile": (q_value_percentile, SQL_VALUE_PERCENTILE),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "hash_join_rows": (q_hash_join_rows, SQL_HASH_JOIN_ROWS),
     "join_revenue": (q_join_revenue, SQL_JOIN_REVENUE),

@@ -502,3 +502,29 @@ def test_kmeans_assign_matches_brute_force_and_tiebreak():
         kmeans_assign(t, centroids=np.zeros((3, 5)))
     with pytest.raises(ValueError, match="non-empty"):
         kmeans_assign(t, centroids=np.zeros((0, 8)))
+
+
+# -------------------------------------------------- global CDF folding
+
+def test_fold_quantum_cdf_and_percentile_rank(ray_session):
+    import ray.data as rd
+
+    from raybeats.aggregates import fold_quantum_cdf
+    rng = np.random.RandomState(21)
+    v = rng.uniform(-5, 5, 3000)
+    v[::111] = np.nan
+    ds = rd.from_arrow(pa.table({"value": pa.array(v)})).repartition(5)
+    uniq, cum = fold_quantum_cdf(ds, value_col="value", scale=100)
+    clean = np.floor(v[~np.isnan(v)] * 100).astype(np.int64)
+    exp_uniq, exp_counts = np.unique(clean, return_counts=True)
+    assert (uniq == exp_uniq).all()
+    assert (cum == np.cumsum(exp_counts)).all()
+    # per-value rank: count of values <= each quantum
+    for q in (exp_uniq[0], exp_uniq[len(exp_uniq) // 2], exp_uniq[-1]):
+        idx = int(np.searchsorted(uniq, q))
+        assert cum[idx] == int((clean <= q).sum())
+    # empty input
+    u2, c2 = fold_quantum_cdf(
+        rd.from_arrow(pa.table({"value": pa.array([], pa.float64())})),
+        value_col="value")
+    assert len(u2) == 0 and len(c2) == 0
