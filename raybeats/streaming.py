@@ -552,6 +552,50 @@ class RunningTotalState(_PerBucketPending):
             self.carry)
 
 
+class ApproxDistinctState:
+    """Per-bucket incremental HLL distinct count — the streaming
+    counterpart of the batch ``approx_distinct`` sketch. Register
+    maxes commute and buckets partition the key space, so the merged
+    flush equals the batch sketch BIT-EXACTLY for any micro-batch
+    split (tested); no watermark handling is needed (max is
+    order-insensitive)."""
+
+    def __init__(self, column: str, p: int = 14):
+        from .textops.sketches import HyperLogLog
+        self.hll = HyperLogLog(p)
+        self.column = column
+
+    def process(self, tbl: pa.Table) -> None:
+        if tbl.num_rows:
+            self.hll.add_column(tbl.column(self.column))
+        return None
+
+    def flush(self) -> pa.Table:
+        return pa.table({"regs": pa.array(
+            [self.hll.registers.tobytes()], pa.binary())})
+
+
+def streaming_approx_distinct(micro_batches, column: str = "user_id",
+                              n_buckets: int = 4, p: int = 14) -> float:
+    """Incremental approximate COUNT(DISTINCT column) over time-ordered
+    micro-batches: keyed actor state per bucket, one fixed-size HLL per
+    actor, merged registers at end of stream. Equals the batch
+    ``textops.sketches.approx_distinct`` estimate exactly."""
+    import numpy as np
+    import ray
+
+    from .textops.sketches import HyperLogLog
+
+    actors, _ = _drive_keyed_actors(micro_batches, ApproxDistinctState,
+                                    (column, p), n_buckets,
+                                    key_col=column)
+    merged = HyperLogLog(p)
+    for t in ray.get([a.flush.remote() for a in actors]):
+        merged.merge_registers(np.frombuffer(
+            t.column("regs")[0].as_py(), dtype=np.uint8, count=1 << p))
+    return merged.estimate()
+
+
 def streaming_running_total(micro_batches, n_buckets: int = 4):
     """Incremental counterpart of the batch ``running_sum`` query:
     per-event cumulative totals over time-ordered micro-batches, keyed

@@ -221,3 +221,27 @@ def test_streaming_sliding_window_bucket_sharing_watermark(ray_session):
     # e1 and e2 are ts-peers and must count each other (RANGE frame);
     # premature folding of e1 would give e1=1
     assert got == {1: 2, 2: 2, 9: 1}
+
+
+def test_streaming_approx_distinct_equals_batch(ray_session):
+    """HLL register maxes commute, so the streamed sketch must equal
+    the batch sketch BIT-EXACTLY for any micro-batch split."""
+    import ray.data as rd
+
+    from raybeats.streaming import streaming_approx_distinct
+    from raybeats.textops.sketches import approx_distinct
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["user_id", "ts"]).sort_by("ts")
+    n = t.num_rows
+    slices = [rd.from_arrow(t.slice(i * n // 3,
+                                    (i + 1) * n // 3 - i * n // 3))
+              for i in range(3)]
+    streamed = streaming_approx_distinct(slices, column="user_id",
+                                         n_buckets=3, p=12)
+    batch = approx_distinct(
+        rd.from_arrow(t.select(["user_id"])), "user_id", p=12)
+    assert streamed == batch
+    # sanity: the estimate is near the exact distinct count
+    exact = len(set(t.column("user_id").to_pylist()))
+    assert abs(streamed - exact) / exact < 0.1
