@@ -243,6 +243,9 @@ def write_ndjson(ds, out_dir: str, codec: dict | None = None) -> dict:
     parts: list[dict] = []
     stage_and_swap(out_dir, run_write)
     manifest = {"codec": kind,
+                # read_ndjson refuses non-line-delimited renderings
+                "pretty": bool(cfg.get("pretty", False))
+                if kind == "json" else False,
                 "files": sorted(os.path.join(out_dir, p["name"])
                                 for p in parts),
                 "rows": sum(p["rows"] for p in parts),
@@ -273,6 +276,19 @@ def read_ndjson(out_dir: str, columns: list[str] | None = None):
     re-ingesting any shipper's output (asserted in tests)."""
     import ray.data as rd
 
+    # codec guard: a pretty/format directory's manifest says so — its
+    # multi-line / free-form lines would hit arrow's line-oriented
+    # parser as an opaque ParseError (or worse, parse wrong rows)
+    man_path = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            man = json.load(f)
+        if man.get("codec") != "json" or man.get("pretty", False):
+            raise ConfigError(
+                f"read_ndjson: {out_dir!r} was written with the "
+                f"{man.get('codec')!r} codec"
+                f"{' (pretty)' if man.get('pretty') else ''} — only the "
+                "compact json codec is line-delimited and readable")
     files = sorted(glob_mod.glob(os.path.join(out_dir, "part-*.ndjson")))
     if not files:
         raise ConfigError(f"read_ndjson: no part-*.ndjson under "

@@ -586,7 +586,15 @@ def streaming_approx_distinct(micro_batches, column: str = "user_id",
 
     from .textops.sketches import HyperLogLog
 
-    actors, _ = _drive_keyed_actors(micro_batches, ApproxDistinctState,
+    def drop_null_keys(t: pa.Table) -> pa.Table:
+        # COUNT(DISTINCT) skips nulls (the batch sketch filters them in
+        # add_column); they must also never reach the bucket router,
+        # whose int() on a null bucket would fail the stream
+        return t.filter(pa.compute.is_valid(t.column(column)))
+
+    slices = (s.map_batches(drop_null_keys, batch_format="pyarrow")
+              for s in micro_batches)
+    actors, _ = _drive_keyed_actors(slices, ApproxDistinctState,
                                     (column, p), n_buckets,
                                     key_col=column)
     merged = HyperLogLog(p)

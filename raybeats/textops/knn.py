@@ -330,13 +330,22 @@ def kmeans_assign(t: pa.Table, *, centroids: np.ndarray,
     k, d = centroids.shape
     if centroid_ids is None:
         centroid_ids = np.arange(k, dtype=np.int64)
+    elif len(centroid_ids) != k:
+        raise ValueError(f"{len(centroid_ids)} centroid_ids != {k} "
+                         "centroids")
     emb = t.column(vec_col)
+    emb = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
     n = t.num_rows
     if n == 0:
         return t.append_column(out_col, pa.array([], pa.int64()))
+    # per-row length check BEFORE the reshape: a ragged batch whose
+    # total element count happens to divide by n would otherwise
+    # reshape into interleaved garbage rows and silently misassign
+    lens = np.diff(emb.offsets.to_numpy(zero_copy_only=False))
+    if not (lens == d).all():
+        raise ValueError(f"vector dim {int(lens.min())}..{int(lens.max())}"
+                         f" != centroid dim {d}")
     e = _matrix(emb)
-    if e.shape[1] != d:
-        raise ValueError(f"vector dim {e.shape[1]} != centroid dim {d}")
     d2 = np.empty((n, k), np.float64)
     for j in range(k):
         d2[:, j] = ((e - centroids[j]) ** 2).sum(axis=1)

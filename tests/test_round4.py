@@ -528,3 +528,17 @@ def test_fold_quantum_cdf_and_percentile_rank(ray_session):
         rd.from_arrow(pa.table({"value": pa.array([], pa.float64())})),
         value_col="value")
     assert len(u2) == 0 and len(c2) == 0
+
+
+def test_kmeans_assign_ragged_and_bad_ids_raise():
+    from raybeats.textops.knn import kmeans_assign
+    c = np.zeros((2, 8))
+    # ragged rows whose total divides evenly would reshape silently
+    ragged = pa.table({"embedding": pa.array([[0.0] * 7, [0.0] * 9],
+                                             pa.list_(pa.float32()))})
+    with pytest.raises(ValueError, match="centroid dim"):
+        kmeans_assign(ragged, centroids=c)
+    ok = pa.table({"embedding": pa.array([[0.0] * 8], pa.list_(
+        pa.float32()))})
+    with pytest.raises(ValueError, match="centroid_ids"):
+        kmeans_assign(ok, centroids=c, centroid_ids=np.array([5]))

@@ -263,3 +263,20 @@ def test_ndjson_write_read_round_trip(ray_session, tmp_path):
     assert all(set(r) == {"a"} for r in proj)
     with pytest.raises(ConfigError, match="no part"):
         read_ndjson(str(tmp_path / "missing"))
+
+
+def test_read_ndjson_refuses_non_line_codecs(ray_session, tmp_path):
+    import ray.data as rd
+
+    from raybeats.errors import ConfigError
+    from raybeats.sinks import read_ndjson, write_ndjson
+    t = pa.table({"a": pa.array([1, 2], pa.int64())})
+    pretty = str(tmp_path / "pretty")
+    write_ndjson(rd.from_arrow(t), pretty, codec={"json": {"pretty": True}})
+    with pytest.raises(ConfigError, match="pretty"):
+        read_ndjson(pretty)
+    fmt = str(tmp_path / "fmt")
+    write_ndjson(rd.from_arrow(t), fmt,
+                 codec={"format": {"string": "a=%{[a]}"}})
+    with pytest.raises(ConfigError, match="format"):
+        read_ndjson(fmt)

@@ -245,3 +245,20 @@ def test_streaming_approx_distinct_equals_batch(ray_session):
     # sanity: the estimate is near the exact distinct count
     exact = len(set(t.column("user_id").to_pylist()))
     assert abs(streamed - exact) / exact < 0.1
+
+
+def test_streaming_approx_distinct_skips_null_keys(ray_session):
+    """COUNT(DISTINCT) semantics: null keys are skipped like the batch
+    sketch, not crashed on in the bucket router."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raybeats.streaming import streaming_approx_distinct
+    from raybeats.textops.sketches import approx_distinct
+    t = pa.table({"user_id": pa.array([1, None, 2, None, 3, 1],
+                                      pa.int64())})
+    streamed = streaming_approx_distinct(
+        [rd.from_arrow(t.slice(0, 3)), rd.from_arrow(t.slice(3, 3))],
+        column="user_id", n_buckets=2, p=12)
+    batch = approx_distinct(rd.from_arrow(t), "user_id", p=12)
+    assert streamed == batch
