@@ -127,7 +127,8 @@ def run_queries() -> dict[str, float]:
              "event_gaps", "pack_sequences", "ship_window_join",
              "frame_sample", "mixture_oversample", "bigram_topk",
              "quality_filter", "dedup_keep_best", "asof_forward",
-             "kmeans_iter", "token_heavy_hitters", "value_percentile"]
+             "kmeans_iter", "token_heavy_hitters", "value_percentile",
+             "text_normalize"]
     out: dict[str, float] = {}
     # best-of-N per query: this box's first-touch/writeback stalls skew
     # single shots by 2-3x (same reason the headline is best-of-2)

@@ -2271,6 +2271,43 @@ SELECT c.event_id, c.q AS cents, CAST(s.cum AS BIGINT) AS cum_le
 FROM c JOIN s USING (q)"""
 
 
+# deterministic unicode plant (combining accent, ligature-free, tabs,
+# run-length spaces) appended for doc_id % 5 == 0 in BOTH engines: the
+# synthetic corpus is pure ASCII, so without it the normalization
+# oracle would be vacuous (the pii_scrub planting pattern)
+_NORM_PLANT = "  Café\t\tNAÏVE  "
+
+
+def q_text_normalize(sf_dir: str):
+    """Canonical text normalization (NFC + lowercase + whitespace
+    collapse — textops/curation.normalize_text): the first step of
+    exact/near dedup and training prep, narrow and shuffle-free."""
+    from .textops.curation import normalize_text
+    from .util import imod
+
+    def fn(t: pa.Table) -> pa.Table:
+        sel = pc.equal(imod(t.column("doc_id"), 5), 0)
+        plant = pa.array([_NORM_PLANT] * t.num_rows, pa.string())
+        text = pc.if_else(
+            sel, pc.binary_join_element_wise(t.column("text"), plant,
+                                             ""),
+            t.column("text"))
+        return normalize_text(pa.table({"doc_id": t.column("doc_id"),
+                                        "text": text}))
+
+    return _read(sf_dir, "documents", ["doc_id", "text"], blocks=8) \
+        .map_batches(fn, batch_format="pyarrow")
+
+
+SQL_TEXT_NORMALIZE = r"""SELECT doc_id,
+  trim(regexp_replace(lower(nfc_normalize(
+    CASE WHEN doc_id % 5 = 0
+         THEN text || '  Cafe' || chr(769) || chr(9) || chr(9) ||
+              'NAI' || chr(776) || 'VE  '
+         ELSE text END)), '\s+', ' ', 'g')) AS norm_text
+FROM documents"""
+
+
 def q_token_heavy_hitters(sf_dir: str):
     """Corpus-wide top-25 tokens via the mergeable Misra-Gries sketch
     (textops/sketches.heavy_hitters) — NO shuffle: each batch reduces
@@ -2750,6 +2787,7 @@ QUERIES = {
     "token_heavy_hitters": (q_token_heavy_hitters,
                             SQL_TOKEN_HEAVY_HITTERS),
     "value_percentile": (q_value_percentile, SQL_VALUE_PERCENTILE),
+    "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "hash_join_rows": (q_hash_join_rows, SQL_HASH_JOIN_ROWS),
     "join_revenue": (q_join_revenue, SQL_JOIN_REVENUE),

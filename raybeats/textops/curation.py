@@ -167,6 +167,40 @@ def quota_sample(ds, group_col: str = "lang", id_col: str = "doc_id",
         .groupby(group_col).map_groups(finalize, batch_format="pyarrow")
 
 
+def normalize_text(tbl: pa.Table, text_col: str = "text") -> pa.Table:
+    """Canonical text normalization for dedup/training prep: Unicode
+    NFC (combining sequences compose — 'e' + U+0301 → 'é'), full
+    lowercase, every whitespace run collapsed to one space, then
+    space-trimmed. DuckDB mirrors it verbatim
+    (``trim(regexp_replace(lower(nfc_normalize(x)), '\\s+', ' ',
+    'g'))``). Collapse BEFORE trim so tab/newline edges normalize
+    identically on both sides (SQL ``trim`` strips only spaces).
+
+    NFC path: this pyarrow build's ``utf8_normalize`` DECOMPOSES
+    regardless of the requested form (measured: form='NFC' of both
+    'Caf\\xe9' and 'Cafe'+U+0301 returns the decomposed bytes), so
+    composition falls back to ``unicodedata.normalize`` — applied ONLY
+    to the rows that contain non-ASCII bytes (vectorized regex mask +
+    ``replace_with_mask`` scatter; ASCII is NFC by construction), so a
+    mostly-ASCII corpus never pays the python path."""
+    import unicodedata
+    text = tbl.column(text_col)
+    text = text.combine_chunks() if isinstance(
+        text, pa.ChunkedArray) else text
+    non_ascii = pc.match_substring_regex(text, r"[^\x00-\x7f]")
+    non_ascii = pc.fill_null(non_ascii, False)
+    if pc.any(non_ascii).as_py():
+        fixed = pa.array(
+            [unicodedata.normalize("NFC", v) if v is not None else None
+             for v in text.filter(non_ascii).to_pylist()], pa.string())
+        text = pc.replace_with_mask(text, non_ascii, fixed)
+    norm = pc.utf8_trim(
+        pc.replace_substring_regex(pc.utf8_lower(text), r"\s+", " "),
+        " ")
+    return pa.table({"doc_id": tbl.column("doc_id"),
+                     "norm_text": norm})
+
+
 def _shingle_hash(h: np.ndarray, w: int) -> np.ndarray:
     """Rolling width-``w`` combine of consecutive token hashes: one
     uint64 value per start position (``len(h) - w + 1`` outputs),

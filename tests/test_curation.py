@@ -274,3 +274,40 @@ class TestOversampleMixture:
         assert sorted(zip(out["doc_id"], out["epoch"])) == [(2, 1), (3, 1)]
         with pytest.raises(ValueError, match="non-negative"):
             oversample_mixture(rd.from_arrow(t), {"a": -1})
+
+
+class TestNormalizeText:
+    def test_nfc_lower_collapse_trim(self):
+        import unicodedata
+
+        from raybeats.textops.curation import normalize_text
+        docs = ["  Hello\t\tWORLD  ",
+                "Café NAÏVE",   # decomposed -> composed
+                "Café",                # precomposed stays
+                "a\nb\r\nc",
+                None, "", "   "]
+        t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                      "text": pa.array(docs, pa.string())})
+        out = normalize_text(t).column("norm_text").to_pylist()
+        assert out[0] == "hello world"
+        assert out[1] == "café naïve"  # composed bytes
+        assert unicodedata.is_normalized("NFC", out[1])
+        assert out[2] == "café"
+        assert out[3] == "a b c"
+        assert out[4] is None
+        assert out[5] == "" and out[6] == ""
+
+    def test_ascii_batches_skip_python_path(self, monkeypatch):
+        """The unicodedata fallback must not run on pure-ASCII input."""
+        import unicodedata
+
+        from raybeats.textops import curation
+
+        def boom(*a, **k):
+            raise AssertionError("python NFC path hit on ASCII batch")
+
+        monkeypatch.setattr(unicodedata, "normalize", boom)
+        t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array(["plain  ascii\ttext"])})
+        out = curation.normalize_text(t)
+        assert out.column("norm_text").to_pylist() == ["plain ascii text"]
