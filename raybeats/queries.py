@@ -2287,13 +2287,13 @@ def q_text_normalize(sf_dir: str):
 
     def fn(t: pa.Table) -> pa.Table:
         sel = pc.equal(imod(t.column("doc_id"), 5), 0)
-        plant = pa.array([_NORM_PLANT] * t.num_rows, pa.string())
         text = pc.if_else(
-            sel, pc.binary_join_element_wise(t.column("text"), plant,
-                                             ""),
+            sel, pc.binary_join_element_wise(
+                t.column("text"), pa.scalar(_NORM_PLANT), ""),
             t.column("text"))
         return normalize_text(pa.table({"doc_id": t.column("doc_id"),
-                                        "text": text}))
+                                        "text": text})) \
+            .select(["doc_id", "norm_text"])
 
     return _read(sf_dir, "documents", ["doc_id", "text"], blocks=8) \
         .map_batches(fn, batch_format="pyarrow")

@@ -182,7 +182,10 @@ def normalize_text(tbl: pa.Table, text_col: str = "text") -> pa.Table:
     composition falls back to ``unicodedata.normalize`` — applied ONLY
     to the rows that contain non-ASCII bytes (vectorized regex mask +
     ``replace_with_mask`` scatter; ASCII is NFC by construction), so a
-    mostly-ASCII corpus never pays the python path."""
+    mostly-ASCII corpus never pays the python path.
+
+    Output: every input column passes through unchanged, plus
+    ``norm_text`` (callers keep their ids/metadata and compose)."""
     import unicodedata
     text = tbl.column(text_col)
     text = text.combine_chunks() if isinstance(
@@ -197,8 +200,7 @@ def normalize_text(tbl: pa.Table, text_col: str = "text") -> pa.Table:
     norm = pc.utf8_trim(
         pc.replace_substring_regex(pc.utf8_lower(text), r"\s+", " "),
         " ")
-    return pa.table({"doc_id": tbl.column("doc_id"),
-                     "norm_text": norm})
+    return tbl.append_column("norm_text", norm)
 
 
 def _shingle_hash(h: np.ndarray, w: int) -> np.ndarray:
