@@ -167,6 +167,14 @@ def quota_sample(ds, group_col: str = "lang", id_col: str = "doc_id",
         .groupby(group_col).map_groups(finalize, batch_format="pyarrow")
 
 
+def _nfc(v: str) -> str:
+    """Module-local NFC hook (tests patch THIS, not the global
+    unicodedata.normalize — pytest itself calls the global during a
+    run, so patching it aborts the session as an INTERNALERROR)."""
+    import unicodedata
+    return unicodedata.normalize("NFC", v)
+
+
 def normalize_text(tbl: pa.Table, text_col: str = "text") -> pa.Table:
     """Canonical text normalization for dedup/training prep: Unicode
     NFC (combining sequences compose — 'e' + U+0301 → 'é'), full
@@ -186,7 +194,6 @@ def normalize_text(tbl: pa.Table, text_col: str = "text") -> pa.Table:
 
     Output: every input column passes through unchanged, plus
     ``norm_text`` (callers keep their ids/metadata and compose)."""
-    import unicodedata
     text = tbl.column(text_col)
     text = text.combine_chunks() if isinstance(
         text, pa.ChunkedArray) else text
@@ -194,7 +201,7 @@ def normalize_text(tbl: pa.Table, text_col: str = "text") -> pa.Table:
     non_ascii = pc.fill_null(non_ascii, False)
     if pc.any(non_ascii).as_py():
         fixed = pa.array(
-            [unicodedata.normalize("NFC", v) if v is not None else None
+            [_nfc(v) if v is not None else None
              for v in text.filter(non_ascii).to_pylist()], pa.string())
         text = pc.replace_with_mask(text, non_ascii, fixed)
     norm = pc.utf8_trim(

@@ -298,15 +298,15 @@ class TestNormalizeText:
         assert out[5] == "" and out[6] == ""
 
     def test_ascii_batches_skip_python_path(self, monkeypatch):
-        """The unicodedata fallback must not run on pure-ASCII input."""
-        import unicodedata
-
+        """The NFC fallback must not run on pure-ASCII input. Patch the
+        module-local _nfc hook — patching global unicodedata.normalize
+        breaks pytest's own internals mid-run."""
         from raybeats.textops import curation
 
         def boom(*a, **k):
             raise AssertionError("python NFC path hit on ASCII batch")
 
-        monkeypatch.setattr(unicodedata, "normalize", boom)
+        monkeypatch.setattr(curation, "_nfc", boom)
         t = pa.table({"doc_id": pa.array([1], pa.int64()),
                       "text": pa.array(["plain  ascii\ttext"])})
         out = curation.normalize_text(t)
