@@ -139,6 +139,54 @@ def fold_quantum_cdf(ds, *, value_col: str, scale: int = 1) \
     return uniq, cum
 
 
+def profile_columns(ds, columns: list[str]) -> pa.Table:
+    """Data-quality profile of numeric/timestamp columns: one row per
+    column with ``n`` (rows), ``n_null``, ``min_v``/``max_v`` (DOUBLE).
+    The ingest-validation step of a pipeline (row counts match the
+    manifest, null explosions surface, value ranges sanity-check)
+    without one query per column.
+
+    Scale shape: each batch emits ONE fixed row per column (min/max
+    are selections, not accumulations — a DOUBLE passes through
+    bit-exactly, so the cross-engine compare stays exact; sums are
+    deliberately absent); the driver folds ``blocks × columns`` rows
+    with one arrow group_by. NaNs are excluded from min/max like
+    nulls (numpy min would otherwise propagate NaN where SQL
+    comparisons order it last — mirror with ``FILTER (WHERE NOT
+    isnan(x))``)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs = [], [], [], [], []
+        for c in columns:
+            col = t.column(c)
+            v = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+            ok = ~np.isnan(v)
+            names.append(c)
+            ns.append(t.num_rows)
+            nulls.append(col.null_count)
+            mins.append(float(v[ok].min()) if ok.any() else None)
+            maxs.append(float(v[ok].max()) if ok.any() else None)
+        return pa.table({
+            "col": pa.array(names, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "n_null": pa.array(nulls, pa.int64()),
+            "min_v": pa.array(mins, pa.float64()),
+            "max_v": pa.array(maxs, pa.float64())})
+
+    merged = pa.concat_tables(list(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    g = merged.group_by("col").aggregate(
+        [("n", "sum"), ("n_null", "sum"), ("min_v", "min"),
+         ("max_v", "max")])
+    return pa.table({
+        "col": g.column("col"),
+        "n": pc.cast(g.column("n_sum"), pa.int64()),
+        "n_null": pc.cast(g.column("n_null_sum"), pa.int64()),
+        "min_v": g.column("min_v_min"),
+        "max_v": g.column("max_v_max")})
+
+
 # ----------------------------------------------------- keep-latest compaction
 
 def _key_codes(col) -> np.ndarray:

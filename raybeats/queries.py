@@ -2278,6 +2278,33 @@ FROM c JOIN s USING (q)"""
 _NORM_PLANT = "  Café\t\tNAÏVE  "
 
 
+def q_column_profile(sf_dir: str):
+    """Ingest validation / data-quality profile: one row per numeric
+    column with rows, nulls, min, max (aggregates.profile_columns —
+    one fixed row per column per batch, min/max are exact selections,
+    driver folds blocks × columns rows; the check a 100-TB load runs
+    before anything else)."""
+    from .aggregates import profile_columns
+    return profile_columns(
+        _read(sf_dir, "events", ["event_id", "user_id", "value"]),
+        ["event_id", "user_id", "value"])
+
+
+SQL_COLUMN_PROFILE = """
+SELECT 'event_id' AS col, COUNT(*) AS n,
+  COUNT(*) - COUNT(event_id) AS n_null,
+  CAST(MIN(event_id) AS DOUBLE) AS min_v,
+  CAST(MAX(event_id) AS DOUBLE) AS max_v FROM events
+UNION ALL
+SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+  CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE)
+FROM events
+UNION ALL
+SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+  MIN(value) FILTER (WHERE NOT isnan(value)),
+  MAX(value) FILTER (WHERE NOT isnan(value)) FROM events"""
+
+
 def q_text_normalize(sf_dir: str):
     """Canonical text normalization (NFC + lowercase + whitespace
     collapse — textops/curation.normalize_text): the first step of
@@ -2788,6 +2815,7 @@ QUERIES = {
                             SQL_TOKEN_HEAVY_HITTERS),
     "value_percentile": (q_value_percentile, SQL_VALUE_PERCENTILE),
     "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
+    "column_profile": (q_column_profile, SQL_COLUMN_PROFILE),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "hash_join_rows": (q_hash_join_rows, SQL_HASH_JOIN_ROWS),
     "join_revenue": (q_join_revenue, SQL_JOIN_REVENUE),

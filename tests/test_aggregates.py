@@ -289,3 +289,30 @@ class TestRollup:
         # its sum is NULL
         yq = [r for r in self._rows(got) if r[0] == "y" and r[2] == 0]
         assert yq == [("y", "q", 0, None, 2)]
+
+
+class TestProfileColumns:
+    def test_counts_nulls_nans_and_extremes(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from raybeats.aggregates import profile_columns
+        t = pa.table({
+            "a": pa.array([1, None, 3, None], pa.int64()),
+            "b": pa.array([2.5, float("nan"), -7.0, None], pa.float64())})
+        out = profile_columns(rd.from_arrow(t).repartition(2),
+                              ["a", "b"])
+        rows = {r["col"]: r for r in out.to_pylist()}
+        assert rows["a"]["n"] == 4 and rows["a"]["n_null"] == 2
+        assert rows["a"]["min_v"] == 1.0 and rows["a"]["max_v"] == 3.0
+        # NaN excluded from min/max but NOT counted as null
+        assert rows["b"]["n_null"] == 1
+        assert rows["b"]["min_v"] == -7.0 and rows["b"]["max_v"] == 2.5
+
+    def test_all_null_column(self, ray_session):
+        import ray.data as rd
+
+        from raybeats.aggregates import profile_columns
+        t = pa.table({"a": pa.array([None, None], pa.float64())})
+        out = profile_columns(rd.from_arrow(t), ["a"]).to_pylist()
+        assert out[0]["n_null"] == 2 and out[0]["min_v"] is None
