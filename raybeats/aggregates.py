@@ -159,7 +159,12 @@ def profile_columns(ds, columns: list[str]) -> pa.Table:
         names, ns, nulls, mins, maxs = [], [], [], [], []
         for c in columns:
             col = t.column(c)
+            # timestamps have no direct cast to double: hop via int64
+            # (epoch micros)
+            if pa.types.is_timestamp(col.type):
+                col = pc.cast(col, pa.int64())
             v = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+            col = t.column(c)
             ok = ~np.isnan(v)
             names.append(c)
             ns.append(t.num_rows)
@@ -173,9 +178,18 @@ def profile_columns(ds, columns: list[str]) -> pa.Table:
             "min_v": pa.array(mins, pa.float64()),
             "max_v": pa.array(maxs, pa.float64())})
 
-    merged = pa.concat_tables(list(
-        ds.map_batches(partial, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")))
+    batches = list(ds.map_batches(partial, batch_format="pyarrow")
+                   .iter_batches(batch_format="pyarrow"))
+    if not batches:
+        # a zero-batch input (empty/filtered-away ingest) is exactly
+        # what a validation profile must REPORT, not crash on
+        return pa.table({
+            "col": pa.array(columns, pa.string()),
+            "n": pa.array([0] * len(columns), pa.int64()),
+            "n_null": pa.array([0] * len(columns), pa.int64()),
+            "min_v": pa.nulls(len(columns), pa.float64()),
+            "max_v": pa.nulls(len(columns), pa.float64())})
+    merged = pa.concat_tables(batches)
     g = merged.group_by("col").aggregate(
         [("n", "sum"), ("n_null", "sum"), ("min_v", "min"),
          ("max_v", "max")])

@@ -10,6 +10,8 @@ counts, HUGEINT-safe modular hashing).
 
 from __future__ import annotations
 
+import unicodedata as _unicodedata
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -171,8 +173,7 @@ def _nfc(v: str) -> str:
     """Module-local NFC hook (tests patch THIS, not the global
     unicodedata.normalize — pytest itself calls the global during a
     run, so patching it aborts the session as an INTERNALERROR)."""
-    import unicodedata
-    return unicodedata.normalize("NFC", v)
+    return _unicodedata.normalize("NFC", v)
 
 
 def normalize_text(tbl: pa.Table, text_col: str = "text") -> pa.Table:

@@ -316,3 +316,17 @@ class TestProfileColumns:
         t = pa.table({"a": pa.array([None, None], pa.float64())})
         out = profile_columns(rd.from_arrow(t), ["a"]).to_pylist()
         assert out[0]["n_null"] == 2 and out[0]["min_v"] is None
+
+    def test_timestamp_column_and_empty_input(self, ray_session):
+        import ray.data as rd
+
+        from raybeats.aggregates import profile_columns
+        t = pa.table({"ts": pa.array([1_000_000, 3_000_000, None],
+                                     pa.timestamp("us"))})
+        out = profile_columns(rd.from_arrow(t), ["ts"]).to_pylist()
+        assert out[0]["n_null"] == 1
+        assert out[0]["min_v"] == 1e6 and out[0]["max_v"] == 3e6
+        # zero-batch input reports n=0, doesn't crash
+        empty = rd.from_arrow(t.slice(0, 0))
+        out2 = profile_columns(empty, ["ts"]).to_pylist()
+        assert out2[0]["n"] == 0 and out2[0]["min_v"] is None
