@@ -62,3 +62,53 @@ def test_range_join_equals_mask_semantics(ray_session, vals, ivs, closed):
         m = (v >= a) & ((v <= b) if closed == "both" else (v < b))
         exp.extend((int(r), i) for r in np.nonzero(m)[0])
     assert got == sorted(exp)
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 10_000),
+       direction=st.sampled_from(["backward", "forward"]),
+       tol=st.sampled_from([None, 0, 5, 50]),
+       nl=st.integers(1, 40), nr=st.integers(0, 40))
+def test_asof_join_matches_pandas_merge_asof(ray_session, seed,
+                                             direction, tol, nl, nr):
+    """pandas.merge_asof is an independent reference implementation of
+    the same contract (nearest by-key match, equal timestamps admit,
+    inclusive tolerance): the distributed kernel must agree on
+    arbitrary inputs. Right-side (key, ts) duplicates are excluded —
+    both implementations pick deterministically but by different
+    input-order conventions, which no shuffled distributed kernel can
+    reproduce (the engine documents last-in-sort-order)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raybeats.joins import asof_join
+    rng = np.random.RandomState(seed)
+    lt = pa.table({
+        "lid": pa.array(range(nl), pa.int64()),
+        "ts": pa.array(rng.randint(0, 100, nl) * 1_000_000,
+                       pa.timestamp("us")),
+        "user_id": pa.array(rng.randint(0, 4, nl), pa.int64())})
+    # unique (key, ts) pairs on the right: tie-pick conventions differ
+    pairs = {(int(k), int(t)) for k, t in zip(
+        rng.randint(0, 4, nr), rng.randint(0, 100, nr))}
+    rt = pa.table({
+        "user_id": pa.array([k for k, _ in sorted(pairs)], pa.int64()),
+        "ts": pa.array([t * 1_000_000 for _, t in sorted(pairs)],
+                       pa.timestamp("us")),
+        "rv": pa.array([k * 1000 + t for k, t in sorted(pairs)],
+                       pa.int64())})
+    got = asof_join(rd.from_arrow(lt), rd.from_arrow(rt), on="ts",
+                    by="user_id", right_cols={"rv": "rv"},
+                    direction=direction,
+                    tolerance_us=None if tol is None else tol * 1_000_000,
+                    how="left", n_buckets=3).take_all()
+    got = {r["lid"]: r["rv"] for r in got}
+    exp_df = pd.merge_asof(
+        lt.to_pandas().sort_values("ts", kind="stable"),
+        rt.to_pandas().sort_values("ts", kind="stable"),
+        on="ts", by="user_id", direction=direction,
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+        allow_exact_matches=True)
+    exp = {int(r.lid): (None if pd.isna(r.rv) else int(r.rv))
+           for r in exp_df.itertuples()}
+    assert got == exp, (seed, direction, tol)
