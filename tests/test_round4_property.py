@@ -112,3 +112,55 @@ def test_asof_join_matches_pandas_merge_asof(ray_session, seed,
     exp = {int(r.lid): (None if pd.isna(r.rv) else int(r.rv))
            for r in exp_df.itertuples()}
     assert got == exp, (seed, direction, tol)
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=st.integers(0, 1000),
+       n_splits=st.integers(1, 5),
+       n_buckets=st.integers(1, 9),
+       mode=st.sampled_from(["sliding", "running"]))
+def test_streaming_equals_batch_random_splits(ray_session, seed,
+                                              n_splits, n_buckets, mode):
+    """Randomized micro-batch boundaries × bucket counts × actor
+    sharing: the round-3 watermark bug (another bucket's later-ts push
+    folding a boundary tie early) lived exactly at such a boundary —
+    sweep the space instead of trusting fixed splits. Ties ON the
+    split boundary are planted deliberately (duplicate timestamps)."""
+    import ray.data as rd
+
+    from raybeats.streaming import (streaming_running_total,
+                                    streaming_sliding_window)
+    from raybeats.util import running_cents_fold
+    rng = np.random.RandomState(seed)
+    n = 60
+    ts_vals = np.sort(rng.randint(0, 20, n)) * 60_000_000  # many ties
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "user_id": pa.array(rng.randint(0, 7, n), pa.int64()),
+        "ts": pa.array(ts_vals, pa.timestamp("us")),
+        "value": pa.array(rng.uniform(-5, 50, n).round(2), pa.float64())})
+    cuts = sorted(set([0, n] + list(rng.randint(1, n, n_splits))))
+    slices = [rd.from_arrow(t.slice(a, b - a))
+              for a, b in zip(cuts, cuts[1:]) if b > a]
+    if mode == "running":
+        got = streaming_running_total(slices, n_buckets=n_buckets) \
+            .to_pylist()
+        exp = running_cents_fold(
+            t.select(["event_id", "user_id", "ts", "value"]), {}) \
+            .sort_by([("user_id", "ascending"),
+                      ("event_id", "ascending")]).to_pylist()
+        assert got == exp, (seed, n_splits, n_buckets)
+    else:
+        got = streaming_sliding_window(slices, window_minutes=5,
+                                       n_buckets=n_buckets).to_pylist()
+        # batch reference: per-user trailing RANGE-frame count
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        out = {}
+        for uid, u in df.groupby("user_id"):
+            tsv = u["ts"].astype("int64").to_numpy()
+            lo = np.searchsorted(tsv, tsv - 5 * 60_000_000, side="left")
+            hi = np.searchsorted(tsv, tsv, side="right")
+            for eid, c in zip(u["event_id"], (hi - lo)):
+                out[int(eid)] = int(c)
+        got_map = {r["event_id"]: r["n_trailing_hour"] for r in got}
+        assert got_map == out, (seed, n_splits, n_buckets)
