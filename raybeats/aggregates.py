@@ -378,3 +378,108 @@ def rollup_null_levels(t: pa.Table, keys: list[str]) -> pa.Table:
                          pc.if_else(rolled, pa.scalar(None, pa.string()),
                                     col))
     return t
+
+
+# ------------------------------------------------------- funnel analysis
+
+def funnel_first_conversion(ds, *, first_type: str, then_type: str,
+                            within_us: int, n_buckets: int,
+                            user_col: str = "user_id",
+                            ts_col: str = "ts",
+                            type_col: str = "event_type"):
+    """Two-step funnel: for each user, the FIRST ``first_type`` event
+    and the first ``then_type`` event STRICTLY after it within
+    ``within_us`` microseconds — emitted only for converting users
+    (inner-join semantics). The activation/conversion primitive
+    (signup→first-action, click→purchase) that sessionization and
+    plain window functions don't express.
+
+    Scale shape: a narrow pre-pass keeps only the two event types and
+    locally combines the ``first_type`` side to one (user, min ts) row
+    per user PER BATCH, so the single keyed shuffle moves the
+    ``then_type`` rows plus ``users × blocks`` compacted firsts — never
+    the corpus. The per-bucket kernel is one lexsort over the merged
+    rows: candidates sort before their user's query row (ties on ts
+    break query-last, making "strictly after" positional), and one
+    reversed ``np.minimum.accumulate`` finds each query's next
+    candidate row — no per-user python loop.
+
+    Null timestamps are dropped in the pre-pass (SQL MIN/comparison
+    semantics ignore them). Output: ``(user_col, first_ts, conv_ts)``
+    as timestamp[us].
+    """
+    from .util import int_bucket
+
+    if within_us <= 0:
+        raise ValueError(f"within_us must be positive: {within_us}")
+
+    def tag(t: pa.Table) -> pa.Table:
+        typ = t.column(type_col)
+        ok_ts = pc.is_valid(t.column(ts_col))
+        a = t.filter(pc.and_(pc.fill_null(
+            pc.equal(typ, first_type), False), ok_ts))
+        b = t.filter(pc.and_(pc.fill_null(
+            pc.equal(typ, then_type), False), ok_ts))
+        ag = pa.table({
+            "u": a.column(user_col),
+            "t": pc.cast(a.column(ts_col), pa.int64()),
+        }).group_by("u").aggregate([("t", "min")])
+        u = pa.concat_arrays([
+            pc.cast(ag.column("u"), pa.int64()).combine_chunks(),
+            pc.cast(b.column(user_col), pa.int64()).combine_chunks()])
+        ts = pa.concat_arrays([
+            pc.cast(ag.column("t_min"), pa.int64()).combine_chunks(),
+            pc.cast(b.column(ts_col), pa.int64()).combine_chunks()])
+        side = pa.array(np.concatenate([
+            np.ones(ag.num_rows, np.int8),
+            np.zeros(b.num_rows, np.int8)]))
+        return pa.table({"__fn_bkt": int_bucket(u, n_buckets),
+                         "side": side, "u": u, "t": ts})
+
+    def empty() -> pa.Table:
+        return pa.table({user_col: pa.array([], pa.int64()),
+                         "first_ts": pa.array([], pa.timestamp("us")),
+                         "conv_ts": pa.array([], pa.timestamp("us"))})
+
+    def grp(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        t = g.column("t").to_numpy(zero_copy_only=False)
+        am = side == 1
+        au, at_ = u[am], t[am]
+        # fold the per-batch firsts to the global per-user first ts
+        order = np.lexsort((at_, au))
+        au, at_ = au[order], at_[order]
+        first = np.append(True, au[1:] != au[:-1]) if len(au) else \
+            np.array([], bool)
+        au, at0 = au[first], at_[first]
+        pu, pt = u[~am], t[~am]
+        if len(au) == 0 or len(pu) == 0:
+            return empty()
+        cu = np.concatenate([pu, au])
+        ct = np.concatenate([pt, at0])
+        isq = np.concatenate([np.zeros(len(pu), np.int8),
+                              np.ones(len(au), np.int8)])
+        order = np.lexsort((isq, ct, cu))
+        cu_s, ct_s, isq_s = cu[order], ct[order], isq[order]
+        n = len(cu_s)
+        pos = np.where(isq_s == 0, np.arange(n), n)
+        nxt = np.minimum.accumulate(pos[::-1])[::-1]
+        qi = np.nonzero(isq_s == 1)[0]
+        j = nxt[qi]
+        ok = j < n
+        jj = np.where(ok, j, 0)
+        ok &= cu_s[jj] == cu_s[qi]
+        ok &= ct_s[jj] <= ct_s[qi] + within_us
+        if not ok.any():
+            return empty()
+        return pa.table({
+            user_col: pa.array(cu_s[qi][ok], pa.int64()),
+            "first_ts": pa.array(ct_s[qi][ok], pa.int64())
+            .cast(pa.timestamp("us")),
+            "conv_ts": pa.array(ct_s[jj][ok], pa.int64())
+            .cast(pa.timestamp("us"))})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby("__fn_bkt")
+              .map_groups(grp, batch_format="pyarrow"))

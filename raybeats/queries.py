@@ -2764,6 +2764,219 @@ r2 AS (SELECT *, row_number() OVER (PARTITION BY cluster
 SELECT cluster, node AS keep_id, n_tokens FROM r2 WHERE rn = 1"""
 
 
+# --------------------------------------------- round-5 curation additions
+
+_STRAT_RATES = {"click": 10, "view": 5, "purchase": 100,
+                "signup": 50, "error": 25}
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-stratum rate sampling (downsample clicks/views, keep all
+    purchases): deterministic id-hash keep decision, shuffle-free."""
+    from .textops.curation import stratified_sample
+
+    def pick(t: pa.Table) -> pa.Table:
+        return stratified_sample(t, group_col="event_type",
+                                 id_col="event_id",
+                                 rates_pct=_STRAT_RATES)
+
+    return _read(sf_dir, "events",
+                 ["event_id", "event_type", "user_id"]) \
+        .map_batches(pick, batch_format="pyarrow")
+
+
+SQL_STRATIFIED_SAMPLE = """WITH h AS (
+  SELECT event_id, event_type, user_id,
+    CAST(CAST(event_id AS HUGEINT) * 2654435761 % 4294967296 AS BIGINT)
+      AS m FROM events),
+s AS (SELECT event_id, event_type, user_id, xor(m, m >> 15) % 100 AS b
+      FROM h)
+SELECT event_id, event_type, user_id FROM s
+WHERE b < CASE event_type
+  WHEN 'click' THEN 10 WHEN 'view' THEN 5 WHEN 'purchase' THEN 100
+  WHEN 'signup' THEN 50 WHEN 'error' THEN 25 ELSE 0 END"""
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Keyed snapshot diff (added/removed/changed/same between two
+    table versions). The "new" snapshot is derived deterministically
+    from the old: every 4th key dropped (removed), every remaining 3rd
+    key's value bumped (changed), plus shifted supplier keys appended
+    (added) — so all four statuses are exercised non-vacuously."""
+    from .joins import snapshot_diff
+
+    old = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda t: pa.table({
+            "key": t.column("c_custkey"),
+            "val": pc.cast(t.column("c_nationkey"), pa.int64())}),
+            batch_format="pyarrow")
+
+    def derive_new(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.not_equal(
+            pc.bit_wise_and(t.column("c_custkey"), 3), 0))
+        key = keep.column("c_custkey")
+        bump = pc.cast(pc.equal(
+            pc.subtract(key, pc.multiply(pc.divide(key, 3), 3)), 0),
+            pa.int64())
+        return pa.table({
+            "key": key,
+            "val": pc.add(pc.cast(keep.column("c_nationkey"),
+                                  pa.int64()), bump)})
+
+    new = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(derive_new, batch_format="pyarrow") \
+        .union(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+               .map_batches(lambda t: pa.table({
+                   "key": pc.add(t.column("s_suppkey"), 1_000_000),
+                   "val": pc.cast(t.column("s_nationkey"), pa.int64())}),
+                   batch_format="pyarrow"))
+
+    schema = pa.schema([("key", pa.int64()), ("val", pa.int64())])
+    n = _nrows(sf_dir, "customer") + _nrows(sf_dir, "supplier")
+    from .util import adaptive_buckets as _ab
+    return snapshot_diff(old, new, on="key", compare="val",
+                         n_buckets=_ab(2 * n), old_schema=schema)
+
+
+SQL_SNAPSHOT_DIFF = """WITH old AS (
+  SELECT c_custkey AS key, CAST(c_nationkey AS BIGINT) AS val
+  FROM customer),
+new AS (
+  SELECT c_custkey AS key,
+    CAST(c_nationkey AS BIGINT)
+      + CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS val
+  FROM customer WHERE c_custkey % 4 <> 0
+  UNION ALL
+  SELECT s_suppkey + 1000000 AS key, CAST(s_nationkey AS BIGINT) AS val
+  FROM supplier)
+SELECT COALESCE(old.key, new.key) AS key,
+  CASE WHEN new.key IS NULL THEN 'removed'
+       WHEN old.key IS NULL THEN 'added'
+       WHEN old.val = new.val THEN 'same' ELSE 'changed' END AS status,
+  old.val AS old_val, new.val AS new_val
+FROM old FULL OUTER JOIN new ON old.key = new.key"""
+
+
+def q_funnel_conversion(sf_dir: str):
+    """Two-step funnel: first click → first purchase strictly after it
+    within 24 hours, per user (converting users only)."""
+    from .aggregates import funnel_first_conversion
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+    return funnel_first_conversion(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"]),
+        first_type="click", then_type="purchase",
+        within_us=24 * 3_600_000_000, n_buckets=n_buckets)
+
+
+SQL_FUNNEL_CONVERSION = """WITH a AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'click' GROUP BY user_id)
+SELECT a.user_id, a.t0 AS first_ts, MIN(e.ts) AS conv_ts
+FROM a JOIN events e ON e.user_id = a.user_id
+  AND e.event_type = 'purchase' AND e.ts > a.t0
+  AND e.ts <= a.t0 + INTERVAL '24 hours'
+GROUP BY a.user_id, a.t0"""
+
+
+def q_winsorize(sf_dir: str):
+    """Outlier clipping at the exact discrete p05/p95 of
+    floor(value*100): two narrow shuffle-free passes — the quantum-CDF
+    fold broadcasts two scalar thresholds into a vectorized clip.
+    Output stays integer cents (the `quantiles` contract) so the
+    cross-engine hash is exact."""
+    import numpy as np
+    from .aggregates import fold_quantum_cdf
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    uniq, cum = fold_quantum_cdf(ds, value_col="value", scale=100)
+    if len(uniq) == 0:
+        raise ValueError("winsorize: no non-null values")
+    total = int(cum[-1])
+    # same selection rule as the SQL mirror: smallest quantum whose
+    # cumulative count reaches ceil(q * n)
+    lo = int(uniq[np.searchsorted(cum, np.ceil(0.05 * total), "left")])
+    hi = int(uniq[np.searchsorted(cum, np.ceil(0.95 * total), "left")])
+
+    def clip(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        q = np.floor(v[ok] * 100).astype(np.int64)
+        return pa.table({
+            "event_id": t.column("event_id").filter(pa.array(ok)),
+            "value_cents_w": pa.array(np.clip(q, lo, hi), pa.int64())})
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
+SQL_WINSORIZE = """WITH v AS (
+  SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS q
+  FROM events WHERE NOT isnan(value)),
+c AS (SELECT q, COUNT(*) AS cnt FROM v GROUP BY q),
+cdf AS (SELECT q, SUM(cnt) OVER (ORDER BY q) AS cum,
+               SUM(cnt) OVER () AS n FROM c),
+lo AS (SELECT MIN(q) AS v FROM cdf WHERE cum >= CEIL(0.05 * n)),
+hi AS (SELECT MIN(q) AS v FROM cdf WHERE cum >= CEIL(0.95 * n))
+SELECT v.event_id, LEAST(GREATEST(v.q, lo.v), hi.v) AS value_cents_w
+FROM v, lo, hi"""
+
+
+def q_anomaly_events(sf_dir: str):
+    """Robust outlier flagging: |value_cents − median| > 3·MAD, both
+    statistics exact discrete quanta from the CDF fold (median of the
+    values, then median of the absolute deviations) — integer-exact on
+    both engines, no shuffle in any pass."""
+    import numpy as np
+    from .aggregates import fold_quantum_cdf
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def median_of(uniq, cum):
+        total = int(cum[-1])
+        return int(uniq[np.searchsorted(
+            cum, np.ceil(0.5 * total), "left")])
+
+    uniq, cum = fold_quantum_cdf(ds, value_col="value", scale=100)
+    if len(uniq) == 0:
+        raise ValueError("anomaly_events: no non-null values")
+    med = median_of(uniq, cum)
+
+    def to_dev(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        q = np.floor(v[ok] * 100).astype(np.int64)
+        return pa.table({
+            "event_id": t.column("event_id").filter(pa.array(ok)),
+            "value_cents": pa.array(q, pa.int64()),
+            "dev_cents": pa.array(np.abs(q - med), pa.int64())})
+
+    devs = ds.map_batches(to_dev, batch_format="pyarrow")
+    du, dc = fold_quantum_cdf(devs, value_col="dev_cents", scale=1)
+    mad = median_of(du, dc)
+
+    def flag(t: pa.Table) -> pa.Table:
+        d = t.column("dev_cents").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(d > 3 * mad))
+
+    return devs.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_ANOMALY_EVENTS = """WITH v AS (
+  SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS q
+  FROM events WHERE NOT isnan(value)),
+c1 AS (SELECT q, COUNT(*) AS cnt FROM v GROUP BY q),
+d1 AS (SELECT q, SUM(cnt) OVER (ORDER BY q) AS cum,
+              SUM(cnt) OVER () AS n FROM c1),
+med AS (SELECT MIN(q) AS m FROM d1 WHERE cum >= CEIL(0.5 * n)),
+dev AS (SELECT v.event_id, v.q AS value_cents, ABS(v.q - med.m) AS d
+        FROM v, med),
+c2 AS (SELECT d, COUNT(*) AS cnt FROM dev GROUP BY d),
+d2 AS (SELECT d, SUM(cnt) OVER (ORDER BY d) AS cum,
+              SUM(cnt) OVER () AS n FROM c2),
+mad AS (SELECT MIN(d) AS m FROM d2 WHERE cum >= CEIL(0.5 * n))
+SELECT dev.event_id, dev.value_cents, dev.d AS dev_cents
+FROM dev, mad WHERE dev.d > 3 * mad.m"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -2839,6 +3052,11 @@ QUERIES = {
     "bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
+    "winsorize": (q_winsorize, SQL_WINSORIZE),
+    "anomaly_events": (q_anomaly_events, SQL_ANOMALY_EVENTS),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

@@ -131,6 +131,44 @@ def _mix32(ids: np.ndarray) -> np.ndarray:
     return h ^ (h >> np.uint64(15))
 
 
+def stratified_sample(tbl: pa.Table, *, group_col: str, id_col: str,
+                      rates_pct: dict[str, int],
+                      default_pct: int = 0) -> pa.Table:
+    """Deterministic per-stratum RATE sampling: keep a row iff
+    ``mix32(id) % 100 < rates_pct[group]`` — the "downsample web crawl
+    to 5%, keep all books" mixture-rebalancing step. Quota sampling
+    (:func:`quota_sample`) caps a COUNT per group; this keeps a FIXED
+    FRACTION per group, so the sample grows with the stratum.
+
+    Stability: the keep decision depends only on the row id, so reruns,
+    retried partitions and different partitionings keep identical rows
+    (the resumability property of hash_split). Groups absent from
+    ``rates_pct`` get ``default_pct``. Rates are integer percent so the
+    DuckDB mirror (HUGEINT mix + CASE) is integer-exact.
+
+    Scale shape: narrow (shuffle-free) vectorized filter; the rate dict
+    is tiny and ships in the task closure."""
+    bad = {g: r for g, r in {**rates_pct, "": default_pct}.items()
+           if not (0 <= r <= 100)}
+    if bad:
+        raise ValueError(f"rates must be integer percent in [0, 100]: {bad}")
+
+    keys = pa.array(list(rates_pct), pa.string())
+    vals = np.fromiter(rates_pct.values(), np.int64, len(rates_pct))
+
+    idx = pc.index_in(tbl.column(group_col), value_set=keys) \
+        .to_numpy(zero_copy_only=False)
+    known = ~np.isnan(idx) if idx.dtype.kind == "f" else \
+        np.ones(len(idx), bool)
+    rate = np.full(tbl.num_rows, default_pct, np.int64)
+    if known.any():
+        rate[known] = vals[idx[known].astype(np.int64)]
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+    keep = (_mix32(ids.astype(np.uint64)) % np.uint64(100)) \
+        .astype(np.int64) < rate
+    return tbl.filter(pa.array(keep))
+
+
 def quota_sample(ds, group_col: str = "lang", id_col: str = "doc_id",
                  n_per_group: int = 20):
     """Deterministic per-group quota sample: keep the ``n_per_group``

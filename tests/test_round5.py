@@ -1,0 +1,210 @@
+"""Round-5 operators: stratified_sample, snapshot_diff,
+funnel_first_conversion, and the CDF-derived winsorize / anomaly
+queries' kernels. Each new operator gets value assertions beyond the
+DuckDB gate (edge cases the sf tables don't exercise: null values,
+duplicate keys, window boundaries, partition invariance)."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+# ------------------------------------------------- stratified_sample
+
+class TestStratifiedSample:
+    def _tbl(self, n=2000, seed=3):
+        rng = np.random.RandomState(seed)
+        return pa.table({
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "source": pa.array(
+                rng.choice(["web", "books", "code"], n).tolist())})
+
+    def test_rates_and_determinism(self):
+        from raybeats.textops.curation import stratified_sample
+        t = self._tbl()
+        rates = {"web": 10, "books": 100, "code": 0}
+        out = stratified_sample(t, group_col="source", id_col="doc_id",
+                                rates_pct=rates)
+        src = out.column("source").to_pylist()
+        n_books_in = t.filter(
+            pa.compute.equal(t.column("source"), "books")).num_rows
+        assert src.count("books") == n_books_in        # rate 100: all
+        assert src.count("code") == 0                   # rate 0: none
+        n_web_in = t.filter(
+            pa.compute.equal(t.column("source"), "web")).num_rows
+        # hash rate ~10% with slack
+        assert 0.03 * n_web_in < src.count("web") < 0.2 * n_web_in
+        # rerun → identical rows (no RNG state)
+        again = stratified_sample(t, group_col="source",
+                                  id_col="doc_id", rates_pct=rates)
+        assert again.equals(out)
+
+    def test_partition_invariance(self):
+        """The keep set must not depend on how rows are batched — the
+        resumability property retried partitions rely on."""
+        from raybeats.textops.curation import stratified_sample
+        t = self._tbl()
+        rates = {"web": 37, "books": 64, "code": 5}
+        whole = stratified_sample(t, group_col="source",
+                                  id_col="doc_id", rates_pct=rates)
+        parts = [stratified_sample(t.slice(i, 400), group_col="source",
+                                   id_col="doc_id", rates_pct=rates)
+                 for i in range(0, 2000, 400)]
+        stitched = pa.concat_tables(parts)
+        assert stitched.equals(whole)
+
+    def test_unknown_group_gets_default(self):
+        from raybeats.textops.curation import stratified_sample
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "source": pa.array(["x", "x", "x"])})
+        none = stratified_sample(t, group_col="source", id_col="doc_id",
+                                 rates_pct={"web": 50})
+        assert none.num_rows == 0          # default_pct=0 drops unknowns
+        everything = stratified_sample(t, group_col="source",
+                                       id_col="doc_id",
+                                       rates_pct={"web": 50},
+                                       default_pct=100)
+        assert everything.num_rows == 3
+
+    def test_rate_validation(self):
+        from raybeats.textops.curation import stratified_sample
+        t = self._tbl(10)
+        with pytest.raises(ValueError, match="rates"):
+            stratified_sample(t, group_col="source", id_col="doc_id",
+                              rates_pct={"web": 101})
+        with pytest.raises(ValueError, match="rates"):
+            stratified_sample(t, group_col="source", id_col="doc_id",
+                              rates_pct={"web": 10}, default_pct=-1)
+
+
+# ---------------------------------------------------- snapshot_diff
+
+class TestSnapshotDiff:
+    def _diff(self, old_rows, new_rows, **kw):
+        import ray.data as rd
+        from raybeats.joins import snapshot_diff
+        old = rd.from_arrow(pa.table({
+            "k": pa.array([r[0] for r in old_rows], pa.int64()),
+            "v": pa.array([r[1] for r in old_rows], pa.int64())}))
+        new = rd.from_arrow(pa.table({
+            "k": pa.array([r[0] for r in new_rows], pa.int64()),
+            "v": pa.array([r[1] for r in new_rows], pa.int64())}))
+        out = snapshot_diff(old, new, on="k", compare="v",
+                            n_buckets=kw.pop("n_buckets", 3), **kw)
+        t = pa.concat_tables(
+            out.iter_batches(batch_format="pyarrow"),
+            promote_options="default")
+        return {r["key"]: (r["status"], r["old_val"], r["new_val"])
+                for r in t.to_pylist()}
+
+    def test_all_four_statuses(self, ray_session):
+        got = self._diff(
+            old_rows=[(1, 10), (2, 20), (3, 30)],
+            new_rows=[(2, 20), (3, 99), (4, 40)])
+        assert got == {1: ("removed", 10, None),
+                       2: ("same", 20, 20),
+                       3: ("changed", 30, 99),
+                       4: ("added", None, 40)}
+
+    def test_null_value_is_never_same(self, ray_session):
+        """SQL `=` semantics: null on either side of a both-sides key
+        falls through to 'changed' (never 'same')."""
+        got = self._diff(old_rows=[(1, None), (2, None), (3, 5)],
+                         new_rows=[(1, None), (2, 7), (3, None)])
+        assert {k: s for k, (s, _, _) in got.items()} == {
+            1: "changed", 2: "changed", 3: "changed"}
+
+    def test_duplicate_key_raises(self, ray_session):
+        with pytest.raises(Exception, match="duplicate keys"):
+            self._diff(old_rows=[(1, 1), (1, 2)], new_rows=[(2, 2)],
+                       n_buckets=1)
+
+    def test_null_key_raises(self, ray_session):
+        import ray.data as rd
+        from raybeats.joins import snapshot_diff
+        old = rd.from_arrow(pa.table({
+            "k": pa.array([1, None], pa.int64()),
+            "v": pa.array([1, 2], pa.int64())}))
+        new = rd.from_arrow(pa.table({
+            "k": pa.array([1], pa.int64()),
+            "v": pa.array([1], pa.int64())}))
+        ds = snapshot_diff(old, new, on="k", compare="v", n_buckets=1)
+        with pytest.raises(Exception, match="null key"):
+            ds.materialize()
+
+
+# ------------------------------------------- funnel_first_conversion
+
+def _funnel(rows, within_us, n_buckets=2, blocks=None):
+    import ray.data as rd
+    from raybeats.aggregates import funnel_first_conversion
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64())
+        .cast(pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows])})
+    ds = rd.from_arrow(t)
+    if blocks:
+        ds = ds.repartition(blocks)
+    out = funnel_first_conversion(ds, first_type="A", then_type="B",
+                                  within_us=within_us,
+                                  n_buckets=n_buckets)
+    got = pa.concat_tables(out.iter_batches(batch_format="pyarrow"),
+                           promote_options="default")
+    users = got.column("user_id").to_pylist()
+    f = pa.compute.cast(got.column("first_ts"), pa.int64()).to_pylist()
+    c = pa.compute.cast(got.column("conv_ts"), pa.int64()).to_pylist()
+    return dict(zip(users, zip(f, c)))
+
+
+class TestFunnelFirstConversion:
+    def test_strictly_after_and_window_bounds(self, ray_session):
+        rows = [
+            # u1: B at exactly t0 is NOT after; next B at t0+5 converts
+            (1, 100, "A"), (1, 100, "B"), (1, 105, "B"),
+            # u2: B exactly at t0+within (inclusive bound) converts
+            (2, 200, "A"), (2, 210, "B"),
+            # u3: B only past the window → no conversion
+            (3, 300, "A"), (3, 311, "B"),
+            # u4: B before A only → no conversion
+            (4, 400, "B"), (4, 405, "A"),
+            # u5: two As — the FIRST defines t0; first B after it wins
+            (5, 500, "A"), (5, 502, "A"), (5, 501, "B"), (5, 503, "B"),
+        ]
+        got = _funnel(rows, within_us=10)
+        assert got == {1: (100, 105), 2: (200, 210), 5: (500, 501)}
+
+    def test_partition_and_bucket_invariance(self, ray_session):
+        rng = np.random.RandomState(5)
+        rows = [(int(rng.randint(0, 30)), int(rng.randint(0, 1000)),
+                 str(rng.choice(["A", "B", "C"])))
+                for _ in range(600)]
+        base = _funnel(rows, within_us=50, n_buckets=1)
+        assert base  # non-vacuous
+        for nb, blocks in ((7, 5), (3, 11)):
+            assert _funnel(rows, within_us=50, n_buckets=nb,
+                           blocks=blocks) == base
+
+    def test_naive_reference_parity(self, ray_session):
+        rng = np.random.RandomState(9)
+        rows = [(int(rng.randint(0, 20)), int(rng.randint(0, 500)),
+                 str(rng.choice(["A", "B"])))
+                for _ in range(400)]
+        within = 40
+        expect = {}
+        for u in {r[0] for r in rows}:
+            a_ts = [t for (uu, t, k) in rows if uu == u and k == "A"]
+            b_ts = sorted(t for (uu, t, k) in rows
+                          if uu == u and k == "B")
+            if not a_ts:
+                continue
+            t0 = min(a_ts)
+            conv = [t for t in b_ts if t0 < t <= t0 + within]
+            if conv:
+                expect[u] = (t0, conv[0])
+        assert _funnel(rows, within_us=within, n_buckets=4) == expect
+
+    def test_validation(self, ray_session):
+        from raybeats.aggregates import funnel_first_conversion
+        with pytest.raises(ValueError, match="within_us"):
+            funnel_first_conversion(None, first_type="A", then_type="B",
+                                    within_us=0, n_buckets=1)
