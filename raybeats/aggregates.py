@@ -72,10 +72,8 @@ def grouped_exact_quantiles(ds, *, value_col: str = "value",
         cols: dict = {by: grp.column(by).slice(0, 1).combine_chunks(),
                       "n": pa.array([total], pa.int64())}
         for q, name in zip(qs, qnames):
-            # same float expr as the SQL mirror: ceil(q * n), double math
-            target = np.ceil(q * total)
-            idx = int(np.searchsorted(cum, target, side="left"))
-            cols[f"{name}_cents"] = pa.array([int(uniq[idx])], pa.int64())
+            cols[f"{name}_cents"] = pa.array(
+                [quantile_from_cdf(uniq, cum, q)], pa.int64())
         return pa.table(cols)
 
     return ds.map_batches(partial, batch_format="pyarrow") \
@@ -101,9 +99,21 @@ def global_discrete_quantile(ds, *, value_col: str, q: float,
     uniq, cum = fold_quantum_cdf(ds, value_col=value_col, scale=scale)
     if len(uniq) == 0:
         raise ValueError(f"no non-null {value_col!r} values")
+    return quantile_from_cdf(uniq, cum, q), int(cum[-1])
+
+
+def quantile_from_cdf(uniq: np.ndarray, cum: np.ndarray,
+                      q: float) -> int:
+    """The repo's ONE discrete-quantile selection rule: the smallest
+    quantum whose cumulative count reaches ``ceil(q * n)`` — float
+    ``np.ceil`` on the double product, exactly the SQL mirrors'
+    ``MIN(q) ... WHERE cum >= CEIL(q * n)``. Every quantile-shaped
+    query (thresholds, medians, MAD, winsorize bounds) must select
+    through this helper so the cross-engine-exact expression lives in
+    one place."""
     total = int(cum[-1])
     idx = int(np.searchsorted(cum, np.ceil(q * total), side="left"))
-    return int(uniq[idx]), total
+    return int(uniq[idx])
 
 
 def fold_quantum_cdf(ds, *, value_col: str, scale: int = 1) \

@@ -2812,12 +2812,11 @@ def q_snapshot_diff(sf_dir: str):
             batch_format="pyarrow")
 
     def derive_new(t: pa.Table) -> pa.Table:
+        from .util import imod
         keep = t.filter(pc.not_equal(
-            pc.bit_wise_and(t.column("c_custkey"), 3), 0))
+            imod(t.column("c_custkey"), 4), 0))
         key = keep.column("c_custkey")
-        bump = pc.cast(pc.equal(
-            pc.subtract(key, pc.multiply(pc.divide(key, 3), 3)), 0),
-            pa.int64())
+        bump = pc.cast(pc.equal(imod(key, 3), 0), pa.int64())
         return pa.table({
             "key": key,
             "val": pc.add(pc.cast(keep.column("c_nationkey"),
@@ -2885,17 +2884,14 @@ def q_winsorize(sf_dir: str):
     Output stays integer cents (the `quantiles` contract) so the
     cross-engine hash is exact."""
     import numpy as np
-    from .aggregates import fold_quantum_cdf
+    from .aggregates import fold_quantum_cdf, quantile_from_cdf
 
     ds = _read(sf_dir, "events", ["event_id", "value"])
     uniq, cum = fold_quantum_cdf(ds, value_col="value", scale=100)
     if len(uniq) == 0:
         raise ValueError("winsorize: no non-null values")
-    total = int(cum[-1])
-    # same selection rule as the SQL mirror: smallest quantum whose
-    # cumulative count reaches ceil(q * n)
-    lo = int(uniq[np.searchsorted(cum, np.ceil(0.05 * total), "left")])
-    hi = int(uniq[np.searchsorted(cum, np.ceil(0.95 * total), "left")])
+    lo = quantile_from_cdf(uniq, cum, 0.05)
+    hi = quantile_from_cdf(uniq, cum, 0.95)
 
     def clip(t: pa.Table) -> pa.Table:
         v = t.column("value").to_numpy(zero_copy_only=False)
@@ -2926,19 +2922,14 @@ def q_anomaly_events(sf_dir: str):
     values, then median of the absolute deviations) — integer-exact on
     both engines, no shuffle in any pass."""
     import numpy as np
-    from .aggregates import fold_quantum_cdf
+    from .aggregates import fold_quantum_cdf, quantile_from_cdf
 
     ds = _read(sf_dir, "events", ["event_id", "value"])
-
-    def median_of(uniq, cum):
-        total = int(cum[-1])
-        return int(uniq[np.searchsorted(
-            cum, np.ceil(0.5 * total), "left")])
 
     uniq, cum = fold_quantum_cdf(ds, value_col="value", scale=100)
     if len(uniq) == 0:
         raise ValueError("anomaly_events: no non-null values")
-    med = median_of(uniq, cum)
+    med = quantile_from_cdf(uniq, cum, 0.5)
 
     def to_dev(t: pa.Table) -> pa.Table:
         v = t.column("value").to_numpy(zero_copy_only=False)
@@ -2951,7 +2942,7 @@ def q_anomaly_events(sf_dir: str):
 
     devs = ds.map_batches(to_dev, batch_format="pyarrow")
     du, dc = fold_quantum_cdf(devs, value_col="dev_cents", scale=1)
-    mad = median_of(du, dc)
+    mad = quantile_from_cdf(du, dc, 0.5)
 
     def flag(t: pa.Table) -> pa.Table:
         d = t.column("dev_cents").to_numpy(zero_copy_only=False)

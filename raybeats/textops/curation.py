@@ -146,16 +146,20 @@ def stratified_sample(tbl: pa.Table, *, group_col: str, id_col: str,
     ``rates_pct`` get ``default_pct``. Rates are integer percent so the
     DuckDB mirror (HUGEINT mix + CASE) is integer-exact.
 
-    Scale shape: narrow (shuffle-free) vectorized filter; the rate dict
-    is tiny and ships in the task closure."""
-    bad = {g: r for g, r in {**rates_pct, "": default_pct}.items()
-           if not (0 <= r <= 100)}
+    Null ids are DROPPED (the SQL mirror's ``b < rate`` is NULL for a
+    NULL id — and a NaN→uint64 cast would make the keep decision
+    platform-dependent). Scale shape: narrow (shuffle-free) vectorized
+    filter; the rate dict is tiny and ships in the task closure."""
+    bad = {g: r for g, r in [*rates_pct.items(),
+                             ("<default_pct>", default_pct)]
+           if not (isinstance(r, (int, np.integer)) and 0 <= r <= 100)}
     if bad:
         raise ValueError(f"rates must be integer percent in [0, 100]: {bad}")
 
     keys = pa.array(list(rates_pct), pa.string())
     vals = np.fromiter(rates_pct.values(), np.int64, len(rates_pct))
 
+    tbl = tbl.filter(pc.is_valid(tbl.column(id_col)))
     idx = pc.index_in(tbl.column(group_col), value_set=keys) \
         .to_numpy(zero_copy_only=False)
     known = ~np.isnan(idx) if idx.dtype.kind == "f" else \

@@ -74,6 +74,24 @@ class TestStratifiedSample:
         with pytest.raises(ValueError, match="rates"):
             stratified_sample(t, group_col="source", id_col="doc_id",
                               rates_pct={"web": 10}, default_pct=-1)
+        # a group literally named '' must not mask default_pct's check
+        with pytest.raises(ValueError, match="rates"):
+            stratified_sample(t, group_col="source", id_col="doc_id",
+                              rates_pct={"": 150})
+        # fractional rates would silently truncate — reject them
+        with pytest.raises(ValueError, match="rates"):
+            stratified_sample(t, group_col="source", id_col="doc_id",
+                              rates_pct={"web": 10.5})
+
+    def test_null_ids_dropped(self):
+        """SQL mirror: NULL id → NULL hash → row dropped; a NaN→uint64
+        cast would otherwise make the keep decision platform-defined."""
+        from raybeats.textops.curation import stratified_sample
+        t = pa.table({"doc_id": pa.array([1, None, None], pa.int64()),
+                      "source": pa.array(["web"] * 3)})
+        out = stratified_sample(t, group_col="source", id_col="doc_id",
+                                rates_pct={"web": 100})
+        assert out.column("doc_id").to_pylist() == [1]
 
 
 # ---------------------------------------------------- snapshot_diff
