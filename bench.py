@@ -128,7 +128,10 @@ def run_queries() -> dict[str, float]:
              "frame_sample", "mixture_oversample", "bigram_topk",
              "quality_filter", "dedup_keep_best", "asof_forward",
              "kmeans_iter", "token_heavy_hitters", "value_percentile",
-             "text_normalize", "column_profile"]
+             "text_normalize", "column_profile", "stratified_sample",
+             "snapshot_diff", "funnel_conversion", "winsorize",
+             "anomaly_events", "global_rank", "daily_change",
+             "weekly_retention"]
     out: dict[str, float] = {}
     # best-of-N per query: this box's first-touch/writeback stalls skew
     # single shots by 2-3x (same reason the headline is best-of-2)

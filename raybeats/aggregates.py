@@ -493,3 +493,94 @@ def funnel_first_conversion(ds, *, first_type: str, then_type: str,
     return (ds.map_batches(tag, batch_format="pyarrow")
               .groupby("__fn_bkt")
               .map_groups(grp, batch_format="pyarrow"))
+
+
+# --------------------------------------------- distributed ROW_NUMBER
+
+def global_row_number(ds, *, value_col: str, id_col: str, id_max: int,
+                      scale: int = 1, n_id_buckets: int | None = None):
+    """Distributed dense row numbering: ``ROW_NUMBER() OVER (ORDER BY
+    floor(value*scale), id)`` with NO global sort — the
+    rank-the-corpus-by-score step (order documents by quality score,
+    take a global position) expressed as order statistics.
+
+    Two-level decomposition: the primary order key is the quantized
+    value (the `quantiles` contract), the tiebreak is the id. Pass 1
+    (narrow, shuffle-free) counts rows per (quantum, id_bucket) cell,
+    where ``id_bucket`` is the monotone id-range bucketing of
+    `pack_sequences` — monotone in id, so cell order IS row order
+    within a quantum. The driver folds ``blocks × cells`` fixed-width
+    partials and exclusive-prefix-sums them in (quantum, id_bucket)
+    order. Pass 2 is ONE keyed shuffle on the cell; each group sorts
+    its ids locally and adds its cell's offset.
+
+    The two-level cell bounds every shuffle group by the id-bucket
+    target EVEN when every row carries the same value — the all-ties
+    worst case that would make a per-quantum cogroup corpus-sized.
+    Cells are 24-byte fixed-width rows, at most
+    ``distinct-quanta × n_id_buckets`` and at least one per
+    ``target_rows`` input rows; a corpus whose cell table outgrows the
+    driver should ``ray.put`` the offset arrays instead of shipping
+    the dict in the closure (noted, not needed at current scale).
+
+    Ids must be non-negative, ≤ ``id_max`` and unique (rows tied on
+    BOTH keys would take interchangeable ranks — same output multiset,
+    but the per-row assignment would be arbitrary). Null/NaN values
+    are excluded (SQL-aggregate convention... a SQL ROW_NUMBER would
+    rank NULLs last; mirror with a WHERE on both sides). Output:
+    ``(id_col, value_cents, rnk)``.
+    """
+    from .util import adaptive_buckets
+    span = id_max + 1
+    if n_id_buckets is None:
+        n_id_buckets = adaptive_buckets(span)
+
+    def to_cells(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column(value_col), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)[ok]
+        q = np.floor(v[ok] * scale).astype(np.int64)
+        b = (ids.astype(np.int64) * n_id_buckets) // span
+        return pa.table({"__q": pa.array(q, pa.int64()),
+                         "__b": pa.array(b.astype(np.int32), pa.int32()),
+                         id_col: pa.array(ids.astype(np.int64),
+                                          pa.int64())})
+
+    # both passes consume the projection; materialize the 3-int-column
+    # slice so the upstream read/transform executes once (spillable)
+    cells = ds.map_batches(to_cells, batch_format="pyarrow") \
+        .materialize()
+
+    def cell_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by(["__q", "__b"]).aggregate([("__q", "count")])
+        return pa.table({"__q": g.column("__q"), "__b": g.column("__b"),
+                         "cnt": pc.cast(g.column("__q_count"),
+                                        pa.int64())})
+
+    acc: dict[tuple[int, int], int] = {}
+    for t in cells.map_batches(cell_counts, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for q, b, c in zip(t.column("__q").to_pylist(),
+                           t.column("__b").to_pylist(),
+                           t.column("cnt").to_pylist()):
+            acc[(q, b)] = acc.get((q, b), 0) + c
+    offs: dict[tuple[int, int], int] = {}
+    running = 0
+    for cell in sorted(acc):
+        offs[cell] = running
+        running += acc[cell]
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        q = g.column("__q")[0].as_py()
+        b = g.column("__b")[0].as_py()
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        rnk = offs[(q, b)] + 1 + np.arange(len(ids), dtype=np.int64)
+        return pa.table({
+            id_col: pa.array(ids[order], pa.int64()),
+            "value_cents": pa.array(np.full(len(ids), q, np.int64)),
+            "rnk": pa.array(rnk, pa.int64())})
+
+    return cells.groupby(["__q", "__b"]) \
+        .map_groups(rank_group, batch_format="pyarrow")

@@ -2968,6 +2968,143 @@ SELECT dev.event_id, dev.value_cents, dev.d AS dev_cents
 FROM dev, mad WHERE dev.d > 3 * mad.m"""
 
 
+def q_global_rank(sf_dir: str):
+    """Distributed ROW_NUMBER() over (value, id) with no global sort
+    (`aggregates.global_row_number`): two-level (quantum, id-range)
+    cells — counts fold to exclusive prefix offsets, one keyed shuffle
+    ranks each bounded cell locally."""
+    from .aggregates import global_row_number
+    return global_row_number(
+        _read(sf_dir, "events", ["event_id", "value"]),
+        value_col="value", id_col="event_id", scale=100,
+        id_max=_footer_max(sf_dir, "events", "event_id"))
+
+
+SQL_GLOBAL_RANK = """
+SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
+  CAST(ROW_NUMBER() OVER (ORDER BY FLOOR(value * 100), event_id)
+       AS BIGINT) AS rnk
+FROM events WHERE NOT isnan(value)"""
+
+
+def q_daily_change(sf_dir: str):
+    """Day-over-day count deltas per event type — the telemetry
+    trend-report shape (LAG over an aggregated series). Per-batch
+    (day, type) count partials make the shuffle fixed-width; the
+    per-type finalize folds days × blocks partial rows (bounded by
+    the time range) with one sort + diff."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        # null ts dropped on both sides (a null day would turn into
+        # NaN in the finalize's numpy sort/diff)
+        day = pc.floor_temporal(t.column("ts"), unit="day")
+        g = pa.table({
+            "day": day, "event_type": t.column("event_type"),
+        }).filter(pc.is_valid(day)) \
+            .group_by(["day", "event_type"]).aggregate([("day", "count")])
+        return pa.table({"day": g.column("day"),
+                         "event_type": g.column("event_type"),
+                         "n": pc.cast(g.column("day_count"), pa.int64())})
+
+    def finalize(g: pa.Table) -> pa.Table:
+        comb = g.group_by("day").aggregate([("n", "sum")])
+        di = pc.cast(comb.column("day"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = pc.cast(comb.column("n_sum"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.argsort(di)
+        di, n = di[order], n[order]
+        delta = np.empty(len(n), np.int64)
+        delta[0] = 0
+        delta[1:] = n[1:] - n[:-1]
+        first = np.zeros(len(n), bool)
+        if len(n):
+            first[0] = True
+        typ = g.column("event_type").slice(0, 1).to_pylist() * len(n)
+        return pa.table({
+            "day": pa.array(di, pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array(typ, pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "delta": pa.array(delta, pa.int64(), mask=first)})
+
+    return _read(sf_dir, "events", ["ts", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .map_groups(finalize, batch_format="pyarrow")
+
+
+SQL_DAILY_CHANGE = """WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+SELECT day, event_type, n,
+  n - lag(n) OVER (PARTITION BY event_type ORDER BY day) AS delta
+FROM d"""
+
+
+_WEEK_US = 7 * 86_400_000_000
+
+
+def q_weekly_retention(sf_dir: str):
+    """Week-over-week user retention: users active in week w AND week
+    w+1, counted per w — the cohort-health primitive. Per-batch
+    distinct (user, week) pairs bound the shuffle; the per-user-bucket
+    kernel dedups globally and finds retained weeks with ONE adjacent
+    comparison (weeks are distinct and sorted per user, so w+7d
+    present ⇔ the next entry equals it); a final tiny groupby sums
+    per-bucket week counts."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        week = pc.cast(pc.floor_temporal(t.column("ts"), unit="week"),
+                       pa.int64())
+        sub = pa.table({"u": t.column("user_id"), "w": week}) \
+            .filter(pc.is_valid(week))
+        d = sub.group_by(["u", "w"]).aggregate([])
+        return d.append_column("bucket", int_bucket(d.column("u"),
+                                                    n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        w = g.column("w").to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        # global dedup of the per-batch distinct partials
+        keep = np.append(True, (u[1:] != u[:-1]) | (w[1:] != w[:-1])) \
+            if len(u) else np.array([], bool)
+        u, w = u[keep], w[keep]
+        retained = (u[1:] == u[:-1]) & (w[1:] - w[:-1] == _WEEK_US)
+        weeks, cnt = np.unique(w[:-1][retained], return_counts=True)
+        return pa.table({"week": pa.array(weeks, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64),
+                                         pa.int64())})
+
+    def sum_week(g: pa.Table) -> pa.Table:
+        total = pc.sum(g.column("cnt")).as_py()
+        return pa.table({
+            "week": g.column("week").slice(0, 1).combine_chunks()
+            .cast(pa.timestamp("us")),
+            "n_retained": pa.array([total], pa.int64())})
+
+    return _read(sf_dir, "events", ["user_id", "ts"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow") \
+        .groupby("week").map_groups(sum_week, batch_format="pyarrow")
+
+
+SQL_WEEKLY_RETENTION = """WITH p AS (
+  SELECT DISTINCT user_id,
+    CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events WHERE ts IS NOT NULL)
+SELECT a.week, CAST(COUNT(*) AS BIGINT) AS n_retained
+FROM p a JOIN p b ON b.user_id = a.user_id
+  AND b.week = a.week + INTERVAL '7 days'
+GROUP BY a.week"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -3048,6 +3185,9 @@ QUERIES = {
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "winsorize": (q_winsorize, SQL_WINSORIZE),
     "anomaly_events": (q_anomaly_events, SQL_ANOMALY_EVENTS),
+    "global_rank": (q_global_rank, SQL_GLOBAL_RANK),
+    "daily_change": (q_daily_change, SQL_DAILY_CHANGE),
+    "weekly_retention": (q_weekly_retention, SQL_WEEKLY_RETENTION),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

@@ -226,3 +226,116 @@ class TestFunnelFirstConversion:
         with pytest.raises(ValueError, match="within_us"):
             funnel_first_conversion(None, first_type="A", then_type="B",
                                     within_us=0, n_buckets=1)
+
+
+# ---------------------------------------------------- global_row_number
+
+class TestGlobalRowNumber:
+    def _run(self, values, ids, n_id_buckets=None, scale=100):
+        import ray.data as rd
+        from raybeats.aggregates import global_row_number
+        t = pa.table({"id": pa.array(ids, pa.int64()),
+                      "v": pa.array(values, pa.float64())})
+        out = global_row_number(rd.from_arrow(t).repartition(4),
+                                value_col="v", id_col="id",
+                                id_max=max(ids), scale=scale,
+                                n_id_buckets=n_id_buckets)
+        got = pa.concat_tables(out.iter_batches(batch_format="pyarrow"),
+                               promote_options="default")
+        return {r["id"]: (r["value_cents"], r["rnk"])
+                for r in got.to_pylist()}
+
+    def test_parity_with_argsort(self, ray_session):
+        rng = np.random.RandomState(7)
+        n = 500
+        ids = rng.permutation(n * 2)[:n].tolist()
+        vals = np.round(rng.uniform(0, 20, n), 2)
+        vals[::37] = np.nan                    # NaNs excluded
+        got = self._run(vals.tolist(), ids)
+        ok = ~np.isnan(vals)
+        q = np.floor(vals[ok] * 100).astype(np.int64)
+        iid = np.array(ids)[ok]
+        order = np.lexsort((iid, q))
+        expect = {int(iid[j]): (int(q[j]), r + 1)
+                  for r, j in enumerate(order)}
+        assert got == expect
+
+    def test_bucket_invariance_and_all_ties(self, ray_session):
+        """The all-ties worst case (every row one value) must still
+        rank purely by id, at any id-bucket count."""
+        ids = list(range(100))
+        vals = [7.0] * 100
+        base = self._run(vals, ids, n_id_buckets=1)
+        assert base == {i: (700, i + 1) for i in ids}
+        assert self._run(vals, ids, n_id_buckets=13) == base
+
+
+# -------------------------------------------------------- daily_change
+
+class TestDailyChange:
+    def test_gap_days_and_null_ts(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        import duckdb
+        from raybeats.queries import QUERIES
+        day = 86_400_000_000
+        rows = []
+        # type A: days 0, 1, 3 (gap at 2 — LAG crosses the gap)
+        for d, k in [(0, 3), (1, 1), (3, 5)]:
+            rows += [(d * day + i, "A") for i in range(k)]
+        rows += [(0, "B"), (None, "B"), (None, "A")]  # null ts dropped
+        t = pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[0] for r in rows], pa.int64())
+            .cast(pa.timestamp("us")),
+            "user_id": pa.array([0] * len(rows), pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows))})
+        pq.write_table(t, tmp_path / "events.parquet")
+        out = QUERIES["daily_change"][0](str(tmp_path))
+        got = pa.concat_tables(out.iter_batches(batch_format="pyarrow"),
+                               promote_options="default")
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{tmp_path}/events.parquet'")
+        want = con.execute(QUERIES["daily_change"][1]).arrow()
+        key = lambda tb: sorted(map(tuple, zip(
+            *[tb.column(c).to_pylist()
+              for c in sorted(tb.column_names)])))
+        assert key(got) == key(want)
+        # the gap: day-3 delta is vs day 1 (5-1=4), not vs absent day 2
+        a = {r["day"].day: r["delta"] for r in got.to_pylist()
+             if r["event_type"] == "A"}
+        assert a[4] == 4 and a[1] is None   # Jan 4 = day index 3
+
+
+# ---------------------------------------------------- weekly_retention
+
+class TestWeeklyRetention:
+    def test_dedup_and_skipped_weeks(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        from raybeats.queries import QUERIES
+        week = 7 * 86_400_000_000
+        # u0 active weeks 0,1,2 (retained at w0 and w1);
+        # u1 active weeks 0,2 (gap — NOT retained at w0);
+        # u2 active week 1 twice across batches (dedup; no next week)
+        rows = [(0, 0), (0, 1), (0, 2), (1, 0), (1, 2), (2, 1), (2, 1)]
+        t = pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([w * week + u for u, w in rows], pa.int64())
+            .cast(pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows))})
+        pq.write_table(t, tmp_path / "events.parquet")
+        out = QUERIES["weekly_retention"][0](str(tmp_path))
+        got = pa.concat_tables(out.iter_batches(batch_format="pyarrow"),
+                               promote_options="default")
+        week_us = pa.compute.cast(got.column("week"),
+                                  pa.int64()).to_pylist()
+        counts = dict(zip(week_us, got.column("n_retained").to_pylist()))
+        # epoch 1970-01-01 is a Thursday: the Monday week floor of
+        # ts=0 is Dec 29 1969, i.e. -3 days
+        floor0 = -3 * 86_400_000_000
+        assert counts == {floor0: 1, floor0 + week: 1}
