@@ -530,10 +530,11 @@ def global_row_number(ds, *, value_col: str, id_col: str, id_max: int,
     rank NULLs last; mirror with a WHERE on both sides). Output:
     ``(id_col, value_cents, rnk)``.
     """
-    from .util import adaptive_buckets
+    from .util import adaptive_buckets, range_bucket_step
     span = id_max + 1
     if n_id_buckets is None:
         n_id_buckets = adaptive_buckets(span)
+    step = range_bucket_step(span, n_id_buckets)
 
     def to_cells(t: pa.Table) -> pa.Table:
         v = pc.cast(t.column(value_col), pa.float64()) \
@@ -541,7 +542,7 @@ def global_row_number(ds, *, value_col: str, id_col: str, id_max: int,
         ok = ~np.isnan(v)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)[ok]
         q = np.floor(v[ok] * scale).astype(np.int64)
-        b = (ids.astype(np.int64) * n_id_buckets) // span
+        b = ids.astype(np.int64) // step
         return pa.table({"__q": pa.array(q, pa.int64()),
                          "__b": pa.array(b.astype(np.int32), pa.int32()),
                          id_col: pa.array(ids.astype(np.int64),
@@ -558,18 +559,29 @@ def global_row_number(ds, *, value_col: str, id_col: str, id_max: int,
                          "cnt": pc.cast(g.column("__q_count"),
                                         pa.int64())})
 
-    acc: dict[tuple[int, int], int] = {}
+    # vectorized fold of the blocks × cells partials: one lexsort +
+    # reduceat over the concatenated arrays (the pack_sequences fold
+    # shape); only the UNIQUE cells touch python, building the dict
+    qs_l, bs_l, cs_l = [], [], []
     for t in cells.map_batches(cell_counts, batch_format="pyarrow") \
             .iter_batches(batch_format="pyarrow"):
-        for q, b, c in zip(t.column("__q").to_pylist(),
-                           t.column("__b").to_pylist(),
-                           t.column("cnt").to_pylist()):
-            acc[(q, b)] = acc.get((q, b), 0) + c
-    offs: dict[tuple[int, int], int] = {}
-    running = 0
-    for cell in sorted(acc):
-        offs[cell] = running
-        running += acc[cell]
+        qs_l.append(t.column("__q").to_numpy(zero_copy_only=False))
+        bs_l.append(t.column("__b").to_numpy(zero_copy_only=False))
+        cs_l.append(t.column("cnt").to_numpy(zero_copy_only=False))
+    qs = np.concatenate(qs_l) if qs_l else np.array([], np.int64)
+    bs = np.concatenate(bs_l) if bs_l else np.array([], np.int64)
+    cs = np.concatenate(cs_l) if cs_l else np.array([], np.int64)
+    order = np.lexsort((bs, qs))
+    qs, bs, cs = qs[order], bs[order], cs[order]
+    new_cell = np.append(True, (qs[1:] != qs[:-1]) | (bs[1:] != bs[:-1])) \
+        if len(qs) else np.array([], bool)
+    starts = np.flatnonzero(new_cell)
+    totals = np.add.reduceat(cs, starts) if len(starts) else \
+        np.array([], np.int64)
+    excl = np.concatenate([[0], np.cumsum(totals)[:-1]]).astype(np.int64) \
+        if len(totals) else np.array([], np.int64)
+    offs = {(int(q), int(b)): int(o)
+            for q, b, o in zip(qs[starts], bs[starts], excl)}
 
     def rank_group(g: pa.Table) -> pa.Table:
         q = g.column("__q")[0].as_py()

@@ -3015,12 +3015,12 @@ def q_daily_change(sf_dir: str):
             .to_numpy(zero_copy_only=False)
         order = np.argsort(di)
         di, n = di[order], n[order]
+        # map_groups never delivers an empty group, so [0] is safe
         delta = np.empty(len(n), np.int64)
         delta[0] = 0
         delta[1:] = n[1:] - n[:-1]
         first = np.zeros(len(n), bool)
-        if len(n):
-            first[0] = True
+        first[0] = True
         typ = g.column("event_type").slice(0, 1).to_pylist() * len(n)
         return pa.table({
             "day": pa.array(di, pa.int64()).cast(pa.timestamp("us")),

@@ -445,12 +445,10 @@ def pack_sequences(ds, *, budget: int, id_max: int,
         n_buckets = adaptive_buckets(span)
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        from ..util import range_bucket
         ids = t.column(id_col)
-        bkt = pc.cast(pc.divide(pc.multiply(pc.cast(ids, pa.int64()),
-                                            n_buckets), span),
-                      pa.int32())
         return pa.table({id_col: ids, tok_col: t.column(tok_col),
-                         "bucket": bkt})
+                         "bucket": range_bucket(ids, n_buckets, span)})
 
     # materialize the 3-int64-column projection: BOTH passes consume it
     # (totals scan + the final groupby) and Ray recomputes lineage per

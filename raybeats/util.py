@@ -24,6 +24,24 @@ def int_bucket(col, n_buckets: int) -> pa.Array:
     return pc.cast(imod(col, n_buckets), pa.int32())
 
 
+def range_bucket_step(span: int, n_buckets: int) -> int:
+    """Step size for MONOTONE id-range bucketing: ``bucket = id //
+    step`` lands in ``[0, n_buckets)`` for ``0 <= id < span`` and
+    preserves id order across buckets (bucket order IS id order — the
+    distributed-prefix-sum contract of pack_sequences /
+    global_row_number). Division, not the ``id * n // span`` multiply:
+    snowflake-scale ids (id_max ≥ ~2^43 with a 2^20 bucket count)
+    would silently wrap int64 in the multiply and break monotonicity."""
+    return -(-span // n_buckets)
+
+
+def range_bucket(col, n_buckets: int, span: int) -> pa.Array:
+    """Monotone id-range bucket id (int32) — see `range_bucket_step`."""
+    step = range_bucket_step(span, n_buckets)
+    return pc.cast(pc.divide(pc.cast(col, pa.int64()), step),
+                   pa.int32())
+
+
 _FNV64_VEC_MAX_LEN = 512  # padded-matrix width bound (see fnv1a_u64)
 
 

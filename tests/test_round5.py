@@ -339,3 +339,36 @@ class TestWeeklyRetention:
         # ts=0 is Dec 29 1969, i.e. -3 days
         floor0 = -3 * 86_400_000_000
         assert counts == {floor0: 1, floor0 + week: 1}
+
+
+# ------------------------------------------------- range bucket overflow
+
+class TestRangeBucketOverflow:
+    def test_snowflake_scale_ids_stay_monotone(self):
+        """id * n_buckets // span silently wraps int64 for id_max >=
+        ~2^43 at a 2^20 bucket count; the step-division form must not."""
+        from raybeats.util import range_bucket, range_bucket_step
+        span = 1 << 62
+        n = 1 << 20
+        ids = pa.array([0, 1 << 44, 1 << 55, span - 1], pa.int64())
+        b = range_bucket(ids, n, span).to_pylist()
+        assert b == sorted(b) and 0 <= b[0] and b[-1] == n - 1
+        # the multiply form wraps negative here — the bug this guards
+        step = range_bucket_step(span, n)
+        assert (span - 1) // step == n - 1
+
+    def test_global_row_number_sparse_huge_ids(self, ray_session):
+        """End-to-end with ids near 2^55: ranks must follow id order."""
+        import ray.data as rd
+        from raybeats.aggregates import global_row_number
+        ids = [(1 << 55) + i * (1 << 33) for i in range(50)]
+        t = pa.table({"id": pa.array(ids, pa.int64()),
+                      "v": pa.array([1.0] * 50, pa.float64())})
+        out = global_row_number(rd.from_arrow(t).repartition(3),
+                                value_col="v", id_col="id",
+                                id_max=max(ids), scale=1)
+        got = pa.concat_tables(out.iter_batches(batch_format="pyarrow"),
+                               promote_options="default")
+        by_id = dict(zip(got.column("id").to_pylist(),
+                         got.column("rnk").to_pylist()))
+        assert by_id == {i: r + 1 for r, i in enumerate(sorted(ids))}
