@@ -3105,6 +3105,79 @@ FROM p a JOIN p b ON b.user_id = a.user_id
 GROUP BY a.week"""
 
 
+def q_revenue_by_segment(sf_dir: str):
+    """Three-table star join (TPC-H-Q3 family): revenue per
+    (market segment, order month). The PLAN is the point — the
+    dimension (customer) broadcasts once into an actor-pool enrich on
+    the orders scan (no shuffle for the small side), and only the
+    fact×fact edge (lineitem ⋈ enriched orders) pays the hash-shuffle
+    exchange; revenue is per-row floor-cents int64 (exact associative
+    sum), and the final groupby moves batch × (segment × month)
+    fixed-width partials. A dimension too big for one object would
+    flip the enrich to a second hash_join — same result, one more
+    exchange."""
+    import numpy as np
+    from .joins import hash_join
+
+    side = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]) \
+        .rename_columns(["o_custkey", "c_mktsegment"])
+    enr = Enricher(rows=side, key_fields=("o_custkey",),
+                   target_prefix="", miss_flag=False)
+
+    def orders_prep(t: pa.Table) -> pa.Table:
+        e = enr(t)
+        return pa.table({
+            "o_orderkey": e.column("o_orderkey"),
+            "c_mktsegment": e.column("c_mktsegment"),
+            "month": pc.floor_temporal(e.column("o_orderdate"),
+                                       unit="month")})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(orders_prep, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+    nparts = adaptive_buckets(
+        _nrows(sf_dir, "lineitem") + _nrows(sf_dir, "orders"),
+        target_rows=500_000, lo=4, hi=1 << 16)
+    joined = hash_join(li, orders, on="l_orderkey",
+                       right_on="o_orderkey", how="inner",
+                       num_partitions=nparts)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * (1.0 - disc) * 100.0).astype(np.int64)
+        tt = pa.table({"c_mktsegment": t.column("c_mktsegment"),
+                       "month": t.column("month"),
+                       "rev": pa.array(cents, pa.int64())})
+        g = tt.group_by(["c_mktsegment", "month"]).aggregate(
+            [("rev", "sum"), ("rev", "count")])
+        return pa.table({
+            "c_mktsegment": g.column("c_mktsegment"),
+            "month": g.column("month"),
+            "revenue_cents": g.column("rev_sum"),
+            "n_items": pc.cast(g.column("rev_count"), pa.int64())})
+
+    small = joined.map_batches(partial, batch_format="pyarrow")
+    return _combine_partials(small, ["c_mktsegment", "month"],
+                             {"revenue_cents": "revenue_cents",
+                              "n_items": "n_items"})
+
+
+SQL_REVENUE_BY_SEGMENT = """
+SELECT c_mktsegment,
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment, month"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -3188,6 +3261,7 @@ QUERIES = {
     "global_rank": (q_global_rank, SQL_GLOBAL_RANK),
     "daily_change": (q_daily_change, SQL_DAILY_CHANGE),
     "weekly_retention": (q_weekly_retention, SQL_WEEKLY_RETENTION),
+    "revenue_by_segment": (q_revenue_by_segment, SQL_REVENUE_BY_SEGMENT),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —
