@@ -257,20 +257,8 @@ def keep_latest(ds, *, key: str, order_by: tuple[str, ...],
     a keyed dataset."""
     from .util import fnv1a_bucket
 
-    i64min = np.iinfo(np.int64).min
-
     def kernel(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
-        karr = _key_codes(t.column(key))
-        ocols = [pc.fill_null(pc.cast(t.column(c), pa.int64()), i64min)
-                 .to_numpy(zero_copy_only=False) for c in order_by]
-        # lexsort: last key is primary → (tiebreaks..., first order
-        # col, key); the LAST row of each key run is its max
-        order = np.lexsort(tuple(reversed(ocols)) + (karr,))
-        ks = karr[order]
-        last = np.append(ks[1:] != ks[:-1], True)
-        return t.take(pa.array(order[np.nonzero(last)[0]], pa.int64()))
+        return keep_latest_table(t, key=key, order_by=order_by)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -283,6 +271,27 @@ def keep_latest(ds, *, key: str, order_by: tuple[str, ...],
               .map_batches(add_bucket, batch_format="pyarrow")
               .groupby("__kl_bkt")
               .map_groups(final, batch_format="pyarrow"))
+
+
+def keep_latest_table(t: pa.Table, *, key: str,
+                      order_by: tuple[str, ...]) -> pa.Table:
+    """One-table keep-latest compaction: the row with the max
+    ``order_by`` tuple per ``key`` (see :func:`keep_latest` for the
+    semantics). Single-sourced so the batch stages and the streaming
+    upsert cache (``streaming.LatestEventState``) fold the LITERAL
+    same kernel — the flush ≡ batch parity claim rests on it."""
+    if t.num_rows == 0:
+        return t
+    i64min = np.iinfo(np.int64).min
+    karr = _key_codes(t.column(key))
+    ocols = [pc.fill_null(pc.cast(t.column(c), pa.int64()), i64min)
+             .to_numpy(zero_copy_only=False) for c in order_by]
+    # lexsort: last key is primary → (tiebreaks..., first order
+    # col, key); the LAST row of each key run is its max
+    order = np.lexsort(tuple(reversed(ocols)) + (karr,))
+    ks = karr[order]
+    last = np.append(ks[1:] != ks[:-1], True)
+    return t.take(pa.array(order[np.nonzero(last)[0]], pa.int64()))
 
 
 # ------------------------------------------------------- rollup aggregate

@@ -619,3 +619,53 @@ def streaming_running_total(micro_batches, n_buckets: int = 4):
         return RunningTotalState._EMPTY
     return pa.Table.from_pylist(parts).sort_by(
         [("user_id", "ascending"), ("event_id", "ascending")])
+
+
+class LatestEventState:
+    """Per-bucket incremental UPSERT cache: the current newest row per
+    key, folded with the LITERAL batch kernel
+    (``aggregates.keep_latest_table``) over (cache ∪ arriving rows).
+    Keep-latest is an associative, commutative SELECTION, so the flush
+    equals the batch ``keep_latest`` exactly for ANY micro-batch split
+    and no watermark machinery is needed (a late row folds correctly —
+    it simply loses to the newer cached row). Cache size is bounded by
+    the bucket's distinct keys, never the stream length."""
+
+    def __init__(self, key: str, order_by: tuple):
+        self.key = key
+        self.order_by = tuple(order_by)
+        self.state: pa.Table | None = None
+
+    def process(self, tbl: pa.Table) -> None:
+        from .aggregates import keep_latest_table
+        if "bucket" in tbl.column_names:
+            tbl = tbl.drop_columns(["bucket"])
+        if tbl.num_rows == 0:
+            return None
+        cur = tbl if self.state is None else pa.concat_tables(
+            [self.state, tbl], promote_options="default")
+        self.state = keep_latest_table(cur, key=self.key,
+                                       order_by=self.order_by)
+        return None
+
+    def flush(self) -> pa.Table:
+        return self.state if self.state is not None else pa.table({})
+
+
+def streaming_latest(micro_batches, key: str = "user_id",
+                     order_by: tuple = ("ts", "event_id"),
+                     n_buckets: int = 4):
+    """Incremental counterpart of the batch ``latest_event`` query: the
+    newest row per key over time-ordered micro-batches (keyed upsert
+    actors). Returns one table equal to the batch ``keep_latest`` over
+    the concatenated stream (tested, any split)."""
+    import ray
+
+    actors, _ = _drive_keyed_actors(micro_batches, LatestEventState,
+                                    (key, order_by), n_buckets)
+    parts = [t for t in ray.get([a.flush.remote() for a in actors])
+             if t.num_rows]
+    if not parts:
+        return pa.table({})
+    return pa.concat_tables(parts, promote_options="default") \
+        .sort_by([(key, "ascending")])

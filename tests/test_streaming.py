@@ -262,3 +262,48 @@ def test_streaming_approx_distinct_skips_null_keys(ray_session):
         column="user_id", n_buckets=2, p=12)
     batch = approx_distinct(rd.from_arrow(t), "user_id", p=12)
     assert streamed == batch
+
+
+def test_streaming_latest_equals_batch(ray_session):
+    """Upsert cache flush ≡ batch keep_latest for any micro-batch
+    split (keep-latest is an associative commutative selection)."""
+    import ray.data as rd
+
+    from raybeats.aggregates import keep_latest_table
+    from raybeats.streaming import streaming_latest
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_id", "ts", "user_id",
+                               "event_type", "value"]).sort_by("ts")
+    n = t.num_rows
+    for cuts in ([n], [n // 3, 2 * n // 3, n], [1, n // 2, n]):
+        lo, slices = 0, []
+        for hi in cuts:
+            slices.append(rd.from_arrow(t.slice(lo, hi - lo)))
+            lo = hi
+        got = streaming_latest(slices, n_buckets=5)
+        want = keep_latest_table(t, key="user_id",
+                                 order_by=("ts", "event_id")) \
+            .sort_by([("user_id", "ascending")])
+        assert got.select(want.column_names).to_pylist() \
+            == want.to_pylist()
+
+
+def test_streaming_latest_late_row_loses(ray_session):
+    """A late row older than the cached winner must not replace it —
+    no watermark machinery, the selection itself handles lateness."""
+    import ray.data as rd
+    from raybeats.streaming import streaming_latest
+
+    import pyarrow as pa
+
+    def mk(rows):
+        return rd.from_arrow(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64())
+            .cast(pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64())}))
+
+    got = streaming_latest(
+        [mk([(1, 100, 7)]), mk([(2, 50, 7)])], n_buckets=2)
+    assert got.column("event_id").to_pylist() == [1]
