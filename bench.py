@@ -131,7 +131,8 @@ def run_queries() -> dict[str, float]:
              "text_normalize", "column_profile", "stratified_sample",
              "snapshot_diff", "funnel_conversion", "winsorize",
              "anomaly_events", "global_rank", "daily_change",
-             "weekly_retention", "revenue_by_segment"]
+             "weekly_retention", "revenue_by_segment", "users_per_type",
+             "pivot_counts"]
     out: dict[str, float] = {}
     # best-of-N per query: this box's first-touch/writeback stalls skew
     # single shots by 2-3x (same reason the headline is best-of-2)

@@ -3178,6 +3178,95 @@ JOIN customer ON c_custkey = o_custkey
 GROUP BY c_mktsegment, month"""
 
 
+def q_users_per_type(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): distinct users per event type.
+    Two-level distinct: per-batch distinct (type, user) pairs prune
+    duplicates where the data sits, ONE fixed-width pair shuffle
+    keyed by a user-hash bucket (each user's pairs co-locate, so the
+    per-group dedup is globally exact and group size is bounded by
+    the bucket target — per-TYPE groups would grow with the user
+    count), then a tiny per-type driver combine. Null users skipped
+    (COUNT DISTINCT convention)."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = pa.table({"event_type": t.column("event_type"),
+                        "u": t.column("user_id")}) \
+            .filter(pc.is_valid(t.column("user_id")))
+        d = sub.group_by(["event_type", "u"]).aggregate([])
+        return d.append_column("bucket", int_bucket(d.column("u"),
+                                                    n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        d = g.group_by(["event_type", "u"]).aggregate([])
+        c = d.group_by("event_type").aggregate([("u", "count")])
+        return pa.table({"event_type": c.column("event_type"),
+                         "n_users": pc.cast(c.column("u_count"),
+                                            pa.int64())})
+
+    small = _read(sf_dir, "events", ["event_type", "user_id"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    return _combine_partials(small, ["event_type"],
+                             {"n_users": "n_users"})
+
+
+SQL_USERS_PER_TYPE = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type"""
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_counts(sf_dir: str):
+    """Cross-tab reshaping: event counts per ISO weekday pivoted into
+    one column per event type (the report-table shape). Per-batch
+    (dow, type) count partials are fixed-width; the pivot itself runs
+    on the driver over the tiny combined table (7 × types rows)."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        dow = pc.day_of_week(t.column("ts"), count_from_zero=False,
+                             week_start=1)  # ISO: Monday=1 .. Sunday=7
+        g = pa.table({"dow": pc.cast(dow, pa.int64()),
+                      "event_type": t.column("event_type")}) \
+            .filter(pc.is_valid(t.column("ts"))) \
+            .group_by(["dow", "event_type"]).aggregate([("dow", "count")])
+        return pa.table({"dow": g.column("dow"),
+                         "event_type": g.column("event_type"),
+                         "n": pc.cast(g.column("dow_count"), pa.int64())})
+
+    small = _read(sf_dir, "events", ["ts", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    flat = _combine_partials(small, ["dow", "event_type"], {"n": "n"})
+    dows = sorted(set(flat.column("dow").to_pylist()))
+    counts = {(r["dow"], r["event_type"]): r["n"]
+              for r in flat.to_pylist()}
+    cols: dict = {"dow": pa.array(dows, pa.int64())}
+    for typ in _PIVOT_TYPES:
+        cols[f"n_{typ}"] = pa.array(
+            [counts.get((d, typ), 0) for d in dows], pa.int64())
+    return pa.table(cols)
+
+
+SQL_PIVOT_COUNTS = """
+SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+    AS n_click,
+  CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+    AS n_error,
+  CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+    AS n_purchase,
+  CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+    AS n_signup,
+  CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+    AS n_view
+FROM events WHERE ts IS NOT NULL GROUP BY dow"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -3262,6 +3351,8 @@ QUERIES = {
     "daily_change": (q_daily_change, SQL_DAILY_CHANGE),
     "weekly_retention": (q_weekly_retention, SQL_WEEKLY_RETENTION),
     "revenue_by_segment": (q_revenue_by_segment, SQL_REVENUE_BY_SEGMENT),
+    "users_per_type": (q_users_per_type, SQL_USERS_PER_TYPE),
+    "pivot_counts": (q_pivot_counts, SQL_PIVOT_COUNTS),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —
