@@ -372,3 +372,71 @@ class TestRangeBucketOverflow:
         by_id = dict(zip(got.column("id").to_pylist(),
                          got.column("rnk").to_pylist()))
         assert by_id == {i: r + 1 for r, i in enumerate(sorted(ids))}
+
+
+# ------------------------------------------------ randomized parity
+
+class TestRandomizedParity:
+    def test_snapshot_diff_random(self, ray_session):
+        """Random unique-key snapshots vs a dict reference, across
+        bucket counts."""
+        import ray.data as rd
+        from raybeats.joins import snapshot_diff
+        rng = np.random.RandomState(17)
+        for trial in range(3):
+            ok = rng.permutation(300)[:150]
+            nk = rng.permutation(300)[:150]
+            ov = rng.randint(0, 4, 150)
+            nv = rng.randint(0, 4, 150)
+            old_d = dict(zip(ok.tolist(), ov.tolist()))
+            new_d = dict(zip(nk.tolist(), nv.tolist()))
+            expect = {}
+            for k in set(old_d) | set(new_d):
+                if k not in new_d:
+                    expect[k] = "removed"
+                elif k not in old_d:
+                    expect[k] = "added"
+                else:
+                    expect[k] = "same" if old_d[k] == new_d[k] \
+                        else "changed"
+            old = rd.from_arrow(pa.table({
+                "k": pa.array(ok, pa.int64()),
+                "v": pa.array(ov, pa.int64())})).repartition(4)
+            new = rd.from_arrow(pa.table({
+                "k": pa.array(nk, pa.int64()),
+                "v": pa.array(nv, pa.int64())})).repartition(3)
+            out = snapshot_diff(old, new, on="k", compare="v",
+                                n_buckets=2 + trial * 5)
+            got = {r["key"]: r["status"] for t in
+                   out.iter_batches(batch_format="pyarrow")
+                   for r in t.to_pylist()}
+            assert got == expect
+
+    def test_users_per_type_random_partitions(self, ray_session,
+                                              tmp_path):
+        """Exact distinct counts survive duplicate-heavy data and any
+        file split."""
+        import duckdb
+        import pyarrow.parquet as pq
+        from raybeats.queries import QUERIES
+        rng = np.random.RandomState(23)
+        n = 5000
+        t = pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([0] * n, pa.int64())
+            .cast(pa.timestamp("us")),
+            "user_id": pa.array(rng.randint(0, 40, n), pa.int64()),
+            "event_type": pa.array(
+                rng.choice(["a", "b", "c"], n).tolist()),
+            "value": pa.array([0.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n)})
+        pq.write_table(t, tmp_path / "events.parquet")
+        out = QUERIES["users_per_type"][0](str(tmp_path))
+        got = {r["event_type"]: r["n_users"] for r in out.to_pylist()}
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{tmp_path}/events.parquet'")
+        want = dict(con.execute(
+            "SELECT event_type, COUNT(DISTINCT user_id) FROM events "
+            "GROUP BY 1").fetchall())
+        assert got == want
