@@ -269,6 +269,18 @@ class TestGlobalRowNumber:
         assert base == {i: (700, i + 1) for i in ids}
         assert self._run(vals, ids, n_id_buckets=13) == base
 
+    def test_negative_values(self, ray_session):
+        """Negative quanta (floor of negative values) must sort before
+        positives in the offset fold."""
+        vals = [-3.17, 2.0, -0.01, 0.0, -3.17, 5.5]
+        ids = [10, 20, 30, 40, 50, 60]
+        got = self._run(vals, ids)
+        q = np.floor(np.array(vals) * 100).astype(np.int64)
+        order = np.lexsort((np.array(ids), q))
+        expect = {ids[j]: (int(q[j]), r + 1)
+                  for r, j in enumerate(order)}
+        assert got == expect
+
 
 # -------------------------------------------------------- daily_change
 
