@@ -2805,7 +2805,14 @@ def q_snapshot_diff(sf_dir: str):
     (added) — so all four statuses are exercised non-vacuously."""
     from .joins import snapshot_diff
 
-    old = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+    # block counts sized to the input (footer counts): Ray's default
+    # split for a 15k-row dimension is cpus*2 ≈ 64 blocks, and the
+    # resulting 64-tiny-task stages cost more than the work itself
+    def nblocks(table: str) -> int:
+        return max(2, min(16, _nrows(sf_dir, table) // 50_000 + 2))
+
+    old = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"],
+                blocks=nblocks("customer")) \
         .map_batches(lambda t: pa.table({
             "key": t.column("c_custkey"),
             "val": pc.cast(t.column("c_nationkey"), pa.int64())}),
@@ -2822,9 +2829,11 @@ def q_snapshot_diff(sf_dir: str):
             "val": pc.add(pc.cast(keep.column("c_nationkey"),
                                   pa.int64()), bump)})
 
-    new = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+    new = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"],
+                blocks=nblocks("customer")) \
         .map_batches(derive_new, batch_format="pyarrow") \
-        .union(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .union(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"],
+                     blocks=nblocks("supplier"))
                .map_batches(lambda t: pa.table({
                    "key": pc.add(t.column("s_suppkey"), 1_000_000),
                    "val": pc.cast(t.column("s_nationkey"), pa.int64())}),
