@@ -47,6 +47,18 @@ def _nrows(sf_dir: str, table: str) -> int:
     return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
 
 
+def _read_dim(sf_dir: str, table: str, columns=None):
+    """Column-pruned read of a DIMENSION-scale table with a
+    footer-sized block count. Ray's default split (cpus×2) turns a
+    15k-row read into 64 tiny tasks PER downstream stage — task
+    overhead exceeding the work (measured on snapshot_diff:
+    4.5 s → 0.3 s warm). Grows with the footer count, so a dimension
+    that turns out fact-sized still parallelizes."""
+    n = _nrows(sf_dir, table)
+    return _read(sf_dir, table, columns,
+                 blocks=max(2, min(16, n // 50_000 + 2)))
+
+
 # ------------------------------------------------------- flagship family
 
 def events_flagship_config() -> dict:
@@ -1769,7 +1781,7 @@ def q_anti_join(sf_dir: str):
     from .joins import key_filter_join
 
     ev = _read(sf_dir, "events", ["event_id", "user_id"])
-    allow = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+    allow = _read_dim(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
         .map_batches(lambda t: t.filter(
             pc.equal(t.column("c_mktsegment"), "AUTOMOBILE"))
             .select(["c_custkey"]), batch_format="pyarrow")
@@ -2013,7 +2025,7 @@ def q_semi_join_bloom(sf_dir: str):
     from .joins import bloom_filter_join
 
     ev = _read(sf_dir, "events", ["event_id", "user_id"])
-    allow = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+    allow = _read_dim(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
         .map_batches(lambda t: t.filter(
             pc.equal(t.column("c_mktsegment"), "MACHINERY"))
             .select(["c_custkey"]), batch_format="pyarrow")
@@ -2805,14 +2817,7 @@ def q_snapshot_diff(sf_dir: str):
     (added) — so all four statuses are exercised non-vacuously."""
     from .joins import snapshot_diff
 
-    # block counts sized to the input (footer counts): Ray's default
-    # split for a 15k-row dimension is cpus*2 ≈ 64 blocks, and the
-    # resulting 64-tiny-task stages cost more than the work itself
-    def nblocks(table: str) -> int:
-        return max(2, min(16, _nrows(sf_dir, table) // 50_000 + 2))
-
-    old = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"],
-                blocks=nblocks("customer")) \
+    old = _read_dim(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
         .map_batches(lambda t: pa.table({
             "key": t.column("c_custkey"),
             "val": pc.cast(t.column("c_nationkey"), pa.int64())}),
@@ -2829,11 +2834,9 @@ def q_snapshot_diff(sf_dir: str):
             "val": pc.add(pc.cast(keep.column("c_nationkey"),
                                   pa.int64()), bump)})
 
-    new = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"],
-                blocks=nblocks("customer")) \
+    new = _read_dim(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
         .map_batches(derive_new, batch_format="pyarrow") \
-        .union(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"],
-                     blocks=nblocks("supplier"))
+        .union(_read_dim(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
                .map_batches(lambda t: pa.table({
                    "key": pc.add(t.column("s_suppkey"), 1_000_000),
                    "val": pc.cast(t.column("s_nationkey"), pa.int64())}),
