@@ -1231,6 +1231,9 @@ def q_mktsegment_counts(sf_dir: str):
 
     def partial(tbl: pa.Table) -> pa.Table:
         t = enr(tbl)
+        # inner-join mirror: enrich misses (null segment) must not
+        # form a group the oracle's JOIN would drop
+        t = t.filter(pc.is_valid(t.column("c_mktsegment")))
         g = t.group_by("c_mktsegment").aggregate([("o_custkey", "count")])
         return pa.table({"c_mktsegment": g.column("c_mktsegment"),
                          "n": pc.cast(g.column("o_custkey_count"),
@@ -3139,6 +3142,9 @@ def q_revenue_by_segment(sf_dir: str):
 
     def orders_prep(t: pa.Table) -> pa.Table:
         e = enr(t)
+        # inner-join mirror: a dangling/null o_custkey enriches to a
+        # null segment and must NOT survive (the oracle's JOIN drops it)
+        e = e.filter(pc.is_valid(e.column("c_mktsegment")))
         return pa.table({
             "o_orderkey": e.column("o_orderkey"),
             "c_mktsegment": e.column("c_mktsegment"),
@@ -3238,7 +3244,6 @@ def q_pivot_counts(sf_dir: str):
     one column per event type (the report-table shape). Per-batch
     (dow, type) count partials are fixed-width; the pivot itself runs
     on the driver over the tiny combined table (7 × types rows)."""
-    import numpy as np
 
     def partial(t: pa.Table) -> pa.Table:
         dow = pc.day_of_week(t.column("ts"), count_from_zero=False,

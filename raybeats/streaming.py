@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .util import hour_cents_partial, int_bucket
 
@@ -156,8 +157,15 @@ def _drive_keyed_actors(micro_batches, state_cls, ctor_args: tuple,
         return route
 
     def add_bucket(tbl: pa.Table) -> pa.Table:
+        # null keys route to bucket 0 (int_bucket yields null, and
+        # route's int(bucket) would TypeError): SQL PARTITION BY puts
+        # NULLs in one partition, and the state kernels key them the
+        # same way, so parity with batch holds. States with stricter
+        # key contracts (e.g. COUNT DISTINCT) pre-filter nulls
+        # themselves.
         return tbl.append_column(
-            "bucket", int_bucket(tbl.column(key_col), n_buckets))
+            "bucket", pc.fill_null(
+                int_bucket(tbl.column(key_col), n_buckets), 0))
 
     expected = [0] * n_actors
     for batch_idx, slice_ds in enumerate(micro_batches):
@@ -662,7 +670,8 @@ def streaming_latest(micro_batches, key: str = "user_id",
     import ray
 
     actors, _ = _drive_keyed_actors(micro_batches, LatestEventState,
-                                    (key, order_by), n_buckets)
+                                    (key, order_by), n_buckets,
+                                    key_col=key)
     parts = [t for t in ray.get([a.flush.remote() for a in actors])
              if t.num_rows]
     if not parts:

@@ -418,8 +418,10 @@ def pack_sequences(ds, *, budget: int, id_max: int,
 
     A global ordered cumsum is the textbook sequential op; here it is
     a two-pass distributed prefix sum: pass 1 (narrow) emits per-batch
-    token totals per monotone id-range bucket (``id * n_buckets //
-    (id_max+1)`` — monotone in id, so bucket order IS id order) and
+    token totals per monotone id-range bucket (``id // step`` with
+    ``step = ceil((id_max+1) / n_buckets)`` — `util.range_bucket`;
+    monotone in id, so bucket order IS id order, and division cannot
+    wrap int64 the way ``id * n // span`` does for snowflake ids) and
     the driver exclusive-prefixes the ``n_buckets`` totals; pass 2 is
     ONE keyed shuffle whose groups sort locally by id and add their
     bucket's offset. Nothing global ever sorts; the driver sees

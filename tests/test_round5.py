@@ -454,14 +454,21 @@ class TestRandomizedParity:
         assert got == want
 
 
-def test_read_dim_block_sizing():
+def test_read_dim_block_sizing(monkeypatch):
     """_read_dim grows blocks with the footer count: tiny dimensions
     get a handful of blocks (not cpus*2 tiny tasks), fact-sized
-    inputs still parallelize."""
-    from raybeats.queries import _read_dim  # noqa: F401  (import ok)
-    # the sizing expression itself (kept in sync with _read_dim)
-    size = lambda n: max(2, min(16, n // 50_000 + 2))
-    assert size(1_000) == 2
-    assert size(15_000) == 2
-    assert size(150_000) == 5
-    assert size(10_000_000) == 16
+    inputs still parallelize. Exercises the REAL function by capturing
+    the blocks kwarg it passes to _read."""
+    import raybeats.queries as q
+    seen = {}
+
+    def fake_read(sf_dir, table, columns=None, blocks=None):
+        seen[table] = blocks
+        return "ds"
+
+    for n, want in ((1_000, 2), (15_000, 2), (150_000, 5),
+                    (10_000_000, 16)):
+        monkeypatch.setattr(q, "_nrows", lambda s, t, n=n: n)
+        monkeypatch.setattr(q, "_read", fake_read)
+        assert q._read_dim("/x", "tbl") == "ds"
+        assert seen["tbl"] == want

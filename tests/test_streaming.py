@@ -307,3 +307,39 @@ def test_streaming_latest_late_row_loses(ray_session):
     got = streaming_latest(
         [mk([(1, 100, 7)]), mk([(2, 50, 7)])], n_buckets=2)
     assert got.column("event_id").to_pylist() == [1]
+
+
+def test_streaming_latest_custom_key_and_null_key(ray_session):
+    """key= must drive the BUCKETING too (not just the state): rows
+    sharing a session_id but differing in user_id must meet in one
+    actor. Null keys route to a shared bucket and keep parity with the
+    batch kernel (SQL PARTITION BY: one NULL partition)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raybeats.aggregates import keep_latest_table
+    from raybeats.streaming import streaming_latest
+
+    def mk(rows):
+        return rd.from_arrow(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64())
+            .cast(pa.timestamp("us")),
+            "session_id": pa.array([r[2] for r in rows], pa.int64()),
+            "user_id": pa.array([r[3] for r in rows], pa.int64())}))
+
+    rows1 = [(1, 10, 7, 100), (2, 20, None, 1)]
+    rows2 = [(3, 30, 7, 200), (4, 5, None, 2)]
+    got = streaming_latest([mk(rows1), mk(rows2)], key="session_id",
+                           n_buckets=4)
+    both = pa.concat_tables([
+        b for ds in (mk(rows1), mk(rows2))
+        for b in ds.iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    want = keep_latest_table(both, key="session_id",
+                             order_by=("ts", "event_id")) \
+        .sort_by([("session_id", "ascending")])
+    assert got.select(want.column_names).to_pylist() == want.to_pylist()
+    # session 7's winner must be event 3 (user 200) — cross-user fold
+    by_sess = {r["session_id"]: r["event_id"] for r in got.to_pylist()}
+    assert by_sess[7] == 3 and by_sess[None] == 2
