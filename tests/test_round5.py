@@ -472,3 +472,22 @@ def test_read_dim_block_sizing(monkeypatch):
         monkeypatch.setattr(q, "_read", fake_read)
         assert q._read_dim("/x", "tbl") == "ds"
         assert seen["tbl"] == want
+
+
+def test_snapshot_diff_string_keys_and_values(ray_session):
+    """The kernel is arrow-generic: string keys and values classify
+    through the same index_in/equal path."""
+    import ray.data as rd
+    from raybeats.joins import snapshot_diff
+    old = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "b", "c"]),
+        "v": pa.array(["x", "y", "z"])}))
+    new = rd.from_arrow(pa.table({
+        "k": pa.array(["b", "c", "d"]),
+        "v": pa.array(["y", "Q", "w"])}))
+    out = snapshot_diff(old, new, on="k", compare="v", n_buckets=2)
+    got = {r["key"]: r["status"] for t in
+           out.iter_batches(batch_format="pyarrow")
+           for r in t.to_pylist()}
+    assert got == {"a": "removed", "b": "same", "c": "changed",
+                   "d": "added"}
