@@ -3284,6 +3284,50 @@ SELECT CAST(isodow(ts) AS BIGINT) AS dow,
 FROM events WHERE ts IS NOT NULL GROUP BY dow"""
 
 
+def q_left_join_agg(sf_dir: str):
+    """LEFT OUTER join with the aggregate pushed BELOW the join:
+    per-order count of heavy lineitems (quantity > 45), null for
+    orders with none. The pre-join groupby means the exchange moves
+    one fixed-width row per (batch, order) instead of every heavy
+    lineitem row — aggregation-pushdown, the plan shape that matters
+    when the fact side dwarfs the key side; the left-outer edge then
+    keeps every order (the oracle's LEFT JOIN null semantics)."""
+    from .joins import hash_join
+
+    def heavy_partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater(t.column("l_quantity"), 45))
+        g = f.group_by("l_orderkey").aggregate([("l_orderkey", "count")])
+        return pa.table({
+            "l_orderkey": g.column("l_orderkey"),
+            "cnt": pc.cast(g.column("l_orderkey_count"), pa.int64())})
+
+    def heavy_final(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": g.column("l_orderkey").slice(0, 1)
+            .combine_chunks(),
+            "n_heavy": pa.array([pc.sum(g.column("cnt")).as_py()],
+                                pa.int64())})
+
+    heavy = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]) \
+        .map_batches(heavy_partial, batch_format="pyarrow") \
+        .groupby("l_orderkey") \
+        .map_groups(heavy_final, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    nparts = adaptive_buckets(
+        _nrows(sf_dir, "orders") + _nrows(sf_dir, "lineitem"),
+        target_rows=500_000, lo=4, hi=1 << 16)
+    return hash_join(orders, heavy, on="o_orderkey",
+                     right_on="l_orderkey", how="left",
+                     num_partitions=nparts)
+
+
+SQL_LEFT_JOIN_AGG = """WITH h AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_heavy
+  FROM lineitem WHERE l_quantity > 45 GROUP BY l_orderkey)
+SELECT o_orderkey, o_orderpriority, h.n_heavy
+FROM orders LEFT JOIN h ON h.l_orderkey = o_orderkey"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -3370,6 +3414,7 @@ QUERIES = {
     "revenue_by_segment": (q_revenue_by_segment, SQL_REVENUE_BY_SEGMENT),
     "users_per_type": (q_users_per_type, SQL_USERS_PER_TYPE),
     "pivot_counts": (q_pivot_counts, SQL_PIVOT_COUNTS),
+    "left_join_agg": (q_left_join_agg, SQL_LEFT_JOIN_AGG),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —
