@@ -173,6 +173,44 @@ def stratified_sample(tbl: pa.Table, *, group_col: str, id_col: str,
     return tbl.filter(pa.array(keep))
 
 
+def chunk_text(tbl: pa.Table, *, size: int, stride: int,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> pa.Table:
+    """Split documents into fixed-size character windows with overlap
+    (``stride < size``) — the context-window chunking step of a
+    training/RAG pipeline. Window k covers codepoints
+    ``[k*stride, k*stride + size)``; windows start while ``k*stride <
+    len``, so every character lands in ≥1 chunk and the tail chunk may
+    be short. Null/empty text yields no chunks (the SQL
+    ``generate_series`` lateral's semantics).
+
+    Vectorized as one ``utf8_slice_codeunits`` pass PER WINDOW INDEX
+    over the rows that still have that window (window count is bounded
+    by max-doc-length / stride, not the corpus) — a narrow flat-map
+    explode, no python per-row work, no shuffle. Codepoint slicing
+    matches SQL ``substr`` character semantics for any encoding."""
+    if size <= 0 or stride <= 0 or stride > size:
+        raise ValueError(f"need 0 < stride <= size: {size=} {stride=}")
+    text = tbl.column(text_col)
+    ln = pc.fill_null(pc.utf8_length(text), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    nwin = np.where(ln > 0, (np.maximum(ln, 1) - 1) // stride + 1, 0)
+    parts = []
+    for k in range(int(nwin.max()) if len(nwin) else 0):
+        sub = tbl.filter(pa.array(nwin > k))
+        parts.append(pa.table({
+            id_col: sub.column(id_col),
+            "chunk_idx": pa.array(
+                np.full(sub.num_rows, k, np.int64), pa.int64()),
+            "chunk_text": pc.utf8_slice_codeunits(
+                sub.column(text_col), k * stride, k * stride + size)}))
+    if not parts:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "chunk_idx": pa.array([], pa.int64()),
+                         "chunk_text": pa.array([], pa.string())})
+    return pa.concat_tables(parts)
+
+
 def quota_sample(ds, group_col: str = "lang", id_col: str = "doc_id",
                  n_per_group: int = 20):
     """Deterministic per-group quota sample: keep the ``n_per_group``

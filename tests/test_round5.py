@@ -491,3 +491,42 @@ def test_snapshot_diff_string_keys_and_values(ray_session):
            for r in t.to_pylist()}
     assert got == {"a": "removed", "b": "same", "c": "changed",
                    "d": "added"}
+
+
+class TestChunkText:
+    def test_windows_cover_and_overlap(self):
+        from raybeats.textops.curation import chunk_text
+        text = "abcdefghij" * 5            # 50 chars
+        t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array([text])})
+        out = chunk_text(t, size=20, stride=15)
+        chunks = out.column("chunk_text").to_pylist()
+        assert chunks[0] == text[0:20]
+        assert chunks[1] == text[15:35]
+        assert chunks[2] == text[30:50]
+        assert chunks[3] == text[45:50]    # short tail
+        assert out.column("chunk_idx").to_pylist() == [0, 1, 2, 3]
+        # reconstruction: stitching strides recovers the original
+        assert "".join(c[:15] for c in chunks)[:50] == text
+
+    def test_null_empty_and_validation(self):
+        from raybeats.textops.curation import chunk_text
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array(["", None, "xy"])})
+        out = chunk_text(t, size=5, stride=3)
+        assert out.column("doc_id").to_pylist() == [3]
+        assert out.column("chunk_text").to_pylist() == ["xy"]
+        import pytest as _pt
+        with _pt.raises(ValueError, match="stride"):
+            chunk_text(t, size=5, stride=6)
+
+    def test_codepoint_slicing_non_ascii(self):
+        """Slicing counts CODEPOINTS (SQL substr character semantics),
+        not bytes — a multi-byte char must not shift the windows."""
+        from raybeats.textops.curation import chunk_text
+        text = "é" * 7                      # 7 codepoints, 14 bytes
+        t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array([text])})
+        out = chunk_text(t, size=4, stride=3)
+        assert out.column("chunk_text").to_pylist() == [
+            "é" * 4, "é" * 4, "é"]
