@@ -3294,23 +3294,28 @@ def q_left_join_agg(sf_dir: str):
     keeps every order (the oracle's LEFT JOIN null semantics)."""
     from .joins import hash_join
 
+    # finalize keyed by a COARSE bucket (the users_per_type shape):
+    # a per-order-key map_groups would run one python call per
+    # distinct key — per-key groups that grow with the corpus
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "lineitem"))
+
     def heavy_partial(t: pa.Table) -> pa.Table:
         f = t.filter(pc.greater(t.column("l_quantity"), 45))
         g = f.group_by("l_orderkey").aggregate([("l_orderkey", "count")])
         return pa.table({
             "l_orderkey": g.column("l_orderkey"),
-            "cnt": pc.cast(g.column("l_orderkey_count"), pa.int64())})
+            "cnt": pc.cast(g.column("l_orderkey_count"), pa.int64()),
+            "bucket": int_bucket(g.column("l_orderkey"), n_buckets)})
 
     def heavy_final(g: pa.Table) -> pa.Table:
+        gg = g.group_by("l_orderkey").aggregate([("cnt", "sum")])
         return pa.table({
-            "l_orderkey": g.column("l_orderkey").slice(0, 1)
-            .combine_chunks(),
-            "n_heavy": pa.array([pc.sum(g.column("cnt")).as_py()],
-                                pa.int64())})
+            "l_orderkey": gg.column("l_orderkey"),
+            "n_heavy": pc.cast(gg.column("cnt_sum"), pa.int64())})
 
     heavy = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]) \
         .map_batches(heavy_partial, batch_format="pyarrow") \
-        .groupby("l_orderkey") \
+        .groupby("bucket") \
         .map_groups(heavy_final, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     nparts = adaptive_buckets(

@@ -196,18 +196,25 @@ def chunk_text(tbl: pa.Table, *, size: int, stride: int,
         .to_numpy(zero_copy_only=False).astype(np.int64)
     nwin = np.where(ln > 0, (np.maximum(ln, 1) - 1) // stride + 1, 0)
     parts = []
-    for k in range(int(nwin.max()) if len(nwin) else 0):
-        sub = tbl.filter(pa.array(nwin > k))
+    # survivors shrink monotonically (nwin > k ⇒ nwin > k-1): filter
+    # the previous subset, not the full table, so one long outlier doc
+    # among short ones costs O(survivors) per window, not O(N)
+    sub, sub_nwin, k = tbl, nwin, 0
+    while len(sub_nwin) and k < int(nwin.max(initial=0)):
+        mask = sub_nwin > k
+        sub, sub_nwin = sub.filter(pa.array(mask)), sub_nwin[mask]
         parts.append(pa.table({
             id_col: sub.column(id_col),
             "chunk_idx": pa.array(
                 np.full(sub.num_rows, k, np.int64), pa.int64()),
             "chunk_text": pc.utf8_slice_codeunits(
                 sub.column(text_col), k * stride, k * stride + size)}))
+        k += 1
     if not parts:
-        return pa.table({id_col: pa.array([], pa.int64()),
-                         "chunk_idx": pa.array([], pa.int64()),
-                         "chunk_text": pa.array([], pa.string())})
+        return pa.table({
+            id_col: pa.array([], tbl.schema.field(id_col).type),
+            "chunk_idx": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string())})
     return pa.concat_tables(parts)
 
 

@@ -530,3 +530,14 @@ class TestChunkText:
         out = chunk_text(t, size=4, stride=3)
         assert out.column("chunk_text").to_pylist() == [
             "é" * 4, "é" * 4, "é"]
+
+    def test_string_id_and_all_empty_batch_schema(self):
+        """All-empty batches must emit the id column's REAL type —
+        an int64 hardcode would break Ray block-schema unification for
+        string ids."""
+        from raybeats.textops.curation import chunk_text
+        t = pa.table({"doc_id": pa.array(["a", "b"]),
+                      "text": pa.array([None, ""])})
+        out = chunk_text(t, size=5, stride=3, id_col="doc_id")
+        assert out.num_rows == 0
+        assert out.schema.field("doc_id").type == pa.string()
