@@ -541,3 +541,31 @@ class TestChunkText:
         out = chunk_text(t, size=5, stride=3, id_col="doc_id")
         assert out.num_rows == 0
         assert out.schema.field("doc_id").type == pa.string()
+
+    def test_random_property_sweep(self):
+        """Randomized invariants: chunk k equals text[k*stride :
+        k*stride+size] (codepoints), every codepoint is covered, and
+        chunk counts match ceil(len/stride)."""
+        from raybeats.textops.curation import chunk_text
+        rng = np.random.RandomState(31)
+        alphabet = list("abΩ語 x")
+        for trial in range(20):
+            size = int(rng.randint(2, 12))
+            stride = int(rng.randint(1, size + 1))
+            texts = ["".join(rng.choice(alphabet,
+                                        rng.randint(0, 40)).tolist())
+                     for _ in range(10)]
+            t = pa.table({"doc_id": pa.array(range(10), pa.int64()),
+                          "text": pa.array(texts)})
+            out = chunk_text(t, size=size, stride=stride)
+            got: dict = {}
+            for r in out.to_pylist():
+                got.setdefault(r["doc_id"], {})[r["chunk_idx"]] = \
+                    r["chunk_text"]
+            for i, txt in enumerate(texts):
+                n = 0 if not txt else (len(txt) - 1) // stride + 1
+                chunks = got.get(i, {})
+                assert len(chunks) == n
+                for k in range(n):
+                    assert chunks[k] == txt[k * stride:
+                                            k * stride + size]

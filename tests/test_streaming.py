@@ -343,3 +343,37 @@ def test_streaming_latest_custom_key_and_null_key(ray_session):
     # session 7's winner must be event 3 (user 200) — cross-user fold
     by_sess = {r["session_id"]: r["event_id"] for r in got.to_pylist()}
     assert by_sess[7] == 3 and by_sess[None] == 2
+
+
+def test_streaming_latest_random_splits(ray_session):
+    """Randomized sweep: arbitrary cut points, bucket counts and
+    duplicate-heavy keys — flush must equal the batch kernel."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raybeats.aggregates import keep_latest_table
+    from raybeats.streaming import streaming_latest
+
+    rng = np.random.RandomState(41)
+    n = 300
+    t = pa.table({
+        "event_id": pa.array(rng.permutation(n), pa.int64()),
+        "ts": pa.array(rng.randint(0, 50, n), pa.int64())
+        .cast(pa.timestamp("us")),
+        "user_id": pa.array(rng.randint(0, 12, n), pa.int64())}) \
+        .sort_by("ts")
+    want = keep_latest_table(t, key="user_id",
+                             order_by=("ts", "event_id")) \
+        .sort_by([("user_id", "ascending")]).to_pylist()
+    for trial in range(3):
+        cuts = sorted(rng.choice(range(1, n), 3, replace=False)) + [n]
+        lo, slices = 0, []
+        for hi in cuts:
+            slices.append(rd.from_arrow(t.slice(lo, hi - lo)))
+            lo = hi
+        got = streaming_latest(slices, n_buckets=int(rng.randint(1, 9)))
+        assert got.select(
+            ["event_id", "ts", "user_id"]).to_pylist() == [
+            {k: r[k] for k in ("event_id", "ts", "user_id")}
+            for r in want]
