@@ -3355,6 +3355,62 @@ FROM (SELECT doc_id, text,
       FROM documents WHERE length(text) > 0)"""
 
 
+_BURST_GAP_US = 6 * 3_600_000_000
+
+
+def q_burst_dedup(sf_dir: str):
+    """Proximity dedup: drop repeats of the same (user, type) within
+    6 hours of the previous kept-or-dropped occurrence — the
+    retried-event / duplicate-beacon suppression step (LAG-gap filter,
+    the FILTERING member of the event_gaps/sessionization family).
+    Bucketed cogroup by user; per group one lexsort + vectorized
+    adjacent-gap mask."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", int_bucket(t.column("user_id"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(g.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        tcode = pc.dictionary_encode(
+            g.column("event_type").combine_chunks()).indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, tcode, u))
+        us, tc, tss = u[order], tcode[order], ts[order]
+        new_run = np.empty(len(us), bool)
+        if len(us):
+            new_run[0] = True
+            new_run[1:] = (us[1:] != us[:-1]) | (tc[1:] != tc[:-1])
+        gap = np.empty(len(us), np.int64)
+        if len(us):
+            gap[0] = 0
+            gap[1:] = tss[1:] - tss[:-1]
+        keep = new_run | (gap > _BURST_GAP_US)
+        return g.take(pa.array(order[np.nonzero(keep)[0]], pa.int64())) \
+            .select(["event_id", "user_id", "event_type", "ts"])
+
+    return _read(sf_dir, "events",
+                 ["event_id", "user_id", "event_type", "ts"]) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_BURST_DEDUP = """WITH g AS (
+  SELECT event_id, user_id, event_type, ts,
+    date_diff('microsecond',
+              lag(ts) OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id), ts) AS gap
+  FROM events)
+SELECT event_id, user_id, event_type, ts FROM g
+WHERE gap IS NULL OR gap > 21600000000"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -3443,6 +3499,7 @@ QUERIES = {
     "pivot_counts": (q_pivot_counts, SQL_PIVOT_COUNTS),
     "left_join_agg": (q_left_join_agg, SQL_LEFT_JOIN_AGG),
     "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
+    "burst_dedup": (q_burst_dedup, SQL_BURST_DEDUP),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —
