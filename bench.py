@@ -132,7 +132,8 @@ def run_queries() -> dict[str, float]:
              "snapshot_diff", "funnel_conversion", "winsorize",
              "anomaly_events", "global_rank", "daily_change",
              "weekly_retention", "revenue_by_segment", "users_per_type",
-             "pivot_counts", "left_join_agg", "chunk_docs", "burst_dedup"]
+             "pivot_counts", "left_join_agg", "chunk_docs", "burst_dedup",
+             "cooccurrence"]
     out: dict[str, float] = {}
     # best-of-N per query: this box's first-touch/writeback stalls skew
     # single shots by 2-3x (same reason the headline is best-of-2)

@@ -3411,6 +3411,80 @@ SELECT event_id, user_id, event_type, ts FROM g
 WHERE gap IS NULL OR gap > 21600000000"""
 
 
+def q_cooccurrence(sf_dir: str):
+    """Market-basket co-occurrence: for every unordered pair of event
+    types, how many users did BOTH — the self-join-on-entity pattern
+    (tag/label co-occurrence in a curation pipeline). Per-batch
+    distinct (user, type) pairs bound the shuffle; the per-user-bucket
+    kernel dedups globally and explodes each user's sorted type set
+    into its C(m,2) pairs with a fully vectorized repeat/arange
+    expansion (m ≤ the type cardinality, so the explode is bounded per
+    user); a tiny (type, type) combine finishes on the driver."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        d = pa.table({"u": t.column("user_id"),
+                      "event_type": t.column("event_type")}) \
+            .group_by(["u", "event_type"]).aggregate([])
+        return d.append_column("bucket", int_bucket(d.column("u"),
+                                                    n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(g.column("event_type")
+                                   .combine_chunks())
+        vals = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        # dictionary codes are first-seen order; SQL's a < b compares
+        # STRINGS — re-rank codes lexicographically
+        rank_of = np.empty(len(vals), np.int64)
+        sort_idx = np.argsort(vals)
+        rank_of[sort_idx] = np.arange(len(vals))
+        vals_sorted = vals[sort_idx]
+        tc = rank_of[enc.indices.to_numpy(zero_copy_only=False)
+                     .astype(np.int64)]
+        order = np.lexsort((tc, u))
+        us, tcs = u[order], tc[order]
+        keep = np.append(True, (us[1:] != us[:-1]) | (tcs[1:] != tcs[:-1])) \
+            if len(us) else np.array([], bool)
+        us, tcs = us[keep], tcs[keep]
+        starts = np.flatnonzero(np.append(True, us[1:] != us[:-1])) \
+            if len(us) else np.array([], np.int64)
+        cnts = np.diff(np.append(starts, len(us)))
+        run_of = np.repeat(np.arange(len(starts)), cnts)
+        pos = np.arange(len(us)) - starts[run_of]
+        reps = cnts[run_of] - pos - 1
+        lefts = np.repeat(np.arange(len(us)), reps)
+        tot = int(reps.sum())
+        block = np.concatenate([[0], np.cumsum(reps)[:-1]]).astype(
+            np.int64) if len(reps) else np.array([], np.int64)
+        rights = lefts + 1 + (np.arange(tot) - np.repeat(block, reps))
+        pair = tcs[lefts] * np.int64(len(vals) + 1) + tcs[rights]
+        uniq, n = np.unique(pair, return_counts=True)
+        ta = (uniq // (len(vals) + 1)).astype(np.int64)
+        tb = (uniq % (len(vals) + 1)).astype(np.int64)
+        return pa.table({
+            "type_a": pa.array(vals_sorted[ta], pa.string()),
+            "type_b": pa.array(vals_sorted[tb], pa.string()),
+            "n_users": pa.array(n.astype(np.int64), pa.int64())})
+
+    small = _read(sf_dir, "events", ["user_id", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    return _combine_partials(small, ["type_a", "type_b"],
+                             {"n_users": "n_users"})
+
+
+SQL_COOCCURRENCE = """WITH p AS (
+  SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM p a JOIN p b ON a.user_id = b.user_id
+  AND a.event_type < b.event_type
+GROUP BY type_a, type_b"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -3500,6 +3574,7 @@ QUERIES = {
     "left_join_agg": (q_left_join_agg, SQL_LEFT_JOIN_AGG),
     "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
     "burst_dedup": (q_burst_dedup, SQL_BURST_DEDUP),
+    "cooccurrence": (q_cooccurrence, SQL_COOCCURRENCE),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

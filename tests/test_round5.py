@@ -569,3 +569,29 @@ class TestChunkText:
                 for k in range(n):
                     assert chunks[k] == txt[k * stride:
                                             k * stride + size]
+
+
+def test_cooccurrence_pairs_and_string_order(ray_session, tmp_path):
+    """Hand-checkable basket: pair explode yields C(m,2) per user and
+    pair order is LEXICOGRAPHIC (SQL a < b on strings), not
+    dictionary-code first-seen order."""
+    import pyarrow.parquet as pq
+    from raybeats.queries import QUERIES
+    # user 1: zeta, alpha, mid (seen in non-lexicographic order);
+    # user 2: zeta, alpha; user 3: alpha only (no pairs)
+    rows = [(1, "zeta"), (1, "alpha"), (1, "mid"), (1, "zeta"),
+            (2, "zeta"), (2, "alpha"), (3, "alpha")]
+    n = len(rows)
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([0] * n, pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "value": pa.array([0.0] * n, pa.float64()),
+        "props": pa.array(["{}"] * n)})
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = QUERIES["cooccurrence"][0](str(tmp_path))
+    got = {(r["type_a"], r["type_b"]): r["n_users"]
+           for r in out.to_pylist()}
+    assert got == {("alpha", "mid"): 1, ("alpha", "zeta"): 2,
+                   ("mid", "zeta"): 1}
