@@ -2414,12 +2414,38 @@ SELECT event_id, user_id,
 FROM events"""
 
 
+def _lag_scaffold(part_cols, ts, eid):
+    """Shared LAG kernel scaffolding (event_gaps annotates, burst_dedup
+    filters — both must agree): lexsort by (*part_cols, ts, eid) and
+    return ``(order, new_run, gap)`` where ``new_run`` marks partition
+    starts in the sorted order and ``gap`` is the adjacent ts diff
+    (0 at position 0; callers mask/branch on ``new_run``)."""
+    import numpy as np
+
+    order = np.lexsort((eid, ts) + tuple(reversed(list(part_cols))))
+    n = len(order)
+    new_run = np.empty(n, bool)
+    gap = np.empty(n, np.int64)
+    if n:
+        new_run[0] = True
+        changed = np.zeros(n - 1, bool)
+        for c in part_cols:
+            cs = c[order]
+            changed |= cs[1:] != cs[:-1]
+        new_run[1:] = changed
+        tss = ts[order]
+        gap[0] = 0
+        gap[1:] = tss[1:] - tss[:-1]
+    return order, new_run, gap
+
+
 def q_event_gaps(sf_dir: str):
     """LAG window shape: per event, microseconds since the same
     user's PREVIOUS event (NULL for each user's first) — the
     inter-arrival-time primitive sessionization thresholds are built
     on. Same bucketed-cogroup contract as running_sum; per bucket one
-    lexsort + one vectorized diff with run starts nulled."""
+    lexsort + one vectorized diff with run starts nulled
+    (`_lag_scaffold`, shared with burst_dedup)."""
     import numpy as np
 
     n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
@@ -2433,15 +2459,10 @@ def q_event_gaps(sf_dir: str):
         ts = pc.cast(g.column("ts"), pa.int64()) \
             .to_numpy(zero_copy_only=False)
         eid = g.column("event_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts, u))
-        us, tss = u[order], ts[order]
-        gap = np.empty(len(us), np.int64)
-        gap[1:] = tss[1:] - tss[:-1]
-        gap[0] = 0
-        first = np.append(True, us[1:] != us[:-1])
+        order, first, gap = _lag_scaffold([u], ts, eid)
         return pa.table({
             "event_id": pa.array(eid[order], pa.int64()),
-            "user_id": pa.array(us, pa.int64()),
+            "user_id": pa.array(u[order], pa.int64()),
             "gap_us": pa.array(gap, pa.int64(), mask=first)})
 
     return _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
@@ -3381,16 +3402,7 @@ def q_burst_dedup(sf_dir: str):
         tcode = pc.dictionary_encode(
             g.column("event_type").combine_chunks()).indices \
             .to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((eid, ts, tcode, u))
-        us, tc, tss = u[order], tcode[order], ts[order]
-        new_run = np.empty(len(us), bool)
-        if len(us):
-            new_run[0] = True
-            new_run[1:] = (us[1:] != us[:-1]) | (tc[1:] != tc[:-1])
-        gap = np.empty(len(us), np.int64)
-        if len(us):
-            gap[0] = 0
-            gap[1:] = tss[1:] - tss[:-1]
+        order, new_run, gap = _lag_scaffold([u, tcode], ts, eid)
         keep = new_run | (gap > _BURST_GAP_US)
         return g.take(pa.array(order[np.nonzero(keep)[0]], pa.int64())) \
             .select(["event_id", "user_id", "event_type", "ts"])
@@ -3401,14 +3413,14 @@ def q_burst_dedup(sf_dir: str):
         .groupby("bucket").map_groups(grp, batch_format="pyarrow")
 
 
-SQL_BURST_DEDUP = """WITH g AS (
+SQL_BURST_DEDUP = f"""WITH g AS (
   SELECT event_id, user_id, event_type, ts,
     date_diff('microsecond',
               lag(ts) OVER (PARTITION BY user_id, event_type
                             ORDER BY ts, event_id), ts) AS gap
   FROM events)
 SELECT event_id, user_id, event_type, ts FROM g
-WHERE gap IS NULL OR gap > 21600000000"""
+WHERE gap IS NULL OR gap > {_BURST_GAP_US}"""
 
 
 def q_cooccurrence(sf_dir: str):
