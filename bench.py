@@ -133,7 +133,19 @@ def run_queries() -> dict[str, float]:
              "anomaly_events", "global_rank", "daily_change",
              "weekly_retention", "revenue_by_segment", "users_per_type",
              "pivot_counts", "left_join_agg", "chunk_docs", "burst_dedup",
-             "cooccurrence"]
+             "cooccurrence",
+             # the narrow/cheap remainder — included so the per-op
+             # artifact covers every registered query
+             "json_decode", "conditions_filter", "convert_types",
+             "replace_truncate", "extract_field", "timestamp_roundtrip",
+             "fingerprint_docs", "quality_score", "embed_neardup_sample",
+             "dedup_by_id", "mktsegment_counts", "top10_orders",
+             "distinct_langs", "embed_neardup_lsh", "knn_ivf_full",
+             "lang_id", "ratelimit", "simhash_groups", "simhash_neardup",
+             "dedup_clusters", "rolling_fingerprint",
+             "approx_distinct_users", "media_features"]
+    assert set(picks) == set(QUERIES), \
+        f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}
     # best-of-N per query: this box's first-touch/writeback stalls skew
     # single shots by 2-3x (same reason the headline is best-of-2)
