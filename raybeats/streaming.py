@@ -678,3 +678,67 @@ def streaming_latest(micro_batches, key: str = "user_id",
         return pa.table({})
     return pa.concat_tables(parts, promote_options="default") \
         .sort_by([(key, "ascending")])
+
+
+class QuantumCdfState:
+    """Per-bucket incremental quantum-CDF fold: the streaming
+    counterpart of the batch ``aggregates.fold_quantum_cdf``. Per
+    micro-batch the bucket's rows pre-aggregate to (quantum, count)
+    and fold into one dict — counts are commutative and associative,
+    so the merged flush equals the batch fold EXACTLY for any
+    micro-batch split (no watermark machinery; late rows just add).
+    State size is bounded by the value range × precision, never the
+    stream length. Null/NaN values are ignored (the batch fold's
+    SQL-aggregate convention)."""
+
+    def __init__(self, value_col: str, scale: int):
+        self.value_col = value_col
+        self.scale = scale
+        self.acc: dict[int, int] = {}
+
+    def process(self, tbl: pa.Table) -> None:
+        if tbl.num_rows == 0:
+            return None
+        v = pc.cast(tbl.column(self.value_col), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        quanta = np.floor(v[ok] * self.scale).astype(np.int64)
+        uniq, counts = np.unique(quanta, return_counts=True)
+        for q, c in zip(uniq, counts):
+            self.acc[int(q)] = self.acc.get(int(q), 0) + int(c)
+        return None
+
+    def flush(self) -> pa.Table:
+        qs = sorted(self.acc)
+        return pa.table({"q": pa.array(qs, pa.int64()),
+                         "cnt": pa.array([self.acc[q] for q in qs],
+                                         pa.int64())})
+
+
+def streaming_quantile(micro_batches, *, q: float,
+                       value_col: str = "value", scale: int = 100,
+                       n_buckets: int = 4,
+                       key_col: str = "user_id") -> tuple[int, int]:
+    """Incremental exact discrete quantile over time-ordered
+    micro-batches — equals the batch
+    ``aggregates.global_discrete_quantile`` bit-exactly for any split
+    (tested). Returns ``(threshold_quantum, n_rows)``."""
+    import ray
+
+    from .aggregates import quantile_from_cdf
+
+    if not (0.0 < q <= 1.0):
+        raise ValueError(f"q must be in (0, 1]: {q!r}")
+    actors, _ = _drive_keyed_actors(micro_batches, QuantumCdfState,
+                                    (value_col, scale), n_buckets,
+                                    key_col=key_col)
+    acc: dict[int, int] = {}
+    for t in ray.get([a.flush.remote() for a in actors]):
+        for qq, c in zip(t.column("q").to_pylist(),
+                         t.column("cnt").to_pylist()):
+            acc[qq] = acc.get(qq, 0) + c
+    if not acc:
+        raise ValueError(f"no non-null {value_col!r} values")
+    uniq = np.array(sorted(acc), np.int64)
+    cum = np.cumsum([acc[int(u)] for u in uniq]).astype(np.int64)
+    return quantile_from_cdf(uniq, cum, q), int(cum[-1])

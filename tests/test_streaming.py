@@ -377,3 +377,25 @@ def test_streaming_latest_random_splits(ray_session):
             ["event_id", "ts", "user_id"]).to_pylist() == [
             {k: r[k] for k in ("event_id", "ts", "user_id")}
             for r in want]
+
+
+def test_streaming_quantile_equals_batch(ray_session):
+    """Quantum-CDF counts commute: the streamed quantile equals the
+    batch global_discrete_quantile bit-exactly for any split."""
+    import ray.data as rd
+
+    from raybeats.aggregates import global_discrete_quantile
+    from raybeats.streaming import streaming_quantile
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["user_id", "ts", "value"]).sort_by("ts")
+    n = t.num_rows
+    for q in (0.05, 0.5, 0.95):
+        want = global_discrete_quantile(
+            rd.from_arrow(t), value_col="value", q=q, scale=100)
+        slices = [rd.from_arrow(t.slice(i * n // 3,
+                                        (i + 1) * n // 3 - i * n // 3))
+                  for i in range(3)]
+        got = streaming_quantile(slices, q=q, value_col="value",
+                                 scale=100, n_buckets=5)
+        assert got == want
