@@ -143,7 +143,8 @@ def run_queries() -> dict[str, float]:
              "distinct_langs", "embed_neardup_lsh", "knn_ivf_full",
              "lang_id", "ratelimit", "simhash_groups", "simhash_neardup",
              "dedup_clusters", "rolling_fingerprint",
-             "approx_distinct_users", "media_features"]
+             "approx_distinct_users", "media_features",
+             "approx_users_per_type"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

@@ -3004,6 +3004,18 @@ SELECT dev.event_id, dev.value_cents, dev.d AS dev_cents
 FROM dev, mad WHERE dev.d > 3 * mad.m"""
 
 
+def q_approx_users_per_type(sf_dir: str):
+    """Grouped HLL approximate COUNT(DISTINCT user) per event type —
+    the sketch scale path of the exact `users_per_type` (one 4 KiB
+    register row per (batch, group) partial, commutative register-max
+    fold, NO shuffle). Rows-only check (approximate by construction);
+    per-group error vs exact is asserted in tests."""
+    from .textops.sketches import grouped_approx_distinct
+    return grouped_approx_distinct(
+        _read(sf_dir, "events", ["event_type", "user_id"], blocks=8),
+        group_col="event_type", value_col="user_id", p=12)
+
+
 def q_global_rank(sf_dir: str):
     """Distributed ROW_NUMBER() over (value, id) with no global sort
     (`aggregates.global_row_number`): two-level (quantum, id-range)
@@ -3600,5 +3612,6 @@ QUERIES = {
     "rolling_fingerprint": (q_rolling_fingerprint, None),
     "knn_ivf": (q_knn_ivf, None),
     "approx_distinct_users": (q_approx_distinct_users, None),
+    "approx_users_per_type": (q_approx_users_per_type, None),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
 }

@@ -192,3 +192,62 @@ def approx_distinct(ds, column: str, p: int = 14) -> float:
             merged.merge_registers(np.frombuffer(blob, dtype=np.uint8,
                                                  count=m))
     return merged.estimate()
+
+
+def grouped_approx_distinct(ds, *, group_col: str, value_col: str,
+                            p: int = 12) -> pa.Table:
+    """Approximate COUNT(DISTINCT value) PER GROUP — the grouped-sketch
+    scale path of an exact two-level distinct (`users_per_type`): when
+    per-group distinct sets outgrow what an exact dedup shuffle should
+    carry, each batch emits one ``2**p``-byte register row per distinct
+    group it contains and the driver folds ``groups × blocks``
+    fixed-size partials with register maxes (commutative — any fold
+    order gives the identical sketch). Default p=12 → 4 KiB/row,
+    ~1.6% rse. Null groups and null values are skipped
+    (COUNT DISTINCT / GROUP BY mirror-test convention).
+
+    Returns an arrow table ``(group_col, estimate: float64)`` sorted
+    by group."""
+    from ..util import fnv1a_u64
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        both = pc.and_(pc.is_valid(t.column(group_col)),
+                       pc.is_valid(t.column(value_col)))
+        sub = t.filter(both)
+        if sub.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "regs": pa.array([], pa.binary())})
+        enc = pc.dictionary_encode(pc.cast(sub.column(group_col),
+                                           pa.string())
+                                   .combine_chunks())
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _fmix64(fnv1a_u64(pc.cast(sub.column(value_col),
+                                      pa.string())))
+        groups, regs = [], []
+        # python loop over the batch's DISTINCT groups only (bounded by
+        # the group cardinality, never the rows)
+        for gi, gname in enumerate(enc.dictionary.to_pylist()):
+            hll = HyperLogLog(p)
+            hll.add_hashed(h[idx == gi])
+            groups.append(gname)
+            regs.append(hll.registers.tobytes())
+        return pa.table({group_col: pa.array(groups, pa.string()),
+                         "regs": pa.array(regs, pa.binary())})
+
+    acc: dict[str, np.ndarray] = {}
+    for batch in ds.map_batches(partial, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        for g, blob in zip(batch.column(group_col).to_pylist(),
+                           batch.column("regs").to_pylist()):
+            r = np.frombuffer(blob, dtype=np.uint8, count=m)
+            cur = acc.get(g)
+            acc[g] = r.copy() if cur is None else np.maximum(cur, r)
+    out_g = sorted(acc)
+    ests = []
+    for g in out_g:
+        hll = HyperLogLog(p)
+        hll.merge_registers(acc[g])
+        ests.append(float(hll.estimate()))
+    return pa.table({group_col: pa.array(out_g, pa.string()),
+                     "estimate": pa.array(ests, pa.float64())})
