@@ -37,9 +37,16 @@ def test_vectorized_equals_row_mode(s, tok_i):
     assert ok[0].as_py() == row_ok, (s, TOKENIZERS[tok_i])
     if row_ok:
         got = {k: v[0].as_py() for k, v in vals.items()}
+        typed = {f.key for f in d.fields if f.dtype
+                 and f.dtype not in ("string", "ip")}
         for k, v in expected.items():
             g = got.get(k)
-            if isinstance(v, str) or v is None:
+            if isinstance(v, str) and k in typed:
+                # documented divergence (dissect._convert_column): row
+                # mode falls back to the raw string on conversion
+                # failure; a typed Arrow column holds null instead
+                assert g is None, (s, k)
+            elif isinstance(v, str) or v is None:
                 assert g == v, (s, k)
             elif g is not None:
                 assert abs(float(g) - float(v)) < 1e-6 or g == v, (s, k)
