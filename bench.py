@@ -133,7 +133,8 @@ def run_queries() -> dict[str, float]:
              "anomaly_events", "global_rank", "daily_change",
              "weekly_retention", "revenue_by_segment", "users_per_type",
              "pivot_counts", "left_join_agg", "chunk_docs", "burst_dedup",
-             "cooccurrence",
+             "cooccurrence", "ntile_deciles", "new_users_daily",
+             "longest_streak", "grouped_corr", "top_user_per_type",
              # the narrow/cheap remainder — included so the per-op
              # artifact covers every registered query
              "json_decode", "conditions_filter", "convert_types",
