@@ -135,6 +135,8 @@ def run_queries() -> dict[str, float]:
              "pivot_counts", "left_join_agg", "chunk_docs", "burst_dedup",
              "cooccurrence", "ntile_deciles", "new_users_daily",
              "longest_streak", "grouped_corr", "top_user_per_type",
+             "full_outer_series", "transition_counts", "quantile_cont",
+             "cohort_matrix", "gap_fill_hours",
              # the narrow/cheap remainder — included so the per-op
              # artifact covers every registered query
              "json_decode", "conditions_filter", "convert_types",

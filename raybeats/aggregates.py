@@ -80,6 +80,77 @@ def grouped_exact_quantiles(ds, *, value_col: str = "value",
              .groupby(by).map_groups(finalize, batch_format="pyarrow")
 
 
+def grouped_quantile_cont(ds, *, value_col: str = "value",
+                          by: str = "event_type",
+                          qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+                          scale: int = 100):
+    """Per-``by``-key INTERPOLATED (continuous) quantiles of
+    ``floor(value * scale)`` — SQL ``quantile_cont`` /
+    ``percentile_cont`` semantics, where a quantile falling between
+    two ranks returns the linear interpolation instead of the discrete
+    `grouped_exact_quantiles` selection. Same scale shape: per-batch
+    (key, quantum, count) partials bound the keyed shuffle by value
+    range × precision, never corpus size; each group finalizes from
+    its CDF with two ``searchsorted`` rank probes per quantile.
+
+    ``qs`` must be DYADIC fractions (k/2^m — 0.5, 0.25, 0.75, 0.125…):
+    then ``h = q·(n−1)``, the rank fraction, and the interpolation
+    ``lo + frac·(hi−lo)`` are all exact in binary doubles on integer
+    quanta, so the output hashes identically across engines. A
+    non-dyadic q (0.9, 0.33) would make the result depend on the
+    engine's operation ORDER — refused loudly rather than flaky.
+
+    Returns one row per key: ``by``, ``n``, ``p{q}_cont`` (float64).
+    """
+    if not qs or any(not (0.0 < q < 1.0) for q in qs):
+        raise ValueError(f"qs must be in (0, 1): {qs!r}")
+    for q in qs:
+        if (q * 4096.0) != int(q * 4096.0):
+            raise ValueError(
+                f"q={q} is not dyadic (k/2^m, m<=12): interpolation "
+                f"would not be cross-engine exact")
+    qnames = [f"p{str(q * 100).rstrip('0').rstrip('.').replace('.', '_')}"
+              for q in qs]
+    if len(set(qnames)) != len(qnames):
+        raise ValueError(f"duplicate quantiles: {qs!r}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        quanta = np.floor(v[ok] * scale).astype(np.int64)
+        tt = pa.table({by: t.column(by).filter(pa.array(ok)),
+                       "q": pa.array(quanta, pa.int64())})
+        g = tt.group_by([by, "q"]).aggregate([("q", "count")])
+        return pa.table({by: g.column(by), "q": g.column("q"),
+                         "cnt": pc.cast(g.column("q_count"), pa.int64())})
+
+    def finalize(grp: pa.Table) -> pa.Table:
+        quanta = grp.column("q").to_numpy(zero_copy_only=False)
+        cnt = grp.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.argsort(quanta, kind="stable")
+        qs_sorted = quanta[order]
+        uniq, start = np.unique(qs_sorted, return_index=True)
+        cum = np.cumsum(np.add.reduceat(cnt[order], start))
+        n = int(cum[-1])
+        cols: dict = {by: grp.column(by).slice(0, 1).combine_chunks(),
+                      "n": pa.array([n], pa.int64())}
+        for q, name in zip(qs, qnames):
+            h = q * (n - 1)          # 0-based fractional rank, exact
+            lo_p = int(np.floor(h))
+            hi_p = int(np.ceil(h))
+            # element at 0-based position p = first quantum whose
+            # cumulative count covers rank p+1
+            lo = int(uniq[np.searchsorted(cum, lo_p + 1, side="left")])
+            hi = int(uniq[np.searchsorted(cum, hi_p + 1, side="left")])
+            cols[f"{name}_cont"] = pa.array(
+                [float(lo) + (h - lo_p) * (float(hi) - float(lo))],
+                pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby(by).map_groups(finalize, batch_format="pyarrow")
+
+
 def global_discrete_quantile(ds, *, value_col: str, q: float,
                              scale: int = 1) -> tuple[int, int]:
     """EXACT corpus-wide discrete quantile of ``floor(value * scale)``

@@ -235,6 +235,15 @@ def hash_join(left_ds, right_ds, *, on, right_on=None, how: str = "inner",
     inputs behind ``map_batches`` transforms. Such callers should pass
     ``num_partitions`` (pre-filter `_nrows`-style footer counts are a
     fine upper bound).
+
+    NOTE: a side whose schema Ray cannot know before execution (e.g.
+    behind ``map_groups``) crashes the join aggregator whenever a hash
+    partition receives ZERO blocks from that side — Ray builds a
+    zero-column empty table and acero fails the key FieldRef ("No
+    match or multiple matches"). Keep ``num_partitions`` well under
+    the distinct-key count for such inputs, or materialize a bounded
+    side and re-ship it via ``from_arrow`` (known schema ⇒ empty
+    partitions are fine).
     """
     on = (on,) if isinstance(on, str) else tuple(on)
     if right_on is not None and isinstance(right_on, str):
