@@ -136,7 +136,8 @@ def run_queries() -> dict[str, float]:
              "cooccurrence", "ntile_deciles", "new_users_daily",
              "longest_streak", "grouped_corr", "top_user_per_type",
              "full_outer_series", "transition_counts", "quantile_cont",
-             "cohort_matrix", "gap_fill_hours",
+             "cohort_matrix", "gap_fill_hours", "rolling_active_users",
+             "sample_uniform", "min_value_rows",
              # the narrow/cheap remainder — included so the per-op
              # artifact covers every registered query
              "json_decode", "conditions_filter", "convert_types",

@@ -4109,6 +4109,170 @@ SELECT g.h AS hour, COALESCE(c.n, 0) AS n
 FROM g LEFT JOIN c ON c.h = g.h"""
 
 
+def q_rolling_active_users(sf_dir: str):
+    """7-day rolling active users (the DAU→WAU series): for each
+    window day, distinct users active in [day−6, day]. Windowed
+    COUNT(DISTINCT) decomposes exactly: per-batch distinct (user, day)
+    pairs bound the ONE user-bucket shuffle; each bucket dedups
+    globally, explodes each pair to its 7 window days (np.repeat +
+    tile), dedups (user, window) WITHIN the bucket — users co-locate,
+    so that dedup is globally exact — and pre-counts per window day;
+    the driver fold sums days × buckets fixed-width partials."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+    day_us = 86_400_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t.column("ts"), unit="day"),
+                      pa.int64())
+        sub = pa.table({"u": t.column("user_id"), "d": day}) \
+            .filter(pc.and_(pc.is_valid(day),
+                            pc.is_valid(t.column("user_id"))))
+        d = sub.group_by(["u", "d"]).aggregate([])
+        return d.append_column("bucket", int_bucket(d.column("u"),
+                                                    n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        d = g.column("d").to_numpy(zero_copy_only=False)
+        uu = np.repeat(u, 7)
+        wd = np.repeat(d, 7) + np.tile(
+            np.arange(7, dtype=np.int64) * day_us, len(d))
+        # dedup (user, window day): a user active on several days of
+        # one window must count once — two-column unique via lexsort
+        order = np.lexsort((wd, uu))
+        uu, wd = uu[order], wd[order]
+        keep = np.append(True, (uu[1:] != uu[:-1]) | (wd[1:] != wd[:-1])) \
+            if len(uu) else np.array([], bool)
+        days, cnt = np.unique(wd[keep], return_counts=True)
+        return pa.table({"d": pa.array(days, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    small = _read(sf_dir, "events", ["user_id", "ts"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    comb = _combine_partials(small, ["d"], {"n": "n"})
+    return pa.table({
+        "day": pc.cast(comb.column("d"), pa.timestamp("us")),
+        "n_active_7d": comb.column("n")})
+
+
+SQL_ROLLING_ACTIVE_USERS = """WITH d AS (
+  SELECT DISTINCT user_id,
+    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+w AS (SELECT user_id, day + INTERVAL 1 DAY * k.k AS wd
+      FROM d, range(7) k(k))
+SELECT wd AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+  AS n_active_7d
+FROM w GROUP BY wd"""
+
+
+def q_sample_uniform(sf_dir: str, k: int = 100):
+    """Deterministic exact-k uniform sample — the distributed
+    reservoir-sample equivalent with NO shuffle and no RNG: rank every
+    row by a multiplicative hash of its id (uniform over ids,
+    partition-invariant, reproducible), keep each batch's k smallest
+    as a partial, and let the tiny driver fold merge batches × k
+    candidates. The modular form ``(id mod M)·A mod M`` keeps every
+    intermediate below 2^63 for ANY id, so the SQL mirror needs no
+    HUGEINT."""
+    import numpy as np
+
+    M, A = 1_000_000_007, 2_654_435_761
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        h = (eid % M).astype(np.int64) * A % M
+        take = min(k, len(h))
+        # k smallest by (h, eid): argpartition on h then exact sort of
+        # the candidate head (ties on h resolved by id)
+        cand = np.argpartition(h, take - 1)[:take] if take else \
+            np.array([], np.int64)
+        order = cand[np.lexsort((eid[cand], h[cand]))]
+        return pa.table({
+            "event_id": pa.array(eid[order], pa.int64()),
+            "user_id": t.column("user_id").take(pa.array(order)),
+            "event_type": t.column("event_type").take(pa.array(order)),
+            "h": pa.array(h[order], pa.int64())})
+
+    merged = pa.concat_tables(list(
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    top = merged.sort_by([("h", "ascending"), ("event_id", "ascending")]) \
+        .slice(0, k)
+    return top.select(["event_id", "user_id", "event_type"])
+
+
+SQL_SAMPLE_UNIFORM = """SELECT event_id, user_id, event_type
+FROM events
+ORDER BY (event_id % 1000000007) * 2654435761 % 1000000007, event_id
+LIMIT 100"""
+
+
+def q_min_value_rows(sf_dir: str):
+    """Per-group argmin RETRIEVAL (TPC-H Q2 family): every event row
+    achieving its type's minimum value — unlike `top_user_per_type`'s
+    single winner, ties all come back. Two narrow passes: fixed-width
+    (type, min) partials fold to a tiny threshold table the driver
+    BROADCASTS into a filter stage closure (the aggregate→broadcast→
+    filter-back plan — no self-join, no shuffle)."""
+    import numpy as np
+
+    def min_partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        cents = np.floor(v * 100.0)
+        tt = pa.table({"event_type": t.column("event_type")
+                       .filter(pa.array(ok)),
+                       "c": pa.array(cents[ok].astype(np.int64),
+                                     pa.int64())})
+        g = tt.group_by("event_type").aggregate([("c", "min")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "mn": g.column("c_min")})
+
+    small = _read(sf_dir, "events", ["event_type", "value"]) \
+        .map_batches(min_partial, batch_format="pyarrow")
+    merged = pa.concat_tables(list(
+        small.iter_batches(batch_format="pyarrow")))
+    agg = merged.group_by("event_type").aggregate([("mn", "min")])
+    thr_types = agg.column("event_type").combine_chunks()
+    thr_mins = agg.column("mn_min").to_numpy(zero_copy_only=False)
+
+    def pick(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0)
+        # vectorized threshold lookup: index_in against the broadcast
+        # type list, unseen types -> sentinel (never equal)
+        idx = pc.fill_null(pc.index_in(t.column("event_type"),
+                                       value_set=thr_types), -1) \
+            .to_numpy(zero_copy_only=False)
+        miss = idx < 0
+        thr = thr_mins[np.where(miss, 0, idx)]
+        ok = ~np.isnan(v) & ~miss & (cents == thr)
+        sel = t.filter(pa.array(ok))
+        return pa.table({
+            "event_id": sel.column("event_id"),
+            "event_type": sel.column("event_type"),
+            "min_cents": pa.array(
+                np.floor(sel.column("value")
+                         .to_numpy(zero_copy_only=False) * 100.0)
+                .astype(np.int64), pa.int64())})
+
+    return _read(sf_dir, "events", ["event_id", "event_type", "value"]) \
+        .map_batches(pick, batch_format="pyarrow")
+
+
+SQL_MIN_VALUE_ROWS = """WITH c AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events WHERE NOT isnan(value))
+SELECT event_id, event_type, cents AS min_cents FROM c
+QUALIFY cents = MIN(cents) OVER (PARTITION BY event_type)"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -4209,6 +4373,10 @@ QUERIES = {
     "quantile_cont": (q_quantile_cont, SQL_QUANTILE_CONT),
     "cohort_matrix": (q_cohort_matrix, SQL_COHORT_MATRIX),
     "gap_fill_hours": (q_gap_fill_hours, SQL_GAP_FILL_HOURS),
+    "rolling_active_users": (q_rolling_active_users,
+                             SQL_ROLLING_ACTIVE_USERS),
+    "sample_uniform": (q_sample_uniform, SQL_SAMPLE_UNIFORM),
+    "min_value_rows": (q_min_value_rows, SQL_MIN_VALUE_ROWS),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

@@ -190,3 +190,73 @@ class TestGapFillHours:
         hours = [int(h.timestamp() * 1e6) for h
                  in got.column("hour").to_pylist()]
         assert hours == [0, _HOUR, 2 * _HOUR, 3 * _HOUR]
+
+
+class TestRollingActiveUsers:
+    def test_window_dedup(self, ray_session, tmp_path):
+        # user 1 active days 0 and 3: windows overlap on wd 3..6 where
+        # they must count ONCE; user 2 active day 0 only
+        rows = [(0, 10, 1, "view", 1.0),
+                (1, 20, 1, "click", 1.0),              # same day dup
+                (2, 3 * _DAY + 5, 1, "view", 1.0),
+                (3, 30, 2, "view", 1.0)]
+        _events(tmp_path, rows)
+        got = _table(QUERIES["rolling_active_users"][0](str(tmp_path)))
+        by_day = {int(r["day"].timestamp() * 1e6) // _DAY:
+                  r["n_active_7d"] for r in got.to_pylist()}
+        # wd 0..6 have user1+user2 (=2) for 0..6? user2 only windows
+        # 0..6; user1 covers 0..6 and 3..9
+        want = {d: 2 for d in range(7)}
+        want.update({d: 1 for d in range(7, 10)})
+        assert by_day == want
+
+    def test_oracle_parity(self, ray_session, tmp_path):
+        rng = np.random.default_rng(13)
+        rows = [(i, int(rng.integers(0, 20 * _DAY)),
+                 int(rng.integers(0, 6)), "view", 1.0)
+                for i in range(300)]
+        _events(tmp_path, rows)
+        got = _table(QUERIES["rolling_active_users"][0](str(tmp_path)))
+        want = _oracle(tmp_path, QUERIES["rolling_active_users"][1])
+        assert _sorted_rows(got) == _sorted_rows(want)
+
+
+class TestSampleUniform:
+    def test_deterministic_and_exact_k(self, ray_session, tmp_path):
+        rows = [(i, i * 1000, i % 7, "view", 1.0) for i in range(500)]
+        _events(tmp_path, rows)
+        a = _table(QUERIES["sample_uniform"][0](str(tmp_path)))
+        b = _table(QUERIES["sample_uniform"][0](str(tmp_path)))
+        assert a.num_rows == 100
+        assert a.column("event_id").to_pylist() \
+            == b.column("event_id").to_pylist()
+        # matches the brute-force hash order over ALL rows (the
+        # per-batch partial top-k must not lose a global candidate)
+        M, A = 1_000_000_007, 2_654_435_761
+        eids = np.arange(500, dtype=np.int64)
+        h = (eids % M) * A % M
+        want = eids[np.lexsort((eids, h))][:100]
+        assert a.column("event_id").to_pylist() == want.tolist()
+
+    def test_fewer_rows_than_k(self, ray_session, tmp_path):
+        rows = [(i, i * 1000, 0, "view", 1.0) for i in range(7)]
+        _events(tmp_path, rows)
+        got = _table(QUERIES["sample_uniform"][0](str(tmp_path)))
+        assert got.num_rows == 7
+
+
+class TestMinValueRows:
+    def test_ties_all_returned(self, ray_session, tmp_path):
+        # type view: min 100 held by TWO rows; type click: min 50 by
+        # one; NaN never wins even though it floors to garbage
+        rows = [(0, 10, 1, "view", 1.0),
+                (1, 20, 1, "view", 1.0),
+                (2, 30, 1, "view", 2.0),
+                (3, 40, 1, "click", 0.5),
+                (4, 50, 1, "click", float("nan"))]
+        _events(tmp_path, rows)
+        got = _table(QUERIES["min_value_rows"][0](str(tmp_path)))
+        rows_out = sorted((r["event_type"], r["event_id"], r["min_cents"])
+                          for r in got.to_pylist())
+        assert rows_out == [("click", 3, 50), ("view", 0, 100),
+                            ("view", 1, 100)]
