@@ -742,3 +742,116 @@ def streaming_quantile(micro_batches, *, q: float,
     uniq = np.array(sorted(acc), np.int64)
     cum = np.cumsum([acc[int(u)] for u in uniq]).astype(np.int64)
     return quantile_from_cdf(uniq, cum, q), int(cum[-1])
+
+
+class TransitionState(_PerBucketPending):
+    """Per-bucket incremental Markov transition counter — the streaming
+    counterpart of the batch ``transition_counts`` query, pairing each
+    user's events in (ts, event_id) order ACROSS micro-batch
+    boundaries. State per user is one tuple (last event's order key +
+    type); (src, dst) counts fold additively, so flush ≡ batch for any
+    event-time-ordered split. Boundary-tie safety (the
+    `_PerBucketPending` contract): rows carrying a push's max ts are
+    deferred per bucket until the next push — a same-ts smaller-id
+    peer may still arrive and must order BEFORE them — and drained at
+    flush. Null user/ts rows are dropped exactly like the batch
+    query's filter (not raised: the row is excluded from ordering on
+    both sides, so parity holds)."""
+
+    def __init__(self):
+        super().__init__()
+        self.last: dict[int, tuple] = {}       # u -> (ts, eid, type)
+        self.counts: dict[tuple, int] = {}
+
+    @staticmethod
+    def _arrays(tbl: pa.Table):
+        ok = pc.and_(pc.is_valid(tbl.column("user_id")),
+                     pc.is_valid(tbl.column("ts")))
+        sub = tbl.filter(ok)
+        return (sub.column("user_id").to_numpy(zero_copy_only=False),
+                pc.cast(sub.column("ts"), pa.int64())
+                .to_numpy(zero_copy_only=False),
+                sub.column("event_id").to_numpy(zero_copy_only=False),
+                np.asarray(sub.column("event_type").to_pylist(),
+                           dtype=object))
+
+    def _fold(self, u, ts, eid, et) -> None:
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid, et = u[order], ts[order], eid[order], et[order]
+        same = u[1:] == u[:-1] if len(u) else np.array([], bool)
+        # within-push adjacent pairs: vectorized pair-code counting
+        src, dst = et[:-1][same], et[1:][same]
+        if len(src):
+            types, codes = np.unique(np.concatenate([src, dst]),
+                                     return_inverse=True)
+            k = len(types)
+            sc, dc = codes[:len(src)], codes[len(src):]
+            pair, cnt = np.unique(sc.astype(np.int64) * k + dc,
+                                  return_counts=True)
+            for p, c in zip(pair, cnt):
+                key = (str(types[p // k]), str(types[p % k]))
+                self.counts[key] = self.counts.get(key, 0) + int(c)
+        # boundary pairs vs stored per-user last + state update: one
+        # step per DISTINCT user in the push, not per row
+        starts = np.flatnonzero(np.append(True, ~same)) if len(u) \
+            else np.array([], np.int64)
+        ends = np.append(starts[1:], len(u)) - 1
+        for s_i, e_i in zip(starts, ends):
+            uu = int(u[s_i])
+            prev = self.last.get(uu)
+            if prev is not None:
+                key = (prev[2], str(et[s_i]))
+                self.counts[key] = self.counts.get(key, 0) + 1
+            self.last[uu] = (int(ts[e_i]), int(eid[e_i]), str(et[e_i]))
+
+    def process(self, tbl: pa.Table) -> int:
+        bkt = self.bucket_of(tbl)
+        u, ts, eid, et = self._arrays(tbl)
+        pend = self.pop_pending(bkt)
+        if pend is not None:
+            pu, pts, peid, pet = pend
+            u = np.concatenate([pu, u])
+            ts = np.concatenate([pts, ts])
+            eid = np.concatenate([peid, eid])
+            et = np.concatenate([pet, et])
+        if not len(u):
+            return tbl.num_rows
+        mx = ts.max()
+        hold = ts == mx
+        if hold.any():
+            self.defer(bkt, (u[hold], ts[hold], eid[hold], et[hold]))
+        now = ~hold
+        if now.any():
+            self._fold(u[now], ts[now], eid[now], et[now])
+        return tbl.num_rows
+
+    def flush(self) -> pa.Table:
+        for pu, pts, peid, pet in self.drain_pending():
+            self._fold(pu, pts, peid, pet)
+        keys = sorted(self.counts)
+        return pa.table({
+            "src": pa.array([k[0] for k in keys], pa.string()),
+            "dst": pa.array([k[1] for k in keys], pa.string()),
+            "n": pa.array([self.counts[k] for k in keys], pa.int64())})
+
+
+def streaming_transition_counts(micro_batches, n_buckets: int = 4):
+    """Flushed (src, dst, n) transition counts over event-time-ordered
+    micro-batches — equals the batch ``transition_counts`` query for
+    any split (buckets partition users, so per-actor counts sum
+    exactly)."""
+    import ray
+
+    actors, _ = _drive_keyed_actors(micro_batches, TransitionState,
+                                    (), n_buckets)
+    parts = [p for p in ray.get([a.flush.remote() for a in actors])
+             if p.num_rows]
+    if not parts:
+        return pa.table({"src": pa.array([], pa.string()),
+                         "dst": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    g = pa.concat_tables(parts).group_by(["src", "dst"]) \
+        .aggregate([("n", "sum")])
+    return pa.table({"src": g.column("src"), "dst": g.column("dst"),
+                     "n": g.column("n_sum")}) \
+        .sort_by([("src", "ascending"), ("dst", "ascending")])

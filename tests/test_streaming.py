@@ -399,3 +399,80 @@ def test_streaming_quantile_equals_batch(ray_session):
         got = streaming_quantile(slices, q=q, value_col="value",
                                  scale=100, n_buckets=5)
         assert got == want
+
+
+def test_streaming_transitions_equal_batch(ray_session):
+    """Flushed transition counts ≡ the batch transition_counts query
+    for several micro-batch splits (pairing must survive user
+    sequences straddling slice boundaries)."""
+    import ray.data as rd
+
+    from raybeats.queries import q_transition_counts
+    from raybeats.streaming import streaming_transition_counts
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_id", "ts", "user_id",
+                               "event_type"]).sort_by("ts")
+    n = t.num_rows
+    want = sorted(
+        map(tuple, zip(*[q_transition_counts(SF).column(c).to_pylist()
+                         for c in ("src", "dst", "n")])))
+    for cuts in ([n], [n // 3, 2 * n // 3, n], [1, n // 2, n]):
+        lo, slices = 0, []
+        for hi in cuts:
+            slices.append(rd.from_arrow(t.slice(lo, hi - lo)))
+            lo = hi
+        got = streaming_transition_counts(slices, n_buckets=5)
+        rows = sorted(map(tuple, zip(got.column("src").to_pylist(),
+                                     got.column("dst").to_pylist(),
+                                     got.column("n").to_pylist())))
+        assert rows == want
+
+
+def test_streaming_transitions_tie_straddles_boundary(ray_session):
+    """A same-ts SMALLER-event_id row arriving in the next micro-batch
+    must order before the deferred boundary row — the (ts, event_id)
+    pair order, not arrival order, defines adjacency."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raybeats.streaming import streaming_transition_counts
+
+    def mk(rows):
+        return rd.from_arrow(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64())
+            .cast(pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string())}))
+
+    # batch 1: user 1 click@10(eid 1), view@20(eid 5) [boundary ts=20]
+    # batch 2: purchase@20(eid 3) — same ts, SMALLER eid than the view
+    # correct order: click -> purchase -> view
+    got = streaming_transition_counts(
+        [mk([(1, 10, 1, "click"), (5, 20, 1, "view")]),
+         mk([(3, 20, 1, "purchase")])], n_buckets=2)
+    rows = set(zip(got.column("src").to_pylist(),
+                   got.column("dst").to_pylist(),
+                   got.column("n").to_pylist()))
+    assert rows == {("click", "purchase", 1), ("purchase", "view", 1)}
+
+
+def test_streaming_transitions_null_rows_dropped(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raybeats.streaming import streaming_transition_counts
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([10, 20, None, 30], pa.int64())
+        .cast(pa.timestamp("us")),
+        "user_id": pa.array([1, None, 1, 1], pa.int64()),
+        "event_type": pa.array(["click", "view", "view", "purchase"],
+                               pa.string())})
+    got = streaming_transition_counts([rd.from_arrow(t)], n_buckets=2)
+    rows = set(zip(got.column("src").to_pylist(),
+                   got.column("dst").to_pylist(),
+                   got.column("n").to_pylist()))
+    assert rows == {("click", "purchase", 1)}
