@@ -137,7 +137,9 @@ def run_queries() -> dict[str, float]:
              "longest_streak", "grouped_corr", "top_user_per_type",
              "full_outer_series", "transition_counts", "quantile_cont",
              "cohort_matrix", "gap_fill_hours", "rolling_active_users",
-             "sample_uniform", "min_value_rows",
+             "sample_uniform", "min_value_rows", "mad_per_type",
+             "conversion_lag", "user_paths", "second_event",
+             "view_no_buy_days",
              # the narrow/cheap remainder — included so the per-op
              # artifact covers every registered query
              "json_decode", "conditions_filter", "convert_types",

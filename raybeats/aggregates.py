@@ -151,6 +151,65 @@ def grouped_quantile_cont(ds, *, value_col: str = "value",
              .groupby(by).map_groups(finalize, batch_format="pyarrow")
 
 
+def grouped_mad(ds, *, value_col: str = "value",
+                by: str = "event_type", scale: int = 100):
+    """Grouped median absolute deviation (the robust spread statistic):
+    per ``by``-key, the discrete median of ``|quantum − median(quantum)|``
+    where ``quantum = floor(value * scale)``. Two narrow passes over the
+    input, each shipping only (key, quantum, count) partials bounded by
+    value range × precision — never a corpus-sized shuffle:
+
+    1. the grouped discrete median (`grouped_exact_quantiles` at q=0.5)
+       collects to a tiny keys×1 table on the driver, and
+    2. a second scan broadcasts that table into the partial closure
+       (vectorized ``index_in`` lookup per batch) and folds
+       (key, |dev| quantum, count) partials through the same
+       `quantile_from_cdf` selection.
+
+    Integer quanta keep every step cross-engine exact; at q=0.5 the
+    repo's ceil-rule selection provably equals SQL ``quantile_disc``
+    (``floor((n−1)/2)+1 == ceil(n/2)`` for every n), so the DuckDB
+    mirror can use the native aggregate. Keys whose values are all
+    null/NaN have no median and are dropped (SQL inner-join
+    convention). Returns one row per key: ``by``, ``n``, ``mad_cents``.
+    """
+    med_tb = pa.concat_tables(list(
+        grouped_exact_quantiles(ds, value_col=value_col, by=by,
+                                qs=(0.5,), scale=scale)
+        .iter_batches(batch_format="pyarrow")))
+    med_keys = med_tb.column(by).combine_chunks()
+    med_vals = med_tb.column("p50_cents").to_numpy(zero_copy_only=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        idx = pc.fill_null(pc.index_in(t.column(by),
+                                       value_set=med_keys), -1) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v) & (idx >= 0)
+        dev = np.abs(np.floor(v[ok] * scale).astype(np.int64)
+                     - med_vals[idx[ok]])
+        tt = pa.table({by: t.column(by).filter(pa.array(ok)),
+                       "q": pa.array(dev, pa.int64())})
+        g = tt.group_by([by, "q"]).aggregate([("q", "count")])
+        return pa.table({by: g.column(by), "q": g.column("q"),
+                         "cnt": pc.cast(g.column("q_count"), pa.int64())})
+
+    def finalize(grp: pa.Table) -> pa.Table:
+        quanta = grp.column("q").to_numpy(zero_copy_only=False)
+        cnt = grp.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.argsort(quanta, kind="stable")
+        uniq, start = np.unique(quanta[order], return_index=True)
+        cum = np.cumsum(np.add.reduceat(cnt[order], start))
+        return pa.table({
+            by: grp.column(by).slice(0, 1).combine_chunks(),
+            "n": pa.array([int(cum[-1])], pa.int64()),
+            "mad_cents": pa.array([quantile_from_cdf(uniq, cum, 0.5)],
+                                  pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby(by).map_groups(finalize, batch_format="pyarrow")
+
+
 def global_discrete_quantile(ds, *, value_col: str, q: float,
                              scale: int = 1) -> tuple[int, int]:
     """EXACT corpus-wide discrete quantile of ``floor(value * scale)``

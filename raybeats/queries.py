@@ -4273,6 +4273,262 @@ SELECT event_id, event_type, cents AS min_cents FROM c
 QUALIFY cents = MIN(cents) OVER (PARTITION BY event_type)"""
 
 
+def q_mad_per_type(sf_dir: str):
+    """Grouped robust spread: median absolute deviation of value-cents
+    per event type (`aggregates.grouped_mad`) — `anomaly_events`' global
+    median+MAD core turned into a per-group statistic. Two narrow
+    (key, quantum, count)-partial passes, median table broadcast into
+    the second; no corpus-sized shuffle."""
+    from .aggregates import grouped_mad
+    return grouped_mad(_read(sf_dir, "events", ["event_type", "value"]))
+
+
+# quantile_disc at q=0.5 == the repo's ceil-rule selection (see
+# grouped_mad docstring), so the mirror can use the native aggregate.
+SQL_MAD_PER_TYPE = """WITH c AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS q
+  FROM events WHERE NOT isnan(value)),
+m AS (SELECT event_type, quantile_disc(q, 0.5) AS med FROM c GROUP BY 1)
+SELECT c.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_disc(ABS(c.q - m.med), 0.5) AS mad_cents
+FROM c JOIN m USING (event_type) GROUP BY c.event_type"""
+
+
+def q_conversion_lag(sf_dir: str):
+    """First-touch conversion latency: per user, microseconds from the
+    FIRST view to the FIRST purchase, emitted only when the purchase
+    came strictly after (the funnel-latency primitive). MIN is
+    associative, so each batch pre-aggregates to (user, side, min_ts)
+    partials — ≤ 2 rows per user per batch — and ONE user-bucket
+    shuffle folds them; the per-bucket kernel is a lexsort + adjacent
+    pair check (each user ends with at most one view row then one
+    purchase row)."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_in(t.column("event_type"),
+                     value_set=pa.array(["view", "purchase"])),
+            pc.and_(pc.is_valid(t.column("user_id")),
+                    pc.is_valid(t.column("ts"))))
+        sel = t.filter(keep)
+        tt = pa.table({"u": sel.column("user_id"),
+                       "p": pc.equal(sel.column("event_type"),
+                                     "purchase"),
+                       "ts": pc.cast(sel.column("ts"), pa.int64())})
+        g = tt.group_by(["u", "p"]).aggregate([("ts", "min")])
+        out = pa.table({"u": g.column("u"), "p": g.column("p"),
+                        "mts": g.column("ts_min")})
+        return out.append_column("bucket", int_bucket(out.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        is_p = g.column("p").to_numpy(zero_copy_only=False)
+        mts = g.column("mts").to_numpy(zero_copy_only=False)
+        order = np.lexsort((mts, is_p, u))
+        u, is_p, mts = u[order], is_p[order], mts[order]
+        # min per (user, side) = first row of each sorted run
+        first = np.ones(len(u), bool)
+        first[1:] = (u[1:] != u[:-1]) | (is_p[1:] != is_p[:-1])
+        u, mts = u[first], mts[first]
+        # view sorts before purchase (False < True): a user with both
+        # sides is exactly the adjacent same-user pair (view, purchase)
+        both = u[1:] == u[:-1]
+        vt, pt, uu = mts[:-1][both], mts[1:][both], u[:-1][both]
+        keep = pt > vt
+        return pa.table({"user_id": pa.array(uu[keep], pa.int64()),
+                         "lag_us": pa.array((pt - vt)[keep],
+                                            pa.int64())})
+
+    return _read(sf_dir, "events", ["user_id", "ts", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_CONVERSION_LAG = """WITH
+v AS (SELECT user_id, MIN(ts) AS vt FROM events
+      WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1),
+p AS (SELECT user_id, MIN(ts) AS pt FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL GROUP BY 1)
+SELECT v.user_id,
+       CAST(date_diff('microseconds', v.vt, p.pt) AS BIGINT) AS lag_us
+FROM v JOIN p USING (user_id) WHERE p.pt > v.vt"""
+
+
+_PATH_K = 3
+
+
+def q_user_paths(sf_dir: str):
+    """User-journey mining: the ordered event-type path of each user's
+    first `_PATH_K` events (total order (ts, event_id)), counted per
+    distinct path — the ORDERED STRING AGGREGATION shape
+    (``string_agg ... ORDER BY``). Sequence order is not associative
+    across splits, so rows shuffle ONCE keyed by user-hash bucket;
+    each bucket lexsorts, takes the first K per user run with a
+    repeat/aranges gather, builds the path strings in one
+    ``ListArray`` + ``binary_join`` pass, and pre-counts its paths —
+    the driver fold combines ≤ types^K × buckets fixed-width rows.
+    The K-prefix cap is part of the operator contract: it bounds both
+    the per-user state and the output cardinality at any corpus size."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = pa.table({"u": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64()),
+                        "eid": t.column("event_id"),
+                        "et": t.column("event_type")}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.and_(pc.is_valid(t.column("ts")),
+                                    pc.is_valid(t.column("event_type")))))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        et = g.column("et").combine_chunks()
+        order, new_run, _ = _lag_scaffold([u], ts, eid)
+        starts = np.flatnonzero(new_run)
+        take = np.minimum(
+            np.diff(np.append(starts, len(order))), _PATH_K)
+        cum = np.cumsum(take)
+        total = int(cum[-1]) if len(cum) else 0
+        within = np.arange(total) - np.repeat(cum - take, take)
+        idx = order[np.repeat(starts, take) + within]
+        vals = pc.take(et, pa.array(idx, pa.int64()))
+        offsets = pa.array(np.concatenate(([0], cum)).astype(np.int32),
+                           pa.int32())
+        paths = pc.binary_join(pa.ListArray.from_arrays(offsets, vals),
+                               ">")
+        gg = pa.table({"path": paths}).group_by("path") \
+            .aggregate([("path", "count")])
+        return pa.table({"path": gg.column("path"),
+                         "n": pc.cast(gg.column("path_count"),
+                                      pa.int64())})
+
+    small = _read(sf_dir, "events",
+                  ["event_id", "user_id", "ts", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    return _combine_partials(small, ["path"], {"n": "n_users"})
+
+
+SQL_USER_PATHS = f"""WITH r AS (
+  SELECT user_id, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL),
+p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= {_PATH_K} GROUP BY 1)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users FROM p GROUP BY 1"""
+
+
+def q_second_event(sf_dir: str):
+    """Per-group Nth-row retrieval (``ROW_NUMBER() = 2``): each user's
+    SECOND event type under the (ts, event_id) total order — the
+    onboarding-analysis "what do users do right after signup" shape,
+    distinct from `top_user_per_type`'s value-argmax and
+    `new_users_daily`'s first-seen MIN (position 2 is not expressible
+    as an associative aggregate). One user-bucket shuffle; per bucket
+    the shared lexsort scaffold marks run starts and a single gather
+    picks ``start+1`` where the run has ≥ 2 rows."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = pa.table({"u": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64()),
+                        "eid": t.column("event_id"),
+                        "et": t.column("event_type")}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("ts"))))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        order, new_run, _ = _lag_scaffold([u], ts, eid)
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, len(order)))
+        sel = order[starts[lens >= 2] + 1]
+        return pa.table({
+            "user_id": pa.array(u[sel], pa.int64()),
+            "second_type": g.column("et").combine_chunks()
+            .take(pa.array(sel, pa.int64()))})
+
+    return _read(sf_dir, "events",
+                 ["event_id", "user_id", "ts", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_SECOND_EVENT = """WITH r AS (
+  SELECT user_id, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+SELECT user_id, event_type AS second_type FROM r WHERE rn = 2"""
+
+
+def q_view_no_buy_days(sf_dir: str):
+    """Same-table distinct-set EXCEPT: (user, day) pairs that saw a
+    view but NO purchase — the engaged-but-didn't-convert slice
+    (`anti_join` is two-table; this is the SQL ``EXCEPT`` shape over
+    one scan). Each batch pre-distincts (user, day, is_view) — bounded
+    by users × days per batch — then ONE user-bucket shuffle; the
+    per-bucket kernel is a pure-Arrow group_by keeping (user, day)
+    groups where ``min(is_view)`` is true (every event that day was a
+    view)."""
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_in(t.column("event_type"),
+                     value_set=pa.array(["view", "purchase"])),
+            pc.and_(pc.is_valid(t.column("user_id")),
+                    pc.is_valid(t.column("ts"))))
+        sel = t.filter(keep)
+        tt = pa.table({
+            "u": sel.column("user_id"),
+            "d": pc.cast(pc.floor_temporal(sel.column("ts"),
+                                           unit="day"), pa.int64()),
+            "isv": pc.equal(sel.column("event_type"), "view")})
+        g = tt.group_by(["u", "d", "isv"]).aggregate([])
+        return g.append_column("bucket", int_bucket(g.column("u"),
+                                                    n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["u", "d"]).aggregate([("isv", "min")])
+        out = agg.filter(agg.column("isv_min"))
+        return pa.table({
+            "user_id": out.column("u"),
+            "day": pc.cast(out.column("d"), pa.timestamp("us"))})
+
+    return _read(sf_dir, "events", ["user_id", "ts", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_VIEW_NO_BUY_DAYS = """
+SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+  AND ts IS NOT NULL
+EXCEPT
+SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+  AND ts IS NOT NULL"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -4377,6 +4633,11 @@ QUERIES = {
                              SQL_ROLLING_ACTIVE_USERS),
     "sample_uniform": (q_sample_uniform, SQL_SAMPLE_UNIFORM),
     "min_value_rows": (q_min_value_rows, SQL_MIN_VALUE_ROWS),
+    "mad_per_type": (q_mad_per_type, SQL_MAD_PER_TYPE),
+    "conversion_lag": (q_conversion_lag, SQL_CONVERSION_LAG),
+    "user_paths": (q_user_paths, SQL_USER_PATHS),
+    "second_event": (q_second_event, SQL_SECOND_EVENT),
+    "view_no_buy_days": (q_view_no_buy_days, SQL_VIEW_NO_BUY_DAYS),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —
