@@ -139,7 +139,8 @@ def run_queries() -> dict[str, float]:
              "cohort_matrix", "gap_fill_hours", "rolling_active_users",
              "sample_uniform", "min_value_rows", "mad_per_type",
              "conversion_lag", "user_paths", "second_event",
-             "view_no_buy_days",
+             "view_no_buy_days", "scd2_intervals", "dense_topk",
+             "first_occurrence", "dwell_time", "median_gap_per_user",
              # the narrow/cheap remainder — included so the per-op
              # artifact covers every registered query
              "json_decode", "conditions_filter", "convert_types",

@@ -4529,6 +4529,328 @@ FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
   AND ts IS NOT NULL"""
 
 
+def q_scd2_intervals(sf_dir: str):
+    """Change-data-capture interval construction (SCD type-2): per
+    user, consecutive runs of the SAME event_type (under the
+    (ts, event_id) total order) compress to one validity interval
+    ``[valid_from, valid_to)`` — ``valid_to`` is the next state
+    change's timestamp, NULL for the user's current state. The
+    state-history/temporal-table build step. One user-bucket shuffle;
+    the per-bucket kernel is the shared lexsort scaffold + one shifted
+    type-code comparison, then a gather of run starts."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = pa.table({"u": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64()),
+                        "eid": t.column("event_id"),
+                        "et": t.column("event_type")}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.and_(pc.is_valid(t.column("ts")),
+                                    pc.is_valid(t.column("event_type")))))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(g.column("et").combine_chunks())
+        code = enc.indices.to_numpy(zero_copy_only=False)
+        order, new_run, _ = _lag_scaffold([u], ts, eid)
+        cs, us, tss, eids = code[order], u[order], ts[order], eid[order]
+        change = new_run.copy()
+        change[1:] |= cs[1:] != cs[:-1]
+        starts = np.flatnonzero(change)
+        # valid_to = the NEXT run's start ts when it belongs to the
+        # same user; the user's last run stays open (NULL)
+        nxt_ts = np.empty(len(starts), np.int64)
+        closed = np.zeros(len(starts), bool)
+        if len(starts) > 1:
+            same = us[starts[1:]] == us[starts[:-1]]
+            closed[:-1] = same
+            nxt_ts[:-1] = tss[starts[1:]]
+        return pa.table({
+            "user_id": pa.array(us[starts], pa.int64()),
+            "state": pc.take(enc.dictionary,
+                             pa.array(cs[starts], pa.int32())),
+            "valid_from": pa.array(tss[starts], pa.int64())
+            .cast(pa.timestamp("us")),
+            "start_eid": pa.array(eids[starts], pa.int64()),
+            "valid_to": pa.array(
+                np.where(closed, nxt_ts, 0).astype(np.int64),
+                pa.int64(), mask=~closed).cast(pa.timestamp("us"))})
+
+    return _read(sf_dir, "events",
+                 ["event_id", "user_id", "ts", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_SCD2_INTERVALS = """WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+    LAG(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL),
+c AS (SELECT user_id, event_type AS state, ts AS valid_from,
+             event_id AS start_eid
+      FROM s WHERE prev IS NULL OR prev != event_type)
+SELECT user_id, state, valid_from, start_eid,
+  LEAD(valid_from) OVER (PARTITION BY user_id
+                         ORDER BY valid_from, start_eid) AS valid_to
+FROM c"""
+
+
+_DENSE_TOPK = 3
+
+
+def q_dense_topk(sf_dir: str):
+    """Grouped DISTINCT top-k (``DENSE_RANK() <= k``): per event type
+    the `_DENSE_TOPK` highest distinct value-cents with their dense
+    rank. Distinct-selection is associative — the global top-k
+    distinct values are contained in the union of per-batch top-k
+    distinct values — so each batch compacts to ≤ k × types rows (one
+    lexsort + the run-start gather) and the driver re-applies the SAME
+    kernel to the concatenated partials; no shuffle at all."""
+    import numpy as np
+
+    def topk(types: pa.Array, cents: np.ndarray):
+        """(type, cents) distinct → indices of each type's top-k
+        distinct cents in (type, cents desc) order."""
+        enc = pc.dictionary_encode(types)
+        code = enc.indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((-cents, code))
+        cs, vs = code[order], cents[order]
+        new_t = np.empty(len(order), bool)
+        if len(order):
+            new_t[0] = True
+            new_t[1:] = cs[1:] != cs[:-1]
+        starts = np.flatnonzero(new_t)
+        take = np.minimum(np.diff(np.append(starts, len(order))),
+                          _DENSE_TOPK)
+        cum = np.cumsum(take)
+        total = int(cum[-1]) if len(cum) else 0
+        within = np.arange(total) - np.repeat(cum - take, take)
+        sel = order[np.repeat(starts, take) + within]
+        rnk = within + 1
+        return sel, rnk
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        tt = pa.table({"event_type": t.column("event_type")
+                       .filter(pa.array(ok)),
+                       "cents": pa.array(
+                           np.floor(v[ok] * 100).astype(np.int64),
+                           pa.int64())})
+        d = tt.group_by(["event_type", "cents"]).aggregate([])
+        et = d.column("event_type").combine_chunks()
+        cents = d.column("cents").to_numpy(zero_copy_only=False)
+        sel, _ = topk(et, cents)
+        idx = pa.array(sel, pa.int64())
+        return pa.table({"event_type": et.take(idx),
+                         "cents": pa.array(cents[sel], pa.int64())})
+
+    merged = pa.concat_tables(list(
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    d = merged.group_by(["event_type", "cents"]).aggregate([])
+    et = d.column("event_type").combine_chunks()
+    cents = d.column("cents").to_numpy(zero_copy_only=False)
+    sel, rnk = topk(et, cents)
+    idx = pa.array(sel, pa.int64())
+    return pa.table({"event_type": et.take(idx),
+                     "cents": pa.array(cents[sel], pa.int64()),
+                     "rnk": pa.array(rnk, pa.int64())})
+
+
+SQL_DENSE_TOPK = f"""WITH c AS (
+  SELECT DISTINCT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events WHERE NOT isnan(value)),
+r AS (SELECT event_type, cents,
+        DENSE_RANK() OVER (PARTITION BY event_type
+                           ORDER BY cents DESC) AS rnk FROM c)
+SELECT event_type, cents, CAST(rnk AS BIGINT) AS rnk FROM r
+WHERE rnk <= {_DENSE_TOPK}"""
+
+
+def q_first_occurrence(sf_dir: str):
+    """Keep-FIRST compaction with full-row retrieval: per
+    (user, event_type), the first event's timestamp and id under the
+    (ts, event_id) total order — `latest_event`'s upsert primitive
+    mirrored to first-touch attribution, and REUSING the single-sourced
+    `keep_latest` kernel on NEGATED order columns (keep-first ≡
+    keep-latest under order reversal). Composite key travels as one
+    "<user>|<type>" string (user digits contain no '|', so the coding
+    is injective); local per-batch compaction bounds the one keyed
+    shuffle at keys × blocks rows."""
+    from .aggregates import keep_latest
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.and_(pc.is_valid(t.column("user_id")),
+                               pc.and_(pc.is_valid(t.column("ts")),
+                                       pc.is_valid(
+                                           t.column("event_type")))))
+        tsi = pc.cast(sel.column("ts"), pa.int64())
+        return pa.table({
+            "user_id": sel.column("user_id"),
+            "event_type": sel.column("event_type"),
+            "first_ts": sel.column("ts"),
+            "first_eid": sel.column("event_id"),
+            "__k": pc.binary_join_element_wise(
+                pc.cast(sel.column("user_id"), pa.string()),
+                sel.column("event_type"), "|"),
+            "__neg_ts": pc.negate(tsi),
+            "__neg_eid": pc.negate(sel.column("event_id"))})
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["__k", "__neg_ts", "__neg_eid"])
+
+    tagged = _read(sf_dir, "events",
+                   ["event_id", "user_id", "ts", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow")
+    return keep_latest(tagged, key="__k",
+                       order_by=("__neg_ts", "__neg_eid"),
+                       n_buckets=n_buckets) \
+        .map_batches(strip, batch_format="pyarrow")
+
+
+SQL_FIRST_OCCURRENCE = """
+SELECT user_id, event_type, ts AS first_ts, event_id AS first_eid
+FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  AND event_type IS NOT NULL
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) = 1"""
+
+
+def q_dwell_time(sf_dir: str):
+    """LEAD-attribution aggregate: each user's gap to their NEXT event
+    is attributed to the CURRENT event's type ("time spent on this
+    step"), summed per type — the screen-time/step-duration shape,
+    `event_gaps`' LAG diff re-keyed to the earlier row and folded.
+    One user-bucket shuffle; per bucket the shared scaffold's adjacent
+    diff is attributed to the sorted-previous row's type and
+    pre-summed to types × buckets fixed-width partials."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = pa.table({"u": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64()),
+                        "eid": t.column("event_id"),
+                        "et": t.column("event_type")}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("ts"))))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(g.column("et").combine_chunks())
+        code = enc.indices.to_numpy(zero_copy_only=False)
+        order, new_run, gap = _lag_scaffold([u], ts, eid)
+        has_next = ~new_run[1:]          # row i-1 has a next same-user row
+        src = code[order][:-1][has_next]  # attribute to the EARLIER row
+        dur = gap[1:][has_next]
+        k = len(enc.dictionary)
+        cnt = np.bincount(src, minlength=k)
+        tot = np.bincount(src, weights=dur.astype(np.float64),
+                          minlength=k).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "event_type": pc.take(enc.dictionary,
+                                  pa.array(nz, pa.int32())),
+            "n": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            "us": pa.array(tot[nz], pa.int64())})
+
+    small = _read(sf_dir, "events",
+                  ["event_id", "user_id", "ts", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    return _combine_partials(small, ["event_type"],
+                             {"n": "n_gaps", "us": "dwell_us"})
+
+
+SQL_DWELL_TIME = """WITH s AS (
+  SELECT user_id, event_type, ts,
+    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(date_diff('microseconds', ts, nxt)) AS BIGINT)
+         AS dwell_us
+FROM s WHERE nxt IS NOT NULL GROUP BY 1"""
+
+
+def q_median_gap_per_user(sf_dir: str):
+    """Per-entity order statistic WITHOUT quantization: each user's
+    median inter-arrival gap (lower median, the `quantile_from_cdf`
+    ceil rule). Because a user's events co-locate in their bucket, the
+    median is computed EXACTLY on the raw microsecond gaps inside the
+    cogroup — no (quantum, count) sketch needed; this is the
+    entity-local complement to `mad_per_type`'s broadcast two-pass.
+    One user-bucket shuffle; per bucket two lexsorts (event order,
+    then gap order per user) and a rank gather."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = pa.table({"u": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64()),
+                        "eid": t.column("event_id")}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("ts"))))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        order, new_run, gap = _lag_scaffold([u], ts, eid)
+        keep = ~new_run
+        ug, gv = u[order][keep], gap[keep]
+        o2 = np.lexsort((gv, ug))
+        ug, gv = ug[o2], gv[o2]
+        starts = np.flatnonzero(
+            np.append(True, ug[1:] != ug[:-1])) if len(ug) else \
+            np.array([], np.int64)
+        lens = np.diff(np.append(starts, len(ug)))
+        # lower median = 0-based position ceil(n/2) - 1 in sorted gaps
+        med = gv[starts + (lens + 1) // 2 - 1] if len(starts) else \
+            np.array([], np.int64)
+        return pa.table({
+            "user_id": pa.array(ug[starts] if len(starts) else
+                                np.array([], np.int64), pa.int64()),
+            "n_gaps": pa.array(lens.astype(np.int64), pa.int64()),
+            "median_gap_us": pa.array(med, pa.int64())})
+
+    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_MEDIAN_GAP_PER_USER = """WITH s AS (
+  SELECT user_id, ts,
+    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+g AS (SELECT user_id,
+        date_diff('microseconds', prev, ts) AS gap
+      FROM s WHERE prev IS NOT NULL)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       quantile_disc(gap, 0.5) AS median_gap_us
+FROM g GROUP BY 1"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -4638,6 +4960,12 @@ QUERIES = {
     "user_paths": (q_user_paths, SQL_USER_PATHS),
     "second_event": (q_second_event, SQL_SECOND_EVENT),
     "view_no_buy_days": (q_view_no_buy_days, SQL_VIEW_NO_BUY_DAYS),
+    "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
+    "dense_topk": (q_dense_topk, SQL_DENSE_TOPK),
+    "first_occurrence": (q_first_occurrence, SQL_FIRST_OCCURRENCE),
+    "dwell_time": (q_dwell_time, SQL_DWELL_TIME),
+    "median_gap_per_user": (q_median_gap_per_user,
+                            SQL_MEDIAN_GAP_PER_USER),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —
