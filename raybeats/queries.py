@@ -4851,6 +4851,306 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
 FROM g GROUP BY 1"""
 
 
+def q_cluster_radius(sf_dir: str):
+    """Cluster-quality metric: per label, the MAX squared quantized
+    distance from the label's (rounded) centroid — the radius that
+    tells you which clusters are tight and which are junk before
+    using them for IVF routing. Two passes, both narrow: pass 1 folds
+    the `centroid_sum_partial` labels × dim partials on the driver and
+    rounds each centroid component to an int64 quantum
+    (``floor(s/n + 0.5)`` — s converts through float64 identically in
+    both engines, so the rounding is deterministic even where the
+    conversion is lossy); pass 2 broadcasts the centroid matrix and
+    emits (label, n, max_sq) per-batch partials (MAX and COUNT are
+    associative). dim=64, |q|≲3e6 → per-vector sums ≲2e15, int64-safe."""
+    import numpy as np
+    from .textops.knn import centroid_sum_partial
+
+    parts = pa.concat_tables(list(
+        _read(sf_dir, "embeddings", ["label", "embedding"])
+        .map_batches(lambda t: centroid_sum_partial(t),
+                     batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    agg = parts.group_by(["label", "idx"]).aggregate(
+        [("s", "sum"), ("n", "sum")])
+    labs = agg.column("label").to_numpy(zero_copy_only=False)
+    idxs = agg.column("idx").to_numpy(zero_copy_only=False)
+    ss = agg.column("s_sum").to_numpy(zero_copy_only=False)
+    ns = agg.column("n_sum").to_numpy(zero_copy_only=False)
+    uniq = np.unique(labs)
+    d = int(idxs.max())
+    cents = np.empty((len(uniq), d), np.int64)
+    pos = np.searchsorted(uniq, labs)
+    cents[pos, idxs - 1] = np.floor(
+        ss.astype(np.float64) / ns + 0.5).astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding")
+        emb = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) \
+            else emb
+        n = len(emb)
+        if n == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "max_sq": pa.array([], pa.int64())})
+        q = pc.cast(pc.round(pc.multiply(
+            pc.cast(emb.flatten(), pa.float64()), 1_000_000.0),
+            round_mode="half_towards_infinity"), pa.int64()) \
+            .to_numpy(zero_copy_only=False).reshape(n, d)
+        lab = pc.cast(t.column("label"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        diff = q - cents[np.searchsorted(uniq, lab)]
+        sq = np.einsum("ij,ij->i", diff, diff)
+        order = np.argsort(lab, kind="stable")
+        ls = lab[order]
+        u, start = np.unique(ls, return_index=True)
+        mx = np.maximum.reduceat(sq[order], start)
+        cnt = np.diff(np.append(start, n))
+        return pa.table({"label": pa.array(u, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                         "max_sq": pa.array(mx, pa.int64())})
+
+    small = pa.concat_tables(list(
+        _read(sf_dir, "embeddings", ["label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    g = small.group_by("label").aggregate([("n", "sum"),
+                                           ("max_sq", "max")])
+    return pa.table({"label": g.column("label"),
+                     "n": g.column("n_sum"),
+                     "max_sq": g.column("max_sq_max")})
+
+
+SQL_CLUSTER_RADIUS = """WITH q AS (
+  SELECT vec_id, label,
+    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+         AS BIGINT) AS qv,
+    generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+s AS (SELECT label, i, SUM(qv) AS s, COUNT(*) AS n
+      FROM q GROUP BY 1, 2),
+c AS (SELECT label, i,
+        CAST(FLOOR(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS c
+      FROM s),
+d AS (SELECT q.vec_id, q.label,
+        SUM((qv - c.c) * (qv - c.c)) AS dd
+      FROM q JOIN c ON q.label = c.label AND q.i = c.i
+      GROUP BY 1, 2)
+SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(dd) AS BIGINT) AS max_sq
+FROM d GROUP BY 1"""
+
+
+def q_vocab_per_source(sf_dir: str):
+    """Grouped COUNT(DISTINCT token) over exploded text — vocabulary
+    size per source, the Heaps-law corpus-diversity check. Distinct
+    counting does not decompose per batch, but tokens partition
+    DISJOINTLY by hash: each batch emits its distinct (source, token)
+    pairs (bounded by batch vocab, not batch tokens), ONE token-hash
+    bucket shuffle dedups pairs per bucket, and the per-source counts
+    SUM across buckets exactly because no token spans two buckets.
+    Tokenizer single-sourced with the other text ops (`flat_tokens`)."""
+    from .textops.analysis import flat_tokens
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "documents"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        row_id, toks, _ = flat_tokens(t.column("text"))
+        src = t.column("source").combine_chunks() \
+            .take(pa.array(row_id, pa.int64()))
+        tt = pa.table({"source": src, "token": toks})
+        d = tt.group_by(["source", "token"]).aggregate([])
+        return d.append_column(
+            "bucket", fnv1a_bucket(d.column("token"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        d = g.group_by(["source", "token"]).aggregate([])
+        cnt = d.group_by("source").aggregate([("token", "count")])
+        return pa.table({"source": cnt.column("source"),
+                         "n": pc.cast(cnt.column("token_count"),
+                                      pa.int64())})
+
+    small = _read(sf_dir, "documents", ["source", "text"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    return _combine_partials(small, ["source"], {"n": "vocab"})
+
+
+SQL_VOCAB_PER_SOURCE = r"""WITH toks AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents)
+SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT) AS vocab
+FROM toks GROUP BY 1"""
+
+
+def q_quartile_bucket(sf_dir: str):
+    """Per-row CDF binning against GROUPED thresholds: each event gets
+    its type's quartile bin (1–4) — the score→tier normalization step
+    (`value_percentile` is the global-rank variant; this is the
+    grouped-threshold variant). The discrete p25/p50/p75 thresholds
+    come from the shared (key, quantum, count) partials, collect to a
+    types × 3 driver table, and broadcast into a narrow filter-free
+    map stage (vectorized `index_in` + three comparisons)."""
+    import numpy as np
+    from .aggregates import grouped_exact_quantiles
+
+    thr = pa.concat_tables(list(
+        grouped_exact_quantiles(
+            _read(sf_dir, "events", ["event_type", "value"]),
+            qs=(0.25, 0.5, 0.75))
+        .iter_batches(batch_format="pyarrow")))
+    types = thr.column("event_type").combine_chunks()
+    p25 = thr.column("p25_cents").to_numpy(zero_copy_only=False)
+    p50 = thr.column("p50_cents").to_numpy(zero_copy_only=False)
+    p75 = thr.column("p75_cents").to_numpy(zero_copy_only=False)
+
+    def binit(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        idx = pc.fill_null(pc.index_in(t.column("event_type"),
+                                       value_set=types), -1) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v) & (idx >= 0)
+        sel = t.filter(pa.array(ok))
+        cents = np.floor(v[ok] * 100).astype(np.int64)
+        i = idx[ok]
+        bins = (1 + (cents > p25[i]).astype(np.int64)
+                + (cents > p50[i]) + (cents > p75[i]))
+        return pa.table({"event_id": sel.column("event_id"),
+                         "event_type": sel.column("event_type"),
+                         "cents": pa.array(cents, pa.int64()),
+                         "bin": pa.array(bins, pa.int64())})
+
+    return _read(sf_dir, "events",
+                 ["event_id", "event_type", "value"]) \
+        .map_batches(binit, batch_format="pyarrow")
+
+
+SQL_QUARTILE_BUCKET = """WITH c AS (
+  SELECT event_id, event_type, CAST(FLOOR(value * 100) AS BIGINT)
+    AS cents FROM events WHERE NOT isnan(value)),
+g AS (SELECT event_type, cents AS q, COUNT(*) AS cnt FROM c
+      GROUP BY 1, 2),
+s AS (SELECT event_type, q,
+        SUM(cnt) OVER (PARTITION BY event_type ORDER BY q) AS cum,
+        SUM(cnt) OVER (PARTITION BY event_type) AS total FROM g),
+t AS (SELECT event_type,
+        MIN(CASE WHEN cum >= CEIL(0.25 * total) THEN q END) AS p25,
+        MIN(CASE WHEN cum >= CEIL(0.5 * total) THEN q END) AS p50,
+        MIN(CASE WHEN cum >= CEIL(0.75 * total) THEN q END) AS p75
+      FROM s GROUP BY 1)
+SELECT c.event_id, c.event_type, c.cents,
+  CAST(1 + (CASE WHEN c.cents > t.p25 THEN 1 ELSE 0 END)
+         + (CASE WHEN c.cents > t.p50 THEN 1 ELSE 0 END)
+         + (CASE WHEN c.cents > t.p75 THEN 1 ELSE 0 END)
+       AS BIGINT) AS bin
+FROM c JOIN t USING (event_type)"""
+
+
+def q_supplier_by_region(sf_dir: str):
+    """Snowflake dimension-chain rollup: suppliers counted and their
+    account balances summed per REGION, two dimension hops away
+    (supplier → nation → region). The chain composes DRIVER-SIDE into
+    one nationkey→region dict (both dims are catalog-scale), which
+    broadcasts into a single enrich pass over the supplier scan — the
+    multi-hop star schema costs ZERO shuffles when the hops are all
+    small. Balance cents are floor-int64 (exact associative sum;
+    negative balances floor consistently in both engines)."""
+    import numpy as np
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rmap = dict(zip(region.column("r_regionkey").to_pylist(),
+                    region.column("r_name").to_pylist()))
+    nat_keys = nation.column("n_nationkey").combine_chunks()
+    nat_region = pa.array(
+        [rmap.get(rk) for rk in
+         nation.column("n_regionkey").to_pylist()], pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("s_nationkey"), value_set=nat_keys)
+        rname = nat_region.take(pc.fill_null(idx, 0)) \
+            if t.num_rows else pa.array([], pa.string())
+        # inner-join mirror: dangling nationkeys drop
+        valid = pc.is_valid(idx)
+        bal = t.column("s_acctbal").to_numpy(zero_copy_only=False)
+        cents = np.floor(bal * 100.0).astype(np.int64)
+        tt = pa.table({"r_name": rname,
+                       "cents": pa.array(cents, pa.int64())}) \
+            .filter(valid)
+        g = tt.group_by("r_name").aggregate([("cents", "sum"),
+                                             ("cents", "count")])
+        return pa.table({"r_name": g.column("r_name"),
+                         "bal": g.column("cents_sum"),
+                         "n": pc.cast(g.column("cents_count"),
+                                      pa.int64())})
+
+    small = _read_dim(sf_dir, "supplier",
+                      ["s_nationkey", "s_acctbal"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    return _combine_partials(small, ["r_name"],
+                             {"n": "n_suppliers",
+                              "bal": "acctbal_cents"})
+
+
+SQL_SUPPLIER_BY_REGION = """
+SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+  CAST(SUM(CAST(FLOOR(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+    AS acctbal_cents
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1"""
+
+
+def q_brand_revenue(sf_dir: str):
+    """Fact-to-dimension broadcast join + rollup: lineitem revenue per
+    part BRAND. part is the broadcast side (an `Enricher` actor pool —
+    read once into the object store, indexed once per actor), so the
+    fact table never shuffles; revenue uses the repo's exact
+    floor-cents recipe and the groupby moves batch × brands partials.
+    At a scale where part outgrows one object, this flips to
+    `hash_join` — same result, one exchange (the `join_revenue`
+    plan)."""
+    import numpy as np
+
+    side = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"]) \
+        .rename_columns(["l_partkey", "p_brand"])
+    enr = Enricher(rows=side, key_fields=("l_partkey",),
+                   target_prefix="", miss_flag=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        e = enr(t)
+        e = e.filter(pc.is_valid(e.column("p_brand")))
+        ep = e.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = e.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * (1.0 - disc) * 100.0).astype(np.int64)
+        tt = pa.table({"p_brand": e.column("p_brand"),
+                       "rev": pa.array(cents, pa.int64())})
+        g = tt.group_by("p_brand").aggregate([("rev", "sum"),
+                                              ("rev", "count")])
+        return pa.table({"p_brand": g.column("p_brand"),
+                         "rev": g.column("rev_sum"),
+                         "n": pc.cast(g.column("rev_count"),
+                                      pa.int64())})
+
+    small = _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    return _combine_partials(small, ["p_brand"],
+                             {"rev": "revenue_cents", "n": "n_items"})
+
+
+SQL_BRAND_REVENUE = """
+SELECT p_brand,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -4966,6 +5266,12 @@ QUERIES = {
     "dwell_time": (q_dwell_time, SQL_DWELL_TIME),
     "median_gap_per_user": (q_median_gap_per_user,
                             SQL_MEDIAN_GAP_PER_USER),
+    "cluster_radius": (q_cluster_radius, SQL_CLUSTER_RADIUS),
+    "vocab_per_source": (q_vocab_per_source, SQL_VOCAB_PER_SOURCE),
+    "quartile_bucket": (q_quartile_bucket, SQL_QUARTILE_BUCKET),
+    "supplier_by_region": (q_supplier_by_region,
+                           SQL_SUPPLIER_BY_REGION),
+    "brand_revenue": (q_brand_revenue, SQL_BRAND_REVENUE),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —
