@@ -142,7 +142,9 @@ def run_queries() -> dict[str, float]:
              "view_no_buy_days", "scd2_intervals", "dense_topk",
              "first_occurrence", "dwell_time", "median_gap_per_user",
              "cluster_radius", "vocab_per_source", "quartile_bucket",
-             "supplier_by_region", "brand_revenue",
+             "supplier_by_region", "brand_revenue", "user_top_types",
+             "cumulative_users", "degree_dist", "user_summary",
+             "mode_per_type",
              # the narrow/cheap remainder — included so the per-op
              # artifact covers every registered query
              "json_decode", "conditions_filter", "convert_types",

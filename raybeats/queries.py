@@ -5151,6 +5151,289 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1"""
 
 
+_TOP_TYPES_K = 2
+
+
+def q_user_top_types(sf_dir: str):
+    """Per-entity top-k by AGGREGATED count: each user's
+    `_TOP_TYPES_K` most frequent event types, ranked, ties broken by
+    type name — grouped top-k where the ranking measure is itself a
+    distributed aggregate (unlike `dense_topk`'s raw-value ranking).
+    COUNT partials are associative: each batch emits (user, type,
+    count) rows, ONE user-bucket shuffle folds them, and the per-user
+    rank is a lexsort where the lexical tie-break rides on
+    ``np.unique``'s sorted factorization (code order == name order)."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sel = pa.table({"u": t.column("user_id"),
+                        "et": t.column("event_type")}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("event_type"))))
+        g = sel.group_by(["u", "et"]).aggregate([("et", "count")])
+        out = pa.table({"u": g.column("u"), "et": g.column("et"),
+                        "n": pc.cast(g.column("et_count"), pa.int64())})
+        return out.append_column("bucket", int_bucket(out.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        f = g.group_by(["u", "et"]).aggregate([("n", "sum")])
+        u = f.column("u").to_numpy(zero_copy_only=False)
+        n = f.column("n_sum").to_numpy(zero_copy_only=False)
+        # sorted factorization: codes order lexically, so the lexsort
+        # tie-break (codes asc within equal counts) == ORDER BY name
+        names, code = np.unique(
+            np.asarray(f.column("et").to_pylist(), dtype=object),
+            return_inverse=True)
+        order = np.lexsort((code, -n, u))
+        us = u[order]
+        starts = np.flatnonzero(
+            np.append(True, us[1:] != us[:-1])) if len(us) else \
+            np.array([], np.int64)
+        take = np.minimum(np.diff(np.append(starts, len(us))),
+                          _TOP_TYPES_K)
+        cum = np.cumsum(take)
+        total = int(cum[-1]) if len(cum) else 0
+        within = np.arange(total) - np.repeat(cum - take, take)
+        sel = order[np.repeat(starts, take) + within]
+        return pa.table({
+            "user_id": pa.array(u[sel], pa.int64()),
+            "event_type": pa.array(names[code[sel]].tolist(),
+                                   pa.string()),
+            "n": pa.array(n[sel], pa.int64()),
+            "rnk": pa.array(within + 1, pa.int64())})
+
+    return _read(sf_dir, "events", ["user_id", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_USER_TOP_TYPES = f"""WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT user_id, event_type, n,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY n DESC, event_type) AS rnk FROM c)
+SELECT user_id, event_type, CAST(n AS BIGINT) AS n,
+       CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {_TOP_TYPES_K}"""
+
+
+def q_cumulative_users(sf_dir: str):
+    """Cumulative distinct count over time: for each day with at least
+    one first-time user, the TOTAL distinct users seen so far — the
+    audience-growth curve. Cumulative COUNT(DISTINCT) does not
+    decompose, but it equals the prefix sum of FIRST-SEEN counts: MIN
+    is associative, so per-batch (user, min-day) partials fold through
+    ONE user-bucket shuffle into per-day new-user counts, and the
+    (time-range-bounded) day series prefix-sums on the driver."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sel = pa.table({
+            "u": t.column("user_id"),
+            "d": pc.cast(pc.floor_temporal(t.column("ts"), unit="day"),
+                         pa.int64())}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("ts"))))
+        g = sel.group_by("u").aggregate([("d", "min")])
+        out = pa.table({"u": g.column("u"), "d": g.column("d_min")})
+        return out.append_column("bucket", int_bucket(out.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        f = g.group_by("u").aggregate([("d", "min")])
+        c = f.group_by("d_min").aggregate([("d_min", "count")])
+        return pa.table({"d": c.column("d_min"),
+                         "n": pc.cast(c.column("d_min_count"),
+                                      pa.int64())})
+
+    small = _read(sf_dir, "events", ["user_id", "ts"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    per_day = _combine_partials(small, ["d"], {"n": "n"})
+    d = per_day.column("d").to_numpy(zero_copy_only=False)
+    n = per_day.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(d)
+    return pa.table({
+        "day": pa.array(d[order], pa.int64()).cast(pa.timestamp("us")),
+        "cum_users": pa.array(np.cumsum(n[order]), pa.int64())})
+
+
+SQL_CUMULATIVE_USERS = """WITH f AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS d FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+n AS (SELECT d, COUNT(*) AS nn FROM f GROUP BY 1)
+SELECT CAST(d AS TIMESTAMP) AS day,
+       CAST(SUM(nn) OVER (ORDER BY d) AS BIGINT) AS cum_users FROM n"""
+
+
+def q_degree_dist(sf_dir: str):
+    """Group-size (degree) distribution: how many orders have exactly
+    k lineitems — the key-skew diagnostic you run BEFORE choosing a
+    partitioning (a heavy tail here is what makes a naive groupby
+    stall at 100 TB). Two-level aggregate: per-batch (key, count)
+    partials fold through ONE key-bucket shuffle, each bucket
+    histograms its per-key totals, and the driver sums the (size,
+    count) histograms — output bounded by the max degree, not the
+    key count."""
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "lineitem"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_orderkey").aggregate([("l_orderkey", "count")])
+        out = pa.table({"k": g.column("l_orderkey"),
+                        "n": pc.cast(g.column("l_orderkey_count"),
+                                     pa.int64())})
+        return out.append_column("bucket", int_bucket(out.column("k"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        f = g.group_by("k").aggregate([("n", "sum")])
+        h = f.group_by("n_sum").aggregate([("n_sum", "count")])
+        return pa.table({"n_lines": h.column("n_sum"),
+                         "cnt": pc.cast(h.column("n_sum_count"),
+                                        pa.int64())})
+
+    small = _read(sf_dir, "lineitem", ["l_orderkey"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    return _combine_partials(small, ["n_lines"], {"cnt": "n_orders"})
+
+
+SQL_DEGREE_DIST = """WITH c AS (
+  SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1)
+SELECT CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM c GROUP BY 1"""
+
+
+def q_user_summary(sf_dir: str):
+    """Multi-measure per-entity summary in ONE partial shape: per
+    user, event count, first/last timestamps, activity span and exact
+    value-cents total — the lifetime-value profile row. COUNT / MIN /
+    MAX / SUM are all associative, so one batch pass emits a 5-wide
+    partial per (user, batch) and ONE user-bucket shuffle folds them;
+    NaN values contribute NULL to the sum (SQL aggregate convention),
+    tracked through the fold with a valid-count column."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = np.where(np.isnan(v), 0,
+                         np.floor(v * 100.0)).astype(np.int64)
+        sel = pa.table({
+            "u": t.column("user_id"),
+            "ts": pc.cast(t.column("ts"), pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "ok": pa.array((~np.isnan(v)).astype(np.int64),
+                           pa.int64())}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("ts"))))
+        g = sel.group_by("u").aggregate(
+            [("ts", "min"), ("ts", "max"), ("ts", "count"),
+             ("cents", "sum"), ("ok", "sum")])
+        return pa.table({
+            "u": g.column("u"), "mn": g.column("ts_min"),
+            "mx": g.column("ts_max"),
+            "n": pc.cast(g.column("ts_count"), pa.int64()),
+            "c": g.column("cents_sum"), "k": g.column("ok_sum")}) \
+            .append_column("bucket", int_bucket(g.column("u"),
+                                                n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        f = g.group_by("u").aggregate(
+            [("mn", "min"), ("mx", "max"), ("n", "sum"),
+             ("c", "sum"), ("k", "sum")])
+        mn = f.column("mn_min").to_numpy(zero_copy_only=False)
+        mx = f.column("mx_max").to_numpy(zero_copy_only=False)
+        k = f.column("k_sum").to_numpy(zero_copy_only=False)
+        c = f.column("c_sum").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": f.column("u"),
+            "n_events": f.column("n_sum"),
+            "first_ts": pa.array(mn, pa.int64()).cast(pa.timestamp("us")),
+            "last_ts": pa.array(mx, pa.int64()).cast(pa.timestamp("us")),
+            "span_us": pa.array(mx - mn, pa.int64()),
+            # all-NaN users sum to SQL NULL
+            "value_cents": pa.array(c, pa.int64(), mask=k == 0)})
+
+    return _read(sf_dir, "events", ["user_id", "ts", "value"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_USER_SUMMARY = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+  MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+  CAST(date_diff('microseconds', MIN(ts), MAX(ts)) AS BIGINT)
+    AS span_us,
+  CAST(SUM(CASE WHEN isnan(value) THEN NULL
+            ELSE CAST(FLOOR(value * 100) AS BIGINT) END) AS BIGINT)
+    AS value_cents
+FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1"""
+
+
+def q_mode_per_type(sf_dir: str):
+    """Grouped MODE: the most frequent value-cents per event type,
+    ties to the smallest value — the categorical central tendency the
+    mean/median family can't express. (key, quantum, COUNT) partials
+    are associative and bounded by value range × precision; the driver
+    folds them and takes one argmax per key (count desc, quantum asc)."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        tt = pa.table({"event_type": t.column("event_type")
+                       .filter(pa.array(ok)),
+                       "cents": pa.array(
+                           np.floor(v[ok] * 100).astype(np.int64),
+                           pa.int64())})
+        g = tt.group_by(["event_type", "cents"]).aggregate(
+            [("cents", "count")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "cents": g.column("cents"),
+                         "n": pc.cast(g.column("cents_count"),
+                                      pa.int64())})
+
+    merged = pa.concat_tables(list(
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    f = merged.group_by(["event_type", "cents"]).aggregate(
+        [("n", "sum")])
+    enc = pc.dictionary_encode(f.column("event_type").combine_chunks())
+    code = enc.indices.to_numpy(zero_copy_only=False)
+    cents = f.column("cents").to_numpy(zero_copy_only=False)
+    n = f.column("n_sum").to_numpy(zero_copy_only=False)
+    order = np.lexsort((cents, -n, code))
+    cs = code[order]
+    first = np.append(True, cs[1:] != cs[:-1])
+    sel = order[np.flatnonzero(first)]
+    return pa.table({
+        "event_type": pc.take(enc.dictionary,
+                              pa.array(code[sel], pa.int32())),
+        "mode_cents": pa.array(cents[sel], pa.int64()),
+        "n_mode": pa.array(n[sel], pa.int64())})
+
+
+SQL_MODE_PER_TYPE = """WITH c AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events WHERE NOT isnan(value)),
+g AS (SELECT event_type, cents, COUNT(*) AS n FROM c GROUP BY 1, 2)
+SELECT event_type, cents AS mode_cents, CAST(n AS BIGINT) AS n_mode
+FROM g
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY n DESC, cents) = 1"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -5272,6 +5555,11 @@ QUERIES = {
     "supplier_by_region": (q_supplier_by_region,
                            SQL_SUPPLIER_BY_REGION),
     "brand_revenue": (q_brand_revenue, SQL_BRAND_REVENUE),
+    "user_top_types": (q_user_top_types, SQL_USER_TOP_TYPES),
+    "cumulative_users": (q_cumulative_users, SQL_CUMULATIVE_USERS),
+    "degree_dist": (q_degree_dist, SQL_DEGREE_DIST),
+    "user_summary": (q_user_summary, SQL_USER_SUMMARY),
+    "mode_per_type": (q_mode_per_type, SQL_MODE_PER_TYPE),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —
