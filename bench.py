@@ -144,7 +144,9 @@ def run_queries() -> dict[str, float]:
              "cluster_radius", "vocab_per_source", "quartile_bucket",
              "supplier_by_region", "brand_revenue", "user_top_types",
              "cumulative_users", "degree_dist", "user_summary",
-             "mode_per_type",
+             "mode_per_type", "centroid_dists", "moving_avg3",
+             "dup_rate_per_source", "max_concurrency",
+             "daily_type_share",
              # the narrow/cheap remainder — included so the per-op
              # artifact covers every registered query
              "json_decode", "conditions_filter", "convert_types",

@@ -5434,6 +5434,294 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
                            ORDER BY n DESC, cents) = 1"""
 
 
+def q_centroid_dists(sf_dir: str):
+    """Inter-cluster separation matrix: pairwise squared quantized
+    distance between label centroids (a < b) — `cluster_radius`'
+    complement (tight clusters far apart = a usable IVF routing table;
+    radius ≫ separation = merge them). The labels × dim centroid fold
+    is the SAME pass-1 as cluster_radius; the k² pair matrix is pure
+    driver arithmetic on the rounded int64 centroid matrix — nothing
+    shuffles, nothing re-reads."""
+    import numpy as np
+    from .textops.knn import centroid_sum_partial
+
+    parts = pa.concat_tables(list(
+        _read(sf_dir, "embeddings", ["label", "embedding"])
+        .map_batches(lambda t: centroid_sum_partial(t),
+                     batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    agg = parts.group_by(["label", "idx"]).aggregate(
+        [("s", "sum"), ("n", "sum")])
+    labs = agg.column("label").to_numpy(zero_copy_only=False)
+    idxs = agg.column("idx").to_numpy(zero_copy_only=False)
+    ss = agg.column("s_sum").to_numpy(zero_copy_only=False)
+    ns = agg.column("n_sum").to_numpy(zero_copy_only=False)
+    uniq = np.unique(labs)
+    d = int(idxs.max())
+    cents = np.empty((len(uniq), d), np.int64)
+    cents[np.searchsorted(uniq, labs), idxs - 1] = np.floor(
+        ss.astype(np.float64) / ns + 0.5).astype(np.int64)
+    ai, bi = np.triu_indices(len(uniq), k=1)
+    diff = cents[ai] - cents[bi]
+    return pa.table({
+        "label_a": pa.array(uniq[ai], pa.int64()),
+        "label_b": pa.array(uniq[bi], pa.int64()),
+        "dist_sq": pa.array(np.einsum("ij,ij->i", diff, diff),
+                            pa.int64())})
+
+
+SQL_CENTROID_DISTS = """WITH q AS (
+  SELECT label,
+    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+         AS BIGINT) AS qv,
+    generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+c AS (SELECT label, i,
+        CAST(FLOOR(CAST(SUM(qv) AS DOUBLE) / COUNT(*) + 0.5)
+             AS BIGINT) AS c
+      FROM q GROUP BY 1, 2)
+SELECT CAST(a.label AS BIGINT) AS label_a,
+       CAST(b.label AS BIGINT) AS label_b,
+       CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS dist_sq
+FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+GROUP BY 1, 2"""
+
+
+def q_moving_avg3(sf_dir: str):
+    """ROWS-frame window aggregate: per event, the exact cents sum and
+    row count of the centered 3-row frame (``ROWS BETWEEN 1 PRECEDING
+    AND 1 FOLLOWING``) within the user's (ts, event_id) order — the
+    positional smoothing window (the repo's other rolling ops are all
+    time-RANGE frames). Sum and count stay integer so the consumer
+    divides at whatever precision it wants. One user-bucket shuffle;
+    the per-bucket kernel is one lexsort + two shifted adds with
+    run-boundary masks."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = pa.array(~np.isnan(v))
+        sub = pa.table({"u": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64()),
+                        "eid": t.column("event_id"),
+                        "c": pa.array(
+                            np.where(np.isnan(v), 0,
+                                     np.floor(v * 100.0))
+                            .astype(np.int64), pa.int64())}) \
+            .filter(pc.and_(pc.and_(pc.is_valid(t.column("user_id")),
+                                    pc.is_valid(t.column("ts"))), ok))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        order, new_run, _ = _lag_scaffold([u], ts, eid)
+        cs = c[order]
+        n = len(cs)
+        has_prev = ~new_run
+        has_next = np.append(~new_run[1:], False)
+        w = cs.copy()
+        w[has_prev] += cs[:-1][has_prev[1:]] if n else 0
+        w[has_next] += cs[1:][has_next[:-1]] if n else 0
+        cnt = 1 + has_prev.astype(np.int64) + has_next
+        return pa.table({
+            "event_id": pa.array(eid[order], pa.int64()),
+            "user_id": pa.array(u[order], pa.int64()),
+            "w_sum_cents": pa.array(w, pa.int64()),
+            "w_n": pa.array(cnt, pa.int64())})
+
+    return _read(sf_dir, "events",
+                 ["event_id", "user_id", "ts", "value"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_MOVING_AVG3 = """WITH c AS (
+  SELECT event_id, user_id, ts, event_id AS eid,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND NOT isnan(value))
+SELECT event_id, user_id,
+  CAST(SUM(cents) OVER w AS BIGINT) AS w_sum_cents,
+  CAST(COUNT(*) OVER w AS BIGINT) AS w_n
+FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, eid
+                    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)"""
+
+
+def q_dup_rate_per_source(sf_dir: str):
+    """Dedup REPORTING composition: per source, total docs and how
+    many belong to a multi-doc exact-duplicate class (md5 of text) —
+    the per-shard contamination scoreboard a curation run publishes.
+    Each batch hashes its docs once (`_md5_column`, the dedup_exact
+    coding) and emits (hash, source) rows; ONE hash-bucket shuffle
+    marks classes with ≥ 2 members, and per-source (total, dup)
+    partials fold on the driver."""
+    from .textops.dedup import _md5_column
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "documents"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "h": _md5_column(t.column("text").to_pylist()),
+            "source": t.column("source")})
+        return out.append_column(
+            "bucket", fnv1a_bucket(out.column("h"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        sizes = g.group_by("h").aggregate([("h", "count")])
+        dup_h = sizes.filter(
+            pc.greater(sizes.column("h_count"), 1)).column("h")
+        isdup = pc.cast(pc.is_in(g.column("h"), value_set=dup_h),
+                        pa.int64())
+        tt = pa.table({"source": g.column("source"), "d": isdup})
+        agg = tt.group_by("source").aggregate([("d", "sum"),
+                                               ("d", "count")])
+        return pa.table({"source": agg.column("source"),
+                         "dup": agg.column("d_sum"),
+                         "tot": pc.cast(agg.column("d_count"),
+                                        pa.int64())})
+
+    small = _read(sf_dir, "documents", ["text", "source"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    return _combine_partials(small, ["source"],
+                             {"tot": "n_docs", "dup": "n_dup"})
+
+
+SQL_DUP_RATE_PER_SOURCE = """WITH h AS (
+  SELECT source, md5(text) AS h FROM documents),
+s AS (SELECT h, COUNT(*) > 1 AS dup FROM h GROUP BY 1)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN s.dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+FROM h JOIN s USING (h) GROUP BY 1"""
+
+
+_CONCURRENCY_WINDOW_US = 300_000_000  # each event holds a 5-min presence
+_DAY_US = 86_400_000_000
+
+
+def q_max_concurrency(sf_dir: str):
+    """Sweep-line peak concurrency: each event opens a 5-minute
+    presence window; the answer is the maximum number of simultaneously
+    open windows and the earliest instant it is reached — the
+    peak-concurrent-connections / capacity-planning operator. The
+    sweep needs a GLOBAL prefix sum, which decomposes over monotone
+    DAY buckets: each bucket sorts its ±1 points ((t, d) — closes
+    before opens at the same instant), returns (day, delta,
+    local_max, t_at_first_max), and the driver offsets each bucket by
+    the exclusive cumsum of earlier deltas. Partials are 4 ints per
+    day — bounded by the time range, never the corpus."""
+    import numpy as np
+
+    def tag(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.int64()) \
+            .drop_null().to_numpy(zero_copy_only=False)
+        pts = np.concatenate([ts, ts + _CONCURRENCY_WINDOW_US])
+        d = np.concatenate([np.ones(len(ts), np.int64),
+                            np.full(len(ts), -1, np.int64)])
+        return pa.table({"t": pa.array(pts, pa.int64()),
+                         "d": pa.array(d, pa.int64()),
+                         "bucket": pa.array(pts // _DAY_US, pa.int64())})
+
+    def grp(g: pa.Table) -> pa.Table:
+        t = g.column("t").to_numpy(zero_copy_only=False)
+        d = g.column("d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, t))       # -1 sorts before +1 at ties
+        run = np.cumsum(d[order])
+        mx = int(run.max())
+        at = int(t[order][int(np.argmax(run))])
+        return pa.table({
+            "day": g.column("bucket").slice(0, 1),
+            "delta": pa.array([int(run[-1])], pa.int64()),
+            "local_max": pa.array([mx], pa.int64()),
+            "at_t": pa.array([at], pa.int64())})
+
+    parts = pa.concat_tables(list(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    day = parts.column("day").to_numpy(zero_copy_only=False)
+    order = np.argsort(day)
+    delta = parts.column("delta").to_numpy(zero_copy_only=False)[order]
+    lmax = parts.column("local_max").to_numpy(zero_copy_only=False)[order]
+    at = parts.column("at_t").to_numpy(zero_copy_only=False)[order]
+    offs = np.concatenate(([0], np.cumsum(delta)[:-1]))
+    tot = offs + lmax
+    peak = int(tot.max())
+    first = int(np.argmax(tot))          # earliest day wins ties
+    return pa.table({
+        "peak": pa.array([peak], pa.int64()),
+        "at_ts": pa.array([at[first]], pa.int64())
+        .cast(pa.timestamp("us"))})
+
+
+SQL_MAX_CONCURRENCY = """WITH pts AS (
+  SELECT ts AS t, 1 AS d FROM events WHERE ts IS NOT NULL
+  UNION ALL
+  SELECT ts + INTERVAL 300 SECOND, -1 FROM events WHERE ts IS NOT NULL),
+s AS (SELECT t, SUM(d) OVER (ORDER BY t, d) AS run FROM pts),
+m AS (SELECT MAX(run) AS peak FROM s)
+SELECT CAST(m.peak AS BIGINT) AS peak, MIN(s.t) AS at_ts
+FROM s, m WHERE s.run = m.peak GROUP BY m.peak"""
+
+
+def q_daily_type_share(sf_dir: str):
+    """Ratio-to-report window shape: per (day, type), the event count
+    and its integer permille share OF THAT DAY's total
+    (``n / SUM(n) OVER (PARTITION BY day)``) — the composition-mix
+    report. (day, type, count) partials fold on the driver (bounded by
+    time range × types); the share divides exactly in int64 both
+    engines (floor division)."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = pa.table({
+            "day": pc.cast(pc.floor_temporal(t.column("ts"),
+                                             unit="day"), pa.int64()),
+            "event_type": t.column("event_type")}) \
+            .filter(pc.is_valid(t.column("ts")))
+        g = sel.group_by(["day", "event_type"]).aggregate(
+            [("day", "count")])
+        return pa.table({"day": g.column("day"),
+                         "event_type": g.column("event_type"),
+                         "n": pc.cast(g.column("day_count"),
+                                      pa.int64())})
+
+    folded = _combine_partials(
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["day", "event_type"], {"n": "n"})
+    day = folded.column("day").to_numpy(zero_copy_only=False)
+    n = folded.column("n").to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(day, return_inverse=True)
+    # integer scatter-add: bincount's float64 weights would go inexact
+    # past 2^53 events/day
+    totals = np.zeros(len(uniq), np.int64)
+    np.add.at(totals, inv, n)
+    return pa.table({
+        "day": pa.array(day, pa.int64()).cast(pa.timestamp("us")),
+        "event_type": folded.column("event_type"),
+        "n": pa.array(n, pa.int64()),
+        "share_permille": pa.array(n * 1000 // totals[inv],
+                                   pa.int64())})
+
+
+SQL_DAILY_TYPE_SHARE = """WITH c AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+         COUNT(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+SELECT day, event_type, CAST(n AS BIGINT) AS n,
+  CAST(n * 1000 // SUM(n) OVER (PARTITION BY day) AS BIGINT)
+    AS share_permille
+FROM c"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -5560,6 +5848,12 @@ QUERIES = {
     "degree_dist": (q_degree_dist, SQL_DEGREE_DIST),
     "user_summary": (q_user_summary, SQL_USER_SUMMARY),
     "mode_per_type": (q_mode_per_type, SQL_MODE_PER_TYPE),
+    "centroid_dists": (q_centroid_dists, SQL_CENTROID_DISTS),
+    "moving_avg3": (q_moving_avg3, SQL_MOVING_AVG3),
+    "dup_rate_per_source": (q_dup_rate_per_source,
+                            SQL_DUP_RATE_PER_SOURCE),
+    "max_concurrency": (q_max_concurrency, SQL_MAX_CONCURRENCY),
+    "daily_type_share": (q_daily_type_share, SQL_DAILY_TYPE_SHARE),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

@@ -1,0 +1,166 @@
+"""Round-12 operators: centroid_dists, moving_avg3,
+dup_rate_per_source, max_concurrency, daily_type_share. Value
+assertions beyond the DuckDB gate: hand-computed centroid pairs,
+ROWS-frame edges, duplicate-class marking across sources, sweep-line
+tie order (close before open) and cross-bucket offsets, permille
+floor division."""
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from raybeats.queries import QUERIES
+
+_MIN5 = 300_000_000
+_DAY = 86_400_000_000
+
+
+def _events(tmp_path, rows):
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64())
+        .cast(pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string())})
+    pq.write_table(t, tmp_path / "events.parquet")
+
+
+def _documents(tmp_path, rows):
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+
+def _embeddings(tmp_path, vecs, labels):
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32())})
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+
+
+def _table(res):
+    if isinstance(res, pa.Table):
+        return res
+    return pa.concat_tables(res.iter_batches(batch_format="pyarrow"),
+                            promote_options="default")
+
+
+def _oracle(tmp_path, sql, tables=("events",)):
+    con = duckdb.connect()
+    for tb in tables:
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"'{tmp_path}/{tb}.parquet'")
+    return con.execute(sql).arrow()
+
+
+def _sorted_rows(tb):
+    cols = sorted(tb.column_names)
+    return sorted(
+        map(tuple, zip(*[tb.column(c).to_pylist() for c in cols])),
+        key=lambda r: tuple((v is None, v) for v in r))
+
+
+class TestCentroidDists:
+    def test_hand_computed(self, ray_session, tmp_path):
+        # centroids: label 0 -> (1e6, 0), label 1 -> (0, 1e6),
+        # label 2 -> (0, 0): d(0,1) = 2e12, d(0,2) = d(1,2) = 1e12
+        _embeddings(tmp_path,
+                    [[1.0, 0.0], [0.0, 1.0], [0.0, 0.0]], [0, 1, 2])
+        got = _table(QUERIES["centroid_dists"][0](str(tmp_path)))
+        rows = sorted((r["label_a"], r["label_b"], r["dist_sq"])
+                      for r in got.to_pylist())
+        assert rows == [(0, 1, 2 * 10**12), (0, 2, 10**12),
+                        (1, 2, 10**12)]
+
+
+class TestMovingAvg3:
+    def test_frame_edges(self, ray_session, tmp_path):
+        # u1 cents in order: 100, 200, 400 -> frames [100+200],
+        # [100+200+400], [200+400]; u2 single row -> frame of 1
+        rows = [(0, 10, 1, "a", 1.0), (1, 20, 1, "a", 2.0),
+                (2, 30, 1, "a", 4.0), (3, 40, 2, "a", 9.0)]
+        _events(tmp_path, rows)
+        got = _table(QUERIES["moving_avg3"][0](str(tmp_path)))
+        by_eid = {r["event_id"]: (r["w_sum_cents"], r["w_n"])
+                  for r in got.to_pylist()}
+        assert by_eid == {0: (300, 2), 1: (700, 3), 2: (600, 2),
+                          3: (900, 1)}
+
+    def test_oracle_parity_random(self, ray_session, tmp_path):
+        rng = np.random.default_rng(59)
+        rows = [(i, int(rng.integers(0, 10_000)),
+                 int(rng.integers(0, 15)), "a",
+                 float(rng.normal(0, 8))) for i in range(600)]
+        _events(tmp_path, rows)
+        got = _table(QUERIES["moving_avg3"][0](str(tmp_path)))
+        want = _oracle(tmp_path, QUERIES["moving_avg3"][1])
+        assert _sorted_rows(got) == _sorted_rows(want)
+
+
+class TestDupRatePerSource:
+    def test_cross_source_class(self, ray_session, tmp_path):
+        # "same" appears in A twice and B once -> all three are dup
+        # members; "only" rows are unique
+        rows = [(0, "same", "A"), (1, "same", "A"), (2, "same", "B"),
+                (3, "only a", "A"), (4, "only b", "B")]
+        _documents(tmp_path, rows)
+        got = _table(QUERIES["dup_rate_per_source"][0](str(tmp_path)))
+        rows_out = sorted((r["source"], r["n_docs"], r["n_dup"])
+                          for r in got.to_pylist())
+        assert rows_out == [("A", 3, 2), ("B", 2, 1)]
+
+
+class TestMaxConcurrency:
+    def test_close_before_open_tie(self, ray_session, tmp_path):
+        # e0 opens at 0 and closes at exactly 5min, where e2 opens:
+        # the close fires FIRST, so the peak stays 2 (e1+e2 never
+        # overlap e0's close instant)
+        rows = [(0, 0, 1, "a", 0.0),
+                (1, _MIN5, 1, "a", 0.0),
+                (2, _MIN5, 2, "a", 0.0)]
+        _events(tmp_path, rows)
+        got = _table(QUERIES["max_concurrency"][0](str(tmp_path)))
+        r = got.to_pylist()[0]
+        assert r["peak"] == 2
+        assert int(r["at_ts"].timestamp() * 1e6) == _MIN5
+
+    def test_cross_bucket_offsets(self, ray_session, tmp_path):
+        # 3 events open late on day 0 and stay open into day 1 where a
+        # 4th joins: the peak (4) is only correct if day 1's local
+        # prefix rides on day 0's carried delta
+        base = _DAY - 100
+        rows = [(i, base + i, 1, "a", 0.0) for i in range(3)]
+        rows.append((9, _DAY + 50, 1, "a", 0.0))
+        _events(tmp_path, rows)
+        got = _table(QUERIES["max_concurrency"][0](str(tmp_path)))
+        r = got.to_pylist()[0]
+        assert r["peak"] == 4
+        assert int(r["at_ts"].timestamp() * 1e6) == _DAY + 50
+
+    def test_oracle_parity_random(self, ray_session, tmp_path):
+        rng = np.random.default_rng(61)
+        rows = [(i, int(rng.integers(0, 3 * _DAY)), 1, "a", 0.0)
+                for i in range(500)]
+        _events(tmp_path, rows)
+        got = _table(QUERIES["max_concurrency"][0](str(tmp_path)))
+        want = _oracle(tmp_path, QUERIES["max_concurrency"][1])
+        assert _sorted_rows(got) == _sorted_rows(want)
+
+
+class TestDailyTypeShare:
+    def test_permille_floor(self, ray_session, tmp_path):
+        # day 0: a x2, b x1 -> shares 666 and 333 (floor division)
+        rows = [(0, 10, 1, "a", 0.0), (1, 20, 1, "a", 0.0),
+                (2, 30, 1, "b", 0.0)]
+        _events(tmp_path, rows)
+        got = _table(QUERIES["daily_type_share"][0](str(tmp_path)))
+        rows_out = sorted((r["event_type"], r["n"], r["share_permille"])
+                          for r in got.to_pylist())
+        assert rows_out == [("a", 2, 666), ("b", 1, 333)]
