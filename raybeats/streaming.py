@@ -855,3 +855,147 @@ def streaming_transition_counts(micro_batches, n_buckets: int = 4):
     return pa.table({"src": g.column("src"), "dst": g.column("dst"),
                      "n": g.column("n_sum")}) \
         .sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
+class UserSummaryState:
+    """Per-bucket incremental multi-measure profile: per user, COUNT /
+    MIN(ts) / MAX(ts) / SUM(valid cents) / valid-count, folded with the
+    same associative partial shape as the batch ``user_summary`` query.
+    Every measure commutes and needs no ordering, so the flush equals
+    the batch query for ANY event-time split with no watermark
+    machinery; cache size is bounded by the bucket's distinct users,
+    never the stream length."""
+
+    _SCHEMA = pa.schema([("u", pa.int64()), ("mn", pa.int64()),
+                         ("mx", pa.int64()), ("n", pa.int64()),
+                         ("c", pa.int64()), ("k", pa.int64())])
+
+    def __init__(self):
+        self.cache = self._SCHEMA.empty_table()
+
+    def process(self, tbl: pa.Table) -> None:
+        if tbl.num_rows == 0:
+            return None
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        part = pa.table({
+            "u": tbl.column("user_id"),
+            "mn": pc.cast(tbl.column("ts"), pa.int64()),
+            "mx": pc.cast(tbl.column("ts"), pa.int64()),
+            "n": pa.array(np.ones(tbl.num_rows, np.int64), pa.int64()),
+            "c": pa.array(np.where(np.isnan(v), 0, np.floor(v * 100.0))
+                          .astype(np.int64), pa.int64()),
+            "k": pa.array((~np.isnan(v)).astype(np.int64), pa.int64())}) \
+            .filter(pc.and_(pc.is_valid(tbl.column("user_id")),
+                            pc.is_valid(tbl.column("ts"))))
+        g = pa.concat_tables([self.cache, part]).group_by("u") \
+            .aggregate([("mn", "min"), ("mx", "max"), ("n", "sum"),
+                        ("c", "sum"), ("k", "sum")])
+        self.cache = pa.table({
+            "u": g.column("u"), "mn": g.column("mn_min"),
+            "mx": g.column("mx_max"), "n": g.column("n_sum"),
+            "c": g.column("c_sum"), "k": g.column("k_sum")})
+        return None
+
+    def flush(self) -> pa.Table:
+        return self.cache
+
+
+def streaming_user_summary(micro_batches, n_buckets: int = 4):
+    """Flushed per-user lifetime profile over event-time-ordered
+    micro-batches — equals the batch ``user_summary`` query for any
+    split (buckets partition users; all five measures are associative
+    and commutative)."""
+    import ray
+
+    actors, _ = _drive_keyed_actors(micro_batches, UserSummaryState,
+                                    (), n_buckets)
+    parts = [p for p in ray.get([a.flush.remote() for a in actors])
+             if p.num_rows]
+    if not parts:
+        merged = UserSummaryState._SCHEMA.empty_table()
+    else:
+        g = pa.concat_tables(parts).group_by("u").aggregate(
+            [("mn", "min"), ("mx", "max"), ("n", "sum"),
+             ("c", "sum"), ("k", "sum")])
+        merged = pa.table({
+            "u": g.column("u"), "mn": g.column("mn_min"),
+            "mx": g.column("mx_max"), "n": g.column("n_sum"),
+            "c": g.column("c_sum"), "k": g.column("k_sum")})
+    mn = merged.column("mn").to_numpy(zero_copy_only=False)
+    mx = merged.column("mx").to_numpy(zero_copy_only=False)
+    k = merged.column("k").to_numpy(zero_copy_only=False)
+    c = merged.column("c").to_numpy(zero_copy_only=False)
+    return pa.table({
+        "user_id": merged.column("u"),
+        "n_events": merged.column("n"),
+        "first_ts": pa.array(mn, pa.int64()).cast(pa.timestamp("us")),
+        "last_ts": pa.array(mx, pa.int64()).cast(pa.timestamp("us")),
+        "span_us": pa.array(mx - mn, pa.int64()),
+        "value_cents": pa.array(c, pa.int64(), mask=k == 0)}) \
+        .sort_by([("user_id", "ascending")])
+
+
+class ModeCountState:
+    """Per-bucket incremental (event_type, cents, count) table —
+    additive across buckets AND micro-batches, so the merged flush
+    argmax equals the batch ``mode_per_type`` query for any split.
+    State is bounded by types × distinct quanta (the value range at
+    cents precision), never the stream length."""
+
+    _SCHEMA = pa.schema([("event_type", pa.string()),
+                         ("cents", pa.int64()), ("n", pa.int64())])
+
+    def __init__(self):
+        self.cache = self._SCHEMA.empty_table()
+
+    def process(self, tbl: pa.Table) -> None:
+        if tbl.num_rows == 0:
+            return None
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        part = pa.table({
+            "event_type": tbl.column("event_type").filter(pa.array(ok)),
+            "cents": pa.array(np.floor(v[ok] * 100).astype(np.int64),
+                              pa.int64()),
+            "n": pa.array(np.ones(int(ok.sum()), np.int64), pa.int64())})
+        g = pa.concat_tables([self.cache, part]) \
+            .group_by(["event_type", "cents"]).aggregate([("n", "sum")])
+        self.cache = pa.table({"event_type": g.column("event_type"),
+                               "cents": g.column("cents"),
+                               "n": g.column("n_sum")})
+        return None
+
+    def flush(self) -> pa.Table:
+        return self.cache
+
+
+def streaming_mode_per_type(micro_batches, n_buckets: int = 4):
+    """Flushed grouped mode over event-time-ordered micro-batches —
+    equals the batch ``mode_per_type`` query for any split (counts are
+    additive; the argmax with the tie-to-smallest rule runs once on the
+    merged table)."""
+    import ray
+
+    actors, _ = _drive_keyed_actors(micro_batches, ModeCountState,
+                                    (), n_buckets)
+    parts = [p for p in ray.get([a.flush.remote() for a in actors])
+             if p.num_rows]
+    if not parts:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "mode_cents": pa.array([], pa.int64()),
+                         "n_mode": pa.array([], pa.int64())})
+    f = pa.concat_tables(parts).group_by(["event_type", "cents"]) \
+        .aggregate([("n", "sum")])
+    enc = pc.dictionary_encode(f.column("event_type").combine_chunks())
+    code = enc.indices.to_numpy(zero_copy_only=False)
+    cents = f.column("cents").to_numpy(zero_copy_only=False)
+    n = f.column("n_sum").to_numpy(zero_copy_only=False)
+    order = np.lexsort((cents, -n, code))
+    cs = code[order]
+    sel = order[np.flatnonzero(np.append(True, cs[1:] != cs[:-1]))]
+    return pa.table({
+        "event_type": pc.take(enc.dictionary,
+                              pa.array(code[sel], pa.int32())),
+        "mode_cents": pa.array(cents[sel], pa.int64()),
+        "n_mode": pa.array(n[sel], pa.int64())}) \
+        .sort_by([("event_type", "ascending")])

@@ -476,3 +476,86 @@ def test_streaming_transitions_null_rows_dropped(ray_session):
                    got.column("dst").to_pylist(),
                    got.column("n").to_pylist()))
     assert rows == {("click", "purchase", 1)}
+
+
+def test_streaming_user_summary_equal_batch(ray_session):
+    """Flushed per-user profiles ≡ the batch user_summary query for
+    several micro-batch splits (MIN/MAX/SUM/COUNT all commute, so any
+    event-time split must flush identically)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raybeats.queries import q_user_summary
+    from raybeats.streaming import streaming_user_summary
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_id", "ts", "user_id",
+                               "value"]).sort_by("ts")
+    n = t.num_rows
+    want_tb = pa.concat_tables(
+        q_user_summary(SF).iter_batches(batch_format="pyarrow"),
+        promote_options="default").sort_by([("user_id", "ascending")])
+    cols = ("user_id", "n_events", "first_ts", "last_ts", "span_us",
+            "value_cents")
+    want = list(zip(*[want_tb.column(c).to_pylist() for c in cols]))
+    for cuts in ([n], [n // 3, 2 * n // 3, n], [1, n // 2, n]):
+        lo, slices = 0, []
+        for hi in cuts:
+            slices.append(rd.from_arrow(t.slice(lo, hi - lo)))
+            lo = hi
+        got = streaming_user_summary(slices, n_buckets=5)
+        rows = list(zip(*[got.column(c).to_pylist() for c in cols]))
+        assert rows == want
+
+
+def test_streaming_user_summary_all_nan_null(ray_session):
+    """An all-NaN user's value_cents flushes NULL (the SQL sum
+    convention), even when the NaNs arrive across different
+    micro-batches."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raybeats.streaming import streaming_user_summary
+
+    def mk(rows):
+        return rd.from_arrow(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64())
+            .cast(pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "value": pa.array([r[3] for r in rows], pa.float64())}))
+
+    got = streaming_user_summary(
+        [mk([(0, 10, 1, float("nan")), (1, 20, 2, 1.0)]),
+         mk([(2, 30, 1, float("nan")), (3, 40, 2, float("nan"))])],
+        n_buckets=3)
+    by_u = {r["user_id"]: r for r in got.to_pylist()}
+    assert by_u[1]["value_cents"] is None
+    assert by_u[1]["n_events"] == 2 and by_u[1]["span_us"] == 20
+    assert by_u[2]["value_cents"] == 100
+
+
+def test_streaming_mode_equal_batch(ray_session):
+    """Flushed grouped mode ≡ the batch mode_per_type query for
+    several micro-batch splits (counts are additive; the argmax runs
+    once on the merged table)."""
+    import ray.data as rd
+
+    from raybeats.queries import q_mode_per_type
+    from raybeats.streaming import streaming_mode_per_type
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_id", "ts", "user_id",
+                               "event_type", "value"]).sort_by("ts")
+    n = t.num_rows
+    want_tb = q_mode_per_type(SF).sort_by([("event_type", "ascending")])
+    cols = ("event_type", "mode_cents", "n_mode")
+    want = list(zip(*[want_tb.column(c).to_pylist() for c in cols]))
+    for cuts in ([n], [n // 4, n // 2, n], [1, n - 1, n]):
+        lo, slices = 0, []
+        for hi in cuts:
+            slices.append(rd.from_arrow(t.slice(lo, hi - lo)))
+            lo = hi
+        got = streaming_mode_per_type(slices, n_buckets=5)
+        rows = list(zip(*[got.column(c).to_pylist() for c in cols]))
+        assert rows == want
