@@ -146,7 +146,7 @@ def run_queries() -> dict[str, float]:
              "cumulative_users", "degree_dist", "user_summary",
              "mode_per_type", "centroid_dists", "moving_avg3",
              "dup_rate_per_source", "max_concurrency",
-             "daily_type_share",
+             "daily_type_share", "grouping_sets_mix",
              # the narrow/cheap remainder — included so the per-op
              # artifact covers every registered query
              "json_decode", "conditions_filter", "convert_types",

@@ -5722,6 +5722,47 @@ SELECT day, event_type, CAST(n AS BIGINT) AS n,
 FROM c"""
 
 
+def q_grouping_sets_mix(sf_dir: str):
+    """Explicit GROUPING SETS — the third member of the one-scan
+    grouping family (`rollup_revenue` = prefixes, `cube_orders` = all
+    subsets, this = an arbitrary list): revenue by returnflag AND by
+    linestatus from ONE scan, where naive SQL would aggregate the
+    corpus twice. Same `rollup_cents_partial` kernel, same GROUPING()
+    bitmask contract."""
+    from .aggregates import rollup_cents_partial, rollup_null_levels
+
+    keys = ["l_returnflag", "l_linestatus"]
+    partial = rollup_cents_partial(
+        keys, "cents", sets=[("l_returnflag",), ("l_linestatus",)])
+
+    def derive(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount"))), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"l_returnflag": t.column("l_returnflag"),
+                         "l_linestatus": t.column("l_linestatus"),
+                         "cents": cents})
+
+    small = _read(sf_dir, "lineitem",
+                  ["l_returnflag", "l_linestatus", "l_extendedprice",
+                   "l_discount"]) \
+        .map_batches(lambda t: partial(derive(t)), batch_format="pyarrow")
+    merged = _combine_partials(small, keys + ["lvl"],
+                               {"__sum": "revenue_cents", "__n": "n"})
+    return rollup_null_levels(merged, keys)
+
+
+SQL_GROUPING_SETS_MIX = """
+SELECT l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl,
+  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -5854,6 +5895,7 @@ QUERIES = {
                             SQL_DUP_RATE_PER_SOURCE),
     "max_concurrency": (q_max_concurrency, SQL_MAX_CONCURRENCY),
     "daily_type_share": (q_daily_type_share, SQL_DAILY_TYPE_SHARE),
+    "grouping_sets_mix": (q_grouping_sets_mix, SQL_GROUPING_SETS_MIX),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

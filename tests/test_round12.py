@@ -164,3 +164,23 @@ class TestDailyTypeShare:
         rows_out = sorted((r["event_type"], r["n"], r["share_permille"])
                           for r in got.to_pylist())
         assert rows_out == [("a", 2, 666), ("b", 1, 333)]
+
+
+class TestGroupingSetsMix:
+    def test_only_requested_sets(self, ray_session, tmp_path):
+        # two lines: (A, X, 10.0 disc 0), (B, X, 20.0 disc 0.5) ->
+        # by-flag rows (lvl 1, status NULL) and by-status rows (lvl 2,
+        # flag NULL); NO full-tuple or grand-total level exists
+        pq.write_table(pa.table({
+            "l_returnflag": pa.array(["A", "B"], pa.string()),
+            "l_linestatus": pa.array(["X", "X"], pa.string()),
+            "l_extendedprice": pa.array([10.0, 20.0], pa.float64()),
+            "l_discount": pa.array([0.0, 0.5], pa.float64())}),
+            tmp_path / "lineitem.parquet")
+        got = _table(QUERIES["grouping_sets_mix"][0](str(tmp_path)))
+        rows = sorted((r["lvl"], r["l_returnflag"], r["l_linestatus"],
+                       r["revenue_cents"], r["n"])
+                      for r in got.to_pylist())
+        assert rows == [(1, "A", None, 1000, 1),
+                        (1, "B", None, 1000, 1),
+                        (2, None, "X", 2000, 2)]
