@@ -5722,6 +5722,20 @@ SELECT day, event_type, CAST(n AS BIGINT) AS n,
 FROM c"""
 
 
+def q_value_quantile_sketch(sf_dir: str):
+    """Approximate global quantiles via the mergeable KLL compactor
+    stack (`textops.sketches.KllSketch`) — the quantile path for
+    UNBOUNDED real-valued domains where the exact (quantum, count) CDF
+    (bounded by value range × precision) does not apply. Per-batch
+    fixed-size sketches ship ≤ k × levels rows each; the driver merge
+    is KBs regardless of corpus size. Rows-only: approximate by
+    contract (rank error ≤ ~H·n/k, value-asserted against the exact
+    CDF in tests/test_sketches.py)."""
+    from .textops.sketches import sketch_quantiles
+    return sketch_quantiles(_read(sf_dir, "events", ["value"]),
+                            value_col="value")
+
+
 def q_grouping_sets_mix(sf_dir: str):
     """Explicit GROUPING SETS — the third member of the one-scan
     grouping family (`rollup_revenue` = prefixes, `cube_orders` = all
@@ -5896,6 +5910,7 @@ QUERIES = {
     "max_concurrency": (q_max_concurrency, SQL_MAX_CONCURRENCY),
     "daily_type_share": (q_daily_type_share, SQL_DAILY_TYPE_SHARE),
     "grouping_sets_mix": (q_grouping_sets_mix, SQL_GROUPING_SETS_MIX),
+    "value_quantile_sketch": (q_value_quantile_sketch, None),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

@@ -251,3 +251,166 @@ def grouped_approx_distinct(ds, *, group_col: str, value_col: str,
         ests.append(float(hll.estimate()))
     return pa.table({group_col: pa.array(out_g, pa.string()),
                      "estimate": pa.array(ests, pa.float64())})
+
+
+class KllSketch:
+    """Mergeable streaming quantile sketch (Karnin–Lang–Liberty
+    compactor stack, fixed per-level capacity ``k``): level-``i`` items
+    carry weight ``2^i``; a full level sorts and promotes alternate
+    items, emptying itself. Each level-``i`` compaction perturbs any
+    rank by ≤ ``2^i``, and level ``i`` compacts ≤ ``n / (k·2^i)``
+    times, so the additive rank error is ≤ ``H·n/k`` over
+    ``H ≈ log2(n/k)`` levels — the classic compactor bound. This is
+    the quantile path for UNBOUNDED real-valued domains where the
+    exact (quantum, count) CDF (bounded by value range × precision)
+    does not apply.
+
+    The compaction offset is DETERMINISTIC pseudo-randomness —
+    ``_fmix64`` of (level, compaction count) — so any machine computes
+    the identical sketch from the identical stream order (no RNG, the
+    repo-wide determinism rule), at the cost of the randomized
+    analysis' independence assumption (tested empirically on sorted
+    adversarial input).
+
+    Size: ≤ ``k`` float64 per level, ``H`` levels — KBs at any n.
+    """
+
+    def __init__(self, k: int = 256):
+        if k < 8 or k % 2:
+            raise ValueError(f"k must be even and >= 8: {k}")
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.n = 0
+        self._compactions = 0
+
+    def add(self, values: np.ndarray) -> None:
+        v = np.asarray(values, np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return
+        self.n += len(v)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compact_all()
+
+    def add_column(self, col) -> None:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        self.add(pc.cast(arr.drop_null(), pa.float64())
+                 .to_numpy(zero_copy_only=False))
+
+    def _compact_all(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) >= self.k:
+                buf = np.sort(self.levels[i], kind="stable")
+                # an odd buffer leaves its max behind: promoting
+                # ceil/floor(L/2) items at doubled weight would drift
+                # the total weight off n (weight conservation is what
+                # makes quantile()'s cum[-1] == n exact)
+                if len(buf) % 2:
+                    keep, buf = buf[-1:], buf[:-1]
+                else:
+                    keep = np.empty(0, np.float64)
+                off = int(_fmix64(np.array(
+                    [(i << 32) | self._compactions],
+                    np.uint64))[0] & np.uint64(1))
+                self._compactions += 1
+                promoted = buf[off::2]
+                self.levels[i] = keep
+                if i + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, np.float64))
+                self.levels[i + 1] = np.concatenate(
+                    [self.levels[i + 1], promoted])
+            i += 1
+
+    def merge(self, other: "KllSketch") -> "KllSketch":
+        if other.k != self.k:
+            raise ValueError("k mismatch")
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, np.float64))
+        for i, buf in enumerate(other.levels):
+            self.levels[i] = np.concatenate([self.levels[i], buf])
+        self.n += other.n
+        self._compactions += other._compactions
+        self._compact_all()
+        return self
+
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        vals = np.concatenate(self.levels) if self.levels else \
+            np.empty(0, np.float64)
+        wts = np.concatenate(
+            [np.full(len(buf), 1 << i, np.int64)
+             for i, buf in enumerate(self.levels)]) if self.levels \
+            else np.empty(0, np.int64)
+        order = np.argsort(vals, kind="stable")
+        return vals[order], np.cumsum(wts[order])
+
+    def quantile(self, q: float) -> float:
+        """Smallest stored value whose cumulative weight reaches
+        ``ceil(q·n)`` — the repo's discrete selection rule on the
+        sketch's weighted sample."""
+        if not self.n:
+            raise ValueError("empty sketch")
+        vals, cum = self._weighted()
+        idx = int(np.searchsorted(cum, np.ceil(q * cum[-1]),
+                                  side="left"))
+        return float(vals[min(idx, len(vals) - 1)])
+
+    def to_table(self) -> pa.Table:
+        """(level, value) rows — the mergeable partial a map_batches
+        stage ships (≤ k × H rows per batch regardless of batch size).
+        No separate count column: weight conservation makes
+        ``n == Σ 2^level`` exactly, so ANY regrouping of these rows
+        (Ray re-batches freely between operators) rebuilds correctly."""
+        lv = np.concatenate(
+            [np.full(len(buf), i, np.int64)
+             for i, buf in enumerate(self.levels)]) if self.levels \
+            else np.empty(0, np.int64)
+        return pa.table({"level": pa.array(lv, pa.int64()),
+                         "value": pa.array(np.concatenate(self.levels)
+                                           if self.levels else
+                                           np.empty(0, np.float64),
+                                           pa.float64())})
+
+    @classmethod
+    def from_table(cls, t: pa.Table, k: int = 256) -> "KllSketch":
+        """Rebuild from ``to_table`` rows — or from any concatenation /
+        split of such rows: the level column carries each item's
+        weight, and the total count is their exact sum."""
+        s = cls(k)
+        lv = t.column("level").to_numpy(zero_copy_only=False)
+        vals = t.column("value").to_numpy(zero_copy_only=False)
+        top = int(lv.max()) if len(lv) else 0
+        s.levels = [vals[lv == i].astype(np.float64)
+                    for i in range(top + 1)]
+        s.n = int((np.int64(1) << lv).sum())
+        s._compact_all()
+        return s
+
+
+def sketch_quantiles(ds, *, value_col: str,
+                     qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+                     k: int = 256) -> pa.Table:
+    """Distributed approximate quantiles via per-batch KLL sketches:
+    each batch folds into a fixed-size compactor stack and ships
+    (level, value) partial rows (≤ k × levels per batch — independent
+    of batch size); the driver merges the stacks and reads the
+    quantiles off the weighted sample. Rank error ≤ ~H·n/k (H =
+    log2(n/k) levels) — value-asserted against the exact CDF in
+    tests."""
+    def partial(t: pa.Table) -> pa.Table:
+        s = KllSketch(k)
+        s.add_column(t.column(value_col))
+        return s.to_table()
+
+    merged = KllSketch(k)
+    for batch in ds.map_batches(partial, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        if batch.num_rows:
+            merged.merge(KllSketch.from_table(batch, k))
+    cols: dict = {"n": pa.array([merged.n], pa.int64())}
+    for q in qs:
+        name = f"p{str(q * 100).rstrip('0').rstrip('.').replace('.', '_')}"
+        cols[f"{name}_est"] = pa.array([merged.quantile(q)],
+                                       pa.float64())
+    return pa.table(cols)

@@ -151,3 +151,91 @@ def test_grouped_approx_distinct_partition_invariance(ray_session):
                                 group_col="g", value_col="v", p=12)
     assert a.equals(b)
     assert a.column("g").to_pylist() == ["a", "b"]
+
+
+class TestKllSketch:
+    def test_weight_conservation_and_exact_small(self):
+        import numpy as np
+        from raybeats.textops.sketches import KllSketch
+
+        s = KllSketch(k=16)
+        s.add(np.arange(10, dtype=np.float64))
+        # below capacity nothing compacted: quantiles are EXACT
+        assert s.quantile(0.5) == 4.0   # ceil(0.5*10)=5th = value 4
+        assert s.quantile(1.0) == 9.0
+        vals, cum = s._weighted()
+        assert int(cum[-1]) == s.n == 10
+
+    def test_rank_error_bound_random_and_sorted(self):
+        import numpy as np
+        from raybeats.textops.sketches import KllSketch
+
+        n, k = 100_000, 256
+        for name, data in (
+                ("random", np.random.default_rng(7).normal(0, 1, n)),
+                ("sorted", np.arange(n, dtype=np.float64)),
+                ("reversed", np.arange(n, dtype=np.float64)[::-1])):
+            s = KllSketch(k)
+            for chunk in np.array_split(data, 37):
+                s.add(chunk)
+            vals, cum = s._weighted()
+            assert int(cum[-1]) == n, name
+            srt = np.sort(data)
+            for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+                est = s.quantile(q)
+                true_rank = np.searchsorted(srt, est, side="right")
+                err = abs(true_rank - q * n)
+                # H = log2(n/k) ~ 8.6 levels -> bound ~ H*n/k ~ 3400;
+                # assert inside it with no slack stolen
+                assert err <= np.log2(n / k) * n / k, (name, q, err)
+
+    def test_merge_error_bound(self):
+        import numpy as np
+        from raybeats.textops.sketches import KllSketch
+
+        n, k = 60_000, 256
+        data = np.random.default_rng(11).exponential(3.0, n)
+        parts = np.array_split(data, 8)
+        merged = KllSketch(k)
+        for p in parts:
+            s = KllSketch(k)
+            s.add(p)
+            merged.merge(KllSketch.from_table(s.to_table(), k))
+        vals, cum = merged._weighted()
+        assert int(cum[-1]) == n
+        srt = np.sort(data)
+        for q in (0.1, 0.5, 0.9):
+            est = merged.quantile(q)
+            true_rank = np.searchsorted(srt, est, side="right")
+            assert abs(true_rank - q * n) <= np.log2(n / k) * n / k
+
+    def test_deterministic(self):
+        import numpy as np
+        from raybeats.textops.sketches import KllSketch
+
+        data = np.random.default_rng(13).normal(0, 5, 50_000)
+        a, b = KllSketch(64), KllSketch(64)
+        for chunk in np.array_split(data, 11):
+            a.add(chunk)
+            b.add(chunk)
+        assert [a.quantile(q) for q in (0.25, 0.5, 0.75)] == \
+               [b.quantile(q) for q in (0.25, 0.5, 0.75)]
+
+    def test_query_matches_exact_within_bound(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+        from raybeats.queries import QUERIES
+
+        sf = "/root/testdata/sf0.01"
+        got = QUERIES["value_quantile_sketch"][0](sf)
+        v = pq.read_table(f"{sf}/events.parquet", columns=["value"]) \
+            .column("value").to_numpy(zero_copy_only=False)
+        v = np.sort(v[~np.isnan(v)])
+        n = len(v)
+        assert got.column("n")[0].as_py() == n
+        bound = np.log2(max(n / 256, 2)) * n / 256
+        for q, col in ((0.5, "p50_est"), (0.95, "p95_est"),
+                       (0.99, "p99_est")):
+            est = got.column(col)[0].as_py()
+            true_rank = np.searchsorted(v, est, side="right")
+            assert abs(true_rank - q * n) <= bound, (q, est)
