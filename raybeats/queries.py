@@ -5736,6 +5736,19 @@ def q_value_quantile_sketch(sf_dir: str):
                             value_col="value")
 
 
+def q_type_quantile_sketch(sf_dir: str):
+    """Per-group approximate quantiles via one KLL compactor stack per
+    event type (`textops.sketches.grouped_sketch_quantiles`) — the
+    grouped mirror of `value_quantile_sketch`, for unbounded value
+    domains where `quantiles`' exact (quantum, count) CDF can't bound
+    its partials. Rows-only: approximate by contract, error-bound
+    tested per group."""
+    from .textops.sketches import grouped_sketch_quantiles
+    return grouped_sketch_quantiles(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        group_col="event_type", value_col="value")
+
+
 def q_grouping_sets_mix(sf_dir: str):
     """Explicit GROUPING SETS — the third member of the one-scan
     grouping family (`rollup_revenue` = prefixes, `cube_orders` = all
@@ -5911,6 +5924,7 @@ QUERIES = {
     "daily_type_share": (q_daily_type_share, SQL_DAILY_TYPE_SHARE),
     "grouping_sets_mix": (q_grouping_sets_mix, SQL_GROUPING_SETS_MIX),
     "value_quantile_sketch": (q_value_quantile_sketch, None),
+    "type_quantile_sketch": (q_type_quantile_sketch, None),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

@@ -414,3 +414,68 @@ def sketch_quantiles(ds, *, value_col: str,
         cols[f"{name}_est"] = pa.array([merged.quantile(q)],
                                        pa.float64())
     return pa.table(cols)
+
+
+def grouped_sketch_quantiles(ds, *, group_col: str, value_col: str,
+                             qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+                             k: int = 256) -> pa.Table:
+    """Per-group approximate quantiles via KLL — `sketch_quantiles`
+    with one compactor stack per group (the sketch mirror of
+    `grouped_exact_quantiles`, for unbounded value domains). Each batch
+    ships (group, level, value) rows bounded by groups × k × levels —
+    independent of batch size; the driver merges stacks per group.
+    The per-batch python loop runs over the batch's DISTINCT groups
+    only (the `grouped_approx_distinct` convention)."""
+    def partial(t: pa.Table) -> pa.Table:
+        both = pc.and_(pc.is_valid(t.column(group_col)),
+                       pc.is_valid(t.column(value_col)))
+        sub = t.filter(both)
+        if sub.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "level": pa.array([], pa.int64()),
+                             "value": pa.array([], pa.float64())})
+        enc = pc.dictionary_encode(pc.cast(sub.column(group_col),
+                                           pa.string())
+                                   .combine_chunks())
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = pc.cast(sub.column(value_col), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        gs, lvs, vals = [], [], []
+        for gi, gname in enumerate(enc.dictionary.to_pylist()):
+            s = KllSketch(k)
+            s.add(v[idx == gi])
+            t_g = s.to_table()
+            m = t_g.num_rows
+            gs.extend([gname] * m)
+            lvs.append(t_g.column("level"))
+            vals.append(t_g.column("value"))
+        return pa.table({
+            group_col: pa.array(gs, pa.string()),
+            "level": pa.concat_arrays(
+                a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                else a for a in lvs),
+            "value": pa.concat_arrays(
+                a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                else a for a in vals)})
+
+    acc: dict[str, KllSketch] = {}
+    for batch in ds.map_batches(partial, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        if batch.num_rows == 0:
+            continue
+        enc = pc.dictionary_encode(batch.column(group_col)
+                                   .combine_chunks())
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        for gi, gname in enumerate(enc.dictionary.to_pylist()):
+            part = batch.filter(pa.array(idx == gi))
+            s = KllSketch.from_table(part, k)
+            cur = acc.get(gname)
+            acc[gname] = s if cur is None else cur.merge(s)
+    out_g = sorted(acc)
+    cols: dict = {group_col: pa.array(out_g, pa.string()),
+                  "n": pa.array([acc[g].n for g in out_g], pa.int64())}
+    for q in qs:
+        name = f"p{str(q * 100).rstrip('0').rstrip('.').replace('.', '_')}"
+        cols[f"{name}_est"] = pa.array(
+            [acc[g].quantile(q) for g in out_g], pa.float64())
+    return pa.table(cols)

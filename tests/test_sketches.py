@@ -239,3 +239,26 @@ class TestKllSketch:
             est = got.column(col)[0].as_py()
             true_rank = np.searchsorted(v, est, side="right")
             assert abs(true_rank - q * n) <= bound, (q, est)
+
+    def test_grouped_query_within_bound(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+        from raybeats.queries import QUERIES
+
+        sf = "/root/testdata/sf0.01"
+        got = QUERIES["type_quantile_sketch"][0](sf)
+        t = pq.read_table(f"{sf}/events.parquet",
+                          columns=["event_type", "value"])
+        types = np.asarray(t.column("event_type").to_pylist(),
+                           dtype=object)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        for row in got.to_pylist():
+            g = np.sort(v[(types == row["event_type"]) & ~np.isnan(v)])
+            n = len(g)
+            assert row["n"] == n
+            bound = np.log2(max(n / 256, 2)) * n / 256
+            for q, col in ((0.5, "p50_est"), (0.95, "p95_est"),
+                           (0.99, "p99_est")):
+                true_rank = np.searchsorted(g, row[col], side="right")
+                assert abs(true_rank - q * n) <= bound, \
+                    (row["event_type"], q)
