@@ -5722,6 +5722,31 @@ SELECT day, event_type, CAST(n AS BIGINT) AS n,
 FROM c"""
 
 
+def q_orders_no_lines(sf_dir: str):
+    """Referential ANTI join between two FACT tables: orders whose
+    key never appears in lineitem (unfulfilled orders / dangling-FK
+    audit — the `anti_join` shape where both sides are fact-scale, so
+    neither broadcasts). The right side moves only as per-batch
+    distinct keys through `key_filter_join`'s one bucketed-union
+    shuffle."""
+    from .joins import key_filter_join
+
+    nb = adaptive_buckets(_nrows(sf_dir, "orders")
+                          + _nrows(sf_dir, "lineitem"))
+    return key_filter_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus",
+                                 "o_totalprice"]),
+        _read(sf_dir, "lineitem", ["l_orderkey"]),
+        on="o_orderkey", right_on="l_orderkey", keep="anti",
+        n_buckets=nb)
+
+
+SQL_ORDERS_NO_LINES = """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey)"""
+
+
 def q_value_quantile_sketch(sf_dir: str):
     """Approximate global quantiles via the mergeable KLL compactor
     stack (`textops.sketches.KllSketch`) — the quantile path for
@@ -5923,6 +5948,7 @@ QUERIES = {
     "max_concurrency": (q_max_concurrency, SQL_MAX_CONCURRENCY),
     "daily_type_share": (q_daily_type_share, SQL_DAILY_TYPE_SHARE),
     "grouping_sets_mix": (q_grouping_sets_mix, SQL_GROUPING_SETS_MIX),
+    "orders_no_lines": (q_orders_no_lines, SQL_ORDERS_NO_LINES),
     "value_quantile_sketch": (q_value_quantile_sketch, None),
     "type_quantile_sketch": (q_type_quantile_sketch, None),
     # rows-only (non-SQL-expressible; driver records weaker check).

@@ -184,3 +184,18 @@ class TestGroupingSetsMix:
         assert rows == [(1, "A", None, 1000, 1),
                         (1, "B", None, 1000, 1),
                         (2, None, "X", 2000, 2)]
+
+
+class TestOrdersNoLines:
+    def test_anti_fact_fact(self, ray_session, tmp_path):
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_orderstatus": pa.array(["F", "O", "F"], pa.string()),
+            "o_totalprice": pa.array([10.0, 20.0, 30.0], pa.float64())}),
+            tmp_path / "orders.parquet")
+        pq.write_table(pa.table({
+            "l_orderkey": pa.array([1, 1, 3], pa.int64())}),
+            tmp_path / "lineitem.parquet")
+        got = _table(QUERIES["orders_no_lines"][0](str(tmp_path)))
+        assert got.to_pylist() == [
+            {"o_orderkey": 2, "o_orderstatus": "O", "o_totalprice": 20.0}]
