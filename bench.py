@@ -148,7 +148,7 @@ def run_queries() -> dict[str, float]:
              "dup_rate_per_source", "max_concurrency",
              "daily_type_share", "grouping_sets_mix",
              "value_quantile_sketch", "type_quantile_sketch",
-             "orders_no_lines",
+             "orders_no_lines", "error_report",
              # the narrow/cheap remainder — included so the per-op
              # artifact covers every registered query
              "json_decode", "conditions_filter", "convert_types",

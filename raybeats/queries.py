@@ -5722,6 +5722,117 @@ SELECT day, event_type, CAST(n AS BIGINT) AS n,
 FROM c"""
 
 
+def q_error_report(sf_dir: str):
+    """Composite operational report in ONE scan: per day of ERROR
+    events — count, exact distinct affected users, max value-cents and
+    the discrete p95 — four aggregate KINDS (count / distinct / max /
+    order statistic) whose partials ride different lawful shapes:
+    counts+max+CDF fold as (day, quantum, count)-style rows straight to
+    the driver, while exact DISTINCT needs one user-bucket shuffle
+    (users partition disjointly, so per-bucket distinct day-counts SUM
+    exactly — the `vocab_per_source` argument). The three small day
+    tables join driver-side."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.equal(t.column("event_type"), "error"))
+        v = sel.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        tt = pa.table({
+            "day": pc.cast(pc.floor_temporal(sel.column("ts"),
+                                             unit="day"), pa.int64())
+            .filter(pa.array(ok)),
+            "q": pa.array(np.floor(v[ok] * 100).astype(np.int64),
+                          pa.int64())})
+        g = tt.group_by(["day", "q"]).aggregate([("q", "count")])
+        return pa.table({"day": g.column("day"), "q": g.column("q"),
+                         "cnt": pc.cast(g.column("q_count"),
+                                        pa.int64())})
+
+    def users_partial(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.and_(pc.equal(t.column("event_type"),
+                                        "error"),
+                               pc.is_valid(t.column("user_id"))))
+        d = pa.table({
+            "day": pc.cast(pc.floor_temporal(sel.column("ts"),
+                                             unit="day"), pa.int64()),
+            "u": sel.column("user_id")}).group_by(["day", "u"]) \
+            .aggregate([])
+        return d.append_column("bucket", int_bucket(d.column("u"),
+                                                    n_buckets))
+
+    def users_grp(g: pa.Table) -> pa.Table:
+        d = g.group_by(["day", "u"]).aggregate([])
+        c = d.group_by("day").aggregate([("u", "count")])
+        return pa.table({"day": c.column("day"),
+                         "nu": pc.cast(c.column("u_count"),
+                                       pa.int64())})
+
+    cols = ["ts", "user_id", "event_type", "value"]
+    cdf = pa.concat_tables(list(
+        _read(sf_dir, "events", cols)
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    users = _combine_partials(
+        _read(sf_dir, "events", cols)
+        .map_batches(users_partial, batch_format="pyarrow")
+        .groupby("bucket").map_groups(users_grp,
+                                      batch_format="pyarrow"),
+        ["day"], {"nu": "n_users"})
+
+    from .aggregates import quantile_from_cdf
+    folded = cdf.group_by(["day", "q"]).aggregate([("cnt", "sum")])
+    day = folded.column("day").to_numpy(zero_copy_only=False)
+    q = folded.column("q").to_numpy(zero_copy_only=False)
+    cnt = folded.column("cnt_sum").to_numpy(zero_copy_only=False)
+    order = np.lexsort((q, day))
+    day, q, cnt = day[order], q[order], cnt[order]
+    starts = np.flatnonzero(np.append(True, day[1:] != day[:-1])) \
+        if len(day) else np.array([], np.int64)
+    ends = np.append(starts[1:], len(day))
+    out_day, n_err, mx, p95 = [], [], [], []
+    for s, e in zip(starts, ends):
+        cum = np.cumsum(cnt[s:e])
+        out_day.append(int(day[s]))
+        n_err.append(int(cum[-1]))
+        mx.append(int(q[e - 1]))
+        p95.append(quantile_from_cdf(q[s:e], cum, 0.95))
+    stats = pa.table({"day": pa.array(out_day, pa.int64()),
+                      "n_errors": pa.array(n_err, pa.int64()),
+                      "max_cents": pa.array(mx, pa.int64()),
+                      "p95_cents": pa.array(p95, pa.int64())})
+    udays = {d: n for d, n in zip(
+        users.column("day").to_pylist(),
+        users.column("n_users").to_pylist())}
+    return pa.table({
+        "day": pa.array(out_day, pa.int64()).cast(pa.timestamp("us")),
+        "n_errors": stats.column("n_errors"),
+        "n_users": pa.array([udays.get(d, 0) for d in out_day],
+                            pa.int64()),
+        "max_cents": stats.column("max_cents"),
+        "p95_cents": stats.column("p95_cents")})
+
+
+SQL_ERROR_REPORT = """WITH e AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id,
+         CAST(FLOOR(value * 100) AS BIGINT) AS q
+  FROM events WHERE event_type = 'error' AND NOT isnan(value)),
+g AS (SELECT day, q, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+s AS (SELECT day, q,
+        SUM(cnt) OVER (PARTITION BY day ORDER BY q) AS cum,
+        SUM(cnt) OVER (PARTITION BY day) AS total FROM g)
+SELECT e2.day, CAST(COUNT(*) AS BIGINT) AS n_errors,
+  CAST(COUNT(DISTINCT e2.user_id) AS BIGINT) AS n_users,
+  CAST(MAX(e2.q) AS BIGINT) AS max_cents,
+  CAST(MIN(t.p95) AS BIGINT) AS p95_cents
+FROM e e2 JOIN (
+  SELECT day, MIN(CASE WHEN cum >= CEIL(0.95 * total) THEN q END)
+    AS p95 FROM s GROUP BY 1) t USING (day)
+GROUP BY e2.day"""
+
+
 def q_orders_no_lines(sf_dir: str):
     """Referential ANTI join between two FACT tables: orders whose
     key never appears in lineitem (unfulfilled orders / dangling-FK
@@ -5949,6 +6060,7 @@ QUERIES = {
     "daily_type_share": (q_daily_type_share, SQL_DAILY_TYPE_SHARE),
     "grouping_sets_mix": (q_grouping_sets_mix, SQL_GROUPING_SETS_MIX),
     "orders_no_lines": (q_orders_no_lines, SQL_ORDERS_NO_LINES),
+    "error_report": (q_error_report, SQL_ERROR_REPORT),
     "value_quantile_sketch": (q_value_quantile_sketch, None),
     "type_quantile_sketch": (q_type_quantile_sketch, None),
     # rows-only (non-SQL-expressible; driver records weaker check).

@@ -199,3 +199,31 @@ class TestOrdersNoLines:
         got = _table(QUERIES["orders_no_lines"][0](str(tmp_path)))
         assert got.to_pylist() == [
             {"o_orderkey": 2, "o_orderstatus": "O", "o_totalprice": 20.0}]
+
+
+class TestErrorReport:
+    def test_mixed_aggregates(self, ray_session, tmp_path):
+        # day 0 errors: u1 x2, u2 x1 (3 errors, 2 users, cents
+        # {100, 300, 200} -> max 300, p95 = ceil(.95*3)=3rd = 300);
+        # non-error rows never count; day 1: single error
+        rows = [(0, 10, 1, "error", 1.0), (1, 20, 1, "error", 3.0),
+                (2, 30, 2, "error", 2.0), (3, 40, 3, "click", 9.0),
+                (4, _DAY + 5, 7, "error", 5.0)]
+        _events(tmp_path, rows)
+        got = _table(QUERIES["error_report"][0](str(tmp_path)))
+        rows_out = sorted(
+            (int(r["day"].timestamp() * 1e6) // _DAY, r["n_errors"],
+             r["n_users"], r["max_cents"], r["p95_cents"])
+            for r in got.to_pylist())
+        assert rows_out == [(0, 3, 2, 300, 300), (1, 1, 1, 500, 500)]
+
+    def test_oracle_parity_random(self, ray_session, tmp_path):
+        rng = np.random.default_rng(67)
+        rows = [(i, int(rng.integers(0, 4 * _DAY)),
+                 int(rng.integers(0, 30)),
+                 rng.choice(["error", "click"]),
+                 float(rng.normal(20, 9))) for i in range(1200)]
+        _events(tmp_path, rows)
+        got = _table(QUERIES["error_report"][0](str(tmp_path)))
+        want = _oracle(tmp_path, QUERIES["error_report"][1])
+        assert _sorted_rows(got) == _sorted_rows(want)
