@@ -5926,6 +5926,413 @@ FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
 
 
+def q_zscore_outliers(sf_dir: str):
+    """Parametric 3-sigma outlier flag with EXACT integer algebra —
+    the classical complement to `anomaly_events`' robust median/MAD
+    flag. The test ``|v - mean| > 3*stddev_pop`` is algebraically
+    ``(n*v - s)^2 > 9*(n*q - s^2)`` over integer cents (s = sum,
+    q = sum of squares): both sides stay integers, so the boundary
+    cannot float-drift between engines (SQL widens through HUGEINT;
+    here the flag is decided in arbitrary-precision python ints).
+
+    Scale shape: pass 1 folds per-batch ``(type, cents, count)``
+    partials (bounded by types x distinct quanta — the quantum-CDF
+    trick); the driver computes the per-(type, cents) flag exactly
+    ONCE per distinct pair, and pass 2 is a narrow vectorized
+    ``index_in`` against the broadcast flag table. No shuffle; the
+    corpus never materializes.
+    """
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v) & pc.is_valid(t.column("event_type")) \
+            .to_numpy(zero_copy_only=False)
+        cents = np.floor(v[ok] * 100.0).astype(np.int64)
+        tt = pa.table({"event_type": t.column("event_type")
+                       .filter(pa.array(ok)),
+                       "cents": pa.array(cents, pa.int64())})
+        g = tt.group_by(["event_type", "cents"]).aggregate(
+            [("cents", "count")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "cents": g.column("cents"),
+                         "cnt": pc.cast(g.column("cents_count"),
+                                        pa.int64())})
+
+    pairs = _combine_partials(ds.map_batches(partial,
+                                             batch_format="pyarrow"),
+                              ["event_type", "cents"], {"cnt": "cnt"})
+    # exact per-type moments and per-pair flags in python ints (the
+    # squared compare reaches ~1e28 at petabyte n — past int64, never
+    # past python)
+    et = pairs.column("event_type").to_pylist()
+    cv = pairs.column("cents").to_pylist()
+    cn = pairs.column("cnt").to_pylist()
+    mom: dict[str, list[int]] = {}
+    for ty, v, c in zip(et, cv, cn):
+        m = mom.setdefault(ty, [0, 0, 0])
+        m[0] += c
+        m[1] += c * v
+        m[2] += c * v * v
+    flags = []
+    for ty, v in zip(et, cv):
+        n, s, q = mom[ty]
+        d = n * v - s
+        flags.append(d * d > 9 * (n * q - s * s))
+    key = pc.binary_join_element_wise(
+        pairs.column("event_type").combine_chunks(),
+        pc.cast(pairs.column("cents"), pa.string()), "|")
+    flag_arr = pa.array(flags, pa.bool_())
+
+    def mark(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v) & pc.is_valid(t.column("event_type")) \
+            .to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ok))
+        cents = np.floor(v[ok] * 100.0).astype(np.int64)
+        k = pc.binary_join_element_wise(
+            sub.column("event_type").combine_chunks(),
+            pc.cast(pa.array(cents, pa.int64()), pa.string()), "|")
+        idx = pc.index_in(k, value_set=key)
+        return pa.table({
+            "event_id": sub.column("event_id"),
+            "event_type": sub.column("event_type"),
+            "value_cents": pa.array(cents, pa.int64()),
+            "is_outlier": pc.take(flag_arr, idx)})
+
+    return ds.map_batches(mark, batch_format="pyarrow")
+
+
+SQL_ZSCORE_OUTLIERS = """WITH e AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+m AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(cents) AS HUGEINT) AS s,
+             SUM(CAST(cents AS HUGEINT) * cents) AS q
+      FROM e GROUP BY 1)
+SELECT event_id, e.event_type, cents AS value_cents,
+  (n * cents - s) * (n * cents - s) > 9 * (n * q - s * s) AS is_outlier
+FROM e JOIN m USING (event_type)"""
+
+
+def q_pareto_front(sf_dir: str):
+    """2-D skyline (Pareto frontier): events not dominated by any
+    other on (value_cents, ts) — kept iff no other row is >= on both
+    axes and > on at least one. The multi-objective "best tradeoffs"
+    query, and a new REDUCTION shape for the catalog: the frontier
+    operator is ASSOCIATIVE (frontier(A u B) = frontier(frontier(A) u
+    frontier(B)) — removing a dominated point never removes a
+    dominator), so each batch emits its local frontier and the driver
+    folds frontier-of-frontiers once. No shuffle; driver traffic is
+    the frontier size (O(distinct values) worst-case, ~log n expected
+    on independent axes), not the corpus.
+    """
+    import numpy as np
+
+    def _frontier(eid, ts, v):
+        # sort value desc, ts desc; within an equal-value group only
+        # max-ts rows survive (ties duplicated on both axes all
+        # survive — identical points do not strictly dominate);
+        # a group survives iff its max ts exceeds every strictly
+        # higher-value group's max ts (running max, exclusive)
+        order = np.lexsort((-ts, -v))
+        vs, tss = v[order], ts[order]
+        new_grp = np.empty(len(order), bool)
+        new_grp[0] = True
+        new_grp[1:] = vs[1:] != vs[:-1]
+        heads = np.flatnonzero(new_grp)
+        gmax = tss[heads]  # ts desc within group -> head is group max
+        run = np.maximum.accumulate(gmax)
+        prev = np.empty(len(heads), np.int64)
+        prev[0] = np.iinfo(np.int64).min
+        prev[1:] = run[:-1]
+        gid = np.cumsum(new_grp) - 1
+        keep = (tss == gmax[gid]) & (tss > prev[gid])
+        sel = order[keep]
+        return eid[sel], ts[sel], v[sel]
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        tsv = t.column("ts")
+        ok = ~np.isnan(v) & pc.is_valid(tsv).to_numpy(zero_copy_only=False)
+        cents = np.floor(v[ok] * 100.0).astype(np.int64)
+        ts = pc.cast(tsv, pa.int64()).to_numpy(zero_copy_only=False)[ok]
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)[ok]
+        if not len(eid):
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "ts_us": pa.array([], pa.int64()),
+                             "value_cents": pa.array([], pa.int64())})
+        fe, ft, fv = _frontier(eid, ts, cents)
+        return pa.table({"event_id": pa.array(fe, pa.int64()),
+                         "ts_us": pa.array(ft, pa.int64()),
+                         "value_cents": pa.array(fv, pa.int64())})
+
+    merged = pa.concat_tables(list(
+        _read(sf_dir, "events", ["event_id", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    eid = merged.column("event_id").to_numpy(zero_copy_only=False)
+    ts = merged.column("ts_us").to_numpy(zero_copy_only=False)
+    v = merged.column("value_cents").to_numpy(zero_copy_only=False)
+    if len(eid):
+        eid, ts, v = _frontier(eid, ts, v)
+    return pa.table({
+        "event_id": pa.array(eid, pa.int64()),
+        "ts": pc.cast(pa.array(ts, pa.int64()), pa.timestamp("us")),
+        "value_cents": pa.array(v, pa.int64())})
+
+
+SQL_PARETO_FRONT = """WITH e AS (
+  SELECT event_id, ts, CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+g AS (SELECT cents, MAX(ts) AS gm FROM e GROUP BY 1),
+p AS (SELECT cents, gm,
+        MAX(gm) OVER (ORDER BY cents DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM g)
+SELECT e.event_id, e.ts, e.cents AS value_cents
+FROM e JOIN p USING (cents)
+WHERE e.ts = p.gm AND (p.pm IS NULL OR p.pm < e.ts)"""
+
+
+def q_missing_ranges(sf_dir: str):
+    """Gaps-and-islands GAP detection: the maximal missing id runs in
+    the 'click' event-id sequence — the sequence-completeness audit of
+    an ingest pipeline (longest_streak is the ISLAND side; this is the
+    complement). A global LEAD over sorted ids decomposes over
+    MONOTONE id-range buckets (`util.range_bucket`, the
+    pack_sequences/global_rank contract): each bucket finds its
+    internal gaps locally (sort + diff) and reports its (min, max)
+    boundary; the driver stitches ADJACENT non-empty buckets (a gap
+    spanning whole empty buckets falls out of the stitch naturally).
+    One keyed shuffle of 1-int rows; driver sees 2 ints per bucket.
+    """
+    import numpy as np
+
+    span = _nrows(sf_dir, "events")  # ids < n_rows for this corpus
+    n_buckets = adaptive_buckets(span)
+    from .util import range_bucket
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t.column("event_type"), "click"))
+        ids = sub.column("event_id")
+        return pa.table({"event_id": ids,
+                         "bucket": range_bucket(ids, n_buckets,
+                                                span + 1)})
+
+    # per-bucket kernel returns internal gaps; boundaries are emitted
+    # as one summary row per bucket (kind=1) in the same table
+    def grp(g: pa.Table) -> pa.Table:
+        ids = np.unique(g.column("event_id")
+                        .to_numpy(zero_copy_only=False))
+        d = np.diff(ids)
+        pos = np.flatnonzero(d > 1)
+        gs = np.concatenate([ids[pos] + 1, [ids[0]]])
+        ge = np.concatenate([ids[pos + 1] - 1, [ids[-1]]])
+        kind = np.concatenate([np.zeros(len(pos), np.int8), [1]])
+        return pa.table({"gap_start": pa.array(gs, pa.int64()),
+                         "gap_end": pa.array(ge, pa.int64()),
+                         "kind": pa.array(kind, pa.int8())})
+
+    batches = list(
+        _read(sf_dir, "events", ["event_id", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))
+    empty = pa.table({"gap_start": pa.array([], pa.int64()),
+                      "gap_end": pa.array([], pa.int64())})
+    if not batches:
+        return empty
+    parts = pa.concat_tables(batches)
+    if not parts.num_rows:
+        return empty
+    kind = parts.column("kind").to_numpy(zero_copy_only=False)
+    gaps_s = parts.column("gap_start").to_numpy(
+        zero_copy_only=False)[kind == 0]
+    gaps_e = parts.column("gap_end").to_numpy(
+        zero_copy_only=False)[kind == 0]
+    bmin = parts.column("gap_start").to_numpy(
+        zero_copy_only=False)[kind == 1]
+    bmax = parts.column("gap_end").to_numpy(
+        zero_copy_only=False)[kind == 1]
+    order = np.argsort(bmin)
+    bmin, bmax = bmin[order], bmax[order]
+    # stitch: gap between consecutive buckets' max and min
+    if len(bmin) > 1:
+        cross = bmin[1:] > bmax[:-1] + 1
+        gaps_s = np.concatenate([gaps_s, bmax[:-1][cross] + 1])
+        gaps_e = np.concatenate([gaps_e, bmin[1:][cross] - 1])
+    order = np.argsort(gaps_s)
+    return pa.table({"gap_start": pa.array(gaps_s[order], pa.int64()),
+                     "gap_end": pa.array(gaps_e[order], pa.int64())})
+
+
+SQL_MISSING_RANGES = """WITH s AS (
+  SELECT event_id, LEAD(event_id) OVER (ORDER BY event_id) AS nxt
+  FROM events WHERE event_type = 'click')
+SELECT event_id + 1 AS gap_start, nxt - 1 AS gap_end
+FROM s WHERE nxt > event_id + 1"""
+
+
+def q_interval_coverage(sf_dir: str):
+    """Interval-UNION length per user: total microseconds covered by
+    the union of [ts, ts+5min) presence windows — the "actual active
+    time" metric (`max_concurrency` is the sweep-line PEAK over the
+    same windows; this is the per-entity MERGE-overlaps length).
+    Because every window has the SAME width W, the union length
+    collapses to an exact adjacent-gap formula — per user over sorted
+    ts: sum(min(next_ts - ts, W)) + W for the last row — so the
+    kernel is the shared `_lag_scaffold` diff, no interval merging
+    state. One user-bucket shuffle; per-bucket partials are
+    users x buckets fixed-width rows (users co-locate, so per-user
+    sums are exact in one pass).
+    """
+    import numpy as np
+
+    _MIN5 = 300_000_000
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = pa.table({"u": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64()),
+                        "eid": t.column("event_id")}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("ts"))))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        order, new_run, gap = _lag_scaffold([u], ts, eid)
+        n = len(order)
+        contrib = np.empty(n, np.int64)
+        # row i contributes min(gap to next same-user row, W); the
+        # last row of each user run contributes W
+        last = np.empty(n, bool)
+        last[:-1] = new_run[1:]
+        last[-1] = True
+        contrib[last] = _MIN5
+        contrib[~last] = np.minimum(gap[1:][~last[:-1]], _MIN5)
+        us = u[order]
+        uniq, inv = np.unique(us, return_inverse=True)
+        tot = np.bincount(inv, weights=contrib.astype(np.float64),
+                          minlength=len(uniq)).astype(np.int64)
+        return pa.table({"user_id": pa.array(uniq, pa.int64()),
+                         "covered": pa.array(tot, pa.int64())})
+
+    small = _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    return _combine_partials(small, ["user_id"], {"covered": "covered_us"})
+
+
+SQL_INTERVAL_COVERAGE = """WITH s AS (
+  SELECT user_id, ts,
+    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+SELECT user_id, CAST(SUM(CASE WHEN nxt IS NULL THEN 300000000
+    ELSE LEAST(date_diff('microseconds', ts, nxt), 300000000) END)
+  AS BIGINT) AS covered_us
+FROM s GROUP BY 1"""
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Distributed TF-IDF: each document's top-3 terms ranked by
+    (tf DESC, df ASC, token ASC) — rarity-aware keyword extraction,
+    the canonical two-shuffle text shape the catalog lacked. Ranking
+    on the integer (tf, df) pair IS the tf-idf order for a fixed doc
+    (idf is monotone-decreasing in df) while staying float-free, so
+    the oracle compares exactly.
+
+    Shuffle 1 (token-hash buckets): per-batch (doc, token, tf) rows —
+    exact per batch because a document lives in one row — cogroup by
+    token computes df (= distinct docs per token; rows are already
+    per-doc-distinct) and annotates each row. Shuffle 2 (doc buckets):
+    per-doc rank via one lexsort, keep rank <= 3. Both exchanges move
+    fixed-width rows bounded by the doc-token pair count, never the
+    text.
+    """
+    import numpy as np
+    from .textops.analysis import flat_tokens
+
+    n_tok_buckets = adaptive_buckets(_nrows(sf_dir, "documents"))
+    n_doc_buckets = adaptive_buckets(_nrows(sf_dir, "documents"))
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        row_id, toks, _ = flat_tokens(t.column("text"))
+        doc = t.column("doc_id").combine_chunks() \
+            .take(pa.array(row_id, pa.int64()))
+        tt = pa.table({"doc_id": doc, "token": toks})
+        g = tt.group_by(["doc_id", "token"]).aggregate(
+            [("token", "count")])
+        out = pa.table({"doc_id": g.column("doc_id"),
+                        "token": g.column("token"),
+                        "tf": pc.cast(g.column("token_count"),
+                                      pa.int64())})
+        return out.append_column(
+            "bucket", fnv1a_bucket(out.column("token"), n_tok_buckets))
+
+    def with_df(g: pa.Table) -> pa.Table:
+        tok = g.column("token").combine_chunks()
+        enc = pc.dictionary_encode(tok)
+        code = enc.indices.to_numpy(zero_copy_only=False)
+        df = np.bincount(code, minlength=len(enc.dictionary))
+        out = pa.table({"doc_id": g.column("doc_id"), "token": tok,
+                        "tf": g.column("tf"),
+                        "df": pa.array(df[code], pa.int64())})
+        return out.append_column(
+            "bucket2", int_bucket(out.column("doc_id"), n_doc_buckets))
+
+    def topk(g: pa.Table) -> pa.Table:
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        tf = g.column("tf").to_numpy(zero_copy_only=False)
+        df = g.column("df").to_numpy(zero_copy_only=False)
+        tok = g.column("token").to_numpy(zero_copy_only=False)
+        # np.unique's sorted factorization gives lexicographic int
+        # codes — object-array lexsort would compare python strings
+        _, tok_code = np.unique(tok, return_inverse=True)
+        order = np.lexsort((tok_code, df, -tf, doc))
+        ds_ = doc[order]
+        new_doc = np.empty(len(ds_), bool)
+        new_doc[0] = True
+        new_doc[1:] = ds_[1:] != ds_[:-1]
+        rnk = np.arange(len(ds_)) - np.maximum.accumulate(
+            np.where(new_doc, np.arange(len(ds_)), -1)) + 1
+        keep = rnk <= 3
+        sel = order[keep]
+        return pa.table({
+            "doc_id": pa.array(doc[sel], pa.int64()),
+            "token": pa.array(tok[sel], pa.string()),
+            "tf": pa.array(tf[sel], pa.int64()),
+            "df": pa.array(df[sel], pa.int64()),
+            "rnk": pa.array(rnk[keep], pa.int64())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(tf_rows, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(with_df, batch_format="pyarrow") \
+        .groupby("bucket2").map_groups(topk, batch_format="pyarrow")
+
+
+SQL_TFIDF_TOP_TERMS = r"""WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+r AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+          ORDER BY tf.tf DESC, df.df ASC, tf.token) AS rnk
+      FROM tf JOIN df USING (token))
+SELECT doc_id, token, tf, df, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -6061,6 +6468,11 @@ QUERIES = {
     "grouping_sets_mix": (q_grouping_sets_mix, SQL_GROUPING_SETS_MIX),
     "orders_no_lines": (q_orders_no_lines, SQL_ORDERS_NO_LINES),
     "error_report": (q_error_report, SQL_ERROR_REPORT),
+    "zscore_outliers": (q_zscore_outliers, SQL_ZSCORE_OUTLIERS),
+    "pareto_front": (q_pareto_front, SQL_PARETO_FRONT),
+    "missing_ranges": (q_missing_ranges, SQL_MISSING_RANGES),
+    "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "value_quantile_sketch": (q_value_quantile_sketch, None),
     "type_quantile_sketch": (q_type_quantile_sketch, None),
     # rows-only (non-SQL-expressible; driver records weaker check).
