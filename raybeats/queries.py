@@ -6333,6 +6333,280 @@ SELECT doc_id, token, tf, df, CAST(rnk AS BIGINT) AS rnk
 FROM r WHERE rnk <= 3"""
 
 
+def q_union_sources(sf_dir: str):
+    """Heterogeneous multi-source harmonization: events and orders
+    project to ONE common (day, kind, cents) activity schema and
+    union as a single Dataset (``ds.union`` — lazy block
+    concatenation, NO shuffle, both reads stay column-pruned), then a
+    per-(day, kind) count/sum rollup folds from fixed-width partials.
+    The multi-source ingest shape of a warehouse feed: every later
+    stage sees one schema regardless of origin.
+    """
+    import numpy as np
+
+    _DAY = 86_400_000_000
+
+    def ev(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v) & pc.is_valid(t.column("ts")) \
+            .to_numpy(zero_copy_only=False)
+        ts = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)[ok]
+        cents = np.floor(v[ok] * 100.0).astype(np.int64)
+        return pa.table({
+            "day": pa.array(ts // _DAY * _DAY, pa.int64()),
+            "kind": pa.array(np.repeat("event", len(cents)),
+                             pa.string()),
+            "cents": pa.array(cents, pa.int64())})
+
+    def od(t: pa.Table) -> pa.Table:
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v) & pc.is_valid(t.column("o_orderdate")) \
+            .to_numpy(zero_copy_only=False)
+        ts = pc.cast(t.column("o_orderdate"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)[ok]
+        cents = np.floor(v[ok] * 100.0).astype(np.int64)
+        return pa.table({
+            "day": pa.array(ts // _DAY * _DAY, pa.int64()),
+            "kind": pa.array(np.repeat("order", len(cents)),
+                             pa.string()),
+            "cents": pa.array(cents, pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["day", "kind"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({"day": g.column("day"),
+                         "kind": g.column("kind"),
+                         "total": g.column("cents_sum"),
+                         "n": pc.cast(g.column("cents_count"),
+                                      pa.int64())})
+
+    u = _read(sf_dir, "events", ["ts", "value"]) \
+        .map_batches(ev, batch_format="pyarrow") \
+        .union(_read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+               .map_batches(od, batch_format="pyarrow"))
+    out = _combine_partials(u.map_batches(partial,
+                                          batch_format="pyarrow"),
+                            ["day", "kind"],
+                            {"total": "total_cents", "n": "n"})
+    return pa.table({
+        "day": pc.cast(out.column("day"), pa.timestamp("us")),
+        "kind": out.column("kind"),
+        "total_cents": out.column("total_cents"),
+        "n": out.column("n")})
+
+
+SQL_UNION_SOURCES = """WITH u AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         'event' AS kind,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  UNION ALL
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP), 'order',
+         CAST(floor(o_totalprice * 100) AS BIGINT)
+  FROM orders WHERE o_orderdate IS NOT NULL
+    AND o_totalprice IS NOT NULL)
+SELECT day, kind, CAST(SUM(cents) AS BIGINT) AS total_cents,
+       COUNT(*) AS n
+FROM u GROUP BY 1, 2"""
+
+
+def q_time_weighted_value(sf_dir: str):
+    """Time-weighted value integral per event type: each event's value
+    holds until the same user's NEXT event, so the per-type mean-gauge
+    numerator is sum(cents x held_seconds) and the denominator
+    sum(held_seconds) — the telemetry "average gauge over time"
+    semantics, where a value held for an hour counts 3600x a value
+    held a second (`dwell_time` integrates TIME per type; this
+    integrates VALUE x time). Both sums stay integers so the oracle
+    compares exactly; the consumer divides. One user-bucket shuffle,
+    per-bucket `_lag_scaffold` diff + bincount partials.
+    """
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = pa.array(~np.isnan(v)
+                      & pc.is_valid(t.column("user_id"))
+                      .to_numpy(zero_copy_only=False)
+                      & pc.is_valid(t.column("ts"))
+                      .to_numpy(zero_copy_only=False))
+        sub = pa.table({"u": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64()),
+                        "eid": t.column("event_id"),
+                        "et": t.column("event_type"),
+                        "cents": pa.array(
+                            np.floor(v * 100.0), pa.float64())}) \
+            .filter(ok)
+        sub = sub.set_column(4, "cents",
+                             pc.cast(sub.column("cents"), pa.int64()))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        cents = g.column("cents").to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(g.column("et").combine_chunks())
+        code = enc.indices.to_numpy(zero_copy_only=False)
+        order, new_run, gap = _lag_scaffold([u], ts, eid)
+        has_next = ~new_run[1:]
+        src = code[order][:-1][has_next]
+        held_s = gap[1:][has_next] // 1_000_000
+        val = cents[order][:-1][has_next]
+        k = len(enc.dictionary)
+        den = np.bincount(src, weights=held_s.astype(np.float64),
+                          minlength=k).astype(np.int64)
+        num = np.bincount(src, weights=(val * held_s)
+                          .astype(np.float64),
+                          minlength=k).astype(np.int64)
+        cnt = np.bincount(src, minlength=k)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "event_type": pc.take(enc.dictionary,
+                                  pa.array(nz, pa.int32())),
+            "num": pa.array(num[nz], pa.int64()),
+            "den": pa.array(den[nz], pa.int64())})
+
+    small = _read(sf_dir, "events",
+                  ["event_id", "user_id", "ts", "event_type", "value"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    return _combine_partials(small, ["event_type"],
+                             {"num": "num_cents_s", "den": "den_s"})
+
+
+SQL_TIME_WEIGHTED_VALUE = """WITH s AS (
+  SELECT user_id, event_type,
+    CAST(floor(value * 100) AS BIGINT) AS cents,
+    date_diff('microseconds', ts,
+      LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      // 1000000 AS held_s
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL)
+SELECT event_type,
+  CAST(SUM(cents * held_s) AS BIGINT) AS num_cents_s,
+  CAST(SUM(held_s) AS BIGINT) AS den_s
+FROM s WHERE held_s IS NOT NULL GROUP BY 1"""
+
+
+def q_weighted_sample(sf_dir: str, k: int = 200):
+    """Deterministic WEIGHTED sample: `sample_uniform`'s hash-rank
+    order with the rank divided by a per-type weight — a type with
+    weight w gets ~w x the inclusion odds of weight 1 (integer
+    division keeps the SQL mirror HUGEINT-free and the tie order
+    id-deterministic). The mixture-curation counterpart of uniform
+    sampling: boost rare-but-valuable classes in a fixed-size sample,
+    reproducibly across reruns and partitionings. Same no-shuffle
+    shape: per-batch k-smallest partials, blocks x k driver fold.
+    """
+    import numpy as np
+
+    M, A = 1_000_000_007, 2_654_435_761
+    WEIGHTS = {"error": 10, "purchase": 4}
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        h = (eid % M).astype(np.int64) * A % M
+        wv = np.ones(len(h), np.int64)
+        et = t.column("event_type")
+        for ty, wt in WEIGHTS.items():
+            wv[pc.fill_null(pc.equal(et, ty), False)
+               .to_numpy(zero_copy_only=False).astype(bool)] = wt
+        prio = h // wv
+        take = min(k, len(prio))
+        cand = np.argpartition(prio, take - 1)[:take] if take else \
+            np.array([], np.int64)
+        order = cand[np.lexsort((eid[cand], prio[cand]))]
+        return pa.table({
+            "event_id": pa.array(eid[order], pa.int64()),
+            "event_type": et.take(pa.array(order)),
+            "prio": pa.array(prio[order], pa.int64())})
+
+    merged = pa.concat_tables(list(
+        _read(sf_dir, "events", ["event_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    top = merged.sort_by([("prio", "ascending"),
+                          ("event_id", "ascending")]).slice(0, k)
+    return top.select(["event_id", "event_type"])
+
+
+SQL_WEIGHTED_SAMPLE = """SELECT event_id, event_type
+FROM events
+ORDER BY ((event_id % 1000000007) * 2654435761 % 1000000007)
+  // (CASE event_type WHEN 'error' THEN 10
+      WHEN 'purchase' THEN 4 ELSE 1 END), event_id
+LIMIT 200"""
+
+
+def q_unpivot_measures(sf_dir: str):
+    """UNPIVOT reshape — wide measure columns to long (key, measure,
+    val) rows, the inverse of `pivot_counts`: lineitem's four numeric
+    measures become 4n tall-format rows for measure-generic downstream
+    stages (profilers, plotters, metric sinks take ONE schema). Narrow
+    per-batch explode (4 column takes, no python rows, no shuffle);
+    cents-quantized so the oracle compares exactly.
+    """
+    import numpy as np
+
+    MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+    def explode(t: pa.Table) -> pa.Table:
+        parts = []
+        for m in MEASURES:
+            v = t.column(m).to_numpy(zero_copy_only=False)
+            # null-faithful: floor(NULL) stays NULL in the mirror
+            miss = np.isnan(v)
+            cents = np.where(miss, 0, np.floor(v * 100.0)) \
+                .astype(np.int64)
+            parts.append(pa.table({
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": t.column("l_linenumber"),
+                "measure": pa.array(np.repeat(m, len(v)), pa.string()),
+                "val_cents": pa.array(cents, pa.int64(), mask=miss)}))
+        return pa.concat_tables(parts)
+
+    return _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber"] + MEASURES) \
+        .map_batches(explode, batch_format="pyarrow")
+
+
+SQL_UNPIVOT_MEASURES = """
+SELECT l_orderkey, l_linenumber, measure,
+       CAST(floor(val * 100) AS BIGINT) AS val_cents
+FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+         l_quantity AS val FROM lineitem
+  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+         l_extendedprice FROM lineitem
+  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+         l_discount FROM lineitem
+  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
+         l_tax FROM lineitem)"""
+
+
+def q_token_freq_sketch(sf_dir: str):
+    """Count-Min point-frequency estimates for a fixed probe list over
+    the document token stream — the 4th mergeable sketch
+    (`textops.sketches.CountMinSketch`; HLL = distinct, MG = heaviest,
+    KLL = quantiles, CMS = "how often does THIS key occur" for ANY
+    probe chosen after the scan). No shuffle: per-batch d x w count
+    matrices, element-wise driver sum. Rows-only: est >= true always;
+    est <= true + e/w x n w.h.p. — both value-asserted against exact
+    counts in tests/test_sketches.py.
+    """
+    from .textops.sketches import cms_point_estimates
+
+    probes = ["the", "data", "scan", "window", "sort", "zebra"]
+    return cms_point_estimates(
+        _read(sf_dir, "documents", ["text"]),
+        column="text", probes=probes, tokenize=True)
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -6468,6 +6742,12 @@ QUERIES = {
     "grouping_sets_mix": (q_grouping_sets_mix, SQL_GROUPING_SETS_MIX),
     "orders_no_lines": (q_orders_no_lines, SQL_ORDERS_NO_LINES),
     "error_report": (q_error_report, SQL_ERROR_REPORT),
+    "union_sources": (q_union_sources, SQL_UNION_SOURCES),
+    "time_weighted_value": (q_time_weighted_value,
+                            SQL_TIME_WEIGHTED_VALUE),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "unpivot_measures": (q_unpivot_measures, SQL_UNPIVOT_MEASURES),
+    "token_freq_sketch": (q_token_freq_sketch, None),
     "zscore_outliers": (q_zscore_outliers, SQL_ZSCORE_OUTLIERS),
     "pareto_front": (q_pareto_front, SQL_PARETO_FRONT),
     "missing_ranges": (q_missing_ranges, SQL_MISSING_RANGES),

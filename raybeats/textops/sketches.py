@@ -479,3 +479,135 @@ def grouped_sketch_quantiles(ds, *, group_col: str, value_col: str,
         cols[f"{name}_est"] = pa.array(
             [acc[g].quantile(q) for g in out_g], pa.float64())
     return pa.table(cols)
+
+
+class CountMinSketch:
+    """Count-Min frequency sketch (Cormode & Muthukrishnan 2005):
+    a ``d x w`` counter matrix; every key increments one counter per
+    row (Kirsch-Mitzenmacher double hashing off the shared `_fmix64`
+    mix — deterministic, no RNG, so reruns and retried partitions fold
+    identically); a point query reads the MIN over the d rows.
+    Guarantees: ``est >= true`` ALWAYS (counters only over-count), and
+    ``est <= true + e/w * N`` with probability ``1 - e^-d`` per query
+    (N = total weight added). Merging is element-wise SUM — fully
+    commutative/associative, so per-batch sketches fold under ANY
+    re-batching (the KLL lesson: never ship per-sketch totals as
+    repeated rows; here the matrix rows are self-describing).
+
+    The frequency complement of the catalog's other sketches: HLL
+    answers "how many distinct", Misra-Gries "which are the heaviest",
+    KLL "what are the quantiles", CMS "how often does THIS key occur"
+    for keys chosen AFTER the scan — heavy_hitters can only answer for
+    survivors of its summary, CMS for any probe.
+    """
+
+    def __init__(self, w: int = 2048, d: int = 4):
+        assert w >= 2 and 1 <= d <= 16
+        self.w, self.d = w, d
+        self.counts = np.zeros((d, w), np.int64)
+        self.n = 0  # total added weight
+
+    def _rows(self, h: np.ndarray) -> np.ndarray:
+        """(d, len(h)) column indices via double hashing: ``h1 + i*h2``
+        with h2 forced odd (nonzero stride for every key)."""
+        h1 = _fmix64(h)
+        h2 = _fmix64(h ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        i = np.arange(self.d, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :])
+                % np.uint64(self.w)).astype(np.int64)
+
+    def add_hashes(self, h: np.ndarray, weights: np.ndarray | None = None):
+        """Fold pre-hashed uint64 keys (use `util.fnv1a_u64` for string
+        columns so probe and build hash identically)."""
+        if not len(h):
+            return self
+        w = np.ones(len(h), np.int64) if weights is None \
+            else weights.astype(np.int64)
+        idx = self._rows(h)
+        for r in range(self.d):
+            np.add.at(self.counts[r], idx[r], w)
+        self.n += int(w.sum())
+        return self
+
+    def query_hashes(self, h: np.ndarray) -> np.ndarray:
+        """Point estimates (int64) for pre-hashed keys: min over rows."""
+        if not len(h):
+            return np.array([], np.int64)
+        idx = self._rows(h)
+        ests = np.stack([self.counts[r][idx[r]] for r in range(self.d)])
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.w, self.d) == (other.w, other.d), "shape mismatch"
+        self.counts += other.counts
+        self.n += other.n
+        return self
+
+    def to_table(self) -> pa.Table:
+        """One row per matrix row: (row, counters list) — weights are
+        implied by position, so rows survive arbitrary re-batching."""
+        return pa.table({
+            "row": pa.array(np.arange(self.d, dtype=np.int64),
+                            pa.int64()),
+            "counters": pa.array(list(self.counts),
+                                 pa.list_(pa.int64()))})
+
+    @classmethod
+    def from_table(cls, t: pa.Table, w: int, d: int) -> "CountMinSketch":
+        """Rebuild by element-wise SUM of every (row, counters) row in
+        the table — rows from several per-batch sketches may be mixed
+        by Ray's re-batching; addition commutes so the fold is exact."""
+        s = cls(w, d)
+        rows = t.column("row").to_numpy(zero_copy_only=False)
+        ctrs = t.column("counters")
+        ctrs = ctrs.combine_chunks() if isinstance(
+            ctrs, pa.ChunkedArray) else ctrs
+        flat = ctrs.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(rows), w)
+        np.add.at(s.counts, rows, flat)
+        # n is recovered from row 0's counter sum (every add puts its
+        # full weight in each row exactly once)
+        s.n = int(flat[rows == 0].sum())
+        return s
+
+
+def cms_point_estimates(ds, *, column: str, probes: list[str],
+                        w: int = 2048, d: int = 4,
+                        tokenize: bool = False) -> pa.Table:
+    """Distributed point-frequency estimation with NO shuffle: each
+    batch folds its keys (or its `flat_tokens` tokens when
+    ``tokenize``) into a fixed ``d x w`` Count-Min matrix and ships it
+    as d rows; the driver sums matrices element-wise and answers the
+    probe list. Fan-in is ``n_batches x d x w`` ints regardless of key
+    cardinality — the CMS shape for unbounded vocabularies where the
+    exact groupby's (batch x distinct) shuffle rows blow up. Returns
+    ``(key, est, n)``: est >= true always; est <= true + e/w * n w.h.p.
+    """
+    from ..util import fnv1a_u64
+    from .analysis import flat_tokens
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(column)
+        col = col.combine_chunks() if isinstance(
+            col, pa.ChunkedArray) else col
+        if tokenize:
+            _, col, _ = flat_tokens(col)
+        else:
+            col = pc.cast(col.drop_null(), pa.string())
+        s = CountMinSketch(w, d)
+        if len(col):
+            s.add_hashes(fnv1a_u64(col))
+        return s.to_table()
+
+    merged = CountMinSketch(w, d)
+    for batch in ds.map_batches(partial, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        if batch.num_rows:
+            merged.merge(CountMinSketch.from_table(batch, w, d))
+    parr = pa.array(probes, pa.string())
+    est = merged.query_hashes(fnv1a_u64(parr))
+    return pa.table({
+        "key": parr,
+        "est": pa.array(est, pa.int64()),
+        "n": pa.array(np.full(len(probes), merged.n, np.int64),
+                      pa.int64())})

@@ -262,3 +262,88 @@ class TestKllSketch:
                 true_rank = np.searchsorted(g, row[col], side="right")
                 assert abs(true_rank - q * n) <= bound, \
                     (row["event_type"], q)
+
+
+class TestCountMinSketch:
+    def test_never_undercounts_and_bound(self):
+        import numpy as np
+        from raybeats.textops.sketches import CountMinSketch
+        from raybeats.util import fnv1a_u64
+        import pyarrow as pa
+        rng = np.random.default_rng(81)
+        # zipf-ish key stream with 5000 distinct keys over w=512 —
+        # collisions guaranteed, so the >= side is actually exercised
+        keys = np.array([f"k{int(v)}" for v in
+                         rng.zipf(1.3, size=20000) % 5000])
+        s = CountMinSketch(w=512, d=4)
+        s.add_hashes(fnv1a_u64(pa.array(keys.tolist(), pa.string())))
+        uniq, true = np.unique(keys, return_counts=True)
+        est = s.query_hashes(fnv1a_u64(pa.array(uniq.tolist(),
+                                                pa.string())))
+        assert (est >= true).all()          # hard CMS guarantee
+        eps_n = np.e / 512 * s.n            # w.h.p. bound, zero slack
+        assert (est <= true + eps_n).all()
+
+    def test_merge_equals_single_pass(self):
+        import numpy as np
+        from raybeats.textops.sketches import CountMinSketch
+        from raybeats.util import fnv1a_u64
+        import pyarrow as pa
+        rng = np.random.default_rng(82)
+        keys = [f"t{int(v)}" for v in rng.integers(0, 300, size=3000)]
+        h = fnv1a_u64(pa.array(keys, pa.string()))
+        one = CountMinSketch(w=256, d=3).add_hashes(h)
+        a = CountMinSketch(w=256, d=3).add_hashes(h[:1000])
+        b = CountMinSketch(w=256, d=3).add_hashes(h[1000:2500])
+        c = CountMinSketch(w=256, d=3).add_hashes(h[2500:])
+        merged = a.merge(b).merge(c)
+        assert (merged.counts == one.counts).all()
+        assert merged.n == one.n
+
+    def test_table_roundtrip_under_rebatching(self):
+        import numpy as np
+        import pyarrow as pa
+        from raybeats.textops.sketches import CountMinSketch
+        from raybeats.util import fnv1a_u64
+        h1 = fnv1a_u64(pa.array(["a", "b", "a"], pa.string()))
+        h2 = fnv1a_u64(pa.array(["b", "c"], pa.string()))
+        s1 = CountMinSketch(w=64, d=2).add_hashes(h1)
+        s2 = CountMinSketch(w=64, d=2).add_hashes(h2)
+        # Ray may concatenate the two sketch tables into ONE batch;
+        # the rebuild must still equal the true merge
+        mixed = pa.concat_tables([s1.to_table(), s2.to_table()])
+        back = CountMinSketch.from_table(mixed, 64, 2)
+        want = CountMinSketch(w=64, d=2).add_hashes(h1).add_hashes(h2)
+        assert (back.counts == want.counts).all()
+        assert back.n == want.n == 5
+
+    def test_query_absent_key_small(self):
+        import numpy as np
+        import pyarrow as pa
+        from raybeats.textops.sketches import CountMinSketch
+        from raybeats.util import fnv1a_u64
+        s = CountMinSketch(w=2048, d=4)
+        s.add_hashes(fnv1a_u64(pa.array(["x"] * 50, pa.string())))
+        est = s.query_hashes(fnv1a_u64(pa.array(["absent"],
+                                                pa.string())))
+        # with 1 distinct key in 2048*4 counters, no collision
+        assert est[0] == 0
+
+    def test_distributed_estimates_match_exact(self, ray_session):
+        import collections
+        import re
+        import numpy as np
+        import pyarrow.parquet as pq
+        from raybeats.queries import QUERIES
+        got = QUERIES["token_freq_sketch"][0]("/root/testdata/sf0.001")
+        text = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                             columns=["text"]).column("text").to_pylist()
+        c = collections.Counter()
+        for s in text:
+            c.update(re.findall(r"[a-z0-9]+", s.lower()))
+        n = got.column("n")[0].as_py()
+        assert n == sum(c.values())
+        eps_n = np.e / 2048 * n
+        for r in got.to_pylist():
+            true = c.get(r["key"], 0)
+            assert true <= r["est"] <= true + eps_n
