@@ -6607,6 +6607,346 @@ def q_token_freq_sketch(sf_dir: str):
         column="text", probes=probes, tokenize=True)
 
 
+def q_pagerank_iter(sf_dir: str):
+    """One EXACT PageRank-style message-passing iteration over the
+    customer→supplier purchase graph — the graph-propagation primitive
+    (kmeans_iter is the centroid iteration, dedup_clusters the
+    connected components; this is the third iterative-algorithm
+    family: a full PageRank is this query looped with ranks swapped).
+    Every supplier receives sum(1e6 // outdeg(c)) over its DISTINCT
+    customer edges — integer-permille quantized (floor division) so
+    both engines agree bit-for-bit with no float mass drift.
+
+    Plan: edges come from ONE fact×fact hash-shuffle join
+    (orders⨝lineitem on orderkey, both sides projected to 2 ints),
+    then ONE customer-bucket cogroup dedups edges exactly (a
+    customer's edges co-locate), computes outdeg locally, and emits
+    per-supplier partial sums — the degree never ships, only
+    fixed-width (supplier, ppm) partials fold at the driver.
+    """
+    import numpy as np
+    from .joins import hash_join
+
+    n_orders = _nrows(sf_dir, "orders")
+    n_li = _nrows(sf_dir, "lineitem")
+    n_buckets = adaptive_buckets(n_li)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    joined = hash_join(li, orders, on="l_orderkey",
+                       right_on="o_orderkey",
+                       num_partitions=max(4, (n_orders + n_li)
+                                          // 500_000 + 1))
+
+    def tag(t: pa.Table) -> pa.Table:
+        # local distinct (cust, supp) shrinks the shuffle; the bucket
+        # cogroup dedups exactly
+        d = t.select(["o_custkey", "l_suppkey"]) \
+            .group_by(["o_custkey", "l_suppkey"]).aggregate([])
+        return d.append_column(
+            "bucket", int_bucket(d.column("o_custkey"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        c = g.column("o_custkey").to_numpy(zero_copy_only=False)
+        s = g.column("l_suppkey").to_numpy(zero_copy_only=False)
+        # exact dedup inside the bucket
+        pairs = np.stack([c, s], axis=1)
+        pairs = np.unique(pairs, axis=0)
+        c, s = pairs[:, 0], pairs[:, 1]
+        cu, cinv = np.unique(c, return_inverse=True)
+        outdeg = np.bincount(cinv)
+        ppm = 1_000_000 // outdeg[cinv]
+        su, sinv = np.unique(s, return_inverse=True)
+        tot = np.bincount(sinv, weights=ppm.astype(np.float64)) \
+            .astype(np.int64)
+        return pa.table({"l_suppkey": pa.array(su, pa.int64()),
+                         "ppm": pa.array(tot, pa.int64())})
+
+    small = joined.map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    return _combine_partials(small, ["l_suppkey"], {"ppm": "rank_ppm"})
+
+
+SQL_PAGERANK_ITER = """WITH edges AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+deg AS (SELECT c, COUNT(*) AS d FROM edges GROUP BY 1)
+SELECT s AS l_suppkey, CAST(SUM(1000000 // d) AS BIGINT) AS rank_ppm
+FROM edges JOIN deg USING (c) GROUP BY 1"""
+
+
+def q_dense_rank_rows(sf_dir: str):
+    """DENSE_RANK retrieval WITH ties: every event whose value sits in
+    its type's top-3 DISTINCT values — `dense_topk` returns the
+    distinct VALUES, `topk_per_user` exactly k rows; this returns ALL
+    rows occupying the top value classes (ties included), the "show
+    me every record at the best three price points" shape. The top-3
+    distinct set is ASSOCIATIVE (top-3 distinct of a union = top-3
+    distinct of partial top-3s), so pass 1 folds <= 3 rows per
+    (batch, type) partials into a tiny driver threshold/rank table and
+    pass 2 is a narrow broadcast filter-back — no shuffle, no
+    self-join.
+    """
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v) & pc.is_valid(t.column("event_type")) \
+            .to_numpy(zero_copy_only=False)
+        cents = np.floor(v[ok] * 100.0).astype(np.int64)
+        et = t.column("event_type").filter(pa.array(ok)) \
+            .combine_chunks()
+        enc = pc.dictionary_encode(et)
+        code = enc.indices.to_numpy(zero_copy_only=False)
+        # per type: top-3 distinct local cents
+        pairs = np.unique(np.stack([code.astype(np.int64), cents],
+                                   axis=1), axis=0)
+        keep = np.zeros(len(pairs), bool)
+        # pairs sorted by (code, cents) asc: the top-3 of each code
+        # run are its LAST 3 rows
+        cd = pairs[:, 0]
+        last = np.flatnonzero(np.append(cd[1:] != cd[:-1], True))
+        for off in range(3):
+            idx = last - off
+            valid = idx >= 0
+            # an index may step into the previous code's run; mask it
+            valid &= cd[idx.clip(0)] == cd[last]
+            keep[idx[valid]] = True
+        sel = pairs[keep]
+        return pa.table({
+            "event_type": pc.take(enc.dictionary,
+                                  pa.array(sel[:, 0], pa.int32())),
+            "cents": pa.array(sel[:, 1], pa.int64())})
+
+    folded = _combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "cents"], {"cents": "c2"}).drop_columns(["c2"])
+    et = folded.column("event_type").to_pylist()
+    cv = folded.column("cents").to_pylist()
+    by_type: dict[str, list[int]] = {}
+    for ty, v in zip(et, cv):
+        by_type.setdefault(ty, []).append(v)
+    keys, rnks = [], []
+    for ty, vals in by_type.items():
+        for r, v in enumerate(sorted(set(vals), reverse=True)[:3], 1):
+            keys.append(f"{ty}|{v}")
+            rnks.append(r)
+    key_arr = pa.array(keys, pa.string())
+    rnk_arr = pa.array(rnks, pa.int64())
+
+    def mark(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v) & pc.is_valid(t.column("event_type")) \
+            .to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ok))
+        cents = np.floor(v[ok] * 100.0).astype(np.int64)
+        k = pc.binary_join_element_wise(
+            sub.column("event_type").combine_chunks(),
+            pc.cast(pa.array(cents, pa.int64()), pa.string()), "|")
+        idx = pc.index_in(k, value_set=key_arr)
+        hit = pc.is_valid(idx)
+        out = pa.table({
+            "event_id": sub.column("event_id"),
+            "event_type": sub.column("event_type"),
+            "value_cents": pa.array(cents, pa.int64()),
+            "drnk": pc.take(rnk_arr, idx)})
+        return out.filter(hit)
+
+    return ds.map_batches(mark, batch_format="pyarrow")
+
+
+SQL_DENSE_RANK_ROWS = """WITH e AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL)
+SELECT event_id, event_type, cents AS value_cents,
+  CAST(DENSE_RANK() OVER (PARTITION BY event_type
+       ORDER BY cents DESC) AS BIGINT) AS drnk
+FROM e QUALIFY drnk <= 3"""
+
+
+def q_time_weighted_median(sf_dir: str):
+    """Time-weighted MEDIAN gauge value per type: the smallest cents
+    value whose cumulative HELD-SECONDS weight reaches half the
+    type's total — the order-statistic complement of
+    `time_weighted_value`'s mean (a gauge that idles at 0 for an hour
+    then spikes for a second has median 0, mean near 0, max high).
+    Weighted quantiles decompose exactly like the count-weighted ones:
+    the user-bucket cogroup emits (type, cents, held_s) partials
+    (bounded by types x distinct quanta), the driver folds weights and
+    reads the smallest cents with cum >= ceil(total/2).
+    """
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = pa.array(~np.isnan(v)
+                      & pc.is_valid(t.column("user_id"))
+                      .to_numpy(zero_copy_only=False)
+                      & pc.is_valid(t.column("ts"))
+                      .to_numpy(zero_copy_only=False))
+        sub = pa.table({"u": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64()),
+                        "eid": t.column("event_id"),
+                        "et": t.column("event_type"),
+                        "cents": pa.array(
+                            np.floor(v * 100.0), pa.float64())}) \
+            .filter(ok)
+        sub = sub.set_column(4, "cents",
+                             pc.cast(sub.column("cents"), pa.int64()))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        cents = g.column("cents").to_numpy(zero_copy_only=False)
+        et = g.column("et").combine_chunks()
+        order, new_run, gap = _lag_scaffold([u], ts, eid)
+        has_next = ~new_run[1:]
+        held_s = gap[1:][has_next] // 1_000_000
+        src = order[:-1][has_next]
+        tt = pa.table({"event_type": et.take(pa.array(src, pa.int64())),
+                       "cents": pa.array(cents[src], pa.int64()),
+                       "w": pa.array(held_s, pa.int64())})
+        gg = tt.group_by(["event_type", "cents"]).aggregate(
+            [("w", "sum")])
+        return pa.table({"event_type": gg.column("event_type"),
+                         "cents": gg.column("cents"),
+                         "w": gg.column("w_sum")})
+
+    small = _read(sf_dir, "events",
+                  ["event_id", "user_id", "ts", "event_type", "value"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    folded = _combine_partials(small, ["event_type", "cents"],
+                               {"w": "w"})
+    et = folded.column("event_type").to_pylist()
+    cv = folded.column("cents").to_numpy(zero_copy_only=False)
+    wv = folded.column("w").to_numpy(zero_copy_only=False)
+    out_t, out_m, out_tot = [], [], []
+    for ty in sorted(set(et)):
+        mask = np.array([x == ty for x in et])
+        c, w = cv[mask], wv[mask]
+        o = np.argsort(c)
+        c, w = c[o], w[o]
+        cum = np.cumsum(w)
+        tot = int(cum[-1]) if len(cum) else 0
+        thr = (tot + 1) // 2
+        pos = int(np.searchsorted(cum, thr))
+        out_t.append(ty)
+        out_m.append(int(c[min(pos, len(c) - 1)]))
+        out_tot.append(tot)
+    return pa.table({"event_type": pa.array(out_t, pa.string()),
+                     "median_cents": pa.array(out_m, pa.int64()),
+                     "total_s": pa.array(out_tot, pa.int64())})
+
+
+SQL_TIME_WEIGHTED_MEDIAN = """WITH s AS (
+  SELECT user_id, event_type,
+    CAST(floor(value * 100) AS BIGINT) AS cents,
+    date_diff('microseconds', ts,
+      LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      // 1000000 AS held_s
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL),
+w AS (SELECT event_type, cents, CAST(SUM(held_s) AS BIGINT) AS w
+      FROM s WHERE held_s IS NOT NULL GROUP BY 1, 2),
+c AS (SELECT event_type, cents, w,
+        SUM(w) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+        SUM(w) OVER (PARTITION BY event_type) AS tot
+      FROM w)
+SELECT event_type,
+  CAST(MIN(CASE WHEN cum >= (tot + 1) // 2 THEN cents END)
+       AS BIGINT) AS median_cents,
+  CAST(MAX(tot) AS BIGINT) AS total_s
+FROM c GROUP BY 1"""
+
+
+def q_funnel_steps(sf_dir: str):
+    """Three-step strictly-ordered funnel per user: first 'view', then
+    the first 'click' STRICTLY AFTER it, then the first 'purchase'
+    strictly after that — the sequential-pattern match
+    (`funnel_conversion` is the 2-step windowed variant; this is the
+    n-step dependent chain, where each step's anchor is the PREVIOUS
+    step's result, not a fixed window). One user-bucket shuffle; per
+    bucket each step is one masked ``np.minimum.at`` against the
+    previous step's per-user anchor — vectorized, step count x O(rows),
+    no per-user loop. Users missing a step carry NULL from that step
+    on (LEFT-join chain semantics).
+    """
+    import numpy as np
+
+    STEPS = ["view", "click", "purchase"]
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t.column("user_id")),
+                               pc.is_valid(t.column("ts"))),
+                       pc.is_in(t.column("event_type"),
+                                value_set=pa.array(STEPS, pa.string())))
+        sub = pa.table({"u": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64()),
+                        "et": t.column("event_type")}).filter(keep)
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    BIG = np.iinfo(np.int64).max
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        et = g.column("et").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(u, return_inverse=True)
+        anchors = []
+        prev = np.full(len(uniq), -1, np.int64)  # ts > -1 always true
+        for step in STEPS:
+            cur = np.full(len(uniq), BIG, np.int64)
+            m = (et == step) & (ts > prev[inv])
+            np.minimum.at(cur, inv[m], ts[m])
+            anchors.append(cur)
+            prev = cur
+        t1, t2, t3 = anchors
+        has1 = t1 < BIG
+        return pa.table({
+            "user_id": pa.array(uniq[has1], pa.int64()),
+            "t1": pa.array(t1[has1], pa.int64()),
+            "t2": pa.array(t2[has1], pa.int64(), mask=t2[has1] == BIG),
+            "t3": pa.array(t3[has1], pa.int64(),
+                           mask=t3[has1] == BIG)})
+
+    out = pa.concat_tables(list(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")),
+        promote_options="default")
+    return pa.table({
+        "user_id": out.column("user_id"),
+        "t1": pc.cast(out.column("t1"), pa.timestamp("us")),
+        "t2": pc.cast(out.column("t2"), pa.timestamp("us")),
+        "t3": pc.cast(out.column("t3"), pa.timestamp("us"))})
+
+
+SQL_FUNNEL_STEPS = """WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL
+    AND ts IS NOT NULL GROUP BY 1),
+c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+SELECT v.user_id, v.t1, c.t2, p.t3
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -6742,6 +7082,11 @@ QUERIES = {
     "grouping_sets_mix": (q_grouping_sets_mix, SQL_GROUPING_SETS_MIX),
     "orders_no_lines": (q_orders_no_lines, SQL_ORDERS_NO_LINES),
     "error_report": (q_error_report, SQL_ERROR_REPORT),
+    "pagerank_iter": (q_pagerank_iter, SQL_PAGERANK_ITER),
+    "dense_rank_rows": (q_dense_rank_rows, SQL_DENSE_RANK_ROWS),
+    "time_weighted_median": (q_time_weighted_median,
+                             SQL_TIME_WEIGHTED_MEDIAN),
+    "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
     "union_sources": (q_union_sources, SQL_UNION_SOURCES),
     "time_weighted_value": (q_time_weighted_value,
                             SQL_TIME_WEIGHTED_VALUE),
