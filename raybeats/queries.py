@@ -6947,6 +6947,310 @@ SELECT v.user_id, v.t1, c.t2, p.t3
 FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
 
 
+def q_nested_quantiles(sf_dir: str):
+    """NESTED order statistics: each user's EXACT p95 value, then the
+    median and p95 of that per-user distribution — "what does a
+    typical user's tail look like", the two-level fleet-latency shape
+    (`quantiles` is one global level; this composes entity-local order
+    statistics under a population-level one). Level 1 is exact on raw
+    cents inside the user-bucket cogroup (users co-locate — the
+    `median_gap_per_user` contract); each bucket ships (p95, count)
+    partials bounded by its distinct p95 values; level 2 reads the
+    population quantiles off the folded CDF with the repo's single
+    selection rule (`aggregates.quantile_from_cdf` — both levels, so
+    the SQL CEIL expression matches bit-for-bit).
+    """
+    import numpy as np
+    from .aggregates import quantile_from_cdf
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = pa.array(~np.isnan(v)
+                      & pc.is_valid(t.column("user_id"))
+                      .to_numpy(zero_copy_only=False))
+        sub = pa.table({"u": t.column("user_id"),
+                        "cents": pa.array(np.floor(v * 100.0),
+                                          pa.float64())}).filter(ok)
+        sub = sub.set_column(1, "cents",
+                             pc.cast(sub.column("cents"), pa.int64()))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        c = g.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, u))
+        us, cs = u[order], c[order]
+        new_u = np.empty(len(us), bool)
+        new_u[0] = True
+        new_u[1:] = us[1:] != us[:-1]
+        starts = np.flatnonzero(new_u)
+        ends = np.append(starts[1:], len(us))
+        n_u = ends - starts
+        # per user: smallest cents with rank >= ceil(0.95 * n) — the
+        # shared selection rule on the user's sorted run
+        pos = starts + np.ceil(0.95 * n_u).astype(np.int64) - 1
+        p95 = cs[pos]
+        uniq, cnt = np.unique(p95, return_counts=True)
+        return pa.table({"p95": pa.array(uniq, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64),
+                                         pa.int64())})
+
+    folded = _combine_partials(
+        _read(sf_dir, "events", ["user_id", "value"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow"),
+        ["p95"], {"cnt": "cnt"})
+    vals = folded.column("p95").to_numpy(zero_copy_only=False)
+    cnts = folded.column("cnt").to_numpy(zero_copy_only=False)
+    order = np.argsort(vals)
+    uniq, cum = vals[order], np.cumsum(cnts[order])
+    return pa.table({
+        "n_users": pa.array([int(cum[-1])], pa.int64()),
+        "med_user_p95": pa.array([quantile_from_cdf(uniq, cum, 0.5)],
+                                 pa.int64()),
+        "p95_user_p95": pa.array([quantile_from_cdf(uniq, cum, 0.95)],
+                                 pa.int64())})
+
+
+SQL_NESTED_QUANTILES = """WITH c AS (
+  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS q
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+g AS (SELECT user_id, q, COUNT(*) AS cnt FROM c GROUP BY 1, 2),
+s AS (SELECT user_id, q,
+        SUM(cnt) OVER (PARTITION BY user_id ORDER BY q) AS cum,
+        SUM(cnt) OVER (PARTITION BY user_id) AS total FROM g),
+up AS (SELECT user_id,
+         MIN(CASE WHEN cum >= CEIL(0.95 * total) THEN q END) AS p95
+       FROM s GROUP BY 1),
+g2 AS (SELECT p95, COUNT(*) AS cnt FROM up GROUP BY 1),
+s2 AS (SELECT p95, SUM(cnt) OVER (ORDER BY p95) AS cum,
+         SUM(cnt) OVER () AS total FROM g2)
+SELECT CAST(MAX(total) AS BIGINT) AS n_users,
+  CAST(MIN(CASE WHEN cum >= CEIL(0.5 * total) THEN p95 END)
+       AS BIGINT) AS med_user_p95,
+  CAST(MIN(CASE WHEN cum >= CEIL(0.95 * total) THEN p95 END)
+       AS BIGINT) AS p95_user_p95
+FROM s2"""
+
+
+def q_power_iter(sf_dir: str):
+    """One EXACT power-method iteration on the embedding Gram matrix:
+    ``y = X^T (X @ 1)`` over int64-quantized components — the dominant-
+    eigenvector step of PCA/spectral methods, and the fourth iterative
+    family (kmeans = centroids, pagerank = graph, dedup_clusters = CC,
+    this = linear algebra; a full power method loops it with the
+    normalized y as the next probe). Quantization (round(v * 1e6))
+    makes the matrix-vector fold integer-exact on both engines.
+    Narrow: each batch reshapes its list column once (slice-aware
+    flatten), emits ONE dim-length partial row set; the driver folds
+    blocks x dim ints. Nothing shuffles, nothing materializes.
+    """
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding")
+        emb = emb.combine_chunks() if isinstance(
+            emb, pa.ChunkedArray) else emb
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        n = len(emb)
+        if n == 0:
+            return pa.table({"idx": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64())})
+        d = len(flat) // n
+        q = np.round(flat.astype(np.float64) * 1e6) \
+            .astype(np.int64).reshape(n, d)
+        s = q.sum(axis=1)  # X @ 1, exact
+        y = (q * s[:, None]).sum(axis=0)  # X^T s, exact
+        return pa.table({"idx": pa.array(np.arange(1, d + 1), pa.int64()),
+                         "y": pa.array(y, pa.int64())})
+
+    return _combine_partials(
+        _read(sf_dir, "embeddings", ["embedding"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["idx"], {"y": "y"})
+
+
+SQL_POWER_ITER = """WITH q AS (
+  SELECT vec_id,
+    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+         AS BIGINT) AS qv,
+    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i
+  FROM embeddings),
+s AS (SELECT vec_id, CAST(SUM(qv) AS BIGINT) AS s FROM q GROUP BY 1)
+SELECT q.i AS idx, CAST(SUM(q.qv * s.s) AS BIGINT) AS y
+FROM q JOIN s USING (vec_id) GROUP BY 1"""
+
+
+def q_source_vocab_overlap(sf_dir: str):
+    """Pairwise Jaccard overlap BETWEEN GROUP vocabularies: for every
+    source pair, |Va n Vb| and |Va u Vb| over distinct token sets —
+    corpus-mixture redundancy ("is src3 just src7 re-crawled?"), the
+    set-similarity-between-GROUPS shape (minhash/jaccard dedup compares
+    documents; this compares whole strata). Tokens partition disjointly
+    by hash (the `vocab_per_source` contract), so ONE token-bucket
+    cogroup sees every source a token occurs in: it emits C(m, 2)
+    pair partials (vectorized repeat/aranges explode — the
+    `cooccurrence` kernel shape) plus per-source distinct counts, and
+    both fold exactly because no token spans two buckets. Pair space
+    is sources^2 — a group-key cardinality, not a corpus one.
+    """
+    import numpy as np
+    from .textops.analysis import flat_tokens
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "documents"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        row_id, toks, _ = flat_tokens(t.column("text"))
+        src = t.column("source").combine_chunks() \
+            .take(pa.array(row_id, pa.int64()))
+        tt = pa.table({"source": src, "token": toks})
+        d = tt.group_by(["source", "token"]).aggregate([])
+        return d.append_column(
+            "bucket", fnv1a_bucket(d.column("token"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        d = g.group_by(["source", "token"]).aggregate([])
+        src = d.column("source").to_numpy(zero_copy_only=False)
+        tok = d.column("token").to_numpy(zero_copy_only=False)
+        _, tcode = np.unique(tok, return_inverse=True)
+        scode_u, scode = np.unique(src, return_inverse=True)
+        order = np.lexsort((scode, tcode))
+        tc, sc = tcode[order], scode[order]
+        # C(m, 2) explode per token run — the `cooccurrence`
+        # repeat/arange kernel: element e of a run pairs with the
+        # (remaining) elements after it; sources sort asc inside the
+        # run so a < b holds positionally
+        starts = np.flatnonzero(np.append(True, tc[1:] != tc[:-1])) \
+            if len(tc) else np.array([], np.int64)
+        cnts = np.diff(np.append(starts, len(tc)))
+        run_of = np.repeat(np.arange(len(starts)), cnts)
+        pos = np.arange(len(tc)) - starts[run_of]
+        reps = cnts[run_of] - pos - 1
+        lefts = np.repeat(np.arange(len(tc)), reps)
+        tot = int(reps.sum())
+        block = np.concatenate([[0], np.cumsum(reps)[:-1]]).astype(
+            np.int64) if len(reps) else np.array([], np.int64)
+        rights = lefts + 1 + (np.arange(tot) - np.repeat(block, reps))
+        k = len(scode_u) + 1
+        pair = sc[lefts] * np.int64(k) + sc[rights]
+        uniq, n = np.unique(pair, return_counts=True)
+        a = (uniq // k).astype(np.int64)
+        b = (uniq % k).astype(np.int64)
+        sz = np.bincount(sc, minlength=len(scode_u)).astype(np.int64)
+        # per-source distinct sizes ride along as (source, "") rows
+        return pa.table({
+            "src_a": pa.concat_arrays([
+                pc.take(pa.array(scode_u), pa.array(a, pa.int64())),
+                pa.array(scode_u, pa.string())]),
+            "src_b": pa.concat_arrays([
+                pc.take(pa.array(scode_u), pa.array(b, pa.int64())),
+                pa.array(np.repeat("", len(scode_u)), pa.string())]),
+            "n": pa.concat_arrays([
+                pa.array(n.astype(np.int64), pa.int64()),
+                pa.array(sz, pa.int64())])})
+
+    folded = _combine_partials(
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow"),
+        ["src_a", "src_b"], {"n": "n"})
+    sa = folded.column("src_a").to_pylist()
+    sb = folded.column("src_b").to_pylist()
+    nn = folded.column("n").to_numpy(zero_copy_only=False)
+    sizes = {a: int(n) for a, b, n in zip(sa, sb, nn) if b == ""}
+    out_a, out_b, out_i, out_u = [], [], [], []
+    for a, b, n in zip(sa, sb, nn):
+        if b == "":
+            continue
+        out_a.append(a)
+        out_b.append(b)
+        out_i.append(int(n))
+        out_u.append(sizes[a] + sizes[b] - int(n))
+    return pa.table({"src_a": pa.array(out_a, pa.string()),
+                     "src_b": pa.array(out_b, pa.string()),
+                     "inter": pa.array(out_i, pa.int64()),
+                     "uni": pa.array(out_u, pa.int64())})
+
+
+SQL_SOURCE_VOCAB_OVERLAP = r"""WITH t0 AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents),
+toks AS (SELECT DISTINCT source, token FROM t0),
+pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(COUNT(*) AS BIGINT) AS inter
+          FROM toks a JOIN toks b
+            ON a.token = b.token AND a.source < b.source
+          GROUP BY 1, 2),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v
+          FROM toks GROUP BY 1)
+SELECT src_a, src_b, inter, sa.v + sb.v - inter AS uni
+FROM pairs
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b"""
+
+
+def q_customers_full_coverage(sf_dir: str):
+    """Relational DIVISION ("for all"): customers whose orders span
+    EVERY distinct order priority — the classic universal-quantifier
+    query no other catalog entry expresses (semi/anti joins are
+    EXISTS/NOT EXISTS; this is FORALL, done as count-distinct =
+    global-distinct-count). Per-batch distinct (cust, priority) pairs
+    shrink the exchange; ONE customer-bucket cogroup counts exact
+    distinct priorities per customer (pairs co-locate); the divisor —
+    the global distinct priority count — folds from tiny per-batch
+    distinct lists. Output: the qualifying customer keys.
+    """
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "orders"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        d = t.select(["o_custkey", "o_orderpriority"]) \
+            .group_by(["o_custkey", "o_orderpriority"]).aggregate([])
+        return d.append_column(
+            "bucket", int_bucket(d.column("o_custkey"), n_buckets))
+
+    # divisor: global distinct priorities (tiny fold; its own small
+    # execution — the filter threshold must exist before the cogroup)
+    def prios(t: pa.Table) -> pa.Table:
+        d = t.select(["o_orderpriority"]) \
+            .group_by("o_orderpriority").aggregate([])
+        return d.append_column("one", pa.array([1] * d.num_rows,
+                                               pa.int64()))
+
+    n_prio = _combine_partials(
+        _read(sf_dir, "orders", ["o_orderpriority"])
+        .map_batches(prios, batch_format="pyarrow"),
+        ["o_orderpriority"], {"one": "one"}).num_rows
+
+    def grp(g: pa.Table) -> pa.Table:
+        d = g.group_by(["o_custkey", "o_orderpriority"]).aggregate([])
+        cnt = d.group_by("o_custkey").aggregate(
+            [("o_orderpriority", "count")])
+        full = cnt.filter(pc.equal(cnt.column("o_orderpriority_count"),
+                                   n_prio))
+        return pa.table({"o_custkey": full.column("o_custkey")})
+
+    out = pa.concat_tables(list(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")),
+        promote_options="default")
+    return out
+
+
+SQL_CUSTOMERS_FULL_COVERAGE = """
+SELECT o_custkey FROM orders
+GROUP BY o_custkey
+HAVING COUNT(DISTINCT o_orderpriority) =
+  (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -7082,6 +7386,12 @@ QUERIES = {
     "grouping_sets_mix": (q_grouping_sets_mix, SQL_GROUPING_SETS_MIX),
     "orders_no_lines": (q_orders_no_lines, SQL_ORDERS_NO_LINES),
     "error_report": (q_error_report, SQL_ERROR_REPORT),
+    "nested_quantiles": (q_nested_quantiles, SQL_NESTED_QUANTILES),
+    "power_iter": (q_power_iter, SQL_POWER_ITER),
+    "source_vocab_overlap": (q_source_vocab_overlap,
+                             SQL_SOURCE_VOCAB_OVERLAP),
+    "customers_full_coverage": (q_customers_full_coverage,
+                                SQL_CUSTOMERS_FULL_COVERAGE),
     "pagerank_iter": (q_pagerank_iter, SQL_PAGERANK_ITER),
     "dense_rank_rows": (q_dense_rank_rows, SQL_DENSE_RANK_ROWS),
     "time_weighted_median": (q_time_weighted_median,
