@@ -1071,3 +1071,202 @@ def interval_point_join(points_ds, intervals_ds, *, value_col: str,
 
     return tagged.groupby("__bkt").map_groups(join_group,
                                               batch_format="pyarrow")
+
+
+def _run_positions(lens: np.ndarray) -> np.ndarray:
+    """0..len-1 position index within each run of the given lengths
+    (vectorized): [2, 3] → [0, 1, 0, 1, 2]."""
+    if not len(lens):
+        return np.array([], np.int64)
+    starts = np.cumsum(lens) - lens
+    return np.arange(int(lens.sum())) - np.repeat(starts, lens)
+
+
+def _codepoint_matrix(vals: np.ndarray) -> tuple[np.ndarray, int]:
+    """Strings → (n, W) uint32 CODEPOINT matrix (numpy UCS-4 view, so
+    multi-byte UTF-8 never splits — edit distance stays character-
+    level like SQL ``levenshtein``), zero-padded to the widest string.
+    Returns (matrix, W)."""
+    u = vals.astype("U")  # fixed-width UCS4, zero-padded
+    w = u.dtype.itemsize // 4
+    if w == 0:  # all-empty input
+        return np.zeros((len(u), 0), np.uint32), 0
+    return u.view(np.uint32).reshape(len(u), w), w
+
+
+def _verify_edit1(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized EXACT edit-distance-==-1 check for candidate string
+    pairs (object arrays of equal length). Pairs are split by the
+    (len(a), len(b)) class: equal length → hamming == 1 (one padded
+    codepoint-matrix compare); |len| diff == 1 → one-char-deletion
+    match via two cumprods (prefix-equal and suffix-aligned-equal);
+    any other length gap can never be distance 1. No python loop over
+    pairs — classes are O(distinct lengths), not O(pairs)."""
+    out = np.zeros(len(a), bool)
+    if not len(a):
+        return out
+    la = np.fromiter((len(x) for x in a), np.int64, len(a))
+    lb = np.fromiter((len(x) for x in b), np.int64, len(b))
+    # --- substitution class: equal lengths, hamming distance == 1
+    eq = la == lb
+    if eq.any():
+        ma, _ = _codepoint_matrix(a[eq])
+        mb, _ = _codepoint_matrix(b[eq])
+        w = min(ma.shape[1], mb.shape[1])
+        # widths can differ only via padding; padded tails compare
+        # equal (both zero) for same-length strings
+        out[np.flatnonzero(eq)] = (
+            (ma[:, :w] != mb[:, :w]).sum(1)
+            + (ma[:, w:] != 0).sum(1) + (mb[:, w:] != 0).sum(1)) == 1
+    # --- indel class: length gap exactly 1 (long l, short s)
+    gap1 = np.abs(la - lb) == 1
+    if gap1.any():
+        idx = np.flatnonzero(gap1)
+        swap = lb[idx] > la[idx]
+        longv = np.where(swap, b[idx], a[idx])
+        shortv = np.where(swap, a[idx], b[idx])
+        ml, _ = _codepoint_matrix(longv)
+        ms, _ = _codepoint_matrix(shortv)
+        ls = np.fromiter((len(x) for x in shortv), np.int64,
+                         len(shortv))
+        w = ls.max() if len(ls) else 0
+        if ml.shape[1] < w + 1:
+            ml = np.pad(ml, ((0, 0), (0, w + 1 - ml.shape[1])))
+        if ms.shape[1] < w:
+            ms = np.pad(ms, ((0, 0), (0, w - ms.shape[1])))
+        cols = np.arange(w)
+        inside = cols[None, :] < ls[:, None]
+        # P[:, k]: long[:k] == short[:k]; R[:, k]: long[k+1:] == short[k:]
+        pre = np.logical_or(ml[:, :w] == ms[:, :w], ~inside)
+        P = np.cumprod(pre, 1, dtype=bool)
+        suf = np.logical_or(ml[:, 1:w + 1] == ms[:, :w], ~inside)
+        R = np.flip(np.cumprod(np.flip(suf, 1), 1, dtype=bool), 1)
+        # deleting long[k] works iff prefix before k and suffix from k
+        # both match, for some k in [0, len(short)]; k == len(short)
+        # means the deleted char is long's last
+        kmatch = np.concatenate(
+            [np.ones((len(ls), 1), bool), P[:, :w]], 1) \
+            & np.concatenate([R, np.ones((len(ls), 1), bool)], 1)
+        out[idx] = np.logical_and(
+            kmatch, np.arange(w + 1)[None, :] <= ls[:, None]).any(1)
+    return out
+
+
+def edit1_self_join(ds, *, on: str, n_buckets: int | None = None):
+    """Fuzzy self-join: all unordered pairs of DISTINCT string values
+    of ``on`` at Levenshtein distance EXACTLY 1 (the record-linkage /
+    typo-blocking primitive; SQL spells it ``levenshtein(a,b)=1`` over
+    a V² cross join).
+
+    Scale shape — deletion-neighborhood blocking: every value ``s``
+    emits ``len(s)+1`` blocking keys (``s`` itself plus each one-char
+    deletion, deduplicated per string). Two values are within edit
+    distance 1 IFF they share a key — indel pairs meet AT the shorter
+    string, substitution pairs at the common deletion — so blocking
+    has no false negatives, and shuffle volume is (avg_len+1)×V,
+    linear in the corpus, vs the naive all-pairs V² scan. Collisions
+    (keys shared by distance-2 pairs, e.g. "ab"/"ba" share "a") cost
+    only the exact vectorized verify.
+
+    EXACTLY-ONCE without a dedup pass: a distance-1 pair shares
+    EXACTLY ONE key once each string's key set is deduplicated —
+    an indel pair's only common key is the shorter string (all other
+    keys differ in length), and a substitution pair's only common key
+    is the deletion at the single mismatch position — so each pair is
+    found in precisely one key group and the single keyed shuffle is
+    the whole join. Duplicate VALUES (across rows or batches) collapse
+    inside the group kernel's per-key ``np.unique``, which also makes
+    per-batch pre-distinct merely an optimization, never a correctness
+    requirement.
+
+    Returns (name_a, name_b) with name_a < name_b. NULL values never
+    match (SQL join semantics). O(V·len) generation, O(candidates)
+    verify; group sizes are bounded by key collision counts (strings
+    within distance 1 of a common deletion), not the corpus."""
+    schema = getattr(ds.schema(), "base_schema", ds.schema())
+    if on not in schema.names:
+        raise ValueError(f"no column {on!r} in input")
+
+    def gen_keys(t: pa.Table) -> pa.Table:
+        col = t.column(on)
+        vals = pc.unique(pc.drop_null(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+            else col)).to_numpy(zero_copy_only=False)
+        if not len(vals):
+            return pa.table({"key": pa.array([], pa.string()),
+                             "val": pa.array([], pa.string())})
+        lens = np.fromiter((len(v) for v in vals), np.int64, len(vals))
+        keys = [vals]  # the string itself is always a key
+        owners = [np.arange(len(vals))]
+        for L in np.unique(lens):
+            sel = np.flatnonzero(lens == L)
+            if L == 0:
+                continue
+            if L == 1:
+                keys.append(np.full(len(sel), "", object))
+                owners.append(sel)
+                continue
+            m, _ = _codepoint_matrix(vals[sel])
+            m = m[:, :L]
+            for i in range(L):
+                md = np.ascontiguousarray(
+                    np.concatenate([m[:, :i], m[:, i + 1:]], 1))
+                keys.append(md.view(f"<U{L - 1}").ravel()
+                            .astype(object))
+                owners.append(sel)
+        key_arr = np.concatenate(keys)
+        own_arr = np.concatenate(owners)
+        # dedup (key, owner): repeated-char runs yield identical
+        # deletions — the exactly-once guarantee needs one key per pair
+        uniq = np.unique(
+            np.stack([key_arr.astype("U"), vals[own_arr].astype("U")],
+                     axis=1), axis=0)
+        return pa.table({"key": pa.array(uniq[:, 0], pa.string()),
+                         "val": pa.array(uniq[:, 1], pa.string())})
+
+    nb = n_buckets or 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket",
+                               fnv1a_bucket(t.column("key"), nb))
+
+    def pairs_group(g: pa.Table) -> pa.Table:
+        k = g.column("key").to_numpy(zero_copy_only=False)
+        v = g.column("val").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v.astype("U"), k.astype("U")))
+        k, v = k[order], v[order]
+        # drop duplicate (key, val) rows arriving from different batches
+        keep = np.append(True, (k[1:] != k[:-1]) | (v[1:] != v[:-1]))
+        k, v = k[keep], v[keep]
+        new_run = np.append(True, k[1:] != k[:-1])
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, len(k)))
+        # triangle explode per run (the cooccurrence kernel shape)
+        m = lens[lens >= 2]
+        st = starts[lens >= 2]
+        if not len(m):
+            return pa.table({"name_a": pa.array([], pa.string()),
+                             "name_b": pa.array([], pa.string())})
+        # repeat/arange triangle explode (the cooccurrence kernel):
+        # element at run position p pairs with the cnt-p-1 that follow
+        sel = np.repeat(st, m) + _run_positions(m)
+        run_of = np.repeat(np.arange(len(m)), m)
+        pos = _run_positions(m)
+        reps = m[run_of] - pos - 1
+        lefts = np.repeat(sel, reps)
+        tot = int(reps.sum())
+        block = (np.cumsum(reps) - reps).astype(np.int64)
+        rights = lefts + 1 + (np.arange(tot) - np.repeat(block, reps))
+        ai = v[lefts]
+        bj = v[rights]
+        ok = _verify_edit1(ai, bj)
+        ai, bj = ai[ok], bj[ok]
+        lo = np.where(ai.astype("U") < bj.astype("U"), ai, bj)
+        hi = np.where(ai.astype("U") < bj.astype("U"), bj, ai)
+        return pa.table({"name_a": pa.array(lo.astype("U")),
+                         "name_b": pa.array(hi.astype("U"))})
+
+    return ds.map_batches(gen_keys, batch_format="pyarrow") \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pairs_group,
+                                      batch_format="pyarrow")

@@ -7251,6 +7251,204 @@ HAVING COUNT(DISTINCT o_orderpriority) =
   (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)"""
 
 
+def q_fuzzy_name_pairs(sf_dir: str):
+    """Fuzzy string self-join: pairs of distinct customer names at
+    Levenshtein distance EXACTLY 1 — the record-linkage / typo-blocking
+    primitive. Deletion-neighborhood blocking (:func:`joins.
+    edit1_self_join`): each name emits len+1 keys, a distance-1 pair
+    shares exactly one key, so ONE keyed shuffle finds every pair
+    exactly once with an O(candidates) vectorized codepoint verify —
+    linear shuffle volume vs the oracle's V² cross join."""
+    from .joins import edit1_self_join
+    return edit1_self_join(
+        _read_dim(sf_dir, "customer", ["c_name"]), on="c_name",
+        n_buckets=adaptive_buckets(_nrows(sf_dir, "customer")))
+
+
+SQL_FUZZY_NAME_PAIRS = """WITH c AS (
+  SELECT DISTINCT c_name FROM customer WHERE c_name IS NOT NULL)
+SELECT a.c_name AS name_a, b.c_name AS name_b
+FROM c a JOIN c b
+ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) = 1"""
+
+
+def q_trend_slope(sf_dir: str):
+    """Grouped OLS trend (``regr_slope`` family): per event type, the
+    exact integer numerator/denominator of the least-squares slope of
+    value-cents against the day index — emitted as exact int64s (the
+    ``grouped_corr`` convention) so the cross-engine hash never touches
+    a float divide. The day index rebases to the CORPUS MIN DAY read
+    from the parquet FOOTER statistics (metadata-only, no extra
+    execution; falls back to a pruned one-column scan when stats are
+    absent) — rebasing keeps n·Σxy within int64 at petabyte row counts
+    where raw epoch-day products would wrap. One streaming pass of
+    per-batch fixed-width partials, no shuffle."""
+    import numpy as np
+
+    path = f"{sf_dir}/events.parquet"
+    md = pq.read_metadata(path)
+    idx = md.schema.to_arrow_schema().get_field_index("ts")
+    lo = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            lo = None
+            break
+        lo = st.min if lo is None or st.min < lo else lo
+    if lo is None:  # stats disabled: pruned single-column min scan
+        lo = pc.min(pq.read_table(path, columns=["ts"]).column(0)) \
+            .as_py()
+    base_day = pa.scalar(lo, pa.timestamp("us")).value // 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v) & pc.is_valid(t.column("ts")) \
+            .to_numpy(zero_copy_only=False)
+        y = np.floor(v[ok] * 100.0).astype(np.int64)
+        x = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)[ok] // 86_400_000_000 \
+            - base_day
+        tt = pa.table({
+            "event_type": pc.array_filter(
+                t.column("event_type").combine_chunks(), pa.array(ok)),
+            "x": pa.array(x, pa.int64()), "y": pa.array(y, pa.int64()),
+            "xx": pa.array(x * x, pa.int64()),
+            "xy": pa.array(x * y, pa.int64())})
+        g = tt.group_by("event_type").aggregate(
+            [("x", "sum"), ("y", "sum"), ("xx", "sum"), ("xy", "sum"),
+             ("x", "count")])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "sx": g.column("x_sum"), "sy": g.column("y_sum"),
+            "sxx": g.column("xx_sum"), "sxy": g.column("xy_sum"),
+            "n": pc.cast(g.column("x_count"), pa.int64())})
+
+    small = _read(sf_dir, "events", ["event_type", "value", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    comb = _combine_partials(small, ["event_type"],
+                             {"sx": "sx", "sy": "sy", "sxx": "sxx",
+                              "sxy": "sxy", "n": "n"})
+    rows = comb.to_pylist()
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows],
+                               pa.string()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+        "slope_num": pa.array(
+            [r["n"] * r["sxy"] - r["sx"] * r["sy"] for r in rows],
+            pa.int64()),
+        "slope_den": pa.array(
+            [r["n"] * r["sxx"] - r["sx"] * r["sx"] for r in rows],
+            pa.int64())})
+
+
+SQL_TREND_SLOPE = """WITH p AS (
+  SELECT event_type,
+    datediff('day',
+      (SELECT MIN(CAST(ts AS DATE)) FROM events WHERE ts IS NOT NULL),
+      CAST(ts AS DATE)) AS x,
+    CAST(FLOOR(value * 100) AS BIGINT) AS y
+  FROM events WHERE NOT isnan(value) AND ts IS NOT NULL)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS BIGINT) AS slope_num,
+  CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den
+FROM p GROUP BY event_type"""
+
+
+def q_entry_exit(sf_dir: str):
+    """Entry/exit-page analysis: per user the FIRST and LAST event type
+    under the (ts, event_id) total order, counted by (entry, exit)
+    pair. First+last is not an associative aggregate over arbitrary
+    splits, so ONE user-bucket shuffle co-locates each user; the
+    per-bucket kernel is one shared lexsort scaffold plus two gathers
+    (run starts / run ends), pre-reduced to per-bucket pair counts so
+    only types² rows per bucket reach the tiny driver combine."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = pa.table({"u": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64()),
+                        "eid": t.column("event_id"),
+                        "et": t.column("event_type")}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("ts"))))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        order, new_run, _ = _lag_scaffold([u], ts, eid)
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], len(order)) - 1
+        et = g.column("et").combine_chunks()
+        part = pa.table({
+            "entry_type": et.take(pa.array(order[starts], pa.int64())),
+            "exit_type": et.take(pa.array(order[ends], pa.int64())),
+            "one": pa.array(np.ones(len(starts), np.int64), pa.int64())})
+        gg = part.group_by(["entry_type", "exit_type"]).aggregate(
+            [("one", "sum")])
+        return pa.table({"entry_type": gg.column("entry_type"),
+                         "exit_type": gg.column("exit_type"),
+                         "n_users": gg.column("one_sum")})
+
+    small = _read(sf_dir, "events",
+                  ["event_id", "user_id", "ts", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    return _combine_partials(small, ["entry_type", "exit_type"],
+                             {"n_users": "n_users"})
+
+
+SQL_ENTRY_EXIT = """WITH o AS (
+  SELECT user_id,
+    FIRST(event_type ORDER BY ts, event_id) AS entry_type,
+    LAST(event_type ORDER BY ts, event_id) AS exit_type
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id)
+SELECT entry_type, exit_type, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM o GROUP BY entry_type, exit_type"""
+
+
+def q_conv_turn_histogram(sf_dir: str):
+    """Two-level aggregate over the flagship transcripts: conversation
+    length (turns per conv) → histogram (how many convs have each
+    length). Level 1 is the conversation_assembly conv-bucket shuffle;
+    level 2 pre-reduces to per-bucket (n_turns, count) partials so the
+    driver combine sees buckets × distinct-lengths rows, never one row
+    per conversation."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(2 * _nrows(sf_dir, "events"))
+
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "bucket", fnv1a_bucket(tbl.column("conv_id"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        per_conv = g.group_by("conv_id").aggregate([("turn_idx", "count")])
+        lens = pc.cast(per_conv.column("turn_idx_count"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(lens, return_counts=True)
+        return pa.table({"n_turns": pa.array(uniq, pa.int64()),
+                         "n_convs": pa.array(counts.astype(np.int64),
+                                             pa.int64())})
+
+    small = read_transcripts(sf_dir) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    return _combine_partials(small, ["n_turns"], {"n_convs": "n_convs"})
+
+
+SQL_CONV_TURN_HISTOGRAM = f"""{_T},
+c AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns
+      FROM transcripts GROUP BY conv_id)
+SELECT n_turns, CAST(COUNT(*) AS BIGINT) AS n_convs
+FROM c GROUP BY n_turns"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -7410,6 +7608,11 @@ QUERIES = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "value_quantile_sketch": (q_value_quantile_sketch, None),
     "type_quantile_sketch": (q_type_quantile_sketch, None),
+    "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),
+    "trend_slope": (q_trend_slope, SQL_TREND_SLOPE),
+    "entry_exit": (q_entry_exit, SQL_ENTRY_EXIT),
+    "conv_turn_histogram": (q_conv_turn_histogram,
+                            SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —
