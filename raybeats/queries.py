@@ -7449,6 +7449,234 @@ SELECT n_turns, CAST(COUNT(*) AS BIGINT) AS n_convs
 FROM c GROUP BY n_turns"""
 
 
+def q_doc_rarity(sf_dir: str):
+    """Corpus-frequency document scoring (the unigram-LM quality-signal
+    shape): per document, token count plus the SUM and MIN of each
+    token's GLOBAL corpus frequency — exact integers, so no float
+    log-prob leaves the engine. Two stages composed the scale-right
+    way: (1) global token counts via pre-aggregated partials (one row
+    per batch×distinct-token moves, never per occurrence); (2) the
+    count table broadcasts ONCE (``ray.put``) and each batch scores
+    its docs with one ``pc.index_in`` lookup + segmented
+    ``np.add/minimum.reduceat`` — no second shuffle. The broadcast
+    assumes the vocabulary fits the object store (true far past 1e8
+    types); a larger-than-memory vocab would swap stage 2 for a
+    token-keyed cogroup."""
+    import re as re_mod
+
+    import numpy as np
+    import ray
+
+    tok_re = re_mod.compile(r"[a-z0-9]+")
+
+    def tokenize(texts):
+        toks, doc_lens = [], []
+        for t in texts:
+            found = tok_re.findall((t or "").lower())
+            toks.extend(found)
+            doc_lens.append(len(found))
+        return toks, np.asarray(doc_lens, np.int64)
+
+    def count_partial(tbl: pa.Table) -> pa.Table:
+        toks, _ = tokenize(tbl.column("text").to_pylist())
+        if not toks:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        uniq, counts = np.unique(np.array(toks, object),
+                                 return_counts=True)
+        return pa.table({"token": pa.array(uniq.tolist(), pa.string()),
+                         "cnt": pa.array(counts.astype(np.int64),
+                                         pa.int64())})
+
+    counts = _combine_partials(
+        _read(sf_dir, "documents", ["text"], blocks=16)
+        .map_batches(count_partial, batch_format="pyarrow"),
+        ["token"], {"cnt": "cnt"})
+    ref = ray.put(counts)
+
+    def score(tbl: pa.Table) -> pa.Table:
+        side = ray.get(ref)
+        toks, doc_lens = tokenize(tbl.column("text").to_pylist())
+        keep = doc_lens > 0
+        if not keep.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "rarity_sum": pa.array([], pa.int64()),
+                             "rarest": pa.array([], pa.int64())})
+        idx = pc.index_in(pa.array(toks, pa.string()),
+                          side.column("token").combine_chunks())
+        cnt = side.column("cnt").to_numpy(zero_copy_only=False)[
+            idx.to_numpy(zero_copy_only=False)]
+        offs = (np.cumsum(doc_lens) - doc_lens)[keep]
+        return pa.table({
+            "doc_id": pc.array_filter(
+                tbl.column("doc_id").combine_chunks(), pa.array(keep)),
+            "n_tokens": pa.array(doc_lens[keep], pa.int64()),
+            "rarity_sum": pa.array(np.add.reduceat(cnt, offs),
+                                   pa.int64()),
+            "rarest": pa.array(np.minimum.reduceat(cnt, offs),
+                               pa.int64())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"], blocks=16) \
+        .map_batches(score, batch_format="pyarrow")
+
+
+SQL_DOC_RARITY = r"""WITH toks AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents),
+tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM toks GROUP BY token)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(tc.cnt) AS BIGINT) AS rarity_sum,
+       CAST(MIN(tc.cnt) AS BIGINT) AS rarest
+FROM toks t JOIN tc USING (token) GROUP BY t.doc_id"""
+
+
+def q_behavior_signatures(sf_dir: str):
+    """Behavioral cohorts as bitmask aggregation: each user's set of
+    event types packs into one int64 signature (bit per type, codes =
+    the sorted global type order), then a histogram of signatures —
+    "how many users share each exact behavior profile". Distinct
+    (user, type) pairs bound the one user-bucket shuffle (the
+    cooccurrence tag); the type→bit code map comes from a tiny
+    distinct-types pass (pruned single column, per-batch unique) and
+    ships in the stage closure. Bit-OR folds as a SUM over globally
+    deduplicated pair bits, exact because each (user, bit) contributes
+    once."""
+    import numpy as np
+
+    types = set()
+    for b in _read(sf_dir, "events", ["event_type"]) \
+            .map_batches(lambda t: pa.table({
+                "event_type": pc.unique(
+                    pc.drop_null(t.column("event_type")))}),
+                batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        types.update(b.column("event_type").to_pylist())
+    code = {t: i for i, t in enumerate(sorted(types))}
+    if len(code) > 62:
+        raise ValueError(f"{len(code)} event types exceed the int64 "
+                         "bitmask width; use a list signature instead")
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        d = pa.table({"u": t.column("user_id"),
+                      "event_type": t.column("event_type")}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("event_type")))) \
+            .group_by(["u", "event_type"]).aggregate([])
+        bit = np.array([1 << code[x] for x in
+                        d.column("event_type").to_pylist()], np.int64)
+        return pa.table({"u": d.column("u"),
+                         "bit": pa.array(bit, pa.int64())}) \
+            .append_column("bucket", int_bucket(d.column("u"),
+                                                n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        bit = g.column("bit").to_numpy(zero_copy_only=False)
+        order = np.lexsort((bit, u))
+        us, bs = u[order], bit[order]
+        keep = np.append(True, (us[1:] != us[:-1]) | (bs[1:] != bs[:-1]))
+        us, bs = us[keep], bs[keep]
+        starts = np.flatnonzero(np.append(True, us[1:] != us[:-1])) \
+            if len(us) else np.array([], np.int64)
+        sig = np.add.reduceat(bs, starts) if len(starts) \
+            else np.array([], np.int64)
+        uniq, counts = np.unique(sig, return_counts=True)
+        return pa.table({"signature": pa.array(uniq, pa.int64()),
+                         "n_users": pa.array(counts.astype(np.int64),
+                                             pa.int64())})
+
+    small = _read(sf_dir, "events", ["user_id", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    return _combine_partials(small, ["signature"],
+                             {"n_users": "n_users"})
+
+
+SQL_BEHAVIOR_SIGNATURES = """WITH tc AS (
+  SELECT event_type, ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS code
+  FROM (SELECT DISTINCT event_type FROM events
+        WHERE event_type IS NOT NULL)),
+ut AS (SELECT DISTINCT user_id, event_type FROM events
+       WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+sig AS (SELECT u.user_id, CAST(SUM(1 << t.code) AS BIGINT) AS signature
+        FROM ut u JOIN tc t USING (event_type) GROUP BY u.user_id)
+SELECT signature, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM sig GROUP BY signature"""
+
+
+def q_cum_distinct_types(sf_dir: str):
+    """Expanding distinct-count window: per event, how many DISTINCT
+    event types its user has used up to and including it under the
+    (ts, event_id) total order — the novelty-exposure curve. SQL needs
+    a first-occurrence flag + running sum (COUNT(DISTINCT) OVER has no
+    native form); the kernel mirrors that in two lexsorts per bucket:
+    one over (user, type, ts, id) marks first occurrences, one over
+    (user, ts, id) runs a segmented cumsum of the flags. One
+    user-bucket shuffle, all-numpy group kernel."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = pa.table({"u": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64()),
+                        "eid": t.column("event_id"),
+                        "et": pc.cast(t.column("event_type"),
+                                      pa.string())}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("ts"))))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(g.column("et").combine_chunks())
+        # a NULL type is its own window partition in SQL: sentinel code
+        tcode = pc.fill_null(enc.indices, -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # pass 1: first occurrence of each (user, type) in time order
+        o2 = np.lexsort((eid, ts, tcode, u))
+        u2, t2 = u[o2], tcode[o2]
+        first = np.append(True, (u2[1:] != u2[:-1]) | (t2[1:] != t2[:-1]))
+        flag = np.zeros(len(u), np.int64)
+        flag[o2[first]] = 1
+        # pass 2: segmented running sum of flags per user in time order
+        order, new_run, _ = _lag_scaffold([u], ts, eid)
+        f = flag[order]
+        cs = np.cumsum(f)
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, len(order)))
+        base = np.repeat(cs[starts] - f[starts], lens)
+        return pa.table({
+            "event_id": pa.array(eid[order], pa.int64()),
+            "user_id": pa.array(u[order], pa.int64()),
+            "n_types_so_far": pa.array(cs - base, pa.int64())})
+
+    return _read(sf_dir, "events",
+                 ["event_id", "user_id", "ts", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_CUM_DISTINCT_TYPES = """WITH f AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+      THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+SELECT event_id, user_id,
+  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_so_far
+FROM f"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -7611,6 +7839,11 @@ QUERIES = {
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),
     "trend_slope": (q_trend_slope, SQL_TREND_SLOPE),
     "entry_exit": (q_entry_exit, SQL_ENTRY_EXIT),
+    "doc_rarity": (q_doc_rarity, SQL_DOC_RARITY),
+    "behavior_signatures": (q_behavior_signatures,
+                            SQL_BEHAVIOR_SIGNATURES),
+    "cum_distinct_types": (q_cum_distinct_types,
+                           SQL_CUM_DISTINCT_TYPES),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
