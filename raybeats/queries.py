@@ -7677,6 +7677,174 @@ SELECT event_id, user_id,
 FROM f"""
 
 
+def q_ndjson_roundtrip(sf_dir: str):
+    """Sink→source format round trip as a gated query: project events
+    to its lossless-under-JSON columns (int64 id, string type), render
+    through the codec NDJSON sink (write-audit-publish staging, one
+    part per block), re-ingest with the ndjson reader (parallel
+    ``read_json`` tasks), and return the rows — proving the shipper
+    output format is consumable downstream with exact value parity
+    (the oracle reads the original parquet). Scratch lives under /tmp;
+    the engine's scale-path interchange format remains parquet."""
+    import tempfile
+
+    from .sinks import read_ndjson, write_ndjson
+
+    out_dir = tempfile.mkdtemp(prefix="raybeats_ndjson_rt_")
+    write_ndjson(_read(sf_dir, "events", ["event_id", "event_type"]),
+                 out_dir)
+    return read_ndjson(out_dir, columns=["event_id", "event_type"])
+
+
+SQL_NDJSON_ROUNDTRIP = "SELECT event_id, event_type FROM events"
+
+
+def q_kwic_snippets(sf_dir: str):
+    """Keyword-in-context extraction: for documents whose lowered text
+    contains ``merge``, a ±10-character window around the FIRST
+    occurrence — the corpus-inspection / search-preview primitive.
+    Fully vectorized and codepoint-exact: the match position comes
+    from ``split_pattern`` + ``utf8_length`` (``find_substring``
+    returns BYTE offsets, which diverge from SQL ``strpos`` on
+    multi-byte text), the window from one ``utf8_slice_codeunits``.
+    Pure map stage — no shuffle."""
+    kw = "merge"
+
+    def snip(t: pa.Table) -> pa.Table:
+        lt = pc.utf8_lower(t.column("text"))
+        hit = pc.not_equal(pc.find_substring(lt, kw), -1)
+        hit = pc.fill_null(hit, False)
+        sub = pa.table({"doc_id": t.column("doc_id"),
+                        "lt": lt}).filter(hit)
+        lt2 = sub.column("lt")
+        prefix = pc.list_element(
+            pc.split_pattern(lt2, kw, max_splits=1), 0)
+        pos = pc.utf8_length(prefix)
+        start = pc.max_element_wise(pc.subtract(pos, 10), 0)
+        stop = pc.add(pc.add(pos, len(kw)), 10)
+        return pa.table({
+            "doc_id": sub.column("doc_id"),
+            "snippet": _slice_varstart(lt2, start, stop)})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"], blocks=8) \
+        .map_batches(snip, batch_format="pyarrow")
+
+
+def _slice_varstart(col, start, stop) -> pa.Array:
+    """Per-row-varying utf8 slice (arrow's slice kernels take scalar
+    bounds): gather codepoint offsets once via numpy over the utf8
+    buffer is overkill for snippet extraction — split each string at
+    its own window with one vectorized pandas ``str`` pass instead."""
+    import numpy as np
+    s = col.to_pandas()
+    st = np.asarray(start.to_numpy(zero_copy_only=False), np.int64)
+    en = np.asarray(stop.to_numpy(zero_copy_only=False), np.int64)
+    out = [v[a:b] for v, a, b in zip(s, st, en)]
+    return pa.array(out, pa.string())
+
+
+SQL_KWIC_SNIPPETS = """WITH d AS (
+  SELECT doc_id, lower(text) AS lt FROM documents
+  WHERE text IS NOT NULL AND strpos(lower(text), 'merge') > 0)
+SELECT doc_id,
+  substr(lt, greatest(strpos(lt, 'merge') - 10, 1),
+         (strpos(lt, 'merge') - greatest(strpos(lt, 'merge') - 10, 1))
+         + length('merge') + 10) AS snippet
+FROM d"""
+
+
+def q_gap_histogram(sf_dir: str):
+    """Inter-arrival-time distribution: per-user consecutive event gaps
+    (µs, (ts, event_id) order) bucketed by binary magnitude — bucket =
+    bit length of the gap (0 for a zero gap) — then a global histogram.
+    The log2 binning stays in EXACT integers on both engines (numpy:
+    searchsorted against powers of two; SQL: ``length(bin(gap))``), so
+    no float boundary can flip a bucket. One user-bucket shuffle with
+    per-bucket pre-reduction to (bucket, count) partials."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+    powers = np.left_shift(np.int64(1), np.arange(63, dtype=np.int64))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = pa.table({"u": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64()),
+                        "eid": t.column("event_id")}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("ts"))))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        order, new_run, gap = _lag_scaffold([u], ts, eid)
+        gaps = gap[~new_run]
+        mag = np.where(gaps == 0, 0,
+                       np.searchsorted(powers, gaps, side="right"))
+        uniq, counts = np.unique(mag, return_counts=True)
+        return pa.table({"magnitude": pa.array(uniq, pa.int64()),
+                         "n_gaps": pa.array(counts.astype(np.int64),
+                                            pa.int64())})
+
+    small = _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    return _combine_partials(small, ["magnitude"], {"n_gaps": "n_gaps"})
+
+
+SQL_GAP_HISTOGRAM = """WITH g AS (
+  SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+m AS (SELECT CASE WHEN gap = 0 THEN 0
+             ELSE CAST(length(bin(gap)) AS BIGINT) END AS magnitude
+      FROM g WHERE gap IS NOT NULL)
+SELECT magnitude, CAST(COUNT(*) AS BIGINT) AS n_gaps
+FROM m GROUP BY magnitude"""
+
+
+def q_role_flow_histogram(sf_dir: str):
+    """Flagship conversation-shape analysis: each conversation's ROLE
+    FLOW — the distinct roles joined with ``>`` in order of first
+    appearance — histogrammed across the corpus ("how many convs are
+    user>assistant vs user>assistant>tool"). One conv-bucket shuffle
+    (the conversation_assembly shape); the per-bucket kernel reduces
+    each conversation to its first-occurrence role sequence before
+    anything is stringified, and only (flow, count) partials reach the
+    driver combine."""
+    import pandas as pd
+
+    n_buckets = adaptive_buckets(2 * _nrows(sf_dir, "events"))
+
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "bucket", fnv1a_bucket(tbl.column("conv_id"), n_buckets))
+
+    def grp(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby(["conv_id", "role"], sort=False)["turn_idx"] \
+            .min().reset_index().sort_values(["conv_id", "turn_idx"])
+        flows = first.groupby("conv_id", sort=False)["role"] \
+            .agg(">".join)
+        hist = flows.value_counts()
+        return pd.DataFrame({"flow": hist.index.to_numpy(),
+                             "n_convs": hist.to_numpy().astype("int64")})
+
+    small = read_transcripts(sf_dir) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pandas")
+    return _combine_partials(small, ["flow"], {"n_convs": "n_convs"})
+
+
+SQL_ROLE_FLOW_HISTOGRAM = f"""{_T},
+f AS (SELECT conv_id, role, MIN(turn_idx) AS first_turn
+      FROM transcripts GROUP BY conv_id, role),
+s AS (SELECT conv_id, string_agg(role, '>' ORDER BY first_turn) AS flow
+      FROM f GROUP BY conv_id)
+SELECT flow, CAST(COUNT(*) AS BIGINT) AS n_convs FROM s GROUP BY flow"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -7844,6 +8012,11 @@ QUERIES = {
                             SQL_BEHAVIOR_SIGNATURES),
     "cum_distinct_types": (q_cum_distinct_types,
                            SQL_CUM_DISTINCT_TYPES),
+    "ndjson_roundtrip": (q_ndjson_roundtrip, SQL_NDJSON_ROUNDTRIP),
+    "kwic_snippets": (q_kwic_snippets, SQL_KWIC_SNIPPETS),
+    "gap_histogram": (q_gap_histogram, SQL_GAP_HISTOGRAM),
+    "role_flow_histogram": (q_role_flow_histogram,
+                            SQL_ROLE_FLOW_HISTOGRAM),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
