@@ -7845,6 +7845,121 @@ s AS (SELECT conv_id, string_agg(role, '>' ORDER BY first_turn) AS flow
 SELECT flow, CAST(COUNT(*) AS BIGINT) AS n_convs FROM s GROUP BY flow"""
 
 
+def q_global_running_sum(sf_dir: str):
+    """GLOBAL running totals — cumulative row count and exact cents sum
+    over the WHOLE corpus in (ts, event_id) order, no partition key
+    (the cumulative-revenue curve). SQL's ``SUM OVER (ORDER BY ...)``
+    with no PARTITION BY cannot shuffle by key; the scale shape is a
+    DISTRIBUTED PREFIX SUM: (1) a narrow shuffle-free pass folds
+    per-batch (time-slice, n, cents) partials — slices are monotone
+    equal-width time ranges sized from the parquet footer min/max, so
+    slice order IS time order; (2) the driver exclusive-prefix-sums
+    the ≤ adaptive_buckets(n) slice totals; (3) ONE keyed shuffle on
+    the slice, each group sorting locally and adding its slice's
+    offsets. Equal timestamps always share a slice, so the
+    (ts, event_id) tiebreak never crosses groups."""
+    import numpy as np
+
+    path = f"{sf_dir}/events.parquet"
+    md = pq.read_metadata(path)
+    idx = md.schema.to_arrow_schema().get_field_index("ts")
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            lo = None
+            break
+        lo = st.min if lo is None or st.min < lo else lo
+        hi = st.max if hi is None or st.max > hi else hi
+    if lo is None:
+        col = pq.read_table(path, columns=["ts"]).column(0)
+        lo, hi = pc.min(col).as_py(), pc.max(col).as_py()
+    lo_us = pa.scalar(lo, pa.timestamp("us")).value
+    hi_us = pa.scalar(hi, pa.timestamp("us")).value
+    from .util import range_bucket_step
+    n_slices = adaptive_buckets(_nrows(sf_dir, "events"))
+    step = range_bucket_step(hi_us - lo_us + 1, n_slices)
+
+    def project(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_valid(t.column("ts")))
+        v = sub.column("value").to_numpy(zero_copy_only=False)
+        ts = pc.cast(sub.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cents = np.where(np.isnan(v), 0,
+                         np.floor(v * 100.0)).astype(np.int64)
+        return pa.table({
+            "eid": sub.column("event_id"),
+            "ts": pa.array(ts, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "slice": pa.array((ts - lo_us) // step, pa.int64())})
+
+    proj = _read(sf_dir, "events", ["event_id", "ts", "value"]) \
+        .map_batches(project, batch_format="pyarrow").materialize()
+
+    def totals(t: pa.Table) -> pa.Table:
+        g = t.group_by("slice").aggregate([("cents", "sum"),
+                                           ("cents", "count")])
+        return pa.table({"slice": g.column("slice"),
+                         "c": g.column("cents_sum"),
+                         "n": pc.cast(g.column("cents_count"),
+                                      pa.int64())})
+
+    tot = _combine_partials(
+        proj.map_batches(totals, batch_format="pyarrow"),
+        ["slice"], {"c": "c", "n": "n"})
+    s = tot.column("slice").to_numpy(zero_copy_only=False)
+    order = np.argsort(s)
+    c = tot.column("c").to_numpy(zero_copy_only=False)[order]
+    n = tot.column("n").to_numpy(zero_copy_only=False)[order]
+    off_c = dict(zip(s[order].tolist(),
+                     (np.cumsum(c) - c).tolist()))
+    off_n = dict(zip(s[order].tolist(),
+                     (np.cumsum(n) - n).tolist()))
+
+    def grp(g: pa.Table) -> pa.Table:
+        sl = int(g.column("slice")[0].as_py())
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        cents = g.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        run_c = np.cumsum(cents[order]) + off_c[sl]
+        run_n = np.arange(1, len(order) + 1) + off_n[sl]
+        return pa.table({
+            "event_id": pa.array(eid[order], pa.int64()),
+            "running_n": pa.array(run_n, pa.int64()),
+            "running_cents": pa.array(run_c, pa.int64())})
+
+    return proj.groupby("slice").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_GLOBAL_RUNNING_SUM = """WITH p AS (
+  SELECT event_id, ts,
+    CASE WHEN isnan(value) THEN 0
+         ELSE CAST(FLOOR(value * 100) AS BIGINT) END AS cents
+  FROM events WHERE ts IS NOT NULL)
+SELECT event_id,
+  CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) AS BIGINT)
+    AS running_n,
+  CAST(SUM(cents) OVER (ORDER BY ts, event_id
+       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+FROM p"""
+
+
+def q_type_overlap_kmv(sf_dir: str):
+    """Audience overlap via the KMV distinct sketch
+    (:class:`textops.sketches.KmvSketch`): estimated distinct users of
+    'view' and 'buy' and of their INTERSECTION — set algebra HLL
+    cannot do — from one streaming pass of fixed-width mergeable
+    partials. EXACT below k=4096 distinct users per side (the sf
+    corpora are; asserted via the ``exact`` flag), ≈1.6% rse past
+    saturation. Rows-only: the estimator is not SQL-expressible; the
+    parity pytest checks the exact regime against COUNT(DISTINCT)."""
+    from .textops.sketches import kmv_type_overlap
+    return kmv_type_overlap(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        type_a="view", type_b="buy", k=4096)
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -8017,6 +8132,9 @@ QUERIES = {
     "gap_histogram": (q_gap_histogram, SQL_GAP_HISTOGRAM),
     "role_flow_histogram": (q_role_flow_histogram,
                             SQL_ROLE_FLOW_HISTOGRAM),
+    "global_running_sum": (q_global_running_sum,
+                           SQL_GLOBAL_RUNNING_SUM),
+    "type_overlap_kmv": (q_type_overlap_kmv, None),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).

@@ -611,3 +611,116 @@ def cms_point_estimates(ds, *, column: str, probes: list[str],
         "est": pa.array(est, pa.int64()),
         "n": pa.array(np.full(len(probes), merged.n, np.int64),
                       pa.int64())})
+
+
+class KmvSketch:
+    """K-minimum-values distinct sketch with SET ALGEBRA the HLL lacks:
+    keeping the k smallest distinct 64-bit hashes of a set supports
+    union (merge + re-truncate) AND intersection/Jaccard estimation —
+    the theta-sketch family's trick (public: Beyer et al., "On synopses
+    for distinct-value estimation under multiset operations", SIGMOD
+    2007). Exactness guarantee: while fewer than k distinct hashes have
+    been seen the sketch IS the exact distinct set, so small sets
+    estimate with zero error; past k the estimator is (k-1)/θ with
+    θ = kth-smallest hash / 2^64, rse ≈ 1/√(k−2).
+
+    All operations are vectorized (one np.unique + slice per fold);
+    state is a sorted uint64 array of ≤ k values — fixed-width,
+    mergeable, shippable as partial-aggregate rows."""
+
+    def __init__(self, k: int = 1024,
+                 values: np.ndarray | None = None):
+        assert k >= 8
+        self.k = k
+        self.values = np.array([], np.uint64) if values is None \
+            else values
+
+    def add_hashed(self, h: np.ndarray) -> None:
+        merged = np.unique(np.concatenate(
+            [self.values, h.astype(np.uint64, copy=False)]))
+        self.values = merged[:self.k]
+
+    def add_column(self, col) -> None:
+        """Fold an arrow column (nulls skipped — COUNT(DISTINCT)
+        semantics; hashing matches :class:`HyperLogLog.add_column`)."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = pc.is_valid(col)
+        if not pc.any(valid).as_py():
+            return
+        col = col.filter(valid)
+        self.add_hashed(_fmix64(fnv1a_u64(pc.cast(col, pa.string()))))
+
+    def merge(self, other: "KmvSketch") -> "KmvSketch":
+        assert other.k == self.k
+        self.add_hashed(other.values)
+        return self
+
+    @property
+    def saturated(self) -> bool:
+        return len(self.values) >= self.k
+
+    def estimate(self) -> float:
+        """Distinct-count estimate; EXACT while unsaturated."""
+        if not self.saturated:
+            return float(len(self.values))
+        theta = (float(self.values[self.k - 1]) + 1.0) / 2.0 ** 64
+        return (self.k - 1) / theta
+
+    def intersect_estimate(self, other: "KmvSketch") -> float:
+        """|A ∩ B| estimate: over the union sketch's k smallest hashes,
+        the fraction present in BOTH scales the union estimate. Exact
+        when both sides are unsaturated (the sketches are the true
+        hash sets and the union stays below k... or k'=|union| acts as
+        the full support)."""
+        assert other.k == self.k
+        u = np.unique(np.concatenate([self.values, other.values]))
+        u = u[:self.k]
+        in_both = np.isin(u, self.values) & np.isin(u, other.values)
+        union = KmvSketch(self.k, u)
+        if not self.saturated and not other.saturated:
+            return float(in_both.sum())  # exact: u is the true union
+        return float(in_both.sum()) / len(u) * union.estimate()
+
+
+def kmv_type_overlap(ds, *, type_a: str, type_b: str,
+                     key_col: str = "user_id",
+                     type_col: str = "event_type",
+                     k: int = 1024) -> pa.Table:
+    """Distinct-key overlap between two event types via mergeable KMV
+    partials: |keys(A)|, |keys(B)|, and |keys(A) ∩ keys(B)| estimates —
+    the audience-overlap question COUNT(DISTINCT) cannot answer from
+    two separate scans. One streaming pass: each batch folds its keys
+    into per-type k-minimum partials (fixed-width uint64 rows — the
+    shuffle payload is sketches, never keys), the driver merges per
+    type. EXACT below k distinct keys per side (asserted in tests);
+    ≈1/√(k−2) rse past it."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        out_type, out_vals = [], []
+        for name in (type_a, type_b):
+            sub = t.filter(pc.equal(t.column(type_col), name))
+            sk = KmvSketch(k)
+            if sub.num_rows:
+                sk.add_column(sub.column(key_col))
+            out_type.append(name)
+            out_vals.append(sk.values.tobytes())
+        return pa.table({"t": pa.array(out_type, pa.string()),
+                         "vals": pa.array(out_vals, pa.binary())})
+
+    sketches = {type_a: KmvSketch(k), type_b: KmvSketch(k)}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for name, blob in zip(b.column("t").to_pylist(),
+                              b.column("vals").to_pylist()):
+            sketches[name].add_hashed(np.frombuffer(blob, np.uint64))
+    a, bb = sketches[type_a], sketches[type_b]
+    return pa.table({
+        "type_a": pa.array([type_a], pa.string()),
+        "type_b": pa.array([type_b], pa.string()),
+        "est_a": pa.array([a.estimate()], pa.float64()),
+        "est_b": pa.array([bb.estimate()], pa.float64()),
+        "est_intersection": pa.array([a.intersect_estimate(bb)],
+                                     pa.float64()),
+        "exact": pa.array([not (a.saturated or bb.saturated)],
+                          pa.bool_())})
