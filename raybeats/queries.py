@@ -2497,6 +2497,29 @@ def _footer_max(sf_dir: str, table: str, col: str) -> int:
     return int(mx)
 
 
+def _footer_ts_range(sf_dir: str, table: str,
+                     col: str = "ts") -> tuple[int, int]:
+    """(min, max) of a timestamp column in µs from parquet row-group
+    statistics — metadata only; falls back to a pruned single-column
+    scan when stats are absent."""
+    path = f"{sf_dir}/{table}.parquet"
+    md = pq.read_metadata(path)
+    idx = md.schema.to_arrow_schema().get_field_index(col)
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            lo = None
+            break
+        lo = st.min if lo is None or st.min < lo else lo
+        hi = st.max if hi is None or st.max > hi else hi
+    if lo is None:
+        c = pq.read_table(path, columns=[col]).column(0)
+        lo, hi = pc.min(c).as_py(), pc.max(c).as_py()
+    return (pa.scalar(lo, pa.timestamp("us")).value,
+            pa.scalar(hi, pa.timestamp("us")).value)
+
+
 def q_pack_sequences(sf_dir: str):
     """Sequence packing for training batches: each document gets the
     pack id its first token lands in under a running 4096-token
@@ -7285,20 +7308,8 @@ def q_trend_slope(sf_dir: str):
     per-batch fixed-width partials, no shuffle."""
     import numpy as np
 
-    path = f"{sf_dir}/events.parquet"
-    md = pq.read_metadata(path)
-    idx = md.schema.to_arrow_schema().get_field_index("ts")
-    lo = None
-    for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(idx).statistics
-        if st is None or not st.has_min_max:
-            lo = None
-            break
-        lo = st.min if lo is None or st.min < lo else lo
-    if lo is None:  # stats disabled: pruned single-column min scan
-        lo = pc.min(pq.read_table(path, columns=["ts"]).column(0)) \
-            .as_py()
-    base_day = pa.scalar(lo, pa.timestamp("us")).value // 86_400_000_000
+    lo_us, _ = _footer_ts_range(sf_dir, "events")
+    base_day = lo_us // 86_400_000_000
 
     def partial(t: pa.Table) -> pa.Table:
         v = t.column("value").to_numpy(zero_copy_only=False)
@@ -7860,22 +7871,7 @@ def q_global_running_sum(sf_dir: str):
     (ts, event_id) tiebreak never crosses groups."""
     import numpy as np
 
-    path = f"{sf_dir}/events.parquet"
-    md = pq.read_metadata(path)
-    idx = md.schema.to_arrow_schema().get_field_index("ts")
-    lo = hi = None
-    for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(idx).statistics
-        if st is None or not st.has_min_max:
-            lo = None
-            break
-        lo = st.min if lo is None or st.min < lo else lo
-        hi = st.max if hi is None or st.max > hi else hi
-    if lo is None:
-        col = pq.read_table(path, columns=["ts"]).column(0)
-        lo, hi = pc.min(col).as_py(), pc.max(col).as_py()
-    lo_us = pa.scalar(lo, pa.timestamp("us")).value
-    hi_us = pa.scalar(hi, pa.timestamp("us")).value
+    lo_us, hi_us = _footer_ts_range(sf_dir, "events")
     from .util import range_bucket_step
     n_slices = adaptive_buckets(_nrows(sf_dir, "events"))
     step = range_bucket_step(hi_us - lo_us + 1, n_slices)
@@ -7958,6 +7954,144 @@ def q_type_overlap_kmv(sf_dir: str):
     return kmv_type_overlap(
         _read(sf_dir, "events", ["user_id", "event_type"]),
         type_a="view", type_b="buy", k=4096)
+
+
+def q_last_buy_carry(sf_dir: str):
+    """Last-observation-carried-forward imputation (the training-data
+    gap-fill primitive): per event, the user's most recent ``buy``
+    value-cents at or before it under (ts, event_id) order — NULL
+    until the first buy. SQL is ``LAST_VALUE(... IGNORE NULLS)``; the
+    kernel is the classic vectorized ffill: mark observation indices,
+    ``np.maximum.accumulate`` per user segment, one gather. One
+    user-bucket shuffle."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = np.where(np.isnan(v), 0,
+                         np.floor(v * 100.0)).astype(np.int64)
+        is_buy = pc.equal(t.column("event_type"), "buy")
+        obs = pc.and_(pc.fill_null(is_buy, False),
+                      pa.array(~np.isnan(v))) \
+            .to_numpy(zero_copy_only=False)
+        sub = pa.table({"u": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64()),
+                        "eid": t.column("event_id"),
+                        "cents": pa.array(cents, pa.int64()),
+                        "obs": pa.array(obs, pa.bool_())}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("ts"))))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        cents = g.column("cents").to_numpy(zero_copy_only=False)
+        obs = g.column("obs").to_numpy(zero_copy_only=False)
+        order, new_run, _ = _lag_scaffold([u], ts, eid)
+        o_obs = obs[order]
+        # ffill: index of the latest observation at or before each row,
+        # reset at user-run starts via the segment-base trick
+        idx = np.where(o_obs, np.arange(len(order)), -1)
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, len(order)))
+        seg = np.repeat(np.arange(len(starts)), lens)
+        # per-segment accumulate: offset each segment so -1 never leaks
+        # across users — add a huge per-segment base, accumulate, strip
+        base = seg.astype(np.int64) * (len(order) + 2)
+        filled = np.maximum.accumulate(
+            np.where(idx >= 0, idx + base, -1))
+        have = filled >= base  # an observation exists in THIS segment
+        src = np.where(have, filled - base, 0).astype(np.int64)
+        vals = cents[order][src]
+        return pa.table({
+            "event_id": pa.array(eid[order], pa.int64()),
+            "user_id": pa.array(u[order], pa.int64()),
+            "last_buy_cents": pa.array(vals, pa.int64(), mask=~have)})
+
+    return _read(sf_dir, "events",
+                 ["event_id", "user_id", "ts", "event_type", "value"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_LAST_BUY_CARRY = """WITH p AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN event_type = 'buy' AND NOT isnan(value)
+      THEN CAST(FLOOR(value * 100) AS BIGINT) END AS buy_cents
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+SELECT event_id, user_id,
+  LAST_VALUE(buy_cents IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS last_buy_cents
+FROM p"""
+
+
+def q_systematic_sample(sf_dir: str):
+    """Systematic (every-Nth) sampling in GLOBAL (ts, event_id) order —
+    the deterministic eval-slice cut that, unlike hash sampling,
+    guarantees exact stride coverage of the timeline. Same distributed
+    prefix-sum shape as ``global_running_sum`` (monotone footer-sized
+    time slices, driver exclusive scan of slice counts, one keyed
+    shuffle) with only COUNTS in the narrow pass; each group emits the
+    rows whose global position ≡ 1 (mod 100)."""
+    import numpy as np
+
+    lo_us, hi_us = _footer_ts_range(sf_dir, "events")
+    from .util import range_bucket_step
+    n_slices = adaptive_buckets(_nrows(sf_dir, "events"))
+    step = range_bucket_step(hi_us - lo_us + 1, n_slices)
+    stride = 100
+
+    def project(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_valid(t.column("ts")))
+        ts = pc.cast(sub.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "eid": sub.column("event_id"),
+            "ts": pa.array(ts, pa.int64()),
+            "slice": pa.array((ts - lo_us) // step, pa.int64())})
+
+    proj = _read(sf_dir, "events", ["event_id", "ts"]) \
+        .map_batches(project, batch_format="pyarrow").materialize()
+
+    def totals(t: pa.Table) -> pa.Table:
+        g = t.group_by("slice").aggregate([("slice", "count")])
+        return pa.table({"slice": g.column("slice"),
+                         "n": pc.cast(g.column("slice_count"),
+                                      pa.int64())})
+
+    tot = _combine_partials(
+        proj.map_batches(totals, batch_format="pyarrow"),
+        ["slice"], {"n": "n"})
+    s = tot.column("slice").to_numpy(zero_copy_only=False)
+    order = np.argsort(s)
+    n = tot.column("n").to_numpy(zero_copy_only=False)[order]
+    off_n = dict(zip(s[order].tolist(), (np.cumsum(n) - n).tolist()))
+
+    def grp(g: pa.Table) -> pa.Table:
+        sl = int(g.column("slice")[0].as_py())
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        pos = np.arange(1, len(order) + 1) + off_n[sl]
+        keep = pos % stride == 1
+        return pa.table({
+            "event_id": pa.array(eid[order][keep], pa.int64()),
+            "pos": pa.array(pos[keep], pa.int64())})
+
+    return proj.groupby("slice").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_SYSTEMATIC_SAMPLE = """WITH r AS (
+  SELECT event_id,
+    CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) AS BIGINT) AS pos
+  FROM events WHERE ts IS NOT NULL)
+SELECT event_id, pos FROM r WHERE pos % 100 = 1"""
 
 
 # ----------------------------------------------------------------- export
@@ -8135,6 +8269,8 @@ QUERIES = {
     "global_running_sum": (q_global_running_sum,
                            SQL_GLOBAL_RUNNING_SUM),
     "type_overlap_kmv": (q_type_overlap_kmv, None),
+    "last_buy_carry": (q_last_buy_carry, SQL_LAST_BUY_CARRY),
+    "systematic_sample": (q_systematic_sample, SQL_SYSTEMATIC_SAMPLE),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
