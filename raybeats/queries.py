@@ -8094,6 +8094,122 @@ SQL_SYSTEMATIC_SAMPLE = """WITH r AS (
 SELECT event_id, pos FROM r WHERE pos % 100 = 1"""
 
 
+def q_pairwise_spread(sf_dir: str):
+    """Exact mean-absolute-difference dispersion (the Gini numerator):
+    per event type, Σ_{i<j} |cents_i − cents_j| and n — as exact
+    int64s. The naive form is O(n²) per group and the SQL form needs a
+    per-type global sort; the scale shape computes it from the
+    (type, cents)→count HISTOGRAM (the mode_per_type shuffle: partials
+    bounded by types × distinct quanta, never corpus rows) via the
+    order-statistics identity Σ|xi−xj| = Σ_v n_v·(v·C_{<v} − S_{<v})
+    over sorted distinct values with prefix counts C / prefix sums S —
+    one vectorized pass per type, tie-insensitive by construction.
+    int64 bound: ≤ n²·max|cents| ≈ 2e15 at sf0.1; past ~1e7 rows/type
+    the partials switch to python-int combine like grouped_corr."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        part = pa.table({
+            "event_type": pc.array_filter(
+                t.column("event_type").combine_chunks(), pa.array(ok)),
+            "cents": pa.array(np.floor(v[ok] * 100).astype(np.int64),
+                              pa.int64()),
+            "n": pa.array(np.ones(int(ok.sum()), np.int64), pa.int64())})
+        g = part.group_by(["event_type", "cents"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "cents": g.column("cents"),
+                         "n": g.column("n_sum")})
+
+    hist = _combine_partials(
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "cents"], {"n": "n"})
+    et = np.asarray(hist.column("event_type").to_pylist(), object)
+    cents = hist.column("cents").to_numpy(zero_copy_only=False)
+    n = hist.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((cents, et.astype("U")))
+    et, cents, n = et[order], cents[order], n[order]
+    new_run = np.append(True, et[1:] != et[:-1])
+    starts = np.flatnonzero(new_run)
+    lens = np.diff(np.append(starts, len(et)))
+    seg = np.repeat(np.arange(len(starts)), lens)
+    # per-type exclusive prefix count / sum over sorted distinct cents
+    csum_n = np.cumsum(n)
+    csum_s = np.cumsum(n * cents)
+    base_n = np.repeat(csum_n[starts] - n[starts], lens)
+    base_s = np.repeat(csum_s[starts] - (n * cents)[starts], lens)
+    c_lt = csum_n - n - base_n          # count of rows with smaller v
+    s_lt = csum_s - n * cents - base_s  # their cents sum
+    contrib = n * (cents * c_lt - s_lt)
+    spread = np.add.reduceat(contrib, starts)
+    total_n = np.add.reduceat(n, starts)
+    _ = seg
+    return pa.table({
+        "event_type": pa.array(et[starts].tolist(), pa.string()),
+        "n": pa.array(total_n, pa.int64()),
+        "abs_diff_sum": pa.array(spread, pa.int64())})
+
+
+SQL_PAIRWISE_SPREAD = """WITH p AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS c
+  FROM events WHERE NOT isnan(value)),
+r AS (SELECT event_type, c,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM p)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+  CAST(SUM((2 * rn - n - 1) * c) AS BIGINT) AS abs_diff_sum
+FROM r GROUP BY event_type"""
+
+
+def q_peak_hour_per_type(sf_dir: str):
+    """Peak-load profile: for each event type, the hour-of-day with the
+    most events (ties to the smallest hour) and its count — the
+    capacity-planning argmax over a DERIVED key. Partials are
+    fixed-width (type × 24 rows per batch); the argmax folds on the
+    driver over the combined ≤ types×24 table."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.is_valid(t.column("ts"))
+        sub = pa.table({"event_type": t.column("event_type"),
+                        "hour": pc.cast(pc.hour(t.column("ts")),
+                                        pa.int64())}).filter(ok)
+        g = sub.group_by(["event_type", "hour"]).aggregate(
+            [("hour", "count")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "hour": g.column("hour"),
+                         "n": pc.cast(g.column("hour_count"),
+                                      pa.int64())})
+
+    comb = _combine_partials(
+        _read(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "hour"], {"n": "n"})
+    et = np.asarray(comb.column("event_type").to_pylist(), object)
+    hour = comb.column("hour").to_numpy(zero_copy_only=False)
+    n = comb.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((hour, -n, et.astype("U")))
+    ets, hs, ns = et[order], hour[order], n[order]
+    sel = np.flatnonzero(np.append(True, ets[1:] != ets[:-1]))
+    return pa.table({
+        "event_type": pa.array(ets[sel].tolist(), pa.string()),
+        "peak_hour": pa.array(hs[sel], pa.int64()),
+        "n_peak": pa.array(ns[sel], pa.int64())})
+
+
+SQL_PEAK_HOUR_PER_TYPE = """WITH h AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY event_type, hour),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        ORDER BY n DESC, hour) AS rk FROM h)
+SELECT event_type, hour AS peak_hour, n AS n_peak FROM r WHERE rk = 1"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -8271,6 +8387,9 @@ QUERIES = {
     "type_overlap_kmv": (q_type_overlap_kmv, None),
     "last_buy_carry": (q_last_buy_carry, SQL_LAST_BUY_CARRY),
     "systematic_sample": (q_systematic_sample, SQL_SYSTEMATIC_SAMPLE),
+    "pairwise_spread": (q_pairwise_spread, SQL_PAIRWISE_SPREAD),
+    "peak_hour_per_type": (q_peak_hour_per_type,
+                           SQL_PEAK_HOUR_PER_TYPE),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
