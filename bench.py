@@ -159,7 +159,22 @@ def run_queries() -> dict[str, float]:
              "lang_id", "ratelimit", "simhash_groups", "simhash_neardup",
              "dedup_clusters", "rolling_fingerprint",
              "approx_distinct_users", "media_features",
-             "approx_users_per_type"]
+             "approx_users_per_type",
+             # continuation-session registrations (rounds 15-22)
+             "nested_quantiles", "power_iter", "source_vocab_overlap",
+             "customers_full_coverage", "pagerank_iter",
+             "dense_rank_rows", "time_weighted_median", "funnel_steps",
+             "union_sources", "time_weighted_value", "weighted_sample",
+             "unpivot_measures", "token_freq_sketch", "zscore_outliers",
+             "pareto_front", "missing_ranges", "interval_coverage",
+             "tfidf_top_terms", "fuzzy_name_pairs", "trend_slope",
+             "entry_exit", "conv_turn_histogram", "doc_rarity",
+             "behavior_signatures", "cum_distinct_types",
+             "ndjson_roundtrip", "kwic_snippets", "gap_histogram",
+             "role_flow_histogram", "global_running_sum",
+             "type_overlap_kmv", "last_buy_carry", "systematic_sample",
+             "pairwise_spread", "peak_hour_per_type", "tool_latency",
+             "ks_statistic"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

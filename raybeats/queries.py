@@ -8210,6 +8210,156 @@ r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
 SELECT event_type, hour AS peak_hour, n AS n_peak FROM r WHERE rk = 1"""
 
 
+def q_tool_latency(sf_dir: str):
+    """Flagship tool-latency report: for every transcript turn with
+    ``role='tool'``, the time since the conversation's PREVIOUS turn
+    (turn_idx order) — aggregated per tool as (n, sum_µs, max_µs)
+    exact ints. One conv-bucket shuffle (the conversation_assembly
+    key); the per-bucket kernel dictionary-encodes conv ids, runs the
+    shared LAG scaffold, and pre-reduces to per-tool partials so only
+    tools × buckets rows reach the driver max/sum fold."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(2 * _nrows(sf_dir, "events"))
+
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "bucket", fnv1a_bucket(tbl.column("conv_id"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        conv = pc.dictionary_encode(g.column("conv_id")
+                                    .combine_chunks()).indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ti = g.column("turn_idx").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = pc.cast(g.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((ti, conv))
+        n = len(order)
+        new_run = np.empty(n, bool)
+        if n:
+            new_run[0] = True
+            cs = conv[order]
+            new_run[1:] = cs[1:] != cs[:-1]
+        gap = np.zeros(n, np.int64)
+        if n:
+            tss = ts[order]
+            gap[1:] = tss[1:] - tss[:-1]
+        role = np.asarray(g.column("role").to_pylist(), object)[order]
+        tool = np.asarray(g.column("tool").to_pylist(), object)[order]
+        keep = (role == "tool") & ~new_run
+        part = pa.table({
+            "tool": pa.array(tool[keep].tolist(), pa.string()),
+            "gap": pa.array(gap[keep], pa.int64())})
+        gg = part.group_by("tool").aggregate(
+            [("gap", "sum"), ("gap", "max"), ("gap", "count")])
+        return pa.table({
+            "tool": gg.column("tool"),
+            "s": gg.column("gap_sum"), "mx": gg.column("gap_max"),
+            "n": pc.cast(gg.column("gap_count"), pa.int64())})
+
+    parts = list(
+        read_transcripts(sf_dir)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))
+    empty = pa.schema([("tool", pa.string()), ("s", pa.int64()),
+                       ("mx", pa.int64()), ("n", pa.int64())]) \
+        .empty_table()
+    small = pa.concat_tables(parts or [empty],
+                             promote_options="default")
+    f = small.group_by("tool").aggregate(
+        [("n", "sum"), ("s", "sum"), ("mx", "max")])
+    return pa.table({"tool": f.column("tool"),
+                     "n": f.column("n_sum"),
+                     "sum_gap_us": f.column("s_sum"),
+                     "max_gap_us": f.column("mx_max")})
+
+
+SQL_TOOL_LATENCY = f"""{_T},
+g AS (SELECT conv_id, role, tool,
+        epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+          PARTITION BY conv_id ORDER BY turn_idx) AS gap
+      FROM transcripts)
+SELECT tool, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_us
+FROM g WHERE role = 'tool' AND gap IS NOT NULL GROUP BY tool"""
+
+
+def q_ks_statistic(sf_dir: str):
+    """Distribution-drift detection: the exact Kolmogorov–Smirnov
+    statistic between the 'view' and 'buy' value distributions,
+    emitted as EXACT INTEGERS — ks_num = max_c |CDF_a(c)·n_b −
+    CDF_b(c)·n_a| over the cents grid (the caller divides by n_a·n_b)
+    plus the smallest cents where the max occurs. The scale shape is
+    the histogram-partials fold (bounded by distinct quanta, never
+    corpus rows): per-batch (side, cents) counts, driver cumsum over
+    the sorted union grid — the two-sample drift gate a training
+    pipeline runs between corpus snapshots."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        et = t.column("event_type")
+        ok = pa.array(~np.isnan(v)) \
+            if isinstance(et, pa.ChunkedArray) else pa.array(~np.isnan(v))
+        side = pc.if_else(pc.equal(et, "view"), 0,
+                          pc.if_else(pc.equal(et, "buy"), 1, -1))
+        sub = pa.table({
+            "side": side,
+            "cents": pa.array(np.floor(v * 100).astype(np.int64),
+                              pa.int64())}) \
+            .filter(pc.and_(pc.not_equal(side, -1), ok))
+        g = sub.group_by(["side", "cents"]).aggregate([("side", "count")])
+        return pa.table({"side": g.column("side"),
+                         "cents": g.column("cents"),
+                         "n": pc.cast(g.column("side_count"),
+                                      pa.int64())})
+
+    h = _combine_partials(
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["side", "cents"], {"n": "n"})
+    side = h.column("side").to_numpy(zero_copy_only=False)
+    cents = h.column("cents").to_numpy(zero_copy_only=False)
+    n = h.column("n").to_numpy(zero_copy_only=False)
+    grid = np.unique(cents)
+    na = np.zeros(len(grid), np.int64)
+    nb = np.zeros(len(grid), np.int64)
+    pos = np.searchsorted(grid, cents)
+    np.add.at(na, pos[side == 0], n[side == 0])
+    np.add.at(nb, pos[side == 1], n[side == 1])
+    ca, cb = np.cumsum(na), np.cumsum(nb)
+    ta, tb = int(ca[-1]), int(cb[-1])
+    gap = np.abs(ca * tb - cb * ta)
+    mx = int(gap.max())
+    at = int(grid[np.flatnonzero(gap == mx)[0]])
+    return pa.table({"n_view": pa.array([ta], pa.int64()),
+                     "n_buy": pa.array([tb], pa.int64()),
+                     "ks_num": pa.array([mx], pa.int64()),
+                     "at_cents": pa.array([at], pa.int64())})
+
+
+SQL_KS_STATISTIC = """WITH p AS (
+  SELECT event_type AS t, CAST(FLOOR(value * 100) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('view', 'buy') AND NOT isnan(value)),
+h AS (SELECT c, COUNT(*) FILTER (WHERE t = 'view') AS na,
+             COUNT(*) FILTER (WHERE t = 'buy') AS nb
+      FROM p GROUP BY c),
+tot AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM h),
+cum AS (SELECT c, SUM(na) OVER (ORDER BY c) AS ca,
+               SUM(nb) OVER (ORDER BY c) AS cb FROM h),
+d AS (SELECT c, ABS(ca * (SELECT tb FROM tot)
+                    - cb * (SELECT ta FROM tot)) AS gap FROM cum)
+SELECT CAST((SELECT ta FROM tot) AS BIGINT) AS n_view,
+       CAST((SELECT tb FROM tot) AS BIGINT) AS n_buy,
+       CAST(MAX(gap) AS BIGINT) AS ks_num,
+       CAST(MIN(CASE WHEN gap = (SELECT MAX(gap) FROM d) THEN c END)
+            AS BIGINT) AS at_cents
+FROM d"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -8390,6 +8540,8 @@ QUERIES = {
     "pairwise_spread": (q_pairwise_spread, SQL_PAIRWISE_SPREAD),
     "peak_hour_per_type": (q_peak_hour_per_type,
                            SQL_PEAK_HOUR_PER_TYPE),
+    "tool_latency": (q_tool_latency, SQL_TOOL_LATENCY),
+    "ks_statistic": (q_ks_statistic, SQL_KS_STATISTIC),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).

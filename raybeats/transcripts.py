@@ -40,8 +40,11 @@ def derive_transcripts(tbl: pa.Table) -> pa.Table:
         pc.utf8_lpad(pc.cast(tbl.column("user_id"), pa.string()), 8, "0"),
         "")
     turn_idx = pc.cast(eid, pa.int32())
-    role = _map(etype, _ROLE_KEYS, _ROLE_VALS)
-    base_tool = _map(etype, _ROLE_KEYS, _TOOL_VALS)
+    # unknown (or NULL) event types take the SQL CASE's ELSE branch —
+    # index_in yields null there, which fill_null maps exactly like
+    # DuckDB's ELSE 'tool' / ELSE 'code'
+    role = pc.fill_null(_map(etype, _ROLE_KEYS, _ROLE_VALS), "tool")
+    base_tool = pc.fill_null(_map(etype, _ROLE_KEYS, _TOOL_VALS), "code")
     unk = pc.equal(_mod(eid, 37), 0)
     unk_tool = pc.binary_join_element_wise(
         "tool-x", pc.cast(_mod(eid, 5), pa.string()), "")
