@@ -8360,6 +8360,142 @@ SELECT CAST((SELECT ta FROM tot) AS BIGINT) AS n_view,
 FROM d"""
 
 
+def q_type_trigrams(sf_dir: str):
+    """Sequential pattern mining one level past transition_counts:
+    counts of CONSECUTIVE event-type TRIPLES per user stream
+    ((ts, event_id) order) — the "what three-step journeys happen"
+    question. One user-bucket shuffle; the per-bucket kernel is the
+    shared lexsort scaffold plus two shifts (a triple exists where
+    positions i, i+1, i+2 share a user), pre-reduced to per-bucket
+    (t1, t2, t3, n) partials."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = pa.table({"u": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64()),
+                        "eid": t.column("event_id"),
+                        "et": t.column("event_type")}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("ts"))))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        order, new_run, _ = _lag_scaffold([u], ts, eid)
+        et = np.asarray(g.column("et").to_pylist(), object)[order]
+        # a trigram starts at i when neither i+1 nor i+2 begins a new
+        # user run
+        ok = ~new_run[1:-1] & ~new_run[2:] if len(order) >= 3 \
+            else np.array([], bool)
+        starts = np.flatnonzero(ok)
+        part = pa.table({
+            "t1": pa.array(et[starts].tolist(), pa.string()),
+            "t2": pa.array(et[starts + 1].tolist(), pa.string()),
+            "t3": pa.array(et[starts + 2].tolist(), pa.string()),
+            "one": pa.array(np.ones(len(starts), np.int64), pa.int64())})
+        gg = part.group_by(["t1", "t2", "t3"]).aggregate([("one", "sum")])
+        return pa.table({"t1": gg.column("t1"), "t2": gg.column("t2"),
+                         "t3": gg.column("t3"),
+                         "n": gg.column("one_sum")})
+
+    small = _read(sf_dir, "events",
+                  ["event_id", "user_id", "ts", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    return _combine_partials(small, ["t1", "t2", "t3"], {"n": "n"})
+
+
+SQL_TYPE_TRIGRAMS = """WITH s AS (
+  SELECT event_type AS t1,
+    LEAD(event_type, 1) OVER w AS t2,
+    LEAD(event_type, 2) OVER w AS t3,
+    LEAD(event_id, 2) OVER w AS e3
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE e3 IS NOT NULL
+GROUP BY t1, t2, t3"""
+
+
+def q_trimmed_mean(sf_dir: str):
+    """Exact interquartile (25–75%) trimmed mean per event type,
+    emitted as exact integers (kept-row count and kept cents sum; the
+    caller divides): drop the k = ⌊n/4⌋ smallest and largest rows by
+    cents — tie-insensitive because equal values contribute equally
+    whichever copies are cut. Computed from the (type, cents)→count
+    HISTOGRAM (the pairwise_spread shape — partials bounded by types ×
+    distinct quanta): prefix counts locate both cut points and the
+    boundary quanta contribute partial multiplicities, no per-row sort
+    anywhere."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        part = pa.table({
+            "event_type": pc.array_filter(
+                t.column("event_type").combine_chunks(), pa.array(ok)),
+            "cents": pa.array(np.floor(v[ok] * 100).astype(np.int64),
+                              pa.int64()),
+            "n": pa.array(np.ones(int(ok.sum()), np.int64), pa.int64())})
+        g = part.group_by(["event_type", "cents"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "cents": g.column("cents"),
+                         "n": g.column("n_sum")})
+
+    hist = _combine_partials(
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "cents"], {"n": "n"})
+    et = np.asarray(hist.column("event_type").to_pylist(), object)
+    cents = hist.column("cents").to_numpy(zero_copy_only=False)
+    n = hist.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((cents, et.astype("U")))
+    et, cents, n = et[order], cents[order], n[order]
+    starts = np.flatnonzero(np.append(True, et[1:] != et[:-1]))
+    lens = np.diff(np.append(starts, len(et)))
+    out_t, out_n, out_kn, out_ks = [], [], [], []
+    for s, ln in zip(starts, lens):
+        cs, ns = cents[s:s + ln], n[s:s + ln]
+        total = int(ns.sum())
+        k = total // 4
+        cum = np.cumsum(ns)
+        # kept positions are (k, total-k]: per quantum, the overlap of
+        # its position range (cum-ns, cum] with the kept interval
+        lo = np.maximum(cum - ns, k)
+        hi = np.minimum(cum, total - k)
+        kept = np.maximum(hi - lo, 0)
+        out_t.append(et[s])
+        out_n.append(total)
+        out_kn.append(int(kept.sum()))
+        out_ks.append(int((kept * cs).sum()))
+    return pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "n": pa.array(out_n, pa.int64()),
+        "kept_n": pa.array(out_kn, pa.int64()),
+        "kept_sum": pa.array(out_ks, pa.int64())})
+
+
+SQL_TRIMMED_MEAN = """WITH p AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS c
+  FROM events WHERE NOT isnan(value)),
+r AS (SELECT event_type, c,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM p)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+  CAST(COUNT(*) AS BIGINT) AS kept_n,
+  CAST(SUM(c) AS BIGINT) AS kept_sum
+FROM r WHERE rn > n // 4 AND rn <= n - n // 4
+GROUP BY event_type"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -8542,6 +8678,8 @@ QUERIES = {
                            SQL_PEAK_HOUR_PER_TYPE),
     "tool_latency": (q_tool_latency, SQL_TOOL_LATENCY),
     "ks_statistic": (q_ks_statistic, SQL_KS_STATISTIC),
+    "type_trigrams": (q_type_trigrams, SQL_TYPE_TRIGRAMS),
+    "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
