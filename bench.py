@@ -174,7 +174,8 @@ def run_queries() -> dict[str, float]:
              "role_flow_histogram", "global_running_sum",
              "type_overlap_kmv", "last_buy_carry", "systematic_sample",
              "pairwise_spread", "peak_hour_per_type", "tool_latency",
-             "ks_statistic", "type_trigrams", "trimmed_mean"]
+             "ks_statistic", "type_trigrams", "trimmed_mean",
+             "skew_report", "contingency_margins", "turn_text_dups"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

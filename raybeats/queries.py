@@ -8496,6 +8496,172 @@ FROM r WHERE rn > n // 4 AND rn <= n - n // 4
 GROUP BY event_type"""
 
 
+def q_skew_report(sf_dir: str):
+    """Key-skew diagnostic — the report you run BEFORE choosing a
+    partitioning key: the 10 heaviest users by event count (ties to
+    the smallest user id) with the exact corpus total beside each, so
+    the reader gets each key's share as an exact fraction. Per-batch
+    (user, count) partials → one user-bucket shuffle (counts for a
+    user co-locate and SUM exactly) → 10 candidates per bucket →
+    driver fold over buckets × 10 rows. The total rides the same
+    partials — no second pass."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_valid(t.column("user_id")))
+        g = sub.group_by("user_id").aggregate([("user_id", "count")])
+        out = pa.table({"u": g.column("user_id"),
+                        "n": pc.cast(g.column("user_id_count"),
+                                     pa.int64())})
+        return out.append_column("bucket", int_bucket(out.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        f = g.group_by("u").aggregate([("n", "sum")])
+        u = f.column("u").to_numpy(zero_copy_only=False)
+        n = f.column("n_sum").to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, -n))[:10]
+        # bucket total rides row 0 only, so the driver's grand total
+        # is a plain column sum — no per-bucket dedup needed
+        tot = np.zeros(len(order), np.int64)
+        if len(order):
+            tot[0] = int(n.sum())
+        return pa.table({
+            "u": pa.array(u[order], pa.int64()),
+            "n": pa.array(n[order], pa.int64()),
+            "tot": pa.array(tot, pa.int64())})
+
+    parts = pa.concat_tables(list(
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")),
+        promote_options="default")
+    u = parts.column("u").to_numpy(zero_copy_only=False)
+    n = parts.column("n").to_numpy(zero_copy_only=False)
+    total = int(parts.column("tot").to_numpy(
+        zero_copy_only=False).sum())
+    order = np.lexsort((u, -n))[:10]
+    return pa.table({
+        "user_id": pa.array(u[order], pa.int64()),
+        "n_events": pa.array(n[order], pa.int64()),
+        "total_events": pa.array([total] * len(order), pa.int64())})
+
+
+SQL_SKEW_REPORT = """WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
+SELECT user_id, n_events,
+  (SELECT CAST(SUM(n_events) AS BIGINT) FROM c) AS total_events
+FROM c ORDER BY n_events DESC, user_id LIMIT 10"""
+
+
+def q_contingency_margins(sf_dir: str):
+    """Independence-test cell table (the chi-square prep): for every
+    (event_type, day-of-week) cell, the observed count plus its row
+    total, column total and grand total as exact ints — the caller
+    forms (O·N − R·C)²/(R·C·N) without any float leaving the engine.
+    One pass of fixed-width partials (types × 7 per batch); margins
+    are driver arithmetic over the combined ≤ types×7 table."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.is_valid(t.column("ts"))
+        # arrow day_of_week is 0=Monday; DuckDB dayofweek is 0=Sunday —
+        # count_from/week_start reproduces the Sunday-0 convention
+        sub = pa.table({
+            "event_type": t.column("event_type"),
+            "dow": pc.cast(pc.day_of_week(t.column("ts"),
+                                          count_from_zero=True,
+                                          week_start=7), pa.int64()),
+        }).filter(ok)
+        g = sub.group_by(["event_type", "dow"]).aggregate(
+            [("dow", "count")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "dow": g.column("dow"),
+                         "n": pc.cast(g.column("dow_count"),
+                                      pa.int64())})
+
+    comb = _combine_partials(
+        _read(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "dow"], {"n": "n"})
+    et = np.asarray(comb.column("event_type").to_pylist(), object)
+    dow = comb.column("dow").to_numpy(zero_copy_only=False)
+    n = comb.column("n").to_numpy(zero_copy_only=False)
+    row_tot = {}
+    col_tot = {}
+    for e, d, c in zip(et, dow, n):
+        row_tot[e] = row_tot.get(e, 0) + int(c)
+        col_tot[int(d)] = col_tot.get(int(d), 0) + int(c)
+    grand = int(n.sum())
+    return pa.table({
+        "event_type": pa.array(et.tolist(), pa.string()),
+        "dow": pa.array(dow, pa.int64()),
+        "observed": pa.array(n, pa.int64()),
+        "row_total": pa.array([row_tot[e] for e in et], pa.int64()),
+        "col_total": pa.array([col_tot[int(d)] for d in dow],
+                              pa.int64()),
+        "grand_total": pa.array([grand] * len(et), pa.int64())})
+
+
+SQL_CONTINGENCY_MARGINS = """WITH h AS (
+  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS observed
+  FROM events WHERE ts IS NOT NULL GROUP BY event_type, dow)
+SELECT event_type, dow, observed,
+  CAST(SUM(observed) OVER (PARTITION BY event_type) AS BIGINT)
+    AS row_total,
+  CAST(SUM(observed) OVER (PARTITION BY dow) AS BIGINT) AS col_total,
+  CAST(SUM(observed) OVER () AS BIGINT) AS grand_total
+FROM h"""
+
+
+def q_turn_text_dups(sf_dir: str):
+    """Flagship cross-conversation text dedup: transcript texts that
+    appear in MORE THAN ONE conversation, with occurrence and
+    distinct-conversation counts — the repeated-boilerplate detector
+    a curation pass runs before training. Per-batch distinct
+    (text, conv) pairs bound the one text-hash shuffle; each group
+    counts occurrences and distinct convs exactly (a text's rows all
+    land in its bucket)."""
+    n_buckets = adaptive_buckets(2 * _nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        d = pa.table({"text": t.column("text"),
+                      "conv_id": t.column("conv_id"),
+                      "one": pa.array([1] * t.num_rows, pa.int64())}) \
+            .group_by(["text", "conv_id"]).aggregate([("one", "sum")])
+        out = pa.table({"text": d.column("text"),
+                        "conv_id": d.column("conv_id"),
+                        "n": d.column("one_sum")})
+        return out.append_column(
+            "bucket", fnv1a_bucket(out.column("text"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        f = g.group_by("text").aggregate([("n", "sum"),
+                                          ("conv_id", "count_distinct")])
+        out = pa.table({
+            "text": f.column("text"),
+            "n_turns": f.column("n_sum"),
+            "n_convs": pc.cast(f.column("conv_id_count_distinct"),
+                               pa.int64())})
+        return out.filter(pc.greater(out.column("n_convs"), 1))
+
+    return read_transcripts(sf_dir) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_TURN_TEXT_DUPS = f"""{_T}
+SELECT text, CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM transcripts GROUP BY text
+HAVING COUNT(DISTINCT conv_id) > 1"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -8680,6 +8846,10 @@ QUERIES = {
     "ks_statistic": (q_ks_statistic, SQL_KS_STATISTIC),
     "type_trigrams": (q_type_trigrams, SQL_TYPE_TRIGRAMS),
     "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
+    "skew_report": (q_skew_report, SQL_SKEW_REPORT),
+    "contingency_margins": (q_contingency_margins,
+                            SQL_CONTINGENCY_MARGINS),
+    "turn_text_dups": (q_turn_text_dups, SQL_TURN_TEXT_DUPS),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
