@@ -175,7 +175,9 @@ def run_queries() -> dict[str, float]:
              "type_overlap_kmv", "last_buy_carry", "systematic_sample",
              "pairwise_spread", "peak_hour_per_type", "tool_latency",
              "ks_statistic", "type_trigrams", "trimmed_mean",
-             "skew_report", "contingency_margins", "turn_text_dups"]
+             "skew_report", "contingency_margins", "turn_text_dups",
+             "session_lengths", "sessions_with_buy",
+             "tool_cooccurrence"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

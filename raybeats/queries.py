@@ -8662,6 +8662,209 @@ FROM transcripts GROUP BY text
 HAVING COUNT(DISTINCT conv_id) > 1"""
 
 
+def _session_bounds(g: pa.Table, gap_us: int):
+    """Shared sessionized-kernel scaffold: lexsort the bucket's rows by
+    (user, ts, event_id), mark session starts (user change OR gap >
+    ``gap_us``), and return ``(order, starts)`` — the per-session
+    boundary decomposition the session_lengths / sessions_with_buy
+    kernels both reduceat over."""
+    import numpy as np
+
+    u = g.column("u").to_numpy(zero_copy_only=False)
+    ts = g.column("ts").to_numpy(zero_copy_only=False)
+    eid = g.column("eid").to_numpy(zero_copy_only=False)
+    order, new_run, gap = _lag_scaffold([u], ts, eid)
+    brk = new_run | (gap > gap_us)
+    return order, np.flatnonzero(brk)
+
+
+def q_session_lengths(sf_dir: str):
+    """Session-size distribution: how many 30-min-gap sessions contain
+    exactly k events — the engagement-depth histogram one level past
+    `sessionization`'s per-user counts. One user-bucket shuffle; the
+    per-bucket kernel marks session boundaries once (shared
+    `_session_bounds`) and reduceats to per-session sizes, then
+    pre-reduces to (length, count) partials bounded by the max session
+    length."""
+    import numpy as np
+
+    gap_us = 30 * 60 * 1_000_000
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = pa.table({"u": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64()),
+                        "eid": t.column("event_id")}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("ts"))))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        order, starts = _session_bounds(g, gap_us)
+        sizes = np.diff(np.append(starts, len(order)))
+        uniq, counts = np.unique(sizes, return_counts=True)
+        return pa.table({"n_events": pa.array(uniq, pa.int64()),
+                         "n_sessions": pa.array(
+                             counts.astype(np.int64), pa.int64())})
+
+    small = _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    return _combine_partials(small, ["n_events"],
+                             {"n_sessions": "n_sessions"})
+
+
+SQL_SESSION_LENGTHS = """WITH d AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)
+         > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS brk
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+s AS (SELECT user_id,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM s GROUP BY user_id, sid)
+SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM c GROUP BY n_events"""
+
+
+def q_sessions_with_buy(sf_dir: str):
+    """Sessionized conversion: of all 30-min-gap sessions, how many
+    contain at least one 'buy' — the session-level conversion rate's
+    exact numerator/denominator (funnel_conversion is user-level; this
+    is per-visit). Same `_session_bounds` decomposition; per-session
+    any-buy is one maximum.reduceat over the sorted flag."""
+    import numpy as np
+
+    gap_us = 30 * 60 * 1_000_000
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = pa.table({"u": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64()),
+                        "eid": t.column("event_id"),
+                        "buy": pc.cast(pc.fill_null(pc.equal(
+                            t.column("event_type"), "buy"), False),
+                            pa.int64())}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("ts"))))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        import numpy as np
+        order, starts = _session_bounds(g, gap_us)
+        buy = g.column("buy").to_numpy(zero_copy_only=False)[order]
+        any_buy = np.maximum.reduceat(buy, starts) if len(starts) \
+            else np.array([], np.int64)
+        return pa.table({
+            "n_sessions": pa.array([len(starts)], pa.int64()),
+            "n_buy_sessions": pa.array([int(any_buy.sum())],
+                                       pa.int64())})
+
+    small = _read(sf_dir, "events",
+                  ["event_id", "user_id", "ts", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    t = pa.concat_tables(list(small.iter_batches(
+        batch_format="pyarrow")), promote_options="default")
+    return pa.table({
+        "n_sessions": pa.array([int(pc.sum(
+            t.column("n_sessions")).as_py() or 0)], pa.int64()),
+        "n_buy_sessions": pa.array([int(pc.sum(
+            t.column("n_buy_sessions")).as_py() or 0)], pa.int64())})
+
+
+SQL_SESSIONS_WITH_BUY = """WITH d AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)
+         > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS brk
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+s AS (SELECT user_id, event_type,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d),
+c AS (SELECT MAX(CASE WHEN event_type = 'buy' THEN 1 ELSE 0 END)
+        AS has_buy FROM s GROUP BY user_id, sid)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(has_buy) AS BIGINT) AS n_buy_sessions FROM c"""
+
+
+def q_tool_cooccurrence(sf_dir: str):
+    """Flagship market-basket over tools: for every unordered pair of
+    DISTINCT tools used in the same conversation, the number of
+    conversations using both — the toolchain-affinity matrix. The
+    cooccurrence shape on the transcripts table: per-batch distinct
+    (conv, tool) pairs bound the one conv-bucket shuffle; the bucket
+    kernel dedups globally and explodes each conversation's sorted
+    tool set with the repeat/arange kernel (≤ C(tools,2) per conv)."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(2 * _nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        d = pa.table({"conv_id": t.column("conv_id"),
+                      "tool": t.column("tool")}) \
+            .group_by(["conv_id", "tool"]).aggregate([])
+        return d.append_column(
+            "bucket", fnv1a_bucket(d.column("conv_id"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        conv = pc.dictionary_encode(g.column("conv_id")
+                                    .combine_chunks()).indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = pc.dictionary_encode(g.column("tool").combine_chunks())
+        vals = np.asarray(enc.dictionary.to_pylist(), object)
+        sort_idx = np.argsort(vals.astype("U"))
+        rank_of = np.empty(len(vals), np.int64)
+        rank_of[sort_idx] = np.arange(len(vals))
+        tc = rank_of[enc.indices.to_numpy(zero_copy_only=False)
+                     .astype(np.int64)]
+        vals_sorted = vals[sort_idx]
+        order = np.lexsort((tc, conv))
+        cs, ts_ = conv[order], tc[order]
+        keep = np.append(True, (cs[1:] != cs[:-1]) | (ts_[1:] != ts_[:-1])) \
+            if len(cs) else np.array([], bool)
+        cs, ts_ = cs[keep], ts_[keep]
+        starts = np.flatnonzero(np.append(True, cs[1:] != cs[:-1])) \
+            if len(cs) else np.array([], np.int64)
+        cnts = np.diff(np.append(starts, len(cs)))
+        run_of = np.repeat(np.arange(len(starts)), cnts)
+        pos = np.arange(len(cs)) - starts[run_of]
+        reps = cnts[run_of] - pos - 1
+        lefts = np.repeat(np.arange(len(cs)), reps)
+        tot = int(reps.sum())
+        block = (np.cumsum(reps) - reps).astype(np.int64)
+        rights = lefts + 1 + (np.arange(tot) - np.repeat(block, reps))
+        pair = ts_[lefts] * np.int64(len(vals) + 1) + ts_[rights]
+        uniq, counts = np.unique(pair, return_counts=True)
+        k = np.int64(len(vals) + 1)
+        return pa.table({
+            "tool_a": pa.array(vals_sorted[(uniq // k)].tolist(),
+                               pa.string()),
+            "tool_b": pa.array(vals_sorted[(uniq % k)].tolist(),
+                               pa.string()),
+            "n_convs": pa.array(counts.astype(np.int64), pa.int64())})
+
+    small = read_transcripts(sf_dir) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    return _combine_partials(small, ["tool_a", "tool_b"],
+                             {"n_convs": "n_convs"})
+
+
+SQL_TOOL_COOCCURRENCE = f"""{_T},
+f AS (SELECT DISTINCT conv_id, tool FROM transcripts)
+SELECT a.tool AS tool_a, b.tool AS tool_b,
+       CAST(COUNT(*) AS BIGINT) AS n_convs
+FROM f a JOIN f b ON a.conv_id = b.conv_id AND a.tool < b.tool
+GROUP BY a.tool, b.tool"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -8850,6 +9053,9 @@ QUERIES = {
     "contingency_margins": (q_contingency_margins,
                             SQL_CONTINGENCY_MARGINS),
     "turn_text_dups": (q_turn_text_dups, SQL_TURN_TEXT_DUPS),
+    "session_lengths": (q_session_lengths, SQL_SESSION_LENGTHS),
+    "sessions_with_buy": (q_sessions_with_buy, SQL_SESSIONS_WITH_BUY),
+    "tool_cooccurrence": (q_tool_cooccurrence, SQL_TOOL_COOCCURRENCE),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
