@@ -7944,7 +7944,7 @@ FROM p"""
 def q_type_overlap_kmv(sf_dir: str):
     """Audience overlap via the KMV distinct sketch
     (:class:`textops.sketches.KmvSketch`): estimated distinct users of
-    'view' and 'buy' and of their INTERSECTION — set algebra HLL
+    'view' and 'purchase' and of their INTERSECTION — set algebra HLL
     cannot do — from one streaming pass of fixed-width mergeable
     partials. EXACT below k=4096 distinct users per side (the sf
     corpora are; asserted via the ``exact`` flag), ≈1.6% rse past
@@ -7953,7 +7953,7 @@ def q_type_overlap_kmv(sf_dir: str):
     from .textops.sketches import kmv_type_overlap
     return kmv_type_overlap(
         _read(sf_dir, "events", ["user_id", "event_type"]),
-        type_a="view", type_b="buy", k=4096)
+        type_a="view", type_b="purchase", k=4096)
 
 
 def q_last_buy_carry(sf_dir: str):
@@ -7972,7 +7972,7 @@ def q_last_buy_carry(sf_dir: str):
         v = t.column("value").to_numpy(zero_copy_only=False)
         cents = np.where(np.isnan(v), 0,
                          np.floor(v * 100.0)).astype(np.int64)
-        is_buy = pc.equal(t.column("event_type"), "buy")
+        is_buy = pc.equal(t.column("event_type"), "purchase")
         obs = pc.and_(pc.fill_null(is_buy, False),
                       pa.array(~np.isnan(v))) \
             .to_numpy(zero_copy_only=False)
@@ -8021,7 +8021,7 @@ def q_last_buy_carry(sf_dir: str):
 
 SQL_LAST_BUY_CARRY = """WITH p AS (
   SELECT event_id, user_id, ts,
-    CASE WHEN event_type = 'buy' AND NOT isnan(value)
+    CASE WHEN event_type = 'purchase' AND NOT isnan(value)
       THEN CAST(FLOOR(value * 100) AS BIGINT) END AS buy_cents
   FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
 SELECT event_id, user_id,
@@ -8289,7 +8289,7 @@ FROM g WHERE role = 'tool' AND gap IS NOT NULL GROUP BY tool"""
 
 def q_ks_statistic(sf_dir: str):
     """Distribution-drift detection: the exact Kolmogorov–Smirnov
-    statistic between the 'view' and 'buy' value distributions,
+    statistic between the 'view' and 'purchase' value distributions,
     emitted as EXACT INTEGERS — ks_num = max_c |CDF_a(c)·n_b −
     CDF_b(c)·n_a| over the cents grid (the caller divides by n_a·n_b)
     plus the smallest cents where the max occurs. The scale shape is
@@ -8305,7 +8305,7 @@ def q_ks_statistic(sf_dir: str):
         ok = pa.array(~np.isnan(v)) \
             if isinstance(et, pa.ChunkedArray) else pa.array(~np.isnan(v))
         side = pc.if_else(pc.equal(et, "view"), 0,
-                          pc.if_else(pc.equal(et, "buy"), 1, -1))
+                          pc.if_else(pc.equal(et, "purchase"), 1, -1))
         sub = pa.table({
             "side": side,
             "cents": pa.array(np.floor(v * 100).astype(np.int64),
@@ -8343,9 +8343,10 @@ def q_ks_statistic(sf_dir: str):
 
 SQL_KS_STATISTIC = """WITH p AS (
   SELECT event_type AS t, CAST(FLOOR(value * 100) AS BIGINT) AS c
-  FROM events WHERE event_type IN ('view', 'buy') AND NOT isnan(value)),
+  FROM events WHERE event_type IN ('view', 'purchase')
+    AND NOT isnan(value)),
 h AS (SELECT c, COUNT(*) FILTER (WHERE t = 'view') AS na,
-             COUNT(*) FILTER (WHERE t = 'buy') AS nb
+             COUNT(*) FILTER (WHERE t = 'purchase') AS nb
       FROM p GROUP BY c),
 tot AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM h),
 cum AS (SELECT c, SUM(na) OVER (ORDER BY c) AS ca,
@@ -8733,7 +8734,7 @@ FROM c GROUP BY n_events"""
 
 def q_sessions_with_buy(sf_dir: str):
     """Sessionized conversion: of all 30-min-gap sessions, how many
-    contain at least one 'buy' — the session-level conversion rate's
+    contain at least one 'purchase' — the session-level conversion rate's
     exact numerator/denominator (funnel_conversion is user-level; this
     is per-visit). Same `_session_bounds` decomposition; per-session
     any-buy is one maximum.reduceat over the sorted flag."""
@@ -8747,7 +8748,7 @@ def q_sessions_with_buy(sf_dir: str):
                         "ts": pc.cast(t.column("ts"), pa.int64()),
                         "eid": t.column("event_id"),
                         "buy": pc.cast(pc.fill_null(pc.equal(
-                            t.column("event_type"), "buy"), False),
+                            t.column("event_type"), "purchase"), False),
                             pa.int64())}) \
             .filter(pc.and_(pc.is_valid(t.column("user_id")),
                             pc.is_valid(t.column("ts"))))
@@ -8788,7 +8789,7 @@ s AS (SELECT user_id, event_type,
         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS sid
       FROM d),
-c AS (SELECT MAX(CASE WHEN event_type = 'buy' THEN 1 ELSE 0 END)
+c AS (SELECT MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
         AS has_buy FROM s GROUP BY user_id, sid)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
        CAST(SUM(has_buy) AS BIGINT) AS n_buy_sessions FROM c"""
@@ -8863,6 +8864,148 @@ SELECT a.tool AS tool_a, b.tool AS tool_b,
        CAST(COUNT(*) AS BIGINT) AS n_convs
 FROM f a JOIN f b ON a.conv_id = b.conv_id AND a.tool < b.tool
 GROUP BY a.tool, b.tool"""
+
+
+def q_lorenz_deciles(sf_dir: str):
+    """Activity-concentration (Lorenz) deciles: users ranked by event
+    count DESC and cut into NTILE(10) tiles; per decile the user count
+    and exact event total — "the top 10% of users generate X% of
+    traffic". No global sort: per-user counts fold through one
+    user-bucket shuffle, each bucket emits a (count → n_users)
+    HISTOGRAM partial (bounded by distinct activity levels), and the
+    driver allocates histogram rows to deciles by position-interval
+    overlap — exactly NTILE's sizes (first N%10 tiles get one extra
+    user), and tie groups split arbitrarily cost nothing because every
+    user in a tie contributes the same count."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_valid(t.column("user_id")))
+        g = sub.group_by("user_id").aggregate([("user_id", "count")])
+        out = pa.table({"u": g.column("user_id"),
+                        "n": pc.cast(g.column("user_id_count"),
+                                     pa.int64())})
+        return out.append_column("bucket", int_bucket(out.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        f = g.group_by("u").aggregate([("n", "sum")])
+        cnt = f.column("n_sum").to_numpy(zero_copy_only=False)
+        uniq, m = np.unique(cnt, return_counts=True)
+        return pa.table({"n": pa.array(uniq, pa.int64()),
+                         "m": pa.array(m.astype(np.int64), pa.int64())})
+
+    hist = _combine_partials(
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow"),
+        ["n"], {"m": "m"})
+    n = hist.column("n").to_numpy(zero_copy_only=False)
+    m = hist.column("m").to_numpy(zero_copy_only=False)
+    order = np.argsort(-n)  # activity DESC — decile 1 = heaviest
+    n, m = n[order], m[order]
+    total_users = int(m.sum())
+    q, r = divmod(total_users, 10)
+    sizes = np.array([q + 1 if d < r else q for d in range(10)],
+                     np.int64)
+    bounds = np.cumsum(sizes)
+    starts = bounds - sizes
+    cum = np.cumsum(m)
+    row_lo = cum - m
+    out_d, out_u, out_e = [], [], []
+    for d in range(10):
+        if sizes[d] == 0:
+            continue
+        lo = np.maximum(row_lo, starts[d])
+        hi = np.minimum(cum, bounds[d])
+        take = np.maximum(hi - lo, 0)
+        out_d.append(d + 1)
+        out_u.append(int(take.sum()))
+        out_e.append(int((take * n).sum()))
+    return pa.table({"decile": pa.array(out_d, pa.int64()),
+                     "n_users": pa.array(out_u, pa.int64()),
+                     "n_events": pa.array(out_e, pa.int64())})
+
+
+SQL_LORENZ_DECILES = """WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+t AS (SELECT n, NTILE(10) OVER (ORDER BY n DESC, user_id) AS decile
+      FROM c)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS n_events
+FROM t GROUP BY decile"""
+
+
+def q_view_to_buy_lag(sf_dir: str):
+    """Per-purchase conversion latency: for every 'purchase', the
+    microseconds since the same user's most recent 'view' at or before
+    it ((ts, event_id) order; NULL when no view precedes) —
+    conversion_lag's per-event refinement, the distribution marketing
+    actually reads. Same LOCF kernel as last_buy_carry (vectorized
+    maximum.accumulate ffill with per-segment bases), carrying the
+    view timestamp instead of a value; one user-bucket shuffle."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        sub = pa.table({"u": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64()),
+                        "eid": t.column("event_id"),
+                        "is_view": pc.fill_null(
+                            pc.equal(et, "view"), False),
+                        "is_buy": pc.fill_null(
+                            pc.equal(et, "purchase"), False)}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("ts"))))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        is_view = g.column("is_view").to_numpy(zero_copy_only=False)
+        is_buy = g.column("is_buy").to_numpy(zero_copy_only=False)
+        order, new_run, _ = _lag_scaffold([u], ts, eid)
+        o_view = is_view[order]
+        idx = np.where(o_view, np.arange(len(order)), -1)
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, len(order)))
+        seg = np.repeat(np.arange(len(starts)), lens)
+        base = seg.astype(np.int64) * (len(order) + 2)
+        filled = np.maximum.accumulate(
+            np.where(idx >= 0, idx + base, -1))
+        have = filled >= base
+        src = np.where(have, filled - base, 0).astype(np.int64)
+        o_ts = ts[order]
+        lag = o_ts - o_ts[src]
+        buys = is_buy[order]
+        return pa.table({
+            "event_id": pa.array(eid[order][buys], pa.int64()),
+            "lag_us": pa.array(lag[buys], pa.int64(),
+                               mask=~have[buys])})
+
+    return _read(sf_dir, "events",
+                 ["event_id", "user_id", "ts", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_VIEW_TO_BUY_LAG = """WITH p AS (
+  SELECT event_id, user_id, ts, event_type,
+    LAST_VALUE(CASE WHEN event_type = 'view' THEN epoch_us(ts) END
+               IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS view_ts
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+SELECT event_id, epoch_us(ts) - view_ts AS lag_us
+FROM p WHERE event_type = 'purchase'"""
 
 
 # ----------------------------------------------------------------- export
@@ -9056,6 +9199,8 @@ QUERIES = {
     "session_lengths": (q_session_lengths, SQL_SESSION_LENGTHS),
     "sessions_with_buy": (q_sessions_with_buy, SQL_SESSIONS_WITH_BUY),
     "tool_cooccurrence": (q_tool_cooccurrence, SQL_TOOL_COOCCURRENCE),
+    "lorenz_deciles": (q_lorenz_deciles, SQL_LORENZ_DECILES),
+    "view_to_buy_lag": (q_view_to_buy_lag, SQL_VIEW_TO_BUY_LAG),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).

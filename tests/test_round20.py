@@ -124,7 +124,7 @@ class TestKmvSketch:
 
     def test_query_exact_flag(self, ray_session, tmp_path):
         rng = np.random.default_rng(81)
-        types = ["view", "buy", "cart"]
+        types = ["view", "purchase", "cart"]
         rows = [(i, i, int(rng.integers(0, 300)),
                  types[int(rng.integers(0, 3))], 1.0)
                 for i in range(4000)]
@@ -135,7 +135,7 @@ class TestKmvSketch:
         want = _oracle(tmp_path, """
           SELECT CAST(COUNT(DISTINCT CASE WHEN event_type='view'
                    THEN user_id END) AS DOUBLE) AS a,
-                 CAST(COUNT(DISTINCT CASE WHEN event_type='buy'
+                 CAST(COUNT(DISTINCT CASE WHEN event_type='purchase'
                    THEN user_id END) AS DOUBLE) AS b
           FROM events""").to_pylist()[0]
         assert r["est_a"] == want["a"] and r["est_b"] == want["b"]
@@ -143,6 +143,6 @@ class TestKmvSketch:
           SELECT CAST(COUNT(*) AS DOUBLE) AS i FROM (
             SELECT user_id FROM events WHERE event_type='view'
             INTERSECT
-            SELECT user_id FROM events WHERE event_type='buy')""") \
+            SELECT user_id FROM events WHERE event_type='purchase')""") \
             .column("i")[0].as_py()
         assert r["est_intersection"] == inter

@@ -50,10 +50,10 @@ class TestLastBuyCarry:
     def test_carry_semantics(self, ray_session, tmp_path):
         # u1: view(no obs), buy 2.00, view, buy NaN(skipped), cart
         # u2: buy 5.00 only at the end -> earlier rows NULL
-        rows = [(0, 10, 1, "view", 9.0), (1, 20, 1, "buy", 2.0),
-                (2, 30, 1, "view", 9.0), (3, 40, 1, "buy", float("nan")),
+        rows = [(0, 10, 1, "view", 9.0), (1, 20, 1, "purchase", 2.0),
+                (2, 30, 1, "view", 9.0), (3, 40, 1, "purchase", float("nan")),
                 (4, 50, 1, "cart", 9.0),
-                (5, 10, 2, "view", 9.0), (6, 20, 2, "buy", 5.0)]
+                (5, 10, 2, "view", 9.0), (6, 20, 2, "purchase", 5.0)]
         _events(tmp_path, rows)
         got = _table(QUERIES["last_buy_carry"][0](str(tmp_path)))
         carry = {r["event_id"]: r["last_buy_cents"]
@@ -63,7 +63,7 @@ class TestLastBuyCarry:
 
     def test_oracle_parity_random(self, ray_session, tmp_path):
         rng = np.random.default_rng(91)
-        types = ["view", "cart", "buy"]
+        types = ["view", "cart", "purchase"]
         rows = [(i, int(rng.integers(0, 100_000)),
                  int(rng.integers(0, 30)),
                  types[int(rng.integers(0, 3))],

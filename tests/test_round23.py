@@ -79,7 +79,7 @@ class TestKsStatistic:
         for i in range(2000):
             rows.append((2 * i, i, 1, "view",
                          float(rng.uniform(0, 10))))
-            rows.append((2 * i + 1, i, 1, "buy",
+            rows.append((2 * i + 1, i, 1, "purchase",
                          float(rng.uniform(5, 15))))
         _events(tmp_path, rows)
         got = _table(QUERIES["ks_statistic"][0](str(tmp_path)))
@@ -93,7 +93,7 @@ class TestKsStatistic:
         a = np.floor(np.array([x[4] for x in rows
                                if x[3] == "view"]) * 100).astype(int)
         b = np.floor(np.array([x[4] for x in rows
-                               if x[3] == "buy"]) * 100).astype(int)
+                               if x[3] == "purchase"]) * 100).astype(int)
         grid = np.unique(np.concatenate([a, b]))
         ca = np.searchsorted(np.sort(a), grid, side="right")
         cb = np.searchsorted(np.sort(b), grid, side="right")
@@ -106,7 +106,7 @@ class TestKsStatistic:
         for i in range(100):
             v = float(i % 7)
             rows.append((2 * i, i, 1, "view", v))
-            rows.append((2 * i + 1, i, 1, "buy", v))
+            rows.append((2 * i + 1, i, 1, "purchase", v))
         _events(tmp_path, rows)
         got = _table(QUERIES["ks_statistic"][0](str(tmp_path)))
         assert got.to_pylist()[0]["ks_num"] == 0

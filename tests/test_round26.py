@@ -75,7 +75,7 @@ class TestSessionLengths:
 class TestSessionsWithBuy:
     def test_multi_buy_counted_once(self, ray_session, tmp_path):
         # session 1 of u1 has TWO buys -> counts once; session 2 none
-        rows = [(0, 0, 1, "buy", 1.0), (1, 10, 1, "buy", 1.0),
+        rows = [(0, 0, 1, "purchase", 1.0), (1, 10, 1, "purchase", 1.0),
                 (2, 2 * MIN30, 1, "view", 1.0),
                 (3, 0, 2, "view", 1.0)]
         _events(tmp_path, rows)
@@ -87,7 +87,7 @@ class TestSessionsWithBuy:
         rng = np.random.default_rng(163)
         rows = [(i, int(rng.integers(0, 50)) * 20 * 60 * 1_000_000,
                  int(rng.integers(0, 15)),
-                 ["view", "cart", "buy"][int(rng.integers(0, 3))], 1.0)
+                 ["view", "cart", "purchase"][int(rng.integers(0, 3))], 1.0)
                 for i in range(2500)]
         _events(tmp_path, rows)
         got = _table(QUERIES["sessions_with_buy"][0](str(tmp_path)))
