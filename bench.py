@@ -177,7 +177,9 @@ def run_queries() -> dict[str, float]:
              "ks_statistic", "type_trigrams", "trimmed_mean",
              "skew_report", "contingency_margins", "turn_text_dups",
              "session_lengths", "sessions_with_buy",
-             "tool_cooccurrence", "lorenz_deciles", "view_to_buy_lag"]
+             "tool_cooccurrence", "lorenz_deciles", "view_to_buy_lag",
+             "monthly_orders_yoy", "order_to_ship_days",
+             "rfm_customers"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

@@ -9008,6 +9008,160 @@ SELECT event_id, epoch_us(ts) - view_ts AS lag_us
 FROM p WHERE event_type = 'purchase'"""
 
 
+def q_monthly_orders_yoy(sf_dir: str):
+    """Seasonality report: orders per calendar month with the
+    year-over-year delta (same month, previous year; NULL when that
+    month is absent) — the trend table a capacity review reads.
+    Per-batch (month, n) partials bound the exchange by the time
+    range; the YoY self-join is driver arithmetic on the ≤ months
+    series via a month-index dict, robust to gaps (a LAG(12) over
+    the series would misalign across missing months)."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.is_valid(t.column("o_orderdate"))
+        mon = pc.floor_temporal(t.column("o_orderdate"), unit="month")
+        g = pa.table({"mon": mon}).filter(ok) \
+            .group_by("mon").aggregate([("mon", "count")])
+        return pa.table({"mon": g.column("mon"),
+                         "n": pc.cast(g.column("mon_count"),
+                                      pa.int64())})
+
+    comb = _combine_partials(
+        _read(sf_dir, "orders", ["o_orderdate"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["mon"], {"n": "n"})
+    mon = comb.column("mon")
+    yr = pc.year(mon).to_numpy(zero_copy_only=False)
+    mo = pc.month(mon).to_numpy(zero_copy_only=False)
+    idx = yr * 12 + (mo - 1)
+    n = comb.column("n").to_numpy(zero_copy_only=False)
+    by_idx = dict(zip(idx.tolist(), n.tolist()))
+    prev = np.array([by_idx.get(int(i) - 12, -1) for i in idx],
+                    np.int64)
+    order = np.argsort(idx)
+    return pa.table({
+        "mon": pc.take(mon.combine_chunks() if isinstance(
+            mon, pa.ChunkedArray) else mon,
+            pa.array(order, pa.int64())),
+        "n_orders": pa.array(n[order], pa.int64()),
+        "yoy_delta": pa.array((n - np.where(prev < 0, 0, prev))[order],
+                              pa.int64(), mask=(prev < 0)[order])})
+
+
+SQL_MONTHLY_ORDERS_YOY = """WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY mon)
+SELECT a.mon, a.n AS n_orders, a.n - b.n AS yoy_delta
+FROM m a LEFT JOIN m b ON b.mon = a.mon - INTERVAL 12 MONTH"""
+
+
+def q_order_to_ship_days(sf_dir: str):
+    """Fulfilment-latency distribution: days between an order's date
+    and each lineitem's ship date, histogrammed — a two-FACT-table
+    join (neither side broadcasts) feeding a bounded aggregate.
+    `hash_join` exchanges both tables once with input-adaptive
+    partitions; after the join only (batch × distinct-day) partial
+    rows move."""
+    from .joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    nparts = adaptive_buckets(
+        _nrows(sf_dir, "lineitem") + _nrows(sf_dir, "orders"),
+        target_rows=500_000, lo=4, hi=1 << 16)
+    joined = hash_join(li, orders, on="l_orderkey",
+                       right_on="o_orderkey", how="inner",
+                       num_partitions=nparts)
+
+    DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t.column("l_shipdate"), pa.int64())
+        od = pc.cast(t.column("o_orderdate"), pa.int64())
+        ok = pc.and_(pc.is_valid(ship), pc.is_valid(od))
+        # both dates are midnight-aligned, so the µs floor-div equals
+        # the calendar-day diff
+        days = pc.divide(pc.subtract(ship, od), DAY)
+        g = pa.table({"days": days}).filter(ok) \
+            .group_by("days").aggregate([("days", "count")])
+        return pa.table({"days": g.column("days"),
+                         "n": pc.cast(g.column("days_count"),
+                                      pa.int64())})
+
+    return _combine_partials(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["days"], {"n": "n"})
+
+
+SQL_ORDER_TO_SHIP_DAYS = """WITH j AS (
+  SELECT datediff('day', o.o_orderdate, l.l_shipdate) AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL)
+SELECT CAST(d AS BIGINT) AS days, CAST(COUNT(*) AS BIGINT) AS n
+FROM j GROUP BY d"""
+
+
+def q_rfm_customers(sf_dir: str):
+    """RFM segmentation inputs: per customer the Recency (days since
+    their last order, against the corpus max order date — read from
+    the parquet FOOTER, no extra execution), Frequency (order count)
+    and Monetary total (exact floor-cents) — the classic marketing
+    segmentation, all exact ints. COUNT/MAX/SUM are associative: one
+    customer-bucket shuffle folds per-batch partials."""
+    import numpy as np
+
+    _, max_us = _footer_ts_range(sf_dir, "orders", "o_orderdate")
+    DAY = 86_400_000_000
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "orders"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        sub = pa.table({
+            "c": t.column("o_custkey"),
+            "d": pc.cast(t.column("o_orderdate"), pa.int64()),
+            "cents": pa.array(np.floor(v * 100.0).astype(np.int64),
+                              pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64())}) \
+            .filter(pc.and_(pc.is_valid(t.column("o_custkey")),
+                            pc.is_valid(t.column("o_orderdate"))))
+        g = sub.group_by("c").aggregate(
+            [("d", "max"), ("cents", "sum"), ("one", "sum")])
+        out = pa.table({"c": g.column("c"), "d": g.column("d_max"),
+                        "cents": g.column("cents_sum"),
+                        "n": g.column("one_sum")})
+        return out.append_column("bucket", int_bucket(out.column("c"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        f = g.group_by("c").aggregate(
+            [("d", "max"), ("cents", "sum"), ("n", "sum")])
+        d = f.column("d_max").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_custkey": f.column("c"),
+            "recency_days": pa.array((max_us - d) // DAY, pa.int64()),
+            "frequency": f.column("n_sum"),
+            "monetary_cents": f.column("cents_sum")})
+
+    return _read(sf_dir, "orders",
+                 ["o_custkey", "o_orderdate", "o_totalprice"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_RFM_CUSTOMERS = """WITH mx AS (
+  SELECT MAX(o_orderdate) AS m FROM orders)
+SELECT o_custkey,
+  CAST(datediff('day', MAX(o_orderdate), (SELECT m FROM mx))
+       AS BIGINT) AS recency_days,
+  CAST(COUNT(*) AS BIGINT) AS frequency,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS monetary_cents
+FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+GROUP BY o_custkey"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -9201,6 +9355,11 @@ QUERIES = {
     "tool_cooccurrence": (q_tool_cooccurrence, SQL_TOOL_COOCCURRENCE),
     "lorenz_deciles": (q_lorenz_deciles, SQL_LORENZ_DECILES),
     "view_to_buy_lag": (q_view_to_buy_lag, SQL_VIEW_TO_BUY_LAG),
+    "monthly_orders_yoy": (q_monthly_orders_yoy,
+                           SQL_MONTHLY_ORDERS_YOY),
+    "order_to_ship_days": (q_order_to_ship_days,
+                           SQL_ORDER_TO_SHIP_DAYS),
+    "rfm_customers": (q_rfm_customers, SQL_RFM_CUSTOMERS),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
