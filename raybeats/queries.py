@@ -9162,6 +9162,158 @@ FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
 GROUP BY o_custkey"""
 
 
+def q_type_percent_rank(sf_dir: str):
+    """Grouped exact percent-rank inputs: per event, the count of
+    STRICTLY smaller cents within its type (= RANK()−1) and the
+    type's row count — the within-segment score-normalization step,
+    as exact ints (the caller divides for percent_rank). No per-type
+    sort of the corpus: the (type, cents)→count HISTOGRAM folds once
+    (bounded by types × distinct quanta), its per-type exclusive
+    cumulative broadcasts in the stage closure, and a second narrow
+    pass answers every row with one searchsorted per (batch, type).
+    The two-pass shape trades one extra READ of the pruned 3-column
+    projection for never exchanging corpus rows."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        part = pa.table({
+            "event_type": pc.array_filter(
+                t.column("event_type").combine_chunks(), pa.array(ok)),
+            "cents": pa.array(np.floor(v[ok] * 100).astype(np.int64),
+                              pa.int64()),
+            "n": pa.array(np.ones(int(ok.sum()), np.int64), pa.int64())})
+        g = part.group_by(["event_type", "cents"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "cents": g.column("cents"),
+                         "n": g.column("n_sum")})
+
+    hist = _combine_partials(
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "cents"], {"n": "n"})
+    et = np.asarray(hist.column("event_type").to_pylist(), object)
+    cents = hist.column("cents").to_numpy(zero_copy_only=False)
+    n = hist.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((cents, et.astype("U")))
+    et, cents, n = et[order], cents[order], n[order]
+    cdf: dict = {}
+    starts = np.flatnonzero(np.append(True, et[1:] != et[:-1]))
+    lens = np.diff(np.append(starts, len(et)))
+    for s, ln in zip(starts, lens):
+        cs, ns = cents[s:s + ln], n[s:s + ln]
+        cum = np.cumsum(ns)
+        # exclusive: count of strictly smaller = cum shifted right
+        cdf[et[s]] = (cs, np.concatenate([[0], cum[:-1]]),
+                      int(cum[-1]))
+
+    def rank(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        sub = pa.table({"event_id": t.column("event_id"),
+                        "event_type": t.column("event_type")}) \
+            .filter(pa.array(ok))
+        c = np.floor(v[ok] * 100).astype(np.int64)
+        ets = np.asarray(sub.column("event_type").to_pylist(), object)
+        smaller = np.zeros(len(c), np.int64)
+        total = np.zeros(len(c), np.int64)
+        for ty in np.unique(ets.astype("U")):
+            m = ets == ty
+            cs, excl, tot = cdf[ty]
+            pos = np.searchsorted(cs, c[m], side="left")
+            # c[m] always exists in cs (built from the same corpus)
+            smaller[m] = excl[pos]
+            total[m] = tot
+        return pa.table({
+            "event_id": sub.column("event_id"),
+            "smaller_n": pa.array(smaller, pa.int64()),
+            "type_n": pa.array(total, pa.int64())})
+
+    return _read(sf_dir, "events",
+                 ["event_id", "event_type", "value"]) \
+        .map_batches(rank, batch_format="pyarrow")
+
+
+SQL_TYPE_PERCENT_RANK = """WITH p AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 100) AS BIGINT) AS c
+  FROM events WHERE NOT isnan(value))
+SELECT event_id,
+  CAST(RANK() OVER (PARTITION BY event_type ORDER BY c) - 1
+       AS BIGINT) AS smaller_n,
+  CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS type_n
+FROM p"""
+
+
+def q_dim_profile(sf_dir: str):
+    """Per-dimension embedding profile: for every vector dimension,
+    count / exact-quantized sum / min / max — the feature-drift
+    monitor a training pipeline runs per corpus snapshot. The explode
+    never materializes rows×dims: each batch reads the ListArray's
+    flat values zero-copy (slice-aware ``flatten``), derives each
+    value's dimension from the offsets arithmetic, and pre-reduces to
+    a dims-wide partial; quantization (×1e6 floor) keeps every output
+    int64-exact across engines."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        flat = pc.cast(col.flatten(), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        q = np.floor(flat * 1_000_000.0).astype(np.int64)
+        lens = np.diff(offs)
+        # dimension index (1-based, the SQL generate_subscripts
+        # convention): CAUTION — a zero-copy-sliced ListArray's
+        # offsets need not start at 0, and flatten() returns only the
+        # slice's values, so positions rebase against offs[0]
+        flat_pos = np.arange(len(q)) + offs[0]
+        dim = (flat_pos - np.repeat(offs[:-1], lens)) + 1
+        part = pa.table({"idx": pa.array(dim.astype(np.int64),
+                                         pa.int64()),
+                         "qv": pa.array(q, pa.int64())})
+        g = part.group_by("idx").aggregate(
+            [("qv", "sum"), ("qv", "min"), ("qv", "max"),
+             ("qv", "count")])
+        return pa.table({"idx": g.column("idx"),
+                         "s": g.column("qv_sum"),
+                         "mn": g.column("qv_min"),
+                         "mx": g.column("qv_max"),
+                         "n": pc.cast(g.column("qv_count"),
+                                      pa.int64())})
+
+    parts = pa.concat_tables(list(
+        _read(sf_dir, "embeddings", ["embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")),
+        promote_options="default")
+    g = parts.group_by("idx").aggregate(
+        [("n", "sum"), ("s", "sum"), ("mn", "min"), ("mx", "max")])
+    return pa.table({"idx": g.column("idx"),
+                     "n": g.column("n_sum"),
+                     "sum_q": g.column("s_sum"),
+                     "min_q": g.column("mn_min"),
+                     "max_q": g.column("mx_max")})
+
+
+SQL_DIM_PROFILE = """WITH u AS (
+  SELECT unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS idx
+  FROM embeddings),
+q AS (SELECT CAST(idx AS BIGINT) AS idx,
+             CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS qv
+      FROM u)
+SELECT idx, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(qv) AS BIGINT) AS sum_q,
+       CAST(MIN(qv) AS BIGINT) AS min_q,
+       CAST(MAX(qv) AS BIGINT) AS max_q
+FROM q GROUP BY idx"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -9360,6 +9512,8 @@ QUERIES = {
     "order_to_ship_days": (q_order_to_ship_days,
                            SQL_ORDER_TO_SHIP_DAYS),
     "rfm_customers": (q_rfm_customers, SQL_RFM_CUSTOMERS),
+    "type_percent_rank": (q_type_percent_rank, SQL_TYPE_PERCENT_RANK),
+    "dim_profile": (q_dim_profile, SQL_DIM_PROFILE),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
