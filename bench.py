@@ -179,7 +179,8 @@ def run_queries() -> dict[str, float]:
              "session_lengths", "sessions_with_buy",
              "tool_cooccurrence", "lorenz_deciles", "view_to_buy_lag",
              "monthly_orders_yoy", "order_to_ship_days",
-             "rfm_customers", "type_percent_rank", "dim_profile"]
+             "rfm_customers", "type_percent_rank", "dim_profile",
+             "repurchase_gaps", "behavior_twins"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

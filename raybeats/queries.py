@@ -9314,6 +9314,124 @@ SELECT idx, CAST(COUNT(*) AS BIGINT) AS n,
 FROM q GROUP BY idx"""
 
 
+def q_repurchase_gaps(sf_dir: str):
+    """Repeat-purchase intervals: full-day gaps between a user's
+    CONSECUTIVE purchases ((ts, event_id) order), histogrammed — the
+    retention-curve input. The LAG runs on the purchase SUBSET (the
+    filter pushes below the shuffle, so only purchase rows move);
+    per-bucket kernel is the shared lexsort scaffold, pre-reduced to
+    (days, count) partials."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+    DAY = 86_400_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = pa.table({"u": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64()),
+                        "eid": t.column("event_id")}) \
+            .filter(pc.and_(pc.and_(
+                pc.is_valid(t.column("user_id")),
+                pc.is_valid(t.column("ts"))),
+                pc.fill_null(pc.equal(t.column("event_type"),
+                                      "purchase"), False)))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        order, new_run, gap = _lag_scaffold([u], ts, eid)
+        days = gap[~new_run] // DAY
+        uniq, counts = np.unique(days, return_counts=True)
+        return pa.table({"days": pa.array(uniq, pa.int64()),
+                         "n": pa.array(counts.astype(np.int64),
+                                       pa.int64())})
+
+    small = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                     "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    return _combine_partials(small, ["days"], {"n": "n"})
+
+
+SQL_REPURCHASE_GAPS = """WITH p AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    AND ts IS NOT NULL),
+g AS (SELECT (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id))
+        // 86400000000 AS days
+      FROM p)
+SELECT CAST(days AS BIGINT) AS days, CAST(COUNT(*) AS BIGINT) AS n
+FROM g WHERE days IS NOT NULL GROUP BY days"""
+
+
+def q_behavior_twins(sf_dir: str):
+    """Set-equality grouping ("behavior twins"): users whose DISTINCT
+    active-day sets are IDENTICAL, reported as a class-size histogram
+    (how many equivalence classes have exactly k members). Two
+    shuffles, both irreducible: one user-bucket pass builds each
+    user's canonical sorted day-set key (distinct (user, day) pairs
+    bound what moves), one key-hash pass groups identical sets —
+    the key is the literal day list rendered to a string, so equality
+    is exact (no fingerprint collisions)."""
+    import numpy as np
+    import pandas as pd
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+    DAY = 86_400_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        # arrow integer divide truncates toward zero vs SQL //'s floor —
+        # identical for the corpus's post-epoch timestamps
+        sub = pa.table({"u": t.column("user_id"),
+                        "d": pc.divide(pc.cast(
+                            t.column("ts"), pa.int64()), DAY)}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("ts")))) \
+            .group_by(["u", "d"]).aggregate([])
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def day_sets(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["u", "d"]).sort_values(["u", "d"])
+        key = g.groupby("u", sort=False)["d"].agg(
+            lambda s: ",".join(map(str, s)))
+        return pd.DataFrame({"key": key.to_numpy()})
+
+    def grp2(g: pa.Table) -> pa.Table:
+        f = g.group_by("key").aggregate([("key", "count")])
+        sizes = pc.cast(f.column("key_count"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(sizes, return_counts=True)
+        return pa.table({"class_size": pa.array(uniq, pa.int64()),
+                         "n_classes": pa.array(
+                             counts.astype(np.int64), pa.int64())})
+
+    keys = _read(sf_dir, "events", ["user_id", "ts"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(day_sets, batch_format="pandas") \
+        .map_batches(lambda t: t.append_column(
+            "kb", fnv1a_bucket(t.column("key"), n_buckets)),
+        batch_format="pyarrow")
+    small = keys.groupby("kb").map_groups(grp2, batch_format="pyarrow")
+    return _combine_partials(small, ["class_size"],
+                             {"n_classes": "n_classes"})
+
+
+SQL_BEHAVIOR_TWINS = """WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+k AS (SELECT user_id, string_agg(CAST(day AS VARCHAR), ',' ORDER BY day)
+        AS key FROM d GROUP BY user_id),
+c AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM k GROUP BY key)
+SELECT class_size, CAST(COUNT(*) AS BIGINT) AS n_classes
+FROM c GROUP BY class_size"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -9514,6 +9632,8 @@ QUERIES = {
     "rfm_customers": (q_rfm_customers, SQL_RFM_CUSTOMERS),
     "type_percent_rank": (q_type_percent_rank, SQL_TYPE_PERCENT_RANK),
     "dim_profile": (q_dim_profile, SQL_DIM_PROFILE),
+    "repurchase_gaps": (q_repurchase_gaps, SQL_REPURCHASE_GAPS),
+    "behavior_twins": (q_behavior_twins, SQL_BEHAVIOR_TWINS),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
