@@ -180,7 +180,8 @@ def run_queries() -> dict[str, float]:
              "tool_cooccurrence", "lorenz_deciles", "view_to_buy_lag",
              "monthly_orders_yoy", "order_to_ship_days",
              "rfm_customers", "type_percent_rank", "dim_profile",
-             "repurchase_gaps", "behavior_twins"]
+             "repurchase_gaps", "behavior_twins",
+             "conv_split", "split_leakage"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

@@ -9432,6 +9432,129 @@ SELECT class_size, CAST(COUNT(*) AS BIGINT) AS n_classes
 FROM c GROUP BY class_size"""
 
 
+def _md5_first_hex(col) -> pa.Array:
+    """First hex digit of md5(value) — the cross-engine GROUP-level
+    split key (DuckDB: ``substr(md5(x), 1, 1)``). Row-at-a-time md5 is
+    fine here: it runs once per DISTINCT conv per batch, not per
+    turn."""
+    import hashlib
+    return pa.array([hashlib.md5(v.encode()).hexdigest()[0]
+                     if v is not None else None
+                     for v in col.to_pylist()], pa.string())
+
+
+_SPLIT_CASE = ("CASE WHEN h <= 'b' THEN 'train' "
+               "WHEN h <= 'd' THEN 'val' ELSE 'test' END")
+
+
+def _split_of(hexdigit: pa.Array) -> pa.Array:
+    train = pc.less_equal(hexdigit, "b")
+    val = pc.less_equal(hexdigit, "d")
+    return pc.if_else(train, "train", pc.if_else(val, "val", "test"))
+
+
+def q_conv_split(sf_dir: str):
+    """GROUP-consistent train/val/test split — the conversation-leakage
+    guard an LLM pipeline needs (row-level `hash_split` would scatter
+    one conversation's turns across splits): every turn follows its
+    conv_id's deterministic md5 bucket (first hex digit: 12/16 train,
+    2/16 val, 2/16 test). Per-batch the split derives from the
+    DISTINCT convs present (md5 once per conv, not per turn), then
+    fixed-width (split, n_convs, n_turns) partials fold — counting
+    distinct convs exactly via one conv-bucket shuffle."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(2 * _nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        d0 = pa.table({"conv_id": t.column("conv_id"),
+                       "one": pa.array([1] * t.num_rows, pa.int64())}) \
+            .group_by("conv_id").aggregate([("one", "sum")])
+        d = pa.table({"conv_id": d0.column("conv_id"),
+                      "one": d0.column("one_sum")})
+        return d.append_column(
+            "bucket", fnv1a_bucket(d.column("conv_id"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        f = g.group_by("conv_id").aggregate([("one", "sum")])
+        split = _split_of(_md5_first_hex(f.column("conv_id")))
+        part = pa.table({"split": split,
+                         "n_turns": f.column("one_sum"),
+                         "one": pa.array([1] * f.num_rows, pa.int64())})
+        gg = part.group_by("split").aggregate(
+            [("one", "sum"), ("n_turns", "sum")])
+        return pa.table({"split": gg.column("split"),
+                         "n_convs": gg.column("one_sum"),
+                         "n_turns": gg.column("n_turns_sum")})
+
+    small = read_transcripts(sf_dir) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    return _combine_partials(small, ["split"],
+                             {"n_convs": "n_convs",
+                              "n_turns": "n_turns"})
+
+
+SQL_CONV_SPLIT = f"""{_T},
+c AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns
+      FROM transcripts GROUP BY conv_id),
+s AS (SELECT conv_id, n_turns, substr(md5(conv_id), 1, 1) AS h FROM c)
+SELECT {_SPLIT_CASE} AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_convs,
+       CAST(SUM(n_turns) AS BIGINT) AS n_turns
+FROM s GROUP BY split"""
+
+
+def q_split_leakage(sf_dir: str):
+    """Cross-split text-leakage audit AFTER the group-consistent
+    `conv_split`: how many distinct turn texts appear in MORE THAN ONE
+    split — group-level splitting prevents conversation leakage but
+    NOT repeated-boilerplate leakage, and this is the check that
+    proves it (the corpus's repeated props texts leak; its unique log
+    lines don't). One text-hash shuffle of per-batch distinct
+    (text, split) pairs; per group the distinct-split count is exact.
+    Returns (n_texts, n_leaked)."""
+    n_buckets = adaptive_buckets(2 * _nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        split = _split_of(_md5_first_hex(t.column("conv_id")))
+        d = pa.table({"text": t.column("text"), "split": split}) \
+            .group_by(["text", "split"]).aggregate([])
+        return d.append_column(
+            "bucket", fnv1a_bucket(d.column("text"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        f = g.group_by("text").aggregate([("split", "count_distinct")])
+        k = pc.cast(f.column("split_count_distinct"), pa.int64())
+        return pa.table({
+            "n_texts": pa.array([f.num_rows], pa.int64()),
+            "n_leaked": pa.array(
+                [pc.sum(pc.cast(pc.greater(k, 1), pa.int64())).as_py()
+                 or 0], pa.int64())})
+
+    small = read_transcripts(sf_dir) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    t = pa.concat_tables(list(small.iter_batches(
+        batch_format="pyarrow")), promote_options="default")
+    return pa.table({
+        "n_texts": pa.array([int(pc.sum(t.column("n_texts")).as_py()
+                                 or 0)], pa.int64()),
+        "n_leaked": pa.array([int(pc.sum(t.column("n_leaked")).as_py()
+                                  or 0)], pa.int64())})
+
+
+SQL_SPLIT_LEAKAGE = f"""{_T},
+s AS (SELECT conv_id, substr(md5(conv_id), 1, 1) AS h
+      FROM (SELECT DISTINCT conv_id FROM transcripts)),
+j AS (SELECT t.text, {_SPLIT_CASE} AS split
+      FROM transcripts t JOIN s USING (conv_id)),
+d AS (SELECT text, COUNT(DISTINCT split) AS k FROM j GROUP BY text)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_texts,
+       CAST(COUNT(*) FILTER (WHERE k > 1) AS BIGINT) AS n_leaked
+FROM d"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -9634,6 +9757,8 @@ QUERIES = {
     "dim_profile": (q_dim_profile, SQL_DIM_PROFILE),
     "repurchase_gaps": (q_repurchase_gaps, SQL_REPURCHASE_GAPS),
     "behavior_twins": (q_behavior_twins, SQL_BEHAVIOR_TWINS),
+    "conv_split": (q_conv_split, SQL_CONV_SPLIT),
+    "split_leakage": (q_split_leakage, SQL_SPLIT_LEAKAGE),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
