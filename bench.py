@@ -181,7 +181,8 @@ def run_queries() -> dict[str, float]:
              "monthly_orders_yoy", "order_to_ship_days",
              "rfm_customers", "type_percent_rank", "dim_profile",
              "repurchase_gaps", "behavior_twins",
-             "conv_split", "split_leakage"]
+             "conv_split", "split_leakage",
+             "value_autocorr_lag1", "daily_median_band"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

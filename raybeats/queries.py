@@ -9555,6 +9555,180 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_texts,
 FROM d"""
 
 
+def q_value_autocorr_lag1(sf_dir: str):
+    """Serial (lag-1) correlation inputs per event type: exact integer
+    co-moment numerators over each user's ADJACENT event pairs
+    ((ts, event_id) order, both values non-NaN) — the
+    autocorrelation-based anomaly signal, float-free like
+    grouped_corr. One user-bucket shuffle; the per-bucket kernel is
+    the shared LAG scaffold emitting (prev_cents, cur_cents) pairs
+    keyed by the CURRENT event's type, pre-reduced to five int64 sums
+    per (bucket, type)."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        sub = pa.table({"u": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64()),
+                        "eid": t.column("event_id"),
+                        "et": t.column("event_type"),
+                        "cents": pa.array(
+                            np.floor(v * 100.0).astype(np.int64),
+                            pa.int64()),
+                        "ok": pa.array(~np.isnan(v))}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("ts"))))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        cents = g.column("cents").to_numpy(zero_copy_only=False)
+        okv = g.column("ok").to_numpy(zero_copy_only=False)
+        order, new_run, _ = _lag_scaffold([u], ts, eid)
+        c = cents[order]
+        o = okv[order]
+        pair = ~new_run[1:] & o[1:] & o[:-1]
+        x = c[:-1][pair]  # prev
+        y = c[1:][pair]   # cur
+        et = np.asarray(g.column("et").to_pylist(), object)[order][1:][pair]
+        part = pa.table({
+            "event_type": pa.array(et.tolist(), pa.string()),
+            "x": pa.array(x, pa.int64()), "y": pa.array(y, pa.int64()),
+            "xx": pa.array(x * x, pa.int64()),
+            "yy": pa.array(y * y, pa.int64()),
+            "xy": pa.array(x * y, pa.int64()),
+            "one": pa.array(np.ones(len(x), np.int64), pa.int64())})
+        gg = part.group_by("event_type").aggregate(
+            [("x", "sum"), ("y", "sum"), ("xx", "sum"), ("yy", "sum"),
+             ("xy", "sum"), ("one", "sum")])
+        return pa.table({
+            "event_type": gg.column("event_type"),
+            "sx": gg.column("x_sum"), "sy": gg.column("y_sum"),
+            "sxx": gg.column("xx_sum"), "syy": gg.column("yy_sum"),
+            "sxy": gg.column("xy_sum"), "n": gg.column("one_sum")})
+
+    comb = _combine_partials(
+        _read(sf_dir, "events",
+              ["event_id", "user_id", "ts", "event_type", "value"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow"),
+        ["event_type"],
+        {"sx": "sx", "sy": "sy", "sxx": "sxx", "syy": "syy",
+         "sxy": "sxy", "n": "n"})
+    rows = comb.to_pylist()
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows],
+                               pa.string()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+        "cov_num": pa.array(
+            [r["n"] * r["sxy"] - r["sx"] * r["sy"] for r in rows],
+            pa.int64()),
+        "varx_num": pa.array(
+            [r["n"] * r["sxx"] - r["sx"] * r["sx"] for r in rows],
+            pa.int64()),
+        "vary_num": pa.array(
+            [r["n"] * r["syy"] - r["sy"] * r["sy"] for r in rows],
+            pa.int64())})
+
+
+SQL_VALUE_AUTOCORR_LAG1 = """WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN isnan(value) THEN NULL
+         ELSE CAST(FLOOR(value * 100) AS BIGINT) END AS c,
+    LAG(CASE WHEN isnan(value) THEN NULL
+             ELSE CAST(FLOOR(value * 100) AS BIGINT) END) OVER w AS px
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+p AS (SELECT event_type, px AS x, c AS y FROM o
+      WHERE px IS NOT NULL AND c IS NOT NULL)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS BIGINT) AS cov_num,
+  CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT) AS varx_num,
+  CAST(COUNT(*) * SUM(y*y) - SUM(y) * SUM(y) AS BIGINT) AS vary_num
+FROM p GROUP BY event_type"""
+
+
+def q_daily_median_band(sf_dir: str):
+    """Per-day quantile band (p10 / p50 / p90 of value-cents) — the
+    time-series monitoring band drawn on every ops dashboard, exact
+    discrete quantiles through the repo's ONE selection rule
+    (`aggregates.quantile_from_cdf`: smallest quantum whose cumulative
+    count reaches ceil(q·n)). The (day, quantum)→count histogram folds
+    once (bounded by days × distinct quanta); all three selections are
+    driver arithmetic per day."""
+    import numpy as np
+
+    from .aggregates import quantile_from_cdf
+
+    DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ts = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v) & pc.is_valid(t.column("ts")) \
+            .to_numpy(zero_copy_only=False)
+        part = pa.table({
+            "day": pa.array(ts[ok] // DAY, pa.int64()),
+            "cents": pa.array(np.floor(v[ok] * 100).astype(np.int64),
+                              pa.int64()),
+            "n": pa.array(np.ones(int(ok.sum()), np.int64),
+                          pa.int64())})
+        g = part.group_by(["day", "cents"]).aggregate([("n", "sum")])
+        return pa.table({"day": g.column("day"),
+                         "cents": g.column("cents"),
+                         "n": g.column("n_sum")})
+
+    hist = _combine_partials(
+        _read(sf_dir, "events", ["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["day", "cents"], {"n": "n"})
+    day = hist.column("day").to_numpy(zero_copy_only=False)
+    cents = hist.column("cents").to_numpy(zero_copy_only=False)
+    n = hist.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((cents, day))
+    day, cents, n = day[order], cents[order], n[order]
+    starts = np.flatnonzero(np.append(True, day[1:] != day[:-1]))
+    lens = np.diff(np.append(starts, len(day)))
+    out = {"day": [], "p10": [], "p50": [], "p90": []}
+    for s, ln in zip(starts, lens):
+        cum = np.cumsum(n[s:s + ln])
+        uniq = cents[s:s + ln]
+        out["day"].append(int(day[s]) * DAY)
+        for q, col in ((0.1, "p10"), (0.5, "p50"), (0.9, "p90")):
+            out[col].append(quantile_from_cdf(uniq, cum, q))
+    return pa.table({
+        "day": pa.array(out["day"], pa.int64())
+        .cast(pa.timestamp("us")),
+        "p10": pa.array(out["p10"], pa.int64()),
+        "p50": pa.array(out["p50"], pa.int64()),
+        "p90": pa.array(out["p90"], pa.int64())})
+
+
+SQL_DAILY_MEDIAN_BAND = """WITH p AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(FLOOR(value * 100) AS BIGINT) AS c
+  FROM events WHERE ts IS NOT NULL AND NOT isnan(value)),
+h AS (SELECT day, c, COUNT(*) AS n FROM p GROUP BY day, c),
+cdf AS (SELECT day, c,
+          SUM(n) OVER (PARTITION BY day ORDER BY c) AS cum,
+          SUM(n) OVER (PARTITION BY day) AS total
+        FROM h)
+SELECT day,
+  CAST(MIN(CASE WHEN cum >= CEIL(0.1 * total) THEN c END) AS BIGINT)
+    AS p10,
+  CAST(MIN(CASE WHEN cum >= CEIL(0.5 * total) THEN c END) AS BIGINT)
+    AS p50,
+  CAST(MIN(CASE WHEN cum >= CEIL(0.9 * total) THEN c END) AS BIGINT)
+    AS p90
+FROM cdf GROUP BY day"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -9759,6 +9933,9 @@ QUERIES = {
     "behavior_twins": (q_behavior_twins, SQL_BEHAVIOR_TWINS),
     "conv_split": (q_conv_split, SQL_CONV_SPLIT),
     "split_leakage": (q_split_leakage, SQL_SPLIT_LEAKAGE),
+    "value_autocorr_lag1": (q_value_autocorr_lag1,
+                            SQL_VALUE_AUTOCORR_LAG1),
+    "daily_median_band": (q_daily_median_band, SQL_DAILY_MEDIAN_BAND),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
