@@ -182,7 +182,9 @@ def run_queries() -> dict[str, float]:
              "rfm_customers", "type_percent_rank", "dim_profile",
              "repurchase_gaps", "behavior_twins",
              "conv_split", "split_leakage",
-             "value_autocorr_lag1", "daily_median_band"]
+             "value_autocorr_lag1", "daily_median_band",
+             "type_run_lengths", "daily_peak_share",
+             "container_profile"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

@@ -9729,6 +9729,163 @@ SELECT day,
 FROM cdf GROUP BY day"""
 
 
+def q_type_run_lengths(sf_dir: str):
+    """Run-length distribution of REPEATED event types: how often a
+    user emits the same type k times in a row ((ts, event_id) order) —
+    the repetition/bot-signal histogram. The shared lexsort scaffold
+    partitions on (user, type-code): a run break is a user OR type
+    change; per-bucket reduceat sizes the runs and pre-reduces to
+    (length, count) partials."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = pa.table({"u": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64()),
+                        "eid": t.column("event_id"),
+                        "et": t.column("event_type")}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("ts"))))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(g.column("et").combine_chunks())
+        tc = pc.fill_null(enc.indices, -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # ORDER stays (u, ts, eid); runs break on user OR type change
+        order, new_user, _ = _lag_scaffold([u], ts, eid)
+        tcs = tc[order]
+        brk = new_user.copy()
+        brk[1:] |= tcs[1:] != tcs[:-1]
+        starts = np.flatnonzero(brk)
+        sizes = np.diff(np.append(starts, len(order)))
+        uniq, counts = np.unique(sizes, return_counts=True)
+        return pa.table({"run_len": pa.array(uniq, pa.int64()),
+                         "n_runs": pa.array(counts.astype(np.int64),
+                                            pa.int64())})
+
+    small = _read(sf_dir, "events",
+                  ["event_id", "user_id", "ts", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    return _combine_partials(small, ["run_len"], {"n_runs": "n_runs"})
+
+
+SQL_TYPE_RUN_LENGTHS = """WITH o AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+         THEN 1 ELSE 0 END AS brk
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+r AS (SELECT user_id,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS rid
+      FROM o),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM r GROUP BY user_id, rid)
+SELECT run_len, CAST(COUNT(*) AS BIGINT) AS n_runs
+FROM c GROUP BY run_len"""
+
+
+def q_daily_peak_share(sf_dir: str):
+    """Traffic-concentration series: per day, the busiest hour's count
+    and the day total (the caller's ratio = how peaked the day is) —
+    exact ints from one (day, hour)→count partial fold, bounded by
+    days × 24; argmax + totals are driver arithmetic."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.is_valid(t.column("ts"))
+        sub = pa.table({
+            "day": pc.cast(pc.floor_temporal(t.column("ts"),
+                                             unit="day"),
+                           pa.timestamp("us")),
+            "hour": pc.cast(pc.hour(t.column("ts")), pa.int64()),
+        }).filter(ok)
+        g = sub.group_by(["day", "hour"]).aggregate([("hour", "count")])
+        return pa.table({"day": g.column("day"),
+                         "hour": g.column("hour"),
+                         "n": pc.cast(g.column("hour_count"),
+                                      pa.int64())})
+
+    comb = _combine_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["day", "hour"], {"n": "n"})
+    day = pc.cast(comb.column("day"), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    hour = comb.column("hour").to_numpy(zero_copy_only=False)
+    n = comb.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((hour, -n, day))
+    ds, hs, ns = day[order], hour[order], n[order]
+    sel = np.flatnonzero(np.append(True, ds[1:] != ds[:-1]))
+    totals = {}
+    for d, c in zip(day, n):
+        totals[int(d)] = totals.get(int(d), 0) + int(c)
+    return pa.table({
+        "day": pa.array(ds[sel], pa.int64()).cast(pa.timestamp("us")),
+        "peak_hour": pa.array(hs[sel], pa.int64()),
+        "peak_n": pa.array(ns[sel], pa.int64()),
+        "day_total": pa.array([totals[int(d)] for d in ds[sel]],
+                              pa.int64())})
+
+
+SQL_DAILY_PEAK_SHARE = """WITH h AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY day, hour),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY day
+        ORDER BY n DESC, hour) AS rk,
+        SUM(n) OVER (PARTITION BY day) AS tot FROM h)
+SELECT day, hour AS peak_hour, n AS peak_n,
+       CAST(tot AS BIGINT) AS day_total
+FROM r WHERE rk = 1"""
+
+
+def q_container_profile(sf_dir: str):
+    """Dimension-table profile: per part brand, part count, total size
+    and exact retail-price cents — the catalog-coverage report (adds
+    the part table to the star schema's covered surface). Pure
+    partial-aggregate fold; brands bound the combine."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("p_retailprice").to_numpy(zero_copy_only=False)
+        part = pa.table({
+            "p_brand": t.column("p_brand"),
+            "sz": pc.cast(t.column("p_size"), pa.int64()),
+            "cents": pa.array(np.floor(v * 100.0).astype(np.int64),
+                              pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64())})
+        g = part.group_by("p_brand").aggregate(
+            [("one", "sum"), ("sz", "sum"), ("cents", "sum")])
+        return pa.table({"p_brand": g.column("p_brand"),
+                         "n_parts": g.column("one_sum"),
+                         "total_size": g.column("sz_sum"),
+                         "retail_cents": g.column("cents_sum")})
+
+    return _combine_partials(
+        _read_dim(sf_dir, "part", ["p_brand", "p_size",
+                                   "p_retailprice"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["p_brand"], {"n_parts": "n_parts", "total_size": "total_size",
+                      "retail_cents": "retail_cents"})
+
+
+SQL_CONTAINER_PROFILE = """
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(p_size) AS BIGINT) AS total_size,
+       CAST(SUM(CAST(FLOOR(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+         AS retail_cents
+FROM part GROUP BY p_brand"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -9936,6 +10093,9 @@ QUERIES = {
     "value_autocorr_lag1": (q_value_autocorr_lag1,
                             SQL_VALUE_AUTOCORR_LAG1),
     "daily_median_band": (q_daily_median_band, SQL_DAILY_MEDIAN_BAND),
+    "type_run_lengths": (q_type_run_lengths, SQL_TYPE_RUN_LENGTHS),
+    "daily_peak_share": (q_daily_peak_share, SQL_DAILY_PEAK_SHARE),
+    "container_profile": (q_container_profile, SQL_CONTAINER_PROFILE),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
