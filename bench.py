@@ -184,7 +184,8 @@ def run_queries() -> dict[str, float]:
              "conv_split", "split_leakage",
              "value_autocorr_lag1", "daily_median_band",
              "type_run_lengths", "daily_peak_share",
-             "container_profile"]
+             "container_profile", "first_week_value",
+             "nation_customer_profile", "priority_mix_by_year"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

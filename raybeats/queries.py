@@ -9886,6 +9886,151 @@ SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
 FROM part GROUP BY p_brand"""
 
 
+def q_first_week_value(sf_dir: str):
+    """First-week cohort value: per user, the exact cents total of
+    events within 7 days of THEIR OWN first event (inclusive start,
+    exclusive +7d) — the early-LTV metric cohort analyses anchor on.
+    Self-referential window (each row's predicate depends on the
+    user's MIN ts), so one user-bucket shuffle co-locates users; the
+    kernel reads each run's first timestamp once and masks — no second
+    pass, no join."""
+    import numpy as np
+
+    WEEK = 7 * 86_400_000_000
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        sub = pa.table({"u": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64()),
+                        "eid": t.column("event_id"),
+                        "cents": pa.array(np.where(
+                            np.isnan(v), 0,
+                            np.floor(v * 100.0)).astype(np.int64),
+                            pa.int64())}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("ts"))))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        cents = g.column("cents").to_numpy(zero_copy_only=False)
+        order, new_run, _ = _lag_scaffold([u], ts, eid)
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, len(order)))
+        tss = ts[order]
+        first = np.repeat(tss[starts], lens)
+        inwk = tss < first + WEEK
+        c = np.where(inwk, cents[order], 0)
+        sums = np.add.reduceat(c, starts)
+        return pa.table({
+            "user_id": pa.array(u[order][starts], pa.int64()),
+            "first_week_cents": pa.array(sums, pa.int64())})
+
+    return _read(sf_dir, "events",
+                 ["event_id", "user_id", "ts", "value"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_FIRST_WEEK_VALUE = """WITH p AS (
+  SELECT user_id, ts,
+    CASE WHEN isnan(value) THEN 0
+         ELSE CAST(FLOOR(value * 100) AS BIGINT) END AS cents,
+    MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+SELECT user_id,
+  CAST(SUM(CASE WHEN epoch_us(ts) < epoch_us(first_ts)
+                     + 7 * 86400000000 THEN cents ELSE 0 END)
+       AS BIGINT) AS first_week_cents
+FROM p GROUP BY user_id"""
+
+
+def q_nation_customer_profile(sf_dir: str):
+    """Snowflake-dimension profile: customers per NATION NAME with the
+    exact account-balance cents total — nation (tiny) broadcasts into
+    the stage closure, customers fold as fixed-width partials; no
+    shuffle anywhere."""
+    import numpy as np
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nat.column("n_nationkey").to_pylist(),
+                       nat.column("n_name").to_pylist()))
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("c_acctbal").to_numpy(zero_copy_only=False)
+        names = [name_of.get(k) for k in
+                 t.column("c_nationkey").to_pylist()]
+        part = pa.table({
+            "n_name": pa.array(names, pa.string()),
+            "cents": pa.array(np.floor(v * 100.0).astype(np.int64),
+                              pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64())})
+        g = part.group_by("n_name").aggregate(
+            [("one", "sum"), ("cents", "sum")])
+        return pa.table({"n_name": g.column("n_name"),
+                         "n_customers": g.column("one_sum"),
+                         "acctbal_cents": g.column("cents_sum")})
+
+    return _combine_partials(
+        _read_dim(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["n_name"], {"n_customers": "n_customers",
+                     "acctbal_cents": "acctbal_cents"})
+
+
+SQL_NATION_CUSTOMER_PROFILE = """
+SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(FLOOR(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name"""
+
+
+def q_priority_mix_by_year(sf_dir: str):
+    """Order-priority mix over time: per (year, priority) the order
+    count plus the year total — the workload-mix drift table; exact
+    ints from one fixed-width partial fold (years × priorities)."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.is_valid(t.column("o_orderdate"))
+        sub = pa.table({
+            "yr": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+            "pri": t.column("o_orderpriority")}).filter(ok)
+        g = sub.group_by(["yr", "pri"]).aggregate([("yr", "count")])
+        return pa.table({"yr": g.column("yr"), "pri": g.column("pri"),
+                         "n": pc.cast(g.column("yr_count"),
+                                      pa.int64())})
+
+    comb = _combine_partials(
+        _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["yr", "pri"], {"n": "n"})
+    yr = comb.column("yr").to_numpy(zero_copy_only=False)
+    n = comb.column("n").to_numpy(zero_copy_only=False)
+    tot: dict = {}
+    for y, c in zip(yr, n):
+        tot[int(y)] = tot.get(int(y), 0) + int(c)
+    return pa.table({
+        "yr": comb.column("yr"), "pri": comb.column("pri"),
+        "n": comb.column("n"),
+        "year_total": pa.array([tot[int(y)] for y in yr], pa.int64())})
+
+
+SQL_PRIORITY_MIX_BY_YEAR = """WITH h AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY yr, pri)
+SELECT yr, pri, n,
+  CAST(SUM(n) OVER (PARTITION BY yr) AS BIGINT) AS year_total
+FROM h"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -10096,6 +10241,11 @@ QUERIES = {
     "type_run_lengths": (q_type_run_lengths, SQL_TYPE_RUN_LENGTHS),
     "daily_peak_share": (q_daily_peak_share, SQL_DAILY_PEAK_SHARE),
     "container_profile": (q_container_profile, SQL_CONTAINER_PROFILE),
+    "first_week_value": (q_first_week_value, SQL_FIRST_WEEK_VALUE),
+    "nation_customer_profile": (q_nation_customer_profile,
+                                SQL_NATION_CUSTOMER_PROFILE),
+    "priority_mix_by_year": (q_priority_mix_by_year,
+                             SQL_PRIORITY_MIX_BY_YEAR),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
