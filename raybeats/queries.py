@@ -8135,7 +8135,6 @@ def q_pairwise_spread(sf_dir: str):
     new_run = np.append(True, et[1:] != et[:-1])
     starts = np.flatnonzero(new_run)
     lens = np.diff(np.append(starts, len(et)))
-    seg = np.repeat(np.arange(len(starts)), lens)
     # per-type exclusive prefix count / sum over sorted distinct cents
     csum_n = np.cumsum(n)
     csum_s = np.cumsum(n * cents)
@@ -8146,7 +8145,6 @@ def q_pairwise_spread(sf_dir: str):
     contrib = n * (cents * c_lt - s_lt)
     spread = np.add.reduceat(contrib, starts)
     total_n = np.add.reduceat(n, starts)
-    _ = seg
     return pa.table({
         "event_type": pa.array(et[starts].tolist(), pa.string()),
         "n": pa.array(total_n, pa.int64()),

@@ -96,7 +96,6 @@ class TestKmvSketch:
         assert (a.values == b.values).all()
 
     def test_error_bound_saturated(self):
-        rng = np.random.default_rng(9)
         k = 1024
         n = 200_000
         h = _fmix64(np.arange(n, dtype=np.uint64))
@@ -105,7 +104,6 @@ class TestKmvSketch:
             sk.add_hashed(chunk)
         est = sk.estimate()
         assert abs(est - n) / n < 5 / np.sqrt(k - 2)
-        _ = rng
 
     def test_intersection_exact_and_estimated(self):
         # exact regime: both unsaturated
