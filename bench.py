@@ -185,7 +185,8 @@ def run_queries() -> dict[str, float]:
              "value_autocorr_lag1", "daily_median_band",
              "type_run_lengths", "daily_peak_share",
              "container_profile", "first_week_value",
-             "nation_customer_profile", "priority_mix_by_year"]
+             "nation_customer_profile", "priority_mix_by_year",
+             "caller_error_rate"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

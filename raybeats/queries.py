@@ -10029,6 +10029,52 @@ SELECT yr, pri, n,
 FROM h"""
 
 
+def q_caller_error_rate(sf_dir: str):
+    """Flagship parse analytics: per CALLER (the dissect-extracted
+    ``caller=X.go`` field), total parseable log lines and how many are
+    ``level=error`` — the error-rate-by-component report a log
+    pipeline exists to produce. One vectorized ``extract_regex`` per
+    batch over the flagship tokenizer's anchored pattern (non-matching
+    lines — broken/JSON turns — drop exactly like dissect's miss
+    path), pre-reduced to (caller, n, n_error) partials."""
+
+    # arrow extract_regex requires NAMED groups; same pattern as the
+    # SQL's numbered-group regexp_extract
+    pattern = ('^level=(?P<lvl>[^ ]*) ts=(?P<ts>[^ ]*) '
+               'caller=(?P<caller>[^ ]*) msg="(?P<msg>.*)"$')
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column("text"), pattern)
+        ok = pc.is_valid(m)
+        lvl = pc.struct_field(m, "lvl")
+        caller = pc.struct_field(m, "caller")
+        part = pa.table({
+            "caller": caller,
+            "err": pc.cast(pc.fill_null(pc.equal(lvl, "error"), False),
+                           pa.int64()),
+            "one": pa.array([1] * t.num_rows, pa.int64())}).filter(ok)
+        g = part.group_by("caller").aggregate(
+            [("one", "sum"), ("err", "sum")])
+        return pa.table({"caller": g.column("caller"),
+                         "n_lines": g.column("one_sum"),
+                         "n_error": g.column("err_sum")})
+
+    return _combine_partials(
+        read_transcripts(sf_dir)
+        .map_batches(partial, batch_format="pyarrow"),
+        ["caller"], {"n_lines": "n_lines", "n_error": "n_error"})
+
+
+SQL_CALLER_ERROR_RATE = f"""{_T},
+m AS (SELECT regexp_extract(text, '{RE}', 1) AS lvl,
+             regexp_extract(text, '{RE}', 3) AS caller
+      FROM transcripts WHERE regexp_matches(text, '{RE}'))
+SELECT caller, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN lvl = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_error
+FROM m GROUP BY caller"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -10244,6 +10290,7 @@ QUERIES = {
                                 SQL_NATION_CUSTOMER_PROFILE),
     "priority_mix_by_year": (q_priority_mix_by_year,
                              SQL_PRIORITY_MIX_BY_YEAR),
+    "caller_error_rate": (q_caller_error_rate, SQL_CALLER_ERROR_RATE),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).

@@ -99,3 +99,22 @@ class TestPriorityMixByYear:
             assert sum(x["n"] for x in rs) == rs[0]["year_total"]
             assert all(x["year_total"] == rs[0]["year_total"]
                        for x in rs)
+
+
+class TestCallerErrorRate:
+    def test_oracle_parity_and_rates(self, ray_session):
+        sf = "/root/testdata/sf0.001"
+        from raybeats.queries import QUERIES as Q
+        got = _table(Q["caller_error_rate"][0](sf))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{sf}/events.parquet'")
+        want = con.execute(Q["caller_error_rate"][1]).arrow()
+        assert _sorted_rows(got) == _sorted_rows(want)
+        rows = got.to_pylist()
+        assert rows and all(0 <= r["n_error"] <= r["n_lines"]
+                            for r in rows)
+        # broken/JSON turns never parse: totals < corpus turns
+        from raybeats.transcripts import read_transcripts
+        total = read_transcripts(sf).count()
+        assert sum(r["n_lines"] for r in rows) < total
