@@ -186,7 +186,7 @@ def run_queries() -> dict[str, float]:
              "type_run_lengths", "daily_peak_share",
              "container_profile", "first_week_value",
              "nation_customer_profile", "priority_mix_by_year",
-             "caller_error_rate"]
+             "caller_error_rate", "weekend_ks", "first_response_lag"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

@@ -8319,6 +8319,19 @@ def q_ks_statistic(sf_dir: str):
         _read(sf_dir, "events", ["event_type", "value"])
         .map_batches(partial, batch_format="pyarrow"),
         ["side", "cents"], {"n": "n"})
+    ta, tb, mx, at = _ks_exact(h)
+    return pa.table({"n_view": pa.array([ta], pa.int64()),
+                     "n_buy": pa.array([tb], pa.int64()),
+                     "ks_num": pa.array([mx], pa.int64()),
+                     "at_cents": pa.array([at], pa.int64())})
+
+
+def _ks_exact(h: pa.Table) -> tuple[int, int, int, int]:
+    """Exact two-sample KS fold over a combined (side, cents, n)
+    histogram: returns (n_a, n_b, max|CDF_a·n_b − CDF_b·n_a|,
+    smallest cents achieving the max). Shared by every drift query."""
+    import numpy as np
+
     side = h.column("side").to_numpy(zero_copy_only=False)
     cents = h.column("cents").to_numpy(zero_copy_only=False)
     n = h.column("n").to_numpy(zero_copy_only=False)
@@ -8333,10 +8346,7 @@ def q_ks_statistic(sf_dir: str):
     gap = np.abs(ca * tb - cb * ta)
     mx = int(gap.max())
     at = int(grid[np.flatnonzero(gap == mx)[0]])
-    return pa.table({"n_view": pa.array([ta], pa.int64()),
-                     "n_buy": pa.array([tb], pa.int64()),
-                     "ks_num": pa.array([mx], pa.int64()),
-                     "at_cents": pa.array([at], pa.int64())})
+    return ta, tb, mx, at
 
 
 SQL_KS_STATISTIC = """WITH p AS (
@@ -10075,6 +10085,146 @@ SELECT caller, CAST(COUNT(*) AS BIGINT) AS n_lines,
 FROM m GROUP BY caller"""
 
 
+def q_weekend_ks(sf_dir: str):
+    """Temporal drift gate: the exact KS statistic between WEEKDAY and
+    WEEKEND value distributions (all types) — "does weekend traffic
+    carry different values", the calendar-seasonality twin of
+    ks_statistic's type drift. Same histogram-partials shape and the
+    shared `_ks_exact` fold; the side is dow ∈ {0,6} (Sunday-0
+    convention on both engines)."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v) & pc.is_valid(t.column("ts")) \
+            .to_numpy(zero_copy_only=False)
+        dow = pc.cast(pc.day_of_week(t.column("ts"),
+                                     count_from_zero=True,
+                                     week_start=7), pa.int64()) \
+            .to_numpy(zero_copy_only=False)[ok]
+        side = np.where((dow == 0) | (dow == 6), 1, 0)
+        part = pa.table({
+            "side": pa.array(side.astype(np.int64), pa.int64()),
+            "cents": pa.array(np.floor(v[ok] * 100).astype(np.int64),
+                              pa.int64()),
+            "n": pa.array(np.ones(int(ok.sum()), np.int64),
+                          pa.int64())})
+        g = part.group_by(["side", "cents"]).aggregate([("n", "sum")])
+        return pa.table({"side": g.column("side"),
+                         "cents": g.column("cents"),
+                         "n": g.column("n_sum")})
+
+    h = _combine_partials(
+        _read(sf_dir, "events", ["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["side", "cents"], {"n": "n"})
+    ta, tb, mx, at = _ks_exact(h)
+    return pa.table({"n_weekday": pa.array([ta], pa.int64()),
+                     "n_weekend": pa.array([tb], pa.int64()),
+                     "ks_num": pa.array([mx], pa.int64()),
+                     "at_cents": pa.array([at], pa.int64())})
+
+
+SQL_WEEKEND_KS = """WITH p AS (
+  SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS s,
+         CAST(FLOOR(value * 100) AS BIGINT) AS c
+  FROM events WHERE ts IS NOT NULL AND NOT isnan(value)),
+h AS (SELECT c, COUNT(*) FILTER (WHERE s = 0) AS na,
+             COUNT(*) FILTER (WHERE s = 1) AS nb
+      FROM p GROUP BY c),
+tot AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM h),
+cum AS (SELECT c, SUM(na) OVER (ORDER BY c) AS ca,
+               SUM(nb) OVER (ORDER BY c) AS cb FROM h),
+d AS (SELECT c, ABS(ca * (SELECT tb FROM tot)
+                    - cb * (SELECT ta FROM tot)) AS gap FROM cum)
+SELECT CAST((SELECT ta FROM tot) AS BIGINT) AS n_weekday,
+       CAST((SELECT tb FROM tot) AS BIGINT) AS n_weekend,
+       CAST(MAX(gap) AS BIGINT) AS ks_num,
+       CAST(MIN(CASE WHEN gap = (SELECT MAX(gap) FROM d) THEN c END)
+            AS BIGINT) AS at_cents
+FROM d"""
+
+
+def q_first_response_lag(sf_dir: str):
+    """Flagship time-to-first-response: per conversation, the µs
+    between the FIRST user turn and the first assistant turn AFTER it
+    (turn_idx order; conversations without that pair are excluded) —
+    the latency SLA of a conversational system. One conv-bucket
+    shuffle; the kernel takes per-run minima over masked turn indices,
+    no join."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(2 * _nrows(sf_dir, "events"))
+
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "bucket", fnv1a_bucket(tbl.column("conv_id"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        conv_arr = g.column("conv_id").combine_chunks()
+        enc = pc.dictionary_encode(conv_arr)
+        conv = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ti = g.column("turn_idx").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = pc.cast(g.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        role = np.asarray(g.column("role").to_pylist(), object)
+        order = np.lexsort((ti, conv))
+        cs, tis, tss = conv[order], ti[order], ts[order]
+        ro = role[order]
+        new_run = np.append(True, cs[1:] != cs[:-1])
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, len(cs)))
+        seg = np.repeat(np.arange(len(starts)), lens)
+        BIG = np.int64(1) << 62
+        u_ti = np.where(ro == "user", tis, BIG)
+        # first user turn per conv (by turn_idx)
+        first_user = np.minimum.reduceat(u_ti, starts)
+        fu = first_user[seg]
+        a_ok = (ro == "assistant") & (tis > fu)
+        a_ti = np.where(a_ok, tis, BIG)
+        first_asst = np.minimum.reduceat(a_ti, starts)
+        has = (first_user < BIG) & (first_asst < BIG)
+        # gather the ts of those two turns: positions via searchsorted
+        # inside each run over the sorted turn_idx
+        out_conv, out_lag = [], []
+        run_ids = np.flatnonzero(has)
+        for r in run_ids:
+            s, ln = starts[r], lens[r]
+            iu = s + np.searchsorted(tis[s:s + ln], first_user[r])
+            ia = s + np.searchsorted(tis[s:s + ln], first_asst[r])
+            out_conv.append(r)
+            out_lag.append(int(tss[ia] - tss[iu]))
+        dict_vals = enc.dictionary
+        conv_ids = pc.take(
+            dict_vals, pa.array(cs[starts[run_ids]], pa.int64()))
+        return pa.table({
+            "conv_id": conv_ids,
+            "lag_us": pa.array(out_lag, pa.int64())})
+
+    return read_transcripts(sf_dir) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_FIRST_RESPONSE_LAG = f"""{_T},
+fu AS (SELECT conv_id, MIN(turn_idx) AS uturn
+       FROM transcripts WHERE role = 'user' GROUP BY conv_id),
+fa AS (SELECT t.conv_id, MIN(t.turn_idx) AS aturn
+       FROM transcripts t JOIN fu ON t.conv_id = fu.conv_id
+       WHERE t.role = 'assistant' AND t.turn_idx > fu.uturn
+       GROUP BY t.conv_id),
+j AS (SELECT fu.conv_id, uturn, aturn FROM fu JOIN fa
+      ON fu.conv_id = fa.conv_id)
+SELECT j.conv_id, epoch_us(ta.ts) - epoch_us(tu.ts) AS lag_us
+FROM j
+JOIN transcripts tu ON tu.conv_id = j.conv_id
+  AND tu.turn_idx = j.uturn
+JOIN transcripts ta ON ta.conv_id = j.conv_id
+  AND ta.turn_idx = j.aturn"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -10291,6 +10441,9 @@ QUERIES = {
     "priority_mix_by_year": (q_priority_mix_by_year,
                              SQL_PRIORITY_MIX_BY_YEAR),
     "caller_error_rate": (q_caller_error_rate, SQL_CALLER_ERROR_RATE),
+    "weekend_ks": (q_weekend_ks, SQL_WEEKEND_KS),
+    "first_response_lag": (q_first_response_lag,
+                           SQL_FIRST_RESPONSE_LAG),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
