@@ -186,7 +186,8 @@ def run_queries() -> dict[str, float]:
              "type_run_lengths", "daily_peak_share",
              "container_profile", "first_week_value",
              "nation_customer_profile", "priority_mix_by_year",
-             "caller_error_rate", "weekend_ks", "first_response_lag"]
+             "caller_error_rate", "weekend_ks", "first_response_lag",
+             "vocab_growth", "top_bigram_per_source"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

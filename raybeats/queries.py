@@ -10225,6 +10225,150 @@ JOIN transcripts ta ON ta.conv_id = j.conv_id
   AND ta.turn_idx = j.aturn"""
 
 
+def q_vocab_growth(sf_dir: str):
+    """Vocabulary-growth (Heaps-law) curve: per doc_id, how many tokens
+    make their GLOBAL first appearance there, with the running
+    cumulative in doc order — the corpus-diversity diagnostic behind
+    "is more data still adding vocabulary". First occurrence = MIN over
+    an all-to-all, so one token-hash shuffle folds (token, min doc)
+    exactly; the per-bucket kernel pre-reduces to a (first_doc, n_new)
+    histogram. Docs with zero new tokens are absent (their cumulative
+    equals the previous row's). The final cumulative folds driver-side
+    over ≤ one row per contributing doc — past ~1e7 docs the same
+    monotone doc-range prefix-sum shape as global_running_sum takes
+    over (documented, not needed at current scale)."""
+    import numpy as np
+
+    from .textops.analysis import flat_tokens
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "documents") * 100)
+
+    def tag(t: pa.Table) -> pa.Table:
+        row_id, toks, _ = flat_tokens(t.column("text"))
+        docs = t.column("doc_id").to_numpy(zero_copy_only=False)[row_id]
+        part = pa.table({"token": toks,
+                         "doc": pa.array(docs, pa.int64())}) \
+            .group_by("token").aggregate([("doc", "min")])
+        out = pa.table({"token": part.column("token"),
+                        "doc": part.column("doc_min")})
+        return out.append_column(
+            "bucket", fnv1a_bucket(out.column("token"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        f = g.group_by("token").aggregate([("doc", "min")])
+        first = f.column("doc_min").to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(first, return_counts=True)
+        return pa.table({"doc_id": pa.array(uniq, pa.int64()),
+                         "n_new": pa.array(counts.astype(np.int64),
+                                           pa.int64())})
+
+    comb = _combine_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"], blocks=16)
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow"),
+        ["doc_id"], {"n_new": "n_new"})
+    doc = comb.column("doc_id").to_numpy(zero_copy_only=False)
+    n_new = comb.column("n_new").to_numpy(zero_copy_only=False)
+    order = np.argsort(doc)
+    return pa.table({
+        "doc_id": pa.array(doc[order], pa.int64()),
+        "n_new": pa.array(n_new[order], pa.int64()),
+        "cum_new": pa.array(np.cumsum(n_new[order]), pa.int64())})
+
+
+SQL_VOCAB_GROWTH = r"""WITH toks AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents),
+f AS (SELECT token, MIN(doc_id) AS first_doc FROM toks GROUP BY token),
+h AS (SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM f GROUP BY first_doc)
+SELECT doc_id, n_new,
+  CAST(SUM(n_new) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       AS BIGINT) AS cum_new
+FROM h"""
+
+
+def q_top_bigram_per_source(sf_dir: str):
+    """Grouped n-gram argmax: each source's most frequent bigram (ties
+    to the smallest bigram) with its count — the per-domain
+    boilerplate signature. Bigram-hash bucketing co-locates every
+    (source, bigram) pair's partial counts (same bigram → same
+    bucket), each bucket emits one candidate per source, and the tiny
+    driver fold picks winners over buckets × sources rows — the
+    top_user_per_type shape over text n-grams."""
+    import numpy as np
+
+    from .textops.analysis import flat_tokens
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "documents") * 100)
+
+    def tag(t: pa.Table) -> pa.Table:
+        row_id, toks, _ = flat_tokens(t.column("text"))
+        tok = np.asarray(toks.to_pylist(), object)
+        src = np.asarray(t.column("source").to_pylist(),
+                         object)[row_id]
+        adj = row_id[1:] == row_id[:-1]
+        big = np.array([a + " " + b for a, b in
+                        zip(tok[:-1][adj], tok[1:][adj])], object) \
+            if adj.any() else np.array([], object)
+        part = pa.table({
+            "source": pa.array(src[:-1][adj].tolist() if len(big)
+                               else [], pa.string()),
+            "bigram": pa.array(big.tolist(), pa.string()),
+            "one": pa.array(np.ones(len(big), np.int64), pa.int64())})
+        g = part.group_by(["source", "bigram"]).aggregate(
+            [("one", "sum")])
+        out = pa.table({"source": g.column("source"),
+                        "bigram": g.column("bigram"),
+                        "n": g.column("one_sum")})
+        return out.append_column(
+            "bucket", fnv1a_bucket(out.column("bigram"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        f = g.group_by(["source", "bigram"]).aggregate([("n", "sum")])
+        src = np.asarray(f.column("source").to_pylist(), object)
+        big = np.asarray(f.column("bigram").to_pylist(), object)
+        n = f.column("n_sum").to_numpy(zero_copy_only=False)
+        order = np.lexsort((big.astype("U"), -n, src.astype("U")))
+        ss = src[order]
+        sel = order[np.flatnonzero(np.append(True, ss[1:] != ss[:-1]))]
+        return pa.table({
+            "source": pa.array(src[sel].tolist(), pa.string()),
+            "bigram": pa.array(big[sel].tolist(), pa.string()),
+            "n": pa.array(n[sel], pa.int64())})
+
+    cand = pa.concat_tables(list(
+        _read(sf_dir, "documents", ["source", "text"], blocks=16)
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")),
+        promote_options="default")
+    src = np.asarray(cand.column("source").to_pylist(), object)
+    big = np.asarray(cand.column("bigram").to_pylist(), object)
+    n = cand.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((big.astype("U"), -n, src.astype("U")))
+    ss = src[order]
+    sel = order[np.flatnonzero(np.append(True, ss[1:] != ss[:-1]))]
+    return pa.table({
+        "source": pa.array(src[sel].tolist(), pa.string()),
+        "bigram": pa.array(big[sel].tolist(), pa.string()),
+        "n": pa.array(n[sel], pa.int64())})
+
+
+SQL_TOP_BIGRAM_PER_SOURCE = r"""WITH t AS (
+  SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents),
+b AS (SELECT source, unnest(list_transform(
+        generate_series(1, greatest(len(toks) - 1, 0)),
+        i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t),
+c AS (SELECT source, bigram, CAST(COUNT(*) AS BIGINT) AS n
+      FROM b GROUP BY source, bigram),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        ORDER BY n DESC, bigram) AS rk FROM c)
+SELECT source, bigram, n FROM r WHERE rk = 1"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -10444,6 +10588,9 @@ QUERIES = {
     "weekend_ks": (q_weekend_ks, SQL_WEEKEND_KS),
     "first_response_lag": (q_first_response_lag,
                            SQL_FIRST_RESPONSE_LAG),
+    "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
+    "top_bigram_per_source": (q_top_bigram_per_source,
+                              SQL_TOP_BIGRAM_PER_SOURCE),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
