@@ -187,7 +187,8 @@ def run_queries() -> dict[str, float]:
              "container_profile", "first_week_value",
              "nation_customer_profile", "priority_mix_by_year",
              "caller_error_rate", "weekend_ks", "first_response_lag",
-             "vocab_growth", "top_bigram_per_source"]
+             "vocab_growth", "top_bigram_per_source",
+             "order_cadence", "extreme_vectors"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

@@ -10369,6 +10369,108 @@ r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
 SELECT source, bigram, n FROM r WHERE rk = 1"""
 
 
+def q_order_cadence(sf_dir: str):
+    """Customer order cadence: full-day gaps between a customer's
+    CONSECUTIVE orders (o_orderdate, o_orderkey order), histogrammed —
+    the purchase-rhythm distribution behind replenishment forecasting.
+    The repurchase_gaps shape on the ORDERS fact: one customer-bucket
+    shuffle, shared LAG scaffold, (days, count) partials."""
+    import numpy as np
+
+    DAY = 86_400_000_000
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "orders"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = pa.table({"u": t.column("o_custkey"),
+                        "ts": pc.cast(t.column("o_orderdate"),
+                                      pa.int64()),
+                        "eid": t.column("o_orderkey")}) \
+            .filter(pc.and_(pc.is_valid(t.column("o_custkey")),
+                            pc.is_valid(t.column("o_orderdate"))))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        order, new_run, gap = _lag_scaffold([u], ts, eid)
+        days = gap[~new_run] // DAY
+        uniq, counts = np.unique(days, return_counts=True)
+        return pa.table({"days": pa.array(uniq, pa.int64()),
+                         "n": pa.array(counts.astype(np.int64),
+                                       pa.int64())})
+
+    small = _read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    return _combine_partials(small, ["days"], {"n": "n"})
+
+
+SQL_ORDER_CADENCE = """WITH g AS (
+  SELECT (epoch_us(o_orderdate) - LAG(epoch_us(o_orderdate)) OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+      // 86400000000 AS days
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL)
+SELECT CAST(days AS BIGINT) AS days, CAST(COUNT(*) AS BIGINT) AS n
+FROM g WHERE days IS NOT NULL GROUP BY days"""
+
+
+def q_extreme_vectors(sf_dir: str):
+    """Embedding outlier retrieval: the 10 vectors with the LARGEST
+    exact quantized squared L2 norm (ties to the smallest vec_id) —
+    the magnitude-outlier sweep run before normalization. Norms come
+    from the zero-copy flat values + offsets reduceat (never a
+    row-per-dimension explode); each batch keeps its local top 10, the
+    driver folds blocks × 10 candidates. Quantization (×1e6 floor per
+    component, then integer squares) keeps the score int64-exact
+    cross-engine."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        flat = pc.cast(col.flatten(), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        q = np.floor(flat * 1_000_000.0).astype(np.int64)
+        lens = np.diff(offs)
+        nonempty = lens > 0
+        starts_rel = (offs[:-1] - offs[0])[nonempty]
+        sq = np.add.reduceat(q * q, starts_rel) if nonempty.any() \
+            else np.array([], np.int64)
+        vid = t.column("vec_id").to_numpy(
+            zero_copy_only=False)[nonempty]
+        order = np.lexsort((vid, -sq))[:10]
+        return pa.table({"vec_id": pa.array(vid[order], pa.int64()),
+                         "norm_sq_q": pa.array(sq[order], pa.int64())})
+
+    cand = pa.concat_tables(list(
+        _read_dim(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")),
+        promote_options="default")
+    vid = cand.column("vec_id").to_numpy(zero_copy_only=False)
+    sq = cand.column("norm_sq_q").to_numpy(zero_copy_only=False)
+    order = np.lexsort((vid, -sq))[:10]
+    return pa.table({"vec_id": pa.array(vid[order], pa.int64()),
+                     "norm_sq_q": pa.array(sq[order], pa.int64())})
+
+
+SQL_EXTREME_VECTORS = """WITH u AS (
+  SELECT vec_id,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS qv
+  FROM embeddings),
+n AS (SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS norm_sq_q
+      FROM u GROUP BY vec_id)
+SELECT vec_id, norm_sq_q FROM n
+ORDER BY norm_sq_q DESC, vec_id LIMIT 10"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -10591,6 +10693,8 @@ QUERIES = {
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
     "top_bigram_per_source": (q_top_bigram_per_source,
                               SQL_TOP_BIGRAM_PER_SOURCE),
+    "order_cadence": (q_order_cadence, SQL_ORDER_CADENCE),
+    "extreme_vectors": (q_extreme_vectors, SQL_EXTREME_VECTORS),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
