@@ -188,7 +188,8 @@ def run_queries() -> dict[str, float]:
              "nation_customer_profile", "priority_mix_by_year",
              "caller_error_rate", "weekend_ks", "first_response_lag",
              "vocab_growth", "top_bigram_per_source",
-             "order_cadence", "extreme_vectors"]
+             "order_cadence", "extreme_vectors",
+             "tool_switches", "props_value_histogram"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

@@ -10471,6 +10471,95 @@ SELECT vec_id, norm_sq_q FROM n
 ORDER BY norm_sq_q DESC, vec_id LIMIT 10"""
 
 
+def q_tool_switches(sf_dir: str):
+    """Flagship tool-churn histogram: per conversation, how many
+    ADJACENT turn pairs (turn_idx order) change tool — 0 means one
+    tool end-to-end; high counts flag thrashing agents. One
+    conv-bucket shuffle; the kernel counts boundary changes per run
+    and pre-reduces to (n_switches, n_convs) partials."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(2 * _nrows(sf_dir, "events"))
+
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "bucket", fnv1a_bucket(tbl.column("conv_id"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        conv = pc.dictionary_encode(g.column("conv_id")
+                                    .combine_chunks()).indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ti = g.column("turn_idx").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tool = pc.dictionary_encode(g.column("tool").combine_chunks())
+        tc = pc.fill_null(tool.indices, -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ti, conv))
+        cs, ts_ = conv[order], tc[order]
+        same_conv = cs[1:] == cs[:-1]
+        switch = same_conv & (ts_[1:] != ts_[:-1])
+        # per-conv switch count: segmented sum over run boundaries
+        starts = np.flatnonzero(np.append(True, ~same_conv))
+        sw = np.zeros(len(cs), np.int64)
+        sw[1:][switch] = 1
+        per_conv = np.add.reduceat(sw, starts) if len(starts) \
+            else np.array([], np.int64)
+        uniq, counts = np.unique(per_conv, return_counts=True)
+        return pa.table({"n_switches": pa.array(uniq, pa.int64()),
+                         "n_convs": pa.array(counts.astype(np.int64),
+                                             pa.int64())})
+
+    small = read_transcripts(sf_dir) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    return _combine_partials(small, ["n_switches"],
+                             {"n_convs": "n_convs"})
+
+
+SQL_TOOL_SWITCHES = f"""{_T},
+o AS (SELECT conv_id,
+        CASE WHEN LAG(tool) OVER (PARTITION BY conv_id
+               ORDER BY turn_idx) IS DISTINCT FROM tool
+             AND LAG(tool) OVER (PARTITION BY conv_id
+               ORDER BY turn_idx) IS NOT NULL
+          THEN 1 ELSE 0 END AS sw
+      FROM transcripts),
+c AS (SELECT conv_id, CAST(SUM(sw) AS BIGINT) AS n_switches
+      FROM o GROUP BY conv_id)
+SELECT n_switches, CAST(COUNT(*) AS BIGINT) AS n_convs
+FROM c GROUP BY n_switches"""
+
+
+def q_props_value_histogram(sf_dir: str):
+    """Processor→aggregate composition: run the real
+    ``decode_json_fields`` chain over ``props``, then histogram the
+    decoded integer ``k`` — proving the Beats-processor surface feeds
+    distributed aggregation directly (decode stays vectorized per
+    batch, the histogram folds fixed-width partials)."""
+    chain = build_chain([{"decode_json_fields": {
+        "fields": ["props"], "target": "", "expected_keys": ["k:int"]}}])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        t = chain(tbl)
+        k = t.column("k")
+        g = pa.table({"k": k}).filter(pc.is_valid(k)) \
+            .group_by("k").aggregate([("k", "count")])
+        return pa.table({"k": g.column("k"),
+                         "n": pc.cast(g.column("k_count"), pa.int64())})
+
+    return _combine_partials(
+        _read(sf_dir, "events", ["props"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["k"], {"n": "n"})
+
+
+SQL_PROPS_VALUE_HISTOGRAM = """WITH d AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n
+FROM d WHERE k IS NOT NULL GROUP BY k"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -10695,6 +10784,9 @@ QUERIES = {
                               SQL_TOP_BIGRAM_PER_SOURCE),
     "order_cadence": (q_order_cadence, SQL_ORDER_CADENCE),
     "extreme_vectors": (q_extreme_vectors, SQL_EXTREME_VECTORS),
+    "tool_switches": (q_tool_switches, SQL_TOOL_SWITCHES),
+    "props_value_histogram": (q_props_value_histogram,
+                              SQL_PROPS_VALUE_HISTOGRAM),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
