@@ -189,7 +189,8 @@ def run_queries() -> dict[str, float]:
              "caller_error_rate", "weekend_ks", "first_response_lag",
              "vocab_growth", "top_bigram_per_source",
              "order_cadence", "extreme_vectors",
-             "tool_switches", "props_value_histogram"]
+             "tool_switches", "props_value_histogram",
+             "conv_token_budget", "region_nation_rollup"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

@@ -10560,6 +10560,139 @@ SELECT k, CAST(COUNT(*) AS BIGINT) AS n
 FROM d WHERE k IS NOT NULL GROUP BY k"""
 
 
+def q_conv_token_budget(sf_dir: str):
+    """Context-window budgeting over the flagship transcripts: per
+    conversation, the total ``[a-z0-9]+`` token count of all its turns
+    and whether it exceeds the 4096-token window — the pre-pack
+    gating decision of an LLM training pipeline. Per-batch tokens
+    count vectorized (one list-length pass, no per-row python), then
+    ONE conv-bucket shuffle folds per-conv sums."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(2 * _nrows(sf_dir, "events"))
+    BUDGET = 4096
+
+    def tag(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t.column("text")), "[^a-z0-9]+")
+        toks = toks.combine_chunks() if isinstance(
+            toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        nonempty = pc.greater(pc.utf8_length(flat), 0) \
+            .to_numpy(zero_copy_only=False)
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        row_id = np.repeat(np.arange(len(lens)), lens)
+        counts = np.zeros(len(lens), np.int64)
+        np.add.at(counts, row_id[nonempty], 1)
+        d = pa.table({"conv_id": t.column("conv_id"),
+                      "n_tokens": pa.array(counts, pa.int64())}) \
+            .group_by("conv_id").aggregate([("n_tokens", "sum")])
+        out = pa.table({"conv_id": d.column("conv_id"),
+                        "n_tokens": d.column("n_tokens_sum")})
+        return out.append_column(
+            "bucket", fnv1a_bucket(out.column("conv_id"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        f = g.group_by("conv_id").aggregate([("n_tokens", "sum")])
+        n = f.column("n_tokens_sum")
+        return pa.table({
+            "conv_id": f.column("conv_id"),
+            "n_tokens": n,
+            "over_budget": pc.greater(n, BUDGET)})
+
+    return read_transcripts(sf_dir) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_CONV_TOKEN_BUDGET = f"""{_T}
+SELECT conv_id,
+  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+       AS BIGINT) AS n_tokens,
+  SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) > 4096
+    AS over_budget
+FROM transcripts GROUP BY conv_id"""
+
+
+def q_region_nation_rollup(sf_dir: str):
+    """Two-level snowflake ROLLUP: customer counts and exact acctbal
+    cents at (region, nation), per-region subtotal, and grand total —
+    one scan, every level tagged with the SQL GROUPING() bitmask
+    (the rollup_revenue convention). Both dims are tiny and ship in
+    the closure; the combine moves Σ_level distinct-keys fixed-width
+    rows per batch."""
+    import numpy as np
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name",
+                                 "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    rname = dict(zip(reg.column("r_regionkey").to_pylist(),
+                     reg.column("r_name").to_pylist()))
+    nation_of = {k: (rname[rk], n) for k, n, rk in zip(
+        nat.column("n_nationkey").to_pylist(),
+        nat.column("n_name").to_pylist(),
+        nat.column("n_regionkey").to_pylist())}
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("c_acctbal").to_numpy(zero_copy_only=False)
+        pairs = [nation_of.get(k) for k in
+                 t.column("c_nationkey").to_pylist()]
+        base = pa.table({
+            "region": pa.array([p[0] for p in pairs], pa.string()),
+            "nation": pa.array([p[1] for p in pairs], pa.string()),
+            "cents": pa.array(np.floor(v * 100.0).astype(np.int64),
+                              pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64())})
+        levels = []
+        for grouping, keys in ((0, ["region", "nation"]),
+                               (1, ["region"]), (3, [])):
+            if keys:
+                g = base.group_by(keys).aggregate(
+                    [("one", "sum"), ("cents", "sum")])
+                lv = pa.table({
+                    "region": g.column("region"),
+                    "nation": g.column("nation") if "nation" in keys
+                    else pa.nulls(g.num_rows, pa.string()),
+                    "n_customers": g.column("one_sum"),
+                    "acctbal_cents": g.column("cents_sum"),
+                    "grouping": pa.array([grouping] * g.num_rows,
+                                         pa.int64())})
+            else:
+                lv = pa.table({
+                    "region": pa.nulls(1, pa.string()),
+                    "nation": pa.nulls(1, pa.string()),
+                    "n_customers": pa.array(
+                        [base.num_rows], pa.int64()),
+                    "acctbal_cents": pa.array(
+                        [int(base.column("cents").to_numpy(
+                            zero_copy_only=False).sum())], pa.int64()),
+                    "grouping": pa.array([grouping], pa.int64())})
+            levels.append(lv)
+        return pa.concat_tables(levels)
+
+    return _combine_partials(
+        _read_dim(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["region", "nation", "grouping"],
+        {"n_customers": "n_customers",
+         "acctbal_cents": "acctbal_cents"})
+
+
+SQL_REGION_NATION_ROLLUP = """
+SELECT r.r_name AS region, n.n_name AS nation,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(CAST(FLOOR(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+    AS acctbal_cents,
+  CAST(GROUPING(r.r_name, n.n_name) AS BIGINT) AS grouping
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -10787,6 +10920,9 @@ QUERIES = {
     "tool_switches": (q_tool_switches, SQL_TOOL_SWITCHES),
     "props_value_histogram": (q_props_value_histogram,
                               SQL_PROPS_VALUE_HISTOGRAM),
+    "conv_token_budget": (q_conv_token_budget, SQL_CONV_TOKEN_BUDGET),
+    "region_nation_rollup": (q_region_nation_rollup,
+                             SQL_REGION_NATION_ROLLUP),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
