@@ -190,7 +190,8 @@ def run_queries() -> dict[str, float]:
              "vocab_growth", "top_bigram_per_source",
              "order_cadence", "extreme_vectors",
              "tool_switches", "props_value_histogram",
-             "conv_token_budget", "region_nation_rollup"]
+             "conv_token_budget", "region_nation_rollup",
+             "session_duration_band", "revenue_deciles"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

@@ -10693,6 +10693,146 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY ROLLUP (r.r_name, n.n_name)"""
 
 
+def q_session_duration_band(sf_dir: str):
+    """Session-duration quantile band: exact p10/p50/p90 of 30-min-gap
+    session durations in SECONDS — the dwell-time SLA panel (the
+    durations complement of session_lengths' size histogram).
+    `_session_bounds` marks sessions per user bucket, durations
+    pre-reduce to a (seconds, count) histogram bounded by the distinct
+    duration values, and all three selections run through the repo's
+    one quantile rule."""
+    import numpy as np
+
+    from .aggregates import quantile_from_cdf
+
+    gap_us = 30 * 60 * 1_000_000
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = pa.table({"u": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64()),
+                        "eid": t.column("event_id")}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("ts"))))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        order, starts = _session_bounds(g, gap_us)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)[order]
+        ends = np.append(starts[1:], len(order)) - 1
+        dur_s = (ts[ends] - ts[starts]) // 1_000_000
+        uniq, counts = np.unique(dur_s, return_counts=True)
+        return pa.table({"secs": pa.array(uniq, pa.int64()),
+                         "n": pa.array(counts.astype(np.int64),
+                                       pa.int64())})
+
+    hist = _combine_partials(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow"),
+        ["secs"], {"n": "n"})
+    secs = hist.column("secs").to_numpy(zero_copy_only=False)
+    n = hist.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(secs)
+    uniq, cum = secs[order], np.cumsum(n[order])
+    return pa.table({
+        "p10_secs": pa.array([quantile_from_cdf(uniq, cum, 0.1)],
+                             pa.int64()),
+        "p50_secs": pa.array([quantile_from_cdf(uniq, cum, 0.5)],
+                             pa.int64()),
+        "p90_secs": pa.array([quantile_from_cdf(uniq, cum, 0.9)],
+                             pa.int64())})
+
+
+SQL_SESSION_DURATION_BAND = """WITH d AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)
+         > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS brk
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+s AS (SELECT user_id, ts,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d),
+c AS (SELECT (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+        AS secs FROM s GROUP BY user_id, sid),
+h AS (SELECT secs, COUNT(*) AS n FROM c GROUP BY secs),
+cdf AS (SELECT secs, SUM(n) OVER (ORDER BY secs) AS cum,
+               SUM(n) OVER () AS total FROM h)
+SELECT
+  CAST(MIN(CASE WHEN cum >= CEIL(0.1 * total) THEN secs END)
+       AS BIGINT) AS p10_secs,
+  CAST(MIN(CASE WHEN cum >= CEIL(0.5 * total) THEN secs END)
+       AS BIGINT) AS p50_secs,
+  CAST(MIN(CASE WHEN cum >= CEIL(0.9 * total) THEN secs END)
+       AS BIGINT) AS p90_secs
+FROM cdf"""
+
+
+def q_revenue_deciles(sf_dir: str):
+    """Revenue-concentration deciles: orders ranked by exact
+    total-price cents DESC, NTILE(10), per decile the order count and
+    revenue total — "the top 10% of orders carry X% of revenue". The
+    lorenz_deciles histogram allocation on the (cents → n_orders)
+    distribution: tie groups carry identical cents, so splitting them
+    across a decile boundary cannot change either per-decile sum, and
+    the NTILE size rule (first N%10 tiles one larger) reproduces SQL
+    exactly."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0).astype(np.int64)
+        uniq, m = np.unique(cents, return_counts=True)
+        return pa.table({"cents": pa.array(uniq, pa.int64()),
+                         "m": pa.array(m.astype(np.int64), pa.int64())})
+
+    hist = _combine_partials(
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["cents"], {"m": "m"})
+    cents = hist.column("cents").to_numpy(zero_copy_only=False)
+    m = hist.column("m").to_numpy(zero_copy_only=False)
+    order = np.argsort(-cents)
+    cents, m = cents[order], m[order]
+    total = int(m.sum())
+    q, r = divmod(total, 10)
+    sizes = np.array([q + 1 if d < r else q for d in range(10)],
+                     np.int64)
+    bounds = np.cumsum(sizes)
+    starts = bounds - sizes
+    cum = np.cumsum(m)
+    row_lo = cum - m
+    out = {"decile": [], "n_orders": [], "revenue_cents": []}
+    for d in range(10):
+        if sizes[d] == 0:
+            continue
+        lo = np.maximum(row_lo, starts[d])
+        hi = np.minimum(cum, bounds[d])
+        take = np.maximum(hi - lo, 0)
+        out["decile"].append(d + 1)
+        out["n_orders"].append(int(take.sum()))
+        out["revenue_cents"].append(int((take * cents).sum()))
+    return pa.table({
+        "decile": pa.array(out["decile"], pa.int64()),
+        "n_orders": pa.array(out["n_orders"], pa.int64()),
+        "revenue_cents": pa.array(out["revenue_cents"], pa.int64())})
+
+
+SQL_REVENUE_DECILES = """WITH c AS (
+  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders),
+t AS (SELECT cents,
+        NTILE(10) OVER (ORDER BY cents DESC, o_orderkey) AS decile
+      FROM c)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM t GROUP BY decile"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -10923,6 +11063,9 @@ QUERIES = {
     "conv_token_budget": (q_conv_token_budget, SQL_CONV_TOKEN_BUDGET),
     "region_nation_rollup": (q_region_nation_rollup,
                              SQL_REGION_NATION_ROLLUP),
+    "session_duration_band": (q_session_duration_band,
+                              SQL_SESSION_DURATION_BAND),
+    "revenue_deciles": (q_revenue_deciles, SQL_REVENUE_DECILES),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
