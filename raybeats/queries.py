@@ -10833,6 +10833,108 @@ SELECT CAST(decile AS BIGINT) AS decile,
 FROM t GROUP BY decile"""
 
 
+def q_time_to_third_purchase(sf_dir: str):
+    """Milestone latency: per user with ≥3 purchases, the microseconds
+    from their FIRST event (any type) to their THIRD purchase — the
+    habit-formation metric growth teams track. One user-bucket shuffle
+    carrying all rows with a purchase flag; the kernel takes each
+    run's min ts and the 3rd purchase by (ts, event_id) via one masked
+    scan (no second pass, no join)."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = pa.table({"u": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64()),
+                        "eid": t.column("event_id"),
+                        "buy": pc.fill_null(pc.equal(
+                            t.column("event_type"), "purchase"),
+                            False)}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("ts"))))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        buy = g.column("buy").to_numpy(zero_copy_only=False)
+        order, new_run, _ = _lag_scaffold([u], ts, eid)
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, len(order)))
+        seg = np.repeat(np.arange(len(starts)), lens)
+        b = buy[order]
+        # per-run running purchase count; the 3rd purchase is where the
+        # cumulative (rebased per run) first reaches 3
+        cs = np.cumsum(b.astype(np.int64))
+        base = np.repeat(cs[starts] - b[starts].astype(np.int64), lens)
+        rank = cs - base
+        third = b & (rank == 3)
+        tss = ts[order]
+        first_ts = tss[starts]
+        out_u, out_lag = [], []
+        idx3 = np.flatnonzero(third)
+        for i in idx3:
+            r = seg[i]
+            out_u.append(int(u[order][starts[r]]))
+            out_lag.append(int(tss[i] - first_ts[r]))
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "lag_us": pa.array(out_lag, pa.int64())})
+
+    return _read(sf_dir, "events",
+                 ["event_id", "user_id", "ts", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_TIME_TO_THIRD_PURCHASE = """WITH f AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY user_id),
+p AS (SELECT user_id, ts,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+        AND user_id IS NOT NULL AND ts IS NOT NULL)
+SELECT p.user_id, epoch_us(p.ts) - epoch_us(f.first_ts) AS lag_us
+FROM p JOIN f ON p.user_id = f.user_id WHERE p.rn = 3"""
+
+
+def q_tools_per_role(sf_dir: str):
+    """Flagship grouped COUNT DISTINCT: how many distinct tools each
+    ROLE uses across the corpus — the capability-surface matrix.
+    Per-batch distinct (role, tool) pairs bound the one tool-bucket
+    shuffle (tools partition disjointly across buckets, so per-bucket
+    distinct counts SUM exactly — the vocab_per_source contract)."""
+    n_buckets = adaptive_buckets(2 * _nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        d = pa.table({"role": t.column("role"),
+                      "tool": t.column("tool")}) \
+            .group_by(["role", "tool"]).aggregate([])
+        return d.append_column(
+            "bucket", fnv1a_bucket(d.column("tool"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        f = g.group_by(["role", "tool"]).aggregate([]) \
+            .group_by("role").aggregate([("tool", "count")])
+        return pa.table({"role": f.column("role"),
+                         "n_tools": pc.cast(f.column("tool_count"),
+                                            pa.int64())})
+
+    small = read_transcripts(sf_dir) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    return _combine_partials(small, ["role"], {"n_tools": "n_tools"})
+
+
+SQL_TOOLS_PER_ROLE = f"""{_T}
+SELECT role, CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_tools
+FROM transcripts GROUP BY role"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -11066,6 +11168,9 @@ QUERIES = {
     "session_duration_band": (q_session_duration_band,
                               SQL_SESSION_DURATION_BAND),
     "revenue_deciles": (q_revenue_deciles, SQL_REVENUE_DECILES),
+    "time_to_third_purchase": (q_time_to_third_purchase,
+                               SQL_TIME_TO_THIRD_PURCHASE),
+    "tools_per_role": (q_tools_per_role, SQL_TOOLS_PER_ROLE),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
