@@ -192,7 +192,8 @@ def run_queries() -> dict[str, float]:
              "tool_switches", "props_value_histogram",
              "conv_token_budget", "region_nation_rollup",
              "session_duration_band", "revenue_deciles",
-             "time_to_third_purchase", "tools_per_role"]
+             "time_to_third_purchase", "tools_per_role",
+             "monthly_new_vs_returning", "q6_revenue"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

@@ -10935,6 +10935,112 @@ SELECT role, CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_tools
 FROM transcripts GROUP BY role"""
 
 
+def q_monthly_new_vs_returning(sf_dir: str):
+    """Growth accounting: per calendar month, active users split into
+    NEW (first-ever activity that month) vs RETURNING — the
+    top-of-dashboard growth metric. Distinct (user, month) pairs bound
+    the one user-bucket shuffle; each bucket derives its users' first
+    months locally (buckets partition users, so first-seen is exact)
+    and emits (month, active, new) partials."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        mon = pc.cast(pc.floor_temporal(t.column("ts"), unit="month"),
+                      pa.timestamp("us"))
+        d = pa.table({"u": t.column("user_id"), "mon": mon}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("ts")))) \
+            .group_by(["u", "mon"]).aggregate([])
+        return d.append_column("bucket", int_bucket(d.column("u"),
+                                                    n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        f = g.group_by(["u", "mon"]).aggregate([])
+        u = f.column("u").to_numpy(zero_copy_only=False)
+        mon = pc.cast(f.column("mon"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((mon, u))
+        us, ms = u[order], mon[order]
+        first = np.append(True, us[1:] != us[:-1])
+        part = pa.table({
+            "mon": pa.array(ms, pa.int64()),
+            "active": pa.array(np.ones(len(ms), np.int64), pa.int64()),
+            "new": pa.array(first.astype(np.int64), pa.int64())})
+        gg = part.group_by("mon").aggregate(
+            [("active", "sum"), ("new", "sum")])
+        return pa.table({"mon": gg.column("mon"),
+                         "n_active": gg.column("active_sum"),
+                         "n_new": gg.column("new_sum")})
+
+    comb = _combine_partials(
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow"),
+        ["mon"], {"n_active": "n_active", "n_new": "n_new"})
+    return pa.table({
+        "mon": pc.cast(comb.column("mon"), pa.timestamp("us")),
+        "n_active": comb.column("n_active"),
+        "n_new": comb.column("n_new"),
+        "n_returning": pc.subtract(comb.column("n_active"),
+                                   comb.column("n_new"))})
+
+
+SQL_MONTHLY_NEW_VS_RETURNING = """WITH a AS (
+  SELECT DISTINCT user_id,
+    CAST(date_trunc('month', ts) AS TIMESTAMP) AS mon
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+f AS (SELECT user_id, MIN(mon) AS first_mon FROM a GROUP BY user_id)
+SELECT a.mon, CAST(COUNT(*) AS BIGINT) AS n_active,
+  CAST(SUM(CASE WHEN a.mon = f.first_mon THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_new,
+  CAST(SUM(CASE WHEN a.mon = f.first_mon THEN 0 ELSE 1 END)
+       AS BIGINT) AS n_returning
+FROM a JOIN f ON a.user_id = f.user_id GROUP BY a.mon"""
+
+
+def q_q6_revenue(sf_dir: str):
+    """The classic predicate-band aggregate (TPC-H Q6 shape): revenue
+    from 1996 lineitems with discount in [0.05, 0.07] and quantity
+    < 24 — one pruned scan, a vectorized three-way mask, and an exact
+    cents sum (the extendedprice×discount double product rounds once
+    identically on both engines before the floor). No shuffle; one
+    fixed-width partial per batch."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate")
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        qt = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        yr = pc.year(sd).to_numpy(zero_copy_only=False)
+        ok = (yr == 1996) & (dc >= 0.05) & (dc <= 0.07) & (qt < 24)
+        cents = np.floor(ep[ok] * dc[ok] * 100.0).astype(np.int64)
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "revenue_cents": pa.array([int(cents.sum())], pa.int64()),
+            "n_items": pa.array([int(ok.sum())], pa.int64())})
+
+    comb = _combine_partials(
+        _read(sf_dir, "lineitem",
+              ["l_shipdate", "l_extendedprice", "l_discount",
+               "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["k"], {"revenue_cents": "revenue_cents",
+                "n_items": "n_items"})
+    return comb.drop_columns(["k"])
+
+
+SQL_Q6_REVENUE = """
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE EXTRACT(year FROM l_shipdate) = 1996
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -11171,6 +11277,9 @@ QUERIES = {
     "time_to_third_purchase": (q_time_to_third_purchase,
                                SQL_TIME_TO_THIRD_PURCHASE),
     "tools_per_role": (q_tools_per_role, SQL_TOOLS_PER_ROLE),
+    "monthly_new_vs_returning": (q_monthly_new_vs_returning,
+                                 SQL_MONTHLY_NEW_VS_RETURNING),
+    "q6_revenue": (q_q6_revenue, SQL_Q6_REVENUE),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
