@@ -11041,6 +11041,117 @@ WHERE EXTRACT(year FROM l_shipdate) = 1996
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
 
 
+def q_type_gini(sf_dir: str):
+    """Per-user behavioral diversity as EXACT integers: n_events and
+    the Simpson numerator Σ c_t² over the user's per-type counts
+    (Gini impurity = 1 − Σ(c/n)² = (n² − Σc²)/n² derives from the two
+    columns without ever computing a float). Per-batch (user, type)
+    count partials bound the one user-bucket shuffle; users co-locate,
+    so the per-bucket fold of exact counts squares exactly."""
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = pa.table({"u": t.column("user_id"),
+                        "et": t.column("event_type")}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("event_type"))))
+        d = sub.group_by(["u", "et"]).aggregate([([], "count_all")])
+        return d.append_column("bucket", int_bucket(d.column("u"),
+                                                    n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        f = g.group_by(["u", "et"]).aggregate([("count_all", "sum")])
+        m = pc.cast(f.column("count_all_sum"), pa.int64())
+        per_u = pa.table({
+            "u": f.column("u"), "m": m,
+            "mm": pc.multiply_checked(m, m)}) \
+            .group_by("u").aggregate([("m", "sum"), ("mm", "sum")])
+        return pa.table({
+            "user_id": per_u.column("u"),
+            "n_events": per_u.column("m_sum"),
+            "sum_sq": per_u.column("mm_sum")})
+
+    return _read(sf_dir, "events", ["user_id", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_TYPE_GINI = """WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS m FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY user_id, event_type)
+SELECT user_id, CAST(SUM(m) AS BIGINT) AS n_events,
+       CAST(SUM(m * m) AS BIGINT) AS sum_sq
+FROM c GROUP BY user_id"""
+
+
+def q_overlapping_orders(sf_dir: str):
+    """Per-customer interval SELF-overlap join: count unordered pairs
+    of a customer's orders whose 30-day fulfillment windows overlap
+    (|Δdate| < 30 days) — the duplicate-shipment / order-collision
+    audit. The quadratic self-join never materializes: one custkey
+    bucket shuffle, then a composite (customer-rank · 2^16 + epoch-day)
+    key makes ONE global searchsorted answer every row's window count
+    within its own customer segment (day spans < 2^16 keep segments
+    disjoint; raises if the corpus ever exceeds that), and a reduceat
+    sums pairs per customer. Each unordered pair is counted once, from
+    its earlier sorted endpoint."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "orders"))
+    window_days = 30
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = pa.table({"c": t.column("o_custkey"),
+                        "day": pc.cast(pc.floor(pc.divide(
+                            pc.cast(t.column("o_orderdate"), pa.int64()),
+                            86_400_000_000)), pa.int64())}) \
+            .filter(pc.is_valid(t.column("o_orderdate")))
+        return sub.append_column("bucket", int_bucket(sub.column("c"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        day = g.column("day").to_numpy(zero_copy_only=False)
+        if day.size and int(day.max()) - int(day.min()) >= (1 << 16) \
+                - window_days:
+            raise ValueError("day span exceeds the composite-key "
+                             "window; widen the key stride")
+        base = day - (day.min() if day.size else 0)
+        order = np.lexsort((base, c))
+        cs, ds = c[order], base[order]
+        # dense per-bucket customer rank keeps rank·2^16 in int64
+        new_c = np.append(True, cs[1:] != cs[:-1]) \
+            if len(cs) else np.array([], bool)
+        rank = np.cumsum(new_c) - 1 if len(cs) else \
+            np.array([], np.int64)
+        key = rank.astype(np.int64) * (1 << 16) + ds
+        hi = np.searchsorted(key, key + window_days, side="left")
+        cnt = hi - np.arange(len(key)) - 1
+        starts = np.flatnonzero(new_c)
+        pairs = np.add.reduceat(cnt, starts).astype(np.int64) \
+            if len(starts) else np.array([], np.int64)
+        keep = pairs > 0
+        return pa.table({
+            "custkey": pa.array(cs[starts][keep], pa.int64()),
+            "n_pairs": pa.array(pairs[keep], pa.int64())})
+
+    return _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_OVERLAPPING_ORDERS = """WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders WHERE o_orderdate IS NOT NULL)
+SELECT a.o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+  AND ABS(a.day - b.day) < 30
+GROUP BY a.o_custkey"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -11280,6 +11391,9 @@ QUERIES = {
     "monthly_new_vs_returning": (q_monthly_new_vs_returning,
                                  SQL_MONTHLY_NEW_VS_RETURNING),
     "q6_revenue": (q_q6_revenue, SQL_Q6_REVENUE),
+    "type_gini": (q_type_gini, SQL_TYPE_GINI),
+    "overlapping_orders": (q_overlapping_orders,
+                           SQL_OVERLAPPING_ORDERS),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
