@@ -11152,6 +11152,165 @@ FROM o a JOIN o b
 GROUP BY a.o_custkey"""
 
 
+def q_rank_topk_ties(sf_dir: str):
+    """RANK()-with-ties top-k retrieval: per event type, every user
+    whose event count ranks in the top 3 INCLUDING boundary ties
+    (RANK ≤ 3 keeps all rows tied at the 3rd count, where ROW_NUMBER
+    would cut arbitrarily — the leaderboard contract). RANK() ≤ k ⟺
+    count ≥ the kth-largest row value, so no rank is ever computed:
+    one user-bucket shuffle folds exact (type, user, n) rows
+    (materialized — the COMPACTED aggregate, one row per distinct
+    pair, spillable); per-batch top-3-per-type candidates fold to a
+    driver threshold table (types × 3 × blocks rows); a narrow
+    filter-back keeps n ≥ threshold. No per-type global sort."""
+    import numpy as np
+
+    k = 3
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = pa.table({"u": t.column("user_id"),
+                        "et": t.column("event_type")}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("event_type"))))
+        d = sub.group_by(["u", "et"]).aggregate([([], "count_all")])
+        return d.append_column("bucket", int_bucket(d.column("u"),
+                                                    n_buckets))
+
+    def fold(g: pa.Table) -> pa.Table:
+        f = g.group_by(["u", "et"]).aggregate([("count_all", "sum")])
+        return pa.table({
+            "event_type": f.column("et"),
+            "user_id": f.column("u"),
+            "n_events": pc.cast(f.column("count_all_sum"),
+                                pa.int64())})
+
+    counts = _read(sf_dir, "events", ["user_id", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(fold, batch_format="pyarrow") \
+        .materialize()
+
+    def cand(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        n = t.column("n_events").to_numpy(zero_copy_only=False)
+        order = np.lexsort((-n, et))
+        ets, ns = et[order], n[order]
+        starts = np.flatnonzero(np.append(True, ets[1:] != ets[:-1])) \
+            if len(ets) else np.array([], np.int64)
+        pos = np.arange(len(ets)) - np.repeat(
+            starts, np.diff(np.append(starts, len(ets))))
+        keep = pos < k
+        return pa.table({"event_type": pa.array(ets[keep]),
+                         "n_events": pa.array(ns[keep], pa.int64())})
+
+    top = pa.concat_tables(list(
+        counts.map_batches(cand, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    thr: dict[str, int] = {}
+    et = top.column("event_type").to_pylist()
+    n = top.column("n_events").to_pylist()
+    by_type: dict[str, list[int]] = {}
+    for e, v in zip(et, n):
+        by_type.setdefault(e, []).append(v)
+    for e, vs in by_type.items():
+        vs.sort(reverse=True)
+        thr[e] = vs[k - 1] if len(vs) >= k else (vs[-1] if vs else 0)
+
+    def filt(t: pa.Table) -> pa.Table:
+        ets = t.column("event_type").to_numpy(zero_copy_only=False)
+        lim = np.array([thr.get(e, 0) for e in ets], np.int64)
+        return t.filter(pa.array(
+            t.column("n_events").to_numpy(zero_copy_only=False)
+            >= lim))
+
+    return counts.map_batches(filt, batch_format="pyarrow")
+
+
+SQL_RANK_TOPK_TIES = """WITH c AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY event_type, user_id)
+SELECT event_type, user_id, n_events FROM c
+QUALIFY RANK() OVER (PARTITION BY event_type
+                     ORDER BY n_events DESC) <= 3"""
+
+
+def q_tool_triples(sf_dir: str):
+    """Set-based frequent-triple mining (the market-basket step past
+    pairwise cooccurrence): for every unordered TRIPLE of tools, how
+    many conversations used all three. Per-batch distinct
+    (conv, tool) pairs bound the one conv-bucket shuffle; each bucket
+    dedups globally, builds a conversations × tools boolean presence
+    matrix, and counts each of the C(T,3) column combinations with
+    vectorized ANDs (T = tool cardinality, bounded — the kernel
+    refuses T > 64 rather than silently exploding); tiny
+    (a, b, c, n) partials combine on the driver."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = pa.table({"conv": t.column("conv_id"),
+                        "tool": t.column("tool")}) \
+            .filter(pc.is_valid(t.column("tool")))
+        d = sub.group_by(["conv", "tool"]).aggregate([])
+        return d.append_column(
+            "bucket", fnv1a_bucket(d.column("conv"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        d = g.group_by(["conv", "tool"]).aggregate([])
+        enc_t = pc.dictionary_encode(d.column("tool").combine_chunks())
+        tools = np.asarray(enc_t.dictionary.to_pylist(), dtype=object)
+        if len(tools) > 64:
+            raise ValueError("tool cardinality exceeds the C(T,3) "
+                             "kernel bound; shard the tool universe")
+        order = np.argsort(tools)
+        rank_of = np.empty(len(tools), np.int64)
+        rank_of[order] = np.arange(len(tools))
+        tc = rank_of[enc_t.indices.to_numpy(zero_copy_only=False)
+                     .astype(np.int64)]
+        tools_sorted = tools[order]
+        enc_c = pc.dictionary_encode(d.column("conv").combine_chunks())
+        cc = enc_c.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = np.zeros((len(enc_c.dictionary), len(tools)), bool)
+        m[cc, tc] = True
+        ta, tb_, tcc, n = [], [], [], []
+        for i in range(len(tools)):
+            mi = m[:, i]
+            for j in range(i + 1, len(tools)):
+                mij = mi & m[:, j]
+                for kk in range(j + 1, len(tools)):
+                    c = int(np.count_nonzero(mij & m[:, kk]))
+                    if c:
+                        ta.append(tools_sorted[i])
+                        tb_.append(tools_sorted[j])
+                        tcc.append(tools_sorted[kk])
+                        n.append(c)
+        return pa.table({"tool_a": pa.array(ta, pa.string()),
+                         "tool_b": pa.array(tb_, pa.string()),
+                         "tool_c": pa.array(tcc, pa.string()),
+                         "n_convs": pa.array(n, pa.int64())})
+
+    small = read_transcripts(sf_dir) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+    return _combine_partials(small, ["tool_a", "tool_b", "tool_c"],
+                             {"n_convs": "n_convs"})
+
+
+SQL_TOOL_TRIPLES = f"""{_T},
+d AS (SELECT DISTINCT conv_id, tool FROM transcripts
+      WHERE tool IS NOT NULL)
+SELECT a.tool AS tool_a, b.tool AS tool_b, c.tool AS tool_c,
+       CAST(COUNT(*) AS BIGINT) AS n_convs
+FROM d a
+JOIN d b ON a.conv_id = b.conv_id AND a.tool < b.tool
+JOIN d c ON b.conv_id = c.conv_id AND b.tool < c.tool
+GROUP BY a.tool, b.tool, c.tool"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -11394,6 +11553,8 @@ QUERIES = {
     "type_gini": (q_type_gini, SQL_TYPE_GINI),
     "overlapping_orders": (q_overlapping_orders,
                            SQL_OVERLAPPING_ORDERS),
+    "rank_topk_ties": (q_rank_topk_ties, SQL_RANK_TOPK_TIES),
+    "tool_triples": (q_tool_triples, SQL_TOOL_TRIPLES),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
