@@ -11311,6 +11311,98 @@ JOIN d c ON b.conv_id = c.conv_id AND b.tool < c.tool
 GROUP BY a.tool, b.tool, c.tool"""
 
 
+def q_role_tool_list(sf_dir: str):
+    """Ordered DISTINCT string aggregation per group: each role's
+    full tool surface as one comma-joined, lexically sorted list —
+    the capability manifest a routing config is generated from.
+    Per-batch distinct (role, tool) pairs bound the one role-bucket
+    shuffle (roles are few but each group is only the DISTINCT tool
+    set — bounded by tool cardinality, not corpus size); the
+    per-group kernel dedups, sorts, and joins with arrow kernels."""
+    n_buckets = 8
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = pa.table({"role": t.column("role"),
+                        "tool": t.column("tool")}) \
+            .filter(pc.is_valid(t.column("tool")))
+        d = sub.group_by(["role", "tool"]).aggregate([])
+        return d.append_column(
+            "bucket", fnv1a_bucket(d.column("role"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        d = g.group_by(["role", "tool"]).aggregate([])
+        roles = d.column("role")
+        tools = d.column("tool")
+        order = pc.sort_indices(
+            pa.table({"r": roles, "t": tools}),
+            sort_keys=[("r", "ascending"), ("t", "ascending")])
+        rs = pc.take(roles, order).combine_chunks()
+        ts_ = pc.take(tools, order).combine_chunks()
+        import numpy as np
+        ra = np.asarray(rs.to_pylist(), dtype=object)
+        starts = np.flatnonzero(np.append(True, ra[1:] != ra[:-1])) \
+            if len(ra) else np.array([], np.int64)
+        out_r, out_t = [], []
+        bounds = np.append(starts, len(ra))
+        tl = ts_.to_pylist()
+        for i, s in enumerate(starts):
+            out_r.append(ra[s])
+            out_t.append(",".join(tl[s:bounds[i + 1]]))
+        return pa.table({"role": pa.array(out_r, pa.string()),
+                         "tools": pa.array(out_t, pa.string())})
+
+    return read_transcripts(sf_dir) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_ROLE_TOOL_LIST = f"""{_T},
+d AS (SELECT DISTINCT role, tool FROM transcripts
+      WHERE tool IS NOT NULL)
+SELECT role, string_agg(tool, ',' ORDER BY tool) AS tools
+FROM d GROUP BY role"""
+
+
+def q_turn_len_by_role(sf_dir: str):
+    """Grouped text-length profile of the flagship corpus: per role,
+    turn count, total and max codepoint length — the byte-budget
+    planning numbers for a downstream tokenizer stage. One vectorized
+    utf8_length pass per batch; fixed-width (role, n, total, max)
+    partials; counts and sums fold by addition, max by max — no
+    shuffle anywhere."""
+    def partial(t: pa.Table) -> pa.Table:
+        ln = pc.cast(pc.utf8_length(t.column("text")), pa.int64())
+        g = pa.table({"role": t.column("role"), "ln": ln}) \
+            .filter(pc.is_valid(ln)) \
+            .group_by("role").aggregate([("ln", "count"),
+                                         ("ln", "sum"),
+                                         ("ln", "max")])
+        return pa.table({
+            "role": g.column("role"),
+            "n_turns": pc.cast(g.column("ln_count"), pa.int64()),
+            "total_chars": pc.cast(g.column("ln_sum"), pa.int64()),
+            "max_chars": pc.cast(g.column("ln_max"), pa.int64())})
+
+    parts = pa.concat_tables(list(
+        read_transcripts(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    agg = parts.group_by("role").aggregate([("n_turns", "sum"),
+                                            ("total_chars", "sum"),
+                                            ("max_chars", "max")])
+    return pa.table({"role": agg.column("role"),
+                     "n_turns": agg.column("n_turns_sum"),
+                     "total_chars": agg.column("total_chars_sum"),
+                     "max_chars": agg.column("max_chars_max")})
+
+
+SQL_TURN_LEN_BY_ROLE = f"""{_T}
+SELECT role, CAST(COUNT(text) AS BIGINT) AS n_turns,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(MAX(length(text)) AS BIGINT) AS max_chars
+FROM transcripts WHERE text IS NOT NULL GROUP BY role"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -11555,6 +11647,8 @@ QUERIES = {
                            SQL_OVERLAPPING_ORDERS),
     "rank_topk_ties": (q_rank_topk_ties, SQL_RANK_TOPK_TIES),
     "tool_triples": (q_tool_triples, SQL_TOOL_TRIPLES),
+    "role_tool_list": (q_role_tool_list, SQL_ROLE_TOOL_LIST),
+    "turn_len_by_role": (q_turn_len_by_role, SQL_TURN_LEN_BY_ROLE),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
