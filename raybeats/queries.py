@@ -11403,6 +11403,135 @@ SELECT role, CAST(COUNT(text) AS BIGINT) AS n_turns,
 FROM transcripts WHERE text IS NOT NULL GROUP BY role"""
 
 
+def q_decile_transition(sf_dir: str):
+    """Rank-decile MIGRATION matrix: customers NTILE(10)-ranked by
+    exact yearly revenue in 1995 and again in 1996, counted per
+    (prev-decile, next-decile) cell — the churn/upsell mobility report
+    (two global rank computations + a join, with no global sort
+    anywhere). Yearly totals fold through one custkey-bucket shuffle
+    into a COMPACTED (cust, year, cents) aggregate; each year rides
+    `global_row_number` (two-level order-statistic cells) on negated
+    cents, NTILE arithmetic assigns front-loaded tiles from the rank,
+    and one cust-bucket shuffle of the two tagged decile projections
+    pairs both years per customer into tiny 10×10 matrix partials."""
+    import numpy as np
+
+    from .aggregates import global_row_number
+
+    y1, y2 = 1995, 1996
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "orders"))
+    cust_max = _footer_max(sf_dir, "orders", "o_custkey")
+
+    def tag(t: pa.Table) -> pa.Table:
+        yr = pc.cast(pc.year(t.column("o_orderdate")), pa.int64())
+        cents = pc.cast(pc.floor(pc.multiply(
+            t.column("o_totalprice"), 100.0)), pa.int64())
+        sub = pa.table({"cust": t.column("o_custkey"), "y": yr,
+                        "c": cents}) \
+            .filter(pc.and_(pc.is_valid(t.column("o_orderdate")),
+                            pc.is_in(yr, value_set=pa.array(
+                                [y1, y2], pa.int64()))))
+        g = sub.group_by(["cust", "y"]).aggregate([("c", "sum")])
+        return g.append_column("bucket", int_bucket(g.column("cust"),
+                                                    n_buckets))
+
+    def fold(g: pa.Table) -> pa.Table:
+        f = g.group_by(["cust", "y"]).aggregate([("c_sum", "sum")])
+        return pa.table({"cust": f.column("cust"),
+                         "y": f.column("y"),
+                         "cents": f.column("c_sum_sum")})
+
+    totals = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(fold, batch_format="pyarrow") \
+        .materialize()
+
+    n_year = {y1: 0, y2: 0}
+    for t in totals.iter_batches(batch_format="pyarrow"):
+        g = t.group_by("y").aggregate([([], "count_all")])
+        for y, c in zip(g.column("y").to_pylist(),
+                        g.column("count_all").to_pylist()):
+            n_year[y] += c
+
+    def decile_ds(year: int, side: str):
+        def neg(t: pa.Table) -> pa.Table:
+            sub = t.filter(pc.equal(t.column("y"), year))
+            return pa.table({
+                "cust": sub.column("cust"),
+                "negc": pc.negate_checked(sub.column("cents"))})
+
+        ranked = global_row_number(
+            totals.map_batches(neg, batch_format="pyarrow"),
+            value_col="negc", id_col="cust", id_max=cust_max,
+            scale=1)
+        n = n_year[year]
+        q_sz, rem = divmod(n, 10)
+
+        def to_dec(t: pa.Table) -> pa.Table:
+            rnk = t.column("rnk").to_numpy(zero_copy_only=False)
+            if q_sz == 0:
+                dec = rnk
+            else:
+                cut = rem * (q_sz + 1)
+                dec = np.where(
+                    rnk <= cut,
+                    (rnk + q_sz) // (q_sz + 1),
+                    rem + (rnk - cut + q_sz - 1) // q_sz)
+            out = pa.table({
+                "cust": t.column("cust"),
+                "dec": pa.array(dec.astype(np.int64), pa.int64()),
+                "side": pa.array([side] * len(t), pa.string())})
+            return out.append_column(
+                "bucket", int_bucket(out.column("cust"), n_buckets))
+
+        return ranked.map_batches(to_dec, batch_format="pyarrow")
+
+    def pair(g: pa.Table) -> pa.Table:
+        cu = g.column("cust").to_numpy(zero_copy_only=False)
+        dec = g.column("dec").to_numpy(zero_copy_only=False)
+        is_prev = pc.equal(g.column("side"), "p") \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((np.where(is_prev, 0, 1), cu))
+        cs, ds_, pv = cu[order], dec[order], is_prev[order]
+        both = np.flatnonzero(
+            (cs[:-1] == cs[1:]) & pv[:-1] & ~pv[1:]) \
+            if len(cs) > 1 else np.array([], np.int64)
+        t = pa.table({"d_prev": pa.array(ds_[both], pa.int64()),
+                      "d_next": pa.array(ds_[both + 1], pa.int64())})
+        g2 = t.group_by(["d_prev", "d_next"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "d_prev": g2.column("d_prev"),
+            "d_next": g2.column("d_next"),
+            "n_customers": pc.cast(g2.column("count_all"),
+                                   pa.int64())})
+
+    tagged = decile_ds(y1, "p").union(decile_ds(y2, "n"))
+    small = tagged.groupby("bucket").map_groups(
+        pair, batch_format="pyarrow")
+    return _combine_partials(small, ["d_prev", "d_next"],
+                             {"n_customers": "n_customers"})
+
+
+SQL_DECILE_TRANSITION = """WITH t AS (
+  SELECT o_custkey AS cust,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+         SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders
+  WHERE o_orderdate IS NOT NULL
+    AND EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+  GROUP BY 1, 2),
+r1 AS (SELECT cust, NTILE(10) OVER (ORDER BY cents DESC, cust) AS d
+       FROM t WHERE y = 1995),
+r2 AS (SELECT cust, NTILE(10) OVER (ORDER BY cents DESC, cust) AS d
+       FROM t WHERE y = 1996)
+SELECT CAST(r1.d AS BIGINT) AS d_prev, CAST(r2.d AS BIGINT) AS d_next,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM r1 JOIN r2 ON r1.cust = r2.cust
+GROUP BY 1, 2"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -11649,6 +11778,7 @@ QUERIES = {
     "tool_triples": (q_tool_triples, SQL_TOOL_TRIPLES),
     "role_tool_list": (q_role_tool_list, SQL_ROLE_TOOL_LIST),
     "turn_len_by_role": (q_turn_len_by_role, SQL_TURN_LEN_BY_ROLE),
+    "decile_transition": (q_decile_transition, SQL_DECILE_TRANSITION),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
