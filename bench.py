@@ -193,7 +193,10 @@ def run_queries() -> dict[str, float]:
              "conv_token_budget", "region_nation_rollup",
              "session_duration_band", "revenue_deciles",
              "time_to_third_purchase", "tools_per_role",
-             "monthly_new_vs_returning", "q6_revenue"]
+             "monthly_new_vs_returning", "q6_revenue",
+             "type_gini", "overlapping_orders", "rank_topk_ties",
+             "tool_triples", "role_tool_list", "turn_len_by_role",
+             "decile_transition"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

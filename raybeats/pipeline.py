@@ -513,6 +513,103 @@ class Pipeline:
                 "mismatches": mismatches}
 
     @staticmethod
+    def compact(out_dir: str, *, small_file_bytes: int = 32 << 20) -> dict:
+        """Small-file compaction over a PUBLISHED sink tree — the
+        maintenance job a long-running 100-TB ingest needs once many
+        resumed partitions have left multi-fragment sink directories
+        (tiny Parquet files dominate open/footer cost on later scans).
+
+        Per (partition, sink) directory whose fragments are ALL below
+        ``small_file_bytes``, the fragments are rewritten into one file
+        through the same write-audit-publish contract as the original
+        write: rows are verified against the partition manifest BEFORE
+        the swap (a count mismatch refuses the directory — compaction
+        never "fixes" a corrupt partition silently), the staging
+        directory swaps in atomically (`stage_and_swap`), and the
+        manifest is republished with a compaction stamp. A kill at any
+        point leaves either the old fragments or the swapped file —
+        both audit-clean — and a re-run skips single-file directories,
+        so the job is idempotent and resumable like the pipeline
+        itself (registrar semantics, filebeat/registrar/registrar.go:194-214).
+
+        Raw Ray tasks, deliberately: each unit is an atomic
+        filesystem rewrite of one directory — per-directory
+        parallelism with no dataset semantics, the documented
+        raw-task case. Assumes the sink tree is on storage shared
+        with the workers (same assumption the writer makes)."""
+        import ray
+
+        from .state.manifest import CheckpointManifest, stage_and_swap
+
+        manifest = CheckpointManifest(out_dir)
+
+        @ray.remote(num_cpus=1)
+        def compact_dir(sink_dir: str, expected_rows) -> dict:
+            files = sorted(glob_mod.glob(
+                os.path.join(sink_dir, "*.parquet")))
+            if len(files) <= 1:
+                return {"action": "noop", "files": len(files)}
+            if any(os.path.getsize(f) > small_file_bytes
+                   for f in files):
+                return {"action": "skip_large", "files": len(files)}
+            before = sum(pq.read_metadata(f).num_rows for f in files)
+            if expected_rows is not None and before != expected_rows:
+                return {"action": "refused",
+                        "manifest_rows": expected_rows,
+                        "actual_rows": before}
+            tbl = pa.concat_tables([pq.read_table(f) for f in files],
+                                   promote_options="default")
+
+            def write(staging: str) -> None:
+                pq.write_table(
+                    tbl, os.path.join(staging, "compacted-0.parquet"))
+
+            stage_and_swap(sink_dir, write)
+            after = sum(
+                pq.read_metadata(f).num_rows for f in glob_mod.glob(
+                    os.path.join(sink_dir, "*.parquet")))
+            if after != before:  # pragma: no cover - audit backstop
+                raise RuntimeError(
+                    f"compaction row drift in {sink_dir}: "
+                    f"{before} -> {after}")
+            return {"action": "compacted", "files_before": len(files),
+                    "rows": after}
+
+        tasks, meta = [], []
+        for pid in sorted(manifest.done()):
+            per_sink = manifest.read(pid).get("per_sink", {})
+            part_dir = os.path.join(out_dir, f"part={pid}")
+            for sink_dir in sorted(glob_mod.glob(
+                    os.path.join(part_dir, f"{SINK}=*"))):
+                sink = os.path.basename(sink_dir).split("=", 1)[1]
+                tasks.append(compact_dir.remote(sink_dir,
+                                                per_sink.get(sink)))
+                meta.append((pid, sink))
+        results = ray.get(tasks)
+
+        report = {"directories": len(results), "compacted": 0,
+                  "noop": 0, "skip_large": 0, "refused": []}
+        stamped: dict[str, dict] = {}
+        for (pid, sink), res in zip(meta, results):
+            act = res["action"]
+            if act == "compacted":
+                report["compacted"] += 1
+                stamped.setdefault(pid, {})[sink] = {
+                    "files_before": res["files_before"],
+                    "files_after": 1, "rows": res["rows"]}
+            elif act == "refused":
+                report["refused"].append(
+                    {"partition": pid, "sink": sink, **res})
+            else:
+                report[act if act in report else "noop"] += 1
+        for pid, sinks in stamped.items():
+            payload = manifest.read(pid)
+            payload.setdefault("compaction", {}).update(sinks)
+            payload["compacted_unix"] = time.time()
+            manifest.publish(pid, payload)
+        return report
+
+    @staticmethod
     def _fold_counts(report: dict, payload: dict) -> None:
         for k in ("pipeline.events.total", "pipeline.events.published",
                   "pipeline.events.dropped"):
