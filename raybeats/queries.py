@@ -11532,6 +11532,113 @@ FROM r1 JOIN r2 ON r1.cust = r2.cust
 GROUP BY 1, 2"""
 
 
+def q_tool_affinity(sf_dir: str):
+    """Association-lift report as EXACT integers: for each unordered
+    tool pair, the numerators of lift = P(ab)/(P(a)·P(b)) —
+    conversations using both, each margin, and the total — so the
+    float ratio never enters the result (the recommender/affinity
+    scoreboard). One conv-bucket shuffle of distinct (conv, tool)
+    pairs: each bucket emits pair counts, margin counts AND its
+    conversation count from the same dedup pass; the driver folds the
+    tiny partials and joins margins onto pairs in one vectorized
+    index_in lookup."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = pa.table({"conv": t.column("conv_id"),
+                        "tool": t.column("tool")}) \
+            .filter(pc.is_valid(t.column("tool")))
+        d = sub.group_by(["conv", "tool"]).aggregate([])
+        return d.append_column(
+            "bucket", fnv1a_bucket(d.column("conv"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        d = g.group_by(["conv", "tool"]).aggregate([])
+        enc_t = pc.dictionary_encode(d.column("tool").combine_chunks())
+        tools = np.asarray(enc_t.dictionary.to_pylist(), dtype=object)
+        order = np.argsort(tools)
+        rank_of = np.empty(len(tools), np.int64)
+        rank_of[order] = np.arange(len(tools))
+        tc = rank_of[enc_t.indices.to_numpy(zero_copy_only=False)
+                     .astype(np.int64)]
+        tools_sorted = tools[order]
+        enc_c = pc.dictionary_encode(d.column("conv").combine_chunks())
+        cc = enc_c.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_conv = len(enc_c.dictionary)
+        if len(tools) > 64:
+            raise ValueError("tool cardinality exceeds the pairwise "
+                             "kernel bound; shard the tool universe")
+        m = np.zeros((n_conv, len(tools)), bool)
+        m[cc, tc] = True
+        margins = m.sum(axis=0).astype(np.int64)
+        ta, tb_, nab = [], [], []
+        for i in range(len(tools)):
+            mi = m[:, i]
+            for j in range(i + 1, len(tools)):
+                c = int(np.count_nonzero(mi & m[:, j]))
+                if c:
+                    ta.append(tools_sorted[i])
+                    tb_.append(tools_sorted[j])
+                    nab.append(c)
+        pair = pa.table({
+            "tool_a": pa.array(ta, pa.string()),
+            "tool_b": pa.array(tb_, pa.string()),
+            "n_both": pa.array(nab, pa.int64()),
+            "kind": pa.array(["p"] * len(ta), pa.string())})
+        marg = pa.table({
+            "tool_a": pa.array(tools_sorted, pa.string()),
+            "tool_b": pa.array([""] * len(tools), pa.string()),
+            "n_both": pa.array(margins, pa.int64()),
+            "kind": pa.array(["m"] * len(tools), pa.string())})
+        tot = pa.table({
+            "tool_a": pa.array([""], pa.string()),
+            "tool_b": pa.array([""], pa.string()),
+            "n_both": pa.array([n_conv], pa.int64()),
+            "kind": pa.array(["t"], pa.string())})
+        return pa.concat_tables([pair, marg, tot])
+
+    folded = _combine_partials(
+        read_transcripts(sf_dir)
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow"),
+        ["kind", "tool_a", "tool_b"], {"n_both": "n_both"})
+    kind = folded.column("kind").to_numpy(zero_copy_only=False)
+    ta = folded.column("tool_a").to_numpy(zero_copy_only=False)
+    tb_ = folded.column("tool_b").to_numpy(zero_copy_only=False)
+    n = folded.column("n_both").to_numpy(zero_copy_only=False)
+    marg = {t: int(v) for t, v in zip(ta[kind == "m"], n[kind == "m"])}
+    total = int(n[kind == "t"].sum())
+    sel = kind == "p"
+    return pa.table({
+        "tool_a": pa.array(ta[sel], pa.string()),
+        "tool_b": pa.array(tb_[sel], pa.string()),
+        "n_both": pa.array(n[sel], pa.int64()),
+        "n_a": pa.array([marg[t] for t in ta[sel]], pa.int64()),
+        "n_b": pa.array([marg[t] for t in tb_[sel]], pa.int64()),
+        "n_total": pa.array([total] * int(sel.sum()), pa.int64())})
+
+
+SQL_TOOL_AFFINITY = f"""{_T},
+d AS (SELECT DISTINCT conv_id, tool FROM transcripts
+      WHERE tool IS NOT NULL),
+marg AS (SELECT tool, COUNT(*) AS n FROM d GROUP BY tool),
+tot AS (SELECT COUNT(DISTINCT conv_id) AS n FROM d)
+SELECT a.tool AS tool_a, b.tool AS tool_b,
+       CAST(COUNT(*) AS BIGINT) AS n_both,
+       CAST(ANY_VALUE(ma.n) AS BIGINT) AS n_a,
+       CAST(ANY_VALUE(mb.n) AS BIGINT) AS n_b,
+       CAST(ANY_VALUE(tot.n) AS BIGINT) AS n_total
+FROM d a
+JOIN d b ON a.conv_id = b.conv_id AND a.tool < b.tool
+JOIN marg ma ON ma.tool = a.tool
+JOIN marg mb ON mb.tool = b.tool
+CROSS JOIN tot
+GROUP BY a.tool, b.tool"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -11779,6 +11886,7 @@ QUERIES = {
     "role_tool_list": (q_role_tool_list, SQL_ROLE_TOOL_LIST),
     "turn_len_by_role": (q_turn_len_by_role, SQL_TURN_LEN_BY_ROLE),
     "decile_transition": (q_decile_transition, SQL_DECILE_TRANSITION),
+    "tool_affinity": (q_tool_affinity, SQL_TOOL_AFFINITY),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).

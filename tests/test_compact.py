@@ -95,3 +95,18 @@ class TestCompact:
         out = _tree(tmp_path)
         rep = Pipeline.compact(out, small_file_bytes=1)
         assert rep["compacted"] == 0 and rep["skip_large"] == 2
+
+    def test_resumes_over_killed_staging(self, ray_session, tmp_path):
+        # a compaction killed mid-write leaves <sink>.staging with a
+        # partial file; the re-run must discard it and still produce
+        # exactly the manifest row count (no duplication, no crash)
+        out = _tree(tmp_path)
+        sink = os.path.join(out, "part=00000", "sink=a")
+        staging = sink + ".staging"
+        os.makedirs(staging)
+        _frag(os.path.join(staging, "compacted-0.parquet"), 0, 7)
+        rep = Pipeline.compact(out)
+        assert rep["compacted"] == 2 and not rep["refused"]
+        assert not os.path.exists(staging)
+        assert _rows(sink) == list(range(22))
+        assert Pipeline.audit(out)["ok"]
