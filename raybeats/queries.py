@@ -11639,6 +11639,63 @@ CROSS JOIN tot
 GROUP BY a.tool, b.tool"""
 
 
+def q_lang_confusion(sf_dir: str):
+    """Model-eval confusion matrix: the LangId actor stage's
+    prediction crossed with the labeled ``lang`` column, counted per
+    (label, prediction) cell — the quality report that decides
+    whether a heuristic classifier is good enough to gate a corpus.
+    The classifier state (compiled regexes, stopword profiles) loads
+    once per actor; each batch scores locally and emits tiny
+    (lang, lang_pred, n) partials — no shuffle, driver fold of
+    labels × predictions cells."""
+    from .textops.analysis import LangId
+
+    class Confusion(LangId):
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            pred = LangId.__call__(self, tbl)  # row-aligned
+            g = pa.table({"lang": tbl.column("lang"),
+                          "lang_pred": pred.column("lang_pred")}) \
+                .group_by(["lang", "lang_pred"]) \
+                .aggregate([([], "count_all")])
+            return pa.table({
+                "lang": g.column("lang"),
+                "lang_pred": g.column("lang_pred"),
+                "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    parts = _read(sf_dir, "documents", ["doc_id", "text", "lang"],
+                  blocks=16) \
+        .map_batches(Confusion(), batch_format="pyarrow")
+    return _combine_partials(parts, ["lang", "lang_pred"],
+                             {"n": "n"})
+
+
+SQL_LANG_CONFUSION = r"""WITH f AS (
+  SELECT lang,
+    len(regexp_extract_all(text, '[^\x00-\x7F]')) AS n_na,
+    length(text) AS n_ch,
+    list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS toks
+  FROM documents),
+c AS (SELECT lang, n_na, n_ch,
+  len(list_intersect(toks, ['the','and','of','a','to','in','is','it',
+                            'for','on'])) AS en,
+  len(list_intersect(toks, ['el','la','de','que','y','en','un','los',
+                            'se','no'])) AS es,
+  len(list_intersect(toks, ['der','die','und','das','in','von','zu',
+                            'den','mit','ist'])) AS de,
+  len(list_intersect(toks, ['le','la','de','et','les','des','un','une',
+                            'du','est'])) AS fr
+  FROM f),
+p AS (SELECT lang, CASE
+  WHEN n_na > 0.3 * n_ch THEN 'zh'
+  WHEN en = 0 AND es = 0 AND de = 0 AND fr = 0 THEN 'und'
+  WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+  WHEN es >= de AND es >= fr THEN 'es'
+  WHEN de >= fr THEN 'de'
+  ELSE 'fr' END AS lang_pred FROM c)
+SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY lang, lang_pred"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -11887,6 +11944,7 @@ QUERIES = {
     "turn_len_by_role": (q_turn_len_by_role, SQL_TURN_LEN_BY_ROLE),
     "decile_transition": (q_decile_transition, SQL_DECILE_TRANSITION),
     "tool_affinity": (q_tool_affinity, SQL_TOOL_AFFINITY),
+    "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
