@@ -196,7 +196,7 @@ def run_queries() -> dict[str, float]:
              "monthly_new_vs_returning", "q6_revenue",
              "type_gini", "overlapping_orders", "rank_topk_ties",
              "tool_triples", "role_tool_list", "turn_len_by_role",
-             "tool_affinity", "lang_confusion",
+             "tool_affinity", "lang_confusion", "repeat_collapse",
              "decile_transition"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"

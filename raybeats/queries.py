@@ -11696,6 +11696,73 @@ SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
 FROM p GROUP BY lang, lang_pred"""
 
 
+def q_repeat_collapse(sf_dir: str):
+    """Consecutive-duplicate compression — the syslog/journald "last
+    message repeated N times" operator: within each conversation's
+    turn order, runs of identical adjacent texts collapse to their
+    first turn plus a repeat count. One conv-bucket shuffle; the
+    per-bucket kernel is a lexsort + adjacent object-equality scan
+    (None adjacent to None joins the run — SQL IS NOT DISTINCT FROM
+    semantics, asserted in tests) with reduceat-free run arithmetic.
+    Output rows shrink the stream; nothing re-expands downstream."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.select(["conv_id", "turn_idx", "text"]) \
+            .append_column("bucket", fnv1a_bucket(t.column("conv_id"),
+                                                  n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        conv = pc.dictionary_encode(g.column("conv_id")
+                                    .combine_chunks())
+        cc = conv.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        turn = g.column("turn_idx").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        text = np.asarray(g.column("text").to_pylist(), dtype=object)
+        order = np.lexsort((turn, cc))
+        cs, ts_, xs = cc[order], turn[order], text[order]
+        if len(cs) == 0:
+            return pa.table({"conv_id": pa.array([], pa.string()),
+                             "turn_idx": pa.array([], pa.int32()),
+                             "text": pa.array([], pa.string()),
+                             "n_times": pa.array([], pa.int64())})
+        # python object != is None-safe: None != None is False, so
+        # null runs join (IS NOT DISTINCT FROM)
+        new_run = np.append(True, (cs[1:] != cs[:-1])
+                            | (xs[1:] != xs[:-1]))
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, len(cs)))
+        names = np.asarray(conv.dictionary.to_pylist(), dtype=object)
+        return pa.table({
+            "conv_id": pa.array(names[cs[starts]], pa.string()),
+            "turn_idx": pa.array(ts_[starts].astype(np.int32),
+                                 pa.int32()),
+            "text": pa.array(xs[starts], pa.string()),
+            "n_times": pa.array(lens.astype(np.int64), pa.int64())})
+
+    return read_transcripts(sf_dir) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_REPEAT_COLLAPSE = f"""{_T},
+d AS (SELECT conv_id, turn_idx, text,
+        CASE WHEN text IS NOT DISTINCT FROM
+               LAG(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             THEN 0 ELSE 1 END AS brk
+      FROM transcripts),
+r AS (SELECT conv_id, turn_idx, text,
+        SUM(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS UNBOUNDED PRECEDING) AS rid
+      FROM d)
+SELECT conv_id, CAST(MIN(turn_idx) AS INTEGER) AS turn_idx,
+       MIN(text) AS text, CAST(COUNT(*) AS BIGINT) AS n_times
+FROM r GROUP BY conv_id, rid"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -11945,6 +12012,7 @@ QUERIES = {
     "decile_transition": (q_decile_transition, SQL_DECILE_TRANSITION),
     "tool_affinity": (q_tool_affinity, SQL_TOOL_AFFINITY),
     "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
+    "repeat_collapse": (q_repeat_collapse, SQL_REPEAT_COLLAPSE),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
