@@ -27,6 +27,7 @@ from __future__ import annotations
 import glob as glob_mod
 import json
 import os
+import shutil
 import time
 
 import pyarrow as pa
@@ -539,12 +540,29 @@ class Pipeline:
         with the workers (same assumption the writer makes)."""
         import ray
 
-        from .state.manifest import CheckpointManifest, stage_and_swap
+        from .state.manifest import CheckpointManifest
 
         manifest = CheckpointManifest(out_dir)
 
         @ray.remote(num_cpus=1)
-        def compact_dir(sink_dir: str, expected_rows) -> dict:
+        def compact_dir(sink_dir: str, expected_rows: int) -> dict:
+            staging, old = sink_dir + ".staging", sink_dir + ".old"
+            # recovery from a kill in a previous run, in swap order:
+            # .old + missing final → restore the fragments; .old with
+            # the final present → the swap completed, drop the backup;
+            # any .staging is a partial write — always discard
+            if os.path.exists(old):
+                if not os.path.exists(sink_dir):
+                    os.rename(old, sink_dir)
+                else:
+                    shutil.rmtree(old)
+            if os.path.exists(staging):
+                shutil.rmtree(staging)
+            if not os.path.isdir(sink_dir):
+                return {"action": "refused",
+                        "manifest_rows": expected_rows,
+                        "actual_rows": 0,
+                        "error": "sink directory missing"}
             files = sorted(glob_mod.glob(
                 os.path.join(sink_dir, "*.parquet")))
             if len(files) <= 1:
@@ -553,18 +571,22 @@ class Pipeline:
                    for f in files):
                 return {"action": "skip_large", "files": len(files)}
             before = sum(pq.read_metadata(f).num_rows for f in files)
-            if expected_rows is not None and before != expected_rows:
+            if before != expected_rows:
                 return {"action": "refused",
                         "manifest_rows": expected_rows,
                         "actual_rows": before}
             tbl = pa.concat_tables([pq.read_table(f) for f in files],
                                    promote_options="default")
-
-            def write(staging: str) -> None:
-                pq.write_table(
-                    tbl, os.path.join(staging, "compacted-0.parquet"))
-
-            stage_and_swap(sink_dir, write)
+            os.makedirs(staging)
+            pq.write_table(
+                tbl, os.path.join(staging, "compacted-0.parquet"))
+            # backup-swap, never a destructive window: the published
+            # fragments move ASIDE (rename, not rmtree) before the
+            # compacted dir takes their place, so a kill at any point
+            # leaves the rows on disk and the recovery above restores
+            os.rename(sink_dir, old)
+            os.rename(staging, sink_dir)
+            shutil.rmtree(old)
             after = sum(
                 pq.read_metadata(f).num_rows for f in glob_mod.glob(
                     os.path.join(sink_dir, "*.parquet")))
@@ -576,21 +598,44 @@ class Pipeline:
                     "rows": after}
 
         tasks, meta = [], []
+        report = {"directories": 0, "compacted": 0, "noop": 0,
+                  "skip_large": 0, "refused": [], "failed": []}
         for pid in sorted(manifest.done()):
             per_sink = manifest.read(pid).get("per_sink", {})
             part_dir = os.path.join(out_dir, f"part={pid}")
+            # manifest-driven: every sink the manifest accounts for is
+            # a candidate EVEN if its directory is currently renamed
+            # aside by an interrupted swap (the task's recovery path
+            # restores it); an on-disk sink dir the manifest does NOT
+            # know is refused untouched
+            for sink in sorted(per_sink):
+                tasks.append(compact_dir.remote(
+                    os.path.join(part_dir, f"{SINK}={sink}"),
+                    per_sink[sink]))
+                meta.append((pid, sink))
             for sink_dir in sorted(glob_mod.glob(
                     os.path.join(part_dir, f"{SINK}=*"))):
+                if sink_dir.endswith((".staging", ".old")):
+                    continue
                 sink = os.path.basename(sink_dir).split("=", 1)[1]
-                tasks.append(compact_dir.remote(sink_dir,
-                                                per_sink.get(sink)))
-                meta.append((pid, sink))
-        results = ray.get(tasks)
+                if sink not in per_sink:
+                    report["refused"].append(
+                        {"partition": pid, "sink": sink,
+                         "action": "refused_unknown_sink"})
 
-        report = {"directories": len(results), "compacted": 0,
-                  "noop": 0, "skip_large": 0, "refused": []}
+        report["directories"] = len(tasks)
         stamped: dict[str, dict] = {}
-        for (pid, sink), res in zip(meta, results):
+        for (pid, sink), ref in zip(meta, tasks):
+            # per-task gather: one failing directory must not discard
+            # the report (or the manifest stamps) of the ones that
+            # already swapped — Pipeline.run's partial-failure stance
+            try:
+                res = ray.get(ref)
+            except Exception as exc:  # noqa: BLE001 - surfaced in report
+                report["failed"].append(
+                    {"partition": pid, "sink": sink,
+                     "error": repr(exc)})
+                continue
             act = res["action"]
             if act == "compacted":
                 report["compacted"] += 1

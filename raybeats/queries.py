@@ -11216,9 +11216,16 @@ def q_rank_topk_ties(sf_dir: str):
         vs.sort(reverse=True)
         thr[e] = vs[k - 1] if len(vs) >= k else (vs[-1] if vs else 0)
 
+    thr_types = pa.array(list(thr), pa.string())
+    thr_vals = np.array([thr[e] for e in thr], np.int64)
+
     def filt(t: pa.Table) -> pa.Table:
-        ets = t.column("event_type").to_numpy(zero_copy_only=False)
-        lim = np.array([thr.get(e, 0) for e in ets], np.int64)
+        # vectorized threshold join: index_in against the tiny
+        # threshold table, no per-row python
+        idx = pc.index_in(t.column("event_type"),
+                          value_set=thr_types) \
+            .to_numpy(zero_copy_only=False)
+        lim = thr_vals[idx.astype(np.int64)]
         return t.filter(pa.array(
             t.column("n_events").to_numpy(zero_copy_only=False)
             >= lim))
@@ -11236,13 +11243,43 @@ QUALIFY RANK() OVER (PARTITION BY event_type
                      ORDER BY n_events DESC) <= 3"""
 
 
+def _conv_tool_presence(g: pa.Table):
+    """Shared kernel for the set-mining queries: dedup a bucket's
+    (conv, tool) pairs and return ``(tools_sorted, m, n_conv)`` where
+    ``m`` is the conversations × tools boolean presence matrix and
+    ``tools_sorted`` is the lexical tool order (SQL's ``a < b``
+    compares strings). Refuses tool cardinality > 64 rather than
+    letting the C(T,k) combination loops explode."""
+    import numpy as np
+
+    d = g.group_by(["conv", "tool"]).aggregate([])
+    enc_t = pc.dictionary_encode(d.column("tool").combine_chunks())
+    tools = np.asarray(enc_t.dictionary.to_pylist(), dtype=object)
+    if len(tools) > 64:
+        raise ValueError("tool cardinality exceeds the pairwise/"
+                         "triple kernel bound; shard the tool "
+                         "universe")
+    order = np.argsort(tools)
+    rank_of = np.empty(len(tools), np.int64)
+    rank_of[order] = np.arange(len(tools))
+    tc = rank_of[enc_t.indices.to_numpy(zero_copy_only=False)
+                 .astype(np.int64)]
+    enc_c = pc.dictionary_encode(d.column("conv").combine_chunks())
+    cc = enc_c.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_conv = len(enc_c.dictionary)
+    m = np.zeros((n_conv, len(tools)), bool)
+    m[cc, tc] = True
+    return tools[order], m, n_conv
+
+
 def q_tool_triples(sf_dir: str):
     """Set-based frequent-triple mining (the market-basket step past
     pairwise cooccurrence): for every unordered TRIPLE of tools, how
     many conversations used all three. Per-batch distinct
     (conv, tool) pairs bound the one conv-bucket shuffle; each bucket
     dedups globally, builds a conversations × tools boolean presence
-    matrix, and counts each of the C(T,3) column combinations with
+    matrix (`_conv_tool_presence`; null conversations dropped on both
+    engines), and counts each of the C(T,3) column combinations with
     vectorized ANDs (T = tool cardinality, bounded — the kernel
     refuses T > 64 rather than silently exploding); tiny
     (a, b, c, n) partials combine on the driver."""
@@ -11253,35 +11290,21 @@ def q_tool_triples(sf_dir: str):
     def tag(t: pa.Table) -> pa.Table:
         sub = pa.table({"conv": t.column("conv_id"),
                         "tool": t.column("tool")}) \
-            .filter(pc.is_valid(t.column("tool")))
+            .filter(pc.and_(pc.is_valid(t.column("tool")),
+                            pc.is_valid(t.column("conv_id"))))
         d = sub.group_by(["conv", "tool"]).aggregate([])
         return d.append_column(
             "bucket", fnv1a_bucket(d.column("conv"), n_buckets))
 
     def grp(g: pa.Table) -> pa.Table:
-        d = g.group_by(["conv", "tool"]).aggregate([])
-        enc_t = pc.dictionary_encode(d.column("tool").combine_chunks())
-        tools = np.asarray(enc_t.dictionary.to_pylist(), dtype=object)
-        if len(tools) > 64:
-            raise ValueError("tool cardinality exceeds the C(T,3) "
-                             "kernel bound; shard the tool universe")
-        order = np.argsort(tools)
-        rank_of = np.empty(len(tools), np.int64)
-        rank_of[order] = np.arange(len(tools))
-        tc = rank_of[enc_t.indices.to_numpy(zero_copy_only=False)
-                     .astype(np.int64)]
-        tools_sorted = tools[order]
-        enc_c = pc.dictionary_encode(d.column("conv").combine_chunks())
-        cc = enc_c.indices.to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        m = np.zeros((len(enc_c.dictionary), len(tools)), bool)
-        m[cc, tc] = True
+        tools_sorted, m, _ = _conv_tool_presence(g)
         ta, tb_, tcc, n = [], [], [], []
-        for i in range(len(tools)):
+        nt = len(tools_sorted)
+        for i in range(nt):
             mi = m[:, i]
-            for j in range(i + 1, len(tools)):
+            for j in range(i + 1, nt):
                 mij = mi & m[:, j]
-                for kk in range(j + 1, len(tools)):
+                for kk in range(j + 1, nt):
                     c = int(np.count_nonzero(mij & m[:, kk]))
                     if c:
                         ta.append(tools_sorted[i])
@@ -11302,7 +11325,7 @@ def q_tool_triples(sf_dir: str):
 
 SQL_TOOL_TRIPLES = f"""{_T},
 d AS (SELECT DISTINCT conv_id, tool FROM transcripts
-      WHERE tool IS NOT NULL)
+      WHERE tool IS NOT NULL AND conv_id IS NOT NULL)
 SELECT a.tool AS tool_a, b.tool AS tool_b, c.tool AS tool_c,
        CAST(COUNT(*) AS BIGINT) AS n_convs
 FROM d a
@@ -11538,10 +11561,10 @@ def q_tool_affinity(sf_dir: str):
     conversations using both, each margin, and the total — so the
     float ratio never enters the result (the recommender/affinity
     scoreboard). One conv-bucket shuffle of distinct (conv, tool)
-    pairs: each bucket emits pair counts, margin counts AND its
-    conversation count from the same dedup pass; the driver folds the
-    tiny partials and joins margins onto pairs in one vectorized
-    index_in lookup."""
+    pairs (null conversations dropped on both engines): each bucket
+    emits pair counts, margin counts AND its conversation count from
+    the same `_conv_tool_presence` pass; the driver folds the tiny
+    partials and joins margins onto pairs."""
     import numpy as np
 
     n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
@@ -11549,35 +11572,20 @@ def q_tool_affinity(sf_dir: str):
     def tag(t: pa.Table) -> pa.Table:
         sub = pa.table({"conv": t.column("conv_id"),
                         "tool": t.column("tool")}) \
-            .filter(pc.is_valid(t.column("tool")))
+            .filter(pc.and_(pc.is_valid(t.column("tool")),
+                            pc.is_valid(t.column("conv_id"))))
         d = sub.group_by(["conv", "tool"]).aggregate([])
         return d.append_column(
             "bucket", fnv1a_bucket(d.column("conv"), n_buckets))
 
     def grp(g: pa.Table) -> pa.Table:
-        d = g.group_by(["conv", "tool"]).aggregate([])
-        enc_t = pc.dictionary_encode(d.column("tool").combine_chunks())
-        tools = np.asarray(enc_t.dictionary.to_pylist(), dtype=object)
-        order = np.argsort(tools)
-        rank_of = np.empty(len(tools), np.int64)
-        rank_of[order] = np.arange(len(tools))
-        tc = rank_of[enc_t.indices.to_numpy(zero_copy_only=False)
-                     .astype(np.int64)]
-        tools_sorted = tools[order]
-        enc_c = pc.dictionary_encode(d.column("conv").combine_chunks())
-        cc = enc_c.indices.to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        n_conv = len(enc_c.dictionary)
-        if len(tools) > 64:
-            raise ValueError("tool cardinality exceeds the pairwise "
-                             "kernel bound; shard the tool universe")
-        m = np.zeros((n_conv, len(tools)), bool)
-        m[cc, tc] = True
+        tools_sorted, m, n_conv = _conv_tool_presence(g)
         margins = m.sum(axis=0).astype(np.int64)
         ta, tb_, nab = [], [], []
-        for i in range(len(tools)):
+        nt = len(tools_sorted)
+        for i in range(nt):
             mi = m[:, i]
-            for j in range(i + 1, len(tools)):
+            for j in range(i + 1, nt):
                 c = int(np.count_nonzero(mi & m[:, j]))
                 if c:
                     ta.append(tools_sorted[i])
@@ -11590,9 +11598,9 @@ def q_tool_affinity(sf_dir: str):
             "kind": pa.array(["p"] * len(ta), pa.string())})
         marg = pa.table({
             "tool_a": pa.array(tools_sorted, pa.string()),
-            "tool_b": pa.array([""] * len(tools), pa.string()),
+            "tool_b": pa.array([""] * nt, pa.string()),
             "n_both": pa.array(margins, pa.int64()),
-            "kind": pa.array(["m"] * len(tools), pa.string())})
+            "kind": pa.array(["m"] * nt, pa.string())})
         tot = pa.table({
             "tool_a": pa.array([""], pa.string()),
             "tool_b": pa.array([""], pa.string()),
@@ -11623,7 +11631,7 @@ def q_tool_affinity(sf_dir: str):
 
 SQL_TOOL_AFFINITY = f"""{_T},
 d AS (SELECT DISTINCT conv_id, tool FROM transcripts
-      WHERE tool IS NOT NULL),
+      WHERE tool IS NOT NULL AND conv_id IS NOT NULL),
 marg AS (SELECT tool, COUNT(*) AS n FROM d GROUP BY tool),
 tot AS (SELECT COUNT(DISTINCT conv_id) AS n FROM d)
 SELECT a.tool AS tool_a, b.tool AS tool_b,
@@ -11703,16 +11711,18 @@ def q_repeat_collapse(sf_dir: str):
     first turn plus a repeat count. One conv-bucket shuffle; the
     per-bucket kernel is a lexsort + adjacent object-equality scan
     (None adjacent to None joins the run — SQL IS NOT DISTINCT FROM
-    semantics, asserted in tests) with reduceat-free run arithmetic.
-    Output rows shrink the stream; nothing re-expands downstream."""
+    semantics, asserted in tests) with reduceat-free run arithmetic;
+    null conversations are dropped on both engines. Output rows
+    shrink the stream; nothing re-expands downstream."""
     import numpy as np
 
     n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
 
     def tag(t: pa.Table) -> pa.Table:
-        return t.select(["conv_id", "turn_idx", "text"]) \
-            .append_column("bucket", fnv1a_bucket(t.column("conv_id"),
-                                                  n_buckets))
+        sub = t.select(["conv_id", "turn_idx", "text"]) \
+            .filter(pc.is_valid(t.column("conv_id")))
+        return sub.append_column(
+            "bucket", fnv1a_bucket(sub.column("conv_id"), n_buckets))
 
     def grp(g: pa.Table) -> pa.Table:
         conv = pc.dictionary_encode(g.column("conv_id")
@@ -11753,7 +11763,7 @@ d AS (SELECT conv_id, turn_idx, text,
         CASE WHEN text IS NOT DISTINCT FROM
                LAG(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)
              THEN 0 ELSE 1 END AS brk
-      FROM transcripts),
+      FROM transcripts WHERE conv_id IS NOT NULL),
 r AS (SELECT conv_id, turn_idx, text,
         SUM(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
                        ROWS UNBOUNDED PRECEDING) AS rid
