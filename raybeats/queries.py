@@ -11773,6 +11773,92 @@ SELECT conv_id, CAST(MIN(turn_idx) AS INTEGER) AS turn_idx,
 FROM r GROUP BY conv_id, rid"""
 
 
+def q_rule_violations(sf_dir: str):
+    """Cross-event constraint validation — the ingest-QA rule engine
+    for event streams: count purchases that happen BEFORE their
+    user's first signup, and purchases by users with NO signup at
+    all (ordering/referential rules that a per-row validator cannot
+    see). One user-bucket shuffle of the two event types only; the
+    per-bucket kernel takes grouped signup minima (reduceat) and
+    classifies every purchase with one searchsorted lookup. Both
+    rules always report (0 when clean), so the result doubles as a
+    monitoring time series."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+    rules = ["purchase_before_signup", "purchase_no_signup"]
+
+    def tag(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        sub = pa.table({"u": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64()),
+                        "buy": pc.equal(et, "purchase")}) \
+            .filter(pc.and_(
+                pc.and_(pc.is_valid(t.column("user_id")),
+                        pc.is_valid(t.column("ts"))),
+                pc.is_in(et, value_set=pa.array(
+                    ["signup", "purchase"], pa.string()))))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        buy = g.column("buy").to_numpy(zero_copy_only=False)
+        su, st = u[~buy], ts[~buy]
+        order = np.argsort(su, kind="stable")
+        su, st = su[order], st[order]
+        starts = np.flatnonzero(np.append(True, su[1:] != su[:-1])) \
+            if len(su) else np.array([], np.int64)
+        sig_users = su[starts]
+        first_sig = np.minimum.reduceat(st, starts) if len(starts) \
+            else np.array([], np.int64)
+        pu, pt = u[buy], ts[buy]
+        if len(sig_users) == 0:
+            has_sig = np.zeros(len(pu), bool)
+            before = np.zeros(len(pu), bool)
+        else:
+            idx = np.searchsorted(sig_users, pu)
+            idx_c = np.clip(idx, 0, len(sig_users) - 1)
+            has_sig = sig_users[idx_c] == pu
+            before = has_sig & (pt < first_sig[idx_c])
+        return pa.table({
+            "rule": pa.array(rules, pa.string()),
+            "n": pa.array([int(before.sum()),
+                           int((~has_sig).sum() if len(pu) else 0)],
+                          pa.int64())})
+
+    folded = _combine_partials(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow"),
+        ["rule"], {"n": "n"})
+    have = dict(zip(folded.column("rule").to_pylist(),
+                    folded.column("n").to_pylist()))
+    return pa.table({
+        "rule": pa.array(rules, pa.string()),
+        "n": pa.array([int(have.get(r, 0)) for r in rules],
+                      pa.int64())})
+
+
+SQL_RULE_VIOLATIONS = """WITH e AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+s AS (SELECT user_id, MIN(ts) AS first_signup FROM e
+      WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT e.user_id, e.ts, s.first_signup
+      FROM e LEFT JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase')
+SELECT 'purchase_before_signup' AS rule,
+       CAST(COUNT(*) FILTER (first_signup IS NOT NULL
+                             AND ts < first_signup) AS BIGINT) AS n
+FROM p
+UNION ALL
+SELECT 'purchase_no_signup',
+       CAST(COUNT(*) FILTER (first_signup IS NULL) AS BIGINT)
+FROM p"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -12023,6 +12109,7 @@ QUERIES = {
     "tool_affinity": (q_tool_affinity, SQL_TOOL_AFFINITY),
     "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
     "repeat_collapse": (q_repeat_collapse, SQL_REPEAT_COLLAPSE),
+    "rule_violations": (q_rule_violations, SQL_RULE_VIOLATIONS),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
