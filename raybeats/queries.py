@@ -11859,6 +11859,28 @@ SELECT 'purchase_no_signup',
 FROM p"""
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """CSV sink→source round trip as a gated query (the third
+    interchange format after parquet and NDJSON): project events to
+    its CSV-lossless columns, write with Ray's parallel CSV writer to
+    scratch, re-ingest with ``ray.data.read_csv`` (schema inferred
+    back to int64/string), and return the rows — exact value parity
+    against the original parquet. CSV remains an EDGE format: headers
+    per shard, no nested types; the scale-path interchange stays
+    parquet (documented, as for NDJSON)."""
+    import tempfile
+
+    import ray.data as rd
+
+    out_dir = tempfile.mkdtemp(prefix="raybeats_csv_rt_")
+    _read(sf_dir, "events", ["event_id", "event_type"]) \
+        .write_csv(out_dir)
+    return rd.read_csv(out_dir)
+
+
+SQL_CSV_ROUNDTRIP = "SELECT event_id, event_type FROM events"
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -12110,6 +12132,7 @@ QUERIES = {
     "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
     "repeat_collapse": (q_repeat_collapse, SQL_REPEAT_COLLAPSE),
     "rule_violations": (q_rule_violations, SQL_RULE_VIOLATIONS),
+    "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
