@@ -11085,6 +11085,37 @@ SELECT user_id, CAST(SUM(m) AS BIGINT) AS n_events,
 FROM c GROUP BY user_id"""
 
 
+def _overlap_pair_counts(c, day, window_days: int):
+    """Pure kernel of `overlapping_orders` (property-tested against
+    brute force): per key in ``c``, the number of unordered index
+    pairs whose ``day`` values differ by < ``window_days``. One
+    composite (dense-key-rank · 2^16 + rebased-day) array and ONE
+    global searchsorted answer every row within its own segment; a
+    reduceat sums pairs per key. Raises when the day span nears the
+    2^16 stride instead of silently wrapping."""
+    import numpy as np
+
+    if day.size and int(day.max()) - int(day.min()) >= (1 << 16) \
+            - window_days:
+        raise ValueError("day span exceeds the composite-key "
+                         "window; widen the key stride")
+    base = day - (day.min() if day.size else 0)
+    order = np.lexsort((base, c))
+    cs, ds = c[order], base[order]
+    # dense per-bucket key rank keeps rank·2^16 in int64
+    new_c = np.append(True, cs[1:] != cs[:-1]) \
+        if len(cs) else np.array([], bool)
+    rank = np.cumsum(new_c) - 1 if len(cs) else np.array([], np.int64)
+    key = rank.astype(np.int64) * (1 << 16) + ds
+    hi = np.searchsorted(key, key + window_days, side="left")
+    cnt = hi - np.arange(len(key)) - 1
+    starts = np.flatnonzero(new_c)
+    pairs = np.add.reduceat(cnt, starts).astype(np.int64) \
+        if len(starts) else np.array([], np.int64)
+    keep = pairs > 0
+    return cs[starts][keep], pairs[keep]
+
+
 def q_overlapping_orders(sf_dir: str):
     """Per-customer interval SELF-overlap join: count unordered pairs
     of a customer's orders whose 30-day fulfillment windows overlap
@@ -11113,28 +11144,10 @@ def q_overlapping_orders(sf_dir: str):
     def grp(g: pa.Table) -> pa.Table:
         c = g.column("c").to_numpy(zero_copy_only=False)
         day = g.column("day").to_numpy(zero_copy_only=False)
-        if day.size and int(day.max()) - int(day.min()) >= (1 << 16) \
-                - window_days:
-            raise ValueError("day span exceeds the composite-key "
-                             "window; widen the key stride")
-        base = day - (day.min() if day.size else 0)
-        order = np.lexsort((base, c))
-        cs, ds = c[order], base[order]
-        # dense per-bucket customer rank keeps rank·2^16 in int64
-        new_c = np.append(True, cs[1:] != cs[:-1]) \
-            if len(cs) else np.array([], bool)
-        rank = np.cumsum(new_c) - 1 if len(cs) else \
-            np.array([], np.int64)
-        key = rank.astype(np.int64) * (1 << 16) + ds
-        hi = np.searchsorted(key, key + window_days, side="left")
-        cnt = hi - np.arange(len(key)) - 1
-        starts = np.flatnonzero(new_c)
-        pairs = np.add.reduceat(cnt, starts).astype(np.int64) \
-            if len(starts) else np.array([], np.int64)
-        keep = pairs > 0
+        custs, pairs = _overlap_pair_counts(c, day, window_days)
         return pa.table({
-            "custkey": pa.array(cs[starts][keep], pa.int64()),
-            "n_pairs": pa.array(pairs[keep], pa.int64())})
+            "custkey": pa.array(custs, pa.int64()),
+            "n_pairs": pa.array(pairs, pa.int64())})
 
     return _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
         .map_batches(tag, batch_format="pyarrow") \
