@@ -197,7 +197,7 @@ def run_queries() -> dict[str, float]:
              "type_gini", "overlapping_orders", "rank_topk_ties",
              "tool_triples", "role_tool_list", "turn_len_by_role",
              "tool_affinity", "lang_confusion", "repeat_collapse",
-             "rule_violations", "csv_roundtrip",
+             "rule_violations", "csv_roundtrip", "pii_report",
              "decile_transition"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"

@@ -11894,6 +11894,80 @@ def q_csv_roundtrip(sf_dir: str):
 SQL_CSV_ROUNDTRIP = "SELECT event_id, event_type FROM events"
 
 
+def q_pii_report(sf_dir: str):
+    """Per-source PII audit — the scoreboard a compliance review reads
+    BEFORE releasing a corpus: per source, total email/SSN/IP hits and
+    how many documents carried any (same planted corpus and staged
+    count-then-replace kernel as `pii_scrub`, so the two queries are
+    provably consistent). Narrow fixed-width (source, sums) partials;
+    no shuffle."""
+    from .textops.curation import pii_scrub
+    from .util import imod
+
+    def partial(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id")
+        suffix = pc.binary_join_element_wise(
+            " Contact user", pc.cast(did, pa.string()),
+            "@example.com ssn 123-45-6789 ip 10.0.0.1", "")
+        text = pc.if_else(pc.equal(imod(did, 7), 0),
+                          pc.binary_join_element_wise(
+                              t.column("text"), suffix, ""),
+                          t.column("text"))
+        s = pii_scrub(pa.table({"doc_id": did, "text": text}))
+        hits = pc.add(pc.add(s.column("n_email"), s.column("n_ssn")),
+                      s.column("n_ip"))
+        g = pa.table({
+            "source": t.column("source"),
+            "n_email": s.column("n_email"),
+            "n_ssn": s.column("n_ssn"),
+            "n_ip": s.column("n_ip"),
+            "hit": pc.cast(pc.greater(hits, 0), pa.int64())}) \
+            .group_by("source").aggregate(
+                [("n_email", "sum"), ("n_ssn", "sum"),
+                 ("n_ip", "sum"), ("hit", "sum")])
+        return pa.table({
+            "source": g.column("source"),
+            "n_email": g.column("n_email_sum"),
+            "n_ssn": g.column("n_ssn_sum"),
+            "n_ip": g.column("n_ip_sum"),
+            "n_docs_hit": g.column("hit_sum")})
+
+    return _combine_partials(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"],
+              blocks=16)
+        .map_batches(partial, batch_format="pyarrow"),
+        ["source"], {"n_email": "n_email", "n_ssn": "n_ssn",
+                     "n_ip": "n_ip", "n_docs_hit": "n_docs_hit"})
+
+
+SQL_PII_REPORT = r"""WITH d AS (
+  SELECT doc_id, source, CASE WHEN doc_id % 7 = 0 THEN text ||
+    ' Contact user' || CAST(doc_id AS VARCHAR) ||
+    '@example.com ssn 123-45-6789 ip 10.0.0.1'
+    ELSE text END AS t0 FROM documents),
+s1 AS (SELECT doc_id, source,
+  CAST(length(regexp_extract_all(t0,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+    AS n_email,
+  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+    '<EMAIL>', 'g') AS t1 FROM d),
+s2 AS (SELECT doc_id, source, n_email,
+  CAST(length(regexp_extract_all(t1, '\b\d{3}-\d{2}-\d{4}\b'))
+    AS BIGINT) AS n_ssn,
+  regexp_replace(t1, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t2
+  FROM s1),
+s3 AS (SELECT source, n_email, n_ssn,
+  CAST(length(regexp_extract_all(t2,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip
+  FROM s2)
+SELECT source, CAST(SUM(n_email) AS BIGINT) AS n_email,
+  CAST(SUM(n_ssn) AS BIGINT) AS n_ssn,
+  CAST(SUM(n_ip) AS BIGINT) AS n_ip,
+  CAST(COUNT(*) FILTER (n_email + n_ssn + n_ip > 0) AS BIGINT)
+    AS n_docs_hit
+FROM s3 GROUP BY source"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -12146,6 +12220,7 @@ QUERIES = {
     "repeat_collapse": (q_repeat_collapse, SQL_REPEAT_COLLAPSE),
     "rule_violations": (q_rule_violations, SQL_RULE_VIOLATIONS),
     "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
+    "pii_report": (q_pii_report, SQL_PII_REPORT),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
