@@ -11968,6 +11968,99 @@ SELECT source, CAST(SUM(n_email) AS BIGINT) AS n_email,
 FROM s3 GROUP BY source"""
 
 
+def q_split_novelty(sf_dir: str):
+    """Generalization-gap eval: how many DISTINCT validation-split
+    bigrams never occur in the train split — the n-gram novelty
+    number that tells you whether a held-out split actually holds
+    anything out (split rule and tokenizer single-sourced from
+    `hash_split` and `flat_tokens`, so this cannot drift from the
+    split/bigram queries). Per-batch distinct (bigram, split-flag)
+    pairs bound the one bigram-hash shuffle; bigrams partition
+    disjointly across buckets, so per-bucket novel/val counts SUM
+    exactly; the driver folds one fixed-width row per bucket."""
+    import numpy as np
+
+    from .textops.analysis import flat_tokens
+    from .textops.curation import hash_split
+
+    n_buckets = adaptive_buckets(50 * _nrows(sf_dir, "documents"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sp = hash_split(t)  # row-aligned with t
+        split = np.asarray(sp.column("split").to_pylist(), dtype=object)
+        row_id, flat, _ = flat_tokens(t.column("text"))
+        empty = pa.table({"bigram": pa.array([], pa.string()),
+                          "it": pa.array([], pa.int64()),
+                          "iv": pa.array([], pa.int64()),
+                          "bucket": pa.array([], pa.int32())})
+        if len(flat) < 2:
+            return empty
+        same_row = pa.array(row_id[:-1] == row_id[1:])
+        a = flat.slice(0, len(flat) - 1).filter(same_row)
+        b = flat.slice(1).filter(same_row)
+        if len(a) == 0:
+            return empty
+        rows = row_id[:-1][row_id[:-1] == row_id[1:]]
+        bsplit = split[rows]
+        keep = (bsplit == "train") | (bsplit == "val")
+        if not keep.any():
+            return empty
+        big = pc.binary_join_element_wise(a, b, " ") \
+            .filter(pa.array(keep))
+        is_train = bsplit[keep] == "train"
+        d = pa.table({"bigram": big,
+                      "it": pa.array(is_train.astype(np.int64),
+                                     pa.int64()),
+                      "iv": pa.array((~is_train).astype(np.int64),
+                                     pa.int64())}) \
+            .group_by("bigram").aggregate([("it", "max"),
+                                           ("iv", "max")])
+        out = pa.table({"bigram": d.column("bigram"),
+                        "it": d.column("it_max"),
+                        "iv": d.column("iv_max")})
+        return out.append_column(
+            "bucket", fnv1a_bucket(out.column("bigram"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        f = g.group_by("bigram").aggregate([("it", "max"),
+                                            ("iv", "max")])
+        it = f.column("it_max").to_numpy(zero_copy_only=False)
+        iv = f.column("iv_max").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "n_val_bigrams": pa.array([int(iv.sum())], pa.int64()),
+            "n_novel_bigrams": pa.array(
+                [int((iv & (1 - it)).sum())], pa.int64())})
+
+    comb = _combine_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"], blocks=16)
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow"),
+        ["k"], {"n_val_bigrams": "n_val_bigrams",
+                "n_novel_bigrams": "n_novel_bigrams"})
+    return comb.drop_columns(["k"])
+
+
+SQL_SPLIT_NOVELTY = r"""WITH h AS (
+  SELECT text, CAST(CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296
+                    AS BIGINT) AS m FROM documents),
+s AS (SELECT text,
+        CASE WHEN xor(m, m >> 15) % 100 < 80 THEN 'train'
+             WHEN xor(m, m >> 15) % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split FROM h),
+t AS (SELECT split, regexp_extract_all(lower(text), '[a-z0-9]+')
+        AS toks FROM s WHERE split IN ('train', 'val')),
+b0 AS (SELECT split, unnest(list_transform(
+         generate_series(1, greatest(len(toks) - 1, 0)),
+         i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t),
+b AS (SELECT DISTINCT split, bigram FROM b0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_val_bigrams,
+       CAST(COUNT(*) FILTER (bigram NOT IN
+         (SELECT bigram FROM b WHERE split = 'train')) AS BIGINT)
+         AS n_novel_bigrams
+FROM b WHERE split = 'val'"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -12221,6 +12314,7 @@ QUERIES = {
     "rule_violations": (q_rule_violations, SQL_RULE_VIOLATIONS),
     "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
     "pii_report": (q_pii_report, SQL_PII_REPORT),
+    "split_novelty": (q_split_novelty, SQL_SPLIT_NOVELTY),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
