@@ -12061,6 +12061,96 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_val_bigrams,
 FROM b WHERE split = 'val'"""
 
 
+def q_encode_docs(sf_dir: str):
+    """Tokenizer ENCODING — the text→ids step a training pipeline runs
+    last: induce a 64-entry vocabulary from corpus token counts (rank
+    by count desc, token asc), then encode every document as its
+    comma-joined token-id sequence with -1 for OOV. Phase 1 is the
+    token_topk shuffle (per-batch np.unique partials, one token
+    groupby) reduced to a driver-side top-64; phase 2 broadcasts the
+    tiny vocab and encodes each batch fully vectorized: one
+    `flat_tokens` pass, one index_in against the vocab, and a
+    per-row rebuild via offsets — no python loop over rows. Ids are
+    emitted as a STRING so the cross-engine value hash stays exact."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from .textops.analysis import flat_tokens
+
+    vocab_k = 64
+
+    def count_partial(tbl: pa.Table) -> pa.Table:
+        _, flat, _ = flat_tokens(tbl.column("text"))
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uniq, counts = np.unique(
+            np.asarray(flat.to_pylist(), dtype=object),
+            return_counts=True)
+        return pa.table({"token": pa.array(uniq, pa.string()),
+                         "n": pa.array(counts.astype(np.int64),
+                                       pa.int64())})
+
+    counts = _read(sf_dir, "documents", ["text"], blocks=16) \
+        .map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("n", alias_name="n"))
+    # driver fold of per-batch top-k candidates (global top-k is a
+    # subset of the union of per-batch top-k)
+    cand = []
+    for t in counts.iter_batches(batch_format="pyarrow"):
+        tk = t.column("token").to_pylist()
+        nn = t.column("n").to_pylist()
+        cand.extend(zip(tk, nn))
+    cand.sort(key=lambda kv: (-kv[1], kv[0]))
+    vocab = [k for k, _ in cand[:vocab_k]]
+    vocab_arr = pa.array(vocab, pa.string())
+    id_of = np.arange(len(vocab), dtype=np.int64)
+
+    def encode(tbl: pa.Table) -> pa.Table:
+        row_id, flat, n_rows = flat_tokens(tbl.column("text"))
+        ids = pc.fill_null(pc.cast(
+            pc.index_in(flat, value_set=vocab_arr), pa.int64()), -1) \
+            .to_numpy(zero_copy_only=False)
+        id_str = np.empty(len(ids), dtype=object)
+        for v in np.unique(ids):
+            id_str[ids == v] = str(int(v))
+        # per-row join: counts per row from row_id (rows with zero
+        # tokens get the empty string)
+        per_row = np.bincount(row_id, minlength=n_rows) \
+            if len(row_id) else np.zeros(n_rows, np.int64)
+        offs = np.concatenate([[0], np.cumsum(per_row)]).astype(
+            np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs),
+                                     pa.array(id_str, pa.string())),
+            ",")
+        return pa.table({"doc_id": tbl.column("doc_id"),
+                         "token_ids": joined})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"], blocks=16) \
+        .map_batches(encode, batch_format="pyarrow")
+
+
+SQL_ENCODE_DOCS = r"""WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
+    AS toks FROM documents),
+f AS (SELECT unnest(toks) AS token FROM t),
+v AS (SELECT token,
+        ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) - 1 AS id
+      FROM f GROUP BY token
+      ORDER BY COUNT(*) DESC, token LIMIT 64),
+e AS (SELECT doc_id, i, toks[i] AS token
+      FROM t, unnest(generate_series(1, greatest(len(toks), 0)))
+        AS u(i)),
+j AS (SELECT e.doc_id, e.i, COALESCE(v.id, -1) AS id
+      FROM e LEFT JOIN v ON e.token = v.token)
+SELECT t.doc_id,
+  COALESCE((SELECT string_agg(CAST(id AS VARCHAR), ',' ORDER BY i)
+            FROM j WHERE j.doc_id = t.doc_id), '') AS token_ids
+FROM t"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -12315,6 +12405,7 @@ QUERIES = {
     "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
     "pii_report": (q_pii_report, SQL_PII_REPORT),
     "split_novelty": (q_split_novelty, SQL_SPLIT_NOVELTY),
+    "encode_docs": (q_encode_docs, SQL_ENCODE_DOCS),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
