@@ -198,7 +198,7 @@ def run_queries() -> dict[str, float]:
              "tool_triples", "role_tool_list", "turn_len_by_role",
              "tool_affinity", "lang_confusion", "repeat_collapse",
              "rule_violations", "csv_roundtrip", "pii_report",
-             "split_novelty", "encode_docs",
+             "split_novelty", "encode_docs", "dataset_card",
              "decile_transition"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"

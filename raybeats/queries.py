@@ -12151,6 +12151,90 @@ SELECT t.doc_id,
 FROM t"""
 
 
+def q_dataset_card(sf_dir: str):
+    """One-row dataset card — the release-notes numbers a corpus ships
+    with: document count, exact token and codepoint totals, distinct
+    language/source counts, and the exact count of md5 duplicate
+    classes (docs − distinct fingerprints = removable copies). One
+    narrow pass emits fixed-width partials for the scalar measures;
+    the two tiny dimensions fold as distinct sets; the fingerprint
+    arm reuses the dedup_exact md5 and moves only per-batch DISTINCT
+    hashes through one adaptive shuffle."""
+    import numpy as np
+
+    from .textops.analysis import flat_tokens
+    from .textops.dedup import _md5_column
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "documents"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, flat, _ = flat_tokens(t.column("text"))
+        chars = pc.sum(pc.utf8_length(t.column("text"))).as_py() or 0
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "n_docs": pa.array([len(t)], pa.int64()),
+            "n_tokens": pa.array([len(flat)], pa.int64()),
+            "n_chars": pa.array([int(chars)], pa.int64())})
+
+    scalars = _combine_partials(
+        _read(sf_dir, "documents", ["text"], blocks=16)
+        .map_batches(partial, batch_format="pyarrow"),
+        ["k"], {"n_docs": "n_docs", "n_tokens": "n_tokens",
+                "n_chars": "n_chars"})
+
+    def dims(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": t.column("lang"),
+                         "source": t.column("source")}) \
+            .group_by(["lang", "source"]).aggregate([])
+
+    dim_rows = pa.concat_tables(list(
+        _read(sf_dir, "documents", ["lang", "source"], blocks=16)
+        .map_batches(dims, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    n_langs = len(set(dim_rows.column("lang").to_pylist()))
+    n_sources = len(set(dim_rows.column("source").to_pylist()))
+
+    def fp(t: pa.Table) -> pa.Table:
+        d = pa.table({"fp": _md5_column(
+            t.column("text").to_pylist())}) \
+            .group_by("fp").aggregate([])
+        return d.append_column("bucket",
+                               fnv1a_bucket(d.column("fp"), n_buckets))
+
+    def fp_count(g: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array(
+            [g.group_by("fp").aggregate([]).num_rows], pa.int64())})
+
+    n_distinct = 0
+    for t in _read(sf_dir, "documents", ["text"], blocks=16) \
+            .map_batches(fp, batch_format="pyarrow") \
+            .groupby("bucket").map_groups(fp_count,
+                                          batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        n_distinct += int(pc.sum(t.column("n")).as_py() or 0)
+
+    s = scalars.to_pylist()[0]
+    return pa.table({
+        "n_docs": pa.array([s["n_docs"]], pa.int64()),
+        "n_tokens": pa.array([s["n_tokens"]], pa.int64()),
+        "n_chars": pa.array([s["n_chars"]], pa.int64()),
+        "n_langs": pa.array([n_langs], pa.int64()),
+        "n_sources": pa.array([n_sources], pa.int64()),
+        "n_dup_docs": pa.array([s["n_docs"] - n_distinct],
+                               pa.int64())})
+
+
+SQL_DATASET_CARD = r"""SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+       AS BIGINT) AS n_tokens,
+  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs
+FROM documents"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -12406,6 +12490,7 @@ QUERIES = {
     "pii_report": (q_pii_report, SQL_PII_REPORT),
     "split_novelty": (q_split_novelty, SQL_SPLIT_NOVELTY),
     "encode_docs": (q_encode_docs, SQL_ENCODE_DOCS),
+    "dataset_card": (q_dataset_card, SQL_DATASET_CARD),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
