@@ -464,20 +464,28 @@ FROM f"""
 _PII_PLANT = " Contact user{id}@example.com ssn 123-45-6789 ip 10.0.0.1"
 
 
+def _plant_pii(did, text):
+    """Deterministic PII planting shared by pii_scrub, pii_report and
+    the curation flagship: every doc_id % 7 == 0 gains an email + SSN
+    + IP suffix. One definition so the scrub and its audit report are
+    STRUCTURALLY consistent, not copy-paste consistent."""
+    from .util import imod
+
+    suffix = pc.binary_join_element_wise(
+        " Contact user", pc.cast(did, pa.string()),
+        "@example.com ssn 123-45-6789 ip 10.0.0.1", "")
+    return pc.if_else(pc.equal(imod(did, 7), 0),
+                      pc.binary_join_element_wise(text, suffix, ""),
+                      text)
+
+
 def q_pii_scrub(sf_dir: str):
     from .textops.curation import pii_scrub
-    from .util import imod
 
     def plant(t: pa.Table) -> pa.Table:
         did = t.column("doc_id")
-        suffix = pc.binary_join_element_wise(
-            " Contact user", pc.cast(did, pa.string()),
-            "@example.com ssn 123-45-6789 ip 10.0.0.1", "")
-        text = pc.if_else(pc.equal(imod(did, 7), 0),
-                          pc.binary_join_element_wise(
-                              t.column("text"), suffix, ""),
-                          t.column("text"))
-        return pa.table({"doc_id": did, "text": text})
+        return pa.table({"doc_id": did,
+                         "text": _plant_pii(did, t.column("text"))})
 
     return _read(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(plant, batch_format="pyarrow") \
@@ -1185,12 +1193,18 @@ WHERE x.vec_id < y.vec_id
 
 # ------------------------------------------------------ relational demos
 
-def _combine_partials(ds, keys: list[str], sums: dict[str, str]) -> pa.Table:
+def _combine_partials(ds, keys: list[str], sums: dict[str, str],
+                      seed: pa.Table | None = None) -> pa.Table:
     """Collect tiny per-batch partial aggregates and combine them with one
     driver-side arrow group_by (a handful of rows per batch — no
-    distributed shuffle needed)."""
-    merged = pa.concat_tables(
-        list(ds.iter_batches(batch_format="pyarrow")))
+    distributed shuffle needed). ``seed`` (zero rows to add into the
+    sums) keeps fixed-row reports well-defined when the upstream
+    filters everything out — without it an empty stream cannot even
+    be concatenated."""
+    tables = list(ds.iter_batches(batch_format="pyarrow"))
+    if seed is not None:
+        tables.append(seed)
+    merged = pa.concat_tables(tables)
     agg = merged.group_by(keys).aggregate(
         [(src, "sum") for src in sums])
     cols = {k: agg.column(k) for k in keys}
@@ -1920,13 +1934,8 @@ def q_curation_pipeline(sf_dir: str):
                 "duplicate seed text number ",
                 pc.cast(imod(did, 5), pa.string()), ""),
             t.column("text"))
-        suffix = pc.binary_join_element_wise(
-            " Contact user", pc.cast(did, pa.string()),
-            "@example.com ssn 123-45-6789 ip 10.0.0.1", "")
-        text = pc.if_else(pc.equal(imod(did, 7), 0),
-                          pc.binary_join_element_wise(base, suffix, ""),
-                          base)
-        return pa.table({"doc_id": did, "text": text})
+        return pa.table({"doc_id": did,
+                         "text": _plant_pii(did, base)})
 
     def scrub_score(tbl: pa.Table) -> pa.Table:
         from .textops.dedup import _md5_column
@@ -3532,6 +3541,22 @@ FROM p a JOIN p b ON a.user_id = b.user_id
 GROUP BY type_a, type_b"""
 
 
+def _ntile_front_loaded(rnk, n: int, k: int = 10):
+    """SQL NTILE(k) assignment from a 1-based rank: the first n%k
+    tiles take one extra row (property-tested against a direct
+    simulation of SQL's sizes). Shared by ntile_deciles and
+    decile_transition so the arithmetic cannot drift."""
+    import numpy as np
+
+    q_sz, rem = divmod(n, k)
+    if q_sz == 0:
+        return rnk
+    cut = rem * (q_sz + 1)
+    return np.where(rnk <= cut,
+                    (rnk + q_sz) // (q_sz + 1),
+                    rem + (rnk - cut + q_sz - 1) // q_sz)
+
+
 def q_ntile_deciles(sf_dir: str):
     """NTILE(10) decile summary over the global (value, id) order —
     the score-band report (how do the corpus deciles look). Rides the
@@ -3560,19 +3585,11 @@ def q_ntile_deciles(sf_dir: str):
         _read(sf_dir, "events", ["event_id", "value"]),
         value_col="value", id_col="event_id", scale=100,
         id_max=_footer_max(sf_dir, "events", "event_id"))
-    q_sz, rem = divmod(n_total, 10)
 
     def partial(t: pa.Table) -> pa.Table:
         rnk = t.column("rnk").to_numpy(zero_copy_only=False)
         cents = t.column("value_cents").to_numpy(zero_copy_only=False)
-        if q_sz == 0:
-            dec = rnk
-        else:
-            cut = rem * (q_sz + 1)
-            dec = np.where(
-                rnk <= cut,
-                (rnk + q_sz) // (q_sz + 1),
-                rem + (rnk - cut + q_sz - 1) // q_sz)
+        dec = _ntile_front_loaded(rnk, n_total)
         g = pa.table({"decile": pa.array(dec.astype(np.int64),
                                          pa.int64()),
                       "c": pa.array(cents, pa.int64())}) \
@@ -7697,11 +7714,15 @@ def q_ndjson_roundtrip(sf_dir: str):
     output format is consumable downstream with exact value parity
     (the oracle reads the original parquet). Scratch lives under /tmp;
     the engine's scale-path interchange format remains parquet."""
-    import tempfile
+    import hashlib
+    import shutil
 
     from .sinks import read_ndjson, write_ndjson
 
-    out_dir = tempfile.mkdtemp(prefix="raybeats_ndjson_rt_")
+    # fixed per-corpus scratch, overwritten each run (no /tmp growth)
+    out_dir = "/tmp/raybeats_ndjson_rt_" + hashlib.md5(
+        sf_dir.encode()).hexdigest()[:12]
+    shutil.rmtree(out_dir, ignore_errors=True)
     write_ndjson(_read(sf_dir, "events", ["event_id", "event_type"]),
                  out_dir)
     return read_ndjson(out_dir, columns=["event_id", "event_type"])
@@ -11502,18 +11523,10 @@ def q_decile_transition(sf_dir: str):
             value_col="negc", id_col="cust", id_max=cust_max,
             scale=1)
         n = n_year[year]
-        q_sz, rem = divmod(n, 10)
 
         def to_dec(t: pa.Table) -> pa.Table:
             rnk = t.column("rnk").to_numpy(zero_copy_only=False)
-            if q_sz == 0:
-                dec = rnk
-            else:
-                cut = rem * (q_sz + 1)
-                dec = np.where(
-                    rnk <= cut,
-                    (rnk + q_sz) // (q_sz + 1),
-                    rem + (rnk - cut + q_sz - 1) // q_sz)
+            dec = _ntile_front_loaded(rnk, n)
             out = pa.table({
                 "cust": t.column("cust"),
                 "dec": pa.array(dec.astype(np.int64), pa.int64()),
@@ -11845,7 +11858,9 @@ def q_rule_violations(sf_dir: str):
         _read(sf_dir, "events", ["user_id", "ts", "event_type"])
         .map_batches(tag, batch_format="pyarrow")
         .groupby("bucket").map_groups(grp, batch_format="pyarrow"),
-        ["rule"], {"n": "n"})
+        ["rule"], {"n": "n"},
+        seed=pa.table({"rule": pa.array(rules, pa.string()),
+                       "n": pa.array([0, 0], pa.int64())}))
     have = dict(zip(folded.column("rule").to_pylist(),
                     folded.column("n").to_pylist()))
     return pa.table({
@@ -11881,11 +11896,16 @@ def q_csv_roundtrip(sf_dir: str):
     against the original parquet. CSV remains an EDGE format: headers
     per shard, no nested types; the scale-path interchange stays
     parquet (documented, as for NDJSON)."""
-    import tempfile
+    import hashlib
+    import shutil
 
     import ray.data as rd
 
-    out_dir = tempfile.mkdtemp(prefix="raybeats_csv_rt_")
+    # fixed per-corpus scratch, overwritten each run — repeated
+    # bench/gate invocations must not accumulate /tmp copies
+    out_dir = "/tmp/raybeats_csv_rt_" + hashlib.md5(
+        sf_dir.encode()).hexdigest()[:12]
+    shutil.rmtree(out_dir, ignore_errors=True)
     _read(sf_dir, "events", ["event_id", "event_type"]) \
         .write_csv(out_dir)
     return rd.read_csv(out_dir)
@@ -11906,14 +11926,9 @@ def q_pii_report(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         did = t.column("doc_id")
-        suffix = pc.binary_join_element_wise(
-            " Contact user", pc.cast(did, pa.string()),
-            "@example.com ssn 123-45-6789 ip 10.0.0.1", "")
-        text = pc.if_else(pc.equal(imod(did, 7), 0),
-                          pc.binary_join_element_wise(
-                              t.column("text"), suffix, ""),
-                          t.column("text"))
-        s = pii_scrub(pa.table({"doc_id": did, "text": text}))
+        s = pii_scrub(pa.table({
+            "doc_id": did,
+            "text": _plant_pii(did, t.column("text"))}))
         hits = pc.add(pc.add(s.column("n_email"), s.column("n_ssn")),
                       s.column("n_ip"))
         g = pa.table({
@@ -12037,7 +12052,10 @@ def q_split_novelty(sf_dir: str):
         .map_batches(tag, batch_format="pyarrow")
         .groupby("bucket").map_groups(grp, batch_format="pyarrow"),
         ["k"], {"n_val_bigrams": "n_val_bigrams",
-                "n_novel_bigrams": "n_novel_bigrams"})
+                "n_novel_bigrams": "n_novel_bigrams"},
+        seed=pa.table({"k": pa.array([0], pa.int64()),
+                       "n_val_bigrams": pa.array([0], pa.int64()),
+                       "n_novel_bigrams": pa.array([0], pa.int64())}))
     return comb.drop_columns(["k"])
 
 
@@ -12082,30 +12100,21 @@ def q_encode_docs(sf_dir: str):
 
     def count_partial(tbl: pa.Table) -> pa.Table:
         _, flat, _ = flat_tokens(tbl.column("text"))
-        if len(flat) == 0:
-            return pa.table({"token": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
-        uniq, counts = np.unique(
-            np.asarray(flat.to_pylist(), dtype=object),
-            return_counts=True)
-        return pa.table({"token": pa.array(uniq, pa.string()),
-                         "n": pa.array(counts.astype(np.int64),
-                                       pa.int64())})
+        g = pa.table({"token": flat}).group_by("token") \
+            .aggregate([([], "count_all")])
+        return pa.table({"token": g.column("token"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
 
-    counts = _read(sf_dir, "documents", ["text"], blocks=16) \
+    # distributed top-k (the token_topk idiom): the full vocabulary
+    # never reaches the driver — only the k winning rows do
+    top = _read(sf_dir, "documents", ["text"], blocks=16) \
         .map_batches(count_partial, batch_format="pyarrow") \
-        .groupby("token").aggregate(Sum("n", alias_name="n"))
-    # driver fold of per-batch top-k candidates (global top-k is a
-    # subset of the union of per-batch top-k)
-    cand = []
-    for t in counts.iter_batches(batch_format="pyarrow"):
-        tk = t.column("token").to_pylist()
-        nn = t.column("n").to_pylist()
-        cand.extend(zip(tk, nn))
-    cand.sort(key=lambda kv: (-kv[1], kv[0]))
-    vocab = [k for k, _ in cand[:vocab_k]]
+        .groupby("token").aggregate(Sum("n", alias_name="n")) \
+        .sort(["n", "token"], descending=[True, False]) \
+        .limit(vocab_k)
+    vocab = [r["token"] for r in top.take_all()]
     vocab_arr = pa.array(vocab, pa.string())
-    id_of = np.arange(len(vocab), dtype=np.int64)
 
     def encode(tbl: pa.Table) -> pa.Table:
         row_id, flat, n_rows = flat_tokens(tbl.column("text"))
@@ -12191,12 +12200,16 @@ def q_dataset_card(sf_dir: str):
         _read(sf_dir, "documents", ["lang", "source"], blocks=16)
         .map_batches(dims, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow")))
-    n_langs = len(set(dim_rows.column("lang").to_pylist()))
-    n_sources = len(set(dim_rows.column("source").to_pylist()))
+    # COUNT(DISTINCT x) excludes NULLs — mirror exactly
+    n_langs = len(set(dim_rows.column("lang").to_pylist()) - {None})
+    n_sources = len(set(dim_rows.column("source").to_pylist())
+                    - {None})
 
     def fp(t: pa.Table) -> pa.Table:
-        d = pa.table({"fp": _md5_column(
-            t.column("text").to_pylist())}) \
+        # null text → null fingerprint; COUNT(DISTINCT md5(text))
+        # excludes it, so drop before the distinct fold
+        fps = _md5_column(t.column("text").to_pylist())
+        d = pa.table({"fp": fps}).filter(pc.is_valid(fps)) \
             .group_by("fp").aggregate([])
         return d.append_column("bucket",
                                fnv1a_bucket(d.column("fp"), n_buckets))

@@ -10,7 +10,8 @@ import numpy as np
 import pyarrow as pa
 from hypothesis import given, settings, strategies as st
 
-from raybeats.queries import _conv_tool_presence, _overlap_pair_counts
+from raybeats.queries import (_conv_tool_presence, _ntile_front_loaded,
+                              _overlap_pair_counts)
 
 
 @settings(max_examples=200, deadline=None)
@@ -78,16 +79,11 @@ def _sql_ntile_sizes(n, k=10):
 @settings(max_examples=300, deadline=None)
 @given(st.integers(0, 500))
 def test_ntile_arithmetic_matches_sql_sizes(n):
-    """decile = front-loaded tile of rank, exactly SQL NTILE(10)."""
-    q_sz, rem = divmod(n, 10)
+    """The REAL shared kernel (used by ntile_deciles and
+    decile_transition) assigns the front-loaded tile of every rank,
+    exactly SQL NTILE(10)."""
     sizes = _sql_ntile_sizes(n)
     want = np.repeat(np.arange(1, 11), sizes)
     rnk = np.arange(1, n + 1)
-    if q_sz == 0:
-        dec = rnk
-    else:
-        cut = rem * (q_sz + 1)
-        dec = np.where(rnk <= cut,
-                       (rnk + q_sz) // (q_sz + 1),
-                       rem + (rnk - cut + q_sz - 1) // q_sz)
+    dec = np.asarray(_ntile_front_loaded(rnk, n))
     assert dec.tolist() == want.tolist()
