@@ -999,3 +999,101 @@ def streaming_mode_per_type(micro_batches, n_buckets: int = 4):
         "mode_cents": pa.array(cents[sel], pa.int64()),
         "n_mode": pa.array(n[sel], pa.int64())}) \
         .sort_by([("event_type", "ascending")])
+
+
+class RuleViolationState:
+    """Per-bucket incremental QA-rule counter (streaming counterpart of
+    the batch ``rule_violations`` query): purchases strictly before
+    their user's first signup, and purchases by users who never sign
+    up. Event-time-ordered micro-batches make this exact without
+    watermarks: a signup arriving in a LATER slice has a strictly
+    greater ts than every earlier-slice event (equal timestamps always
+    share a slice), so a pending purchase promotes to "before" only by
+    the strict comparison against the eventual first-signup ts —
+    pending purchases therefore keep their timestamps, not just a
+    count. Signups fold before purchases within a slice so an
+    equal-ts signup+purchase pair stays clean (strict <), matching
+    the batch kernel. State: one int per signed-up user plus the
+    pending purchase timestamps of not-yet-signed-up users — bounded
+    by the bucket's users and their pre-signup purchases, never the
+    stream length. The per-slice fold loops over the slice's DISTINCT
+    users (the documented demo-scale streaming-lane shape, as in
+    TransitionState)."""
+
+    def __init__(self):
+        self.first: dict[int, int] = {}
+        self.pending: dict[int, list[int]] = {}
+        self.before = 0
+
+    def process(self, tbl: pa.Table) -> None:
+        if tbl.num_rows == 0:
+            return None
+        et = tbl.column("event_type")
+        sub = pa.table({"u": tbl.column("user_id"),
+                        "ts": pc.cast(tbl.column("ts"), pa.int64()),
+                        "buy": pc.equal(et, "purchase")}) \
+            .filter(pc.and_(
+                pc.and_(pc.is_valid(tbl.column("user_id")),
+                        pc.is_valid(tbl.column("ts"))),
+                pc.is_in(et, value_set=pa.array(
+                    ["signup", "purchase"], pa.string()))))
+        if sub.num_rows == 0:
+            return None
+        u = sub.column("u").to_numpy(zero_copy_only=False)
+        ts = sub.column("ts").to_numpy(zero_copy_only=False)
+        buy = sub.column("buy").to_numpy(zero_copy_only=False)
+        # signups first: an equal-ts signup+purchase pair in one slice
+        # must compare strictly (purchase at ts == first signup is
+        # clean)
+        su, st = u[~buy], ts[~buy]
+        order = np.argsort(su, kind="stable")
+        su, st = su[order], st[order]
+        starts = np.flatnonzero(np.append(True, su[1:] != su[:-1])) \
+            if len(su) else np.array([], np.int64)
+        for user, smin in zip(
+                su[starts],
+                (np.minimum.reduceat(st, starts) if len(starts)
+                 else np.array([], np.int64))):
+            user, smin = int(user), int(smin)
+            f = self.first.get(user)
+            if f is None or smin < f:
+                self.first[user] = smin if f is None else min(f, smin)
+                pend = self.pending.pop(user, None)
+                if pend:
+                    self.before += sum(1 for p in pend
+                                       if p < self.first[user])
+        pu, pt = u[buy], ts[buy]
+        for user, t in zip(pu, pt):
+            user, t = int(user), int(t)
+            f = self.first.get(user)
+            if f is not None:
+                if t < f:
+                    self.before += 1
+            else:
+                self.pending.setdefault(user, []).append(t)
+        return None
+
+    def flush(self) -> pa.Table:
+        return pa.table({
+            "before": pa.array([self.before], pa.int64()),
+            "no_signup": pa.array(
+                [sum(len(v) for v in self.pending.values())],
+                pa.int64())})
+
+
+def streaming_rule_violations(micro_batches, n_buckets: int = 4):
+    """Flushed cross-event constraint counts over event-time-ordered
+    micro-batches — equals the batch ``rule_violations`` query for any
+    event-time split (parity-tested incl. the equal-ts straddle and
+    the late-signup promotion)."""
+    import ray
+
+    actors, _ = _drive_keyed_actors(micro_batches, RuleViolationState,
+                                    (), n_buckets)
+    parts = ray.get([a.flush.remote() for a in actors])
+    before = sum(int(p.column("before")[0].as_py()) for p in parts)
+    no_sig = sum(int(p.column("no_signup")[0].as_py()) for p in parts)
+    return pa.table({
+        "rule": pa.array(["purchase_before_signup",
+                          "purchase_no_signup"], pa.string()),
+        "n": pa.array([before, no_sig], pa.int64())})
