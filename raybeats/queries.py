@@ -11464,13 +11464,15 @@ def q_decile_transition(sf_dir: str):
     """Rank-decile MIGRATION matrix: customers NTILE(10)-ranked by
     exact yearly revenue in 1995 and again in 1996, counted per
     (prev-decile, next-decile) cell — the churn/upsell mobility report
-    (two global rank computations + a join, with no global sort
-    anywhere). Yearly totals fold through one custkey-bucket shuffle
-    into a COMPACTED (cust, year, cents) aggregate; each year rides
-    `global_row_number` (two-level order-statistic cells) on negated
-    cents, NTILE arithmetic assigns front-loaded tiles from the rank,
-    and one cust-bucket shuffle of the two tagged decile projections
-    pairs both years per customer into tiny 10×10 matrix partials."""
+    (two global rankings + a join, with no global sort anywhere).
+    Yearly totals fold through one custkey-bucket shuffle into a
+    COMPACTED (cust, year, cents) aggregate; BOTH years ride one
+    `global_row_number` pass on a composite (year · 2^40 − cents)
+    key (year-1995 ranks wholly precede year-1996's, so within-year
+    rank is the global rank minus the prior-year count), NTILE
+    arithmetic assigns front-loaded tiles, and one cust-bucket
+    shuffle of the tagged decile projections pairs the years per
+    customer into tiny 10×10 matrix partials."""
     import numpy as np
 
     from .aggregates import global_row_number
@@ -11511,30 +11513,43 @@ def q_decile_transition(sf_dir: str):
                         g.column("count_all").to_pylist()):
             n_year[y] += c
 
-    def decile_ds(year: int, side: str):
-        def neg(t: pa.Table) -> pa.Table:
-            sub = t.filter(pc.equal(t.column("y"), year))
-            return pa.table({
-                "cust": sub.column("cust"),
-                "negc": pc.negate_checked(sub.column("cents"))})
+    # ONE rank pass for both years: the composite key
+    # (year-index · 2^40 − cents) orders year-1995 rows (≤ 0) wholly
+    # before year-1996 rows (> 0), and within a year by cents DESC —
+    # so rank-within-year = global rank − prior-year count, and the
+    # same customer appearing in both years keeps (value, id) unique.
+    # Composite stays far under 2^53, so the kernel's float64 pass is
+    # exact; the magnitude guard raises rather than silently folding
+    # years together.
+    K = 1 << 40
 
-        ranked = global_row_number(
-            totals.map_batches(neg, batch_format="pyarrow"),
-            value_col="negc", id_col="cust", id_max=cust_max,
-            scale=1)
-        n = n_year[year]
+    def comp(t: pa.Table) -> pa.Table:
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        if cents.size and (cents.min() < 0 or cents.max() >= K):
+            raise ValueError("cents outside the composite-key range")
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cust": t.column("cust"),
+            "compv": pa.array((y - y1) * K - cents, pa.int64())})
 
-        def to_dec(t: pa.Table) -> pa.Table:
-            rnk = t.column("rnk").to_numpy(zero_copy_only=False)
-            dec = _ntile_front_loaded(rnk, n)
-            out = pa.table({
-                "cust": t.column("cust"),
-                "dec": pa.array(dec.astype(np.int64), pa.int64()),
-                "side": pa.array([side] * len(t), pa.string())})
-            return out.append_column(
-                "bucket", int_bucket(out.column("cust"), n_buckets))
+    ranked = global_row_number(
+        totals.map_batches(comp, batch_format="pyarrow"),
+        value_col="compv", id_col="cust", id_max=cust_max, scale=1)
+    n1, n2 = n_year[y1], n_year[y2]
 
-        return ranked.map_batches(to_dec, batch_format="pyarrow")
+    def to_dec(t: pa.Table) -> pa.Table:
+        rnk = t.column("rnk").to_numpy(zero_copy_only=False)
+        is_y2 = t.column("value_cents") \
+            .to_numpy(zero_copy_only=False) > 0
+        dec = np.where(is_y2,
+                       _ntile_front_loaded(rnk - n1, max(n2, 1)),
+                       _ntile_front_loaded(rnk, max(n1, 1)))
+        out = pa.table({
+            "cust": t.column("cust"),
+            "dec": pa.array(dec.astype(np.int64), pa.int64()),
+            "side": pc.if_else(pa.array(is_y2), "n", "p")})
+        return out.append_column(
+            "bucket", int_bucket(out.column("cust"), n_buckets))
 
     def pair(g: pa.Table) -> pa.Table:
         cu = g.column("cust").to_numpy(zero_copy_only=False)
@@ -11556,9 +11571,8 @@ def q_decile_transition(sf_dir: str):
             "n_customers": pc.cast(g2.column("count_all"),
                                    pa.int64())})
 
-    tagged = decile_ds(y1, "p").union(decile_ds(y2, "n"))
-    small = tagged.groupby("bucket").map_groups(
-        pair, batch_format="pyarrow")
+    small = ranked.map_batches(to_dec, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pair, batch_format="pyarrow")
     return _combine_partials(small, ["d_prev", "d_next"],
                              {"n_customers": "n_customers"})
 
