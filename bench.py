@@ -199,6 +199,7 @@ def run_queries() -> dict[str, float]:
              "tool_affinity", "lang_confusion", "repeat_collapse",
              "rule_violations", "csv_roundtrip", "pii_report",
              "split_novelty", "encode_docs", "dataset_card",
+             "pack_efficiency",
              "decile_transition"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"

@@ -12262,6 +12262,65 @@ SQL_DATASET_CARD = r"""SELECT
 FROM documents"""
 
 
+def q_pack_efficiency(sf_dir: str):
+    """Packing-fill report over the pack_sequences assignment: for
+    each pack, the exact token total, histogrammed by capacity decile
+    (bin = tokens·10 // 4096; the greedy prefix-sum packer can
+    overshoot a boundary, so bins above 10 are real) — THE metric
+    that says how much training throughput the packer wastes. Pack
+    fragments straddle batch boundaries, so per-batch (pack, tokens)
+    partials fold exactly through one pack-bucket shuffle before the
+    tiny bin histogram; the pack table itself (corpus/4096 rows)
+    never reaches the driver."""
+    cap = 4096
+    n_buckets = adaptive_buckets(max(
+        _nrows(sf_dir, "documents") // 64, 1))
+
+    def tag(t: pa.Table) -> pa.Table:
+        g = t.group_by("pack_id").aggregate([("n_tokens", "sum")])
+        out = pa.table({"pack_id": g.column("pack_id"),
+                        "tokens": pc.cast(g.column("n_tokens_sum"),
+                                          pa.int64())})
+        return out.append_column(
+            "bucket", int_bucket(out.column("pack_id"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        f = g.group_by("pack_id").aggregate([("tokens", "sum")])
+        tok = pc.cast(f.column("tokens_sum"), pa.int64())
+        bins = pa.table({"fill_decile": pc.cast(pc.floor(pc.divide(
+            pc.multiply(tok, 10), cap)), pa.int64())}) \
+            .group_by("fill_decile").aggregate([([], "count_all")])
+        return pa.table({
+            "fill_decile": bins.column("fill_decile"),
+            "n_packs": pc.cast(bins.column("count_all"), pa.int64())})
+
+    return _combine_partials(
+        q_pack_sequences(sf_dir)
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow"),
+        ["fill_decile"], {"n_packs": "n_packs"})
+
+
+SQL_PACK_EFFICIENCY = r"""WITH tok AS (
+  SELECT doc_id,
+    CAST(length(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT)
+      AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum
+  FROM tok),
+p AS (SELECT CAST((cum - n_tokens) // 4096 AS BIGINT) AS pack_id,
+             n_tokens FROM c),
+s AS (SELECT pack_id, SUM(n_tokens) AS tokens FROM p
+      GROUP BY pack_id)
+SELECT CAST(tokens * 10 // 4096 AS BIGINT) AS fill_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_packs
+FROM s GROUP BY 1"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -12518,6 +12577,7 @@ QUERIES = {
     "split_novelty": (q_split_novelty, SQL_SPLIT_NOVELTY),
     "encode_docs": (q_encode_docs, SQL_ENCODE_DOCS),
     "dataset_card": (q_dataset_card, SQL_DATASET_CARD),
+    "pack_efficiency": (q_pack_efficiency, SQL_PACK_EFFICIENCY),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
     # rows-only (non-SQL-expressible; driver records weaker check).
