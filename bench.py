@@ -200,7 +200,9 @@ def run_queries() -> dict[str, float]:
              "rule_violations", "csv_roundtrip", "pii_report",
              "split_novelty", "encode_docs", "dataset_card",
              "pack_efficiency",
-             "decile_transition"]
+             "decile_transition",
+             "prefix_dups", "triangle_parts", "ema_cents",
+             "bm25_topk"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

@@ -12321,6 +12321,508 @@ SELECT CAST(tokens * 10 // 4096 AS BIGINT) AS fill_decile,
 FROM s GROUP BY 1"""
 
 
+def q_prefix_dups(sf_dir: str):
+    """Prefix-duplicate detection: flag every doc whose text is a
+    PROPER prefix of another doc's text — the web-crawl artifact
+    (truncated fetches, re-crawled pages with appended footers) that
+    exact-hash dedup misses and MinHash only catches above the
+    jaccard threshold.
+
+    Distributed contract: a proper-prefix pair shares its first 4
+    codeunits, so routing by ``fnv1a(first-4-cu slice)`` co-locates
+    every pair with len(prefix) >= 4 in one group — NO global string
+    sort. Within a group, the sorted-adjacency theorem (the set of
+    strings extending X is contiguous immediately after X in sorted
+    order) reduces the check to one vectorized byte-compare between
+    each distinct text and its successor, over the group's UTF-8
+    buffer via the offsets window (never per-row Python). Texts
+    shorter than 4 codeunits (can be a prefix of docs in ANY bucket)
+    are a bounded broadcast side: a parquet-pushdown pre-pass on the
+    ``n_chars`` stats column collects them driver-side, the tag pass
+    probes every batch against them (``pc.starts_with``, one scalar
+    pattern per short text), and bucket ``-1`` folds the hit markers —
+    zero extra rows when the corpus has no shorts (the common case)."""
+    import numpy as np
+
+    n_docs = _nrows(sf_dir, "documents")
+    n_buckets = adaptive_buckets(n_docs)
+
+    import pyarrow.dataset as pads
+    shorts_t = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"],
+        filter=(pads.field("n_chars") < 8) & (pads.field("n_chars") > 0))
+    sl = pc.utf8_length(shorts_t.column("text"))
+    shorts_t = shorts_t.filter(
+        pc.and_(pc.greater(sl, 0), pc.less(sl, 4)))
+    short_texts = shorts_t.column("text").to_pylist()
+    short_ids = shorts_t.column("doc_id").to_pylist()
+    short_lens = pc.utf8_length(shorts_t.column("text")).to_pylist()
+
+    def tag(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        ln = pc.utf8_length(txt)
+        keep = pc.and_(pc.is_valid(txt), pc.greater_equal(ln, 4))
+        sub = t.filter(keep)
+        head = pc.utf8_slice_codeunits(sub.column("text"), 0, 4)
+        out = pa.table({
+            "doc_id": sub.column("doc_id"),
+            "text": sub.column("text"),
+            "bucket": pc.cast(fnv1a_bucket(head, n_buckets),
+                              pa.int32())})
+        if short_texts:
+            # presence markers: short i extended by some row here
+            hit_rows = []
+            for i, st in enumerate(short_texts):
+                m = pc.and_(pc.starts_with(txt, st),
+                            pc.not_equal(txt, st))
+                if pc.any(pc.and_(pc.is_valid(txt), m)).as_py():
+                    hit_rows.append(i)
+            if hit_rows:
+                out = pa.concat_tables([out, pa.table({
+                    "doc_id": pa.array([-1 - i for i in hit_rows],
+                                       pa.int64()),
+                    "text": pa.array([None] * len(hit_rows),
+                                     pa.string()),
+                    "bucket": pa.array([-1] * len(hit_rows),
+                                       pa.int32())})])
+        return out
+
+    def grp(g: pa.Table) -> pa.Table:
+        b = g.column("bucket")[0].as_py()
+        if b == -1:
+            # fold the short-hit markers: distinct short index →
+            # that short doc's output row
+            idx = np.unique(-1 - g.column("doc_id")
+                            .to_numpy(zero_copy_only=False))
+            return pa.table({
+                "doc_id": pa.array([short_ids[i] for i in idx],
+                                   pa.int64()),
+                "n_chars": pa.array([short_lens[i] for i in idx],
+                                    pa.int64())})
+        txt = g.column("text").combine_chunks()
+        uniq = pc.unique(txt)
+        s = uniq.take(pc.sort_indices(uniq))  # UTF-8 byte == cp order
+        s = s.cast(pa.large_string())         # int64 offsets buffer
+        offs = np.frombuffer(s.buffers()[1], np.int64,
+                             len(s) + 1 + s.offset)[s.offset:]
+        base = offs[0]
+        buf = np.frombuffer(s.buffers()[2], np.uint8)
+        la = np.diff(offs)                       # byte length per text
+        # adjacent pair (i, i+1): prefix iff la[i] < la[i+1] and the
+        # first la[i] bytes match — one exploded elementwise compare
+        cand = np.flatnonzero(la[:-1] < la[1:])
+        pref = np.zeros(len(s), bool)
+        if len(cand):
+            seg = la[cand]
+            a0 = np.repeat(offs[cand] - base, seg) + _aranges(seg)
+            b0 = np.repeat(offs[cand + 1] - base, seg) + _aranges(seg)
+            eq = buf[a0] == buf[b0]
+            bounds = np.concatenate([[0], np.cumsum(seg)[:-1]])
+            pref[cand] = np.logical_and.reduceat(eq, bounds)
+        flagged = s.filter(pa.array(pref))
+        hit = pc.is_in(txt, value_set=flagged)
+        sel = g.filter(hit)
+        return pa.table({
+            "doc_id": sel.column("doc_id"),
+            "n_chars": pc.cast(pc.utf8_length(sel.column("text")),
+                               pa.int64())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+
+
+def _aranges(lens):
+    """Concatenated ``arange(l)`` per segment — the shared explode
+    helper (np.repeat of exclusive bases subtracted from a global
+    arange)."""
+    import numpy as np
+    total = int(lens.sum())
+    bases = np.repeat(np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+    return np.arange(total, dtype=np.int64) - bases
+
+
+SQL_PREFIX_DUPS = """WITH nz AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0),
+d AS (SELECT DISTINCT text FROM nz),
+s AS (SELECT text, lead(text) OVER (ORDER BY text) AS nxt FROM d),
+p AS (SELECT text FROM s
+      WHERE nxt IS NOT NULL AND starts_with(nxt, text)
+        AND nxt <> text)
+SELECT nz.doc_id, CAST(length(nz.text) AS BIGINT) AS n_chars
+FROM nz JOIN p USING (text)"""
+
+
+def q_triangle_parts(sf_dir: str):
+    """Triangle counting on the part co-purchase graph (distinct part
+    pairs sharing an order): top-25 parts by triangle participation —
+    the graph-density / community-strength primitive (a part in many
+    triangles sits in a dense substitute/complement cluster). Fourth
+    member of the graph family (pagerank_iter = propagation,
+    dedup_clusters = components, degree_dist = degrees).
+
+    Exactly-once via total-order orientation: orient every edge from
+    its smaller (degree, id) endpoint; each triangle then has exactly
+    ONE node with both triangle edges outgoing, so wedges enumerated
+    per-source count each triangle once, and max out-degree is
+    O(sqrt(m)) even on skewed graphs. Plan: (1) one orderkey-bucket
+    cogroup emits locally-deduped part pairs, (2) one edge-hash
+    cogroup makes them globally distinct and emits per-node degree
+    partials (driver-folded — nodes are bounded by the part
+    dimension), (3) the distinct-edge set (16 B/edge, ~1 M edges at
+    sf0.1) is collected ONCE driver-side as a sorted int64 key array
+    and broadcast, so the wedge-membership probe is a LOCAL
+    searchsorted inside one src-bucket cogroup — the 30M+ candidate
+    wedges never enter a shuffle. At 10^9+ edges the broadcast side
+    outgrows the object store: swap step 3 for a (w1,w2)-bucket
+    cogroup of wedge rows against edge rows (documented fallback,
+    same semantics)."""
+    import numpy as np
+
+    n_li = _nrows(sf_dir, "lineitem")
+    n_buckets = adaptive_buckets(n_li)
+
+    def pair_tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", int_bucket(t.column("l_orderkey"), n_buckets))
+
+    def pairs_grp(g: pa.Table) -> pa.Table:
+        o = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        p = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        op = np.unique(np.stack([o, p], axis=1), axis=0)
+        o, p = op[:, 0], op[:, 1]
+        starts = np.flatnonzero(np.append(True, o[1:] != o[:-1]))
+        lens = np.diff(np.append(starts, len(o)))
+        # explode per order: all (i < j) index pairs
+        npairs = lens * (lens - 1) // 2
+        ordr = np.repeat(starts, npairs)
+        k = _aranges(npairs)
+        # triangular unrank: pair k of a segment -> (i, j), i < j
+        i = np.floor((2 * np.repeat(lens, npairs) - 1
+                      - np.sqrt((2 * np.repeat(lens, npairs) - 1) ** 2
+                                - 8 * k)) / 2).astype(np.int64)
+        j = k - i * (2 * np.repeat(lens, npairs) - i - 1) // 2 + i + 1
+        u = p[ordr + i]
+        v = p[ordr + j]
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        key = np.unique((lo << np.int64(32)) | hi)
+        out = pa.table({"k": pa.array(key, pa.int64())})
+        return out.append_column("bucket",
+                                 int_bucket(out.column("k"), n_buckets))
+
+    edges = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]) \
+        .map_batches(pair_tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pairs_grp,
+                                      batch_format="pyarrow")
+
+    def edge_dedup(g: pa.Table) -> pa.Table:
+        k = np.unique(g.column("k").to_numpy(zero_copy_only=False))
+        return pa.table({"u": pa.array(k >> np.int64(32), pa.int64()),
+                         "v": pa.array(k & np.int64(0xFFFFFFFF),
+                                       pa.int64())})
+
+    dedges = edges.groupby("bucket") \
+        .map_groups(edge_dedup, batch_format="pyarrow").materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        n = np.concatenate([t.column("u").to_numpy(zero_copy_only=False),
+                            t.column("v").to_numpy(zero_copy_only=False)])
+        nu, cnt = np.unique(n, return_counts=True)
+        return pa.table({"node": pa.array(nu, pa.int64()),
+                         "d": pa.array(cnt, pa.int64())})
+
+    deg_t = _combine_partials(
+        dedges.map_batches(deg_partial, batch_format="pyarrow"),
+        ["node"], {"d": "d"})
+    nodes = deg_t.column("node").to_numpy(zero_copy_only=False)
+    degs = deg_t.column("d").to_numpy(zero_copy_only=False)
+    order = np.argsort(nodes)
+    nodes_s, degs_s = nodes[order], degs[order]
+
+    ukeys, vkeys = [], []
+    for t in dedges.iter_batches(batch_format="pyarrow"):
+        ukeys.append(t.column("u").to_numpy(zero_copy_only=False))
+        vkeys.append(t.column("v").to_numpy(zero_copy_only=False))
+    eu = np.concatenate(ukeys) if ukeys else np.array([], np.int64)
+    ev = np.concatenate(vkeys) if vkeys else np.array([], np.int64)
+    ekeys = np.sort((eu << np.int64(32)) | ev)
+
+    import ray
+    ekeys_ref = ray.put(ekeys)
+    deg_ref = ray.put((nodes_s, degs_s))
+    n_src_buckets = adaptive_buckets(len(nodes_s), lo=8)
+
+    def orient(t: pa.Table) -> pa.Table:
+        ns, ds = ray.get(deg_ref)
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        du = ds[np.searchsorted(ns, u)]
+        dv = ds[np.searchsorted(ns, v)]
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        src = np.where(u_first, u, v)
+        dst = np.where(u_first, v, u)
+        out = pa.table({"src": pa.array(src, pa.int64()),
+                        "dst": pa.array(dst, pa.int64())})
+        return out.append_column(
+            "bucket", int_bucket(out.column("src"), n_src_buckets))
+
+    def wedge_grp(g: pa.Table) -> pa.Table:
+        ek = ray.get(ekeys_ref)
+        s = g.column("src").to_numpy(zero_copy_only=False)
+        d = g.column("dst").to_numpy(zero_copy_only=False)
+        o = np.lexsort((d, s))
+        s, d = s[o], d[o]
+        starts = np.flatnonzero(np.append(True, s[1:] != s[:-1]))
+        lens = np.diff(np.append(starts, len(s)))
+        npairs = lens * (lens - 1) // 2
+        srcr = np.repeat(starts, npairs)
+        k = _aranges(npairs)
+        ln = np.repeat(lens, npairs)
+        i = np.floor((2 * ln - 1
+                      - np.sqrt((2 * ln - 1) ** 2 - 8 * k)) / 2) \
+            .astype(np.int64)
+        j = k - i * (2 * ln - i - 1) // 2 + i + 1
+        w1, w2 = d[srcr + i], d[srcr + j]
+        lo, hi = np.minimum(w1, w2), np.maximum(w1, w2)
+        wkey = (lo << np.int64(32)) | hi
+        pos = np.searchsorted(ek, wkey)
+        pos_c = np.minimum(pos, len(ek) - 1) if len(ek) else pos
+        hit = (ek[pos_c] == wkey) if len(ek) else \
+            np.zeros(len(wkey), bool)
+        tri_nodes = np.concatenate([s[srcr][hit], w1[hit], w2[hit]])
+        nu, cnt = np.unique(tri_nodes, return_counts=True)
+        return pa.table({"node": pa.array(nu, pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    counts = _combine_partials(
+        dedges.map_batches(orient, batch_format="pyarrow")
+        .groupby("bucket").map_groups(wedge_grp,
+                                      batch_format="pyarrow"),
+        ["node"], {"cnt": "n_triangles"})
+    part = counts.column("node").to_numpy(zero_copy_only=False)
+    nt = counts.column("n_triangles").to_numpy(zero_copy_only=False)
+    top = np.lexsort((part, -nt))[:25]
+    return pa.table({
+        "l_partkey": pa.array(part[top], pa.int64()),
+        "n_triangles": pa.array(nt[top], pa.int64())})
+
+
+SQL_TRIANGLE_PARTS = """WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+n AS (SELECT unnest([a, b, c]) AS part FROM t)
+SELECT part AS l_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM n GROUP BY 1 ORDER BY n_triangles DESC, l_partkey LIMIT 25"""
+
+
+def q_ema_cents(sf_dir: str):
+    """Per-user exponential moving average with half-life decay
+    alpha = 1/2, in EXACT integer arithmetic: s_1 = c_1,
+    s_i = floor((c_i + s_{i-1}) / 2) over round-half-away cents — the
+    ordered RECURSIVE window shape (each row depends on the previous
+    OUTPUT, not a prefix aggregate), which no associative fold can
+    express. The integer floor recurrence makes every engine agree
+    bit-for-bit where a float EMA's rounding order would diverge.
+
+    Same bucketed-cogroup contract as running_sum; per group ONE
+    lexsort, then the recurrence steps VECTORIZED ACROSS USERS: step k
+    updates position k of every user's segment simultaneously
+    (np arithmetic shift = floor for negatives), so the Python-level
+    loop is bounded by the deepest per-user history in the bucket —
+    never the row count."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        ok = pc.and_(pc.and_(pc.is_valid(v),
+                             pc.invert(pc.is_nan(v))),
+                     pc.and_(pc.is_valid(t.column("ts")),
+                             pc.is_valid(t.column("user_id"))))
+        sub = t.filter(ok)
+        return sub.append_column(
+            "bucket", int_bucket(sub.column("user_id"), n_buckets))
+
+    def ema_grp(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(g.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(pc.multiply(g.column("value"), 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        us, c = u[order], cents[order]
+        starts = np.flatnonzero(np.append(True, us[1:] != us[:-1]))
+        lens = np.diff(np.append(starts, len(us)))
+        s = c.copy()
+        for k in range(1, int(lens.max()) if len(lens) else 0):
+            sel = lens > k
+            p = starts[sel] + k
+            s[p] = (c[p] + s[p - 1]) >> 1
+        return pa.table({
+            "event_id": pa.array(eid[order], pa.int64()),
+            "user_id": pa.array(us, pa.int64()),
+            "ema_cents": pa.array(s, pa.int64())})
+
+    return _read(sf_dir, "events",
+                 ["event_id", "user_id", "ts", "value"]) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(ema_grp, batch_format="pyarrow")
+
+
+SQL_EMA_CENTS = """WITH RECURSIVE base AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+    AND ts IS NOT NULL AND user_id IS NOT NULL),
+r AS (
+  SELECT event_id, user_id, rn, c AS s FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.event_id, b.user_id, b.rn,
+         CAST(floor((b.c + r.s) / 2.0) AS BIGINT)
+  FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+SELECT event_id, user_id, s AS ema_cents FROM r"""
+
+
+_BM25_TERMS = ("dup", "spark", "window", "merge", "batch")
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 retrieval: top-25 docs for a fixed 5-term query
+    (k1 = 1.2, b = 0.75) with the ODDS idf — (N − df + 0.5)/(df + 0.5),
+    i.e. Robertson's idf WITHOUT the log — because every op is then
+    rational double arithmetic (+ − × ÷ are correctly-rounded IEEE in
+    both engines, transcendental libm calls are not), so the oracle
+    compares bit-for-bit. Per term the odds transform is monotone in
+    the classic idf; the summed score is the exact-arithmetic variant.
+
+    Plan: one tokenize pass projects (doc_id, dl, tf per term) — 7
+    fixed-width ints, materialized because the stats fold AND the
+    score pass both consume it (the quality_filter justification);
+    df/N/total fold from one-row-per-batch partials at the driver; the
+    score pass broadcasts 7 scalars in the closure and keeps a LOCAL
+    top-25 per batch, so the final fold sees <= 25 rows per batch and
+    nothing global sorts. Score terms sum left-associative t0..t4,
+    mirrored exactly in the SQL; tf = 0 contributes an exact 0.0, so
+    no branch is needed."""
+    import numpy as np
+    from .textops.analysis import flat_tokens
+
+    terms = pa.array(_BM25_TERMS, pa.string())
+
+    def project(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_valid(t.column("text")))
+        row_id, toks, n_rows = flat_tokens(sub.column("text"))
+        dl = np.bincount(row_id, minlength=n_rows).astype(np.int64)
+        code = pc.index_in(toks, value_set=terms) \
+            .to_numpy(zero_copy_only=False)
+        # index_in yields null (→ NaN via to_numpy) for misses
+        codes = np.nan_to_num(code.astype(np.float64),
+                              nan=-1).astype(np.int64)
+        m = codes >= 0
+        tf = np.zeros((n_rows, len(_BM25_TERMS)), np.int64)
+        if m.any():
+            np.add.at(tf, (row_id[m], codes[m]), 1)
+        cols = {"doc_id": sub.column("doc_id"),
+                "dl": pa.array(dl, pa.int64())}
+        for i in range(len(_BM25_TERMS)):
+            cols[f"tf{i}"] = pa.array(tf[:, i], pa.int64())
+        return pa.table(cols)
+
+    proj = _read(sf_dir, "documents", ["doc_id", "text"], blocks=16) \
+        .map_batches(project, batch_format="pyarrow").materialize()
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        row = {"one": pa.array([1], pa.int64()),
+               "n": pa.array([t.num_rows], pa.int64()),
+               "total": pa.array([pc.sum(t.column("dl")).as_py() or 0],
+                                 pa.int64())}
+        for i in range(len(_BM25_TERMS)):
+            row[f"df{i}"] = pa.array(
+                [pc.sum(pc.cast(pc.greater(t.column(f"tf{i}"), 0),
+                                pa.int64())).as_py() or 0], pa.int64())
+        return pa.table(row)
+
+    sums = {"n": "n", "total": "total"}
+    sums.update({f"df{i}": f"df{i}"
+                 for i in range(len(_BM25_TERMS))})
+    st = _combine_partials(
+        proj.map_batches(stats_partial, batch_format="pyarrow"),
+        ["one"], sums)
+    n_d = np.float64(st.column("n")[0].as_py())
+    total = np.float64(st.column("total")[0].as_py())
+    avgdl = total / n_d
+    idf = [(n_d - np.float64(st.column(f"df{i}")[0].as_py())) + 0.5
+           for i in range(len(_BM25_TERMS))]
+    idf = [a / (np.float64(st.column(f"df{i}")[0].as_py()) + 0.5)
+           for i, a in enumerate(idf)]
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        dl = t.column("dl").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        denom_norm = 1.2 * (0.25 + 0.75 * (dl / avgdl))
+        score = np.zeros(len(dl), np.float64)
+        for i in range(len(_BM25_TERMS)):
+            tf = t.column(f"tf{i}").to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            score = score + idf[i] * ((tf * 2.2) / (tf + denom_norm))
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        top = np.lexsort((doc, -score))[:25]
+        return pa.table({"doc_id": pa.array(doc[top], pa.int64()),
+                         "score": pa.array(score[top], pa.float64())})
+
+    parts = pa.concat_tables(list(
+        proj.map_batches(score_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    doc = parts.column("doc_id").to_numpy(zero_copy_only=False)
+    score = parts.column("score").to_numpy(zero_copy_only=False)
+    top = np.lexsort((doc, -score))[:25]
+    return pa.table({"doc_id": pa.array(doc[top], pa.int64()),
+                     "score": pa.array(score[top], pa.float64())})
+
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n  ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS))
+    df_cols = ",\n  ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" AS df{i}" for i in range(len(_BM25_TERMS)))
+    score = "\n  + ".join(
+        f"(((st.n - st.df{i}) + 0.5) / (st.df{i} + 0.5))"
+        f" * ((CAST(f.tf{i} AS DOUBLE) * 2.2)"
+        f" / (CAST(f.tf{i} AS DOUBLE)"
+        f" + 1.2 * (0.25 + 0.75 * (CAST(f.dl AS DOUBLE)"
+        f" / (st.total / st.n)))))"
+        for i in range(len(_BM25_TERMS)))
+    return f"""WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents WHERE text IS NOT NULL),
+f AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+  {tf_cols}
+  FROM tok),
+st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+  CAST(SUM(dl) AS DOUBLE) AS total,
+  {df_cols}
+  FROM f)
+SELECT f.doc_id, {score} AS score
+FROM f, st ORDER BY score DESC, f.doc_id LIMIT 25"""
+
+
+SQL_BM25_TOPK = _bm25_sql()
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -12580,6 +13082,10 @@ QUERIES = {
     "pack_efficiency": (q_pack_efficiency, SQL_PACK_EFFICIENCY),
     "conv_turn_histogram": (q_conv_turn_histogram,
                             SQL_CONV_TURN_HISTOGRAM),
+    "prefix_dups": (q_prefix_dups, SQL_PREFIX_DUPS),
+    "triangle_parts": (q_triangle_parts, SQL_TRIANGLE_PARTS),
+    "ema_cents": (q_ema_cents, SQL_EMA_CENTS),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —
