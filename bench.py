@@ -202,7 +202,7 @@ def run_queries() -> dict[str, float]:
              "pack_efficiency",
              "decile_transition",
              "prefix_dups", "triangle_parts", "ema_cents",
-             "bm25_topk"]
+             "bm25_topk", "sft_examples", "ols_fit"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

@@ -12823,6 +12823,201 @@ FROM f, st ORDER BY score DESC, f.doc_id LIMIT 25"""
 SQL_BM25_TOPK = _bm25_sql()
 
 
+def q_sft_examples(sf_dir: str):
+    """SFT training-pair construction: one (prompt, completion) row
+    per ASSISTANT turn, prompt = the previous ≤2 turns of the same
+    conversation rendered as ``role: text\\n`` lines — the
+    transcripts→supervised-examples step of an LLM data pipeline
+    (the LAG-over-text window shape, here producing strings rather
+    than numbers).
+
+    Same bucketed-cogroup contract as conversation_assembly: one
+    conv-hash shuffle, per group one Arrow sort + two shifted-array
+    joins (``binary_join_element_wise``), zero per-row Python. A turn
+    with null text contributes an EMPTY line to the prompt (the
+    COALESCE('') contract, mirrored exactly in SQL); conversation
+    boundaries are masked so a prompt never leaks the previous
+    conversation's turns."""
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", fnv1a_bucket(t.column("conv_id"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("conv_id", "ascending"),
+                          ("turn_idx", "ascending")])
+        s = g.take(idx)
+        n = s.num_rows
+        conv = s.column("conv_id").combine_chunks()
+        role = s.column("role").combine_chunks()
+        text = s.column("text").combine_chunks()
+
+        def shifted(arr: pa.Array, k: int) -> pa.Array:
+            if n <= k:
+                return pa.nulls(n, arr.type)
+            return pa.concat_arrays(
+                [pa.nulls(k, arr.type), arr.slice(0, n - k)])
+
+        def piece(k: int) -> pa.Array:
+            same = pc.equal(conv, shifted(conv, k))  # null at starts
+            p = pc.binary_join_element_wise(
+                shifted(role, k), pa.scalar(": "), shifted(text, k),
+                pa.scalar("\n"), pa.scalar(""))
+            cond = pc.fill_null(
+                pc.and_kleene(same, pc.is_valid(p)), False)
+            return pc.if_else(cond, p, pa.scalar("", pa.string()))
+
+        prompt = pc.binary_join_element_wise(
+            piece(2), piece(1), pa.scalar(""))
+        keep = pc.equal(role, pa.scalar("assistant"))
+        out = pa.table({
+            "conv_id": conv, "turn_idx": s.column("turn_idx"),
+            "prompt": prompt, "completion": text})
+        return out.filter(pc.fill_null(keep, False))
+
+    return read_transcripts(sf_dir) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_SFT_EXAMPLES = f"""{_T},
+w AS (SELECT conv_id, turn_idx, role, text,
+        lag(role, 1) OVER win AS r1, lag(text, 1) OVER win AS t1,
+        lag(role, 2) OVER win AS r2, lag(text, 2) OVER win AS t2
+      FROM transcripts
+      WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT conv_id, turn_idx,
+       COALESCE(r2 || ': ' || t2 || chr(10), '') ||
+       COALESCE(r1 || ': ' || t1 || chr(10), '') AS prompt,
+       text AS completion
+FROM w WHERE role = 'assistant'"""
+
+
+def q_ols_fit(sf_dir: str):
+    """Grouped multiple linear regression: per event type, fit
+    value-cents on TWO features — hour-of-day and day-slot-of-week,
+    both pure epoch integer arithmetic so neither engine touches
+    timezone/calendar semantics — by exact integer normal equations.
+    All nine sufficient statistics (n, Σx₁, Σx₂, Σy, Σx₁², Σx₁x₂,
+    Σx₂², Σx₁y, Σx₂y) are associative int64 partials (groups × batch
+    fixed-width rows, NO shuffle — the grouped_corr shape, one order
+    higher); the driver solves the 3×3 system by Cramer cofactors in
+    python ints (cannot wrap), mirrored in SQL as HUGEINT sums with
+    the IDENTICAL cofactor polynomials, so determinant and numerators
+    are exact integers in both engines and each coefficient is ONE
+    correctly-rounded double division. Singular groups (det = 0) are
+    excluded in both."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v) & pc.is_valid(t.column("ts")) \
+            .to_numpy(zero_copy_only=False)
+        y = np.floor(v[ok] * 100.0).astype(np.int64)
+        us = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)[ok]
+        x1 = (us // 3_600_000_000) % 24
+        x2 = (us // 86_400_000_000) % 7
+        tt = pa.table({
+            "event_type": pc.array_filter(
+                t.column("event_type").combine_chunks(),
+                pa.array(ok)),
+            "y": pa.array(y, pa.int64()),
+            "x1": pa.array(x1, pa.int64()),
+            "x2": pa.array(x2, pa.int64()),
+            "x11": pa.array(x1 * x1, pa.int64()),
+            "x12": pa.array(x1 * x2, pa.int64()),
+            "x22": pa.array(x2 * x2, pa.int64()),
+            "x1y": pa.array(x1 * y, pa.int64()),
+            "x2y": pa.array(x2 * y, pa.int64())})
+        g = tt.group_by("event_type").aggregate(
+            [("y", "sum"), ("x1", "sum"), ("x2", "sum"),
+             ("x11", "sum"), ("x12", "sum"), ("x22", "sum"),
+             ("x1y", "sum"), ("x2y", "sum"), ("y", "count")])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "sy": g.column("y_sum"), "s1": g.column("x1_sum"),
+            "s2": g.column("x2_sum"), "s11": g.column("x11_sum"),
+            "s12": g.column("x12_sum"), "s22": g.column("x22_sum"),
+            "s1y": g.column("x1y_sum"), "s2y": g.column("x2y_sum"),
+            "n": pc.cast(g.column("y_count"), pa.int64())})
+
+    comb = _combine_partials(
+        _read(sf_dir, "events", ["event_type", "value", "ts"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        {"sy": "sy", "s1": "s1", "s2": "s2", "s11": "s11",
+         "s12": "s12", "s22": "s22", "s1y": "s1y", "s2y": "s2y",
+         "n": "n"})
+    types, ns, b0s, b1s, b2s = [], [], [], [], []
+    for r in comb.to_pylist():
+        n, s1, s2, sy = r["n"], r["s1"], r["s2"], r["sy"]
+        s11, s12, s22 = r["s11"], r["s12"], r["s22"]
+        s1y, s2y = r["s1y"], r["s2y"]
+        det = (n * (s11 * s22 - s12 * s12)
+               - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2))
+        if det == 0:
+            continue
+        num0 = (sy * (s11 * s22 - s12 * s12)
+                - s1 * (s1y * s22 - s12 * s2y)
+                + s2 * (s1y * s12 - s11 * s2y))
+        num1 = (n * (s1y * s22 - s12 * s2y)
+                - sy * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s2y - s1y * s2))
+        num2 = (n * (s11 * s2y - s1y * s12)
+                - s1 * (s1 * s2y - s1y * s2)
+                + sy * (s1 * s12 - s11 * s2))
+        types.append(r["event_type"])
+        ns.append(n)
+        b0s.append(float(num0) / float(det))
+        b1s.append(float(num1) / float(det))
+        b2s.append(float(num2) / float(det))
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n": pa.array(ns, pa.int64()),
+        "b0": pa.array(b0s, pa.float64()),
+        "b_hour": pa.array(b1s, pa.float64()),
+        "b_dayslot": pa.array(b2s, pa.float64())})
+
+
+SQL_OLS_FIT = """WITH p AS (
+  SELECT event_type,
+    CAST(FLOOR(value * 100) AS BIGINT) AS y,
+    (epoch_us(ts) // 3600000000) % 24 AS x1,
+    (epoch_us(ts) // 86400000000) % 7 AS x2
+  FROM events WHERE NOT isnan(value) AND ts IS NOT NULL),
+s AS (SELECT event_type,
+    CAST(COUNT(*) AS HUGEINT) AS n,
+    CAST(SUM(y) AS HUGEINT) AS sy,
+    CAST(SUM(x1) AS HUGEINT) AS s1,
+    CAST(SUM(x2) AS HUGEINT) AS s2,
+    CAST(SUM(x1*x1) AS HUGEINT) AS s11,
+    CAST(SUM(x1*x2) AS HUGEINT) AS s12,
+    CAST(SUM(x2*x2) AS HUGEINT) AS s22,
+    CAST(SUM(x1*y) AS HUGEINT) AS s1y,
+    CAST(SUM(x2*y) AS HUGEINT) AS s2y
+  FROM p GROUP BY event_type),
+d AS (SELECT *,
+    n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+      + s2*(s1*s12 - s11*s2) AS det
+  FROM s)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+  CAST(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+       + s2*(s1y*s12 - s11*s2y) AS DOUBLE)
+    / CAST(det AS DOUBLE) AS b0,
+  CAST(n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+       + s2*(s1*s2y - s1y*s2) AS DOUBLE)
+    / CAST(det AS DOUBLE) AS b_hour,
+  CAST(n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+       + sy*(s1*s12 - s11*s2) AS DOUBLE)
+    / CAST(det AS DOUBLE) AS b_dayslot
+FROM d WHERE det <> 0"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -13086,6 +13281,8 @@ QUERIES = {
     "triangle_parts": (q_triangle_parts, SQL_TRIANGLE_PARTS),
     "ema_cents": (q_ema_cents, SQL_EMA_CENTS),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "sft_examples": (q_sft_examples, SQL_SFT_EXAMPLES),
+    "ols_fit": (q_ols_fit, SQL_OLS_FIT),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —
