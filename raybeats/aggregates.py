@@ -176,7 +176,7 @@ def grouped_mad(ds, *, value_col: str = "value",
     med_tb = pa.concat_tables(list(
         grouped_exact_quantiles(ds, value_col=value_col, by=by,
                                 qs=(0.5,), scale=scale)
-        .iter_batches(batch_format="pyarrow")))
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
     med_keys = med_tb.column(by).combine_chunks()
     med_vals = med_tb.column("p50_cents").to_numpy(zero_copy_only=False)
 
@@ -268,7 +268,7 @@ def fold_quantum_cdf(ds, *, value_col: str, scale: int = 1) \
 
     acc: dict[int, int] = {}
     for b in ds.map_batches(partial, batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
         for quantum, cnt in zip(
                 b.column("q").to_numpy(zero_copy_only=False),
                 b.column("cnt").to_numpy(zero_copy_only=False)):
@@ -319,7 +319,7 @@ def profile_columns(ds, columns: list[str]) -> pa.Table:
             "max_v": pa.array(maxs, pa.float64())})
 
     batches = list(ds.map_batches(partial, batch_format="pyarrow")
-                   .iter_batches(batch_format="pyarrow"))
+                   .iter_batches(batch_size=None, batch_format="pyarrow"))
     if not batches:
         # a zero-batch input (empty/filtered-away ingest) is exactly
         # what a validation profile must REPORT, not crash on
@@ -703,7 +703,7 @@ def global_row_number(ds, *, value_col: str, id_col: str, id_max: int,
     # shape); only the UNIQUE cells touch python, building the dict
     qs_l, bs_l, cs_l = [], [], []
     for t in cells.map_batches(cell_counts, batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
         qs_l.append(t.column("__q").to_numpy(zero_copy_only=False))
         bs_l.append(t.column("__b").to_numpy(zero_copy_only=False))
         cs_l.append(t.column("cnt").to_numpy(zero_copy_only=False))

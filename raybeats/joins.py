@@ -699,7 +699,7 @@ def build_bloom(right_ds, *, on: str, n_bits: int,
     merged = partials.map_batches(or_merge, batch_format="pyarrow",
                                   batch_size=fan_in)
     sparse_acc = []
-    for b in merged.iter_batches(batch_format="pyarrow"):
+    for b in merged.iter_batches(batch_size=None, batch_format="pyarrow"):
         kinds = b.column("__kind").to_numpy(zero_copy_only=False)
         for payload, kind in zip(
                 _iter_bloom_payloads(b.column("__bloom")), kinds):

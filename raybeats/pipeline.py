@@ -200,7 +200,7 @@ class Pipeline:
         # driver with one vectorized arrow group_by instead of paying a
         # distributed shuffle for a few hundred rows
         parts = pa.concat_tables(
-            list(small.iter_batches(batch_format="pyarrow"))
+            list(small.iter_batches(batch_size=None, batch_format="pyarrow"))
             or [pa.table({SINK: pa.array([], pa.string()),
                           "n": pa.array([], pa.int64())})])
         agg = parts.group_by(SINK).aggregate([("n", "sum")])

@@ -615,7 +615,7 @@ def q_contamination(sf_dir: str):
     cand = pa.concat_tables(_read(sf_dir, "documents", ["doc_id", "text"])
                             .map_batches(local_top100,
                                          batch_format="pyarrow")
-                            .iter_batches(batch_format="pyarrow"),
+                            .iter_batches(batch_size=None, batch_format="pyarrow"),
                             promote_options="default")
     bench = cand.sort_by("doc_id").slice(0, 100)
     snippets = sorted({t[20:60] for t in bench.column("text").to_pylist()})
@@ -1201,7 +1201,7 @@ def _combine_partials(ds, keys: list[str], sums: dict[str, str],
     sums) keeps fixed-row reports well-defined when the upstream
     filters everything out — without it an empty stream cannot even
     be concatenated."""
-    tables = list(ds.iter_batches(batch_format="pyarrow"))
+    tables = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
     if seed is not None:
         tables.append(seed)
     merged = pa.concat_tables(tables)
@@ -1828,7 +1828,7 @@ def q_distinctive_terms(sf_dir: str):
 
     import numpy as _np
     df_tbl = pa.concat_tables(list(
-        q_inverted_index(sf_dir).iter_batches(batch_format="pyarrow"))) \
+        q_inverted_index(sf_dir).iter_batches(batch_size=None, batch_format="pyarrow"))) \
         .sort_by("token")
     # prebuild the sorted vocab + df arrays ONCE on the driver — the
     # per-batch cost is then just the searchsorted lookup, not an
@@ -3578,7 +3578,7 @@ def q_ntile_deciles(sf_dir: str):
                         t.column("value").to_numpy(
                             zero_copy_only=False)))], pa.int64())}),
                 batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
         n_total += int(pc.sum(t.column("n")).as_py() or 0)
 
     ranked = global_row_number(
@@ -3602,7 +3602,7 @@ def q_ntile_deciles(sf_dir: str):
 
     merged = pa.concat_tables(list(
         ranked.map_batches(partial, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")))
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
     agg = merged.group_by("decile").aggregate(
         [("n", "sum"), ("mn", "min"), ("mx", "max")])
     return pa.table({"decile": agg.column("decile"),
@@ -3863,7 +3863,7 @@ def q_top_user_per_type(sf_dir: str):
         _read(sf_dir, "events", ["event_type", "user_id"])
         .map_batches(tag, batch_format="pyarrow")
         .groupby("bucket").map_groups(grp, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")))
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
     import numpy as np
     u = cands.column("top_user").to_numpy(zero_copy_only=False)
     c = cands.column("n_events").to_numpy(zero_copy_only=False)
@@ -4240,7 +4240,7 @@ def q_sample_uniform(sf_dir: str, k: int = 100):
     merged = pa.concat_tables(list(
         _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
         .map_batches(partial, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")))
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
     top = merged.sort_by([("h", "ascending"), ("event_id", "ascending")]) \
         .slice(0, k)
     return top.select(["event_id", "user_id", "event_type"])
@@ -4276,7 +4276,7 @@ def q_min_value_rows(sf_dir: str):
     small = _read(sf_dir, "events", ["event_type", "value"]) \
         .map_batches(min_partial, batch_format="pyarrow")
     merged = pa.concat_tables(list(
-        small.iter_batches(batch_format="pyarrow")))
+        small.iter_batches(batch_size=None, batch_format="pyarrow")))
     agg = merged.group_by("event_type").aggregate([("mn", "min")])
     thr_types = agg.column("event_type").combine_chunks()
     thr_mins = agg.column("mn_min").to_numpy(zero_copy_only=False)
@@ -4697,7 +4697,7 @@ def q_dense_topk(sf_dir: str):
     merged = pa.concat_tables(list(
         _read(sf_dir, "events", ["event_type", "value"])
         .map_batches(partial, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")))
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
     d = merged.group_by(["event_type", "cents"]).aggregate([])
     et = d.column("event_type").combine_chunks()
     cents = d.column("cents").to_numpy(zero_copy_only=False)
@@ -4910,7 +4910,7 @@ def q_cluster_radius(sf_dir: str):
         _read(sf_dir, "embeddings", ["label", "embedding"])
         .map_batches(lambda t: centroid_sum_partial(t),
                      batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")))
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
     agg = parts.group_by(["label", "idx"]).aggregate(
         [("s", "sum"), ("n", "sum")])
     labs = agg.column("label").to_numpy(zero_copy_only=False)
@@ -4953,7 +4953,7 @@ def q_cluster_radius(sf_dir: str):
     small = pa.concat_tables(list(
         _read(sf_dir, "embeddings", ["label", "embedding"])
         .map_batches(partial, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")))
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
     g = small.group_by("label").aggregate([("n", "sum"),
                                            ("max_sq", "max")])
     return pa.table({"label": g.column("label"),
@@ -5039,7 +5039,7 @@ def q_quartile_bucket(sf_dir: str):
         grouped_exact_quantiles(
             _read(sf_dir, "events", ["event_type", "value"]),
             qs=(0.25, 0.5, 0.75))
-        .iter_batches(batch_format="pyarrow")))
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
     types = thr.column("event_type").combine_chunks()
     p25 = thr.column("p25_cents").to_numpy(zero_copy_only=False)
     p50 = thr.column("p50_cents").to_numpy(zero_copy_only=False)
@@ -5446,7 +5446,7 @@ def q_mode_per_type(sf_dir: str):
     merged = pa.concat_tables(list(
         _read(sf_dir, "events", ["event_type", "value"])
         .map_batches(partial, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")))
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
     f = merged.group_by(["event_type", "cents"]).aggregate(
         [("n", "sum")])
     enc = pc.dictionary_encode(f.column("event_type").combine_chunks())
@@ -5489,7 +5489,7 @@ def q_centroid_dists(sf_dir: str):
         _read(sf_dir, "embeddings", ["label", "embedding"])
         .map_batches(lambda t: centroid_sum_partial(t),
                      batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")))
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
     agg = parts.group_by(["label", "idx"]).aggregate(
         [("s", "sum"), ("n", "sum")])
     labs = agg.column("label").to_numpy(zero_copy_only=False)
@@ -5685,7 +5685,7 @@ def q_max_concurrency(sf_dir: str):
         _read(sf_dir, "events", ["ts"])
         .map_batches(tag, batch_format="pyarrow")
         .groupby("bucket").map_groups(grp, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")))
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
     day = parts.column("day").to_numpy(zero_copy_only=False)
     order = np.argsort(day)
     delta = parts.column("delta").to_numpy(zero_copy_only=False)[order]
@@ -5814,7 +5814,7 @@ def q_error_report(sf_dir: str):
     cdf = pa.concat_tables(list(
         _read(sf_dir, "events", cols)
         .map_batches(stats_partial, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")))
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
     users = _combine_partials(
         _read(sf_dir, "events", cols)
         .map_batches(users_partial, batch_format="pyarrow")
@@ -6113,7 +6113,7 @@ def q_pareto_front(sf_dir: str):
     merged = pa.concat_tables(list(
         _read(sf_dir, "events", ["event_id", "ts", "value"])
         .map_batches(partial, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")))
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
     eid = merged.column("event_id").to_numpy(zero_copy_only=False)
     ts = merged.column("ts_us").to_numpy(zero_copy_only=False)
     v = merged.column("value_cents").to_numpy(zero_copy_only=False)
@@ -6181,7 +6181,7 @@ def q_missing_ranges(sf_dir: str):
         _read(sf_dir, "events", ["event_id", "event_type"])
         .map_batches(tag, batch_format="pyarrow")
         .groupby("bucket").map_groups(grp, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow"))
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
     empty = pa.table({"gap_start": pa.array([], pa.int64()),
                       "gap_end": pa.array([], pa.int64())})
     if not batches:
@@ -6569,7 +6569,7 @@ def q_weighted_sample(sf_dir: str, k: int = 200):
     merged = pa.concat_tables(list(
         _read(sf_dir, "events", ["event_id", "event_type"])
         .map_batches(partial, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")))
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
     top = merged.sort_by([("prio", "ascending"),
                           ("event_id", "ascending")]).slice(0, k)
     return top.select(["event_id", "event_type"])
@@ -6964,7 +6964,7 @@ def q_funnel_steps(sf_dir: str):
         _read(sf_dir, "events", ["user_id", "ts", "event_type"])
         .map_batches(tag, batch_format="pyarrow")
         .groupby("bucket").map_groups(grp, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")),
+        .iter_batches(batch_size=None, batch_format="pyarrow")),
         promote_options="default")
     return pa.table({
         "user_id": out.column("user_id"),
@@ -7279,7 +7279,7 @@ def q_customers_full_coverage(sf_dir: str):
         _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
         .map_batches(tag, batch_format="pyarrow")
         .groupby("bucket").map_groups(grp, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")),
+        .iter_batches(batch_size=None, batch_format="pyarrow")),
         promote_options="default")
     return out
 
@@ -7580,7 +7580,7 @@ def q_behavior_signatures(sf_dir: str):
                 "event_type": pc.unique(
                     pc.drop_null(t.column("event_type")))}),
                 batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
         types.update(b.column("event_type").to_pylist())
     code = {t: i for i, t in enumerate(sorted(types))}
     if len(code) > 62:
@@ -8281,7 +8281,7 @@ def q_tool_latency(sf_dir: str):
         read_transcripts(sf_dir)
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket").map_groups(grp, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow"))
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
     empty = pa.schema([("tool", pa.string()), ("s", pa.int64()),
                        ("mx", pa.int64()), ("n", pa.int64())]) \
         .empty_table()
@@ -8567,7 +8567,7 @@ def q_skew_report(sf_dir: str):
         _read(sf_dir, "events", ["user_id"])
         .map_batches(tag, batch_format="pyarrow")
         .groupby("bucket").map_groups(grp, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")),
+        .iter_batches(batch_size=None, batch_format="pyarrow")),
         promote_options="default")
     u = parts.column("u").to_numpy(zero_copy_only=False)
     n = parts.column("n").to_numpy(zero_copy_only=False)
@@ -8800,7 +8800,7 @@ def q_sessions_with_buy(sf_dir: str):
         .map_batches(tag, batch_format="pyarrow") \
         .groupby("bucket").map_groups(grp, batch_format="pyarrow")
     t = pa.concat_tables(list(small.iter_batches(
-        batch_format="pyarrow")), promote_options="default")
+        batch_size=None, batch_format="pyarrow")), promote_options="default")
     return pa.table({
         "n_sessions": pa.array([int(pc.sum(
             t.column("n_sessions")).as_py() or 0)], pa.int64()),
@@ -9318,7 +9318,7 @@ def q_dim_profile(sf_dir: str):
     parts = pa.concat_tables(list(
         _read(sf_dir, "embeddings", ["embedding"])
         .map_batches(partial, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")),
+        .iter_batches(batch_size=None, batch_format="pyarrow")),
         promote_options="default")
     g = parts.group_by("idx").aggregate(
         [("n", "sum"), ("s", "sum"), ("mn", "min"), ("mx", "max")])
@@ -9565,7 +9565,7 @@ def q_split_leakage(sf_dir: str):
         .map_batches(tag, batch_format="pyarrow") \
         .groupby("bucket").map_groups(grp, batch_format="pyarrow")
     t = pa.concat_tables(list(small.iter_batches(
-        batch_format="pyarrow")), promote_options="default")
+        batch_size=None, batch_format="pyarrow")), promote_options="default")
     return pa.table({
         "n_texts": pa.array([int(pc.sum(t.column("n_texts")).as_py()
                                  or 0)], pa.int64()),
@@ -10363,7 +10363,7 @@ def q_top_bigram_per_source(sf_dir: str):
         _read(sf_dir, "documents", ["source", "text"], blocks=16)
         .map_batches(tag, batch_format="pyarrow")
         .groupby("bucket").map_groups(grp, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")),
+        .iter_batches(batch_size=None, batch_format="pyarrow")),
         promote_options="default")
     src = np.asarray(cand.column("source").to_pylist(), object)
     big = np.asarray(cand.column("bigram").to_pylist(), object)
@@ -10472,7 +10472,7 @@ def q_extreme_vectors(sf_dir: str):
     cand = pa.concat_tables(list(
         _read_dim(sf_dir, "embeddings", ["vec_id", "embedding"])
         .map_batches(partial, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")),
+        .iter_batches(batch_size=None, batch_format="pyarrow")),
         promote_options="default")
     vid = cand.column("vec_id").to_numpy(zero_copy_only=False)
     sq = cand.column("norm_sq_q").to_numpy(zero_copy_only=False)
@@ -11239,7 +11239,7 @@ def q_rank_topk_ties(sf_dir: str):
 
     top = pa.concat_tables(list(
         counts.map_batches(cand, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")))
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
     thr: dict[str, int] = {}
     et = top.column("event_type").to_pylist()
     n = top.column("n_events").to_pylist()
@@ -11443,7 +11443,7 @@ def q_turn_len_by_role(sf_dir: str):
     parts = pa.concat_tables(list(
         read_transcripts(sf_dir)
         .map_batches(partial, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")))
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
     agg = parts.group_by("role").aggregate([("n_turns", "sum"),
                                             ("total_chars", "sum"),
                                             ("max_chars", "max")])
@@ -11507,7 +11507,7 @@ def q_decile_transition(sf_dir: str):
         .materialize()
 
     n_year = {y1: 0, y2: 0}
-    for t in totals.iter_batches(batch_format="pyarrow"):
+    for t in totals.iter_batches(batch_size=None, batch_format="pyarrow"):
         g = t.group_by("y").aggregate([([], "count_all")])
         for y, c in zip(g.column("y").to_pylist(),
                         g.column("count_all").to_pylist()):
@@ -12213,7 +12213,7 @@ def q_dataset_card(sf_dir: str):
     dim_rows = pa.concat_tables(list(
         _read(sf_dir, "documents", ["lang", "source"], blocks=16)
         .map_batches(dims, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")))
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
     # COUNT(DISTINCT x) excludes NULLs — mirror exactly
     n_langs = len(set(dim_rows.column("lang").to_pylist()) - {None})
     n_sources = len(set(dim_rows.column("source").to_pylist())
@@ -12237,7 +12237,7 @@ def q_dataset_card(sf_dir: str):
             .map_batches(fp, batch_format="pyarrow") \
             .groupby("bucket").map_groups(fp_count,
                                           batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
         n_distinct += int(pc.sum(t.column("n")).as_py() or 0)
 
     s = scalars.to_pylist()[0]
@@ -12466,18 +12466,21 @@ def q_triangle_parts(sf_dir: str):
     its smaller (degree, id) endpoint; each triangle then has exactly
     ONE node with both triangle edges outgoing, so wedges enumerated
     per-source count each triangle once, and max out-degree is
-    O(sqrt(m)) even on skewed graphs. Plan: (1) one orderkey-bucket
-    cogroup emits locally-deduped part pairs, (2) one edge-hash
-    cogroup makes them globally distinct and emits per-node degree
-    partials (driver-folded — nodes are bounded by the part
-    dimension), (3) the distinct-edge set (16 B/edge, ~1 M edges at
-    sf0.1) is collected ONCE driver-side as a sorted int64 key array
-    and broadcast, so the wedge-membership probe is a LOCAL
-    searchsorted inside one src-bucket cogroup — the 30M+ candidate
-    wedges never enter a shuffle. At 10^9+ edges the broadcast side
-    outgrows the object store: swap step 3 for a (w1,w2)-bucket
-    cogroup of wedge rows against edge rows (documented fallback,
-    same semantics)."""
+    O(sqrt(m)) even on skewed graphs. Plan — TWO Ray executions
+    (every extra chained execution pays this box's multi-second
+    floor; the first cut used four and spent more time in floors
+    than compute): (1) one orderkey-bucket cogroup emits
+    locally-deduped part-pair keys, collected driver-side (the edge
+    set is the BROADCAST side of this algorithm by design — 8 B/key,
+    ~10 MB at sf0.1) where global unique / degrees / orientation are
+    three vectorized numpy passes over edge-count arrays; (2) the
+    oriented edges go back out via ``from_arrow`` into one src-bucket
+    cogroup whose wedge-membership probe is a LOCAL searchsorted into
+    the broadcast sorted key array — the 40M+ candidate wedges never
+    enter a shuffle. At 10^9+ edges the broadcast side outgrows the
+    object store: swap the driver fold for the edge-hash cogroup
+    dedup + a (w1,w2)-bucket cogroup of wedge rows against edge rows
+    (documented fallback, same semantics)."""
     import numpy as np
 
     n_li = _nrows(sf_dir, "lineitem")
@@ -12516,87 +12519,86 @@ def q_triangle_parts(sf_dir: str):
         .groupby("bucket").map_groups(pairs_grp,
                                       batch_format="pyarrow")
 
-    def edge_dedup(g: pa.Table) -> pa.Table:
-        k = np.unique(g.column("k").to_numpy(zero_copy_only=False))
-        return pa.table({"u": pa.array(k >> np.int64(32), pa.int64()),
-                         "v": pa.array(k & np.int64(0xFFFFFFFF),
-                                       pa.int64())})
-
-    dedges = edges.groupby("bucket") \
-        .map_groups(edge_dedup, batch_format="pyarrow").materialize()
-
-    def deg_partial(t: pa.Table) -> pa.Table:
-        n = np.concatenate([t.column("u").to_numpy(zero_copy_only=False),
-                            t.column("v").to_numpy(zero_copy_only=False)])
-        nu, cnt = np.unique(n, return_counts=True)
-        return pa.table({"node": pa.array(nu, pa.int64()),
-                         "d": pa.array(cnt, pa.int64())})
-
-    deg_t = _combine_partials(
-        dedges.map_batches(deg_partial, batch_format="pyarrow"),
-        ["node"], {"d": "d"})
-    nodes = deg_t.column("node").to_numpy(zero_copy_only=False)
-    degs = deg_t.column("d").to_numpy(zero_copy_only=False)
-    order = np.argsort(nodes)
-    nodes_s, degs_s = nodes[order], degs[order]
-
-    ukeys, vkeys = [], []
-    for t in dedges.iter_batches(batch_format="pyarrow"):
-        ukeys.append(t.column("u").to_numpy(zero_copy_only=False))
-        vkeys.append(t.column("v").to_numpy(zero_copy_only=False))
-    eu = np.concatenate(ukeys) if ukeys else np.array([], np.int64)
-    ev = np.concatenate(vkeys) if vkeys else np.array([], np.int64)
-    ekeys = np.sort((eu << np.int64(32)) | ev)
+    # execution 1: collect the per-order-bucket-deduped pair keys;
+    # global dedup / degrees / orientation are vectorized numpy over
+    # edge-count arrays on the driver (the edge set IS the broadcast
+    # side below — holding it here is the algorithm's stated budget)
+    kparts = [t.column("k").to_numpy(zero_copy_only=False)
+              for t in edges.iter_batches(batch_size=None, batch_format="pyarrow")]
+    ekeys = np.unique(np.concatenate(kparts)) if kparts \
+        else np.array([], np.int64)  # unique output is sorted
+    eu = ekeys >> np.int64(32)
+    ev = ekeys & np.int64(0xFFFFFFFF)
+    nodes_s, inv = np.unique(np.concatenate([eu, ev]),
+                             return_inverse=True)
+    degs_s = np.bincount(inv, minlength=len(nodes_s)).astype(np.int64)
+    du = degs_s[inv[:len(eu)]]
+    dv = degs_s[inv[len(eu):]]
+    u_first = (du < dv) | ((du == dv) & (eu < ev))
+    src = np.where(u_first, eu, ev)
+    dst = np.where(u_first, ev, eu)
 
     import ray
+    import ray.data as rd
     ekeys_ref = ray.put(ekeys)
-    deg_ref = ray.put((nodes_s, degs_s))
-    n_src_buckets = adaptive_buckets(len(nodes_s), lo=8)
-
-    def orient(t: pa.Table) -> pa.Table:
-        ns, ds = ray.get(deg_ref)
-        u = t.column("u").to_numpy(zero_copy_only=False)
-        v = t.column("v").to_numpy(zero_copy_only=False)
-        du = ds[np.searchsorted(ns, u)]
-        dv = ds[np.searchsorted(ns, v)]
-        u_first = (du < dv) | ((du == dv) & (u < v))
-        src = np.where(u_first, u, v)
-        dst = np.where(u_first, v, u)
-        out = pa.table({"src": pa.array(src, pa.int64()),
-                        "dst": pa.array(dst, pa.int64())})
-        return out.append_column(
-            "bucket", int_bucket(out.column("src"), n_src_buckets))
+    # Bucket the wedge stage by its WORK (Σ C(d⁺,2) wedges — known
+    # exactly from the out-degrees), not by node count: the kernel is
+    # ~500 ns/wedge, so ~500k wedges per group keeps tasks sub-second
+    # and saturates the cores (node-count sizing gave 8 groups for a
+    # 41M-wedge graph — a 20 s single-thread stage). Skew-safe: one
+    # src contributes ≤ C(max_out_degree, 2) wedges and orientation
+    # caps max out-degree at O(√m).
+    dout = np.bincount(
+        np.searchsorted(nodes_s, src), minlength=len(nodes_s))
+    n_wedges = int((dout * (dout - 1) // 2).sum())
+    n_src_buckets = int(min(256, max(8, n_wedges // 500_000 + 1)))
+    oriented = pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+    oriented = oriented.append_column(
+        "bucket", int_bucket(oriented.column("src"), n_src_buckets))
 
     def wedge_grp(g: pa.Table) -> pa.Table:
+        # Shift-based wedge enumeration: within a src segment dst is
+        # sorted strictly increasing (edges distinct), so pairing
+        # positions (i, i+k) for k = 1..max_out_degree emits every
+        # unordered neighbor pair exactly once, ALREADY (lo, hi)
+        # ordered — no triangular unranking, no wedge-count-sized
+        # temporaries (the sqrt-unrank kernel allocated several; at
+        # 41 M wedges/sf0.1 that was ~330 MB per temporary). Work per
+        # offset k is one vectorized slice-compare, and the loop ends
+        # at the orientation's O(sqrt(m)) out-degree cap.
         ek = ray.get(ekeys_ref)
         s = g.column("src").to_numpy(zero_copy_only=False)
         d = g.column("dst").to_numpy(zero_copy_only=False)
         o = np.lexsort((d, s))
         s, d = s[o], d[o]
-        starts = np.flatnonzero(np.append(True, s[1:] != s[:-1]))
-        lens = np.diff(np.append(starts, len(s)))
-        npairs = lens * (lens - 1) // 2
-        srcr = np.repeat(starts, npairs)
-        k = _aranges(npairs)
-        ln = np.repeat(lens, npairs)
-        i = np.floor((2 * ln - 1
-                      - np.sqrt((2 * ln - 1) ** 2 - 8 * k)) / 2) \
-            .astype(np.int64)
-        j = k - i * (2 * ln - i - 1) // 2 + i + 1
-        w1, w2 = d[srcr + i], d[srcr + j]
-        lo, hi = np.minimum(w1, w2), np.maximum(w1, w2)
-        wkey = (lo << np.int64(32)) | hi
-        pos = np.searchsorted(ek, wkey)
-        pos_c = np.minimum(pos, len(ek) - 1) if len(ek) else pos
-        hit = (ek[pos_c] == wkey) if len(ek) else \
-            np.zeros(len(wkey), bool)
-        tri_nodes = np.concatenate([s[srcr][hit], w1[hit], w2[hit]])
-        nu, cnt = np.unique(tri_nodes, return_counts=True)
+        n = len(s)
+        node_parts = []
+        k = 1
+        while k < n:
+            mask = s[:-k] == s[k:]
+            if not mask.any():
+                break  # no segment longer than k ⇒ none longer than k+1
+            w1, w2 = d[:-k][mask], d[k:][mask]
+            wkey = (w1 << np.int64(32)) | w2
+            pos = np.searchsorted(ek, wkey)
+            pos_c = np.minimum(pos, len(ek) - 1) if len(ek) else pos
+            hit = (ek[pos_c] == wkey) if len(ek) else \
+                np.zeros(len(wkey), bool)
+            if hit.any():
+                node_parts += [s[:-k][mask][hit], w1[hit], w2[hit]]
+            k += 1
+        if node_parts:
+            nu, cnt = np.unique(np.concatenate(node_parts),
+                                return_counts=True)
+        else:
+            nu = cnt = np.array([], np.int64)
         return pa.table({"node": pa.array(nu, pa.int64()),
-                         "cnt": pa.array(cnt, pa.int64())})
+                         "cnt": pa.array(cnt.astype(np.int64),
+                                         pa.int64())})
 
     counts = _combine_partials(
-        dedges.map_batches(orient, batch_format="pyarrow")
+        rd.from_arrow(oriented)
         .groupby("bucket").map_groups(wedge_grp,
                                       batch_format="pyarrow"),
         ["node"], {"cnt": "n_triangles"})
@@ -12784,7 +12786,7 @@ def q_bm25_topk(sf_dir: str):
 
     parts = pa.concat_tables(list(
         proj.map_batches(score_partial, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")))
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
     doc = parts.column("doc_id").to_numpy(zero_copy_only=False)
     score = parts.column("score").to_numpy(zero_copy_only=False)
     top = np.lexsort((doc, -score))[:25]

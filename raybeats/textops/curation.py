@@ -512,7 +512,7 @@ def pack_sequences(ds, *, budget: int, id_max: int,
 
     totals = np.zeros(n_buckets, np.int64)
     for b in bucketed.map_batches(bucket_totals, batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
         np.add.at(totals, b.column("bucket").to_numpy(zero_copy_only=False),
                   b.column("tot").to_numpy(zero_copy_only=False))
     offsets = np.zeros(n_buckets, np.int64)

@@ -345,7 +345,7 @@ def jaccard_verify(pairs_ds, docs_ds, threshold: float = 0.8,
 def _canonical_pairs(pairs_ds):
     """Driver-side (a, b) → deduplicated (lo, hi) int64 arrays."""
     t = pa.concat_tables(list(pairs_ds.select_columns(["a", "b"])
-                              .iter_batches(batch_format="pyarrow")))
+                              .iter_batches(batch_size=None, batch_format="pyarrow")))
     a = pc.cast(t.column("a"), pa.int64()).to_numpy(zero_copy_only=False)
     b = pc.cast(t.column("b"), pa.int64()).to_numpy(zero_copy_only=False)
     lo, hi = np.minimum(a, b), np.maximum(a, b)
@@ -374,7 +374,7 @@ def _jaccard_verify_driver(pairs_ds, docs_ds, threshold: float,
     parts, total = [], 0
     for tbl in docs_ds.map_batches(
             semi_join, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
+            batch_size=None, batch_format="pyarrow"):
         parts.append(tbl)
         total += tbl.nbytes
         if total > _DRIVER_VERIFY_MAX_BYTES:
@@ -873,7 +873,7 @@ def duplicate_clusters(pairs, n_buckets: int = 32, max_iters: int = 25,
         # × rounds) dwarfs the work — exact driver union-find under a
         # BOUNDED edge budget, distributed propagation above it
         t = pa.concat_tables(list(pairs.iter_batches(
-            batch_format="pyarrow")))
+            batch_size=None, batch_format="pyarrow")))
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:

@@ -148,7 +148,7 @@ def heavy_hitters(ds, column: str, k: int = 25,
     acc: dict[str, int] = {}
     total_off = 0
     for b in ds.map_batches(partial, batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
         for key, cnt in zip(b.column("key").to_pylist(),
                             b.column("cnt").to_numpy(
                                 zero_copy_only=False)):
@@ -187,7 +187,7 @@ def approx_distinct(ds, column: str, p: int = 14) -> float:
 
     merged = HyperLogLog(p)
     for batch in ds.map_batches(partial, batch_format="pyarrow") \
-                   .iter_batches(batch_format="pyarrow"):
+                   .iter_batches(batch_size=None, batch_format="pyarrow"):
         for blob in batch.column("regs").to_pylist():
             merged.merge_registers(np.frombuffer(blob, dtype=np.uint8,
                                                  count=m))
@@ -237,7 +237,7 @@ def grouped_approx_distinct(ds, *, group_col: str, value_col: str,
 
     acc: dict[str, np.ndarray] = {}
     for batch in ds.map_batches(partial, batch_format="pyarrow") \
-                   .iter_batches(batch_format="pyarrow"):
+                   .iter_batches(batch_size=None, batch_format="pyarrow"):
         for g, blob in zip(batch.column(group_col).to_pylist(),
                            batch.column("regs").to_pylist()):
             r = np.frombuffer(blob, dtype=np.uint8, count=m)
@@ -405,7 +405,7 @@ def sketch_quantiles(ds, *, value_col: str,
 
     merged = KllSketch(k)
     for batch in ds.map_batches(partial, batch_format="pyarrow") \
-                   .iter_batches(batch_format="pyarrow"):
+                   .iter_batches(batch_size=None, batch_format="pyarrow"):
         if batch.num_rows:
             merged.merge(KllSketch.from_table(batch, k))
     cols: dict = {"n": pa.array([merged.n], pa.int64())}
@@ -460,7 +460,7 @@ def grouped_sketch_quantiles(ds, *, group_col: str, value_col: str,
 
     acc: dict[str, KllSketch] = {}
     for batch in ds.map_batches(partial, batch_format="pyarrow") \
-                   .iter_batches(batch_format="pyarrow"):
+                   .iter_batches(batch_size=None, batch_format="pyarrow"):
         if batch.num_rows == 0:
             continue
         enc = pc.dictionary_encode(batch.column(group_col)
@@ -601,7 +601,7 @@ def cms_point_estimates(ds, *, column: str, probes: list[str],
 
     merged = CountMinSketch(w, d)
     for batch in ds.map_batches(partial, batch_format="pyarrow") \
-                   .iter_batches(batch_format="pyarrow"):
+                   .iter_batches(batch_size=None, batch_format="pyarrow"):
         if batch.num_rows:
             merged.merge(CountMinSketch.from_table(batch, w, d))
     parr = pa.array(probes, pa.string())
@@ -710,7 +710,7 @@ def kmv_type_overlap(ds, *, type_a: str, type_b: str,
 
     sketches = {type_a: KmvSketch(k), type_b: KmvSketch(k)}
     for b in ds.map_batches(partial, batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
         for name, blob in zip(b.column("t").to_pylist(),
                               b.column("vals").to_pylist()):
             sketches[name].add_hashed(np.frombuffer(blob, np.uint64))

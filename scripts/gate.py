@@ -37,7 +37,7 @@ def to_arrow(res) -> pa.Table:
     import pandas as pd
     import ray.data
     if isinstance(res, ray.data.Dataset):
-        batches = list(res.iter_batches(batch_format="pyarrow"))
+        batches = list(res.iter_batches(batch_size=None, batch_format="pyarrow"))
         if not batches:
             return pa.table({})
         return pa.concat_tables(batches, promote_options="default")
