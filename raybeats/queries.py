@@ -12541,21 +12541,36 @@ def q_triangle_parts(sf_dir: str):
     import ray
     import ray.data as rd
     ekeys_ref = ray.put(ekeys)
-    # Bucket the wedge stage by its WORK (Σ C(d⁺,2) wedges — known
-    # exactly from the out-degrees), not by node count: the kernel is
-    # ~500 ns/wedge, so ~500k wedges per group keeps tasks sub-second
-    # and saturates the cores (node-count sizing gave 8 groups for a
-    # 41M-wedge graph — a 20 s single-thread stage). Skew-safe: one
-    # src contributes ≤ C(max_out_degree, 2) wedges and orientation
-    # caps max out-degree at O(√m).
-    dout = np.bincount(
-        np.searchsorted(nodes_s, src), minlength=len(nodes_s))
-    n_wedges = int((dout * (dout - 1) // 2).sum())
-    n_src_buckets = int(min(256, max(8, n_wedges // 500_000 + 1)))
-    oriented = pa.table({"src": pa.array(src, pa.int64()),
-                         "dst": pa.array(dst, pa.int64())})
-    oriented = oriented.append_column(
-        "bucket", int_bucket(oriented.column("src"), n_src_buckets))
+    # Split the wedge stage by its WORK (Σ C(d⁺,2) wedges — known
+    # exactly from the out-degrees), not by node count, and WITHOUT a
+    # groupby shuffle: the driver already holds the oriented edges
+    # (they ARE the broadcast side), so sort by src once here, cut at
+    # src-segment boundaries nearest each work quantile, and ship each
+    # contiguous slice as its own block via from_arrow_refs. A
+    # from_arrow → groupby cogroup would start from ONE block and ran
+    # the whole 41M-wedge graph as a single 20 s task; slicing
+    # driver-side gives perfect balance with zero exchange. Skew-safe:
+    # one src contributes ≤ C(max_out_degree, 2) wedges and
+    # orientation caps max out-degree at O(√m).
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    seg_starts = np.flatnonzero(
+        np.append(True, src[1:] != src[:-1]))
+    seg_lens = np.diff(np.append(seg_starts, len(src)))
+    seg_work = seg_lens * (seg_lens - 1) // 2
+    n_wedges = int(seg_work.sum())
+    n_chunks = int(min(256, max(8, n_wedges // 500_000 + 1)))
+    cum = np.cumsum(seg_work)
+    # first segment index whose cumulative work crosses each quantile
+    cuts = np.searchsorted(cum, np.arange(1, n_chunks)
+                           * (n_wedges / n_chunks))
+    bounds = np.unique(np.concatenate(
+        [[0], seg_starts[np.minimum(cuts, len(seg_starts) - 1)],
+         [len(src)]]))
+    chunk_refs = [
+        ray.put(pa.table({"src": pa.array(src[a:b], pa.int64()),
+                          "dst": pa.array(dst[a:b], pa.int64())}))
+        for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
 
     def wedge_grp(g: pa.Table) -> pa.Table:
         # Shift-based wedge enumeration: within a src segment dst is
@@ -12566,12 +12581,11 @@ def q_triangle_parts(sf_dir: str):
         # temporaries (the sqrt-unrank kernel allocated several; at
         # 41 M wedges/sf0.1 that was ~330 MB per temporary). Work per
         # offset k is one vectorized slice-compare, and the loop ends
-        # at the orientation's O(sqrt(m)) out-degree cap.
+        # at the orientation's O(sqrt(m)) out-degree cap. Input
+        # chunks arrive (src, dst)-sorted from the driver cut.
         ek = ray.get(ekeys_ref)
         s = g.column("src").to_numpy(zero_copy_only=False)
         d = g.column("dst").to_numpy(zero_copy_only=False)
-        o = np.lexsort((d, s))
-        s, d = s[o], d[o]
         n = len(s)
         node_parts = []
         k = 1
@@ -12598,9 +12612,9 @@ def q_triangle_parts(sf_dir: str):
                                          pa.int64())})
 
     counts = _combine_partials(
-        rd.from_arrow(oriented)
-        .groupby("bucket").map_groups(wedge_grp,
-                                      batch_format="pyarrow"),
+        rd.from_arrow_refs(chunk_refs)
+        .map_batches(wedge_grp, batch_size=None,
+                     batch_format="pyarrow"),
         ["node"], {"cnt": "n_triangles"})
     part = counts.column("node").to_numpy(zero_copy_only=False)
     nt = counts.column("n_triangles").to_numpy(zero_copy_only=False)
