@@ -202,7 +202,8 @@ def run_queries() -> dict[str, float]:
              "pack_efficiency",
              "decile_transition",
              "prefix_dups", "triangle_parts", "ema_cents",
-             "bm25_topk", "sft_examples", "ols_fit"]
+             "bm25_topk", "sft_examples", "ols_fit",
+             "dup_spans", "preference_pairs", "hard_negatives"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

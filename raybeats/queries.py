@@ -13034,6 +13034,242 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
 FROM d WHERE det <> 0"""
 
 
+def q_dup_spans(sf_dir: str, w: int = 8):
+    """Exact repeated-substring spans (the Lee et al. exact-substring
+    dedup shape, arXiv:2107.06499, at token-window granularity): the
+    top-25 documents by how many of their DISTINCT ``w``-token spans
+    also occur in at least one OTHER document. Exact-hash dedup misses
+    these (the documents differ); minhash finds the documents but not
+    WHICH spans — this is the span-level primitive a dedup-by-excision
+    pass needs.
+
+    Shape: one tokenize pass (`flat_tokens` — the single-sourced
+    tokenizer, so the SQL mirror cannot drift), span strings built by
+    ``w`` shifted zero-copy slices joined in C
+    (``binary_join_element_wise``), per-batch (doc, span) Arrow
+    hash-distinct, then ONE span-hash-bucketed cogroup: a span's full
+    document set lands in one group (bucketed on the span STRING's
+    hash), so each group independently counts distinct docs per exact
+    span string and emits fixed-width per-doc partials
+    (doc, n_spans, n_dup_spans) — string spans never leave their
+    group; only the narrow partials do. Driver folds partials
+    (docs × buckets rows — swap for a doc-bucket groupby at 1e9+
+    docs) and takes the top-25. Skew-safe: a pathological span
+    repeated across the whole corpus is ONE group row per doc, not a
+    pair explosion."""
+    from .textops.analysis import flat_tokens
+    import numpy as np
+
+    n_docs = _nrows(sf_dir, "documents")
+    n_buckets = adaptive_buckets(n_docs * 60)  # ≈ spans per doc
+
+    def spans(t: pa.Table) -> pa.Table:
+        row_id, toks, _ = flat_tokens(t.column("text"))
+        n = len(toks)
+        if n < w:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int32())})
+        m = n - w + 1
+        # a span must not cross a document boundary
+        ok = row_id[:m] == row_id[w - 1:]
+        parts = [toks.slice(j, m) for j in range(w)]
+        args: list = []
+        for j, p in enumerate(parts):
+            if j:
+                args.append(pa.scalar(" "))
+            args.append(p)
+        grams = pc.binary_join_element_wise(*args, pa.scalar(""))
+        docs = t.column("doc_id").combine_chunks().take(
+            pa.array(row_id[:m][ok], pa.int64()))
+        pairs = pa.table({
+            "doc_id": docs,
+            "gram": grams.filter(pa.array(ok))}) \
+            .group_by(["doc_id", "gram"]).aggregate([])
+        return pairs.append_column(
+            "bucket", fnv1a_bucket(pairs.column("gram"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        # (doc, gram) pairs are globally distinct (one doc = one row =
+        # one batch), so count-per-gram here IS distinct-doc count
+        nd = g.group_by("gram").aggregate([("doc_id", "count")])
+        dup = nd.filter(pc.greater(nd.column("doc_id_count"), 1)) \
+            .column("gram")
+        is_dup = pc.is_in(g.column("gram"), value_set=dup.combine_chunks())
+        tt = pa.table({
+            "doc_id": g.column("doc_id"),
+            "one": pa.array(np.ones(g.num_rows, np.int64)),
+            "dup": pc.cast(is_dup, pa.int64())})
+        agg = tt.group_by("doc_id").aggregate(
+            [("one", "sum"), ("dup", "sum")])
+        return pa.table({"doc_id": agg.column("doc_id"),
+                         "ns": agg.column("one_sum"),
+                         "nd": agg.column("dup_sum")})
+
+    per_doc = _combine_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(spans, batch_format="pyarrow")
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow"),
+        ["doc_id"], {"ns": "n_spans", "nd": "n_dup_spans"})
+    d = per_doc.column("doc_id").to_numpy(zero_copy_only=False)
+    ns = per_doc.column("n_spans").to_numpy(zero_copy_only=False)
+    nd = per_doc.column("n_dup_spans").to_numpy(zero_copy_only=False)
+    top = np.lexsort((d, -nd))[:25]
+    return pa.table({"doc_id": pa.array(d[top], pa.int64()),
+                     "n_spans": pa.array(ns[top], pa.int64()),
+                     "n_dup_spans": pa.array(nd[top], pa.int64())})
+
+
+def q_preference_pairs(sf_dir: str):
+    """Preference-pair construction (the DPO/RLHF counterpart of
+    `sft_examples`): per conversation with ≥ 2 assistant turns, one
+    (chosen, rejected) pair — chosen = the longest assistant turn
+    (tie → earliest turn), rejected = the shortest (tie → latest
+    turn), codepoint length as the deterministic stand-in for a
+    reward score (no model in this container; the kernel is
+    score-agnostic — swap the length column for a model score column
+    and nothing else changes).
+
+    Shape: one conv-hash cogroup (a conversation's turns co-locate),
+    per group two argmin/argmax passes via np.lexsort over
+    dictionary-encoded conv codes — both extremes in one group visit,
+    no window materialization. Null conv_id / null text rows are
+    dropped in BOTH engines (SQL's join-on-conv and length(NULL)
+    semantics)."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", fnv1a_bucket(t.column("conv_id"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.equal(g.column("role"), "assistant"),
+                          pc.is_valid(g.column("text"))),
+            pc.is_valid(g.column("conv_id")))
+        s = g.filter(pc.fill_null(keep, False))
+        empty = pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "chosen_idx": pa.array([], pa.int64()),
+            "rejected_idx": pa.array([], pa.int64()),
+            "chosen_len": pa.array([], pa.int64()),
+            "rejected_len": pa.array([], pa.int64())})
+        if s.num_rows == 0:
+            return empty
+        enc = pc.dictionary_encode(s.column("conv_id").combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.cast(pc.utf8_length(s.column("text")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        idx = pc.cast(s.column("turn_idx"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        counts = np.bincount(codes)
+        ok_convs = np.flatnonzero(counts >= 2)
+        if len(ok_convs) == 0:
+            return empty
+        # chosen: max len, tie min idx → first row per conv in
+        # (conv asc, len desc, idx asc) order
+        o1 = np.lexsort((idx, -lens, codes))
+        c1 = codes[o1]
+        first1 = np.flatnonzero(np.append(True, c1[1:] != c1[:-1]))
+        # rejected: min len, tie max idx
+        o2 = np.lexsort((-idx, lens, codes))
+        c2 = codes[o2]
+        first2 = np.flatnonzero(np.append(True, c2[1:] != c2[:-1]))
+        # first1/first2 both enumerate every distinct code in order
+        sel = np.isin(c1[first1], ok_convs)
+        ch, rj = o1[first1][sel], o2[first2][sel]
+        conv_vals = enc.dictionary.take(pa.array(c1[first1][sel],
+                                                 pa.int32()))
+        return pa.table({
+            "conv_id": conv_vals,
+            "chosen_idx": pa.array(idx[ch], pa.int64()),
+            "rejected_idx": pa.array(idx[rj], pa.int64()),
+            "chosen_len": pa.array(lens[ch], pa.int64()),
+            "rejected_len": pa.array(lens[rj], pa.int64())})
+
+    return read_transcripts(sf_dir) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow")
+
+
+SQL_PREFERENCE_PAIRS = f"""{_T},
+a AS (SELECT conv_id, turn_idx, length(text) AS len
+      FROM transcripts
+      WHERE role = 'assistant' AND text IS NOT NULL
+        AND conv_id IS NOT NULL),
+r AS (SELECT conv_id, turn_idx, len,
+        ROW_NUMBER() OVER (PARTITION BY conv_id
+                           ORDER BY len DESC, turn_idx ASC) AS rc,
+        ROW_NUMBER() OVER (PARTITION BY conv_id
+                           ORDER BY len ASC, turn_idx DESC) AS rr,
+        COUNT(*) OVER (PARTITION BY conv_id) AS n
+      FROM a)
+SELECT c.conv_id,
+       CAST(c.turn_idx AS BIGINT) AS chosen_idx,
+       CAST(j.turn_idx AS BIGINT) AS rejected_idx,
+       CAST(c.len AS BIGINT) AS chosen_len,
+       CAST(j.len AS BIGINT) AS rejected_len
+FROM r c JOIN r j ON c.conv_id = j.conv_id AND c.rc = 1 AND j.rr = 1
+WHERE c.n >= 2"""
+
+
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining for retrieval training: for each query
+    vector, the 3 most-similar vectors with a DIFFERENT label (the
+    contrastive-training counterpart of `knn_cosine` — a hard
+    negative is the nearest wrong-class item). Query side bounded
+    (vec_id < 8, one per observed label at small sf) and broadcast in
+    the stage closure; per-batch masked top-k, tiny driver merge."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from .textops.knn import hard_negatives_topk
+    qt = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        filter=pc.field("vec_id") < 8).sort_by("vec_id")
+    queries = np.array(qt.column("embedding").to_pylist(),
+                       dtype=np.float64)
+    return hard_negatives_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"],
+              blocks=16),
+        queries, qt.column("vec_id").to_pylist(),
+        pc.cast(qt.column("label"), pa.int64()).to_pylist(), k=3)
+
+
+SQL_HARD_NEGATIVES = """WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel,
+         CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT q.query_id, e.vec_id AS neg_id,
+         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[]))
+           AS sim
+  FROM q, embeddings e WHERE e.label <> q.qlabel)
+SELECT query_id, neg_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, neg_id) AS rank
+FROM s QUALIFY rank <= 3 ORDER BY query_id, rank"""
+
+
+SQL_DUP_SPANS = """WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt
+  FROM documents),
+idx AS (SELECT doc_id, ts, unnest(range(1, nt - 6)) AS i
+        FROM toks WHERE nt >= 8),
+g AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+7], ' ') AS gram
+      FROM idx),
+c AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+p AS (SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(COUNT(*) FILTER (WHERE c.nd > 1) AS BIGINT)
+               AS n_dup_spans
+      FROM g JOIN c USING (gram) GROUP BY 1)
+SELECT doc_id, n_spans, n_dup_spans
+FROM p ORDER BY n_dup_spans DESC, doc_id LIMIT 25"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -13299,6 +13535,9 @@ QUERIES = {
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "sft_examples": (q_sft_examples, SQL_SFT_EXAMPLES),
     "ols_fit": (q_ols_fit, SQL_OLS_FIT),
+    "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
+    "preference_pairs": (q_preference_pairs, SQL_PREFERENCE_PAIRS),
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

@@ -404,3 +404,85 @@ def centroid_sum_partial(t: pa.Table, *, vec_col: str = "embedding",
                                 len(uniq)), pa.int64()),
         "s": pa.array(sums.ravel(), pa.int64()),
         "n": pa.array(np.repeat(counts, d), pa.int64())})
+
+
+class BatchHardNegatives:
+    """map_batches stage for hard-negative mining: local cosine top-k
+    per query per batch, considering ONLY rows whose ``label`` differs
+    from the query's label — the retrieval-training counterpart of
+    ``BatchTopK`` (a hard negative is the most-similar *wrong-class*
+    item; ref. DPR / contrastive-retrieval practice). Same normalized
+    double arithmetic as ``BatchTopK`` so orderings cannot diverge
+    between the two retrieval ops."""
+
+    def __init__(self, queries: np.ndarray, query_ids: list[int],
+                 query_labels: list[int], k: int,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 label_col: str = "label"):
+        q = queries.astype(np.float64)
+        self.qn = q / np.maximum(
+            np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+        self.query_ids = list(query_ids)
+        self.query_labels = np.asarray(query_labels, dtype=np.int64)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.label_col = label_col
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neg_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        m = _matrix(tbl.column(self.vec_col))
+        ids = np.asarray(tbl.column(self.id_col).to_pylist(),
+                         dtype=np.int64)
+        labs = np.asarray(tbl.column(self.label_col).to_pylist(),
+                          dtype=np.int64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                            1e-30)
+        sims = self.qn @ mn.T  # (nq, batch)
+        qs, ns, ss = [], [], []
+        for qi, qid in enumerate(self.query_ids):
+            ok = np.flatnonzero(labs != self.query_labels[qi])
+            if len(ok) == 0:
+                continue
+            row = sims[qi][ok]
+            k = min(self.k, len(row))
+            top = np.argpartition(-row, k - 1)[:k] if k < len(row) \
+                else np.arange(len(row))
+            for j in top:
+                qs.append(qid)
+                ns.append(int(ids[ok[j]]))
+                ss.append(float(row[j]))
+        return pa.table({"query_id": pa.array(qs, pa.int64()),
+                         "neg_id": pa.array(ns, pa.int64()),
+                         "sim": pa.array(ss, pa.float64())})
+
+
+def hard_negatives_topk(ds, queries: np.ndarray, query_ids: list[int],
+                        query_labels: list[int], k: int = 3,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        label_col: str = "label") -> pa.Table:
+    """→ (query_id, neg_id, rank): per query, the k most-similar
+    vectors with a DIFFERENT label. Per-batch local top-k (the query
+    matrix ships in the stage closure), tiny driver merge — the
+    ``knn_topk`` shape with a label mask."""
+    import pandas as pd
+
+    stage = BatchHardNegatives(queries=queries, query_ids=query_ids,
+                               query_labels=query_labels, k=k,
+                               id_col=id_col, vec_col=vec_col,
+                               label_col=label_col)
+    partial = ds.map_batches(stage, batch_format="pyarrow")
+    df = partial.to_pandas()
+    df = df.sort_values(["query_id", "sim", "neg_id"],
+                        ascending=[True, False, True])
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k]
+    return pa.table({
+        "query_id": pa.array(df["query_id"].to_numpy(), pa.int64()),
+        "neg_id": pa.array(df["neg_id"].to_numpy(), pa.int64()),
+        "rank": pa.array(df["rank"].to_numpy(), pa.int64()),
+    })
