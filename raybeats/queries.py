@@ -12571,6 +12571,9 @@ def q_triangle_parts(sf_dir: str):
         ray.put(pa.table({"src": pa.array(src[a:b], pa.int64()),
                           "dst": pa.array(dst[a:b], pa.int64())}))
         for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+    if not chunk_refs:  # edge-free graph: nothing to enumerate
+        return pa.table({"l_partkey": pa.array([], pa.int64()),
+                         "n_triangles": pa.array([], pa.int64())})
 
     def wedge_grp(g: pa.Table) -> pa.Table:
         # Shift-based wedge enumeration: within a src segment dst is
@@ -13051,8 +13054,12 @@ def q_dup_spans(sf_dir: str, w: int = 8):
     document set lands in one group (bucketed on the span STRING's
     hash), so each group independently counts distinct docs per exact
     span string and emits fixed-width per-doc partials
-    (doc, n_spans, n_dup_spans) — string spans never leave their
-    group; only the narrow partials do. Driver folds partials
+    (doc, n_spans, n_dup_spans). The span strings DO ride that one
+    all-to-all (~w× the text volume — the price of exactness, same
+    as inverted_index's token shuffle); the 100-TB variant prefixes
+    it with a (hash64, doc) pass and re-shuffles only candidate
+    strings for exact confirm (the semi_join_bloom shape, one extra
+    execution). Driver folds partials
     (docs × buckets rows — swap for a doc-bucket groupby at 1e9+
     docs) and takes the top-25. Skew-safe: a pathological span
     repeated across the whole corpus is ONE group row per doc, not a
