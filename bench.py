@@ -203,7 +203,8 @@ def run_queries() -> dict[str, float]:
              "decile_transition",
              "prefix_dups", "triangle_parts", "ema_cents",
              "bm25_topk", "sft_examples", "ols_fit",
-             "dup_spans", "preference_pairs", "hard_negatives"]
+             "dup_spans", "preference_pairs", "hard_negatives",
+             "error_window_types", "user_activity_fold"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

@@ -13259,6 +13259,130 @@ SELECT query_id, neg_id,
 FROM s QUALIFY rank <= 3 ORDER BY query_id, rank"""
 
 
+def q_error_window_types(sf_dir: str):
+    """Dynamic runtime-filter pushdown (the 'dynamic partition
+    pruning' optimizer pattern): profile event types inside the time
+    window where errors occurred. Phase 1 scans TWO columns for the
+    error ts bounds (fixed-width min/max partials); the driver turns
+    the bounds into a pyarrow dataset filter pushed INTO the phase-2
+    read — at 100 TB the parquet row-group/fragment stats skip
+    everything outside the window, so the second scan touches only
+    the window's data instead of filtering post-read."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    def bounds_partial(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("event_type"), "error")
+        ts = pc.cast(t.column("ts"), pa.int64()).filter(
+            pc.fill_null(m, False))
+        if len(ts) == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "neg_lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            # max(-ts) = -min(ts): one sum-shaped fold does both
+            "neg_lo": pa.array([-pc.min(ts).as_py()], pa.int64()),
+            "hi": pa.array([pc.max(ts).as_py()], pa.int64())})
+
+    parts = pa.concat_tables(list(
+        _read(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(bounds_partial, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "cents": pa.array([], pa.int64())})
+    if parts.num_rows == 0:
+        return empty  # no errors → empty window (SQL BETWEEN NULL)
+    lo = -int(pc.max(parts.column("neg_lo")).as_py())
+    hi = int(pc.max(parts.column("hi")).as_py())
+    expr = ((pads.field("ts") >= pa.scalar(lo, pa.timestamp("us")))
+            & (pads.field("ts") <= pa.scalar(hi, pa.timestamp("us"))))
+
+    def profile(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        cents = np.floor(v * 100.0)
+        cents[~ok] = 0
+        tt = pa.table({
+            "event_type": t.column("event_type"),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "cents": pa.array(cents.astype(np.int64), pa.int64())})
+        g = tt.group_by("event_type").aggregate(
+            [("one", "sum"), ("cents", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "n": g.column("one_sum"),
+                         "cents": g.column("cents_sum")})
+
+    return _combine_partials(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts", "value"],
+                        filter=expr)
+        .map_batches(profile, batch_format="pyarrow"),
+        ["event_type"], {"n": "n", "cents": "cents"}, seed=empty)
+
+
+SQL_ERROR_WINDOW_TYPES = """WITH b AS (
+  SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM events
+  WHERE event_type = 'error')
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN isnan(value) THEN 0
+                     ELSE CAST(FLOOR(value * 100) AS BIGINT) END)
+            AS BIGINT) AS cents
+FROM events, b WHERE ts BETWEEN b.lo AND b.hi
+GROUP BY 1"""
+
+
+def q_user_activity_fold(sf_dir: str):
+    """Rare-category folding (the feature-engineering staple): users
+    with below-average event counts fold into one 'other' bucket so a
+    downstream categorical feature has bounded cardinality. The
+    below-MEAN rule (n·n_users < total) is scale-invariant — a fixed
+    absolute threshold flips vacuous as sf grows. Per-batch (user,
+    count) partials fold driver-side under the same footer-bounded
+    budget as window_agg's fast path (above it, swap the fold for a
+    user-bucket groupby — the type_gini shape); everything after the
+    fold is arithmetic on the folded table."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"user_id": t.column("user_id")}) \
+            .group_by("user_id").aggregate([([], "count_all")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "n": g.column("count_all")})
+
+    per_user = _combine_partials(
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], {"n": "n"})
+    n = per_user.column("n").to_numpy(zero_copy_only=False)
+    uid = per_user.column("user_id").to_numpy(zero_copy_only=False)
+    total, nu = int(n.sum()), len(n)
+    keep = n * nu >= total
+    rows = {"user_key": [str(u) for u in uid[keep]],
+            "n_events": n[keep].tolist(),
+            "n_users": [1] * int(keep.sum())}
+    if (~keep).any():
+        rows["user_key"].append("other")
+        rows["n_events"].append(int(n[~keep].sum()))
+        rows["n_users"].append(int((~keep).sum()))
+    return pa.table({"user_key": pa.array(rows["user_key"], pa.string()),
+                     "n_events": pa.array(rows["n_events"], pa.int64()),
+                     "n_users": pa.array(rows["n_users"], pa.int64())})
+
+
+SQL_USER_ACTIVITY_FOLD = """WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS nu FROM c)
+SELECT CASE WHEN c.n * t.nu >= t.total
+            THEN CAST(c.user_id AS VARCHAR) ELSE 'other' END AS user_key,
+       CAST(SUM(c.n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM c, t GROUP BY 1"""
+
+
 SQL_DUP_SPANS = """WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts,
          len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt
@@ -13545,6 +13669,10 @@ QUERIES = {
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "preference_pairs": (q_preference_pairs, SQL_PREFERENCE_PAIRS),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+    "error_window_types": (q_error_window_types,
+                           SQL_ERROR_WINDOW_TYPES),
+    "user_activity_fold": (q_user_activity_fold,
+                           SQL_USER_ACTIVITY_FOLD),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —
