@@ -204,7 +204,8 @@ def run_queries() -> dict[str, float]:
              "prefix_dups", "triangle_parts", "ema_cents",
              "bm25_topk", "sft_examples", "ols_fit",
              "dup_spans", "preference_pairs", "hard_negatives",
-             "error_window_types", "user_activity_fold"]
+             "error_window_types", "user_activity_fold",
+             "ngram_jaccard"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

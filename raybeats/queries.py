@@ -13401,6 +13401,47 @@ SELECT doc_id, n_spans, n_dup_spans
 FROM p ORDER BY n_dup_spans DESC, doc_id LIMIT 25"""
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """EXACT all-pairs token-4-gram Jaccard ≥ 0.6 via symmetric prefix
+    filtering (All-Pairs/PPJoin family) — the COMPLETE counterpart of
+    `minhash_pairs`: no recall parameter, every qualifying pair is
+    guaranteed (`dedup.prefix_filter_candidates` proves the prefix
+    theorem it relies on). Shape: narrow prefix-posting pass (~40% of
+    each doc's gram set) → ONE gram-hash-bucketed groupby emitting
+    ratio-filtered candidate pairs → the shared `jaccard_verify`
+    fetch-and-verify (exact gram-hash-set jaccard, token_gram_hash_set
+    — same kernels as the candidate stage). Gram HASH sets stand in
+    for gram strings on the Ray side (64-bit collisions are the only
+    possible divergence from the SQL's exact string grams — none exist
+    on this corpus; the minhash_pairs convention)."""
+    from .textops.dedup import exact_ngram_jaccard_pairs
+    n_docs = _nrows(sf_dir, "documents")
+    return exact_ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"], blocks=16),
+        _read(sf_dir, "documents", ["doc_id", "text"], blocks=16),
+        tnum=3, tden=5, w=4,
+        n_buckets=adaptive_buckets(24 * n_docs))
+
+
+SQL_NGRAM_JACCARD = """WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt
+  FROM documents),
+idx AS (SELECT doc_id, ts, unnest(range(1, nt - 2)) AS i
+        FROM toks WHERE nt >= 4),
+g AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+3], ' ') AS gram
+      FROM idx),
+cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+          FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+SELECT a, b,
+       CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE) AS jaccard
+FROM inter JOIN cnt ca ON ca.doc_id = inter.a
+           JOIN cnt cb ON cb.doc_id = inter.b
+WHERE CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE) >= 0.6"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -13667,6 +13708,7 @@ QUERIES = {
     "sft_examples": (q_sft_examples, SQL_SFT_EXAMPLES),
     "ols_fit": (q_ols_fit, SQL_OLS_FIT),
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "preference_pairs": (q_preference_pairs, SQL_PREFERENCE_PAIRS),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "error_window_types": (q_error_window_types,

@@ -281,8 +281,13 @@ def _pair_intersections(segs: list) -> "np.ndarray":
 
 def jaccard_verify(pairs_ds, docs_ds, threshold: float = 0.8,
                    id_col: str = "doc_id", text_col: str = "text",
-                   shingle_k: int = 8, n_buckets: int = 64):
-    """Verify candidate pairs with exact shingle Jaccard. Three shapes,
+                   shingle_k: int = 8, n_buckets: int = 64,
+                   set_fn=None):
+    """Verify candidate pairs with exact set Jaccard. The set extracted
+    per text defaults to distinct ``shingle_k``-byte shingle hashes
+    (``set_fn=None``); pass ``set_fn`` (str → np.uint64 array) for a
+    different set universe — e.g. :func:`token_gram_hash_set` for the
+    token-n-gram Jaccard of the exact prefix-filter join. Three shapes,
     picked by candidate count:
 
     * ``≤ _DRIVER_VERIFY_MAX_PAIRS``: a scan-level semi-join fetches
@@ -327,19 +332,22 @@ def jaccard_verify(pairs_ds, docs_ds, threshold: float = 0.8,
     n_cand = pairs_ds.count()
     if n_cand == 0:
         return _empty()
+    if set_fn is None:
+        def set_fn(txt: str) -> np.ndarray:
+            return _shingle_hashes(txt, shingle_k)
     if n_cand <= _DRIVER_VERIFY_MAX_PAIRS:
         out = _jaccard_verify_driver(
             pairs_ds, docs_ds, threshold=threshold, id_col=id_col,
-            text_col=text_col, shingle_k=shingle_k)
+            text_col=text_col, set_fn=set_fn)
         if out is not None:
             return out
     if n_cand <= _FAST_VERIFY_MAX_PAIRS:
         return _jaccard_verify_broadcast(
             pairs_ds, docs_ds, threshold=threshold, id_col=id_col,
-            text_col=text_col, shingle_k=shingle_k, n_buckets=n_buckets)
+            text_col=text_col, set_fn=set_fn, n_buckets=n_buckets)
     return _jaccard_verify_cogroup(
         pairs_ds, docs_ds, threshold=threshold, id_col=id_col,
-        text_col=text_col, shingle_k=shingle_k, n_buckets=n_buckets)
+        text_col=text_col, set_fn=set_fn, n_buckets=n_buckets)
 
 
 def _canonical_pairs(pairs_ds):
@@ -357,7 +365,7 @@ def _canonical_pairs(pairs_ds):
 
 
 def _jaccard_verify_driver(pairs_ds, docs_ds, threshold: float,
-                           id_col: str, text_col: str, shingle_k: int):
+                           id_col: str, text_col: str, set_fn):
     """Tiny-candidate driver path (see :func:`jaccard_verify`).
     Returns ``None`` when the referenced texts exceed the byte cap —
     the caller then takes the broadcast path instead."""
@@ -387,8 +395,7 @@ def _jaccard_verify_driver(pairs_ds, docs_ds, threshold: float,
         texts = pc.fill_null(pc.cast(got.column(text_col), pa.string()),
                              "").to_pylist()
         uniq, first = np.unique(ids, return_index=True)
-        sh = {int(u): _shingle_hashes(texts[i], shingle_k)
-              for u, i in zip(uniq, first)}
+        sh = {int(u): set_fn(texts[i]) for u, i in zip(uniq, first)}
     present = np.array([int(x) in sh and int(y) in sh
                         for x, y in zip(ga, gb)], dtype=bool)
     ga, gb = ga[present], gb[present]
@@ -412,7 +419,7 @@ def _jaccard_verify_driver(pairs_ds, docs_ds, threshold: float,
 
 def _jaccard_verify_broadcast(pairs_ds, docs_ds, threshold: float,
                               id_col: str, text_col: str,
-                              shingle_k: int, n_buckets: int):
+                              set_fn, n_buckets: int):
     """Bounded-candidate fast path (see :func:`jaccard_verify`)."""
     import ray
     import ray.data as rd
@@ -485,7 +492,7 @@ def _jaccard_verify_broadcast(pairs_ds, docs_ds, threshold: float,
         sh: dict = {}
         for i, txt in zip(ids, texts):
             if int(i) not in sh:
-                sh[int(i)] = _shingle_hashes(txt or "", shingle_k)
+                sh[int(i)] = set_fn(txt or "")
         # a pair whose endpoint text is absent from the corpus drops
         # (inner-join semantics, same as the cogroup path)
         present = np.array([int(x) in sh and int(y) in sh
@@ -511,7 +518,7 @@ def _jaccard_verify_broadcast(pairs_ds, docs_ds, threshold: float,
 
 def _jaccard_verify_cogroup(pairs_ds, docs_ds, threshold: float,
                             id_col: str, text_col: str,
-                            shingle_k: int, n_buckets: int):
+                            set_fn, n_buckets: int):
     """Unbounded-candidate path (see :func:`jaccard_verify`)."""
 
     def tag_endpoints(t: pa.Table) -> pa.Table:
@@ -597,7 +604,7 @@ def _jaccard_verify_cogroup(pairs_ds, docs_ds, threshold: float,
         texts = t.column("ta").to_pylist() + t.column("tb").to_pylist()
         ids = np.concatenate([a, b])
         uniq, first = np.unique(ids, return_index=True)
-        sh = {int(u): _shingle_hashes(texts[i] or "", shingle_k)
+        sh = {int(u): set_fn(texts[i] or "")
               for u, i in zip(uniq, first)}
         segs = [sh[int(x)] for pr in zip(a, b) for x in pr]
         inter = _pair_intersections(segs)
@@ -972,3 +979,185 @@ def simhash_duplicate_groups(ds, id_col: str = "doc_id",
         Min(id_col, alias_name="keep_id"),
         Count(alias_name="members"))
     return groups.filter(expr="members > 1")
+
+
+# ------------------------------------------- exact n-gram Jaccard join
+
+def token_gram_hash_set(text: str, w: int = 4) -> np.ndarray:
+    """Distinct rolling-hash values of one text's ``w``-token shingles.
+    Tokenizer single-sourced (`analysis.flat_tokens`) and the rolling
+    combine single-sourced (`curation._shingle_hash`), so the verify
+    stage cannot drift from the batch candidate stage, which uses the
+    same two kernels over whole batches."""
+    from .curation import _shingle_hash
+    from ..util import fnv1a_u64
+
+    from .analysis import flat_tokens
+    _, toks, _ = flat_tokens(pa.array([text or ""], pa.string()))
+    h = fnv1a_u64(toks)
+    if len(h) < w:
+        return np.empty(0, np.uint64)
+    return np.unique(_shingle_hash(h, w))
+
+
+def _gram_sets_batch(text, w: int):
+    """Per-batch distinct ``w``-token-shingle hashes: returns
+    ``(row_id, gram_hash)`` sorted by (row, hash) with per-row
+    duplicates removed, plus the per-row distinct counts (len n_rows).
+    Shingles never cross a row boundary."""
+    from .analysis import flat_tokens
+    from .curation import _shingle_hash
+    from ..util import fnv1a_u64
+
+    row_id, toks, n_rows = flat_tokens(text)
+    h = fnv1a_u64(toks)
+    m = len(h) - w + 1
+    if m <= 0:
+        return (np.empty(0, np.int64), np.empty(0, np.uint64),
+                np.zeros(n_rows, np.int64))
+    sh = _shingle_hash(h, w)
+    ok = row_id[:m] == row_id[w - 1:]
+    r, g = row_id[:m][ok], sh[ok]
+    order = np.lexsort((g, r))
+    r, g = r[order], g[order]
+    if len(r):
+        first = np.empty(len(r), bool)
+        first[0] = True
+        first[1:] = (r[1:] != r[:-1]) | (g[1:] != g[:-1])
+        r, g = r[first], g[first]
+    counts = np.bincount(r, minlength=n_rows).astype(np.int64)
+    return r, g, counts
+
+
+def prefix_filter_candidates(docs_ds, *, tnum: int, tden: int, w: int = 4,
+                             n_buckets: int = 64, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             max_group_pairs: int = 5_000_000):
+    """COMPLETE candidate pairs for token-``w``-gram Jaccard ≥
+    ``tnum/tden`` via symmetric prefix filtering (the All-Pairs/PPJoin
+    family, Bayardo et al. WWW'07 / Xiao et al. WWW'08) — unlike
+    MinHash-LSH there is no recall parameter: every qualifying pair is
+    guaranteed to be generated.
+
+    Theorem used: under any global total order on set elements, if
+    ``J(a,b) ≥ τ`` then ``a`` and ``b`` share an element inside BOTH
+    prefixes of length ``|x| − ceil(τ·|x|) + 1`` (the first common
+    element sits at position ``≤ |x| − |a∩b| + 1``, and ``J ≥ τ``
+    forces ``|a∩b| ≥ ceil(τ·|x|)`` for both endpoints given the length
+    ratio ``|a| ≥ τ·|b|`` that ``J ≥ τ`` itself implies). The global
+    order here is the gram HASH — adequate because ``w``-token grams
+    are near-unique (a document-frequency order, the stopword-token
+    optimization, would only shrink the already-small groups).
+
+    Shape: one narrow tokenize pass emits (gram, doc, n) for PREFIX
+    grams only (~``(1−τ)·|set|`` rows per doc); ONE gram-hash-bucketed
+    groupby co-locates each gram's prefix postings; within a group the
+    postings sort by (gram, n, id) and each posting pairs with the
+    ``searchsorted`` window of longer sets still inside the τ length
+    ratio (integer arithmetic: ``tden·n_a ≥ tnum·n_b`` — no float
+    boundary loss), exploded via np.repeat/aranges. A group exceeding
+    ``max_group_pairs`` raises rather than silently dropping (the
+    interval-replication convention)."""
+    tau_ok = 0 < tnum <= tden
+    if not tau_ok:
+        raise ValueError(f"need 0 < tnum <= tden: {tnum}/{tden}")
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        r, g, counts = _gram_sets_batch(t.column(text_col), w)
+        # prefix length p = n − ceil(τ·n) + 1, integer-exact
+        p = counts - (tnum * counts + tden - 1) // tden + 1
+        # rank of each gram within its row ((r, g) sorted by row, hash)
+        if len(r):
+            starts = np.flatnonzero(np.concatenate(
+                [[True], r[1:] != r[:-1]]))
+            seg_lens = np.diff(np.append(starts, len(r)))
+            rank = np.arange(len(r)) - np.repeat(starts, seg_lens)
+            keep = rank < p[r]
+        else:
+            keep = np.zeros(0, bool)
+        ids = t.column(id_col).combine_chunks() if isinstance(
+            t.column(id_col), pa.ChunkedArray) else t.column(id_col)
+        doc = pc.cast(ids, pa.int64()).take(
+            pa.array(r[keep], pa.int64()))
+        gh = g[keep]
+        return pa.table({
+            "gram": pa.array(gh.view(np.int64), pa.int64()),
+            id_col: doc,
+            "n": pa.array(counts[r[keep]], pa.int64()),
+            "bucket": pa.array((gh % np.uint64(n_buckets))
+                               .astype(np.int32), pa.int32())})
+
+    def group_pairs(g: pa.Table) -> pa.Table:
+        gram = g.column("gram").to_numpy(zero_copy_only=False)
+        doc = g.column(id_col).to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, n, gram))
+        gram, doc, n = gram[order], doc[order], n[order]
+        m = len(gram)
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if m < 2:
+            return empty
+        seg = np.concatenate([[True], gram[1:] != gram[:-1]])
+        seg_id = np.cumsum(seg) - 1
+        # for posting i (the SHORTER set), partners are the window
+        # (i, hi_i) of same-gram postings with tden·n_i ≥ tnum·n_j
+        # — n ascending within a segment, so the window is contiguous.
+        # One searchsorted over a segment-major composite key answers
+        # every window at once; BIG dominates the n-term so segments
+        # cannot interleave (≤ ~1e6 postings × ~1e6·tden per group —
+        # far inside int64)
+        big = int(n.max()) * max(tnum, tden) + 1
+        bound = np.searchsorted(seg_id * big + n * tnum,
+                                seg_id * big + n * tden,
+                                side="right")
+        lo = np.arange(m) + 1
+        cnt = np.maximum(bound - lo, 0)
+        total = int(cnt.sum())
+        if total > max_group_pairs:
+            raise ValueError(
+                f"prefix-filter group exploded to {total} pairs "
+                f"(> {max_group_pairs}); raise max_group_pairs or "
+                f"pre-filter stop-grams")
+        if total == 0:
+            return empty
+        ii = np.repeat(np.arange(m), cnt)
+        jj = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt) \
+            + lo[ii]
+        a, b = doc[ii], doc[jj]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        porder = np.lexsort((b2, a2))
+        a2, b2 = a2[porder], b2[porder]
+        keep = np.concatenate([[True], (a2[1:] != a2[:-1]) |
+                               (b2[1:] != b2[:-1])])
+        return pa.table({"a": pa.array(a2[keep], pa.int64()),
+                         "b": pa.array(b2[keep], pa.int64())})
+
+    return docs_ds.map_batches(prefix_rows, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(group_pairs, batch_format="pyarrow")
+
+
+def exact_ngram_jaccard_pairs(docs_ds, verify_ds, *, tnum: int = 3,
+                              tden: int = 5, w: int = 4,
+                              n_buckets: int = 64,
+                              id_col: str = "doc_id",
+                              text_col: str = "text"):
+    """EXACT all-pairs token-``w``-gram Jaccard ≥ ``tnum/tden``:
+    prefix-filter candidates (complete — see
+    :func:`prefix_filter_candidates`) → exact per-pair verify over the
+    same gram-hash sets (:func:`jaccard_verify` with
+    :func:`token_gram_hash_set`). Returns (a, b, jaccard) with a < b.
+    ``docs_ds``/``verify_ds`` are two read lineages of the same table
+    (each stage consumes the scan once)."""
+    cand = prefix_filter_candidates(
+        docs_ds, tnum=tnum, tden=tden, w=w, n_buckets=n_buckets,
+        id_col=id_col, text_col=text_col)
+
+    def set_fn(txt: str) -> np.ndarray:
+        return token_gram_hash_set(txt, w)
+
+    return jaccard_verify(cand, verify_ds, threshold=tnum / tden,
+                          id_col=id_col, text_col=text_col,
+                          n_buckets=n_buckets, set_fn=set_fn)
