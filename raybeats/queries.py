@@ -13442,172 +13442,6 @@ FROM inter JOIN cnt ca ON ca.doc_id = inter.a
 WHERE CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE) >= 0.6"""
 
 
-def q_interval_union(sf_dir: str):
-    """Gaps-and-islands interval merging (the classic coverage query —
-    ref has no query layer; this is the sessionization family's missing
-    set-union shape): each event opens a fixed 5-minute presence window
-    ``[ts, ts+300s)``; per user, overlapping/touching windows merge into
-    islands and the query reports island count + total covered
-    microseconds. All arithmetic is exact int64 epoch-us.
-
-    Sequence merging is not associative across splits, so rows shuffle
-    ONCE keyed by a user-hash bucket (users co-locate → per-bucket
-    output rows are FINAL, no driver fold). The per-bucket kernel is
-    one lexsort + shifted comparisons: windows are FIXED width, so the
-    running max of interval ends within a user is just ``prev_lo + L``
-    (lo is sorted) — the segmented-cummax a variable-width merge would
-    need never arises, and everything stays vectorized. Touching
-    intervals (``lo == prev_hi``) merge; a new island needs a strict
-    gap (``lo > prev_hi``) — mirrored by the SQL's ``lo > prev_hi``."""
-    import numpy as np
-
-    L = 300_000_000  # 5-minute window, microseconds
-    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
-
-    def tag(t: pa.Table) -> pa.Table:
-        sub = pa.table({"u": t.column("user_id"),
-                        "lo": pc.cast(t.column("ts"), pa.int64()),
-                        "eid": t.column("event_id")}) \
-            .filter(pc.and_(pc.is_valid(t.column("user_id")),
-                            pc.is_valid(t.column("ts"))))
-        return sub.append_column("bucket", int_bucket(sub.column("u"),
-                                                      n_buckets))
-
-    def grp(g: pa.Table) -> pa.Table:
-        u = g.column("u").to_numpy(zero_copy_only=False)
-        lo = g.column("lo").to_numpy(zero_copy_only=False)
-        eid = g.column("eid").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, lo, u))
-        u, lo = u[order], lo[order]
-        n = len(u)
-        new_seg = np.empty(n, bool)
-        new_seg[0] = True
-        new_seg[1:] = u[1:] != u[:-1]
-        new_isl = new_seg.copy()
-        new_isl[1:] |= lo[1:] > lo[:-1] + L
-        starts = np.flatnonzero(new_isl)
-        # islands are contiguous runs; the last row of each run holds
-        # the island's max lo (lo ascending within a user)
-        ends = np.append(starts[1:] - 1, n - 1)
-        covered = lo[ends] + L - lo[starts]
-        uniq, seg_code = np.unique(u, return_inverse=True)
-        n_isl = np.zeros(len(uniq), np.int64)
-        cov = np.zeros(len(uniq), np.int64)
-        isl_user = seg_code[starts]
-        np.add.at(n_isl, isl_user, 1)
-        np.add.at(cov, isl_user, covered)
-        return pa.table({"user_id": pa.array(uniq, pa.int64()),
-                         "n_islands": pa.array(n_isl, pa.int64()),
-                         "covered_us": pa.array(cov, pa.int64())})
-
-    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
-        .map_batches(tag, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(grp, batch_format="pyarrow") \
-        .select_columns(["user_id", "n_islands", "covered_us"])
-
-
-SQL_INTERVAL_UNION = """WITH w AS (
-  SELECT user_id, event_id, epoch_us(ts) AS lo,
-         epoch_us(ts) + 300000000 AS hi
-  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-s AS (
-  SELECT user_id, lo, hi,
-         MAX(hi) OVER (PARTITION BY user_id ORDER BY lo, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-           AS prev_hi
-  FROM w),
-i AS (
-  SELECT user_id, lo, hi,
-         CASE WHEN prev_hi IS NULL OR lo > prev_hi THEN 1 ELSE 0 END
-           AS new_isl,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY lo) AS rn
-  FROM s),
-j AS (
-  SELECT user_id, lo, hi,
-         SUM(new_isl) OVER (PARTITION BY user_id ORDER BY rn
-                            ROWS UNBOUNDED PRECEDING) AS isl
-  FROM i),
-m AS (SELECT user_id, isl, MIN(lo) AS lo, MAX(hi) AS hi
-      FROM j GROUP BY 1, 2)
-SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
-       CAST(SUM(hi - lo) AS BIGINT) AS covered_us
-FROM m GROUP BY 1"""
-
-
-def q_pareto_front(sf_dir: str):
-    """2-D skyline (Pareto frontier) of orders on (totalprice,
-    orderdate): a point survives iff no other point is ≥ on both
-    dimensions and > on at least one — the multi-criteria top-set
-    query (Börzsönyi et al. ICDE'01 skyline operator), the family the
-    catalog's single-dimension top-k cannot express.
-
-    Local frontiers are a CORRECT mergeable partial: a point dominated
-    inside one batch is dominated globally, so each batch compacts to
-    distinct (price, date, count) points and keeps only its local
-    frontier (sort by price desc / date desc once; survive iff date >
-    the strictly-preceding prefix-max date — preceding points are
-    exactly the potential dominators). The driver folds
-    blocks × |local frontier| rows (expected O(log n) points each on
-    non-adversarial data; a guard raises past 200k rather than
-    silently degrade) and re-runs the same kernel for the exact global
-    frontier with summed per-point counts."""
-    import numpy as np
-
-    def _frontier(price: "np.ndarray", date: "np.ndarray",
-                  cnt: "np.ndarray"):
-        order = np.lexsort((-date, -price))
-        p, d, c = price[order], date[order], cnt[order]
-        keep = np.empty(len(p), bool)
-        if len(p):
-            keep[0] = True
-            keep[1:] = d[1:] > np.maximum.accumulate(d)[:-1]
-        return p[keep], d[keep], c[keep]
-
-    def partial(t: pa.Table) -> pa.Table:
-        g = pa.table({"p": t.column("o_totalprice"),
-                      "d": pc.cast(t.column("o_orderdate"), pa.int64())}) \
-            .group_by(["p", "d"]).aggregate([([], "count_all")])
-        p, d, c = _frontier(
-            g.column("p").to_numpy(zero_copy_only=False),
-            g.column("d").to_numpy(zero_copy_only=False),
-            pc.cast(g.column("count_all"),
-                    pa.int64()).to_numpy(zero_copy_only=False))
-        return pa.table({"p": pa.array(p, pa.float64()),
-                         "d": pa.array(d, pa.int64()),
-                         "n": pa.array(c, pa.int64())})
-
-    merged = _combine_partials(
-        _read(sf_dir, "orders", ["o_totalprice", "o_orderdate"])
-        .map_batches(partial, batch_format="pyarrow"),
-        ["p", "d"], {"n": "n"})
-    if merged.num_rows > 200_000:
-        raise ValueError(f"local frontiers folded to {merged.num_rows} "
-                         "rows — anti-correlated dims; use a bucketed "
-                         "final pass instead of the driver fold")
-    p, d, c = _frontier(
-        merged.column("p").to_numpy(zero_copy_only=False),
-        merged.column("d").to_numpy(zero_copy_only=False),
-        merged.column("n").to_numpy(zero_copy_only=False))
-    return pa.table({"o_totalprice": pa.array(p, pa.float64()),
-                     "o_orderdate": pa.array(d, pa.int64()).cast(
-                         pa.timestamp("us")),
-                     "n": pa.array(c, pa.int64())})
-
-
-SQL_PARETO_FRONT = """WITH p AS (
-  SELECT o_totalprice, o_orderdate, CAST(COUNT(*) AS BIGINT) AS n
-  FROM orders GROUP BY 1, 2),
-s AS (
-  SELECT o_totalprice, o_orderdate, n,
-         MAX(o_orderdate) OVER (ORDER BY o_totalprice DESC,
-                                         o_orderdate DESC
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                         AND 1 PRECEDING) AS md
-  FROM p)
-SELECT o_totalprice, o_orderdate, n FROM s
-WHERE md IS NULL OR o_orderdate > md"""
-
-
 def q_table_digest(sf_dir: str):
     """Order-invariant per-source content checksum — the 100-TB
     data-integrity primitive (verify a migration/compaction/rewrite
@@ -13937,8 +13771,6 @@ QUERIES = {
     "ols_fit": (q_ols_fit, SQL_OLS_FIT),
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "interval_union": (q_interval_union, SQL_INTERVAL_UNION),
-    "pareto_front": (q_pareto_front, SQL_PARETO_FRONT),
     "table_digest": (q_table_digest, SQL_TABLE_DIGEST),
     "preference_pairs": (q_preference_pairs, SQL_PREFERENCE_PAIRS),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
