@@ -205,7 +205,8 @@ def run_queries() -> dict[str, float]:
              "bm25_topk", "sft_examples", "ols_fit",
              "dup_spans", "preference_pairs", "hard_negatives",
              "error_window_types", "user_activity_fold",
-             "ngram_jaccard", "table_digest"]
+             "ngram_jaccard", "table_digest", "rrf_fusion",
+             "changepoint_cusum", "incremental_agg"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

@@ -12717,8 +12717,8 @@ SELECT event_id, user_id, s AS ema_cents FROM r"""
 _BM25_TERMS = ("dup", "spark", "window", "merge", "batch")
 
 
-def q_bm25_topk(sf_dir: str):
-    """BM25 retrieval: top-25 docs for a fixed 5-term query
+def _bm25_scores(sf_dir: str, k: int = 25) -> pa.Table:
+    """BM25 retrieval: top-``k`` docs for a fixed 5-term query
     (k1 = 1.2, b = 0.75) with the ODDS idf — (N − df + 0.5)/(df + 0.5),
     i.e. Robertson's idf WITHOUT the log — because every op is then
     rational double arithmetic (+ − × ÷ are correctly-rounded IEEE in
@@ -12797,7 +12797,7 @@ def q_bm25_topk(sf_dir: str):
                 .astype(np.float64)
             score = score + idf[i] * ((tf * 2.2) / (tf + denom_norm))
         doc = t.column("doc_id").to_numpy(zero_copy_only=False)
-        top = np.lexsort((doc, -score))[:25]
+        top = np.lexsort((doc, -score))[:k]
         return pa.table({"doc_id": pa.array(doc[top], pa.int64()),
                          "score": pa.array(score[top], pa.float64())})
 
@@ -12806,12 +12806,19 @@ def q_bm25_topk(sf_dir: str):
         .iter_batches(batch_size=None, batch_format="pyarrow")))
     doc = parts.column("doc_id").to_numpy(zero_copy_only=False)
     score = parts.column("score").to_numpy(zero_copy_only=False)
-    top = np.lexsort((doc, -score))[:25]
+    top = np.lexsort((doc, -score))[:k]
     return pa.table({"doc_id": pa.array(doc[top], pa.int64()),
                      "score": pa.array(score[top], pa.float64())})
 
 
-def _bm25_sql() -> str:
+
+def q_bm25_topk(sf_dir: str):
+    """See :func:`_bm25_scores` (k=25) — the scorer is shared with
+    `rrf_fusion`, which ranks a deeper k=100 cut of the same scores."""
+    return _bm25_scores(sf_dir, 25)
+
+
+def _bm25_sql(k: int = 25) -> str:
     tf_cols = ",\n  ".join(
         f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
         for i, t in enumerate(_BM25_TERMS))
@@ -12836,7 +12843,7 @@ st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
   {df_cols}
   FROM f)
 SELECT f.doc_id, {score} AS score
-FROM f, st ORDER BY score DESC, f.doc_id LIMIT 25"""
+FROM f, st ORDER BY score DESC, f.doc_id LIMIT {k}"""
 
 
 SQL_BM25_TOPK = _bm25_sql()
@@ -13504,6 +13511,245 @@ SQL_TABLE_DIGEST = """SELECT source,
 FROM documents GROUP BY source"""
 
 
+def q_rrf_fusion(sf_dir: str):
+    """Hybrid-retrieval rank fusion (Cormack et al. SIGIR'09 reciprocal
+    rank fusion): fuse the BM25 lexical ranking (shared `_bm25_scores`
+    kernel, k=100) with the embedding-cosine ranking against the
+    vec_id-0 query vector (shared `knn_topk` kernel, k=100) —
+    ``rrf = Σ_lists floor(10^12 / (60 + rank))``. The classic RRF
+    1/(60+r) is scaled to INTEGER contributions so the fused score is
+    order-invariant exact int64 arithmetic on both engines (a float
+    1/(60+r) sum would be association-order-dependent). Corpus
+    contract: ``embeddings.vec_id`` is 1:1 with ``documents.doc_id``
+    (the fixture generator's layout), so the two rankings share an id
+    space. Absent-from-a-list ids contribute 0 (rank reported as 0).
+
+    Scale shape: both arms are per-batch local-top-k partials (the
+    driver folds ≤ k rows per block); the fusion itself is driver
+    arithmetic on ≤ 2k rows."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from .textops.knn import knn_topk
+
+    K, SCALE, C = 100, 10 ** 12, 60
+    lex = _bm25_scores(sf_dir, K)
+    # rank by (score desc, doc asc) — _bm25_scores returns in that order
+    lex_rank = {int(d): i + 1
+                for i, d in enumerate(lex.column("doc_id").to_pylist())}
+    qt = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        filter=pc.field("vec_id") == 0)
+    qv = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
+    vec = knn_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"],
+                         blocks=16), qv, [0], k=K)
+    vec_rank = {int(d): int(r)
+                for d, r in zip(vec.column("neighbor_id").to_pylist(),
+                                vec.column("rank").to_pylist())}
+    ids = sorted(set(lex_rank) | set(vec_rank))
+    rrf = [(SCALE // (C + lex_rank[d]) if d in lex_rank else 0)
+           + (SCALE // (C + vec_rank[d]) if d in vec_rank else 0)
+           for d in ids]
+    order = np.lexsort((np.array(ids), -np.array(rrf)))[:25]
+    ids_a = np.array(ids, np.int64)[order]
+    return pa.table({
+        "doc_id": pa.array(ids_a, pa.int64()),
+        "rrf": pa.array(np.array(rrf, np.int64)[order], pa.int64()),
+        "rank_lex": pa.array([lex_rank.get(int(d), 0) for d in ids_a],
+                             pa.int64()),
+        "rank_vec": pa.array([vec_rank.get(int(d), 0) for d in ids_a],
+                             pa.int64())})
+
+
+SQL_RRF_FUSION = f"""WITH bm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM ({_bm25_sql(100)})),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id = 0),
+v AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY list_cosine_similarity(
+           q.qe, CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS r
+  FROM embeddings e, q WHERE e.vec_id <> 0
+  QUALIFY r <= 100),
+f AS (
+  SELECT COALESCE(bm.doc_id, v.doc_id) AS doc_id,
+         COALESCE(1000000000000 // (60 + bm.r), 0)
+           + COALESCE(1000000000000 // (60 + v.r), 0) AS rrf,
+         COALESCE(bm.r, 0) AS rank_lex,
+         COALESCE(v.r, 0) AS rank_vec
+  FROM bm FULL OUTER JOIN v ON bm.doc_id = v.doc_id)
+SELECT doc_id, rrf, rank_lex, rank_vec
+FROM f ORDER BY rrf DESC, doc_id LIMIT 25"""
+
+
+def q_changepoint_cusum(sf_dir: str):
+    """CUSUM changepoint detection over the daily 'error'-count series
+    — the monitoring/drift primitive (where did the error rate shift?).
+    The statistic is kept in EXACT integers: with daily counts over
+    the dense min..max day grid (gap days count 0), prefix sums
+    ``S_i`` and total ``S_n``, the changepoint maximizes
+    ``|n·S_i − i·S_n|`` over ``1 ≤ i < n`` (the scaled
+    mean-difference CUSUM — same argmax as the float statistic,
+    ties → earliest day).
+
+    Scale shape: per-batch (day, count) partials fold driver-side
+    (bounded by the CALENDAR span, not the corpus — the gap_fill
+    argument); the scan over days is driver numpy."""
+    import numpy as np
+
+    DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t.column("event_type"), "error"),
+                    pc.is_valid(t.column("ts")))
+        ts = pc.cast(t.column("ts"), pa.int64()).filter(
+            pc.fill_null(m, False))
+        day = pc.floor(pc.divide(pc.cast(ts, pa.float64()), DAY))
+        g = pa.table({"day": pc.cast(day, pa.int64())}) \
+            .group_by("day").aggregate([([], "count_all")])
+        return pa.table({"day": g.column("day"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    per_day = _combine_partials(
+        _read(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["day"], {"n": "n"})
+    empty = pa.table({"day": pa.array([], pa.timestamp("us")),
+                      "stat": pa.array([], pa.int64())})
+    if per_day.num_rows < 2:
+        return empty
+    d = per_day.column("day").to_numpy(zero_copy_only=False)
+    c = per_day.column("n").to_numpy(zero_copy_only=False)
+    lo, hi = int(d.min()), int(d.max())
+    dense = np.zeros(hi - lo + 1, np.int64)
+    dense[d - lo] = c
+    n = len(dense)
+    s = np.cumsum(dense)
+    i = np.arange(1, n)  # prefix lengths 1..n-1
+    stat = np.abs(n * s[:-1] - i * s[-1])
+    best = int(np.argmax(stat))  # first max → earliest day
+    return pa.table({
+        "day": pa.array([(lo + best) * DAY], pa.int64()).cast(
+            pa.timestamp("us")),
+        "stat": pa.array([int(stat[best])], pa.int64())})
+
+
+SQL_CHANGEPOINT_CUSUM = """WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day
+  FROM events WHERE event_type = 'error' AND ts IS NOT NULL),
+b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
+grid AS (SELECT unnest(range(b.lo, b.hi + 1)) AS day FROM b),
+c AS (
+  SELECT g.day, CAST(COUNT(e.day) AS BIGINT) AS n
+  FROM grid g LEFT JOIN e ON e.day = g.day GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(n) AS BIGINT) AS tot FROM c),
+s AS (
+  SELECT day,
+         SUM(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum,
+         ROW_NUMBER() OVER (ORDER BY day) AS i
+  FROM c)
+SELECT CAST(to_timestamp(s.day * 86400) AS TIMESTAMP) AS day,
+       CAST(ABS(t.nd * s.cum - s.i * t.tot) AS BIGINT) AS stat
+FROM s, t WHERE s.i < t.nd
+ORDER BY stat DESC, s.day LIMIT 1"""
+
+
+def q_incremental_agg(sf_dir: str):
+    """Incremental materialized-view maintenance: a per-(event_type,
+    day) count/cents aggregate is kept as a STATE parquet; new data
+    arrives as a delta slice and the refresh merges delta partials
+    into the state — producing exactly the full recompute (the oracle
+    aggregates the whole table) without rescanning history. The
+    sum/count measures are associative, so merge ≡ recompute holds for
+    ANY split point; the split here is the footer ts midpoint (no
+    data-dependent execution just for sizing).
+
+    Scale shape at 100 TB: history is never rescanned — the state read
+    is proportional to the AGGREGATE's cardinality (types × days), the
+    delta scan is filter-pushed (`pads.field(\"ts\") >= T0` prunes
+    row groups), and the merge is one tiny groupby."""
+    import hashlib as _hl
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    meta = _pq.read_metadata(f"{sf_dir}/events.parquet")
+    # footer min/max of ts (row-group stats; no execution)
+    los, his = [], []
+    for rg in range(meta.num_row_groups):
+        for ci in range(meta.row_group(rg).num_columns):
+            col = meta.row_group(rg).column(ci)
+            if col.path_in_schema == "ts" and col.statistics is not None:
+                los.append(col.statistics.min)
+                his.append(col.statistics.max)
+    t0 = min(los) + (max(his) - min(los)) // 2
+    t0_us = int(t0.timestamp() * 1_000_000) if hasattr(t0, "timestamp") \
+        else int(t0)
+
+    def agg(ds) -> pa.Table:
+        def partial(t: pa.Table) -> pa.Table:
+            import numpy as np
+            v = t.column("value").to_numpy(zero_copy_only=False)
+            cents = np.floor(v * 100.0)
+            cents[np.isnan(v)] = 0
+            day = pc.cast(pc.floor(pc.divide(
+                pc.cast(pc.cast(t.column("ts"), pa.int64()),
+                        pa.float64()), 86_400_000_000)), pa.int64())
+            sub = pa.table({
+                "event_type": t.column("event_type"), "day": day,
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+                "cents": pa.array(cents.astype(np.int64), pa.int64())})
+            g = sub.group_by(["event_type", "day"]).aggregate(
+                [("one", "sum"), ("cents", "sum")])
+            return pa.table({"event_type": g.column("event_type"),
+                             "day": g.column("day"),
+                             "n": g.column("one_sum"),
+                             "cents": g.column("cents_sum")})
+        return _combine_partials(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["event_type", "day"], {"n": "n", "cents": "cents"})
+
+    # 1. build + PUBLISH the state for the history slice (ts < T0);
+    # clean first — write_parquet ADDS uniquely-named files, so a rerun
+    # into a stale dir would double the state (the ndjson_roundtrip
+    # convention)
+    import shutil as _sh
+    state_dir = "/tmp/raybeats_incr_state_" + _hl.md5(
+        sf_dir.encode()).hexdigest()[:10]
+    _sh.rmtree(state_dir, ignore_errors=True)
+    hist = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"],
+        filter=pads.field("ts") < pa.scalar(t0_us, pa.timestamp("us")))
+    rd.from_arrow(agg(hist)).write_parquet(state_dir)
+    # 2. refresh: read the state back + aggregate ONLY the delta
+    state = rd.read_parquet(state_dir)
+    delta = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"],
+        filter=pads.field("ts") >= pa.scalar(t0_us, pa.timestamp("us")))
+    merged = pa.concat_tables(
+        [agg(delta)] + list(state.iter_batches(batch_size=None,
+                                               batch_format="pyarrow")))
+    g = merged.group_by(["event_type", "day"]).aggregate(
+        [("n", "sum"), ("cents", "sum")])
+    return pa.table({"event_type": g.column("event_type"),
+                     "day": g.column("day"),
+                     "n": g.column("n_sum"),
+                     "cents": g.column("cents_sum")})
+
+
+SQL_INCREMENTAL_AGG = """SELECT event_type,
+  epoch_us(ts) // 86400000000 AS day,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN isnan(value) THEN 0
+                ELSE CAST(FLOOR(value * 100) AS BIGINT) END)
+       AS BIGINT) AS cents
+FROM events GROUP BY 1, 2"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -13772,6 +14018,9 @@ QUERIES = {
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "table_digest": (q_table_digest, SQL_TABLE_DIGEST),
+    "rrf_fusion": (q_rrf_fusion, SQL_RRF_FUSION),
+    "changepoint_cusum": (q_changepoint_cusum, SQL_CHANGEPOINT_CUSUM),
+    "incremental_agg": (q_incremental_agg, SQL_INCREMENTAL_AGG),
     "preference_pairs": (q_preference_pairs, SQL_PREFERENCE_PAIRS),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "error_window_types": (q_error_window_types,
