@@ -206,7 +206,9 @@ def run_queries() -> dict[str, float]:
              "dup_spans", "preference_pairs", "hard_negatives",
              "error_window_types", "user_activity_fold",
              "ngram_jaccard", "table_digest", "rrf_fusion",
-             "changepoint_cusum", "incremental_agg"]
+             "changepoint_cusum", "incremental_agg",
+             "interpolate_daily", "survivorship",
+             "seasonal_naive_error"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

@@ -13750,6 +13750,321 @@ SQL_INCREMENTAL_AGG = """SELECT event_type,
 FROM events GROUP BY 1, 2"""
 
 
+def q_interpolate_daily(sf_dir: str):
+    """Time-series resampling with LINEAR interpolation: the daily
+    'purchase' cents series on the dense min..max day grid, with
+    missing days filled by exact integer interpolation between the
+    surrounding observed days — the imputation member between
+    `gap_fill_hours` (zero fill) and `last_buy_carry` (LOCF). The
+    interpolant ``(prev·(dn−d) + next·(d−dp)) // (dn−dp)`` stays in
+    non-negative int64 (cents ≥ 0), so floor division is
+    truncation-safe and both engines compute it bit-identically.
+    Days before the first / after the last observation are excluded
+    (no extrapolation; the SQL's null arithmetic drops them).
+
+    Scale shape: per-batch (day, cents) partials fold driver-side —
+    bounded by the CALENDAR span, not the corpus (the gap_fill
+    argument); the grid scan is driver numpy over days."""
+    import numpy as np
+
+    DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t.column("event_type"), "purchase"),
+                    pc.is_valid(t.column("ts")))
+        m = pc.and_(m, pc.is_valid(t.column("value")))
+        sub = t.filter(pc.fill_null(m, False))
+        v = sub.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0)
+        cents[np.isnan(v)] = 0
+        day = pc.cast(pc.floor(pc.divide(
+            pc.cast(pc.cast(sub.column("ts"), pa.int64()),
+                    pa.float64()), DAY)), pa.int64())
+        g = pa.table({"day": day,
+                      "cents": pa.array(cents.astype(np.int64),
+                                        pa.int64())}) \
+            .group_by("day").aggregate([("cents", "sum")])
+        return pa.table({"day": g.column("day"),
+                         "cents": g.column("cents_sum")})
+
+    per_day = _combine_partials(
+        _read(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["day"], {"cents": "cents"})
+    empty = pa.table({"day": pa.array([], pa.timestamp("us")),
+                      "cents": pa.array([], pa.int64()),
+                      "observed": pa.array([], pa.bool_())})
+    if per_day.num_rows == 0:
+        return empty
+    d = per_day.column("day").to_numpy(zero_copy_only=False)
+    c = per_day.column("cents").to_numpy(zero_copy_only=False)
+    lo, hi = int(d.min()), int(d.max())
+    n = hi - lo + 1
+    obs = np.zeros(n, bool)
+    vals = np.zeros(n, np.int64)
+    obs[d - lo] = True
+    vals[d - lo] = c
+    idx = np.arange(n)
+    # prev/next observed index via ffill/bfill of the index
+    pidx = np.where(obs, idx, -1)
+    pidx = np.maximum.accumulate(pidx)
+    nidx = np.where(obs, idx, n)
+    nidx = np.minimum.accumulate(nidx[::-1])[::-1]
+    # interior grid only (lo..hi always has obs at both ends here)
+    dp, dn = pidx, nidx
+    span = np.maximum(dn - dp, 1)
+    interp = (vals[np.clip(dp, 0, n - 1)] * (dn - idx)
+              + vals[np.clip(dn, 0, n - 1)] * (idx - dp)) // span
+    out_c = np.where(obs, vals, interp)
+    return pa.table({
+        "day": pa.array((idx + lo) * DAY, pa.int64()).cast(
+            pa.timestamp("us")),
+        "cents": pa.array(out_c, pa.int64()),
+        "observed": pa.array(obs, pa.bool_())})
+
+
+SQL_INTERPOLATE_DAILY = """WITH p AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
+        AND value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1),
+b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM p),
+grid AS (SELECT unnest(range(b.lo, b.hi + 1)) AS day FROM b),
+g AS (
+  SELECT grid.day, p.cents, p.day IS NOT NULL AS observed
+  FROM grid LEFT JOIN p ON p.day = grid.day),
+f AS (
+  SELECT day, cents, observed,
+    LAST_VALUE(CASE WHEN observed THEN day END IGNORE NULLS)
+      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS dp,
+    LAST_VALUE(cents IGNORE NULLS)
+      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS pv,
+    FIRST_VALUE(CASE WHEN observed THEN day END IGNORE NULLS)
+      OVER (ORDER BY day ROWS BETWEEN CURRENT ROW
+                                  AND UNBOUNDED FOLLOWING) AS dn,
+    FIRST_VALUE(cents IGNORE NULLS)
+      OVER (ORDER BY day ROWS BETWEEN CURRENT ROW
+                                  AND UNBOUNDED FOLLOWING) AS nv
+  FROM g)
+SELECT CAST(to_timestamp(day * 86400) AS TIMESTAMP) AS day,
+  CAST(CASE WHEN observed THEN cents
+            ELSE (pv * (dn - day) + nv * (day - dp)) // (dn - dp)
+       END AS BIGINT) AS cents,
+  observed
+FROM f"""
+
+
+def q_survivorship(sf_dir: str):
+    """Golden-record survivorship over near-dup clusters (the MDM
+    merge step after entity resolution): per multi-member cluster,
+    compose the best value PER FIELD from different members —
+    ``best_doc_id`` = the longest text's id (ties → min id),
+    ``first_source`` = the alphabetically-first source,
+    ``total_chars`` / ``n_members`` audit sums. `dedup_keep_best`
+    keeps one whole ROW; survivorship is field-wise, which is why it
+    exists as a separate op.
+
+    Plan: the verified near-dup cluster map (the full `dedup_clusters`
+    pipeline — minhash → jaccard verify → connected components) is by
+    nature a SMALL side (only verified duplicates appear), so it
+    collects to a broadcast dict; one narrow documents scan tags rows
+    with their cluster and emits per-batch per-cluster partials
+    (count, char sum, max-(n_chars, −id) candidate, min source) that
+    fold associatively at the driver."""
+    import numpy as np
+
+    empty = pa.table({"cluster": pa.array([], pa.int64()),
+                      "n_members": pa.array([], pa.int64()),
+                      "total_chars": pa.array([], pa.int64()),
+                      "best_doc_id": pa.array([], pa.int64()),
+                      "first_source": pa.array([], pa.string())})
+    batches = list(q_dedup_clusters(sf_dir).iter_batches(
+        batch_size=None, batch_format="pyarrow"))
+    if not batches:  # no verified duplicates anywhere
+        return empty
+    cl = pa.concat_tables(batches)
+    cmap = dict(zip(cl.column("node").to_pylist(),
+                    cl.column("cluster").to_pylist()))
+    nodes = pa.array(list(cmap), pa.int64())
+    clusters = np.fromiter(cmap.values(), np.int64, len(cmap))
+
+    def partial(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("doc_id"), value_set=nodes) \
+            .to_numpy(zero_copy_only=False)
+        known = ~np.isnan(idx) if idx.dtype.kind == "f" else \
+            np.ones(len(idx), bool)
+        sub = t.filter(pa.array(known))
+        if sub.num_rows == 0:
+            return pa.table({
+                "cluster": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "chars": pa.array([], pa.int64()),
+                "best_chars": pa.array([], pa.int64()),
+                "best_doc": pa.array([], pa.int64()),
+                "src": pa.array([], pa.string())})
+        cid = clusters[idx[known].astype(np.int64)]
+        doc = sub.column("doc_id").to_numpy(zero_copy_only=False)
+        nch = sub.column("n_chars").to_numpy(zero_copy_only=False)
+        src = sub.column("source").to_pylist()
+        acc: dict[int, list] = {}
+        for c, d, nc, s in zip(cid.tolist(), doc.tolist(),
+                               nch.tolist(), src):
+            a = acc.get(c)
+            if a is None:
+                acc[c] = [1, nc, nc, d, s]
+            else:
+                a[0] += 1
+                a[1] += nc
+                if (nc, -d) > (a[2], -a[3]):
+                    a[2], a[3] = nc, d
+                if s < a[4]:
+                    a[4] = s
+        return pa.table({
+            "cluster": pa.array(list(acc), pa.int64()),
+            "n": pa.array([a[0] for a in acc.values()], pa.int64()),
+            "chars": pa.array([a[1] for a in acc.values()], pa.int64()),
+            "best_chars": pa.array([a[2] for a in acc.values()],
+                                   pa.int64()),
+            "best_doc": pa.array([a[3] for a in acc.values()],
+                                 pa.int64()),
+            "src": pa.array([a[4] for a in acc.values()], pa.string())})
+
+    out: dict[int, list] = {}
+    for t in _read(sf_dir, "documents",
+                   ["doc_id", "n_chars", "source"]) \
+            .map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for c, n, ch, bc, bd, s in zip(*(t.column(k).to_pylist()
+                                         for k in t.column_names)):
+            a = out.get(c)
+            if a is None:
+                out[c] = [n, ch, bc, bd, s]
+            else:
+                a[0] += n
+                a[1] += ch
+                if (bc, -bd) > (a[2], -a[3]):
+                    a[2], a[3] = bc, bd
+                if s < a[4]:
+                    a[4] = s
+    multi = {c: a for c, a in out.items() if a[0] > 1}
+    return pa.table({
+        "cluster": pa.array(list(multi), pa.int64()),
+        "n_members": pa.array([a[0] for a in multi.values()], pa.int64()),
+        "total_chars": pa.array([a[1] for a in multi.values()],
+                                pa.int64()),
+        "best_doc_id": pa.array([a[3] for a in multi.values()],
+                                pa.int64()),
+        "first_source": pa.array([a[4] for a in multi.values()],
+                                 pa.string())})
+
+
+# compose the dedup_clusters CTE chain: cut its final SELECT and keep
+# the WITH list, then aggregate per cluster with a field-wise
+# survivorship (argmax by (n_chars, -doc_id) via ROW_NUMBER)
+_SQL_CLUSTER_CTES = SQL_DEDUP_CLUSTERS[
+    :SQL_DEDUP_CLUSTERS.rindex("SELECT node")]
+SQL_SURVIVORSHIP = _SQL_CLUSTER_CTES + """,
+cl AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
+j AS (
+  SELECT cl.cluster, d.doc_id, d.n_chars, d.source
+  FROM documents d JOIN cl ON cl.node = d.doc_id),
+r AS (
+  SELECT cluster, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY cluster
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM j),
+a AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         MIN(source) AS first_source
+  FROM j GROUP BY 1)
+SELECT a.cluster, a.n_members, a.total_chars,
+       r.doc_id AS best_doc_id, a.first_source
+FROM a JOIN r ON r.cluster = a.cluster AND r.rk = 1
+WHERE a.n_members > 1"""
+
+
+def q_seasonal_naive_error(sf_dir: str):
+    """Forecast backtest (capacity-planning primitive): the weekly
+    seasonal-naive forecaster ``f(d) = actual(d − 7)`` evaluated over
+    the dense daily total-cents grid (missing days are true zeros) —
+    reports the day count scored, total absolute error and total bias
+    in EXACT integer cents. The first 7 grid days have no forecast and
+    are excluded on both engines.
+
+    Scale shape: the same bounded (day, cents) partial fold as
+    `changepoint_cusum`; the lag-7 comparison is driver numpy over the
+    calendar span."""
+    import numpy as np
+
+    DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t.column("ts")),
+                    pc.is_valid(t.column("value")))
+        sub = t.filter(pc.fill_null(m, False))
+        v = sub.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0)
+        cents[np.isnan(v)] = 0
+        day = pc.cast(pc.floor(pc.divide(
+            pc.cast(pc.cast(sub.column("ts"), pa.int64()),
+                    pa.float64()), DAY)), pa.int64())
+        g = pa.table({"day": day,
+                      "cents": pa.array(cents.astype(np.int64),
+                                        pa.int64())}) \
+            .group_by("day").aggregate([("cents", "sum")])
+        return pa.table({"day": g.column("day"),
+                         "cents": g.column("cents_sum")})
+
+    per_day = _combine_partials(
+        _read(sf_dir, "events", ["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["day"], {"cents": "cents"})
+    empty = pa.table({"n_days": pa.array([], pa.int64()),
+                      "abs_err_cents": pa.array([], pa.int64()),
+                      "bias_cents": pa.array([], pa.int64())})
+    if per_day.num_rows == 0:
+        return empty
+    d = per_day.column("day").to_numpy(zero_copy_only=False)
+    c = per_day.column("cents").to_numpy(zero_copy_only=False)
+    lo, hi = int(d.min()), int(d.max())
+    dense = np.zeros(hi - lo + 1, np.int64)
+    dense[d - lo] = c
+    if len(dense) <= 7:
+        return pa.table({"n_days": pa.array([0], pa.int64()),
+                         "abs_err_cents": pa.array([0], pa.int64()),
+                         "bias_cents": pa.array([0], pa.int64())})
+    err = dense[7:] - dense[:-7]
+    return pa.table({
+        "n_days": pa.array([len(err)], pa.int64()),
+        "abs_err_cents": pa.array([int(np.abs(err).sum())], pa.int64()),
+        "bias_cents": pa.array([int(err.sum())], pa.int64())})
+
+
+SQL_SEASONAL_NAIVE_ERROR = """WITH p AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CASE WHEN isnan(value) THEN 0
+                       ELSE CAST(FLOOR(value * 100) AS BIGINT) END)
+              AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1),
+b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM p),
+grid AS (SELECT unnest(range(b.lo, b.hi + 1)) AS day FROM b),
+g AS (
+  SELECT grid.day, COALESCE(p.cents, 0) AS cents
+  FROM grid LEFT JOIN p ON p.day = grid.day),
+l AS (
+  SELECT day, cents,
+         LAG(cents, 7) OVER (ORDER BY day) AS fc
+  FROM g)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(ABS(cents - fc)) AS BIGINT) AS abs_err_cents,
+       CAST(SUM(cents - fc) AS BIGINT) AS bias_cents
+FROM l WHERE fc IS NOT NULL"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -14021,6 +14336,10 @@ QUERIES = {
     "rrf_fusion": (q_rrf_fusion, SQL_RRF_FUSION),
     "changepoint_cusum": (q_changepoint_cusum, SQL_CHANGEPOINT_CUSUM),
     "incremental_agg": (q_incremental_agg, SQL_INCREMENTAL_AGG),
+    "interpolate_daily": (q_interpolate_daily, SQL_INTERPOLATE_DAILY),
+    "survivorship": (q_survivorship, SQL_SURVIVORSHIP),
+    "seasonal_naive_error": (q_seasonal_naive_error,
+                             SQL_SEASONAL_NAIVE_ERROR),
     "preference_pairs": (q_preference_pairs, SQL_PREFERENCE_PAIRS),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "error_window_types": (q_error_window_types,
