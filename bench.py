@@ -208,7 +208,8 @@ def run_queries() -> dict[str, float]:
              "ngram_jaccard", "table_digest", "rrf_fusion",
              "changepoint_cusum", "incremental_agg",
              "interpolate_daily", "survivorship",
-             "seasonal_naive_error"]
+             "seasonal_naive_error", "threshold_sweep",
+             "knn_label_eval"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

@@ -14065,6 +14065,156 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
 FROM l WHERE fc IS NOT NULL"""
 
 
+def q_threshold_sweep(sf_dir: str):
+    """Dedup-threshold tuning report: verified near-dup PAIR counts at
+    every candidate jaccard threshold (0.5 … 0.9) from ONE
+    candidate+verify pass — the sweep a curation engineer runs before
+    committing to a dedup cutoff (each threshold re-run from scratch
+    would cost a full LSH pass per point). Reuses the `minhash_pairs`
+    pipeline at the LOWEST threshold; the driver banding is a handful
+    of comparisons over the verified pair set (bounded by the
+    duplicate count, not the corpus). Threshold constants are double
+    literals — both engines compare the SAME verified jaccard doubles
+    (integer-ratio arithmetic, correctly rounded identically), so
+    banding cannot drift. Recall caveat inherited from
+    `minhash_pairs`: the LSH candidate set is exhaustive on this
+    corpus (see its oracle note)."""
+    import numpy as np
+
+    pairs = q_minhash_pairs(sf_dir)
+    tables = list(pairs.iter_batches(batch_size=None,
+                                     batch_format="pyarrow"))
+    j = (pa.concat_tables(tables).column("jaccard")
+         .to_numpy(zero_copy_only=False)
+         if tables else np.empty(0, np.float64))
+    thr = [0.5, 0.6, 0.7, 0.8, 0.9]
+    return pa.table({
+        "threshold": pa.array(thr, pa.float64()),
+        "n_pairs": pa.array([int((j >= t).sum()) for t in thr],
+                            pa.int64())})
+
+
+SQL_THRESHOLD_SWEEP = _SQL_JACCARD_PAIRS_CTE.format(rec="") + """
+SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+       CAST(COUNT(j.a) AS BIGINT) AS n_pairs
+FROM (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) t(threshold)
+LEFT JOIN jpairs j ON j.jaccard >= CAST(t.threshold AS DOUBLE)
+GROUP BY 1"""
+
+
+def q_knn_label_eval(sf_dir: str):
+    """k-NN classification eval over the embedding column: predict
+    each vector's label by 5-NN majority vote (self excluded;
+    neighbor ties → lower vec_id; vote ties → lower label) and report
+    per-label n / n_correct — the label-quality / leave-one-out eval
+    of a labeled vector corpus (`lang_confusion` is the text-model
+    analog). EXACT cross-engine arithmetic: vectors quantize to int64
+    (`round(x·10^6)`, the cluster_radius mirror) and every distance is
+    ``‖a‖² + ‖b‖² − 2a·b`` on integers < 2^53, which float64 matmul
+    computes EXACTLY — so neighbor order (dist, vec_id) is
+    deterministic on both engines, no float-tie exposure.
+
+    Scale shape: the corpus matrix broadcasts once via ``ray.put``
+    (5k × 64 int64 ≈ 2.5 MB; at real scale swap the brute-force probe
+    for the IVF partition layout per `knn_ivf`); per batch ONE float64
+    matmul + a stable axis-1 argsort; per-label partials fold at the
+    driver."""
+    import numpy as np
+    import ray
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"]) \
+        .sort_by("vec_id")
+    emb = full.column("embedding")
+    emb = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
+    n, d = len(emb), len(emb[0])
+    corpus = pc.cast(pc.round(pc.multiply(
+        pc.cast(emb.flatten(), pa.float64()), 1_000_000.0),
+        round_mode="half_towards_infinity"), pa.int64()) \
+        .to_numpy(zero_copy_only=False).reshape(n, d).astype(np.float64)
+    c_ids = full.column("vec_id").to_numpy(zero_copy_only=False)
+    c_lab = full.column("label").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    c_norm = (corpus * corpus).sum(axis=1)  # exact: ints < 2^53
+    ref = ray.put((corpus, c_ids, c_lab, c_norm))
+    n_lab = int(c_lab.max()) + 1 if len(c_lab) else 0
+
+    def partial(t: pa.Table) -> pa.Table:
+        cp, ids, labs, nrm = ray.get(ref)
+        e = t.column("embedding")
+        e = e.combine_chunks() if isinstance(e, pa.ChunkedArray) else e
+        m = len(e)
+        if m == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "n_correct": pa.array([], pa.int64())})
+        q = pc.cast(pc.round(pc.multiply(
+            pc.cast(e.flatten(), pa.float64()), 1_000_000.0),
+            round_mode="half_towards_infinity"), pa.int64()) \
+            .to_numpy(zero_copy_only=False).reshape(m, d) \
+            .astype(np.float64)
+        qid = t.column("vec_id").to_numpy(zero_copy_only=False)
+        tl = t.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # all values integer and < 2^53 → float64 matmul is exact
+        dist = (q * q).sum(axis=1)[:, None] + nrm[None, :] \
+            - 2.0 * (q @ cp.T)
+        dist[qid[:, None] == ids[None, :]] = np.inf  # self out
+        # corpus sorted by vec_id → stable argsort = (dist, vec_id)
+        top = np.argsort(dist, axis=1, kind="stable")[:, :5]
+        votes = labs[top]  # (m, 5)
+        cnt = np.zeros((m, n_lab), np.int64)
+        np.add.at(cnt, (np.repeat(np.arange(m), votes.shape[1]),
+                        votes.ravel()), 1)
+        pred = np.argmax(cnt, axis=1)  # first max → lowest label
+        sub = pa.table({
+            "label": pa.array(tl, pa.int64()),
+            "one": pa.array(np.ones(m, np.int64)),
+            "ok": pa.array((pred == tl).astype(np.int64), pa.int64())})
+        g = sub.group_by("label").aggregate([("one", "sum"),
+                                             ("ok", "sum")])
+        return pa.table({"label": g.column("label"),
+                         "n": g.column("one_sum"),
+                         "n_correct": g.column("ok_sum")})
+
+    return _combine_partials(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"],
+              blocks=16)
+        .map_batches(partial, batch_format="pyarrow"),
+        ["label"], {"n": "n", "n_correct": "n_correct"})
+
+
+SQL_KNN_LABEL_EVAL = """WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS DOUBLE))
+           AS ql
+  FROM embeddings),
+nn AS (SELECT vec_id, label, ql,
+              list_inner_product(ql, ql) AS nrm FROM q),
+d AS (
+  SELECT a.vec_id, a.label AS tl, b.vec_id AS nb, b.label AS nl,
+         CAST(a.nrm + b.nrm
+              - 2 * list_inner_product(a.ql, b.ql) AS BIGINT) AS dd
+  FROM nn a JOIN nn b ON a.vec_id <> b.vec_id),
+r AS (
+  SELECT vec_id, tl, nl,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dd, nb) AS rk
+  FROM d),
+k AS (SELECT vec_id, tl, nl, COUNT(*) AS c
+      FROM r WHERE rk <= 5 GROUP BY 1, 2, 3),
+p AS (
+  SELECT vec_id, tl, nl,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY c DESC, nl) AS pr
+  FROM k)
+SELECT CAST(tl AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN nl = tl THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM p WHERE pr = 1 GROUP BY 1"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -14340,6 +14490,8 @@ QUERIES = {
     "survivorship": (q_survivorship, SQL_SURVIVORSHIP),
     "seasonal_naive_error": (q_seasonal_naive_error,
                              SQL_SEASONAL_NAIVE_ERROR),
+    "threshold_sweep": (q_threshold_sweep, SQL_THRESHOLD_SWEEP),
+    "knn_label_eval": (q_knn_label_eval, SQL_KNN_LABEL_EVAL),
     "preference_pairs": (q_preference_pairs, SQL_PREFERENCE_PAIRS),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "error_window_types": (q_error_window_types,
