@@ -14215,6 +14215,183 @@ SELECT CAST(tl AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n,
 FROM p WHERE pr = 1 GROUP BY 1"""
 
 
+def q_topk_diversified(sf_dir: str):
+    """Diversified global top-k (the search-results/page-layout rule):
+    the 10 highest-cents events overall, but AT MOST 2 per user —
+    `topk_per_user` ranks within each user; this caps a group's share
+    of one GLOBAL ranking. Total order (cents desc, event_id asc).
+
+    One narrow pass: each batch keeps its per-user top-2 candidates
+    (a row outside its user's batch-local top-2 is outside the global
+    answer a fortiori — the quota_sample partial argument), so the
+    driver folds ≤ 2 × users-per-batch fixed-width rows and re-applies
+    the same rule exactly."""
+    import numpy as np
+
+    def _diversify(uid, eid, cents, k=10, cap=2):
+        order = np.lexsort((eid, -cents))
+        uid, eid, cents = uid[order], eid[order], cents[order]
+        # rank within user along the global order, vectorized: count
+        # prior same-user rows via sorted (uid, position) ranks
+        pos_by_u = np.lexsort((np.arange(len(uid)), uid))
+        r = np.empty(len(uid), np.int64)
+        if len(uid):
+            u_sorted = uid[pos_by_u]
+            starts = np.flatnonzero(np.concatenate(
+                [[True], u_sorted[1:] != u_sorted[:-1]]))
+            seg_lens = np.diff(np.append(starts, len(uid)))
+            r[pos_by_u] = np.arange(len(uid)) - np.repeat(starts,
+                                                          seg_lens)
+        keep = r < cap
+        return (uid[keep][:k], eid[keep][:k], cents[keep][:k])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t.column("user_id")),
+                    pc.is_valid(t.column("value")))
+        sub = t.filter(pc.fill_null(m, False))
+        v = sub.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        cents = np.floor(v * 100.0).astype(np.int64)[ok]
+        uid = sub.column("user_id").to_numpy(zero_copy_only=False)[ok]
+        eid = sub.column("event_id").to_numpy(zero_copy_only=False)[ok]
+        # batch-local per-user top-cap keeps every global candidate;
+        # k-cut deferred to the driver (a batch may hold many winners)
+        u, e, c = _diversify(uid, eid, cents, k=len(uid), cap=2)
+        return pa.table({"user_id": pa.array(u, pa.int64()),
+                         "event_id": pa.array(e, pa.int64()),
+                         "cents": pa.array(c, pa.int64())})
+
+    parts = pa.concat_tables(list(
+        _read(sf_dir, "events", ["event_id", "user_id", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
+    import numpy as np
+    u, e, c = _diversify(
+        parts.column("user_id").to_numpy(zero_copy_only=False),
+        parts.column("event_id").to_numpy(zero_copy_only=False),
+        parts.column("cents").to_numpy(zero_copy_only=False))
+    return pa.table({"user_id": pa.array(u, pa.int64()),
+                     "event_id": pa.array(e, pa.int64()),
+                     "cents": pa.array(c, pa.int64())})
+
+
+SQL_TOPK_DIVERSIFIED = """WITH e AS (
+  SELECT event_id, user_id,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        AND NOT isnan(value)),
+r AS (
+  SELECT event_id, user_id, cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY cents DESC, event_id) AS ur
+  FROM e)
+SELECT user_id, event_id, cents
+FROM r WHERE ur <= 2
+ORDER BY cents DESC, event_id LIMIT 10"""
+
+
+def q_dedup_method_overlap(sf_dir: str):
+    """Dedup-method comparison report: how do the BYTE-shingle
+    MinHash-verified pairs (j ≥ 0.5, `minhash_pairs`) and the exact
+    TOKEN-4-gram prefix-filter pairs (j ≥ 0.6, `ngram_jaccard`) agree?
+    One row: each method's pair count and the intersection — the
+    report that justifies choosing one dedup definition over another
+    (precision/recall of A against B read straight off the counts).
+    Both pair sets are verified-duplicate-bounded, so the set algebra
+    is a driver fold; the heavy lifting is the two pipelines' own
+    bounded shuffles."""
+    def _pairset(res):
+        if not isinstance(res, pa.Table):
+            batches = list(res.iter_batches(batch_size=None,
+                                            batch_format="pyarrow"))
+            if not batches:  # a clean corpus yields zero pair blocks
+                return set()
+            res = pa.concat_tables(batches)
+        if res.num_rows == 0:
+            return set()
+        return set(zip(res.column("a").to_pylist(),
+                       res.column("b").to_pylist()))
+
+    a = _pairset(q_minhash_pairs(sf_dir))
+    b = _pairset(q_ngram_jaccard(sf_dir))
+    return pa.table({
+        "n_byte_pairs": pa.array([len(a)], pa.int64()),
+        "n_token_pairs": pa.array([len(b)], pa.int64()),
+        "n_both": pa.array([len(a & b)], pa.int64())})
+
+
+SQL_DEDUP_METHOD_OVERLAP = f"""WITH byte_pairs AS (
+  SELECT a, b FROM ({SQL_MINHASH_PAIRS})),
+tok_pairs AS (
+  SELECT a, b FROM ({SQL_NGRAM_JACCARD}))
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM byte_pairs) AS n_byte_pairs,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM tok_pairs) AS n_token_pairs,
+  (SELECT CAST(COUNT(*) AS BIGINT)
+   FROM byte_pairs JOIN tok_pairs USING (a, b)) AS n_both"""
+
+
+def q_hive_partition_prune(sf_dir: str):
+    """Hive-partitioned sink + partition-PRUNED re-read: write events
+    partitioned by ``event_type`` (``write_parquet(partition_cols=…)``
+    — one directory per value, the 100-TB layout that lets a reader
+    skip whole partitions), then read back ONLY the error/purchase
+    partitions with a partition filter and aggregate. The pruning is
+    structural: non-matching partitions are never opened (directory
+    planning, not row filtering). Oracle = the same aggregate from a
+    plain row filter over the source table.
+
+    Write goes to a per-sf_dir scratch dir rebuilt each run (unique
+    file names would otherwise accumulate — the incremental_agg
+    convention)."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    import numpy as np
+    import ray.data as rd
+
+    out_dir = "/tmp/raybeats_hive_" + _hl.md5(
+        sf_dir.encode()).hexdigest()[:10]
+    _sh.rmtree(out_dir, ignore_errors=True)
+    _read(sf_dir, "events", ["event_id", "event_type", "value"]) \
+        .write_parquet(out_dir, partition_cols=["event_type"])
+
+    from ray.data.datasource.partitioning import PathPartitionFilter
+    back = rd.read_parquet(
+        out_dir,
+        partition_filter=PathPartitionFilter.of(
+            lambda kv: kv.get("event_type") in ("error", "purchase")))
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0)
+        cents[np.isnan(v)] = 0
+        sub = pa.table({
+            "event_type": t.column("event_type"),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "cents": pa.array(cents.astype(np.int64), pa.int64())})
+        g = sub.group_by("event_type").aggregate(
+            [("one", "sum"), ("cents", "sum")])
+        return pa.table({
+            "event_type": pc.cast(g.column("event_type"), pa.string()),
+            "n": g.column("one_sum"),
+            "cents": g.column("cents_sum")})
+
+    return _combine_partials(
+        back.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], {"n": "n", "cents": "cents"})
+
+
+SQL_HIVE_PARTITION_PRUNE = """SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN isnan(value) THEN 0
+                ELSE CAST(FLOOR(value * 100) AS BIGINT) END)
+       AS BIGINT) AS cents
+FROM events WHERE event_type IN ('error', 'purchase')
+GROUP BY 1"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -14492,6 +14669,11 @@ QUERIES = {
                              SQL_SEASONAL_NAIVE_ERROR),
     "threshold_sweep": (q_threshold_sweep, SQL_THRESHOLD_SWEEP),
     "knn_label_eval": (q_knn_label_eval, SQL_KNN_LABEL_EVAL),
+    "topk_diversified": (q_topk_diversified, SQL_TOPK_DIVERSIFIED),
+    "dedup_method_overlap": (q_dedup_method_overlap,
+                             SQL_DEDUP_METHOD_OVERLAP),
+    "hive_partition_prune": (q_hive_partition_prune,
+                             SQL_HIVE_PARTITION_PRUNE),
     "preference_pairs": (q_preference_pairs, SQL_PREFERENCE_PAIRS),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "error_window_types": (q_error_window_types,
