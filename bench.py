@@ -210,7 +210,8 @@ def run_queries() -> dict[str, float]:
              "interpolate_daily", "survivorship",
              "seasonal_naive_error", "threshold_sweep",
              "knn_label_eval", "topk_diversified",
-             "dedup_method_overlap", "hive_partition_prune"]
+             "dedup_method_overlap", "hive_partition_prune",
+             "clamped_balance"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

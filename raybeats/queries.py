@@ -14392,6 +14392,134 @@ FROM events WHERE event_type IN ('error', 'purchase')
 GROUP BY 1"""
 
 
+def q_clamped_balance(sf_dir: str):
+    """Floor-clamped running balance (inventory/credit-ledger shape):
+    per user under (ts, event_id) order, 'click' adds its cents and
+    'purchase' subtracts, with the balance CLAMPED at zero after every
+    step — ``s_i = max(0, s_{i-1} + d_i)``, the canonical NON-LINEAR
+    recurrence (no prefix aggregate expresses the clamp directly, and
+    `ema_cents` needed a python step loop for its division
+    recurrence). The clamp has a reflection closed form that makes it
+    one vector pass: ``s_i = P_i − min(0, min_{j≤i} P_j)`` with ``P``
+    the plain prefix sum — cumsum + running min, both exact int64.
+    The SQL mirror computes the SAME closed form with window MIN, so
+    the oracle is bit-exact without a recursive CTE.
+
+    One user-hash bucket shuffle (sequence recurrences are not
+    associative across splits); the per-bucket kernel is one lexsort +
+    segmented cumsum/cummin. The segmented running min uses integer
+    segment-spacing (``p + seg_id·BIG``) with a runtime guard raising
+    if ``segments × BIG`` could leave int64 (never at sane per-user
+    cent sums; the guard keeps the kernel honest rather than silently
+    wrong). Output per user: final balance + how many steps sat on
+    the floor (bal == 0)."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t.column("user_id")),
+                    pc.is_valid(t.column("ts")))
+        m = pc.and_(m, pc.is_in(
+            t.column("event_type"),
+            value_set=pa.array(["click", "purchase"])))
+        m = pc.and_(m, pc.is_valid(t.column("value")))
+        sub = t.filter(pc.fill_null(m, False))
+        v = sub.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        cents = np.floor(v * 100.0).astype(np.int64)
+        sign = np.where(pc.equal(sub.column("event_type"), "click")
+                        .to_numpy(zero_copy_only=False), 1, -1)
+        sub = sub.filter(pa.array(ok))
+        out = pa.table({
+            "u": pc.cast(sub.column("user_id"), pa.int64()),
+            "ts": pc.cast(sub.column("ts"), pa.int64()),
+            "eid": sub.column("event_id"),
+            "d": pa.array((cents * sign)[ok], pa.int64())})
+        return out.append_column("bucket", int_bucket(out.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        d = g.column("d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, d = u[order], d[order]
+        n = len(u)
+        new_seg = np.empty(n, bool)
+        new_seg[0] = True
+        new_seg[1:] = u[1:] != u[:-1]
+        seg_id = np.cumsum(new_seg) - 1
+        heads = np.flatnonzero(new_seg)
+        seg_lens = np.diff(np.append(heads, n))
+        # segmented prefix sum: global cumsum minus each segment's base
+        cs = np.cumsum(d)
+        p = cs - np.repeat(cs[heads] - d[heads], seg_lens)
+        # segmented running min via integer segment spacing
+        pmax = int(np.abs(p).max()) if n else 0
+        big = 2 * pmax + 1
+        n_segs = len(heads)
+        if n_segs * big >= (1 << 62):
+            raise ValueError(
+                f"clamped_balance spacing overflow: {n_segs} segments "
+                f"x spacing {big}; split the bucket or rescale")
+        # offsets must DECREASE with seg_id for a MINIMUM accumulate:
+        # earlier segments then sit in HIGHER bands and cannot leak
+        # into a later segment's prefix min (bands disjoint because
+        # big > 2·max|p|)
+        run_min = np.minimum.accumulate(p - seg_id * big) + seg_id * big
+        s = p - np.minimum(run_min, 0)
+        tails = np.append(heads[1:] - 1, n - 1)
+        n_floor = np.zeros(n_segs, np.int64)
+        np.add.at(n_floor, seg_id, (s == 0).astype(np.int64))
+        return pa.table({
+            "user_id": pa.array(u[heads], pa.int64()),
+            "balance": pa.array(s[tails], pa.int64()),
+            "n_floor": pa.array(n_floor, pa.int64())})
+
+    return _read(sf_dir, "events",
+                 ["event_id", "user_id", "ts", "event_type", "value"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow") \
+        .select_columns(["user_id", "balance", "n_floor"])
+
+
+SQL_CLAMPED_BALANCE = """WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'click'
+              THEN CAST(FLOOR(value * 100) AS BIGINT)
+              ELSE -CAST(FLOOR(value * 100) AS BIGINT) END AS d
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+        AND user_id IS NOT NULL AND ts IS NOT NULL
+        AND value IS NOT NULL AND NOT isnan(value)),
+p AS (
+  SELECT user_id, ts, event_id,
+         SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS pf
+  FROM e),
+m AS (
+  SELECT user_id, ts, event_id, pf,
+         LEAST(MIN(pf) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING), 0) AS runmin
+  FROM p),
+s AS (SELECT user_id, ts, event_id, pf - runmin AS bal FROM m),
+r AS (
+  SELECT user_id, bal,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM s),
+agg AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN bal = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_floor
+  FROM s GROUP BY 1)
+SELECT agg.user_id, CAST(r.bal AS BIGINT) AS balance, agg.n_floor
+FROM agg JOIN r ON r.user_id = agg.user_id AND r.rk = 1"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -14674,6 +14802,7 @@ QUERIES = {
                              SQL_DEDUP_METHOD_OVERLAP),
     "hive_partition_prune": (q_hive_partition_prune,
                              SQL_HIVE_PARTITION_PRUNE),
+    "clamped_balance": (q_clamped_balance, SQL_CLAMPED_BALANCE),
     "preference_pairs": (q_preference_pairs, SQL_PREFERENCE_PAIRS),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "error_window_types": (q_error_window_types,
