@@ -14520,6 +14520,189 @@ SELECT agg.user_id, CAST(r.bal AS BIGINT) AS balance, agg.n_floor
 FROM agg JOIN r ON r.user_id = agg.user_id AND r.rk = 1"""
 
 
+def q_cluster_split(sf_dir: str):
+    """Leakage-free train/val/test split: every EXACT-DUP CLUSTER is
+    assigned to one split as a unit, keyed by the cluster root (min
+    doc_id per content hash) — the curation step that prevents a
+    duplicated document from landing in both train and eval
+    (`split_leakage` MEASURES that failure; this op prevents it).
+    The split hash is the same 32-bit multiplicative mix as
+    `hash_split`, applied to the ROOT id so membership, not identity,
+    decides the split.
+
+    Shape: narrow (md5, doc_id) projection → ONE hash-bucket cogroup
+    (each content hash co-locates; only 16-byte digests + ids move) →
+    per-bucket lexsort + segment-head broadcast for the root. No
+    join-back: the root is computed and consumed inside the group."""
+    import numpy as np
+
+    from .textops.curation import _mix32
+    from .textops.dedup import _md5_column
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "documents"))
+
+    def hashed(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "h": _md5_column(t.column("text").to_pylist()),
+            "doc_id": t.column("doc_id")})
+        return out.append_column(
+            "bucket", fnv1a_bucket(out.column("h"), n_buckets))
+
+    def assign(g: pa.Table) -> pa.Table:
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        h, ids = h[order], ids[order]
+        n = len(ids)
+        new_seg = np.empty(n, bool)
+        new_seg[0] = True
+        new_seg[1:] = h[1:] != h[:-1]
+        heads = np.flatnonzero(new_seg)
+        seg_lens = np.diff(np.append(heads, n))
+        root = np.repeat(ids[heads], seg_lens)
+        b = _mix32(root) % np.uint64(100)
+        split = np.where(b < 80, "train",
+                         np.where(b < 90, "val", "test"))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "root_id": pa.array(root, pa.int64()),
+            "split": pa.array(split, pa.string())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"], blocks=16) \
+        .map_batches(hashed, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(assign, batch_format="pyarrow") \
+        .select_columns(["doc_id", "root_id", "split"])
+
+
+SQL_CLUSTER_SPLIT = """WITH r AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS root_id
+  FROM documents),
+h AS (
+  SELECT doc_id, root_id,
+         CAST(CAST(root_id AS HUGEINT) * 2654435761 % 4294967296
+              AS BIGINT) AS m
+  FROM r),
+b AS (SELECT doc_id, root_id, xor(m, m >> 15) % 100 AS bucket FROM h)
+SELECT doc_id, root_id,
+  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+       ELSE 'test' END AS split
+FROM b"""
+
+
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity / l-diversity audit over the customer table:
+    quasi-identifiers (nation, market segment) define the equivalence
+    classes; the sensitive attribute is the account-balance band
+    (negative / low / high at 5000.0 — doubles compare exactly on
+    both engines, no arithmetic). Per class: size n, count of
+    distinct sensitive bands l, and the k≥10 / l≥2 re-identification
+    flags — the release-gate report an anonymized-export pipeline
+    runs before shipping data.
+
+    Shape: per-batch fixed-width partials on (nat, seg, band) —
+    bounded by 25 nations × 5 segments × 3 bands — folded driver-side;
+    the class-level rollup (sum n, count bands) is a second arrow
+    group_by on ≤375 rows. Nothing wide ever shuffles."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column("c_nationkey")),
+                     pc.is_valid(t.column("c_mktsegment")))
+        ok = pc.and_(ok, pc.is_valid(t.column("c_acctbal")))
+        sub = t.filter(pc.fill_null(ok, False))
+        bal = sub.column("c_acctbal")
+        band = pc.if_else(
+            pc.less(bal, 0.0), "neg",
+            pc.if_else(pc.less(bal, 5000.0), "low", "high"))
+        g = pa.table({
+            "nat": pc.cast(sub.column("c_nationkey"), pa.int64()),
+            "seg": sub.column("c_mktsegment"),
+            "band": band}).group_by(["nat", "seg", "band"]) \
+            .aggregate([("band", "count")])
+        return pa.table({
+            "nat": g.column("nat"), "seg": g.column("seg"),
+            "band": g.column("band"),
+            "n": pc.cast(g.column("band_count"), pa.int64())})
+
+    comb = _combine_partials(
+        _read(sf_dir, "customer",
+              ["c_nationkey", "c_mktsegment", "c_acctbal"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["nat", "seg", "band"], {"n": "n"})
+    cls = comb.group_by(["nat", "seg"]).aggregate(
+        [("n", "sum"), ("band", "count")])
+    n = pc.cast(cls.column("n_sum"), pa.int64())
+    l = pc.cast(cls.column("band_count"), pa.int64())
+    return pa.table({
+        "nat": cls.column("nat"), "seg": cls.column("seg"),
+        "n": n, "l": l,
+        "k_anon": pc.greater_equal(n, 10),
+        "l_div": pc.greater_equal(l, 2)})
+
+
+SQL_K_ANONYMITY = """WITH b AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+         CASE WHEN c_acctbal < 0.0 THEN 'neg'
+              WHEN c_acctbal < 5000.0 THEN 'low' ELSE 'high' END AS band
+  FROM customer
+  WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+        AND c_acctbal IS NOT NULL)
+SELECT nat, seg, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT band) AS BIGINT) AS l,
+       COUNT(*) >= 10 AS k_anon,
+       COUNT(DISTINCT band) >= 2 AS l_div
+FROM b GROUP BY nat, seg"""
+
+
+def q_benford_digits(sf_dir: str):
+    """Leading-digit (Benford) profile of order totals — the
+    fraud/synthetic-data screen: per first significant digit 1-9 of
+    the integer part of o_totalprice, the order count and its exact
+    integer permille of all qualifying orders. The digit comes from
+    floor → int64 → decimal string head, exact on both engines (no
+    float log10); permille is integer division, so the oracle is
+    bit-exact. Orders below 1.0 have no integer leading digit and are
+    excluded symmetrically.
+
+    Shape: per-batch 9-row fixed partials folded driver-side; the
+    grand total is the partials' own sum — one pass, no shuffle."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("o_totalprice")
+        ok = pc.and_(pc.is_valid(v), pc.greater_equal(v, 1.0))
+        ints = pc.cast(pc.floor(v.filter(pc.fill_null(ok, False))),
+                       pa.int64())
+        digit = pc.cast(
+            pc.utf8_slice_codeunits(pc.cast(ints, pa.string()), 0, 1),
+            pa.int64())
+        g = pa.table({"digit": digit}).group_by(["digit"]) \
+            .aggregate([("digit", "count")])
+        return pa.table({
+            "digit": g.column("digit"),
+            "n": pc.cast(g.column("digit_count"), pa.int64())})
+
+    comb = _combine_partials(
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["digit"], {"n": "n"})
+    import numpy as np
+    total = int(pc.sum(comb.column("n")).as_py() or 0)
+    narr = comb.column("n").to_numpy(zero_copy_only=False)
+    permille = pa.array(narr * 1000 // max(total, 1), pa.int64())
+    return pa.table({"digit": comb.column("digit"),
+                     "n": comb.column("n"), "permille": permille})
+
+
+SQL_BENFORD_DIGITS = """WITH d AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1.0)
+SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) * 1000 // SUM(COUNT(*)) OVER () AS BIGINT)
+         AS permille
+FROM d GROUP BY digit"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -14803,6 +14986,9 @@ QUERIES = {
     "hive_partition_prune": (q_hive_partition_prune,
                              SQL_HIVE_PARTITION_PRUNE),
     "clamped_balance": (q_clamped_balance, SQL_CLAMPED_BALANCE),
+    "cluster_split": (q_cluster_split, SQL_CLUSTER_SPLIT),
+    "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
+    "benford_digits": (q_benford_digits, SQL_BENFORD_DIGITS),
     "preference_pairs": (q_preference_pairs, SQL_PREFERENCE_PAIRS),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "error_window_types": (q_error_window_types,
