@@ -14703,6 +14703,176 @@ SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
 FROM d GROUP BY digit"""
 
 
+def q_attribution_last_touch(sf_dir: str):
+    """Last-touch conversion attribution: each purchase is credited to
+    the user's most recent PRIOR non-purchase event within a 7-day
+    lookback, else '(none)' — the marketing/causal rollup every
+    event-log warehouse runs. Same vectorized LOCF kernel as
+    `last_buy_carry` (observation marks = non-purchase rows, segmented
+    `np.maximum.accumulate`, one gather); a purchase row is never an
+    observation so 'at or before' degenerates to 'strictly before'
+    exactly as the SQL's IGNORE-NULLS window does. One user-bucket
+    shuffle; per-group output is the tiny (attributed, n) partial, so
+    the driver fold sees ≤types+1 rows per bucket."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+    window_us = 7 * 86_400 * 1_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        sub = pa.table({
+            "u": t.column("user_id"),
+            "ts": pc.cast(t.column("ts"), pa.int64()),
+            "eid": t.column("event_id"),
+            "typ": t.column("event_type")}) \
+            .filter(pc.and_(pc.is_valid(t.column("user_id")),
+                            pc.is_valid(t.column("ts"))))
+        return sub.append_column("bucket", int_bucket(sub.column("u"),
+                                                      n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        typ = g.column("typ")
+        is_buy = pc.fill_null(pc.equal(typ, "purchase"), False) \
+            .to_numpy(zero_copy_only=False)
+        obs = pc.fill_null(
+            pc.and_(pc.is_valid(typ), pc.not_equal(typ, "purchase")),
+            False).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        n = len(u)
+        new_run = np.empty(n, bool)
+        new_run[0] = True
+        new_run[1:] = u[1:] != u[:-1]
+        idx = np.where(obs[order], np.arange(n), -1)
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, n))
+        seg = np.repeat(np.arange(len(starts)), lens)
+        base = seg.astype(np.int64) * (n + 2)
+        filled = np.maximum.accumulate(
+            np.where(idx >= 0, idx + base, -1))
+        have = filled >= base
+        src = np.where(have, filled - base, 0).astype(np.int64)
+        buys = np.flatnonzero(is_buy[order])
+        s = src[buys]
+        ok = have[buys] & (ts[buys] - ts[s] <= window_us)
+        typ_sorted = typ.take(pa.array(order))
+        attributed = pc.if_else(
+            pa.array(ok), typ_sorted.take(pa.array(s)), "(none)")
+        part = pa.table({"attributed": attributed}) \
+            .group_by(["attributed"]).aggregate([("attributed", "count")])
+        return pa.table({
+            "attributed": part.column("attributed"),
+            "n": pc.cast(part.column("attributed_count"), pa.int64())})
+
+    return _combine_partials(
+        _read(sf_dir, "events",
+              ["event_id", "user_id", "ts", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow"),
+        ["attributed"], {"n": "n"})
+
+
+SQL_ATTRIBUTION_LAST_TOUCH = """WITH e AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+w AS (
+  SELECT event_type, ts,
+    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS UNBOUNDED PRECEDING) AS src_type,
+    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN ts END
+               IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS UNBOUNDED PRECEDING) AS src_ts
+  FROM e)
+SELECT COALESCE(
+         CASE WHEN src_ts IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(src_ts)
+                       <= 604800000000
+              THEN src_type END, '(none)') AS attributed,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM w WHERE event_type = 'purchase' GROUP BY 1"""
+
+
+def q_target_encode(sf_dir: str):
+    """Leave-one-out target (mean) encoding of the event-type
+    categorical — the feature-engineering op that replaces a category
+    with the mean target of its OTHER members, avoiding self-leakage:
+    ``loo = (S_type − c) / (n_type − 1)``, NULL for singleton types.
+    Both operands are exact int64 (cents, counts), so the one double
+    division is correctly rounded identically in numpy and DuckDB —
+    bit-exact oracle despite the float output.
+
+    Shape: pass 1 folds (type, sum, n) partials driver-side (types are
+    bounded); pass 2 broadcasts that tiny dict in the closure — NO
+    shuffle, the per-row encode is embarrassingly parallel."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = pc.and_(pc.is_valid(t.column("event_type")),
+                     pc.is_valid(t.column("value")))
+        ok = pc.and_(ok, pa.array(~np.isnan(v)))
+        sub = t.filter(pc.fill_null(ok, False))
+        c = np.floor(sub.column("value").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pa.table({"typ": sub.column("event_type"),
+                      "c": pa.array(c, pa.int64()),
+                      "one": pa.array(np.ones(len(c), np.int64))}) \
+            .group_by(["typ"]).aggregate([("c", "sum"), ("one", "sum")])
+        return pa.table({"typ": g.column("typ"),
+                         "s": pc.cast(g.column("c_sum"), pa.int64()),
+                         "n": pc.cast(g.column("one_sum"), pa.int64())})
+
+    stats = _combine_partials(
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["typ"], {"s": "s", "n": "n"})
+    lut = {t: (int(s), int(n)) for t, s, n in zip(
+        stats.column("typ").to_pylist(), stats.column("s").to_pylist(),
+        stats.column("n").to_pylist())}
+
+    def encode(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = pc.and_(pc.is_valid(t.column("event_type")),
+                     pc.is_valid(t.column("value")))
+        ok = pc.and_(ok, pa.array(~np.isnan(v)))
+        sub = t.filter(pc.fill_null(ok, False))
+        c = np.floor(sub.column("value").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        typ = sub.column("event_type").to_pylist()
+        s = np.array([lut[x][0] for x in typ], np.int64)
+        n = np.array([lut[x][1] for x in typ], np.int64)
+        single = n <= 1
+        loo = (s - c).astype(np.float64) / \
+            np.where(single, 1, n - 1).astype(np.float64)
+        return pa.table({
+            "event_id": sub.column("event_id"),
+            "event_type": sub.column("event_type"),
+            "loo_cents": pa.array(loo, pa.float64(), mask=single)})
+
+    return _read(sf_dir, "events",
+                 ["event_id", "event_type", "value"]) \
+        .map_batches(encode, batch_format="pyarrow")
+
+
+SQL_TARGET_ENCODE = """WITH e AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 100) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        AND NOT isnan(value))
+SELECT event_id, event_type,
+  CAST(SUM(c) OVER (PARTITION BY event_type) - c AS DOUBLE)
+    / NULLIF(COUNT(*) OVER (PARTITION BY event_type) - 1, 0)
+    AS loo_cents
+FROM e"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -14989,6 +15159,9 @@ QUERIES = {
     "cluster_split": (q_cluster_split, SQL_CLUSTER_SPLIT),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "benford_digits": (q_benford_digits, SQL_BENFORD_DIGITS),
+    "attribution_last_touch": (q_attribution_last_touch,
+                               SQL_ATTRIBUTION_LAST_TOUCH),
+    "target_encode": (q_target_encode, SQL_TARGET_ENCODE),
     "preference_pairs": (q_preference_pairs, SQL_PREFERENCE_PAIRS),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "error_window_types": (q_error_window_types,
