@@ -14873,6 +14873,206 @@ SELECT event_id, event_type,
 FROM e"""
 
 
+def q_ohlc_weekly(sf_dir: str):
+    """Positional OPEN/HIGH/LOW/CLOSE bars per (event_type, week) —
+    the first/last-by-time selection aggregate family (candlesticks,
+    session snapshots). first/last is not associative over arbitrary
+    splits, so each batch emits a CARRIER partial per local group —
+    (open, its (ts,event_id) key; close, its key; high; low; n) — and
+    the driver folds carriers with two lexsorts (min-key run starts →
+    open, max-key run ends → close) plus three reduceats. Only
+    blocks × types × weeks fixed-width rows ever move; values are
+    selections of original doubles (no float arithmetic), so the
+    DuckDB FIRST/LAST/MAX/MIN oracle is bit-exact."""
+    import numpy as np
+
+    schema = pa.schema([
+        ("typ", pa.string()), ("wk", pa.int64()),
+        ("o_ts", pa.int64()), ("o_eid", pa.int64()),
+        ("open_v", pa.float64()),
+        ("c_ts", pa.int64()), ("c_eid", pa.int64()),
+        ("close_v", pa.float64()),
+        ("high_v", pa.float64()), ("low_v", pa.float64()),
+        ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        vnp = v.to_numpy(zero_copy_only=False)
+        ok = pc.and_(pc.is_valid(t.column("ts")),
+                     pc.is_valid(t.column("event_type")))
+        ok = pc.and_(ok, pc.is_valid(v))
+        ok = pc.and_(ok, pa.array(~np.isnan(vnp)))
+        sub = t.filter(pc.fill_null(ok, False))
+        if len(sub) == 0:
+            return schema.empty_table()
+        wk = pc.cast(pc.floor_temporal(sub.column("ts"), unit="week"),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        ts = pc.cast(sub.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = sub.column("event_id").to_numpy(zero_copy_only=False)
+        val = sub.column("value").to_numpy(zero_copy_only=False)
+        typ = sub.column("event_type").to_numpy(zero_copy_only=False)
+        _, code = np.unique(typ, return_inverse=True)
+        order = np.lexsort((eid, ts, wk, code))
+        c_s, w_s = code[order], wk[order]
+        n = len(order)
+        new_run = np.empty(n, bool)
+        new_run[0] = True
+        new_run[1:] = (c_s[1:] != c_s[:-1]) | (w_s[1:] != w_s[:-1])
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], n) - 1
+        v_s = val[order]
+        return pa.table({
+            "typ": pa.array(typ[order][starts], pa.string()),
+            "wk": pa.array(w_s[starts], pa.int64()),
+            "o_ts": pa.array(ts[order][starts], pa.int64()),
+            "o_eid": pa.array(eid[order][starts], pa.int64()),
+            "open_v": pa.array(v_s[starts], pa.float64()),
+            "c_ts": pa.array(ts[order][ends], pa.int64()),
+            "c_eid": pa.array(eid[order][ends], pa.int64()),
+            "close_v": pa.array(v_s[ends], pa.float64()),
+            "high_v": pa.array(np.maximum.reduceat(v_s, starts),
+                               pa.float64()),
+            "low_v": pa.array(np.minimum.reduceat(v_s, starts),
+                              pa.float64()),
+            "n": pa.array(np.diff(np.append(starts, n)).astype(np.int64),
+                          pa.int64())})
+
+    small = _read(sf_dir, "events",
+                  ["event_id", "ts", "event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    m = pa.concat_tables(
+        list(small.iter_batches(batch_size=None, batch_format="pyarrow"))
+        + [schema.empty_table()]).combine_chunks()
+    typ = m.column("typ").to_numpy(zero_copy_only=False)
+    wk = m.column("wk").to_numpy(zero_copy_only=False)
+    _, code = np.unique(typ, return_inverse=True)
+    cols = {k: m.column(k).to_numpy(zero_copy_only=False)
+            for k in schema.names[2:]}
+    o = np.lexsort((cols["o_eid"], cols["o_ts"], wk, code))
+    n = len(o)
+    c_o, w_o = code[o], wk[o]
+    new_run = np.empty(n, bool)
+    if n:
+        new_run[0] = True
+        new_run[1:] = (c_o[1:] != c_o[:-1]) | (w_o[1:] != w_o[:-1])
+    starts = np.flatnonzero(new_run)
+    # same (type, week) group boundaries under the close-key sort —
+    # the primary lexsort keys are identical
+    oc = np.lexsort((cols["c_eid"], cols["c_ts"], wk, code))
+    ends = (np.append(starts[1:], n) - 1) if len(starts) else starts
+    return pa.table({
+        "event_type": pa.array(typ[o][starts], pa.string()),
+        "week_start": pa.array(w_o[starts], pa.int64())
+            .cast(pa.timestamp("us")),
+        "open_v": pa.array(cols["open_v"][o][starts], pa.float64()),
+        "high_v": pa.array(np.maximum.reduceat(cols["high_v"][o], starts)
+                           if n else np.array([], np.float64),
+                           pa.float64()),
+        "low_v": pa.array(np.minimum.reduceat(cols["low_v"][o], starts)
+                          if n else np.array([], np.float64),
+                          pa.float64()),
+        "close_v": pa.array(cols["close_v"][oc][ends], pa.float64()),
+        "n": pa.array(np.add.reduceat(cols["n"][o], starts)
+                      if n else np.array([], np.int64), pa.int64())})
+
+
+SQL_OHLC_WEEKLY = """WITH e AS (
+  SELECT event_type,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+         ts, event_id, value
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        AND value IS NOT NULL AND NOT isnan(value))
+SELECT event_type, week_start,
+  FIRST(value ORDER BY ts, event_id) AS open_v,
+  MAX(value) AS high_v,
+  MIN(value) AS low_v,
+  LAST(value ORDER BY ts, event_id) AS close_v,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM e GROUP BY event_type, week_start"""
+
+
+def q_chat_format_check(sf_dir: str):
+    """SFT chat-template QA over the flagship transcripts — the
+    pre-training-format lint every fine-tuning pipeline runs before
+    tokenization: per conversation, (a) does it open with a system or
+    user turn, (b) how many adjacent same-role turns (template
+    renderers that merge or reject them need the count), (c) how many
+    'tool' turns not directly preceded by an assistant turn (orphan
+    tool results), plus an overall ``ok`` verdict. One conv-bucket
+    shuffle co-locates conversations; the per-bucket kernel is one
+    lexsort + three vectorized masks + reduceat — output is one row
+    per conversation, no driver combine."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(2 * _nrows(sf_dir, "events"))
+
+    def add_bucket(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "bucket", fnv1a_bucket(tbl.column("conv_id"), n_buckets))
+
+    def grp(g: pa.Table) -> pa.Table:
+        conv = g.column("conv_id").to_numpy(zero_copy_only=False)
+        tix = g.column("turn_idx").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        role = g.column("role").to_numpy(zero_copy_only=False)
+        _, code = np.unique(conv, return_inverse=True)
+        order = np.lexsort((tix, code))
+        c_s, r_s = code[order], role[order]
+        n = len(order)
+        new_run = np.empty(n, bool)
+        new_run[0] = True
+        new_run[1:] = c_s[1:] != c_s[:-1]
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, n)).astype(np.int64)
+        first_role = r_s[starts]
+        bad_start = ~((first_role == "system") | (first_role == "user"))
+        same = np.zeros(n, bool)
+        same[1:] = (r_s[1:] == r_s[:-1]) & ~new_run[1:]
+        n_same = np.add.reduceat(same.astype(np.int64), starts)
+        prev_not_asst = np.empty(n, bool)
+        prev_not_asst[0] = True
+        prev_not_asst[1:] = r_s[:-1] != "assistant"
+        orphan = (r_s == "tool") & (new_run | prev_not_asst)
+        n_orphan = np.add.reduceat(orphan.astype(np.int64), starts)
+        ok = ~bad_start & (n_same == 0) & (n_orphan == 0)
+        return pa.table({
+            "conv_id": pa.array(conv[order][starts], pa.string()),
+            "n_turns": pa.array(lens, pa.int64()),
+            "bad_start": pa.array(bad_start, pa.bool_()),
+            "n_consec_same": pa.array(n_same, pa.int64()),
+            "n_orphan_tool": pa.array(n_orphan, pa.int64()),
+            "ok": pa.array(ok, pa.bool_())})
+
+    return read_transcripts(sf_dir) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(grp, batch_format="pyarrow") \
+        .select_columns(["conv_id", "n_turns", "bad_start",
+                         "n_consec_same", "n_orphan_tool", "ok"])
+
+
+SQL_CHAT_FORMAT_CHECK = f"""{_T},
+w AS (
+  SELECT conv_id, role,
+    LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM transcripts),
+per AS (
+  SELECT conv_id,
+    CAST(COUNT(*) AS BIGINT) AS n_turns,
+    FIRST(role ORDER BY conv_id) FILTER (prev_role IS NULL)
+      NOT IN ('system', 'user') AS bad_start,
+    CAST(SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_consec_same,
+    CAST(SUM(CASE WHEN role = 'tool'
+                   AND (prev_role IS NULL OR prev_role <> 'assistant')
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_tool
+  FROM w GROUP BY conv_id)
+SELECT conv_id, n_turns, bad_start, n_consec_same, n_orphan_tool,
+       (NOT bad_start AND n_consec_same = 0 AND n_orphan_tool = 0) AS ok
+FROM per"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -15168,6 +15368,8 @@ QUERIES = {
                            SQL_ERROR_WINDOW_TYPES),
     "user_activity_fold": (q_user_activity_fold,
                            SQL_USER_ACTIVITY_FOLD),
+    "ohlc_weekly": (q_ohlc_weekly, SQL_OHLC_WEEKLY),
+    "chat_format_check": (q_chat_format_check, SQL_CHAT_FORMAT_CHECK),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —
