@@ -15073,6 +15073,259 @@ SELECT conv_id, n_turns, bad_start, n_consec_same, n_orphan_tool,
 FROM per"""
 
 
+def q_order_reconciliation(sf_dir: str):
+    """Billing reconciliation report — the ingest-QA join every
+    warehouse load runs: does each order's header total equal the sum
+    of its line extensions? Per-line charge is floor-cents int64 of
+    the literal double chain ``((ext*(1-disc))*(1+tax))*100`` (same
+    IEEE evaluation order as the SQL, so bit-exact), summed per order
+    as exact integers. Shape: lineitem pre-aggregates per-batch
+    (okey → partial cents, one row per distinct okey per batch), both
+    sides move tagged through ONE okey-hash cogroup, and each group
+    emits per-status partials (n, mismatches, Σ|diff|, max|diff|) —
+    only statuses × buckets rows reach the driver fold."""
+    import numpy as np
+
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "lineitem"),
+                                 target_rows=200_000)
+    schema = pa.schema([
+        ("okey", pa.int64()), ("c", pa.int64()),
+        ("status", pa.string()), ("side", pa.int8())])
+    part_schema = pa.schema([
+        ("o_orderstatus", pa.string()), ("n", pa.int64()),
+        ("mism", pa.int64()), ("sad", pa.int64()), ("mad", pa.int64())])
+
+    def tag_line(t: pa.Table) -> pa.Table:
+        ext = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        tax = t.column("l_tax").to_numpy(zero_copy_only=False)
+        cents = np.floor(((ext * (1.0 - disc)) * (1.0 + tax))
+                         * 100.0).astype(np.int64)
+        part = pa.table({"okey": t.column("l_orderkey"),
+                         "c": pa.array(cents, pa.int64())}) \
+            .group_by("okey").aggregate([("c", "sum")])
+        n = part.num_rows
+        return pa.table({
+            "okey": part.column("okey"),
+            "c": pc.cast(part.column("c_sum"), pa.int64()),
+            "status": pa.nulls(n, pa.string()),
+            "side": pa.array(np.ones(n, np.int8), pa.int8())})
+
+    def tag_order(t: pa.Table) -> pa.Table:
+        tot = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        return pa.table({
+            "okey": t.column("o_orderkey"),
+            "c": pa.array(np.floor(tot * 100.0).astype(np.int64),
+                          pa.int64()),
+            "status": t.column("o_orderstatus"),
+            "side": pa.array(np.zeros(n, np.int8), pa.int8())})
+
+    tagged = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_extendedprice", "l_discount",
+                    "l_tax"]) \
+        .map_batches(tag_line, batch_format="pyarrow") \
+        .union(_read(sf_dir, "orders",
+                     ["o_orderkey", "o_totalprice", "o_orderstatus"])
+               .map_batches(tag_order, batch_format="pyarrow")) \
+        .map_batches(lambda t: t.append_column(
+            "bucket", int_bucket(t.column("okey"), n_buckets)),
+            batch_format="pyarrow")
+
+    def grp(g: pa.Table) -> pa.Table:
+        okey = g.column("okey").to_numpy(zero_copy_only=False)
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        m1 = side == 1
+        k1, c1 = okey[m1], c[m1]
+        o1 = np.argsort(k1, kind="stable")
+        k1s, c1s = k1[o1], c1[o1]
+        if len(k1s):
+            starts = np.flatnonzero(
+                np.append(True, k1s[1:] != k1s[:-1]))
+            uk = k1s[starts]
+            sums = np.add.reduceat(c1s, starts)
+        else:
+            uk = k1s
+            sums = c1s
+        m0 = ~m1
+        if not m0.any():
+            return part_schema.empty_table()
+        k0, tot = okey[m0], c[m0]
+        if len(uk):
+            pos = np.minimum(np.searchsorted(uk, k0), len(uk) - 1)
+            found = uk[pos] == k0
+            line = np.where(found, sums[pos], 0)
+        else:
+            line = np.zeros(len(k0), np.int64)
+        diff = np.abs(line - tot)
+        part = pa.table({
+            "o_orderstatus": g.column("status").filter(pa.array(m0)),
+            "one": pa.array(np.ones(len(k0), np.int64), pa.int64()),
+            "mism": pa.array((diff != 0).astype(np.int64), pa.int64()),
+            "ad": pa.array(diff, pa.int64())})
+        gg = part.group_by("o_orderstatus").aggregate(
+            [("one", "sum"), ("mism", "sum"), ("ad", "sum"),
+             ("ad", "max")])
+        return pa.table({
+            "o_orderstatus": gg.column("o_orderstatus"),
+            "n": pc.cast(gg.column("one_sum"), pa.int64()),
+            "mism": pc.cast(gg.column("mism_sum"), pa.int64()),
+            "sad": pc.cast(gg.column("ad_sum"), pa.int64()),
+            "mad": pc.cast(gg.column("ad_max"), pa.int64())})
+
+    small = tagged.groupby("bucket").map_groups(
+        grp, batch_format="pyarrow")
+    m = pa.concat_tables(
+        list(small.iter_batches(batch_size=None, batch_format="pyarrow"))
+        + [part_schema.empty_table()]).combine_chunks()
+    gg = m.group_by("o_orderstatus").aggregate(
+        [("n", "sum"), ("mism", "sum"), ("sad", "sum"), ("mad", "max")])
+    return pa.table({
+        "o_orderstatus": gg.column("o_orderstatus"),
+        "n_orders": pc.cast(gg.column("n_sum"), pa.int64()),
+        "n_mismatch": pc.cast(gg.column("mism_sum"), pa.int64()),
+        "sum_abs_diff": pc.cast(gg.column("sad_sum"), pa.int64()),
+        "max_abs_diff": pc.cast(gg.column("mad_max"), pa.int64())})
+
+
+SQL_ORDER_RECONCILIATION = """WITH l AS (
+  SELECT l_orderkey AS okey,
+    SUM(CAST(FLOOR(((l_extendedprice * (1 - l_discount))
+                    * (1 + l_tax)) * 100) AS BIGINT)) AS line_cents
+  FROM lineitem GROUP BY l_orderkey),
+o AS (
+  SELECT o_orderkey AS okey, o_orderstatus,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS total_cents
+  FROM orders)
+SELECT o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CASE WHEN COALESCE(l.line_cents, 0) <> o.total_cents
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+  CAST(SUM(ABS(COALESCE(l.line_cents, 0) - o.total_cents)) AS BIGINT)
+    AS sum_abs_diff,
+  CAST(MAX(ABS(COALESCE(l.line_cents, 0) - o.total_cents)) AS BIGINT)
+    AS max_abs_diff
+FROM o LEFT JOIN l USING (okey)
+GROUP BY o_orderstatus"""
+
+
+def q_out_of_order_audit(sf_dir: str):
+    """Watermark-lateness audit — the streaming-ingest QA that sizes
+    allowed-lateness: treating ``event_id`` as arrival order, how many
+    events arrive with ``ts`` OLDER than the running maximum ts seen
+    so far, per event type, and how stale was the worst one? The
+    global prefix-MAX is distributed like ``global_running_sum``'s
+    prefix sum: (1) a shuffle-free pass folds per-batch per-id-range
+    bucket max-ts partials (buckets are monotone event_id ranges from
+    the parquet footer); (2) the driver exclusive-prefix-maxes the
+    ≤ adaptive_buckets totals; (3) ONE keyed shuffle, each group
+    sorting by event_id and folding its carry-in max. Output is one
+    row per event type — per-bucket partials are types-wide."""
+    import numpy as np
+
+    from .util import range_bucket_step
+
+    id_max = _footer_max(sf_dir, "events", "event_id")
+    n_buckets = adaptive_buckets(_nrows(sf_dir, "events"))
+    step = range_bucket_step(id_max + 1, n_buckets)
+    part_schema = pa.schema([
+        ("event_type", pa.string()), ("n", pa.int64()),
+        ("n_late", pa.int64()), ("max_late_us", pa.int64())])
+
+    def project(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_valid(t.column("ts")))
+        eid = sub.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "eid": sub.column("event_id"),
+            "ts": pc.cast(sub.column("ts"), pa.int64()),
+            "typ": sub.column("event_type"),
+            "bucket": pa.array(eid // step, pa.int64())})
+
+    proj = _read(sf_dir, "events", ["event_id", "ts", "event_type"]) \
+        .map_batches(project, batch_format="pyarrow").materialize()
+
+    def bmax(t: pa.Table) -> pa.Table:
+        g = t.group_by("bucket").aggregate([("ts", "max")])
+        return pa.table({"bucket": g.column("bucket"),
+                         "m": g.column("ts_max")})
+
+    parts = pa.concat_tables(list(
+        proj.map_batches(bmax, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
+    gm = parts.group_by("bucket").aggregate([("m", "max")])
+    b = gm.column("bucket").to_numpy(zero_copy_only=False)
+    m = gm.column("m_max").to_numpy(zero_copy_only=False)
+    order = np.argsort(b)
+    mx = m[order]
+    lo = np.iinfo(np.int64).min
+    carry = dict(zip(
+        b[order].tolist(),
+        np.append(lo, np.maximum.accumulate(mx)[:-1]).tolist()))
+
+    def grp(g: pa.Table) -> pa.Table:
+        cin = carry[int(g.column("bucket")[0].as_py())]
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        order = np.argsort(eid)
+        ts_s = ts[order]
+        n = len(order)
+        prev = np.empty(n, np.int64)
+        prev[0] = cin
+        np.maximum(np.maximum.accumulate(ts_s)[:-1], cin, out=prev[1:])
+        late = ts_s < prev
+        lateness = np.where(late, prev - ts_s, 0)
+        part = pa.table({
+            "event_type": g.column("typ").take(pa.array(order)),
+            "one": pa.array(np.ones(n, np.int64), pa.int64()),
+            "late": pa.array(late.astype(np.int64), pa.int64()),
+            "lateness": pa.array(lateness, pa.int64()),
+            "is_late": pa.array(late, pa.bool_())})
+        gg = part.group_by("event_type").aggregate(
+            [("one", "sum"), ("late", "sum")])
+        lg = part.filter(part.column("is_late")) \
+            .group_by("event_type").aggregate([("lateness", "max")])
+        mlu = {t: v for t, v in zip(
+            lg.column("event_type").to_pylist(),
+            lg.column("lateness_max").to_pylist())}
+        typs = gg.column("event_type").to_pylist()
+        return pa.table({
+            "event_type": gg.column("event_type"),
+            "n": pc.cast(gg.column("one_sum"), pa.int64()),
+            "n_late": pc.cast(gg.column("late_sum"), pa.int64()),
+            "max_late_us": pa.array([mlu.get(t) for t in typs],
+                                    pa.int64())})
+
+    small = proj.groupby("bucket").map_groups(grp,
+                                              batch_format="pyarrow")
+    mm = pa.concat_tables(
+        list(small.iter_batches(batch_size=None, batch_format="pyarrow"))
+        + [part_schema.empty_table()]).combine_chunks()
+    gg = mm.group_by("event_type").aggregate(
+        [("n", "sum"), ("n_late", "sum"), ("max_late_us", "max")])
+    return pa.table({
+        "event_type": gg.column("event_type"),
+        "n": pc.cast(gg.column("n_sum"), pa.int64()),
+        "n_late": pc.cast(gg.column("n_late_sum"), pa.int64()),
+        "max_late_us": pc.cast(gg.column("max_late_us_max"),
+                               pa.int64())})
+
+
+SQL_OUT_OF_ORDER_AUDIT = """WITH w AS (
+  SELECT event_type, ts,
+    MAX(ts) OVER (ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS prev_max
+  FROM events WHERE ts IS NOT NULL)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN ts < prev_max THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_late,
+  CAST(MAX(CASE WHEN ts < prev_max
+            THEN epoch_us(prev_max) - epoch_us(ts) END) AS BIGINT)
+    AS max_late_us
+FROM w GROUP BY event_type"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -15370,6 +15623,10 @@ QUERIES = {
                            SQL_USER_ACTIVITY_FOLD),
     "ohlc_weekly": (q_ohlc_weekly, SQL_OHLC_WEEKLY),
     "chat_format_check": (q_chat_format_check, SQL_CHAT_FORMAT_CHECK),
+    "order_reconciliation": (q_order_reconciliation,
+                             SQL_ORDER_RECONCILIATION),
+    "out_of_order_audit": (q_out_of_order_audit,
+                           SQL_OUT_OF_ORDER_AUDIT),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —
