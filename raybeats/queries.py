@@ -15326,6 +15326,75 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
 FROM w GROUP BY event_type"""
 
 
+def q_compressibility(sf_dir: str):
+    """zlib-compressibility quality signal per document — the
+    published low-entropy/boilerplate heuristic large-corpus curation
+    stacks run alongside the Gopher repetition rules (highly
+    repetitive or templated text compresses far below natural prose).
+    Per doc: raw UTF-8 bytes, zlib-deflate(level 6) bytes, their
+    ratio, and a ``flag_repetitive`` verdict at ratio < 0.3.
+    Embarrassingly parallel map_batches; the per-doc zlib call is C
+    compute (like model inference), raw lengths stay vectorized.
+    Rows-only: zlib is not SQL-expressible; the pytest recomputes
+    every row with zlib directly (brute-force equivalence)."""
+    import zlib
+
+    def score(t: pa.Table) -> pa.Table:
+        raw = pc.cast(pc.binary_length(t.column("text")), pa.int64())
+        comp = [len(zlib.compress(s.encode("utf-8"), 6)) if s is not None
+                else None for s in t.column("text").to_pylist()]
+        comp_a = pa.array(comp, pa.int64())
+        ratio = pc.divide(pc.cast(comp_a, pa.float64()),
+                          pc.cast(pc.max_element_wise(raw, 1),
+                                  pa.float64()))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "raw_bytes": raw,
+            "comp_bytes": comp_a,
+            "ratio": ratio,
+            "flag_repetitive": pc.less(ratio, 0.3)})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(score, batch_format="pyarrow")
+
+
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer-training merge table over the documents corpus:
+    ONE distributed pass folds word-type counts (per-batch group-by
+    partials — one row per distinct token per batch moves, never per
+    occurrence), then the weighted merge loop runs driver-side over
+    the bounded type table (`textops.analysis.bpe_merges` — that is
+    the real trainers' scale shape too). Output: the first 8 merges
+    as (iteration, left, right, merged, pair_count). Rows-only: the
+    iterative argmax is not SQL-expressible; the pytest replays the
+    algorithm independently from raw SQL word counts."""
+    from .textops.analysis import bpe_merges, flat_tokens
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+        _, toks, _ = flat_tokens(t.column("text"))
+        g = pa.table({
+            "w": toks,
+            "one": pa.array(np.ones(len(toks), np.int64), pa.int64())
+        }).group_by("w").aggregate([("one", "sum")])
+        return pa.table({"w": g.column("w"),
+                         "n": pc.cast(g.column("one_sum"), pa.int64())})
+
+    counts = _combine_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["w"], {"n": "n"})
+    counts = counts.sort_by("w")
+    merges = bpe_merges(counts.column("w").to_pylist(),
+                        counts.column("n").to_pylist(), n_merges=8)
+    return pa.table({
+        "iteration": pa.array(range(1, len(merges) + 1), pa.int64()),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+        "merged": pa.array([m[2] for m in merges], pa.string()),
+        "pair_count": pa.array([m[3] for m in merges], pa.int64())})
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -15638,6 +15707,8 @@ QUERIES = {
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "rolling_fingerprint": (q_rolling_fingerprint, None),
+    "compressibility": (q_compressibility, None),
+    "bpe_merges": (q_bpe_merges, None),
     "knn_ivf": (q_knn_ivf, None),
     "approx_distinct_users": (q_approx_distinct_users, None),
     "approx_users_per_type": (q_approx_users_per_type, None),

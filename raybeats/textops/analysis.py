@@ -182,3 +182,51 @@ def rolling_fingerprint(tbl: pa.Table, text_col: str = "text",
         out.append(int(hashes.min()) & 0x7FFFFFFFFFFFFFFF)
     return pa.table({"doc_id": tbl.column("doc_id"),
                      "fp": pa.array(out, pa.int64())})
+
+
+def bpe_merges(words: list[str], counts, n_merges: int = 8):
+    """Weighted byte-pair-encoding merge training over a WORD-TYPE
+    table — the tokenizer-training core (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units",
+    public algorithm). Each word type starts as its character
+    sequence; each iteration merges the adjacent symbol pair with the
+    highest corpus-weighted count. Runs driver-side over the type
+    table because that IS the scale shape of real BPE trainers
+    (fastBPE, HF tokenizers): the 100-TB corpus is touched once by
+    the distributed type-count pass; iterations then cost
+    O(types × word_len), independent of corpus size. No end-of-word
+    marker (documented divergence; adding one is a caller-side
+    ``w + "</w>"`` map). Deterministic tie-break: highest count, then
+    lexicographically smallest (left, right).
+
+    Returns ``[(left, right, merged, pair_count), ...]`` with at most
+    ``n_merges`` entries (fewer when no pair remains)."""
+    seqs = [list(w) for w in words]
+    weights = [int(c) for c in counts]
+    out = []
+    for _ in range(int(n_merges)):
+        pair_counts: dict = {}
+        for seq, c in zip(seqs, weights):
+            for a, b in zip(seq, seq[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+        if not pair_counts:
+            break
+        (left, right), cnt = min(pair_counts.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))
+        merged = left + right
+        out.append((left, right, merged, cnt))
+        for i, seq in enumerate(seqs):
+            if len(seq) < 2:
+                continue
+            new = []
+            j = 0
+            while j < len(seq):
+                if (j + 1 < len(seq) and seq[j] == left
+                        and seq[j + 1] == right):
+                    new.append(merged)
+                    j += 2
+                else:
+                    new.append(seq[j])
+                    j += 1
+            seqs[i] = new
+    return out
