@@ -15395,6 +15395,118 @@ def q_bpe_merges(sf_dir: str):
         "pair_count": pa.array([m[3] for m in merges], pa.int64())})
 
 
+def q_feature_hashing(sf_dir: str):
+    """Hashing-trick text vectorizer (Weinberger et al. 2009 /
+    sklearn HashingVectorizer, public algorithm): each token hashes
+    to one of 64 feature indices via FNV-1a, with a signed ±1
+    contribution from an independent hash bit, so collisions cancel
+    in expectation. Output is the exploded sparse form
+    (doc_id, idx, weight) — exact integers, join-able and
+    SQL-checkable (the oracle replays FNV-1a byte-for-byte with a
+    HUGEINT list_reduce). NO shuffle at all: a document is one row,
+    so every (doc, idx) group completes inside its batch — the whole
+    vectorizer is embarrassingly parallel map_batches over the
+    shared `flat_tokens` tokenizer and the vectorized `fnv1a_u64`."""
+    import numpy as np
+
+    from .textops.analysis import flat_tokens
+    from .util import fnv1a_u64
+
+    def vectorize(t: pa.Table) -> pa.Table:
+        row_id, toks, _ = flat_tokens(t.column("text"))
+        hv = fnv1a_u64(toks)
+        idx = (hv % np.uint64(64)).astype(np.int64)
+        sign = np.where((hv >> np.uint64(6)) & np.uint64(1) == 0,
+                        1, -1).astype(np.int64)
+        doc = t.column("doc_id").to_numpy(
+            zero_copy_only=False)[row_id]
+        g = pa.table({"doc_id": pa.array(doc, pa.int64()),
+                      "idx": pa.array(idx, pa.int64()),
+                      "s": pa.array(sign, pa.int64())}) \
+            .group_by(["doc_id", "idx"]).aggregate([("s", "sum")])
+        return pa.table({
+            "doc_id": g.column("doc_id"),
+            "idx": g.column("idx"),
+            "weight": pc.cast(g.column("s_sum"), pa.int64())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(vectorize, batch_format="pyarrow")
+
+
+SQL_FEATURE_HASHING = """WITH tok AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents),
+h AS (
+  SELECT doc_id, list_reduce(
+    list_prepend(CAST(14695981039346656037 AS UBIGINT),
+      list_transform(split(w, ''), c -> CAST(unicode(c) AS UBIGINT))),
+    (h, c) -> CAST(CAST((CAST(xor(h, c) AS HUGEINT) * 1099511628211)
+                        % 18446744073709551616 AS HUGEINT)
+                   AS UBIGINT)) AS hv
+  FROM tok)
+SELECT doc_id, CAST(hv % 64 AS BIGINT) AS idx,
+  CAST(SUM(CASE WHEN (hv >> 6) & 1 = 0 THEN 1 ELSE -1 END) AS BIGINT)
+    AS weight
+FROM h GROUP BY doc_id, idx"""
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Top-p (nucleus) vocabulary truncation — the tokenizer-design
+    question "how many types cover 90% of corpus mass?": rank tokens
+    by count (ties broken lexicographically) and keep the smallest
+    prefix whose cumulative count reaches 90% of all occurrences; a
+    token is kept iff the mass BEFORE it is under the threshold.
+    Distributed partial counts (one row per batch×type), driver-side
+    rank/cumsum over the bounded type table; the 90% test is exact
+    integer arithmetic (``(cum−n)·10 < total·9``) — no float
+    threshold to disagree on."""
+    import numpy as np
+
+    from .textops.analysis import flat_tokens
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, toks, _ = flat_tokens(t.column("text"))
+        g = pa.table({
+            "w": toks,
+            "one": pa.array(np.ones(len(toks), np.int64), pa.int64())
+        }).group_by("w").aggregate([("one", "sum")])
+        return pa.table({"w": g.column("w"),
+                         "n": pc.cast(g.column("one_sum"), pa.int64())})
+
+    counts = _combine_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["w"], {"n": "n"})
+    w = np.array(counts.column("w").to_pylist(), object)
+    n = counts.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((w, -n))
+    w, n = w[order], n[order]
+    cum = np.cumsum(n)
+    total = int(cum[-1]) if len(cum) else 0
+    keep = (cum - n) * 10 < total * 9
+    return pa.table({
+        "token": pa.array(w[keep], pa.string()),
+        "n": pa.array(n[keep], pa.int64()),
+        "rank": pa.array(np.arange(1, len(w) + 1)[keep], pa.int64()),
+        "cum_n": pa.array(cum[keep], pa.int64())})
+
+
+SQL_VOCAB_COVERAGE = """WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents),
+c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY w),
+r AS (SELECT w, n,
+        CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w) AS BIGINT)
+          AS rank,
+        CAST(SUM(n) OVER (ORDER BY n DESC, w ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS cum_n
+      FROM c),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+SELECT w AS token, n, rank, cum_n
+FROM r, t WHERE (cum_n - n) * 10 < total * 9"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -15694,6 +15806,8 @@ QUERIES = {
     "chat_format_check": (q_chat_format_check, SQL_CHAT_FORMAT_CHECK),
     "order_reconciliation": (q_order_reconciliation,
                              SQL_ORDER_RECONCILIATION),
+    "feature_hashing": (q_feature_hashing, SQL_FEATURE_HASHING),
+    "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "out_of_order_audit": (q_out_of_order_audit,
                            SQL_OUT_OF_ORDER_AUDIT),
     # rows-only (non-SQL-expressible; driver records weaker check).
