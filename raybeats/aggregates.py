@@ -735,3 +735,58 @@ def global_row_number(ds, *, value_col: str, id_col: str, id_max: int,
 
     return cells.groupby(["__q", "__b"]) \
         .map_groups(rank_group, batch_format="pyarrow")
+
+
+# ------------------------------------------- weighted order statistics
+
+def grouped_weighted_median(ds, *, value_col: str, weight_col: str,
+                            by: str, scale: int = 100):
+    """Per-``by``-key exact LOWER WEIGHTED MEDIAN of
+    ``floor(value·scale)`` quanta under integer weights: the smallest
+    quantum whose cumulative weight reaches half the group's total
+    (``2·cum ≥ total``). Weighted order statistics generalize
+    `grouped_exact_quantiles` — the unweighted op is the special case
+    weight ≡ 1 — and power weight-aware curation decisions
+    (price-weighted medians, token-weighted length cuts).
+
+    Scale shape is identical to the quantile family: per-batch
+    ``(key, quantum, Σweight)`` partials bound the keyed shuffle by
+    value range × precision — never corpus size; each group finalizes
+    from its weighted CDF with one ``searchsorted`` probe. Weights are
+    cast to int64 (must be integral — fractional weights would make
+    the half-total comparison engine-dependent); null/NaN values and
+    null weights are ignored (SQL aggregate convention).
+
+    Output: one row per key — ``by``, ``total_w`` (int64),
+    ``wmedian_cents`` (int64 quantum)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        w = pc.fill_null(pc.cast(t.column(weight_col), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        tt = pa.table({by: t.column(by).filter(pa.array(ok)),
+                       "q": pa.array(np.floor(v[ok] * scale)
+                                     .astype(np.int64), pa.int64()),
+                       "w": pa.array(w[ok], pa.int64())})
+        g = tt.group_by([by, "q"]).aggregate([("w", "sum")])
+        return pa.table({by: g.column(by), "q": g.column("q"),
+                         "w": pc.cast(g.column("w_sum"), pa.int64())})
+
+    def finalize(grp: pa.Table) -> pa.Table:
+        quanta = grp.column("q").to_numpy(zero_copy_only=False)
+        w = grp.column("w").to_numpy(zero_copy_only=False)
+        order = np.argsort(quanta, kind="stable")
+        qs = quanta[order]
+        uniq, start = np.unique(qs, return_index=True)
+        cum = np.cumsum(np.add.reduceat(w[order], start))
+        total = int(cum[-1])
+        # smallest quantum with 2*cum >= total  <=>  cum >= ceil(t/2)
+        med = int(uniq[np.searchsorted(cum, (total + 1) // 2,
+                                       side="left")])
+        return pa.table({by: grp.column(by).slice(0, 1).combine_chunks(),
+                         "total_w": pa.array([total], pa.int64()),
+                         "wmedian_cents": pa.array([med], pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby(by).map_groups(finalize, batch_format="pyarrow")

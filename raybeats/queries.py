@@ -15507,6 +15507,134 @@ SELECT w AS token, n, rank, cum_n
 FROM r, t WHERE (cum_n - n) * 10 < total * 9"""
 
 
+def q_span_corruption(sf_dir: str):
+    """T5/UL2-style span-corruption denoising pairs over `documents`
+    (see :func:`raybeats.textops.curation.span_corruption`): mask a
+    deterministic 15% of tokens, collapse each masked run into an
+    ``<extra_id_N>`` sentinel, emit ``(doc_id, input_text,
+    target_text)``. One shuffle-free vectorized pass — each row is a
+    whole document, so spans never cross batches; the mask decision is
+    the `hash_split` integer mix on ``(doc_id, position)``, bit-equal
+    in HUGEINT SQL."""
+    from .textops.curation import span_corruption
+
+    def fn(t: pa.Table) -> pa.Table:
+        return span_corruption(t, rate_pct=15)
+
+    return _read(sf_dir, "documents", ["doc_id", "text"], blocks=16) \
+        .map_batches(fn, batch_format="pyarrow")
+
+
+SQL_SPAN_CORRUPTION = """WITH base AS (
+  SELECT doc_id, lower(text) AS lt FROM documents
+  WHERE text IS NOT NULL),
+tok AS (SELECT doc_id,
+          unnest(regexp_extract_all(lt, '[a-z0-9]+')) AS tk,
+          generate_subscripts(regexp_extract_all(lt, '[a-z0-9]+'), 1)
+            - 1 AS pos
+        FROM base),
+mk AS (SELECT doc_id, tk, pos,
+         (xor(m2, m2 >> 15) % 100) < 15 AS masked
+       FROM (SELECT doc_id, tk, pos,
+               CAST(CAST((CAST(doc_id AS HUGEINT) * 1000003 + pos)
+                         % 4294967296 AS HUGEINT)
+                    * 2654435761 % 4294967296 AS BIGINT) AS m2
+             FROM tok) h),
+r AS (SELECT *, CASE WHEN masked AND
+                     NOT coalesce(lag(masked) OVER w, FALSE)
+                THEN 1 ELSE 0 END AS rs
+      FROM mk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+s AS (SELECT *, CAST(SUM(rs) OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS BIGINT) - 1 AS sid FROM r),
+inp AS (SELECT doc_id,
+          string_agg(CASE WHEN rs = 1
+                     THEN '<extra_id_' || CAST(sid AS VARCHAR) || '>'
+                     ELSE tk END, ' ' ORDER BY pos)
+            FILTER (WHERE NOT masked OR rs = 1) AS input_text
+        FROM s GROUP BY doc_id),
+tgt AS (SELECT doc_id,
+          string_agg(CASE WHEN rs = 1
+                     THEN '<extra_id_' || CAST(sid AS VARCHAR)
+                          || '> ' || tk
+                     ELSE tk END, ' ' ORDER BY pos)
+            FILTER (WHERE masked) AS target_text
+        FROM s GROUP BY doc_id)
+SELECT b.doc_id, coalesce(i.input_text, '') AS input_text,
+       coalesce(t.target_text, '') AS target_text
+FROM base b LEFT JOIN inp i USING (doc_id)
+LEFT JOIN tgt t USING (doc_id)"""
+
+
+def q_cdc_apply(sf_dir: str):
+    """Change-data-capture APPLY with delete semantics: treat `events`
+    as a keyed op log (key = user_id, delete op = ``'error'``) and
+    materialize the final table state — the last op per key wins; a
+    key whose last op is a delete is ABSENT from the output. Extends
+    `latest_event`/`keep_latest` (upsert-only compaction) with the
+    tombstone rule every CDC sink (Debezium-style) needs. One bounded
+    keyed shuffle (`keep_latest`: local argmax per batch, then
+    keys × blocks survivors), delete filter applied after — a
+    tombstone must SUPPRESS earlier upserts, so it can only be
+    dropped post-compaction."""
+    from .aggregates import keep_latest
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "value", "ts"])
+    last = keep_latest(ev, key="user_id", order_by=("ts", "event_id"),
+                       n_buckets=adaptive_buckets(
+                           _nrows(sf_dir, "events"), lo=8))
+
+    def fin(t: pa.Table) -> pa.Table:
+        live = t.filter(pc.invert(pc.equal(t.column("event_type"),
+                                           pa.scalar("error"))))
+        return pa.table({"user_id": live.column("user_id"),
+                         "last_op": live.column("event_type"),
+                         "value": live.column("value"),
+                         "ts": live.column("ts")})
+
+    return last.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_CDC_APPLY = """WITH last AS (
+  SELECT user_id, event_type, value, ts,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_type AS last_op, value, ts
+FROM last WHERE rn = 1 AND event_type <> 'error'"""
+
+
+def q_weighted_median(sf_dir: str):
+    """Exact per-flag WEIGHTED median of lineitem price quanta under
+    quantity weights (see
+    :func:`raybeats.aggregates.grouped_weighted_median`) — weighted
+    order statistics, the weight-aware generalization of the exact
+    quantile family."""
+    from .aggregates import grouped_weighted_median
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+    return grouped_weighted_median(li, value_col="l_extendedprice",
+                                   weight_col="l_quantity",
+                                   by="l_returnflag")
+
+
+SQL_WEIGHTED_MEDIAN = """WITH q AS (
+  SELECT l_returnflag,
+    CAST(floor(l_extendedprice * 100) AS BIGINT) AS qq,
+    CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+g AS (SELECT l_returnflag, qq, SUM(w) AS w FROM q GROUP BY 1, 2),
+c AS (SELECT l_returnflag, qq,
+        SUM(w) OVER (PARTITION BY l_returnflag ORDER BY qq
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+        SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM g)
+SELECT l_returnflag, CAST(tot AS BIGINT) AS total_w,
+       MIN(qq) AS wmedian_cents
+FROM c WHERE 2 * cum >= tot GROUP BY l_returnflag, tot"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -15810,6 +15938,9 @@ QUERIES = {
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "out_of_order_audit": (q_out_of_order_audit,
                            SQL_OUT_OF_ORDER_AUDIT),
+    "span_corruption": (q_span_corruption, SQL_SPAN_CORRUPTION),
+    "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
+    "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

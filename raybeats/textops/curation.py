@@ -593,3 +593,113 @@ def oversample_mixture(ds, weights_millis: dict[str, int], *,
         return oversample_rows(t, millis, id_col=id_col)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------- T5-style span corruption
+
+_SC_MULT = np.uint64(1_000_003)
+_SC_KNUTH = np.uint64(2_654_435_761)
+_SC_M32 = np.uint64(0xFFFFFFFF)
+
+
+def _span_mask(doc_ids: np.ndarray, pos: np.ndarray,
+               rate_pct: int) -> np.ndarray:
+    """Deterministic per-token mask decision: mix (doc_id, pos) through
+    the same 32-bit multiplicative scheme as :func:`hash_split`
+    (``m = (doc_id·1000003 + pos) mod 2^32``, Knuth multiply, xor-shift
+    15) and mask when ``mix % 100 < rate_pct``. Pure integer
+    arithmetic — the DuckDB mirror computes the identical bits via
+    HUGEINT modular ops, so mask decisions can never diverge between
+    engines (no RNG, partition-invariant, resumable)."""
+    m = (doc_ids.astype(np.uint64) * _SC_MULT + pos.astype(np.uint64)) \
+        & _SC_M32
+    m = (m * _SC_KNUTH) & _SC_M32
+    m = m ^ (m >> np.uint64(15))
+    return (m % np.uint64(100)) < np.uint64(rate_pct)
+
+
+def span_corruption(tbl: pa.Table, *, rate_pct: int = 15,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> pa.Table:
+    """T5/UL2-style denoising-pair construction (Raffel et al. 2020,
+    arXiv:1910.10683 §3.1.4): per document, deterministically mask
+    ``rate_pct`` % of tokens, collapse each maximal masked RUN into one
+    ``<extra_id_N>`` sentinel in the input, and emit the masked spans
+    prefixed by their sentinel as the target. Output:
+    ``(doc_id, input_text, target_text)`` — one row per non-null doc.
+
+    Shuffle-free: every document lies wholly inside its batch (one row
+    = one doc), so this is a single vectorized ``map_batches`` pass —
+    tokens come from the shared ``[a-z0-9]+`` tokenizer
+    (:func:`..analysis.flat_tokens`), runs and sentinel ordinals from
+    segmented numpy cumsums, and both output strings from ONE
+    ``ListArray`` + ``binary_join`` per column (no per-row Python).
+    Docs with no tokens (or nothing masked) get ``''`` in the empty
+    column — the COALESCE('') contract mirrored in SQL. The reference
+    engine has no training-format stage; this extends its
+    per-record-transform family (SURVEY §2.2) with the denoising
+    objective an LLM pipeline ships."""
+    from .analysis import flat_tokens
+
+    if not (0 < rate_pct < 100):
+        raise ValueError(f"rate_pct must be in (0,100): {rate_pct}")
+    sub = tbl.filter(pc.is_valid(tbl.column(text_col)))
+    n_rows = sub.num_rows
+    doc_col = pc.cast(sub.column(id_col), pa.int64())
+    row_id, toks, _ = flat_tokens(sub.column(text_col))
+    doc_ids = doc_col.to_numpy(zero_copy_only=False)
+
+    # per-token position within its doc (row_id is sorted, contiguous)
+    n = len(row_id)
+    if n:
+        row_start = np.r_[True, row_id[1:] != row_id[:-1]]
+        start_idx = np.flatnonzero(row_start)
+        pos = np.arange(n, dtype=np.int64) - \
+            np.repeat(start_idx, np.diff(np.r_[start_idx, n]))
+        masked = _span_mask(doc_ids[row_id], pos, rate_pct)
+        # a run starts at a masked token whose predecessor (within the
+        # same doc) is unmasked — or at the doc's first token
+        run_start = masked & (row_start | np.r_[True, ~masked[:-1]])
+        # sentinel ordinal = run starts seen so far WITHIN the doc − 1
+        # (segmented cumsum: global cumsum minus the doc-entry base)
+        g = np.cumsum(run_start.astype(np.int64))
+        seg_len = np.diff(np.r_[start_idx, n])
+        base = np.repeat(g[start_idx] - run_start[start_idx], seg_len)
+        sid = g - base - 1  # >= 0 for every masked token
+    else:
+        masked = np.zeros(0, bool)
+        run_start = np.zeros(0, bool)
+        sid = np.zeros(0, np.int64)
+        pos = np.zeros(0, np.int64)
+
+    tok_arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+        else toks
+    sent = pc.binary_join_element_wise(
+        pa.scalar("<extra_id_"),
+        pc.cast(pa.array(np.maximum(sid, 0), pa.int64()), pa.string()),
+        pa.scalar(">"), pa.scalar(""))
+
+    def join_rows(keep: np.ndarray, pieces: pa.Array) -> pa.Array:
+        """Join kept pieces per row with ' ' → one string per input
+        row (empty when a row keeps nothing)."""
+        kept_rows = row_id[keep]
+        kept = pieces.filter(pa.array(keep))
+        counts = np.bincount(kept_rows, minlength=n_rows) \
+            if n else np.zeros(n_rows, np.int64)
+        offsets = np.r_[0, np.cumsum(counts)].astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                       kept)
+        return pc.binary_join(lst, pa.scalar(" "))
+
+    # input: unmasked tokens as-is; each run start becomes its sentinel
+    in_pieces = pc.if_else(pa.array(masked), sent, tok_arr)
+    input_text = join_rows(~masked | run_start, in_pieces)
+    # target: masked tokens; run starts prefixed by "<sentinel> "
+    tgt_pieces = pc.if_else(
+        pa.array(run_start),
+        pc.binary_join_element_wise(sent, tok_arr, pa.scalar(" ")),
+        tok_arr)
+    target_text = join_rows(masked, tgt_pieces)
+    return pa.table({id_col: doc_col,
+                     "input_text": input_text,
+                     "target_text": target_text})

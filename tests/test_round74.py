@@ -1,0 +1,176 @@
+"""Round-74 operators: span_corruption (T5-style denoising pairs),
+cdc_apply (change-log apply with tombstones), weighted_median (exact
+weighted order statistic)."""
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from raybeats.queries import QUERIES
+from raybeats.textops.curation import span_corruption, _span_mask
+
+
+def _table(res):
+    if isinstance(res, pa.Table):
+        return res
+    batches = list(res.iter_batches(batch_size=None,
+                                    batch_format="pyarrow"))
+    if not batches:
+        return pa.table({})
+    return pa.concat_tables(batches, promote_options="default")
+
+
+def _docs_tbl(rows):
+    """rows: (doc_id, text)."""
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string())})
+
+
+def _ref_span_corruption(doc_id: int, text: str, rate_pct: int = 15):
+    """Independent single-doc reference: tokenize, mask by the mix,
+    build input/target with explicit Python loops."""
+    import re
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    masked = []
+    for i in range(len(toks)):
+        m = (doc_id * 1_000_003 + i) % 2**32
+        m = (m * 2_654_435_761) % 2**32
+        m = m ^ (m >> 15)
+        masked.append(m % 100 < rate_pct)
+    inp, tgt, sid = [], [], -1
+    for i, (tk, mk) in enumerate(zip(toks, masked)):
+        if mk and (i == 0 or not masked[i - 1]):
+            sid += 1
+            inp.append(f"<extra_id_{sid}>")
+            tgt.append(f"<extra_id_{sid}>")
+            tgt.append(tk)
+        elif mk:
+            tgt.append(tk)
+        else:
+            inp.append(tk)
+    return " ".join(inp), " ".join(tgt)
+
+
+class TestSpanCorruption:
+    def test_matches_reference_loop(self):
+        rows = [(i, f"alpha beta gamma delta epsilon zeta eta theta "
+                    f"iota kappa word{i} lambda mu nu xi omicron pi "
+                    f"rho sigma tau") for i in range(50)]
+        out = span_corruption(_docs_tbl(rows), rate_pct=15)
+        for r, (did, text) in zip(out.to_pylist(), rows):
+            inp, tgt = _ref_span_corruption(did, text)
+            assert r["doc_id"] == did
+            assert r["input_text"] == inp, did
+            assert r["target_text"] == tgt, did
+
+    def test_adjacent_masked_tokens_share_sentinel(self):
+        # find a doc where two adjacent tokens are masked: sentinel
+        # count must be < masked count and ordinals consecutive
+        for did in range(2000):
+            m = _span_mask(np.full(40, did, np.int64),
+                           np.arange(40, dtype=np.int64), 15)
+            runs = m & np.r_[True, ~m[:-1]]
+            if m.sum() > runs.sum() > 1:
+                break
+        else:
+            raise AssertionError("no adjacent-mask doc found")
+        text = " ".join(f"tok{i}" for i in range(40))
+        out = span_corruption(_docs_tbl([(did, text)]), rate_pct=15)
+        tgt = out.column("target_text")[0].as_py()
+        n_sent = tgt.count("<extra_id_")
+        assert n_sent == int(runs.sum())
+        for k in range(n_sent):
+            assert f"<extra_id_{k}>" in tgt
+
+    def test_empty_and_null_text(self):
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array(["", None, "..!!"], pa.string())})
+        out = span_corruption(t, rate_pct=15)
+        # null dropped; zero-token docs emit ('','')
+        assert out.column("doc_id").to_pylist() == [1, 3]
+        assert out.column("input_text").to_pylist() == ["", ""]
+        assert out.column("target_text").to_pylist() == ["", ""]
+
+    def test_mask_rate_near_nominal(self):
+        m = _span_mask(np.repeat(np.arange(200, dtype=np.int64), 100),
+                       np.tile(np.arange(100, dtype=np.int64), 200), 15)
+        assert 0.12 < m.mean() < 0.18
+
+    def test_partition_invariance(self):
+        rows = [(i, f"one two three four five six seven eight nine "
+                    f"ten w{i}") for i in range(20)]
+        whole = span_corruption(_docs_tbl(rows))
+        parts = pa.concat_tables(
+            [span_corruption(_docs_tbl(rows[:7])),
+             span_corruption(_docs_tbl(rows[7:]))])
+        assert whole.equals(parts)
+
+
+def _events_pq(tmp_path, rows):
+    """rows: (event_id, ts_us, user_id, event_type, value)."""
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string())}),
+        tmp_path / "events.parquet")
+
+
+class TestCdcApply:
+    def test_tombstone_suppresses_key(self, ray_session, tmp_path):
+        _events_pq(tmp_path, [
+            (1, 10, 1, "signup", 1.0),
+            (2, 20, 1, "purchase", 2.0),   # user 1 last op = upsert
+            (3, 10, 2, "signup", 3.0),
+            (4, 30, 2, "error", 0.0),      # user 2 deleted
+            (5, 40, 3, "error", 0.0),
+            (6, 50, 3, "view", 7.0)])      # delete then re-insert
+        out = _table(QUERIES["cdc_apply"][0](str(tmp_path))) \
+            .sort_by("user_id")
+        assert out.column("user_id").to_pylist() == [1, 3]
+        assert out.column("last_op").to_pylist() == ["purchase", "view"]
+        assert out.column("value").to_pylist() == [2.0, 7.0]
+
+    def test_ts_tie_breaks_on_event_id(self, ray_session, tmp_path):
+        _events_pq(tmp_path, [
+            (7, 10, 1, "view", 1.0),
+            (9, 10, 1, "purchase", 9.0),   # same ts, higher id wins
+            (8, 10, 1, "error", 0.0)])
+        out = _table(QUERIES["cdc_apply"][0](str(tmp_path)))
+        assert out.column("last_op").to_pylist() == ["purchase"]
+        assert out.column("value").to_pylist() == [9.0]
+
+
+def _lineitem_pq(tmp_path, rows):
+    """rows: (flag, price, qty)."""
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+        "l_extendedprice": pa.array([r[1] for r in rows], pa.float64()),
+        "l_quantity": pa.array([float(r[2]) for r in rows],
+                               pa.float64())}),
+        tmp_path / "lineitem.parquet")
+
+
+class TestWeightedMedian:
+    def test_hand_weighted_median(self, ray_session, tmp_path):
+        # flag A: quanta 100(w1) 200(w1) 300(w4) → total 6,
+        # half = 3 → cum(100)=1, cum(200)=2, cum(300)=6 → median 300.
+        # unweighted median of values would be 200 — the weight matters
+        _lineitem_pq(tmp_path, [
+            ("A", 1.00, 1), ("A", 2.00, 1), ("A", 3.00, 4),
+            ("B", 5.00, 2), ("B", 7.00, 1)])  # total 3, half 2 → 500
+        out = _table(QUERIES["weighted_median"][0](str(tmp_path))) \
+            .sort_by("l_returnflag")
+        assert out.column("l_returnflag").to_pylist() == ["A", "B"]
+        assert out.column("total_w").to_pylist() == [6, 3]
+        assert out.column("wmedian_cents").to_pylist() == [300, 500]
+
+    def test_even_total_lower_median(self, ray_session, tmp_path):
+        # total 4, 2*cum >= 4 first at cum=2 → quantum 100 (lower)
+        _lineitem_pq(tmp_path, [("A", 1.00, 2), ("A", 9.00, 2)])
+        out = _table(QUERIES["weighted_median"][0](str(tmp_path)))
+        assert out.column("wmedian_cents").to_pylist() == [100]
