@@ -174,3 +174,53 @@ class TestWeightedMedian:
         _lineitem_pq(tmp_path, [("A", 1.00, 2), ("A", 9.00, 2)])
         out = _table(QUERIES["weighted_median"][0](str(tmp_path)))
         assert out.column("wmedian_cents").to_pylist() == [100]
+
+
+# ------------------------------ golden-fixture parity for rows-only ops
+
+import os
+
+import pytest
+
+
+@pytest.mark.parametrize("name", [
+    "approx_distinct_users", "approx_users_per_type",
+    "token_freq_sketch", "type_overlap_kmv",
+    "compressibility", "bpe_merges", "knn_ivf"])
+def test_rows_only_golden_fixture_parity(ray_session, name):
+    """These rows-only queries (no SQL mirror: HLL registers, KMV
+    k-minima, count-min counters, zlib byte sizes, BPE merge training,
+    IVF probe order) are fully DETERMINISTIC — their merges are
+    order-invariant (register max / k-smallest union / counter sum) or
+    single-pass over sorted ids — verified by running each twice in
+    fresh Ray sessions before committing the fixture. Golden parquet
+    parity gives them the value assertion the DuckDB oracle gives the
+    SQL-mirrored queries (the r3-verdict item #5 pattern extended from
+    the simhash trio). The KLL quantile sketches are deliberately NOT
+    here: compactor stacks are merge-order-dependent, so they keep
+    error-bound assertions instead (tests/test_sketches.py)."""
+    import pandas as pd
+    import ray.data
+
+    from raybeats import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not present")
+    res = getattr(q, f"q_{name}")(sf)
+    if isinstance(res, ray.data.Dataset):
+        got = pa.concat_tables(list(res.iter_batches(
+            batch_size=None, batch_format="pyarrow")),
+            promote_options="default")
+    elif isinstance(res, pd.DataFrame):
+        got = pa.Table.from_pandas(res, preserve_index=False)
+    else:
+        got = res
+    keys = [(c, "ascending") for c in sorted(got.column_names)]
+    got = got.sort_by(keys).select(sorted(got.column_names)) \
+        .replace_schema_metadata(None)
+    exp = pq.read_table(os.path.join(
+        os.path.dirname(__file__), "fixtures",
+        f"golden_{name}_sf0001.parquet")).replace_schema_metadata(None)
+    assert got.schema == exp.schema
+    assert got.equals(exp)
