@@ -211,7 +211,14 @@ def run_queries() -> dict[str, float]:
              "seasonal_naive_error", "threshold_sweep",
              "knn_label_eval", "topk_diversified",
              "dedup_method_overlap", "hive_partition_prune",
-             "clamped_balance"]
+             "clamped_balance",
+             "cluster_split", "k_anonymity", "benford_digits",
+             "attribution_last_touch", "target_encode", "ohlc_weekly",
+             "chat_format_check", "order_reconciliation",
+             "out_of_order_audit", "compressibility", "bpe_merges",
+             "feature_hashing", "vocab_coverage",
+             "span_corruption", "cdc_apply", "weighted_median",
+             "bpe_encode"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

@@ -15368,6 +15368,19 @@ def q_bpe_merges(sf_dir: str):
     as (iteration, left, right, merged, pair_count). Rows-only: the
     iterative argmax is not SQL-expressible; the pytest replays the
     algorithm independently from raw SQL word counts."""
+    merges = _train_bpe(sf_dir, n_merges=8)
+    return pa.table({
+        "iteration": pa.array(range(1, len(merges) + 1), pa.int64()),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+        "merged": pa.array([m[2] for m in merges], pa.string()),
+        "pair_count": pa.array([m[3] for m in merges], pa.int64())})
+
+
+def _train_bpe(sf_dir: str, n_merges: int):
+    """Shared trainer for `bpe_merges` / `bpe_encode`: ONE distributed
+    word-type-count fold (per-batch group-by partials), then the
+    weighted merge loop driver-side over the bounded type table."""
     from .textops.analysis import bpe_merges, flat_tokens
 
     def partial(t: pa.Table) -> pa.Table:
@@ -15385,14 +15398,52 @@ def q_bpe_merges(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow"),
         ["w"], {"n": "n"})
     counts = counts.sort_by("w")
-    merges = bpe_merges(counts.column("w").to_pylist(),
-                        counts.column("n").to_pylist(), n_merges=8)
-    return pa.table({
-        "iteration": pa.array(range(1, len(merges) + 1), pa.int64()),
-        "left": pa.array([m[0] for m in merges], pa.string()),
-        "right": pa.array([m[1] for m in merges], pa.string()),
-        "merged": pa.array([m[2] for m in merges], pa.string()),
-        "pair_count": pa.array([m[3] for m in merges], pa.int64())})
+    return bpe_merges(counts.column("w").to_pylist(),
+                      counts.column("n").to_pylist(), n_merges=n_merges)
+
+
+def q_bpe_encode(sf_dir: str):
+    """BPE APPLY — the other half of the tokenizer loop `bpe_merges`
+    trains: encode every document with the trained merge table and
+    report ``(doc_id, n_tokens, n_symbols)`` (symbols after merges —
+    the number a subword tokenizer would bill the doc at; fertility =
+    n_symbols / n_tokens). Train once (driver, from the distributed
+    type-count fold), broadcast the tiny merge list in the stage
+    closure, then one vectorized pass: per batch the apply loop runs
+    ONLY over the batch's DISTINCT word types (memoized `bpe_apply_len`
+    — types not occurrences, the same scale shape as training) and
+    per-doc symbol sums come from an Arrow group-by over
+    ``index_in``-mapped per-type lengths. Rows-only: the iterative
+    merge application is not SQL-expressible; value-asserted by an
+    independent reference replay + committed golden fixture."""
+    import numpy as np
+
+    from .textops.analysis import bpe_apply_len, flat_tokens
+
+    merges3 = [(m[0], m[1], m[2]) for m in _train_bpe(sf_dir, 8)]
+
+    def encode(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_valid(t.column("text")))
+        row_id, toks, n_rows = flat_tokens(sub.column("text"))
+        doc = pc.cast(sub.column("doc_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        types = pc.unique(toks)
+        memo: dict = {}
+        lens = np.fromiter(
+            (bpe_apply_len(w, merges3, memo) for w in types.to_pylist()),
+            np.int64, len(types))
+        code = pc.index_in(toks, value_set=types) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sym = lens[code]
+        n_tok = np.bincount(row_id, minlength=n_rows).astype(np.int64)
+        n_sym = np.bincount(row_id, weights=sym,
+                            minlength=n_rows).astype(np.int64)
+        return pa.table({"doc_id": pa.array(doc, pa.int64()),
+                         "n_tokens": pa.array(n_tok, pa.int64()),
+                         "n_symbols": pa.array(n_sym, pa.int64())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"], blocks=16) \
+        .map_batches(encode, batch_format="pyarrow")
 
 
 def q_feature_hashing(sf_dir: str):
@@ -15954,6 +16005,7 @@ QUERIES = {
     "rolling_fingerprint": (q_rolling_fingerprint, None),
     "compressibility": (q_compressibility, None),
     "bpe_merges": (q_bpe_merges, None),
+    "bpe_encode": (q_bpe_encode, None),
     "knn_ivf": (q_knn_ivf, None),
     "approx_distinct_users": (q_approx_distinct_users, None),
     "approx_users_per_type": (q_approx_users_per_type, None),

@@ -230,3 +230,36 @@ def bpe_merges(words: list[str], counts, n_merges: int = 8):
                     j += 1
             seqs[i] = new
     return out
+
+
+def bpe_apply_len(word: str, merges: list[tuple[str, str, str]],
+                  memo: dict | None = None) -> int:
+    """Symbol count of ``word`` after applying trained BPE merges IN
+    TRAINING ORDER (each merge rewrites all its occurrences before the
+    next is considered — the exact update rule :func:`bpe_merges`
+    itself uses, so encode ≡ the trainer's final segmentation for any
+    word type the trainer saw, and composes consistently for unseen
+    types). ``memo`` caches per word TYPE: apply cost is paid once per
+    distinct word, never per occurrence — the same types-not-tokens
+    scale shape as training."""
+    if memo is not None and word in memo:
+        return memo[word]
+    seq = list(word)
+    for left, right, merged in merges:
+        if len(seq) < 2:
+            break
+        new = []
+        j = 0
+        while j < len(seq):
+            if (j + 1 < len(seq) and seq[j] == left
+                    and seq[j + 1] == right):
+                new.append(merged)
+                j += 2
+            else:
+                new.append(seq[j])
+                j += 1
+        seq = new
+    n = len(seq)
+    if memo is not None:
+        memo[word] = n
+    return n

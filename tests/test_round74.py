@@ -186,7 +186,7 @@ import pytest
 @pytest.mark.parametrize("name", [
     "approx_distinct_users", "approx_users_per_type",
     "token_freq_sketch", "type_overlap_kmv",
-    "compressibility", "bpe_merges", "knn_ivf"])
+    "compressibility", "bpe_merges", "bpe_encode", "knn_ivf"])
 def test_rows_only_golden_fixture_parity(ray_session, name):
     """These rows-only queries (no SQL mirror: HLL registers, KMV
     k-minima, count-min counters, zlib byte sizes, BPE merge training,
@@ -224,3 +224,80 @@ def test_rows_only_golden_fixture_parity(ray_session, name):
         f"golden_{name}_sf0001.parquet")).replace_schema_metadata(None)
     assert got.schema == exp.schema
     assert got.equals(exp)
+
+
+# ------------------------------------------------------- bpe_encode
+
+class TestBpeEncode:
+    def test_apply_len_matches_trainer_segmentation(self):
+        """Encoding a word the trainer saw must give exactly the
+        symbol count the trainer's own final seqs hold (apply-in-
+        training-order ≡ the trainer's update rule)."""
+        from raybeats.textops.analysis import bpe_apply_len, bpe_merges
+        words = ["banana", "bandana", "ananas", "band", "an", "anna"]
+        counts = [5, 3, 2, 7, 11, 1]
+        merges = bpe_merges(words, counts, n_merges=6)
+        m3 = [(m[0], m[1], m[2]) for m in merges]
+        # independent replay of the trainer's seq updates
+        seqs = {w: list(w) for w in words}
+        for left, right, merged in m3:
+            for w, seq in seqs.items():
+                new, j = [], 0
+                while j < len(seq):
+                    if (j + 1 < len(seq) and seq[j] == left
+                            and seq[j + 1] == right):
+                        new.append(merged)
+                        j += 2
+                    else:
+                        new.append(seq[j])
+                        j += 1
+                seqs[w] = new
+        for w in words:
+            assert bpe_apply_len(w, m3) == len(seqs[w]), w
+
+    def test_memo_and_unseen_words(self):
+        from raybeats.textops.analysis import bpe_apply_len
+        m3 = [("a", "b", "ab"), ("ab", "c", "abc")]
+        memo = {}
+        assert bpe_apply_len("abc", m3, memo) == 1
+        assert bpe_apply_len("abcabc", m3, memo) == 2
+        assert bpe_apply_len("xyz", m3, memo) == 3   # no merge applies
+        assert bpe_apply_len("", m3, memo) == 0
+        assert memo["abc"] == 1 and len(memo) == 4
+
+    def test_query_counts_on_tiny_corpus(self, ray_session, tmp_path):
+        """n_tokens from the shared tokenizer; n_symbols <= sum of
+        word lengths and >= n_tokens; exact value checked against a
+        full python replay."""
+        import re
+
+        from raybeats.textops.analysis import bpe_apply_len, bpe_merges
+        texts = ["the cat sat on the mat", "the catalog of cats",
+                 "mat cat the the the", None, ""]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())}),
+            tmp_path / "documents.parquet")
+        out = _table(QUERIES["bpe_encode"][0](str(tmp_path))) \
+            .sort_by("doc_id")
+        # python replay: train on the same corpus word counts
+        wc: dict = {}
+        for t in texts:
+            for w in re.split(r"[^a-z0-9]+", (t or "").lower()):
+                if w:
+                    wc[w] = wc.get(w, 0) + 1
+        items = sorted(wc.items())
+        merges = bpe_merges([w for w, _ in items],
+                            [c for _, c in items], n_merges=8)
+        m3 = [(m[0], m[1], m[2]) for m in merges]
+        exp = []
+        for did, t in enumerate(texts):
+            if t is None:
+                continue
+            toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+            exp.append((did, len(toks),
+                        sum(bpe_apply_len(w, m3) for w in toks)))
+        got = list(zip(out.column("doc_id").to_pylist(),
+                       out.column("n_tokens").to_pylist(),
+                       out.column("n_symbols").to_pylist()))
+        assert got == exp
