@@ -15686,6 +15686,126 @@ SELECT l_returnflag, CAST(tot AS BIGINT) AS total_w,
 FROM c WHERE 2 * cum >= tot GROUP BY l_returnflag, tot"""
 
 
+def q_auc_score(sf_dir: str):
+    """Exact ROC-AUC (≡ Mann-Whitney U) of `value` as a score for the
+    binary label ``event_type = 'purchase'`` — the ranking-eval metric
+    an LLM-data pipeline uses to validate quality/reward scores
+    against labels. Computed WITHOUT a global sort: per-batch
+    ``(quantum, n_pos, n_neg)`` partials (quantum = floor(value·100),
+    bounded by value range × precision — the exact-quantile CDF
+    shape), driver fold, then the tie-aware integer identity
+    ``2U = Σ_q pos_q·(2·cumneg_below + neg_q)`` (ties count half).
+    ``auc = 2U / (2·n_pos·n_neg)`` is ONE division of exact integers —
+    both engines round int→double→divide identically, so the oracle
+    compares bit-for-bit."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        pos = pc.fill_null(pc.equal(t.column("event_type"),
+                                    pa.scalar("purchase")), False) \
+            .to_numpy(zero_copy_only=False)[ok].astype(np.int64)
+        tt = pa.table({
+            "q": pa.array(np.floor(v[ok] * 100).astype(np.int64),
+                          pa.int64()),
+            "np": pa.array(pos, pa.int64()),
+            "nn": pa.array(1 - pos, pa.int64())})
+        g = tt.group_by("q").aggregate([("np", "sum"), ("nn", "sum")])
+        return pa.table({"q": g.column("q"),
+                         "np": pc.cast(g.column("np_sum"), pa.int64()),
+                         "nn": pc.cast(g.column("nn_sum"), pa.int64())})
+
+    cdf = _combine_partials(
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["q"], {"np": "np", "nn": "nn"})
+    import numpy as np
+    q = cdf.column("q").to_numpy(zero_copy_only=False)
+    npos_q = cdf.column("np").to_numpy(zero_copy_only=False)
+    nneg_q = cdf.column("nn").to_numpy(zero_copy_only=False)
+    order = np.argsort(q, kind="stable")
+    npos_q, nneg_q = npos_q[order], nneg_q[order]
+    cumneg_below = np.r_[0, np.cumsum(nneg_q)[:-1]]
+    two_u = int(np.sum(npos_q * (2 * cumneg_below + nneg_q)))
+    n_pos, n_neg = int(npos_q.sum()), int(nneg_q.sum())
+    auc = float(two_u) / ((2.0 * float(n_pos)) * float(n_neg)) \
+        if n_pos and n_neg else 0.0
+    return pa.table({"n_pos": pa.array([n_pos], pa.int64()),
+                     "n_neg": pa.array([n_neg], pa.int64()),
+                     "two_u": pa.array([two_u], pa.int64()),
+                     "auc": pa.array([auc], pa.float64())})
+
+
+SQL_AUC_SCORE = """WITH e AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS q,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events WHERE NOT isnan(value)),
+g AS (SELECT q, SUM(pos) AS np, SUM(1 - pos) AS nn
+      FROM e GROUP BY q),
+c AS (SELECT q, np, nn,
+        coalesce(SUM(nn) OVER (ORDER BY q
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS cumneg
+      FROM g)
+SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+  CAST(SUM(nn) AS BIGINT) AS n_neg,
+  CAST(SUM(np * (2 * cumneg + nn)) AS BIGINT) AS two_u,
+  CASE WHEN SUM(np) = 0 OR SUM(nn) = 0 THEN 0.0
+       ELSE CAST(SUM(np * (2 * cumneg + nn)) AS DOUBLE)
+            / (2.0 * CAST(SUM(np) AS DOUBLE)
+               * CAST(SUM(nn) AS DOUBLE)) END AS auc
+FROM c"""
+
+
+def q_cohens_kappa(sf_dir: str):
+    """Cohen's kappa of the LangId classifier against the labeled
+    ``lang`` column — chance-corrected agreement, the scalar summary
+    of `lang_confusion`'s matrix. Reuses that query's actor-stage
+    confusion fold verbatim, then exact integer arithmetic on the
+    driver: ``kappa = (N·diag − Σ_k row_k·col_k)
+    / (N² − Σ_k row_k·col_k)`` — numerator and denominator are exact
+    int64s, the double ratio is one division, so the oracle compares
+    bit-for-bit."""
+    conf = q_lang_confusion(sf_dir)
+    lang = conf.column("lang").to_pylist()
+    pred = conf.column("lang_pred").to_pylist()
+    n = conf.column("n").to_pylist()
+    total = sum(n)
+    diag = sum(c for la, p, c in zip(lang, pred, n) if la == p)
+    rows: dict = {}
+    cols: dict = {}
+    for la, p, c in zip(lang, pred, n):
+        rows[p] = rows.get(p, 0) + c
+        cols[la] = cols.get(la, 0) + c
+    chance = sum(rows.get(k, 0) * cols.get(k, 0)
+                 for k in set(rows) | set(cols))
+    num, den = total * diag - chance, total * total - chance
+    kappa = float(num) / float(den) if den else 0.0
+    return pa.table({"n_docs": pa.array([total], pa.int64()),
+                     "n_agree": pa.array([diag], pa.int64()),
+                     "kappa_num": pa.array([num], pa.int64()),
+                     "kappa_den": pa.array([den], pa.int64()),
+                     "kappa": pa.array([kappa], pa.float64())})
+
+
+SQL_COHENS_KAPPA = f"""WITH conf AS ({SQL_LANG_CONFUSION}),
+tot AS (SELECT SUM(n) AS nn FROM conf),
+diag AS (SELECT coalesce(SUM(n), 0) AS d FROM conf
+         WHERE lang = lang_pred),
+marg AS (SELECT coalesce(SUM(r.rn * c.cn), 0) AS ch FROM
+  (SELECT lang_pred AS k, SUM(n) AS rn FROM conf GROUP BY 1) r
+  JOIN (SELECT lang AS k, SUM(n) AS cn FROM conf GROUP BY 1) c
+  USING (k))
+SELECT CAST(nn AS BIGINT) AS n_docs, CAST(d AS BIGINT) AS n_agree,
+  CAST(nn * d - ch AS BIGINT) AS kappa_num,
+  CAST(nn * nn - ch AS BIGINT) AS kappa_den,
+  CASE WHEN nn * nn - ch = 0 THEN 0.0
+       ELSE CAST(nn * d - ch AS DOUBLE)
+            / CAST(nn * nn - ch AS DOUBLE) END AS kappa
+FROM tot, diag, marg"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -15992,6 +16112,8 @@ QUERIES = {
     "span_corruption": (q_span_corruption, SQL_SPAN_CORRUPTION),
     "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
     "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
+    "auc_score": (q_auc_score, SQL_AUC_SCORE),
+    "cohens_kappa": (q_cohens_kappa, SQL_COHENS_KAPPA),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

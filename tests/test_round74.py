@@ -301,3 +301,90 @@ class TestBpeEncode:
                        out.column("n_tokens").to_pylist(),
                        out.column("n_symbols").to_pylist()))
         assert got == exp
+
+
+# ----------------------------------------------- auc_score / cohens_kappa
+
+class TestAucScore:
+    def test_hand_auc_with_ties(self, ray_session, tmp_path):
+        # neg values 1.00, 2.00; pos values 2.00, 3.00
+        # pairs (pos, neg): (2,1)>  (2,2)=  (3,1)>  (3,2)>
+        # U = 3 + 0.5 = 3.5 → 2U = 7, auc = 7/8
+        _events_pq(tmp_path, [
+            (1, 10, 1, "view", 1.00), (2, 20, 1, "view", 2.00),
+            (3, 30, 1, "purchase", 2.00), (4, 40, 1, "purchase", 3.00)])
+        out = _table(QUERIES["auc_score"][0](str(tmp_path)))
+        assert out.column("n_pos").to_pylist() == [2]
+        assert out.column("n_neg").to_pylist() == [2]
+        assert out.column("two_u").to_pylist() == [7]
+        assert out.column("auc").to_pylist() == [7.0 / 8.0]
+
+    def test_perfect_and_inverted(self, ray_session, tmp_path):
+        _events_pq(tmp_path, [
+            (1, 10, 1, "view", 1.0), (2, 20, 1, "purchase", 5.0)])
+        out = _table(QUERIES["auc_score"][0](str(tmp_path)))
+        assert out.column("auc").to_pylist() == [1.0]
+        _events_pq(tmp_path, [
+            (1, 10, 1, "view", 5.0), (2, 20, 1, "purchase", 1.0)])
+        out = _table(QUERIES["auc_score"][0](str(tmp_path)))
+        assert out.column("auc").to_pylist() == [0.0]
+
+    def test_matches_sklearn_style_rank_formula(self, ray_session,
+                                                tmp_path):
+        """Cross-check against the average-rank U formula on a larger
+        deterministic input."""
+        rows = []
+        for i in range(200):
+            v = ((i * 37) % 50) / 7.0
+            et = "purchase" if (i * 13) % 3 == 0 else "view"
+            rows.append((i, i * 1000, 1, et, v))
+        _events_pq(tmp_path, rows)
+        out = _table(QUERIES["auc_score"][0](str(tmp_path)))
+        # reference: 2U = sum over pos of (2*rank_among_neg_below + ties)
+        import numpy as np
+        q = np.array([int(np.floor(r[4] * 100)) for r in rows])
+        pos = np.array([r[3] == "purchase" for r in rows])
+        two_u = 0
+        for qi in q[pos]:
+            two_u += 2 * int((q[~pos] < qi).sum()) \
+                + int((q[~pos] == qi).sum())
+        assert out.column("two_u").to_pylist() == [two_u]
+        npos, nneg = int(pos.sum()), int((~pos).sum())
+        assert out.column("auc").to_pylist() == [
+            float(two_u) / ((2.0 * float(npos)) * float(nneg))]
+
+
+class TestCohensKappa:
+    def test_identity_from_confusion(self, ray_session):
+        """kappa recomputed independently from the lang_confusion
+        matrix over the real sf0.001 corpus must match exactly."""
+        import os
+        sf = "/root/testdata/sf0.001"
+        if not os.path.isdir(sf):
+            import pytest
+            pytest.skip("driver testdata not present")
+        conf = _table(QUERIES["lang_confusion"][0](sf))
+        out = _table(QUERIES["cohens_kappa"][0](sf))
+        cells = conf.to_pylist()
+        total = sum(c["n"] for c in cells)
+        diag = sum(c["n"] for c in cells if c["lang"] == c["lang_pred"])
+        rows: dict = {}
+        cols: dict = {}
+        for c in cells:
+            rows[c["lang_pred"]] = rows.get(c["lang_pred"], 0) + c["n"]
+            cols[c["lang"]] = cols.get(c["lang"], 0) + c["n"]
+        chance = sum(rows.get(k, 0) * cols.get(k, 0)
+                     for k in set(rows) | set(cols))
+        assert out.column("n_docs").to_pylist() == [total]
+        assert out.column("n_agree").to_pylist() == [diag]
+        assert out.column("kappa_num").to_pylist() == [
+            total * diag - chance]
+        assert out.column("kappa_den").to_pylist() == [
+            total * total - chance]
+        # the synthetic corpus is all-ASCII, so the heuristic scores
+        # near chance against the planted labels — kappa ≈ 0 is the
+        # TRUE value here; assert the exact ratio and the bound
+        k = out.column("kappa")[0].as_py()
+        assert k == float(total * diag - chance) / float(
+            total * total - chance)
+        assert -1.0 <= k <= 1.0
