@@ -218,7 +218,8 @@ def run_queries() -> dict[str, float]:
              "out_of_order_audit", "compressibility", "bpe_merges",
              "feature_hashing", "vocab_coverage",
              "span_corruption", "cdc_apply", "weighted_median",
-             "bpe_encode", "auc_score", "cohens_kappa"]
+             "bpe_encode", "auc_score", "cohens_kappa",
+             "calibration_bins"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

@@ -15806,6 +15806,102 @@ SELECT CAST(nn AS BIGINT) AS n_docs, CAST(d AS BIGINT) AS n_agree,
 FROM tot, diag, marg"""
 
 
+def q_calibration_bins(sf_dir: str):
+    """Reliability-diagram (calibration) report — the companion of
+    `auc_score`: bin events by exact global DECILE THRESHOLDS of
+    ``value`` and report each bin's size and purchase rate. A
+    well-calibrated score shows monotone rates; AUC alone can't see
+    miscalibration. Deciles come from the same bounded
+    ``(quantum, count)`` CDF the quantile family uses (threshold
+    ``t_k`` = smallest quantum with ``cum ≥ ceil(k·N/10)``) and TIES
+    SHARE A BIN (bin = 1 + #{k ≤ 9 : q > t_k}) — unlike NTILE, this
+    assignment is engine-order-independent, so the oracle compares
+    bit-for-bit. Two narrow passes (CDF fold, then assignment with
+    the 9 thresholds broadcast in the closure), driver fold of ≤10
+    rows per batch; ``pos_rate`` is one int→double division."""
+    import numpy as np
+
+    def cdf_partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        tt = pa.table({"q": pa.array(
+            np.floor(v[ok] * 100).astype(np.int64), pa.int64())})
+        g = tt.group_by("q").aggregate([([], "count_all")])
+        return pa.table({"q": g.column("q"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    cdf = _combine_partials(
+        ds.map_batches(cdf_partial, batch_format="pyarrow"),
+        ["q"], {"n": "n"})
+    import numpy as np
+    q = cdf.column("q").to_numpy(zero_copy_only=False)
+    n = cdf.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(q, kind="stable")
+    uniq, cum = q[order], np.cumsum(n[order])
+    total = int(cum[-1])
+    # t_k = smallest quantum with cum >= ceil(k*N/10), k = 1..9
+    ranks = [(k * total + 9) // 10 for k in range(1, 10)]
+    thresholds = np.array(
+        [int(uniq[np.searchsorted(cum, r, side="left")])
+         for r in ranks], np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        qq = np.floor(v[ok] * 100).astype(np.int64)
+        pos = pc.fill_null(pc.equal(t.column("event_type"),
+                                    pa.scalar("purchase")), False) \
+            .to_numpy(zero_copy_only=False)[ok].astype(np.int64)
+        bins = 1 + (qq[:, None] > thresholds[None, :]).sum(axis=1)
+        tt = pa.table({"bin": pa.array(bins, pa.int64()),
+                       "np": pa.array(pos, pa.int64()),
+                       "one": pa.array(np.ones(len(qq), np.int64),
+                                       pa.int64())})
+        g = tt.group_by("bin").aggregate([("np", "sum"),
+                                          ("one", "sum")])
+        return pa.table({"bin": g.column("bin"),
+                         "np": pc.cast(g.column("np_sum"), pa.int64()),
+                         "n": pc.cast(g.column("one_sum"),
+                                      pa.int64())})
+
+    agg = _combine_partials(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        ["bin"], {"np": "np", "n": "n"})
+    b = agg.column("bin").to_numpy(zero_copy_only=False)
+    npos = agg.column("np").to_numpy(zero_copy_only=False)
+    cnt = agg.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="stable")
+    b, npos, cnt = b[order], npos[order], cnt[order]
+    rate = np.array([float(p) / float(c) for p, c in zip(npos, cnt)],
+                    np.float64)
+    return pa.table({"bin": pa.array(b, pa.int64()),
+                     "n": pa.array(cnt, pa.int64()),
+                     "n_pos": pa.array(npos, pa.int64()),
+                     "pos_rate": pa.array(rate, pa.float64())})
+
+
+SQL_CALIBRATION_BINS = """WITH e AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS q,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events WHERE NOT isnan(value)),
+g AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY q),
+c AS (SELECT q, SUM(n) OVER (ORDER BY q
+        ROWS UNBOUNDED PRECEDING) AS cum FROM g),
+tot AS (SELECT SUM(n) AS total FROM g),
+thr AS (SELECT k, MIN(q) AS t FROM c, tot,
+          (SELECT unnest(range(1, 10)) AS k)
+        WHERE cum >= (k * total + 9) // 10 GROUP BY k),
+a AS (SELECT e.q, e.pos,
+        1 + (SELECT COUNT(*) FROM thr WHERE e.q > thr.t) AS bin
+      FROM e)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(pos) AS BIGINT) AS n_pos,
+  CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+FROM a GROUP BY bin"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -16114,6 +16210,7 @@ QUERIES = {
     "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
     "auc_score": (q_auc_score, SQL_AUC_SCORE),
     "cohens_kappa": (q_cohens_kappa, SQL_COHENS_KAPPA),
+    "calibration_bins": (q_calibration_bins, SQL_CALIBRATION_BINS),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

@@ -388,3 +388,31 @@ class TestCohensKappa:
         assert k == float(total * diag - chance) / float(
             total * total - chance)
         assert -1.0 <= k <= 1.0
+
+
+class TestCalibrationBins:
+    def test_hand_bins_with_ties(self, ray_session, tmp_path):
+        # 10 events, values 1..10 cents-scale: each decile threshold
+        # lands on one value → bins 1..10 with one event each; purchase
+        # on even values → alternating rates 0, 1
+        rows = [(i, i * 10, 1,
+                 "purchase" if i % 2 == 0 else "view", i / 100.0)
+                for i in range(1, 11)]
+        _events_pq(tmp_path, rows)
+        out = _table(QUERIES["calibration_bins"][0](str(tmp_path))) \
+            .sort_by("bin")
+        assert out.column("bin").to_pylist() == list(range(1, 11))
+        assert out.column("n").to_pylist() == [1] * 10
+        assert out.column("n_pos").to_pylist() == [
+            0, 1, 0, 1, 0, 1, 0, 1, 0, 1]
+        assert out.column("pos_rate").to_pylist() == [
+            0.0, 1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0]
+
+    def test_all_ties_share_one_bin(self, ray_session, tmp_path):
+        # every value identical → every threshold equals it → all rows
+        # land in bin 1 (ties never split, unlike NTILE)
+        rows = [(i, i * 10, 1, "view", 5.0) for i in range(20)]
+        _events_pq(tmp_path, rows)
+        out = _table(QUERIES["calibration_bins"][0](str(tmp_path)))
+        assert out.column("bin").to_pylist() == [1]
+        assert out.column("n").to_pylist() == [20]
