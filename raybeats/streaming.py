@@ -1097,3 +1097,25 @@ def streaming_rule_violations(micro_batches, n_buckets: int = 4):
         "rule": pa.array(["purchase_before_signup",
                           "purchase_no_signup"], pa.string()),
         "n": pa.array([before, no_sig], pa.int64())})
+
+
+def streaming_cdc_apply(micro_batches, key: str = "user_id",
+                        order_by: tuple = ("ts", "event_id"),
+                        op_col: str = "event_type",
+                        delete_op: str = "error",
+                        n_buckets: int = 4):
+    """Incremental counterpart of the batch ``cdc_apply`` query:
+    change-log apply with tombstone deletes over time-ordered
+    micro-batches. The upsert cache (`LatestEventState`) retains
+    tombstone rows IN STATE — a delete must keep suppressing earlier
+    upserts, including ones that arrive late — and the delete filter
+    runs only at flush, exactly where the batch kernel applies it.
+    Keep-latest selection + flush-time filter are both order-free, so
+    the flush equals the batch result for ANY micro-batch split
+    (tested, including a late upsert older than its key's tombstone)."""
+    out = streaming_latest(micro_batches, key=key, order_by=order_by,
+                           n_buckets=n_buckets)
+    if out.num_rows == 0:
+        return out
+    return out.filter(pc.invert(pc.equal(out.column(op_col),
+                                         pa.scalar(delete_op))))

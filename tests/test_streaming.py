@@ -559,3 +559,42 @@ def test_streaming_mode_equal_batch(ray_session):
         got = streaming_mode_per_type(slices, n_buckets=5)
         rows = list(zip(*[got.column(c).to_pylist() for c in cols]))
         assert rows == want
+
+
+def test_streaming_cdc_apply_equals_batch(ray_session):
+    """CDC apply flush ≡ the batch query semantics for any micro-batch
+    split; a late upsert OLDER than its key's tombstone stays
+    deleted (the tombstone must be retained in state, not filtered
+    on ingest)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raybeats.streaming import streaming_cdc_apply
+
+    def mk(rows):
+        return rd.from_arrow(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+                pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64())}))
+
+    rows = [
+        (1, 10, 1, "signup", 1.0), (2, 20, 1, "purchase", 2.0),
+        (3, 10, 2, "signup", 3.0), (4, 30, 2, "error", 0.0),
+        (6, 50, 3, "view", 7.0)]
+    late = [(5, 25, 2, "purchase", 9.0)]  # older than user 2's delete
+    for split in ([rows + late],
+                  [rows[:2], rows[2:], late],
+                  [rows, late]):
+        got = streaming_cdc_apply([mk(s) for s in split], n_buckets=3)
+        assert got.column("user_id").to_pylist() == [1, 3]
+        assert got.column("event_type").to_pylist() == [
+            "purchase", "view"]
+        assert got.column("value").to_pylist() == [2.0, 7.0]
+    # a late upsert NEWER than the tombstone re-inserts the key
+    got = streaming_cdc_apply(
+        [mk(rows), mk([(7, 99, 2, "signup", 4.0)])], n_buckets=3)
+    assert got.column("user_id").to_pylist() == [1, 2, 3]
+    assert got.column("value").to_pylist() == [2.0, 4.0, 7.0]
