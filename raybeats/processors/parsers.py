@@ -54,6 +54,42 @@ class DissectProcessor(Processor):
         return add_flag(tbl, pc.invert(ok), FLAG_DISSECT_ERROR)
 
 
+@register("grok")
+class GrokProcessor(Processor):
+    """Named-pattern regex parse (:mod:`raybeats.grok` — the public
+    ``%{SYNTAX:semantic:type}`` grammar, first-match-wins over a
+    pattern list). The regex companion of :class:`DissectProcessor`
+    for delimiter-free formats; one compile per actor, one C-level
+    ``extract_regex`` pass per batch per pattern."""
+
+    def __init__(self, patterns, field: str = "message",
+                 target_prefix: str = "", overwrite_keys: bool = False,
+                 pattern_definitions: dict | None = None,
+                 anchor: bool = True):
+        from ..grok import MultiGrok
+        if isinstance(patterns, str):
+            patterns = [patterns]
+        if anchor:
+            patterns = [f"^(?:{p})$" for p in patterns]
+        self.g = MultiGrok(patterns, pattern_definitions)
+        self.field = field
+        self.prefix = f"{target_prefix}." if target_prefix else ""
+        self.overwrite = overwrite_keys
+
+    def apply(self, tbl: pa.Table) -> pa.Table:
+        col = get_column(tbl, self.field)
+        if col is None:
+            raise ConfigError(f"grok: missing field {self.field!r}")
+        values, ok = self.g.parse_column(col)
+        for key, arr in values.items():
+            name = self.prefix + key
+            if name in tbl.column_names and not self.overwrite:
+                raise ConfigError(
+                    f"grok: cannot override existing key {name!r}")
+            tbl = set_column(tbl, name, arr)
+        return add_flag(tbl, pc.invert(ok), "grok_error")
+
+
 @register("docker_json")
 class DockerJson(Processor):
     """Docker / CRI-O container log framing parser

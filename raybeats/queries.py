@@ -15902,6 +15902,120 @@ SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
 FROM a GROUP BY bin"""
 
 
+GROK_LOG = ('level=%{WORD:level} ts=%{TIMESTAMP_ISO8601:event_ts} '
+            'caller=%{NOTSPACE:caller} '
+            'msg="evt %{INT:evt_id:int} %{WORD:action}"')
+
+
+def q_grok_parse(sf_dir: str):
+    """Grok named-pattern parse of the flagship log lines — the regex
+    companion of ``parse_dissect`` (:mod:`raybeats.grok`; the public
+    ``%{SYNTAX:semantic:type}`` grammar with composite library
+    patterns — TIMESTAMP_ISO8601 here expands through 6 sub-patterns —
+    and ``:int`` type conversion). One compile driver-side, one
+    C-level RE2 ``extract_regex`` pass + one int cast per batch; the
+    oracle runs the IDENTICAL expanded regex string (both engines are
+    RE2), extracting by capture-group index."""
+    from .grok import GrokParser
+    p = GrokParser(f"^{GROK_LOG}$")
+
+    def parse(tbl: pa.Table) -> pa.Table:
+        vals, ok = p.parse_column(tbl.column("text"))
+        return pa.table({
+            "conv_id": tbl.column("conv_id"),
+            "turn_idx": tbl.column("turn_idx"),
+            "parse_ok": ok, **vals})
+
+    return read_transcripts(sf_dir).map_batches(
+        parse, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _grok_sql_fields(parser, re_sql: str, *, skip=(),
+                     when: str = "") -> str:
+    parts = []
+    for field, idx, typ in parser.sql_groups:
+        if field in skip:
+            continue
+        ex = f"regexp_extract(text, '{re_sql}', {idx})"
+        if typ == "int":
+            ex = f"CAST({ex} AS BIGINT)"
+        elif typ == "float":
+            ex = f"CAST({ex} AS DOUBLE)"
+        cond = f"regexp_matches(text, '{re_sql}')"
+        if when:
+            cond = f"{when} AND {cond}"
+        parts.append(f"CASE WHEN {cond} THEN {ex} END AS {field}")
+    return ",\n  ".join(parts)
+
+
+def _grok_parse_sql() -> str:
+    from .grok import GrokParser
+    p = GrokParser(f"^{GROK_LOG}$")
+    re_sql = p.regex_str.replace("'", "''")
+    return f"""{_T}
+SELECT conv_id, turn_idx,
+  regexp_matches(text, '{re_sql}') AS parse_ok,
+  {_grok_sql_fields(p, re_sql)}
+FROM transcripts"""
+
+
+SQL_GROK_PARSE = _grok_parse_sql()
+
+GROK_BROKEN = 'lvl=%{WORD:level} broken evt %{INT:evt_id:int}'
+
+
+def q_grok_multi(sf_dir: str):
+    """First-match-wins grok over an ordered pattern list (the ES
+    ingest ``patterns: [...]`` contract, :class:`raybeats.grok.
+    MultiGrok`): the healthy log grammar first, the degraded
+    ``lvl=… broken`` grammar second. A row matched by pattern 1 never
+    takes pattern 2's fields even where both match; output columns are
+    the union. JSON turns match neither → all-null + matched=false."""
+    from .grok import MultiGrok
+    g = MultiGrok([f"^(?:{GROK_LOG})$", f"^(?:{GROK_BROKEN})$"])
+
+    def parse(tbl: pa.Table) -> pa.Table:
+        vals, matched = g.parse_column(tbl.column("text"))
+        return pa.table({
+            "conv_id": tbl.column("conv_id"),
+            "turn_idx": tbl.column("turn_idx"),
+            "matched": matched, **vals})
+
+    return read_transcripts(sf_dir).map_batches(
+        parse, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _grok_multi_sql() -> str:
+    from .grok import GrokParser
+    p1 = GrokParser(f"^(?:{GROK_LOG})$")
+    p2 = GrokParser(f"^(?:{GROK_BROKEN})$")
+    r1 = p1.regex_str.replace("'", "''")
+    r2 = p2.regex_str.replace("'", "''")
+    m1 = f"regexp_matches(text, '{r1}')"
+    m2 = f"regexp_matches(text, '{r2}')"
+    # level and evt_id exist in BOTH grammars — one union column each,
+    # pattern-1 rows always take pattern 1's group (first-match-wins)
+    g1 = {f: (i, t) for f, i, t in p1.sql_groups}
+    g2 = {f: (i, t) for f, i, t in p2.sql_groups}
+    lvl = (f"CASE WHEN {m1} THEN regexp_extract(text, '{r1}', "
+           f"{g1['level'][0]}) WHEN {m2} THEN regexp_extract(text, "
+           f"'{r2}', {g2['level'][0]}) END AS level")
+    evt = (f"CASE WHEN {m1} THEN CAST(regexp_extract(text, '{r1}', "
+           f"{g1['evt_id'][0]}) AS BIGINT) WHEN {m2} THEN "
+           f"CAST(regexp_extract(text, '{r2}', {g2['evt_id'][0]}) "
+           f"AS BIGINT) END AS evt_id")
+    return f"""{_T}
+SELECT conv_id, turn_idx,
+  ({m1} OR {m2}) AS matched,
+  {lvl},
+  {evt},
+  {_grok_sql_fields(p1, r1, skip=('level', 'evt_id'))}
+FROM transcripts"""
+
+
+SQL_GROK_MULTI = _grok_multi_sql()
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -16211,6 +16325,8 @@ QUERIES = {
     "auc_score": (q_auc_score, SQL_AUC_SCORE),
     "cohens_kappa": (q_cohens_kappa, SQL_COHENS_KAPPA),
     "calibration_bins": (q_calibration_bins, SQL_CALIBRATION_BINS),
+    "grok_parse": (q_grok_parse, SQL_GROK_PARSE),
+    "grok_multi": (q_grok_multi, SQL_GROK_MULTI),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

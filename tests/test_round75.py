@@ -1,0 +1,148 @@
+"""Round-75: the grok engine (named-pattern expansion → one RE2 regex,
+vectorized extract) and its first-match-wins multi-pattern form."""
+import pyarrow as pa
+import pytest
+
+from raybeats.errors import ConfigError
+from raybeats.grok import BASE_PATTERNS, GrokParser, MultiGrok
+
+
+class TestExpansion:
+    def test_nested_named_and_types(self):
+        p = GrokParser("%{WORD:w} %{INT:n:int} %{NUMBER:x:float}")
+        assert [(f, t) for f, _, t in p.sql_groups] == [
+            ("w", "string"), ("n", "int"), ("x", "float")]
+        # group indexes are exactly 1..k in field order
+        assert [i for _, i, _ in p.sql_groups] == [1, 2, 3]
+
+    def test_unnamed_refs_do_not_capture(self):
+        p = GrokParser("%{WORD} %{INT:n:int}")
+        assert p.sql_groups == [("n", 1, "int")]
+
+    def test_unknown_pattern_raises(self):
+        with pytest.raises(ConfigError, match="unknown pattern"):
+            GrokParser("%{NOPE:x}")
+
+    def test_bad_type_raises(self):
+        with pytest.raises(ConfigError, match="unsupported type"):
+            GrokParser("%{INT:x:bool}")
+
+    def test_duplicate_field_raises(self):
+        with pytest.raises(ConfigError, match="duplicate field"):
+            GrokParser("%{WORD:x} %{WORD:x}")
+
+    def test_cycle_raises(self):
+        with pytest.raises(ConfigError, match="recursion"):
+            GrokParser("%{A:a}", pattern_definitions={
+                "A": "%{B}", "B": "%{A}"})
+
+    def test_custom_definition(self):
+        p = GrokParser("%{KV:kv}", pattern_definitions={
+            "KV": r"%{WORD}=%{WORD}"})
+        vals, ok = p.parse_column(pa.array(["a=b", "a b"]))
+        assert ok.to_pylist() == [True, False]
+        assert vals["kv"].to_pylist() == ["a=b", None]
+
+    def test_library_has_no_capturing_groups(self):
+        """A capturing paren inside a library pattern would silently
+        shift every SQL group index after it."""
+        import re
+        for name, pat in BASE_PATTERNS.items():
+            expanded = GrokParser(f"%{{{name}:x}}").regex_str
+            assert re.compile(expanded).groups == 1, name
+
+
+class TestParse:
+    def test_typed_extraction_and_nulls(self):
+        p = GrokParser(r"^evt %{INT:evt_id:int} took %{NUMBER:sec:float}s$")
+        vals, ok = p.parse_column(pa.array(
+            ["evt 42 took 1.5s", "evt x took 1s", None]))
+        assert ok.to_pylist() == [True, False, False]
+        assert vals["evt_id"].type == pa.int64()
+        assert vals["evt_id"].to_pylist() == [42, None, None]
+        assert vals["sec"].to_pylist() == [1.5, None, None]
+
+    def test_no_fields_pattern(self):
+        p = GrokParser("^%{INT}$")
+        vals, ok = p.parse_column(pa.array(["17", "x", None]))
+        assert vals == {} and ok.to_pylist() == [True, False, False]
+
+    def test_iso8601_variants(self):
+        p = GrokParser("^%{TIMESTAMP_ISO8601:t}$")
+        good = ["2024-01-01T00:09:58Z", "2024-12-31 23:59:60.123+05:30",
+                "99-06-01T4:05", "2024-02-10T10:11:12"]
+        bad = ["2024-13-01T00:00:00Z", "2024-00-01T00:00:00Z",
+               "2024-01-32T00:00:00Z", "not a ts"]
+        _, ok = p.parse_column(pa.array(good + bad))
+        assert ok.to_pylist() == [True] * 4 + [False] * 4
+
+    def test_chunked_input(self):
+        p = GrokParser("^%{WORD:w}$")
+        arr = pa.chunked_array([pa.array(["a"]), pa.array(["b c"])])
+        vals, ok = p.parse_column(arr)
+        assert vals["w"].to_pylist() == ["a", None]
+
+
+class TestMultiGrok:
+    G1 = r"^a=%{WORD:a} n=%{INT:n:int}$"
+    G2 = r"^n=%{INT:n:int} only$"
+
+    def test_first_match_wins(self):
+        g = MultiGrok([self.G1, self.G2])
+        vals, matched = g.parse_column(pa.array(
+            ["a=x n=1", "n=2 only", "nope"]))
+        assert matched.to_pylist() == [True, True, False]
+        assert vals["a"].to_pylist() == ["x", None, None]
+        assert vals["n"].to_pylist() == [1, 2, None]
+
+    def test_earlier_pattern_shadows_later(self):
+        # both patterns match; the first one's value must win
+        g = MultiGrok([r"^%{WORD:w} .*$", r"^.* %{WORD:w}$"])
+        vals, _ = g.parse_column(pa.array(["left right"]))
+        assert vals["w"].to_pylist() == ["left"]
+
+    def test_conflicting_types_raise(self):
+        with pytest.raises(ConfigError, match="typed differently"):
+            MultiGrok([r"%{INT:n:int}", r"%{INT:n:float}"])
+
+    def test_empty_list_raises(self):
+        with pytest.raises(ConfigError, match="empty pattern list"):
+            MultiGrok([])
+
+
+class TestGrokProcessor:
+    def test_chain_integration(self):
+        from raybeats.processors import build_chain
+        chain = build_chain([{"grok": {
+            "patterns": "evt %{INT:evt_id:int} %{WORD:action}",
+            "field": "message", "target_prefix": "grok"}}])
+        tbl = pa.table({"message": ["evt 7 click", "garbage"]})
+        out = chain(tbl)
+        assert out.column("grok.evt_id").to_pylist() == [7, None]
+        assert out.column("grok.action").to_pylist() == ["click", None]
+
+    def test_overwrite_guard(self):
+        from raybeats.processors import build_chain
+        chain = build_chain([{"grok": {
+            "patterns": "%{WORD:message}", "field": "message"}}])
+        with pytest.raises(ConfigError, match="cannot override"):
+            chain(pa.table({"message": ["x"]}))
+
+
+class TestGrokOracleParity:
+    """The engine and DuckDB run the IDENTICAL regex string — assert
+    on a hand-built corpus (the sf gates cover the driver tables)."""
+
+    def test_duckdb_same_regex_same_groups(self):
+        import duckdb
+        p = GrokParser(r"^%{WORD:w} %{INT:n:int}$")
+        rows = ["abc 42", "x -7", "nope", "a 1.5"]
+        vals, ok = p.parse_column(pa.array(rows))
+        re_sql = p.regex_str.replace("'", "''")
+        got = duckdb.sql(
+            f"SELECT regexp_matches(t, '{re_sql}'),"
+            f" CASE WHEN regexp_matches(t, '{re_sql}') THEN"
+            f" CAST(regexp_extract(t, '{re_sql}', 2) AS BIGINT) END"
+            f" FROM (SELECT unnest({rows!r}) AS t)").fetchall()
+        assert [r[0] for r in got] == ok.to_pylist()
+        assert [r[1] for r in got] == vals["n"].to_pylist()
