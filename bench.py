@@ -219,7 +219,8 @@ def run_queries() -> dict[str, float]:
              "feature_hashing", "vocab_coverage",
              "span_corruption", "cdc_apply", "weighted_median",
              "bpe_encode", "auc_score", "cohens_kappa",
-             "calibration_bins", "grok_parse", "grok_multi"]
+             "calibration_bins", "grok_parse", "grok_multi",
+             "cidr_enrich"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

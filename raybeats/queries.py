@@ -16016,6 +16016,99 @@ FROM transcripts"""
 SQL_GROK_MULTI = _grok_multi_sql()
 
 
+def _cidr_rules():
+    """Deterministic overlapping CIDR rule set: every /8, a /16 for
+    every second-octet multiple of 8, a /24 under those for a < 128
+    and third-octet multiples of 4 (≈271k rules — dense enough that
+    all three depths fire even on the 15-user sf0.001 corpus). Labels
+    carry the rule's own prefix value; the SQL oracle builds the same
+    table from ``range()`` cross products."""
+    import numpy as np
+
+    def mk(prefixes: "np.ndarray", plen: int) -> dict:
+        return {"prefix": prefixes,
+                "label": np.char.add(f"net{plen}-",
+                                     prefixes.astype("U10"))}
+
+    a = np.arange(256, dtype=np.int64)
+    b = np.arange(0, 256, 8, dtype=np.int64)
+    c = np.arange(0, 256, 4, dtype=np.int64)
+    p16 = (a[:, None] * 256 + b[None, :]).ravel()
+    p24 = (a[:128, None, None] * 65536 + b[None, :, None] * 256
+           + c[None, None, :]).ravel()
+    return mk(a, 8), mk(p16, 16), mk(p24, 24)
+
+
+def q_cidr_enrich(sf_dir: str):
+    """Longest-prefix-match network enrichment (the geoip /
+    ``add_network_direction``-style lookup family — ref
+    ``libbeat/conditions/network.go`` matches single CIDRs per event;
+    this is the table form a shipper enriches against): each event's
+    IPv4 (derived deterministically from ``user_id``) is probed
+    against a BROADCAST rule table grouped by prefix length, deepest
+    match wins. Scale shape: the rule table ships once per worker
+    (closure capture here; ``ray.put`` past ~1e6 rules), the per-batch
+    probe is one ``searchsorted`` + one equality check PER PREFIX
+    LENGTH (≤32 lengths ever exist, typically 3-6), never per rule —
+    no shuffle anywhere."""
+    import numpy as np
+    r8, r16, r24 = _cidr_rules()
+    p16 = r16["prefix"]  # already sorted (monotone in a)
+    p24 = r24["prefix"]
+
+    def probe(tbl: pa.Table) -> pa.Table:
+        u = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        ip = (u * 2654435761 + 12345) % (1 << 32)
+        a = ip >> 24
+        k16 = ip >> 16
+        k24 = ip >> 8
+        i16 = np.searchsorted(p16, k16)
+        hit16 = (i16 < len(p16)) & (p16[i16.clip(max=len(p16) - 1)]
+                                    == k16)
+        i24 = np.searchsorted(p24, k24)
+        hit24 = (i24 < len(p24)) & (p24[i24.clip(max=len(p24) - 1)]
+                                    == k24)
+        network = r8["label"][a]
+        network = np.where(hit16, r16["label"][i16.clip(
+            max=len(p16) - 1)], network)
+        network = np.where(hit24, r24["label"][i24.clip(
+            max=len(p24) - 1)], network)
+        plen = np.where(hit24, 24, np.where(hit16, 16, 8))
+        return pa.table({
+            "event_id": tbl.column("event_id"),
+            "ip": pa.array(ip, pa.int64()),
+            "network": pa.array(network.tolist(), pa.string()),
+            "plen": pa.array(plen.astype(np.int64), pa.int64())})
+
+    return _read(sf_dir, "events", ["event_id", "user_id"]).map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_CIDR_ENRICH = """WITH ips AS (
+  SELECT event_id,
+         (user_id * 2654435761 + 12345) % 4294967296 AS ip
+  FROM events),
+r16 AS (SELECT a, b, 'net16-' || (a * 256 + b) AS label
+        FROM (SELECT unnest(range(0, 256)) AS a),
+             (SELECT unnest(range(0, 256, 8)) AS b)),
+r24 AS (SELECT a, b, c,
+               'net24-' || (a * 65536 + b * 256 + c) AS label
+        FROM (SELECT unnest(range(0, 128)) AS a),
+             (SELECT unnest(range(0, 256, 8)) AS b),
+             (SELECT unnest(range(0, 256, 4)) AS c)),
+x AS (SELECT event_id, ip, ip // 16777216 AS a,
+             (ip // 65536) % 256 AS b, (ip // 256) % 256 AS c
+      FROM ips)
+SELECT x.event_id, x.ip,
+  COALESCE(r24.label, r16.label, 'net8-' || x.a) AS network,
+  CAST(CASE WHEN r24.label IS NOT NULL THEN 24
+            WHEN r16.label IS NOT NULL THEN 16 ELSE 8 END
+       AS BIGINT) AS plen
+FROM x
+LEFT JOIN r24 ON x.a = r24.a AND x.b = r24.b AND x.c = r24.c
+LEFT JOIN r16 ON x.a = r16.a AND x.b = r16.b"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -16327,6 +16420,7 @@ QUERIES = {
     "calibration_bins": (q_calibration_bins, SQL_CALIBRATION_BINS),
     "grok_parse": (q_grok_parse, SQL_GROK_PARSE),
     "grok_multi": (q_grok_multi, SQL_GROK_MULTI),
+    "cidr_enrich": (q_cidr_enrich, SQL_CIDR_ENRICH),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

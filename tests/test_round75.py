@@ -146,3 +146,30 @@ class TestGrokOracleParity:
             f" FROM (SELECT unnest({rows!r}) AS t)").fetchall()
         assert [r[0] for r in got] == ok.to_pylist()
         assert [r[1] for r in got] == vals["n"].to_pylist()
+
+
+class TestCidrEnrich:
+    """Longest-prefix-match priority on hand-built IPs (the sf gates
+    cover the driver tables end-to-end)."""
+
+    def test_priority_and_coverage(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+        from raybeats.queries import _cidr_rules, q_cidr_enrich
+        r8, r16, r24 = _cidr_rules()
+        tbl = q_cidr_enrich("/root/testdata/sf0.001") \
+            .take_batch(2000, batch_format="pyarrow")
+        plen = np.asarray(tbl["plen"])
+        ip = np.asarray(tbl["ip"])
+        net = tbl["network"].to_pylist()
+        # non-vacuous: all three depths fire even on this 15-user corpus
+        assert set(np.unique(plen)) == {8, 16, 24}
+        assert len(plen) == 1000
+        s16 = set(r16["prefix"].tolist())
+        s24 = set(r24["prefix"].tolist())
+        for i in range(len(ip)):
+            a, k16, k24 = ip[i] >> 24, ip[i] >> 16, ip[i] >> 8
+            want, key = ((24, k24) if k24 in s24 else
+                         (16, k16) if k16 in s16 else (8, a))
+            assert plen[i] == want, (i, ip[i], plen[i], want)
+            assert net[i] == f"net{want}-{key}"
