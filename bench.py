@@ -220,7 +220,7 @@ def run_queries() -> dict[str, float]:
              "span_corruption", "cdc_apply", "weighted_median",
              "bpe_encode", "auc_score", "cohens_kappa",
              "calibration_bins", "grok_parse", "grok_multi",
-             "cidr_enrich"]
+             "cidr_enrich", "isotonic_fit", "in_subquery_mark"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

@@ -16109,6 +16109,155 @@ LEFT JOIN r24 ON x.a = r24.a AND x.b = r24.b AND x.c = r24.c
 LEFT JOIN r16 ON x.a = r16.a AND x.b = r16.b"""
 
 
+def q_isotonic_fit(sf_dir: str):
+    """Exact isotonic calibration (pool-adjacent-violators) of the
+    purchase rate against the whole-dollar value quantum — the
+    monotone-calibration step after ``auc_score``/``calibration_bins``.
+    Scale shape: per-batch (quantum, n_pos, n) partials bounded by the
+    value RANGE (≈300 rows) regardless of corpus size, one driver-side
+    PAV stack pass over the folded partials (integer cross-multiplied
+    mean comparisons — no float enters the merge decision), blocks out.
+    ``fit`` is the single division n_pos/n per block: IEEE division is
+    correctly rounded, so the oracle's minimax formulation
+    (fit(k) = max_{i<=k} min_{j>=k} mean(i..j), grouped into maximal
+    equal-fit runs) lands on the bit-identical double."""
+    import numpy as np
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        pos = pc.equal(tbl.column("event_type"), "purchase") \
+            .to_numpy(zero_copy_only=False)
+        keep = ~np.isnan(v)
+        q = np.floor(v[keep]).astype(np.int64)
+        p = pos[keep].astype(np.int64)
+        uniq, inv = np.unique(q, return_inverse=True)
+        return pa.table({
+            "q": pa.array(uniq, pa.int64()),
+            "np": pa.array(np.bincount(inv, weights=p).astype(np.int64),
+                           pa.int64()),
+            "n": pa.array(np.bincount(inv).astype(np.int64),
+                          pa.int64())})
+
+    agg = _combine_partials(
+        _read(sf_dir, "events", ["value", "event_type"]).map_batches(
+            assign, batch_format="pyarrow"),
+        ["q"], {"np": "np", "n": "n"})
+    q = agg.column("q").to_numpy(zero_copy_only=False)
+    npos = agg.column("np").to_numpy(zero_copy_only=False)
+    cnt = agg.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(q, kind="stable")
+    q, npos, cnt = q[order], npos[order], cnt[order]
+    # PAV stack: (sum_pos, sum_n, q_lo, q_hi); merge on >= so adjacent
+    # equal-mean blocks pool — maximal equal-fit runs, matching the
+    # oracle's GROUP BY fit value
+    stack: list[list[int]] = []
+    for i in range(len(q)):
+        stack.append([int(npos[i]), int(cnt[i]), int(q[i]), int(q[i])])
+        while len(stack) > 1 and (stack[-2][0] * stack[-1][1]
+                                  >= stack[-1][0] * stack[-2][1]):
+            sp, sn, lo, _ = stack[-2]
+            sp2, sn2, _, hi = stack.pop()
+            stack[-1] = [sp + sp2, sn + sn2, lo, hi]
+    return pa.table({
+        "q_lo": pa.array([b[2] for b in stack], pa.int64()),
+        "q_hi": pa.array([b[3] for b in stack], pa.int64()),
+        "n": pa.array([b[1] for b in stack], pa.int64()),
+        "n_pos": pa.array([b[0] for b in stack], pa.int64()),
+        "fit": pa.array([b[0] / b[1] for b in stack], pa.float64())})
+
+
+SQL_ISOTONIC_FIT = """WITH e AS (
+  SELECT CAST(floor(value) AS BIGINT) AS q,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events WHERE NOT isnan(value)),
+b AS (SELECT q, SUM(pos) AS np, COUNT(*) AS n FROM e GROUP BY q),
+idx AS (SELECT q, np, n,
+          ROW_NUMBER() OVER (ORDER BY q) AS k,
+          SUM(np) OVER (ORDER BY q) AS cp,
+          SUM(n) OVER (ORDER BY q) AS cn
+        FROM b),
+pairs AS (
+  SELECT i.k AS i, j.k AS j,
+         j.cp - i.cp + i.np AS sp, j.cn - i.cn + i.n AS sn
+  FROM idx i JOIN idx j ON j.k >= i.k),
+inner_min AS (
+  SELECT p.i, m.k,
+         MIN(CAST(p.sp AS DOUBLE) / CAST(p.sn AS DOUBLE)) AS v
+  FROM pairs p JOIN idx m ON p.i <= m.k AND p.j >= m.k
+  GROUP BY p.i, m.k),
+fit AS (SELECT k, MAX(v) AS fit FROM inner_min GROUP BY k),
+runs AS (
+  SELECT idx.q, idx.np, idx.n, f.fit,
+         SUM(CASE WHEN prev IS NULL OR prev <> f.fit THEN 1 ELSE 0 END)
+           OVER (ORDER BY idx.k) AS blk
+  FROM idx JOIN fit f ON f.k = idx.k
+  JOIN (SELECT k, LAG(fit) OVER (ORDER BY k) AS prev
+        FROM fit) lf ON lf.k = idx.k)
+SELECT MIN(q) AS q_lo, MAX(q) AS q_hi,
+  CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(np) AS BIGINT) AS n_pos,
+  CAST(SUM(np) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS fit
+FROM runs GROUP BY blk"""
+
+
+def q_in_subquery_mark(sf_dir: str):
+    """Null-aware ``IN``-subquery marks (:func:`raybeats.joins.
+    mark_join` — the three-valued SQL ``IN``, which differs from the
+    EXISTS/anti-join family exactly on its NULL branches): per event,
+    ``in_err`` = event_id IN (error events' ids, where every 11th is
+    NULL — so non-matching rows are NULL, never FALSE) and
+    ``in_signup`` = event_id IN (a null-free signup subset — plain
+    TRUE/FALSE). Two single-shuffle mark joins chained; explicit
+    schema/bucket sizing so neither sizes itself by executing the
+    other's lineage."""
+    from .joins import mark_join
+    n = _nrows(sf_dir, "events")
+    nb = adaptive_buckets(n)
+    left = _read(sf_dir, "events", ["event_id"])
+
+    def err_keys(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.equal(tbl.column("event_type"), "error"))
+        eid = t.column("event_id")
+        k = pc.if_else(pc.equal(_mod_col(eid, 11), 3),
+                       pa.scalar(None, pa.int64()), eid)
+        return pa.table({"k": k})
+
+    def signup_keys(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.and_(
+            pc.equal(tbl.column("event_type"), "signup"),
+            pc.equal(_mod_col(tbl.column("event_id"), 7), 0)))
+        return pa.table({"k": t.column("event_id")})
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type"])
+    step1 = mark_join(
+        left, ev.map_batches(err_keys, batch_format="pyarrow"),
+        on="event_id", right_on="k", mark_col="in_err", n_buckets=nb,
+        left_schema=pa.schema([("event_id", pa.int64())]))
+    return mark_join(
+        step1, ev.map_batches(signup_keys, batch_format="pyarrow"),
+        on="event_id", right_on="k", mark_col="in_signup",
+        n_buckets=nb,
+        left_schema=pa.schema([("event_id", pa.int64()),
+                               ("in_err", pa.bool_())]))
+
+
+def _mod_col(col, m: int):
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    import numpy as np
+    v = col.to_numpy(zero_copy_only=False) % m
+    return pa.array(v, pa.int64())
+
+
+SQL_IN_SUBQUERY_MARK = """SELECT event_id,
+  event_id IN (SELECT CASE WHEN event_id % 11 = 3 THEN NULL
+                           ELSE event_id END
+               FROM events WHERE event_type = 'error') AS in_err,
+  event_id IN (SELECT event_id FROM events
+               WHERE event_type = 'signup' AND event_id % 7 = 0)
+    AS in_signup
+FROM events"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -16421,6 +16570,8 @@ QUERIES = {
     "grok_parse": (q_grok_parse, SQL_GROK_PARSE),
     "grok_multi": (q_grok_multi, SQL_GROK_MULTI),
     "cidr_enrich": (q_cidr_enrich, SQL_CIDR_ENRICH),
+    "isotonic_fit": (q_isotonic_fit, SQL_ISOTONIC_FIT),
+    "in_subquery_mark": (q_in_subquery_mark, SQL_IN_SUBQUERY_MARK),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

@@ -173,3 +173,100 @@ class TestCidrEnrich:
                          (16, k16) if k16 in s16 else (8, a))
             assert plen[i] == want, (i, ip[i], plen[i], want)
             assert net[i] == f"net{want}-{key}"
+
+
+class TestIsotonicPAV:
+    """PAV stack vs the exact-rational minimax definition
+    fit(k) = max_{i<=k} min_{j>=k} mean(i..j) on random inputs."""
+
+    @staticmethod
+    def _pav(npos, cnt):
+        stack = []
+        for i in range(len(npos)):
+            stack.append([npos[i], cnt[i], i, i])
+            while len(stack) > 1 and (stack[-2][0] * stack[-1][1]
+                                      >= stack[-1][0] * stack[-2][1]):
+                sp, sn, lo, _ = stack[-2]
+                sp2, sn2, _, hi = stack.pop()
+                stack[-1] = [sp + sp2, sn + sn2, lo, hi]
+        return stack
+
+    def test_matches_minimax_brute_force(self):
+        import random
+        from fractions import Fraction
+        rng = random.Random(7)
+        for trial in range(200):
+            n = rng.randint(1, 12)
+            cnt = [rng.randint(1, 5) for _ in range(n)]
+            npos = [rng.randint(0, c) for c in cnt]
+            blocks = self._pav(npos, cnt)
+            # expand block means to per-position fits
+            got = {}
+            for sp, sn, lo, hi in blocks:
+                for k in range(lo, hi + 1):
+                    got[k] = Fraction(sp, sn)
+            pre_p = [0]
+            pre_n = [0]
+            for p, c in zip(npos, cnt):
+                pre_p.append(pre_p[-1] + p)
+                pre_n.append(pre_n[-1] + c)
+            for k in range(n):
+                want = max(
+                    min(Fraction(pre_p[j + 1] - pre_p[i],
+                                 pre_n[j + 1] - pre_n[i])
+                        for j in range(k, n))
+                    for i in range(k + 1))
+                assert got[k] == want, (trial, k, npos, cnt)
+            # invariants: strictly increasing block means partitioning
+            # the index range (>= merge pools equal means)
+            for a, b in zip(blocks, blocks[1:]):
+                assert a[0] * b[1] < b[0] * a[1]
+                assert b[2] == a[3] + 1
+            assert blocks[0][2] == 0 and blocks[-1][3] == n - 1
+            assert sum(b[1] for b in blocks) == sum(cnt)
+
+
+class TestMarkJoin:
+    """Three-valued IN semantics on hand-built tables — every branch
+    of the SQL truth table, including the global facts (right-has-null
+    / right-non-empty) that ride the shuffle as marker rows."""
+
+    @staticmethod
+    def _run(left_keys, right_keys, n_buckets=4):
+        import ray.data as rd
+        left = rd.from_arrow(pa.table({"k": pa.array(left_keys,
+                                                     pa.int64())}))
+        right = rd.from_arrow(pa.table({"k": pa.array(right_keys,
+                                                      pa.int64())}))
+        from raybeats.joins import mark_join
+        out = mark_join(left, right, on="k", mark_col="m",
+                        n_buckets=n_buckets).take_all()
+        return {r["k"]: r["m"] for r in out}
+
+    def test_truth_table(self, ray_session):
+        import duckdb
+        cases = [
+            ([1, 2, None], [1, 3]),        # match/no-match/null-left
+            ([1, 2, None], [1, None]),     # right has null
+            ([1, None], []),               # right empty
+            ([5], [None]),                 # right all-null
+        ]
+        for lk, rk in cases:
+            got = self._run(lk, rk)
+            want = {}
+            rlit = ", ".join("NULL" if v is None else str(v)
+                             for v in rk)
+            sub = (f"SELECT CAST(unnest([{rlit}]) AS BIGINT)"
+                   if rk else "SELECT CAST(NULL AS BIGINT) WHERE false")
+            for k in lk:
+                klit = "CAST(NULL AS BIGINT)" if k is None else str(k)
+                want[k] = duckdb.sql(
+                    f"SELECT {klit} IN ({sub})").fetchone()[0]
+            assert got == want, (lk, rk, got, want)
+
+    def test_reserved_mark_col(self, ray_session):
+        import ray.data as rd
+        from raybeats.joins import mark_join
+        left = rd.from_arrow(pa.table({"k": [1], "m": [True]}))
+        with pytest.raises(ValueError, match="already has"):
+            mark_join(left, left, on="k", mark_col="m", n_buckets=2)
