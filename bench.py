@@ -220,7 +220,8 @@ def run_queries() -> dict[str, float]:
              "span_corruption", "cdc_apply", "weighted_median",
              "bpe_encode", "auc_score", "cohens_kappa",
              "calibration_bins", "grok_parse", "grok_multi",
-             "cidr_enrich", "isotonic_fit", "in_subquery_mark"]
+             "cidr_enrich", "isotonic_fit", "in_subquery_mark",
+             "zorder_stats"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

@@ -16258,6 +16258,87 @@ SQL_IN_SUBQUERY_MARK = """SELECT event_id,
 FROM events"""
 
 
+def q_zorder_stats(sf_dir: str):
+    """Z-order (Morton) layout keys + per-curve-bucket locality stats —
+    the multi-column clustering step before a sorted write (the
+    space-filling-curve complement of ``hive_partition_prune``: one
+    sort key gives BOTH dimensions bounded min/max ranges per output
+    block, so a reader can prune on either predicate from footer
+    stats). Interleaves 16 bits of day index × whole-dollar value via
+    the standard mask-spread (5 shifts, exact int64), then fixed-width
+    per-batch partials (count/min/max per bucket — bounded by the
+    65,536 bucket space, not the corpus) folded driver-side. The dims
+    are range-checked: an out-of-range input raises rather than
+    silently aliasing the curve."""
+    import numpy as np
+
+    def spread(v):
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    epoch = np.datetime64("2024-01-01")
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        keep = ~np.isnan(v)
+        ts = tbl.column("ts").to_numpy(zero_copy_only=False)[keep]
+        day = ((ts - epoch) // np.timedelta64(1, "D")).astype(np.int64)
+        usd = np.floor(v[keep]).astype(np.int64)
+        if len(day) and ((day < 0).any() or (day > 0xFFFF).any()
+                         or (usd < 0).any() or (usd > 0xFFFF).any()):
+            raise ValueError("zorder dims out of the 16-bit curve range")
+        z = spread(day) | (spread(usd) << 1)
+        zb = z >> 16
+        uniq, inv = np.unique(zb, return_inverse=True)
+        out = {"zbucket": uniq, "n": np.bincount(inv).astype(np.int64)}
+        for name, dim in (("day", day), ("usd", usd)):
+            lo = np.full(len(uniq), np.iinfo(np.int64).max)
+            hi = np.full(len(uniq), np.iinfo(np.int64).min)
+            np.minimum.at(lo, inv, dim)
+            np.maximum.at(hi, inv, dim)
+            out[f"{name}_lo"], out[f"{name}_hi"] = lo, hi
+        return pa.table({k: pa.array(a, pa.int64())
+                         for k, a in out.items()})
+
+    parts = pa.concat_tables(list(
+        _read(sf_dir, "events", ["ts", "value"]).map_batches(
+            partial, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
+    agg = parts.group_by("zbucket").aggregate(
+        [("n", "sum"), ("day_lo", "min"), ("day_hi", "max"),
+         ("usd_lo", "min"), ("usd_hi", "max")])
+    return pa.table({
+        "zbucket": agg.column("zbucket"),
+        "n": pc.cast(agg.column("n_sum"), pa.int64()),
+        "day_lo": agg.column("day_lo_min"),
+        "day_hi": agg.column("day_hi_max"),
+        "usd_lo": agg.column("usd_lo_min"),
+        "usd_hi": agg.column("usd_hi_max")})
+
+
+SQL_ZORDER_STATS = """WITH e AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT) AS day,
+         CAST(floor(value) AS BIGINT) AS usd
+  FROM events WHERE NOT isnan(value)),
+s1 AS (SELECT day, usd,
+         (day | (day << 8)) & 16711935 AS d1,
+         (usd | (usd << 8)) & 16711935 AS u1 FROM e),
+s2 AS (SELECT *, (d1 | (d1 << 4)) & 252645135 AS d2,
+         (u1 | (u1 << 4)) & 252645135 AS u2 FROM s1),
+s3 AS (SELECT *, (d2 | (d2 << 2)) & 858993459 AS d3,
+         (u2 | (u2 << 2)) & 858993459 AS u3 FROM s2),
+s4 AS (SELECT *, (d3 | (d3 << 1)) & 1431655765 AS d4,
+         (u3 | (u3 << 1)) & 1431655765 AS u4 FROM s3)
+SELECT (d4 | (u4 << 1)) >> 16 AS zbucket,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  MIN(day) AS day_lo, MAX(day) AS day_hi,
+  MIN(usd) AS usd_lo, MAX(usd) AS usd_hi
+FROM s4 GROUP BY zbucket"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -16572,6 +16653,7 @@ QUERIES = {
     "cidr_enrich": (q_cidr_enrich, SQL_CIDR_ENRICH),
     "isotonic_fit": (q_isotonic_fit, SQL_ISOTONIC_FIT),
     "in_subquery_mark": (q_in_subquery_mark, SQL_IN_SUBQUERY_MARK),
+    "zorder_stats": (q_zorder_stats, SQL_ZORDER_STATS),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

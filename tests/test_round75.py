@@ -270,3 +270,38 @@ class TestMarkJoin:
         left = rd.from_arrow(pa.table({"k": [1], "m": [True]}))
         with pytest.raises(ValueError, match="already has"):
             mark_join(left, left, on="k", mark_col="m", n_buckets=2)
+
+
+class TestZorder:
+    def test_morton_interleave_exact(self):
+        # spread(x) | spread(y) << 1 must equal bit-by-bit interleave
+        import random
+        rng = random.Random(3)
+
+        def spread(v):
+            v = (v | (v << 8)) & 0x00FF00FF
+            v = (v | (v << 4)) & 0x0F0F0F0F
+            v = (v | (v << 2)) & 0x33333333
+            v = (v | (v << 1)) & 0x55555555
+            return v
+
+        for _ in range(200):
+            x, y = rng.randrange(65536), rng.randrange(65536)
+            z = spread(x) | (spread(y) << 1)
+            want = 0
+            for b in range(16):
+                want |= ((x >> b) & 1) << (2 * b)
+                want |= ((y >> b) & 1) << (2 * b + 1)
+            assert z == want, (x, y)
+
+    def test_locality_bound(self, ray_session):
+        """Each z-bucket spans at most 2^8 in either dimension (the
+        pruning property a zone-map reader relies on)."""
+        from raybeats.queries import q_zorder_stats
+        t = q_zorder_stats("/root/testdata/sf0.001")
+        assert t.num_rows > 0
+        import numpy as np
+        dspan = (np.asarray(t["day_hi"]) - np.asarray(t["day_lo"]))
+        uspan = (np.asarray(t["usd_hi"]) - np.asarray(t["usd_lo"]))
+        assert (dspan < 256).all() and (uspan < 256).all()
+        assert int(np.asarray(t["n"]).sum()) == 1000
