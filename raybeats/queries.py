@@ -16339,6 +16339,104 @@ SELECT (d4 | (u4 << 1)) >> 16 AS zbucket,
 FROM s4 GROUP BY zbucket"""
 
 
+_POISSON1_CDF = None
+
+
+def _poisson1_thresholds():
+    """Cumulative Poisson(1) CDF, exact doubles shared by the numpy
+    searchsorted kernel and the SQL CASE ladder (one source, so the
+    branch constants cannot diverge)."""
+    global _POISSON1_CDF
+    if _POISSON1_CDF is None:
+        import math
+        import numpy as np
+        fact, cum, out = 1, 0.0, []
+        for k in range(8):
+            if k:
+                fact *= k
+            cum += math.exp(-1.0) / fact
+            out.append(cum)
+        _POISSON1_CDF = np.array(out, np.float64)
+    return _POISSON1_CDF
+
+
+def q_bootstrap_mean(sf_dir: str):
+    """Deterministic Poisson bootstrap of mean revenue (the
+    resampling-CI primitive, made partition-invariant): 32 replicas,
+    weight per (event, replica) = Poisson(1) drawn by inverting the
+    CDF at u = mix(event_id·32 + b)/2³² — the ``hash_split`` integer
+    mix, no RNG state anywhere, so any re-run or re-partition produces
+    the same replicas. Only (replica, Σw·cents, Σw) partials leave a
+    batch (32 fixed rows per batch at any corpus size). The uint64
+    wraparound equals the oracle's HUGEINT product exactly because
+    2³² divides 2⁶⁴; u and the final mean are single correctly-rounded
+    divisions, bit-equal across engines."""
+    import numpy as np
+    thr = _poisson1_thresholds()
+    B = 32
+
+    def part(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.filter(pc.invert(pc.is_nan(tbl.column("value"))))
+        cents = pc.cast(
+            pc.round(pc.multiply(tbl.column("value"), 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        key = (eid.astype(np.uint64)[:, None] * np.uint64(B)
+               + np.arange(B, dtype=np.uint64)[None, :])
+        m = (key * np.uint64(2654435761)) % np.uint64(1 << 32)
+        v = m ^ (m >> np.uint64(15))
+        u = v.astype(np.float64) / float(1 << 32)
+        w = np.searchsorted(thr, u, side="right").astype(np.int64)
+        return pa.table({
+            "b": pa.array(np.arange(B, dtype=np.int64), pa.int64()),
+            "num": pa.array((w * cents[:, None]).sum(axis=0),
+                            pa.int64()),
+            "den": pa.array(w.sum(axis=0), pa.int64())})
+
+    agg = _combine_partials(
+        _read(sf_dir, "events", ["event_id", "value"]).map_batches(
+            part, batch_format="pyarrow"),
+        ["b"], {"num": "num", "den": "den"})
+    import numpy as np
+    b = agg.column("b").to_numpy(zero_copy_only=False)
+    num = agg.column("num").to_numpy(zero_copy_only=False)
+    den = agg.column("den").to_numpy(zero_copy_only=False)
+    o = np.argsort(b, kind="stable")
+    b, num, den = b[o], num[o], den[o]
+    mean = [float(n) / float(d) if d else None
+            for n, d in zip(num, den)]
+    return pa.table({
+        "b": pa.array(b, pa.int64()),
+        "num": pa.array(num, pa.int64()),
+        "den": pa.array(den, pa.int64()),
+        "mean_cents": pa.array(mean, pa.float64())})
+
+
+def _bootstrap_sql() -> str:
+    thr = _poisson1_thresholds()
+    case = " ".join(f"WHEN u < {t!r} THEN {k}"
+                    for k, t in enumerate(thr))
+    return f"""WITH e AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE NOT isnan(value)),
+x AS (SELECT event_id, cents, b
+      FROM e, (SELECT unnest(range(0, 32)) AS b)),
+h AS (SELECT b, cents,
+        CAST(CAST(event_id * 32 + b AS HUGEINT) * 2654435761
+             % 4294967296 AS BIGINT) AS m FROM x),
+uu AS (SELECT b, cents,
+         CAST(xor(m, m >> 15) AS DOUBLE) / 4294967296 AS u FROM h),
+w AS (SELECT b, cents, CASE {case} ELSE 8 END AS w FROM uu)
+SELECT b, CAST(SUM(w * cents) AS BIGINT) AS num,
+  CAST(SUM(w) AS BIGINT) AS den,
+  CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_cents
+FROM w GROUP BY b"""
+
+
+SQL_BOOTSTRAP_MEAN = _bootstrap_sql()
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -16654,6 +16752,7 @@ QUERIES = {
     "isotonic_fit": (q_isotonic_fit, SQL_ISOTONIC_FIT),
     "in_subquery_mark": (q_in_subquery_mark, SQL_IN_SUBQUERY_MARK),
     "zorder_stats": (q_zorder_stats, SQL_ZORDER_STATS),
+    "bootstrap_mean": (q_bootstrap_mean, SQL_BOOTSTRAP_MEAN),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

@@ -305,3 +305,31 @@ class TestZorder:
         uspan = (np.asarray(t["usd_hi"]) - np.asarray(t["usd_lo"]))
         assert (dspan < 256).all() and (uspan < 256).all()
         assert int(np.asarray(t["n"]).sum()) == 1000
+
+
+class TestBootstrapMean:
+    def test_weights_are_poisson1_ish_and_partition_invariant(
+            self, ray_session):
+        import numpy as np
+        from raybeats.queries import q_bootstrap_mean
+        t = q_bootstrap_mean("/root/testdata/sf0.001")
+        assert t.num_rows == 32
+        den = np.asarray(t["den"])
+        # E[Σw] = n = 1000 per replica; Var = n → ±5σ ≈ ±158
+        assert (np.abs(den - 1000) < 160).all(), den
+        means = np.asarray(t["mean_cents"])
+        # replicas resample the same corpus: spread, but same ballpark
+        assert means.std() > 0 and np.abs(
+            means - means.mean()).max() < means.mean() * 0.2
+
+    def test_replica_weights_deterministic(self):
+        # the inverse-CDF branch: u below the first threshold → 0,
+        # just above → 1, near 1.0 → tail capped at 8
+        import numpy as np
+        from raybeats.queries import _poisson1_thresholds
+        thr = _poisson1_thresholds()
+        assert abs(thr[0] - np.exp(-1.0)) < 1e-15
+        u = np.array([0.0, thr[0] - 1e-12, thr[0], thr[1] - 1e-12,
+                      0.99999, 1.0 - 1e-16])
+        w = np.searchsorted(thr, u, side="right")
+        assert w.tolist() == [0, 0, 1, 1, 8, 8]
