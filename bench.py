@@ -221,7 +221,8 @@ def run_queries() -> dict[str, float]:
              "bpe_encode", "auc_score", "cohens_kappa",
              "calibration_bins", "grok_parse", "grok_multi",
              "cidr_enrich", "isotonic_fit", "in_subquery_mark",
-             "zorder_stats", "bootstrap_mean"]
+             "zorder_stats", "bootstrap_mean", "embed_quantize",
+             "km_survival"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

@@ -16437,6 +16437,157 @@ FROM w GROUP BY b"""
 SQL_BOOTSTRAP_MEAN = _bootstrap_sql()
 
 
+def q_embed_quantize(sf_dir: str):
+    """Int8-style embedding quantization audit (the vector-compression
+    step before shipping an ANN index): per dimension, corpus min/max
+    (pass 1, fixed dims×blocks partials), then a broadcast
+    (lo, scale) table and a second narrow pass reporting the max
+    absolute reconstruction error and the clip count of
+    q = floor((x−lo)/scale) at 255. All arithmetic is the same IEEE
+    double chain in both engines (float32 inputs widen exactly; MIN/
+    MAX/abs are order-independent), so even this float-heavy audit is
+    hash-exact. Constant dimensions (scale 0) quantize to 0 with zero
+    error rather than dividing by zero."""
+    import numpy as np
+
+    def flat(tbl: pa.Table):
+        emb = tbl.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        vals = np.asarray(emb.flatten(), np.float64)
+        return vals.reshape(len(emb), -1)
+
+    def minmax_part(tbl: pa.Table) -> pa.Table:
+        m = flat(tbl)
+        d = m.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1), pa.int64()),
+            "lo": pa.array(m.min(axis=0), pa.float64()),
+            "hi": pa.array(m.max(axis=0), pa.float64())})
+
+    parts = pa.concat_tables(list(
+        _read(sf_dir, "embeddings", ["embedding"]).map_batches(
+            minmax_part, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
+    g = parts.group_by("dim").aggregate([("lo", "min"), ("hi", "max")])
+    import numpy as np
+    dim = g.column("dim").to_numpy(zero_copy_only=False)
+    order = np.argsort(dim, kind="stable")
+    lo = g.column("lo_min").to_numpy(zero_copy_only=False)[order]
+    hi = g.column("hi_max").to_numpy(zero_copy_only=False)[order]
+    scale = (hi - lo) / 255.0
+
+    def err_part(tbl: pa.Table) -> pa.Table:
+        m = flat(tbl)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor((m - lo[None, :]) / scale[None, :])
+        q = np.where(scale[None, :] == 0.0, 0.0, np.minimum(q, 255.0))
+        recon = lo[None, :] + (q + 0.5) * scale[None, :]
+        err = np.abs(m - recon)
+        err = np.where(scale[None, :] == 0.0, 0.0, err)
+        return pa.table({
+            "dim": pa.array(np.arange(1, m.shape[1] + 1), pa.int64()),
+            "max_err": pa.array(err.max(axis=0), pa.float64()),
+            "n_clip": pa.array((q == 255.0).sum(axis=0).astype(np.int64),
+                               pa.int64())})
+
+    eparts = pa.concat_tables(list(
+        _read(sf_dir, "embeddings", ["embedding"]).map_batches(
+            err_part, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
+    eg = eparts.group_by("dim").aggregate(
+        [("max_err", "max"), ("n_clip", "sum")])
+    edim = eg.column("dim").to_numpy(zero_copy_only=False)
+    eo = np.argsort(edim, kind="stable")
+    return pa.table({
+        "dim": pa.array(edim[eo], pa.int64()),
+        "lo": pa.array(lo, pa.float64()),
+        "hi": pa.array(hi, pa.float64()),
+        "max_err": pa.array(
+            eg.column("max_err_max").to_numpy(zero_copy_only=False)[eo],
+            pa.float64()),
+        "n_clip": pa.array(pc.cast(eg.column("n_clip_sum"),
+                                   pa.int64()).to_numpy()[eo],
+                           pa.int64())})
+
+
+SQL_EMBED_QUANTIZE = """WITH x AS (
+  SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim
+  FROM embeddings),
+s AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM x GROUP BY dim),
+p AS (SELECT x.dim, x.x, s.lo, s.hi, (s.hi - s.lo) / 255 AS scale
+      FROM x JOIN s USING (dim)),
+qq AS (SELECT dim, lo, hi, scale, x,
+         CASE WHEN scale = 0 THEN 0
+              ELSE LEAST(floor((x - lo) / scale), 255) END AS q
+       FROM p)
+SELECT dim, MIN(lo) AS lo, MIN(hi) AS hi,
+  MAX(CASE WHEN scale = 0 THEN 0
+           ELSE abs(x - (lo + (q + 0.5) * scale)) END) AS max_err,
+  CAST(SUM(CASE WHEN q = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip
+FROM qq GROUP BY dim"""
+
+
+def q_km_survival(sf_dir: str):
+    """Kaplan-Meier survival ingredients for user churn (last activity
+    day = the churn event; exact integers only — the Π(1 − dᵢ/nᵢ)
+    product is one trivial fold away for the consumer, kept out so the
+    cross-engine hash never touches an ordered float product): per
+    day, the number of users whose LAST event fell on it and the
+    at-risk count (users still active on or after it). Last-day-per-
+    user is the :func:`aggregates.keep_latest` compaction (per-batch
+    local compact → one bounded keyed shuffle); the day table then
+    folds driver-side (days are calendar-bounded, never
+    corpus-bounded)."""
+    import numpy as np
+    from .aggregates import keep_latest
+    nb = adaptive_buckets(_nrows(sf_dir, "events"))
+
+    def to_day(tbl: pa.Table) -> pa.Table:
+        day = pc.days_between(
+            pa.scalar(__import__("datetime").date(2024, 1, 1)),
+            pc.cast(tbl.column("ts"), pa.date32()))
+        return pa.table({"user_id": tbl.column("user_id"),
+                         "day": pc.cast(day, pa.int64())})
+
+    last = keep_latest(
+        _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+            to_day, batch_format="pyarrow"),
+        key="user_id", order_by=("day",), n_buckets=nb)
+    parts = pa.concat_tables(list(
+        last.map_batches(
+            lambda t: pa.table(
+                {"day": t.column("day"),
+                 "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
+    g = parts.group_by("day").aggregate([("one", "sum")])
+    day = g.column("day").to_numpy(zero_copy_only=False)
+    churn = pc.cast(g.column("one_sum"), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    o = np.argsort(day, kind="stable")
+    day, churn = day[o], churn[o]
+    at_risk = churn[::-1].cumsum()[::-1]
+    return pa.table({"day": pa.array(day, pa.int64()),
+                     "n_churn": pa.array(churn, pa.int64()),
+                     "at_risk": pa.array(at_risk, pa.int64())})
+
+
+SQL_KM_SURVIVAL = """WITH u AS (
+  SELECT user_id,
+    MAX(CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT))
+      AS last_day
+  FROM events GROUP BY user_id),
+d AS (SELECT last_day AS day, CAST(COUNT(*) AS BIGINT) AS n_churn
+      FROM u GROUP BY last_day)
+SELECT day, n_churn,
+  CAST(SUM(n_churn) OVER (ORDER BY day DESC
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS at_risk
+FROM d"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -16753,6 +16904,8 @@ QUERIES = {
     "in_subquery_mark": (q_in_subquery_mark, SQL_IN_SUBQUERY_MARK),
     "zorder_stats": (q_zorder_stats, SQL_ZORDER_STATS),
     "bootstrap_mean": (q_bootstrap_mean, SQL_BOOTSTRAP_MEAN),
+    "embed_quantize": (q_embed_quantize, SQL_EMBED_QUANTIZE),
+    "km_survival": (q_km_survival, SQL_KM_SURVIVAL),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

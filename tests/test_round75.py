@@ -333,3 +333,39 @@ class TestBootstrapMean:
                       0.99999, 1.0 - 1e-16])
         w = np.searchsorted(thr, u, side="right")
         assert w.tolist() == [0, 0, 1, 1, 8, 8]
+
+
+class TestEmbedQuantize:
+    def test_error_bound_and_clip(self, ray_session):
+        """Quantization error must be ≤ scale/2 per dim (the mid-rise
+        reconstruction bound), zero on constant dims."""
+        import numpy as np
+        from raybeats.queries import q_embed_quantize
+        t = q_embed_quantize("/root/testdata/sf0.001")
+        assert t.num_rows == 64
+        lo = np.asarray(t["lo"]); hi = np.asarray(t["hi"])
+        err = np.asarray(t["max_err"]); clip = np.asarray(t["n_clip"])
+        scale = (hi - lo) / 255.0
+        assert (err <= scale / 2 + 1e-12).all()
+        assert (clip >= 0).all() and (err >= 0).all()
+        assert err.max() > 0  # non-vacuous
+
+
+class TestKmSurvival:
+    def test_ingredient_identities(self, ray_session):
+        """at_risk is the suffix sum of churn; totals = user count."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        from raybeats.queries import q_km_survival
+        t = q_km_survival("/root/testdata/sf0.001")
+        churn = np.asarray(t["n_churn"]); ar = np.asarray(t["at_risk"])
+        assert (ar == churn[::-1].cumsum()[::-1]).all()
+        users = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                              columns=["user_id"])
+        n_users = len(pa.compute.unique(users.column("user_id")))
+        assert churn.sum() == n_users == ar[0]
+        # survival product: monotone non-increasing in [0, 1], and 0
+        # at the horizon (every user's last event is observed)
+        s = np.cumprod(1 - churn / ar)
+        assert (s >= 0).all() and (s <= 1).all()
+        assert (np.diff(s) <= 0).all() and s[-1] == 0
