@@ -369,3 +369,33 @@ class TestKmSurvival:
         s = np.cumprod(1 - churn / ar)
         assert (s >= 0).all() and (s <= 1).all()
         assert (np.diff(s) <= 0).all() and s[-1] == 0
+
+
+class TestDidEstimate:
+    def test_cells_and_did_identity(self, ray_session):
+        import numpy as np
+        from raybeats.queries import q_did_estimate
+        t = q_did_estimate("/root/testdata/sf0.001")
+        assert t.num_rows == 4
+        m = {(tr, po): mc for tr, po, mc in zip(
+            t["treat"].to_pylist(), t["post"].to_pylist(),
+            t["mean_cents"].to_pylist())}
+        did = t["did"].to_pylist()[0]
+        assert did == (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+        assert all(d == did for d in t["did"].to_pylist())
+        assert sum(t["n"].to_pylist()) > 0
+
+
+class TestEvolveRoundtrip:
+    def test_late_column_null_on_old_generation(self, ray_session):
+        from raybeats.queries import q_evolve_roundtrip
+        b = q_evolve_roundtrip("/root/testdata/sf0.001") \
+            .take_batch(2000, batch_format="pyarrow")
+        eid = b["event_id"].to_pylist()
+        vc = b["value_cents"].to_pylist()
+        assert len(eid) == 1000
+        for e, v in zip(eid, vc):
+            if e % 2 == 0:
+                assert v is None, (e, v)   # v1 generation: late col null
+            else:
+                assert isinstance(v, int)  # v2 generation: real cents
