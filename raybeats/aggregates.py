@@ -563,27 +563,13 @@ def funnel_first_conversion(ds, *, first_type: str, then_type: str,
         raise ValueError(f"within_us must be positive: {within_us}")
 
     def tag(t: pa.Table) -> pa.Table:
-        typ = t.column(type_col)
-        ok_ts = pc.is_valid(t.column(ts_col))
-        a = t.filter(pc.and_(pc.fill_null(
-            pc.equal(typ, first_type), False), ok_ts))
-        b = t.filter(pc.and_(pc.fill_null(
-            pc.equal(typ, then_type), False), ok_ts))
-        ag = pa.table({
-            "u": a.column(user_col),
-            "t": pc.cast(a.column(ts_col), pa.int64()),
-        }).group_by("u").aggregate([("t", "min")])
-        u = pa.concat_arrays([
-            pc.cast(ag.column("u"), pa.int64()).combine_chunks(),
-            pc.cast(b.column(user_col), pa.int64()).combine_chunks()])
-        ts = pa.concat_arrays([
-            pc.cast(ag.column("t_min"), pa.int64()).combine_chunks(),
-            pc.cast(b.column(ts_col), pa.int64()).combine_chunks()])
-        side = pa.array(np.concatenate([
-            np.ones(ag.num_rows, np.int8),
-            np.zeros(b.num_rows, np.int8)]))
-        return pa.table({"__fn_bkt": int_bucket(u, n_buckets),
-                         "side": side, "u": u, "t": ts})
+        c = funnel_compact(t, first_type=first_type,
+                           then_type=then_type, user_col=user_col,
+                           ts_col=ts_col, type_col=type_col)
+        return pa.table({"__fn_bkt": int_bucket(c.column("u"),
+                                                n_buckets),
+                         "side": c.column("side"), "u": c.column("u"),
+                         "t": c.column("t")})
 
     def empty() -> pa.Table:
         return pa.table({user_col: pa.array([], pa.int64()),
@@ -591,47 +577,92 @@ def funnel_first_conversion(ds, *, first_type: str, then_type: str,
                          "conv_ts": pa.array([], pa.timestamp("us"))})
 
     def grp(g: pa.Table) -> pa.Table:
-        side = g.column("side").to_numpy(zero_copy_only=False)
-        u = g.column("u").to_numpy(zero_copy_only=False)
-        t = g.column("t").to_numpy(zero_copy_only=False)
-        am = side == 1
-        au, at_ = u[am], t[am]
-        # fold the per-batch firsts to the global per-user first ts
-        order = np.lexsort((at_, au))
-        au, at_ = au[order], at_[order]
-        first = np.append(True, au[1:] != au[:-1]) if len(au) else \
-            np.array([], bool)
-        au, at0 = au[first], at_[first]
-        pu, pt = u[~am], t[~am]
-        if len(au) == 0 or len(pu) == 0:
-            return empty()
-        cu = np.concatenate([pu, au])
-        ct = np.concatenate([pt, at0])
-        isq = np.concatenate([np.zeros(len(pu), np.int8),
-                              np.ones(len(au), np.int8)])
-        order = np.lexsort((isq, ct, cu))
-        cu_s, ct_s, isq_s = cu[order], ct[order], isq[order]
-        n = len(cu_s)
-        pos = np.where(isq_s == 0, np.arange(n), n)
-        nxt = np.minimum.accumulate(pos[::-1])[::-1]
-        qi = np.nonzero(isq_s == 1)[0]
-        j = nxt[qi]
-        ok = j < n
-        jj = np.where(ok, j, 0)
-        ok &= cu_s[jj] == cu_s[qi]
-        ok &= ct_s[jj] <= ct_s[qi] + within_us
-        if not ok.any():
-            return empty()
-        return pa.table({
-            user_col: pa.array(cu_s[qi][ok], pa.int64()),
-            "first_ts": pa.array(ct_s[qi][ok], pa.int64())
-            .cast(pa.timestamp("us")),
-            "conv_ts": pa.array(ct_s[jj][ok], pa.int64())
-            .cast(pa.timestamp("us"))})
+        return funnel_kernel(g, within_us=within_us, user_col=user_col)
 
     return (ds.map_batches(tag, batch_format="pyarrow")
               .groupby("__fn_bkt")
               .map_groups(grp, batch_format="pyarrow"))
+
+
+def funnel_compact(t: pa.Table, *, first_type: str, then_type: str,
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type") -> pa.Table:
+    """The funnel pre-pass as a standalone kernel (shared verbatim by
+    the batch :func:`funnel_first_conversion` tag stage and the
+    streaming :class:`raybeats.streaming.StreamFunnelState`, so their
+    parity cannot drift): keep the two event types, locally combine
+    the first-step side to one (user, min ts) row per user, drop null
+    timestamps. → columns (side[1=first-step,0=candidate], u, t)."""
+    typ = t.column(type_col)
+    ok_ts = pc.is_valid(t.column(ts_col))
+    a = t.filter(pc.and_(pc.fill_null(
+        pc.equal(typ, first_type), False), ok_ts))
+    b = t.filter(pc.and_(pc.fill_null(
+        pc.equal(typ, then_type), False), ok_ts))
+    ag = pa.table({
+        "u": a.column(user_col),
+        "t": pc.cast(a.column(ts_col), pa.int64()),
+    }).group_by("u").aggregate([("t", "min")])
+    u = pa.concat_arrays([
+        pc.cast(ag.column("u"), pa.int64()).combine_chunks(),
+        pc.cast(b.column(user_col), pa.int64()).combine_chunks()])
+    ts = pa.concat_arrays([
+        pc.cast(ag.column("t_min"), pa.int64()).combine_chunks(),
+        pc.cast(b.column(ts_col), pa.int64()).combine_chunks()])
+    side = pa.array(np.concatenate([
+        np.ones(ag.num_rows, np.int8),
+        np.zeros(b.num_rows, np.int8)]))
+    return pa.table({"side": side, "u": u, "t": ts})
+
+
+def funnel_kernel(g: pa.Table, *, within_us: int,
+                  user_col: str = "user_id") -> pa.Table:
+    """The funnel per-group join kernel on (side, u, t) rows (shared
+    by batch and streaming — see :func:`funnel_compact`): one lexsort,
+    candidates tie-sorted before their user's query row so "strictly
+    after" is positional, one reversed minimum.accumulate."""
+    def empty() -> pa.Table:
+        return pa.table({user_col: pa.array([], pa.int64()),
+                         "first_ts": pa.array([], pa.timestamp("us")),
+                         "conv_ts": pa.array([], pa.timestamp("us"))})
+
+    side = g.column("side").to_numpy(zero_copy_only=False)
+    u = g.column("u").to_numpy(zero_copy_only=False)
+    t = g.column("t").to_numpy(zero_copy_only=False)
+    am = side == 1
+    au, at_ = u[am], t[am]
+    # fold the per-batch firsts to the global per-user first ts
+    order = np.lexsort((at_, au))
+    au, at_ = au[order], at_[order]
+    first = np.append(True, au[1:] != au[:-1]) if len(au) else \
+        np.array([], bool)
+    au, at0 = au[first], at_[first]
+    pu, pt = u[~am], t[~am]
+    if len(au) == 0 or len(pu) == 0:
+        return empty()
+    cu = np.concatenate([pu, au])
+    ct = np.concatenate([pt, at0])
+    isq = np.concatenate([np.zeros(len(pu), np.int8),
+                          np.ones(len(au), np.int8)])
+    order = np.lexsort((isq, ct, cu))
+    cu_s, ct_s, isq_s = cu[order], ct[order], isq[order]
+    n = len(cu_s)
+    pos = np.where(isq_s == 0, np.arange(n), n)
+    nxt = np.minimum.accumulate(pos[::-1])[::-1]
+    qi = np.nonzero(isq_s == 1)[0]
+    j = nxt[qi]
+    ok = j < n
+    jj = np.where(ok, j, 0)
+    ok &= cu_s[jj] == cu_s[qi]
+    ok &= ct_s[jj] <= ct_s[qi] + within_us
+    if not ok.any():
+        return empty()
+    return pa.table({
+        user_col: pa.array(cu_s[qi][ok], pa.int64()),
+        "first_ts": pa.array(ct_s[qi][ok], pa.int64())
+        .cast(pa.timestamp("us")),
+        "conv_ts": pa.array(ct_s[jj][ok], pa.int64())
+        .cast(pa.timestamp("us"))})
 
 
 # --------------------------------------------- distributed ROW_NUMBER

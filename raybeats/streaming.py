@@ -1119,3 +1119,100 @@ def streaming_cdc_apply(micro_batches, key: str = "user_id",
         return out
     return out.filter(pc.invert(pc.equal(out.column(op_col),
                                          pa.scalar(delete_op))))
+
+
+class StreamFunnelState:
+    """Stream-stream two-step funnel join (the streaming counterpart
+    of the batch ``funnel_conversion`` query): per user, the FIRST
+    first-step event and the first candidate event strictly after it
+    within the window, computed over time-ordered micro-batches.
+
+    Both sides fold with the LITERAL batch kernels
+    (:func:`raybeats.aggregates.funnel_compact` per push,
+    :func:`raybeats.aggregates.funnel_kernel` at flush), so the flush
+    equals the batch query for ANY micro-batch split by construction.
+    No watermark: a LATE first-step row folds via the per-user min and
+    can retroactively claim an already-buffered candidate; a late
+    candidate simply appends. That correctness choice has the usual
+    cost — the candidate buffer is bounded by the bucket's candidate
+    ROWS (not its keys); a deployment that can tolerate dropping
+    late-beyond-horizon rows would add a watermark eviction on
+    ``first_ts + within`` at push time."""
+
+    def __init__(self, first_type: str, then_type: str,
+                 within_us: int):
+        self.first_type = first_type
+        self.then_type = then_type
+        self.within_us = within_us
+        self.firsts: pa.Table | None = None  # (u, t) min-folded
+        self.cands: list[pa.Table] = []
+
+    def process(self, tbl: pa.Table) -> None:
+        from .aggregates import funnel_compact
+        if "bucket" in tbl.column_names:
+            tbl = tbl.drop_columns(["bucket"])
+        if tbl.num_rows == 0:
+            return None
+        c = funnel_compact(tbl, first_type=self.first_type,
+                           then_type=self.then_type)
+        side = c.column("side").to_numpy(zero_copy_only=False)
+        f = c.filter(pa.array(side == 1)).select(["u", "t"])
+        p = c.filter(pa.array(side == 0)).select(["u", "t"])
+        if p.num_rows:
+            self.cands.append(p)
+        if f.num_rows:
+            cur = f if self.firsts is None else pa.concat_tables(
+                [self.firsts, f])
+            g = cur.group_by("u").aggregate([("t", "min")])
+            self.firsts = pa.table({"u": g.column("u"),
+                                    "t": g.column("t_min")})
+        return None
+
+    def flush(self) -> pa.Table:
+        import numpy as np
+
+        from .aggregates import funnel_kernel
+        firsts = self.firsts if self.firsts is not None else \
+            pa.table({"u": pa.array([], pa.int64()),
+                      "t": pa.array([], pa.int64())})
+        cands = pa.concat_tables(self.cands) if self.cands else \
+            pa.table({"u": pa.array([], pa.int64()),
+                      "t": pa.array([], pa.int64())})
+        g = pa.table({
+            "side": pa.array(np.concatenate(
+                [np.ones(firsts.num_rows, np.int8),
+                 np.zeros(cands.num_rows, np.int8)])),
+            "u": pa.concat_arrays(
+                [pc.cast(firsts.column("u"),
+                         pa.int64()).combine_chunks(),
+                 pc.cast(cands.column("u"),
+                         pa.int64()).combine_chunks()]),
+            "t": pa.concat_arrays(
+                [pc.cast(firsts.column("t"),
+                         pa.int64()).combine_chunks(),
+                 pc.cast(cands.column("t"),
+                         pa.int64()).combine_chunks()])})
+        return funnel_kernel(g, within_us=self.within_us)
+
+
+def streaming_funnel(micro_batches, first_type: str = "click",
+                     then_type: str = "purchase",
+                     within_us: int = 24 * 3600 * 1_000_000,
+                     n_buckets: int = 4):
+    """Drive :class:`StreamFunnelState` over time-ordered
+    micro-batches; returns one table equal to the batch
+    ``funnel_conversion`` over the concatenated stream (tested for
+    any split, including late first-step rows)."""
+    import ray
+
+    actors, _ = _drive_keyed_actors(
+        micro_batches, StreamFunnelState,
+        (first_type, then_type, within_us), n_buckets)
+    parts = [t for t in ray.get([a.flush.remote() for a in actors])
+             if t.num_rows]
+    if not parts:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "first_ts": pa.array([], pa.timestamp("us")),
+                         "conv_ts": pa.array([], pa.timestamp("us"))})
+    return pa.concat_tables(parts).sort_by(
+        [("user_id", "ascending"), ("first_ts", "ascending")])

@@ -1,6 +1,7 @@
 """Incremental (micro-batch, stateful-actor) sessionization must equal
 the batch sessionization query exactly."""
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 SF = "/root/testdata/sf0.001"
@@ -598,3 +599,55 @@ def test_streaming_cdc_apply_equals_batch(ray_session):
         [mk(rows), mk([(7, 99, 2, "signup", 4.0)])], n_buckets=3)
     assert got.column("user_id").to_pylist() == [1, 2, 3]
     assert got.column("value").to_pylist() == [2.0, 4.0, 7.0]
+
+
+def test_streaming_funnel_equals_batch(ray_session):
+    """Stream-stream funnel flush ≡ batch funnel_conversion for any
+    micro-batch split (both fold the literal batch kernels)."""
+    import ray.data as rd
+
+    from raybeats.aggregates import funnel_first_conversion
+    from raybeats.streaming import streaming_funnel
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["user_id", "ts", "event_type"]) \
+        .sort_by("ts")
+    n = t.num_rows
+    want = pa.concat_tables(list(
+        funnel_first_conversion(
+            rd.from_arrow(t), first_type="click", then_type="purchase",
+            within_us=24 * 3600 * 1_000_000, n_buckets=3)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))) \
+        .sort_by([("user_id", "ascending"), ("first_ts", "ascending")])
+    for cuts in ([n], [n // 3, 2 * n // 3, n], [1, n // 2, n]):
+        lo, slices = 0, []
+        for hi in cuts:
+            slices.append(rd.from_arrow(t.slice(lo, hi - lo)))
+            lo = hi
+        got = streaming_funnel(slices, n_buckets=3)
+        assert got.to_pylist() == want.to_pylist(), cuts
+
+
+def test_streaming_funnel_late_first_claims_candidate(ray_session):
+    """A late-arriving EARLIER first-step row must retroactively join
+    to a candidate buffered in a previous micro-batch."""
+    import ray.data as rd
+    from raybeats.streaming import streaming_funnel
+
+    def mk(rows):
+        return rd.from_arrow(pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64())
+            .cast(pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string())}))
+
+    got = streaming_funnel(
+        [mk([(7, 1000, "purchase"), (7, 2000, "click")]),
+         mk([(7, 500, "click")])],   # late, EARLIER click
+        within_us=10_000, n_buckets=2)
+    assert got.to_pylist() == [{
+        "user_id": 7,
+        "first_ts": __import__("datetime").datetime(1970, 1, 1, 0, 0,
+                                                    0, 500),
+        "conv_ts": __import__("datetime").datetime(1970, 1, 1, 0, 0,
+                                                   0, 1000)}]
