@@ -31,7 +31,8 @@ from .util import hour_cents_partial, int_bucket
 def _drive_keyed_actors(micro_batches, state_cls, ctor_args: tuple,
                         n_buckets: int, collect_rows: bool = False,
                         key_col: str = "user_id",
-                        n_actors: int | None = None):
+                        n_actors: int | None = None,
+                        restore_dir: str | None = None):
     """Shared micro-batch → keyed-actor fan-in (used by all streaming
     window modes): bucket rows by key, PUSH each bucket's group to its
     state actor asynchronously (fire from the map_groups task, no
@@ -135,8 +136,19 @@ def _drive_keyed_actors(micro_batches, state_cls, ctor_args: tuple,
             out, self._buf = self._buf, []
             return out
 
+        def snapshot(self) -> dict:
+            return self.state_tables()
+
+        def restore(self, tables: dict) -> None:
+            self.restore_tables(tables)
+
     Actor = ray.remote(_Host)
     actors = [Actor.remote(*ctor_args) for _ in range(n_actors)]
+    if restore_dir is not None:
+        # fenced BEFORE any push: asyncio actors give no cross-call
+        # ordering, so the restore must be observed complete, not
+        # merely enqueued
+        ray.get(_restore_actors(actors, n_buckets, restore_dir))
 
     def make_route(batch_idx: int):
         def route(g: pa.Table) -> pa.Table:
@@ -187,6 +199,70 @@ def _drive_keyed_actors(micro_batches, state_cls, ctor_args: tuple,
             for t in tables:
                 collected.extend(t.to_pylist())
     return actors, collected
+
+
+def checkpoint_actors(actors, n_buckets: int, ckpt_dir: str) -> None:
+    """Snapshot every streaming actor's state to a parquet checkpoint
+    (the streaming-lane counterpart of the batch registrar's
+    write-audit-publish manifests): one ``actor=<i>/<component>.
+    parquet`` file per state table, then the JSON manifest LAST via
+    ``os.replace`` — a crash mid-checkpoint leaves no manifest, so a
+    resume either sees the complete snapshot or none of it. The state
+    class must expose ``state_tables() -> dict[str, pa.Table]`` /
+    ``restore_tables(dict)`` (LatestEventState and StreamFunnelState
+    do; a state without the protocol fails loudly at snapshot time).
+    Barrier-fenced call sites only: checkpoint between micro-batches,
+    never while pushes are in flight."""
+    import json
+    import os
+
+    import pyarrow.parquet as _pq
+    import ray
+
+    snaps = ray.get([a.snapshot.remote() for a in actors])
+    files: dict[str, list[str]] = {}
+    for i, tables in enumerate(snaps):
+        adir = os.path.join(ckpt_dir, f"actor={i}")
+        os.makedirs(adir, exist_ok=True)
+        files[str(i)] = sorted(tables)
+        for name, t in tables.items():
+            _pq.write_table(t, os.path.join(adir, f"{name}.parquet"))
+    tmp = os.path.join(ckpt_dir, "_MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"n_actors": len(actors), "n_buckets": n_buckets,
+                   "files": files}, f)
+    os.replace(tmp, os.path.join(ckpt_dir, "_MANIFEST.json"))
+
+
+def _restore_actors(actors, n_buckets: int, ckpt_dir: str) -> list:
+    """→ restore ObjectRefs (caller ``ray.get``s them as the fence).
+    Refuses a checkpoint whose actor/bucket layout differs — state is
+    keyed per bucket-modulo-actor, so a silent relayout would fold
+    keys into the wrong actors."""
+    import json
+    import os
+
+    import pyarrow.parquet as _pq
+
+    man_path = os.path.join(ckpt_dir, "_MANIFEST.json")
+    if not os.path.exists(man_path):
+        raise FileNotFoundError(
+            f"no streaming checkpoint manifest at {man_path} "
+            "(an interrupted checkpoint leaves none — start fresh)")
+    with open(man_path) as f:
+        man = json.load(f)
+    if man["n_actors"] != len(actors) or man["n_buckets"] != n_buckets:
+        raise ValueError(
+            f"checkpoint layout (actors={man['n_actors']}, "
+            f"buckets={man['n_buckets']}) does not match the resume "
+            f"call (actors={len(actors)}, buckets={n_buckets})")
+    refs = []
+    for i, actor in enumerate(actors):
+        tables = {name: _pq.read_table(os.path.join(
+            ckpt_dir, f"actor={i}", f"{name}.parquet"))
+            for name in man["files"][str(i)]}
+        refs.append(actor.restore.remote(tables))
+    return refs
 
 
 class _PerBucketPending:
@@ -659,19 +735,35 @@ class LatestEventState:
     def flush(self) -> pa.Table:
         return self.state if self.state is not None else pa.table({})
 
+    # checkpoint protocol (see checkpoint_actors)
+    def state_tables(self) -> dict:
+        return {} if self.state is None else {"state": self.state}
+
+    def restore_tables(self, tables: dict) -> None:
+        self.state = tables.get("state")
+
 
 def streaming_latest(micro_batches, key: str = "user_id",
                      order_by: tuple = ("ts", "event_id"),
-                     n_buckets: int = 4):
+                     n_buckets: int = 4,
+                     checkpoint_to: str | None = None,
+                     restore_from: str | None = None):
     """Incremental counterpart of the batch ``latest_event`` query: the
     newest row per key over time-ordered micro-batches (keyed upsert
     actors). Returns one table equal to the batch ``keep_latest`` over
-    the concatenated stream (tested, any split)."""
+    the concatenated stream (tested, any split). ``checkpoint_to``
+    snapshots the actors' state after the last micro-batch;
+    ``restore_from`` resumes a prior run's snapshot, so the flush
+    equals the batch result over BOTH runs' rows (tested across
+    separate driver calls)."""
     import ray
 
     actors, _ = _drive_keyed_actors(micro_batches, LatestEventState,
                                     (key, order_by), n_buckets,
-                                    key_col=key)
+                                    key_col=key,
+                                    restore_dir=restore_from)
+    if checkpoint_to is not None:
+        checkpoint_actors(actors, n_buckets, checkpoint_to)
     parts = [t for t in ray.get([a.flush.remote() for a in actors])
              if t.num_rows]
     if not parts:
@@ -1194,20 +1286,40 @@ class StreamFunnelState:
                          pa.int64()).combine_chunks()])})
         return funnel_kernel(g, within_us=self.within_us)
 
+    # checkpoint protocol (see checkpoint_actors)
+    def state_tables(self) -> dict:
+        out = {}
+        if self.firsts is not None:
+            out["firsts"] = self.firsts
+        if self.cands:
+            out["cands"] = pa.concat_tables(self.cands)
+        return out
+
+    def restore_tables(self, tables: dict) -> None:
+        self.firsts = tables.get("firsts")
+        self.cands = [tables["cands"]] if "cands" in tables else []
+
 
 def streaming_funnel(micro_batches, first_type: str = "click",
                      then_type: str = "purchase",
                      within_us: int = 24 * 3600 * 1_000_000,
-                     n_buckets: int = 4):
+                     n_buckets: int = 4,
+                     checkpoint_to: str | None = None,
+                     restore_from: str | None = None):
     """Drive :class:`StreamFunnelState` over time-ordered
     micro-batches; returns one table equal to the batch
     ``funnel_conversion`` over the concatenated stream (tested for
-    any split, including late first-step rows)."""
+    any split, including late first-step rows). ``checkpoint_to`` /
+    ``restore_from`` snapshot and resume the actors' state across
+    driver runs (see :func:`checkpoint_actors`)."""
     import ray
 
     actors, _ = _drive_keyed_actors(
         micro_batches, StreamFunnelState,
-        (first_type, then_type, within_us), n_buckets)
+        (first_type, then_type, within_us), n_buckets,
+        restore_dir=restore_from)
+    if checkpoint_to is not None:
+        checkpoint_actors(actors, n_buckets, checkpoint_to)
     parts = [t for t in ray.get([a.flush.remote() for a in actors])
              if t.num_rows]
     if not parts:

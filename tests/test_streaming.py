@@ -651,3 +651,70 @@ def test_streaming_funnel_late_first_claims_candidate(ray_session):
                                                     0, 500),
         "conv_ts": __import__("datetime").datetime(1970, 1, 1, 0, 0,
                                                    0, 1000)}]
+
+
+def test_streaming_checkpoint_resume_equals_batch(ray_session):
+    """Checkpoint after run 1, restore in a SEPARATE driver call with
+    fresh actors, feed the rest: flush ≡ batch over both runs' rows —
+    for the upsert cache and the stream-stream funnel."""
+    import shutil
+
+    import ray.data as rd
+
+    from raybeats.aggregates import (funnel_first_conversion,
+                                     keep_latest_table)
+    from raybeats.streaming import streaming_funnel, streaming_latest
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_id", "ts", "user_id",
+                               "event_type", "value"]).sort_by("ts")
+    n = t.num_rows
+    part1 = [rd.from_arrow(t.slice(0, n // 3)),
+             rd.from_arrow(t.slice(n // 3, n // 3))]
+    part2 = [rd.from_arrow(t.slice(2 * n // 3))]
+
+    ck = "/tmp/raybeats_test_ckpt_latest"
+    shutil.rmtree(ck, ignore_errors=True)
+    streaming_latest(part1, n_buckets=5, checkpoint_to=ck)
+    got = streaming_latest(part2, n_buckets=5, restore_from=ck)
+    want = keep_latest_table(t, key="user_id",
+                             order_by=("ts", "event_id")) \
+        .sort_by([("user_id", "ascending")])
+    assert got.select(want.column_names).to_pylist() == want.to_pylist()
+
+    ck2 = "/tmp/raybeats_test_ckpt_funnel"
+    shutil.rmtree(ck2, ignore_errors=True)
+    streaming_funnel(part1, n_buckets=3, checkpoint_to=ck2)
+    got2 = streaming_funnel(part2, n_buckets=3, restore_from=ck2)
+    want2 = pa.concat_tables(list(
+        funnel_first_conversion(
+            rd.from_arrow(t), first_type="click", then_type="purchase",
+            within_us=24 * 3600 * 1_000_000, n_buckets=3)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))) \
+        .sort_by([("user_id", "ascending"), ("first_ts", "ascending")])
+    assert got2.to_pylist() == want2.to_pylist()
+
+
+def test_streaming_checkpoint_layout_guards(ray_session):
+    """A mismatched bucket layout or a missing manifest must refuse to
+    resume, never silently misfold."""
+    import shutil
+
+    import pytest as _pytest
+    import ray.data as rd
+
+    from raybeats.streaming import streaming_latest
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_id", "ts", "user_id"]) \
+        .slice(0, 20)
+    ck = "/tmp/raybeats_test_ckpt_guard"
+    shutil.rmtree(ck, ignore_errors=True)
+    with _pytest.raises(FileNotFoundError, match="manifest"):
+        streaming_latest([rd.from_arrow(t)], n_buckets=4,
+                         restore_from=ck)
+    streaming_latest([rd.from_arrow(t)], n_buckets=4,
+                     checkpoint_to=ck)
+    with _pytest.raises(ValueError, match="layout"):
+        streaming_latest([rd.from_arrow(t)], n_buckets=8,
+                         restore_from=ck)
