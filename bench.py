@@ -222,7 +222,8 @@ def run_queries() -> dict[str, float]:
              "calibration_bins", "grok_parse", "grok_multi",
              "cidr_enrich", "isotonic_fit", "in_subquery_mark",
              "zorder_stats", "bootstrap_mean", "embed_quantize",
-             "km_survival", "did_estimate", "evolve_roundtrip"]
+             "km_survival", "did_estimate", "evolve_roundtrip",
+             "encoding_profile"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}
