@@ -16810,6 +16810,123 @@ FROM (
   FROM events)"""
 
 
+_LTTB_OUT = 24
+
+
+def lttb_select(x, y, n_out: int):
+    """Largest-Triangle-Three-Buckets downsampling over an integer
+    series, EXACT: triangle areas are evaluated as the avg-denominator-
+    scaled integer cross product |（xp·n − Σx)(yc − yp) − (xp − xc)(Σy −
+    yp·n)| — python ints, no float ever — and ties break to the lowest
+    index (the oracle's ORDER BY area DESC, i LIMIT 1). Returns
+    selected indices; the whole series when it already fits."""
+    n = len(x)
+    if n <= n_out:
+        return list(range(n))
+    b = n_out - 2
+    # interior point i (1..n-2) belongs to bucket (i-1)*b // (n-2)
+    bounds = [1 + (k * (n - 2) + b - 1) // b for k in range(b + 1)]
+    bounds[0], bounds[b] = 1, n - 1
+    sel = [0]
+    prev = 0
+    for k in range(b):
+        lo, hi = bounds[k], bounds[k + 1]
+        if k + 1 < b:
+            nlo, nhi = bounds[k + 1], bounds[k + 2]
+        else:
+            nlo, nhi = n - 1, n
+        sx = sum(int(v) for v in x[nlo:nhi])
+        sy = sum(int(v) for v in y[nlo:nhi])
+        cnt = nhi - nlo
+        xp, yp = int(x[prev]), int(y[prev])
+        best, best_a = lo, -1
+        for i in range(lo, hi):
+            a = abs((xp * cnt - sx) * (int(y[i]) - yp)
+                    - (xp - int(x[i])) * (sy - yp * cnt))
+            if a > best_a:
+                best, best_a = i, a
+        sel.append(best)
+        prev = best
+    sel.append(n - 1)
+    return sel
+
+
+def q_lttb_downsample(sf_dir: str):
+    """Largest-Triangle-Three-Buckets downsampling of the hourly
+    revenue series to 24 visually-representative points (the
+    time-series sketching step before a dashboard render — Steinarsson
+    2013, public algorithm). The SERIES is built distributively
+    (bounded (hour, Σcents) partials — calendar-bounded, never
+    corpus-bounded); the sequential selection then runs driver-side
+    over ≤ calendar-hours points with EXACT integer triangle areas, so
+    the oracle — the same selection unrolled into one generated CTE
+    chain per step — lands on identical points."""
+    import numpy as np
+
+    def part(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.invert(pc.is_nan(tbl.column("value"))))
+        hour = pc.cast(pc.hours_between(
+            pa.scalar(__import__("datetime").datetime(2024, 1, 1)),
+            t.column("ts")), pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("value"), 100.0),
+                     round_mode="half_towards_infinity"), pa.int64())
+        g = pa.table({"x": hour, "y": cents}).group_by("x") \
+            .aggregate([("y", "sum")])
+        return pa.table({"x": g.column("x"),
+                         "y": pc.cast(g.column("y_sum"), pa.int64())})
+
+    agg = _combine_partials(
+        _read(sf_dir, "events", ["ts", "value"]).map_batches(
+            part, batch_format="pyarrow"),
+        ["x"], {"y": "y"})
+    import numpy as np
+    x = agg.column("x").to_numpy(zero_copy_only=False)
+    y = agg.column("y").to_numpy(zero_copy_only=False)
+    o = np.argsort(x, kind="stable")
+    x, y = x[o], y[o]
+    sel = lttb_select(x, y, _LTTB_OUT)
+    return pa.table({
+        "pos": pa.array(range(len(sel)), pa.int64()),
+        "x": pa.array(x[sel], pa.int64()),
+        "y": pa.array(y[sel], pa.int64())})
+
+
+def _lttb_sql() -> str:
+    b = _LTTB_OUT - 2
+    ctes = ["""series AS (
+  SELECT CAST(date_diff('hour', TIMESTAMP '2024-01-01', ts) AS BIGINT)
+           AS x,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE NOT isnan(value) GROUP BY 1)""", f"""pts AS (
+  SELECT row_number() OVER (ORDER BY x) - 1 AS i, x, y FROM series)""",
+            "nn AS (SELECT COUNT(*) AS n FROM pts)", f"""bkt AS (
+  SELECT p.i, p.x, p.y, ((p.i - 1) * {b}) // (nn.n - 2) AS b
+  FROM pts p, nn WHERE p.i >= 1 AND p.i <= nn.n - 2)""", f"""bavg AS (
+  SELECT b, SUM(x) AS sx, SUM(y) AS sy, COUNT(*) AS cnt
+  FROM bkt GROUP BY b)""", """lastp AS (
+  SELECT p.x, p.y FROM pts p, nn WHERE p.i = nn.n - 1)""",
+            "s0 AS (SELECT CAST(0 AS BIGINT) AS pos, x, y FROM pts WHERE i = 0)"]
+    for k in range(b):
+        nxt = (f"SELECT sx, sy, cnt FROM bavg WHERE b = {k + 1}"
+               if k + 1 < b else
+               "SELECT x AS sx, y AS sy, 1 AS cnt FROM lastp")
+        ctes.append(f"""s{k + 1} AS (
+  SELECT CAST({k + 1} AS BIGINT) AS pos, c.x, c.y
+  FROM bkt c, s{k} p, ({nxt}) a
+  WHERE c.b = {k}
+  ORDER BY abs((p.x * a.cnt - a.sx) * (c.y - p.y)
+               - (p.x - c.x) * (a.sy - p.y * a.cnt)) DESC, c.i
+  LIMIT 1)""")
+    sels = " UNION ALL ".join(
+        [f"SELECT * FROM s{k}" for k in range(b + 1)]
+        + [f"SELECT CAST({b + 1} AS BIGINT) AS pos, x, y FROM lastp"])
+    return "WITH " + ",\n".join(ctes) + "\n" + sels
+
+
+SQL_LTTB_DOWNSAMPLE = _lttb_sql()
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -17131,6 +17248,7 @@ QUERIES = {
     "did_estimate": (q_did_estimate, SQL_DID_ESTIMATE),
     "evolve_roundtrip": (q_evolve_roundtrip, SQL_EVOLVE_ROUNDTRIP),
     "encoding_profile": (q_encoding_profile, SQL_ENCODING_PROFILE),
+    "lttb_downsample": (q_lttb_downsample, SQL_LTTB_DOWNSAMPLE),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —

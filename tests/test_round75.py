@@ -399,3 +399,60 @@ class TestEvolveRoundtrip:
                 assert v is None, (e, v)   # v1 generation: late col null
             else:
                 assert isinstance(v, int)  # v2 generation: real cents
+
+
+class TestLttb:
+    def test_fixed_endpoints_and_size(self, ray_session):
+        from raybeats.queries import q_lttb_downsample
+        t = q_lttb_downsample("/root/testdata/sf0.001")
+        assert t.num_rows == 24
+        x = t["x"].to_pylist()
+        assert x == sorted(x)
+        assert t["pos"].to_pylist() == list(range(24))
+
+    def test_matches_reference_float_impl(self):
+        """The integer-area selection must match a straightforward
+        float LTTB on random series (areas scaled by the bucket count
+        are order-equivalent to the float triangle areas)."""
+        import random
+        from raybeats.queries import lttb_select
+        rng = random.Random(11)
+        for _ in range(50):
+            n = rng.randint(5, 300)
+            n_out = rng.randint(3, min(n, 40))
+            x = sorted(rng.sample(range(n * 10), n))
+            y = [rng.randint(0, 10_000) for _ in range(n)]
+            got = lttb_select(x, y, n_out)
+            want = self._lttb_float(x, y, n_out)
+            assert got == want, (n, n_out)
+
+    @staticmethod
+    def _lttb_float(x, y, n_out):
+        from fractions import Fraction
+        n = len(x)
+        if n <= n_out:
+            return list(range(n))
+        b = n_out - 2
+        bucket = [None] + [(j * b) // (n - 2)
+                           for j in range(n - 2)] + [None]
+        sel, prev = [0], 0
+        for k in range(b):
+            cand = [i for i in range(1, n - 1) if bucket[i] == k]
+            nxt = [i for i in range(1, n - 1) if bucket[i] == k + 1] \
+                or [n - 1]
+            ax = Fraction(sum(x[i] for i in nxt), len(nxt))
+            ay = Fraction(sum(y[i] for i in nxt), len(nxt))
+            best, best_a = None, Fraction(-1)
+            for i in cand:
+                a = abs((x[prev] - ax) * (y[i] - y[prev])
+                        - (x[prev] - x[i]) * (ay - y[prev]))
+                if a > best_a:
+                    best, best_a = i, a
+            sel.append(best)
+            prev = best
+        sel.append(n - 1)
+        return sel
+
+    def test_short_series_passthrough(self):
+        from raybeats.queries import lttb_select
+        assert lttb_select([1, 2, 3], [4, 5, 6], 10) == [0, 1, 2]
