@@ -806,15 +806,32 @@ class QuantumCdfState:
                          "cnt": pa.array([self.acc[q] for q in qs],
                                          pa.int64())})
 
+    # checkpoint protocol (see checkpoint_actors) — the CDF dict IS
+    # the flush table, so snapshot and flush share one encoding
+    def state_tables(self) -> dict:
+        return {"cdf": self.flush()} if self.acc else {}
+
+    def restore_tables(self, tables: dict) -> None:
+        self.acc = {}
+        if "cdf" in tables:
+            t = tables["cdf"]
+            self.acc = dict(zip(t.column("q").to_pylist(),
+                                t.column("cnt").to_pylist()))
+
 
 def streaming_quantile(micro_batches, *, q: float,
                        value_col: str = "value", scale: int = 100,
                        n_buckets: int = 4,
-                       key_col: str = "user_id") -> tuple[int, int]:
+                       key_col: str = "user_id",
+                       checkpoint_to: str | None = None,
+                       restore_from: str | None = None
+                       ) -> tuple[int, int]:
     """Incremental exact discrete quantile over time-ordered
     micro-batches — equals the batch
     ``aggregates.global_discrete_quantile`` bit-exactly for any split
-    (tested). Returns ``(threshold_quantum, n_rows)``."""
+    (tested). Returns ``(threshold_quantum, n_rows)``.
+    ``checkpoint_to``/``restore_from`` snapshot and resume the CDF
+    state across driver runs (see :func:`checkpoint_actors`)."""
     import ray
 
     from .aggregates import quantile_from_cdf
@@ -823,7 +840,10 @@ def streaming_quantile(micro_batches, *, q: float,
         raise ValueError(f"q must be in (0, 1]: {q!r}")
     actors, _ = _drive_keyed_actors(micro_batches, QuantumCdfState,
                                     (value_col, scale), n_buckets,
-                                    key_col=key_col)
+                                    key_col=key_col,
+                                    restore_dir=restore_from)
+    if checkpoint_to is not None:
+        checkpoint_actors(actors, n_buckets, checkpoint_to)
     acc: dict[int, int] = {}
     for t in ray.get([a.flush.remote() for a in actors]):
         for qq, c in zip(t.column("q").to_pylist(),

@@ -718,3 +718,27 @@ def test_streaming_checkpoint_layout_guards(ray_session):
     with _pytest.raises(ValueError, match="layout"):
         streaming_latest([rd.from_arrow(t)], n_buckets=8,
                          restore_from=ck)
+
+
+def test_streaming_quantile_checkpoint_resume(ray_session):
+    """CDF-state checkpoint/resume across driver calls: the resumed
+    quantile equals the batch fold over both runs' rows bit-exactly."""
+    import shutil
+
+    import ray.data as rd
+
+    from raybeats.aggregates import global_discrete_quantile
+    from raybeats.streaming import streaming_quantile
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["user_id", "value"])
+    n = t.num_rows
+    ck = "/tmp/raybeats_test_ckpt_quantile"
+    shutil.rmtree(ck, ignore_errors=True)
+    streaming_quantile([rd.from_arrow(t.slice(0, n // 2))], q=0.95,
+                       n_buckets=4, checkpoint_to=ck)
+    got = streaming_quantile([rd.from_arrow(t.slice(n // 2))], q=0.95,
+                             n_buckets=4, restore_from=ck)
+    want = global_discrete_quantile(rd.from_arrow(t), q=0.95,
+                                    value_col="value", scale=100)
+    assert got == want
