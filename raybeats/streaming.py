@@ -1348,3 +1348,101 @@ def streaming_funnel(micro_batches, first_type: str = "click",
                          "conv_ts": pa.array([], pa.timestamp("us"))})
     return pa.concat_tables(parts).sort_by(
         [("user_id", "ascending"), ("first_ts", "ascending")])
+
+
+class RatelimitState:
+    """Streaming keyed token-bucket rate limiting — the reference's
+    ``ratelimit`` processor is inherently a streaming concept (one
+    persistent bucket map fed by an ordered event stream); this state
+    hosts the LITERAL batch processor (`processors.ratelimit.
+    RateLimit`), whose bucket dict persists across pushes, so the
+    union of per-run flushes equals one batch apply over the full
+    time-ordered stream exactly (same per-key token arithmetic chain).
+
+    ORDER-SENSITIVE, unlike the commutative states: token refill
+    depends on event order, so micro-batches MUST arrive time-ordered
+    (the kafka lane's per-lane ordering contract supplies this); a
+    late row would see a refilled bucket the batch run never had.
+    Kept rows buffer per run and are NOT checkpointed — each run
+    emits its own kept rows exactly once, and only the bucket state
+    crosses runs."""
+
+    def __init__(self, limit: str, fields: tuple,
+                 burst_multiplier: float = 1.0, ts_field: str = "ts"):
+        from .processors.ratelimit import RateLimit
+        self.rl = RateLimit(limit=limit, fields=list(fields),
+                            burst_multiplier=burst_multiplier,
+                            ts_field=ts_field)
+        self.fields = list(self.rl.fields)  # processor sorts them
+        self.kept: list[pa.Table] = []
+
+    def process(self, tbl: pa.Table) -> None:
+        if "bucket" in tbl.column_names:
+            tbl = tbl.drop_columns(["bucket"])
+        if tbl.num_rows == 0:
+            return None
+        out = self.rl.apply(tbl)
+        if out.num_rows:
+            self.kept.append(out)
+        return None
+
+    def flush(self) -> pa.Table:
+        if not self.kept:
+            return pa.table({})
+        return pa.concat_tables(self.kept, promote_options="default")
+
+    # checkpoint protocol (see checkpoint_actors): one row per bucket,
+    # key fields as typed columns + (tokens, last_ts) doubles
+    def state_tables(self) -> dict:
+        if not self.rl.buckets:
+            return {}
+        keys = list(self.rl.buckets)
+        cols = {f"k{i}": pa.array([k[i] for k in keys])
+                for i in range(len(self.fields))}
+        cols["tokens"] = pa.array(
+            [self.rl.buckets[k][0] for k in keys], pa.float64())
+        cols["last"] = pa.array(
+            [self.rl.buckets[k][1] for k in keys], pa.float64())
+        return {"buckets": pa.table(cols)}
+
+    def restore_tables(self, tables: dict) -> None:
+        self.rl.buckets = {}
+        if "buckets" not in tables:
+            return
+        t = tables["buckets"]
+        key_cols = [t.column(f"k{i}").to_pylist()
+                    for i in range(len(self.fields))]
+        toks = t.column("tokens").to_pylist()
+        last = t.column("last").to_pylist()
+        for i in range(t.num_rows):
+            self.rl.buckets[tuple(c[i] for c in key_cols)] = \
+                (toks[i], last[i])
+
+
+def streaming_ratelimit(micro_batches, limit: str = "60/m",
+                        fields: tuple = ("user_id",),
+                        burst_multiplier: float = 1.0,
+                        n_buckets: int = 4,
+                        checkpoint_to: str | None = None,
+                        restore_from: str | None = None) -> pa.Table:
+    """Drive :class:`RatelimitState` over TIME-ORDERED micro-batches;
+    returns the kept rows (this run's), equal to the batch
+    ``rate_limit`` processor applied once over the runs' concatenated
+    stream (tested, including across a checkpoint/resume boundary).
+    Rows bucket by the first key field so each key's events meet
+    exactly one bucket's actor."""
+    import ray
+
+    actors, _ = _drive_keyed_actors(
+        micro_batches, RatelimitState,
+        (limit, tuple(fields), burst_multiplier), n_buckets,
+        key_col=fields[0], restore_dir=restore_from)
+    if checkpoint_to is not None:
+        checkpoint_actors(actors, n_buckets, checkpoint_to)
+    parts = [t for t in ray.get([a.flush.remote() for a in actors])
+             if t.num_rows]
+    if not parts:
+        return pa.table({})
+    out = pa.concat_tables(parts, promote_options="default")
+    keys = [(f, "ascending") for f in sorted(fields)]
+    return out.sort_by(keys + [("ts", "ascending")])

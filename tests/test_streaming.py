@@ -742,3 +742,49 @@ def test_streaming_quantile_checkpoint_resume(ray_session):
     want = global_discrete_quantile(rd.from_arrow(t), q=0.95,
                                     value_col="value", scale=100)
     assert got == want
+
+
+def test_streaming_ratelimit_equals_batch(ray_session):
+    """Union of per-run kept rows ≡ one batch RateLimit apply over the
+    full time-ordered stream — for any split and across a
+    checkpoint/resume boundary (bucket state crosses runs; kept rows
+    emit exactly once per run)."""
+    import shutil
+
+    import ray.data as rd
+
+    from raybeats.processors.ratelimit import RateLimit
+    from raybeats.streaming import streaming_ratelimit
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_id", "ts", "user_id"]) \
+        .sort_by([("ts", "ascending")])
+    n = t.num_rows
+    want = RateLimit(limit="1/h", fields=["user_id"]).apply(t) \
+        .sort_by([("user_id", "ascending"), ("ts", "ascending")])
+    assert 0 < want.num_rows < n  # non-vacuous: some rows dropped
+
+    # any split, single run
+    for cuts in ([n], [n // 3, 2 * n // 3, n]):
+        lo, slices = 0, []
+        for hi in cuts:
+            slices.append(rd.from_arrow(t.slice(lo, hi - lo)))
+            lo = hi
+        got = streaming_ratelimit(slices, limit="1/h",
+                                  fields=("user_id",), n_buckets=4)
+        assert got.select(want.column_names).to_pylist() \
+            == want.to_pylist(), cuts
+
+    # checkpoint/resume across driver calls: run 1 + run 2 kept rows
+    ck = "/tmp/raybeats_test_ckpt_ratelimit"
+    shutil.rmtree(ck, ignore_errors=True)
+    k1 = streaming_ratelimit([rd.from_arrow(t.slice(0, n // 2))],
+                             limit="1/h", fields=("user_id",),
+                             n_buckets=4, checkpoint_to=ck)
+    k2 = streaming_ratelimit([rd.from_arrow(t.slice(n // 2))],
+                             limit="1/h", fields=("user_id",),
+                             n_buckets=4, restore_from=ck)
+    both = pa.concat_tables([k1, k2]) \
+        .sort_by([("user_id", "ascending"), ("ts", "ascending")])
+    assert both.select(want.column_names).to_pylist() \
+        == want.to_pylist()
