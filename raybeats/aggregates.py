@@ -571,17 +571,30 @@ def funnel_first_conversion(ds, *, first_type: str, then_type: str,
                          "side": c.column("side"), "u": c.column("u"),
                          "t": c.column("t")})
 
-    def empty() -> pa.Table:
-        return pa.table({user_col: pa.array([], pa.int64()),
-                         "first_ts": pa.array([], pa.timestamp("us")),
-                         "conv_ts": pa.array([], pa.timestamp("us"))})
-
     def grp(g: pa.Table) -> pa.Table:
         return funnel_kernel(g, within_us=within_us, user_col=user_col)
 
     return (ds.map_batches(tag, batch_format="pyarrow")
               .groupby("__fn_bkt")
               .map_groups(grp, batch_format="pyarrow"))
+
+
+def pav_blocks(npos, cnt) -> list:
+    """Pool-adjacent-violators over positional (n_pos, n) pairs —
+    EXACT: merge decisions by integer cross-multiplication, ``>=`` so
+    adjacent equal-mean blocks pool (maximal equal-fit runs, matching
+    a GROUP-BY-fit oracle). → ``[[sum_pos, sum_n, lo_idx, hi_idx]]``.
+    Shared verbatim by ``q_isotonic_fit`` and its brute-force
+    property test, so the tested loop IS the production loop."""
+    stack: list[list[int]] = []
+    for i in range(len(npos)):
+        stack.append([int(npos[i]), int(cnt[i]), i, i])
+        while len(stack) > 1 and (stack[-2][0] * stack[-1][1]
+                                  >= stack[-1][0] * stack[-2][1]):
+            sp, sn, lo, _ = stack[-2]
+            sp2, sn2, _, hi = stack.pop()
+            stack[-1] = [sp + sp2, sn + sn2, lo, hi]
+    return stack
 
 
 def funnel_compact(t: pa.Table, *, first_type: str, then_type: str,

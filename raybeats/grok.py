@@ -165,7 +165,11 @@ class GrokParser:
         for field, gname, typ in self.fields:
             col = pc.struct_field(ex, gname)
             if typ == "int":
-                col = pc.cast(col, pa.int64())
+                # Arrow's string→int64 rejects a leading '+' that the
+                # INT library pattern (and DuckDB's CAST) accept —
+                # strip it so '+7' parses identically in both engines
+                col = pc.cast(pc.replace_substring_regex(
+                    col, r"^\+", ""), pa.int64())
             elif typ == "float":
                 col = pc.cast(col, pa.float64())
             out[field] = col

@@ -11915,10 +11915,12 @@ def q_csv_roundtrip(sf_dir: str):
 
     import ray.data as rd
 
-    # fixed per-corpus scratch, overwritten each run — repeated
-    # bench/gate invocations must not accumulate /tmp copies
-    out_dir = "/tmp/raybeats_csv_rt_" + hashlib.md5(
+    # per-(corpus, pid) scratch, overwritten each run — repeated
+    # invocations in one process must not accumulate /tmp copies,
+    # while concurrent processes must not race each other's rmtree
+    out_dir = ("/tmp/raybeats_csv_rt_" + hashlib.md5(
         sf_dir.encode()).hexdigest()[:12]
+        + f"_{__import__('os').getpid()}")
     shutil.rmtree(out_dir, ignore_errors=True)
     _read(sf_dir, "events", ["event_id", "event_type"]) \
         .write_csv(out_dir)
@@ -16147,20 +16149,11 @@ def q_isotonic_fit(sf_dir: str):
     cnt = agg.column("n").to_numpy(zero_copy_only=False)
     order = np.argsort(q, kind="stable")
     q, npos, cnt = q[order], npos[order], cnt[order]
-    # PAV stack: (sum_pos, sum_n, q_lo, q_hi); merge on >= so adjacent
-    # equal-mean blocks pool — maximal equal-fit runs, matching the
-    # oracle's GROUP BY fit value
-    stack: list[list[int]] = []
-    for i in range(len(q)):
-        stack.append([int(npos[i]), int(cnt[i]), int(q[i]), int(q[i])])
-        while len(stack) > 1 and (stack[-2][0] * stack[-1][1]
-                                  >= stack[-1][0] * stack[-2][1]):
-            sp, sn, lo, _ = stack[-2]
-            sp2, sn2, _, hi = stack.pop()
-            stack[-1] = [sp + sp2, sn + sn2, lo, hi]
+    from .aggregates import pav_blocks
+    stack = pav_blocks(npos, cnt)
     return pa.table({
-        "q_lo": pa.array([b[2] for b in stack], pa.int64()),
-        "q_hi": pa.array([b[3] for b in stack], pa.int64()),
+        "q_lo": pa.array([int(q[b[2]]) for b in stack], pa.int64()),
+        "q_hi": pa.array([int(q[b[3]]) for b in stack], pa.int64()),
         "n": pa.array([b[1] for b in stack], pa.int64()),
         "n_pos": pa.array([b[0] for b in stack], pa.int64()),
         "fit": pa.array([b[0] / b[1] for b in stack], pa.float64())})
@@ -16258,6 +16251,17 @@ SQL_IN_SUBQUERY_MARK = """SELECT event_id,
 FROM events"""
 
 
+def morton_spread16(v):
+    """Spread the low 16 bits of ``v`` to even positions (the standard
+    mask-spread; works on python ints and numpy int64 arrays). Shared
+    by ``q_zorder_stats`` and its bit-by-bit interleave test."""
+    v = (v | (v << 8)) & 0x00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F
+    v = (v | (v << 2)) & 0x33333333
+    v = (v | (v << 1)) & 0x55555555
+    return v
+
+
 def q_zorder_stats(sf_dir: str):
     """Z-order (Morton) layout keys + per-curve-bucket locality stats —
     the multi-column clustering step before a sorted write (the
@@ -16272,13 +16276,7 @@ def q_zorder_stats(sf_dir: str):
     silently aliasing the curve."""
     import numpy as np
 
-    def spread(v):
-        v = (v | (v << 8)) & 0x00FF00FF
-        v = (v | (v << 4)) & 0x0F0F0F0F
-        v = (v | (v << 2)) & 0x33333333
-        v = (v | (v << 1)) & 0x55555555
-        return v
-
+    spread = morton_spread16
     epoch = np.datetime64("2024-01-01")
 
     def partial(tbl: pa.Table) -> pa.Table:
@@ -16628,9 +16626,13 @@ def q_did_estimate(sf_dir: str):
     rows = {(t, p): (c, n) for t, p, c, n in zip(
         agg.column("treat").to_pylist(), agg.column("post").to_pylist(),
         agg.column("cents").to_pylist(), agg.column("n").to_pylist())}
-    mean = {k: v[0] / v[1] if v[1] else None for k, v in rows.items()}
+    # empty cells are OMITTED, matching the oracle's GROUP BY (a cell
+    # with no purchases produces no row there); a missing cell also
+    # nulls the DiD, exactly as the oracle's MAX over an absent row
+    rows = {k: v for k, v in rows.items() if v[1] > 0}
+    mean = {k: v[0] / v[1] for k, v in rows.items()}
     cells = [(1, 1), (1, 0), (0, 1), (0, 0)]
-    did = None if any(mean.get(k) is None for k in cells) else \
+    did = None if any(k not in mean for k in cells) else \
         ((mean[(1, 1)] - mean[(1, 0)])
          - (mean[(0, 1)] - mean[(0, 0)]))
     out = {"treat": [], "post": [], "cents": [], "n": [],
@@ -16683,8 +16685,12 @@ def q_evolve_roundtrip(sf_dir: str):
 
     import ray.data as rd
 
-    out_dir = "/tmp/raybeats_evolve_" + hashlib.md5(
+    # keyed by (corpus, pid): repeated runs in one process reuse and
+    # overwrite; CONCURRENT processes (bench vs pytest workers) get
+    # disjoint dirs instead of racing each other's rmtree/read
+    out_dir = ("/tmp/raybeats_evolve_" + hashlib.md5(
         sf_dir.encode()).hexdigest()[:12]
+        + f"_{__import__('os').getpid()}")
     shutil.rmtree(out_dir, ignore_errors=True)
 
     ev = _read(sf_dir, "events", ["event_id", "event_type", "ts",
@@ -16860,7 +16866,12 @@ def q_lttb_downsample(sf_dir: str):
     corpus-bounded); the sequential selection then runs driver-side
     over ≤ calendar-hours points with EXACT integer triangle areas, so
     the oracle — the same selection unrolled into one generated CTE
-    chain per step — lands on identical points."""
+    chain per step — lands on identical points. The engine passes a
+    series already at or under the target through unchanged; the
+    UNROLLED mirror always runs its fixed steps, so the oracle is
+    meaningful only for series longer than the target (driver corpora
+    span 720 hours ≫ 24; a shorter corpus would want the engine's
+    passthrough, which is the general answer)."""
     import numpy as np
 
     def part(tbl: pa.Table) -> pa.Table:

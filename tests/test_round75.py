@@ -181,15 +181,9 @@ class TestIsotonicPAV:
 
     @staticmethod
     def _pav(npos, cnt):
-        stack = []
-        for i in range(len(npos)):
-            stack.append([npos[i], cnt[i], i, i])
-            while len(stack) > 1 and (stack[-2][0] * stack[-1][1]
-                                      >= stack[-1][0] * stack[-2][1]):
-                sp, sn, lo, _ = stack[-2]
-                sp2, sn2, _, hi = stack.pop()
-                stack[-1] = [sp + sp2, sn + sn2, lo, hi]
-        return stack
+        # the PRODUCTION kernel — not a copy (review finding)
+        from raybeats.aggregates import pav_blocks
+        return pav_blocks(npos, cnt)
 
     def test_matches_minimax_brute_force(self):
         import random
@@ -274,16 +268,12 @@ class TestMarkJoin:
 
 class TestZorder:
     def test_morton_interleave_exact(self):
-        # spread(x) | spread(y) << 1 must equal bit-by-bit interleave
+        # spread(x) | spread(y) << 1 must equal bit-by-bit interleave;
+        # exercises the PRODUCTION kernel, not a copy (review finding)
         import random
-        rng = random.Random(3)
 
-        def spread(v):
-            v = (v | (v << 8)) & 0x00FF00FF
-            v = (v | (v << 4)) & 0x0F0F0F0F
-            v = (v | (v << 2)) & 0x33333333
-            v = (v | (v << 1)) & 0x55555555
-            return v
+        from raybeats.queries import morton_spread16 as spread
+        rng = random.Random(3)
 
         for _ in range(200):
             x, y = rng.randrange(65536), rng.randrange(65536)
@@ -456,3 +446,53 @@ class TestLttb:
     def test_short_series_passthrough(self):
         from raybeats.queries import lttb_select
         assert lttb_select([1, 2, 3], [4, 5, 6], 10) == [0, 1, 2]
+
+
+class TestReviewFixes:
+    def test_grok_plus_signed_int(self):
+        """'+7' matches the INT pattern and must cast like DuckDB's
+        CAST('+7' AS BIGINT) instead of killing the batch."""
+        p = GrokParser(r"^evt %{INT:n:int}$")
+        vals, ok = p.parse_column(pa.array(["evt +7", "evt -3",
+                                            "evt 9"]))
+        assert ok.to_pylist() == [True, True, True]
+        assert vals["n"].to_pylist() == [7, -3, 9]
+
+    def test_rolling_checkpoint_invalidates_old_manifest(
+            self, ray_session, monkeypatch):
+        """Re-checkpointing into the same directory must remove the
+        prior manifest BEFORE writing files, so a crash mid-overwrite
+        can never leave the old manifest validating mixed state."""
+        import shutil
+
+        import ray.data as rd
+
+        from raybeats import streaming as st
+
+        t = pa.table({"event_id": pa.array([1, 2], pa.int64()),
+                      "ts": pa.array([10, 20], pa.int64())
+                      .cast(pa.timestamp("us")),
+                      "user_id": pa.array([1, 2], pa.int64())})
+        ck = "/tmp/raybeats_test_ckpt_rolling"
+        shutil.rmtree(ck, ignore_errors=True)
+        st.streaming_latest([rd.from_arrow(t)], n_buckets=2,
+                            checkpoint_to=ck)
+        # crash INSIDE the second checkpoint, after the old manifest
+        # must already be gone
+        import pyarrow.parquet as _pq
+        real_write = _pq.write_table
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated crash mid-checkpoint")
+
+        monkeypatch.setattr(_pq, "write_table", boom)
+        try:
+            st.streaming_latest([rd.from_arrow(t)], n_buckets=2,
+                                restore_from=ck, checkpoint_to=ck)
+        except RuntimeError:
+            pass
+        monkeypatch.setattr(_pq, "write_table", real_write)
+        # the interrupted checkpoint left NO manifest → resume refuses
+        with pytest.raises(FileNotFoundError, match="manifest"):
+            st.streaming_latest([rd.from_arrow(t)], n_buckets=2,
+                                restore_from=ck)
