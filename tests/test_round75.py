@@ -262,7 +262,7 @@ class TestMarkJoin:
         import ray.data as rd
         from raybeats.joins import mark_join
         left = rd.from_arrow(pa.table({"k": [1], "m": [True]}))
-        with pytest.raises(ValueError, match="already has"):
+        with pytest.raises(ValueError, match="duplicate or reserved"):
             mark_join(left, left, on="k", mark_col="m", n_buckets=2)
 
 
@@ -496,3 +496,36 @@ class TestReviewFixes:
         with pytest.raises(FileNotFoundError, match="manifest"):
             st.streaming_latest([rd.from_arrow(t)], n_buckets=2,
                                 restore_from=ck)
+
+
+class TestMultiMarkJoin:
+    def test_two_marks_one_shuffle_truth(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from raybeats.joins import multi_mark_join
+        left = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3, None],
+                                                     pa.int64())}))
+        r1 = rd.from_arrow(pa.table({"k": pa.array([1, None],
+                                                   pa.int64())}))
+        r2 = rd.from_arrow(pa.table({"k": pa.array([2, 3],
+                                                   pa.int64())}))
+        out = multi_mark_join(left, [(r1, "k", "m1"), (r2, "k", "m2")],
+                              on="k", n_buckets=4).take_all()
+        got = {r["k"]: (r["m1"], r["m2"]) for r in out}
+        for k in [1, 2, 3, None]:
+            klit = "CAST(NULL AS BIGINT)" if k is None else str(k)
+            w1 = duckdb.sql(f"SELECT {klit} IN (SELECT unnest("
+                            f"[1, NULL]::BIGINT[]))").fetchone()[0]
+            w2 = duckdb.sql(f"SELECT {klit} IN (SELECT unnest("
+                            f"[2, 3]::BIGINT[]))").fetchone()[0]
+            assert got[k] == (w1, w2), k
+
+    def test_duplicate_mark_cols_raise(self, ray_session):
+        import ray.data as rd
+
+        from raybeats.joins import multi_mark_join
+        left = rd.from_arrow(pa.table({"k": [1]}))
+        with pytest.raises(ValueError, match="duplicate or reserved"):
+            multi_mark_join(left, [(left, "k", "m"), (left, "k", "m")],
+                            on="k", n_buckets=2)
