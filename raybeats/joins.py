@@ -489,6 +489,9 @@ def multi_mark_join(left_ds, rights, *, on: str,
     """
     if not rights:
         raise ValueError("multi_mark_join: empty rights list")
+    if len(rights) > 40:  # side codes are int8: 1 + 3*j + 2 <= 127
+        raise ValueError(f"multi_mark_join: {len(rights)} subqueries "
+                         "exceed the int8 side-code space (max 40)")
     if left_schema is None:
         left_schema = getattr(left_ds.schema(), "base_schema",
                               left_ds.schema())
