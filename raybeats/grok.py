@@ -76,6 +76,20 @@ BASE_PATTERNS: dict[str, str] = {
                  r"[Ss]evere|SEVERE|[Ee]merg(?:ency)?|EMERG(?:ENCY)?)"),
     "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%_\-]*)+",
     "SYSLOGPROG": r"%{WORD}(?:\[%{NONNEGINT}\])?",
+    "MONTH": (r"\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|"
+              r"Apr(?:il)?|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|"
+              r"Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|"
+              r"Dec(?:ember)?)\b"),
+    "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
+    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    # carries its own semantic field names, like the public pattern —
+    # referencing %{COMMONAPACHELOG} unnamed still yields them all
+    "COMMONAPACHELOG": (
+        r'%{IPORHOST:clientip} %{USER:ident} %{USER:auth} '
+        r'\[%{HTTPDATE:timestamp}\] '
+        r'"(?:%{WORD:verb} %{NOTSPACE:request}'
+        r'(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})" '
+        r'%{NUMBER:response:int} (?:%{NUMBER:bytes:int}|-)'),
 }
 
 _TYPES = ("int", "float")
@@ -141,14 +155,18 @@ class GrokParser:
             compiled = re.compile(self.regex_str)
         except re.error as e:  # pragma: no cover - config error path
             raise ConfigError(f"grok: invalid expanded regex: {e}")
-        # named groups appear in field order with no other capturing
-        # groups (library invariant) — verify rather than assume
+        # every capture group must BE a named field (library patterns
+        # add no anonymous groups) — indexes need not be in field-list
+        # order: a named reference to a composite pattern that itself
+        # carries named fields (e.g. %{COMMONAPACHELOG:line}) opens
+        # the outer group before the inner ones
         self.sql_groups = [(f, compiled.groupindex[g], t)
                            for f, g, t in self.fields]
-        if [i for _, i, _ in self.sql_groups] != list(
+        if compiled.groups != len(self.fields) or sorted(
+                i for _, i, _ in self.sql_groups) != list(
                 range(1, len(self.fields) + 1)):
             raise ConfigError(
-                "grok: a pattern introduced an unexpected capturing "
+                "grok: a pattern introduced an anonymous capturing "
                 "group; library patterns must be non-capturing")
 
     def parse_column(self, arr) -> tuple[dict[str, pa.Array], pa.Array]:
@@ -164,10 +182,16 @@ class GrokParser:
         out: dict[str, pa.Array] = {}
         for field, gname, typ in self.fields:
             col = pc.struct_field(ex, gname)
+            if typ in ("int", "float"):
+                # an OPTIONAL group that did not participate in a
+                # matched row extracts as '' (both RE2 engines) — a
+                # numeric pattern can never match empty, so '' maps to
+                # NULL, mirroring the oracle's NULLIF(..., '') cast.
+                # Arrow's string→int64 also rejects the leading '+'
+                # the INT pattern (and DuckDB's CAST) accept — strip.
+                col = pc.if_else(pc.equal(col, ""),
+                                 pa.scalar(None, pa.string()), col)
             if typ == "int":
-                # Arrow's string→int64 rejects a leading '+' that the
-                # INT library pattern (and DuckDB's CAST) accept —
-                # strip it so '+7' parses identically in both engines
                 col = pc.cast(pc.replace_substring_regex(
                     col, r"^\+", ""), pa.int64())
             elif typ == "float":

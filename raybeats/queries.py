@@ -15939,10 +15939,12 @@ def _grok_sql_fields(parser, re_sql: str, *, skip=(),
         if field in skip:
             continue
         ex = f"regexp_extract(text, '{re_sql}', {idx})"
+        # NULLIF: an optional group that did not participate extracts
+        # as '' — the engine maps that to NULL for numeric fields
         if typ == "int":
-            ex = f"CAST({ex} AS BIGINT)"
+            ex = f"CAST(NULLIF({ex}, '') AS BIGINT)"
         elif typ == "float":
-            ex = f"CAST({ex} AS DOUBLE)"
+            ex = f"CAST(NULLIF({ex}, '') AS DOUBLE)"
         cond = f"regexp_matches(text, '{re_sql}')"
         if when:
             cond = f"{when} AND {cond}"

@@ -43,13 +43,16 @@ class TestExpansion:
         assert ok.to_pylist() == [True, False]
         assert vals["kv"].to_pylist() == ["a=b", None]
 
-    def test_library_has_no_capturing_groups(self):
-        """A capturing paren inside a library pattern would silently
-        shift every SQL group index after it."""
+    def test_library_has_no_anonymous_groups(self):
+        """An anonymous capturing paren inside a library pattern would
+        silently shift SQL group indexes. Composite patterns may carry
+        their OWN named fields (COMMONAPACHELOG) — every group must be
+        a named field, nothing more."""
         import re
         for name, pat in BASE_PATTERNS.items():
-            expanded = GrokParser(f"%{{{name}:x}}").regex_str
-            assert re.compile(expanded).groups == 1, name
+            p = GrokParser(f"%{{{name}:x}}")
+            assert re.compile(p.regex_str).groups == len(p.fields), name
+            assert any(f == "x" for f, _, _ in p.fields), name
 
 
 class TestParse:
@@ -529,3 +532,73 @@ class TestMultiMarkJoin:
         with pytest.raises(ValueError, match="duplicate or reserved"):
             multi_mark_join(left, [(left, "k", "m"), (left, "k", "m")],
                             on="k", n_buckets=2)
+
+
+class TestApacheLog:
+    LINES = [
+        '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+        '"GET /apache_pb.gif HTTP/1.0" 200 2326',
+        '10.1.2.3 - - [21/Aug/2026:08:00:01 +0000] '
+        '"POST /api/v1/items HTTP/1.1" 503 -',
+        'not an access log line',
+    ]
+
+    def test_commonapachelog_fields(self):
+        p = GrokParser("^%{COMMONAPACHELOG}$")
+        vals, ok = p.parse_column(pa.array(self.LINES))
+        assert ok.to_pylist() == [True, True, False]
+        assert vals["clientip"].to_pylist() == ["127.0.0.1", "10.1.2.3",
+                                                None]
+        assert vals["auth"].to_pylist() == ["frank", "-", None]
+        assert vals["verb"].to_pylist() == ["GET", "POST", None]
+        assert vals["request"].to_pylist() == ["/apache_pb.gif",
+                                               "/api/v1/items", None]
+        assert vals["response"].to_pylist() == [200, 503, None]
+        assert vals["bytes"].to_pylist() == [2326, None, None]
+        assert vals["timestamp"].to_pylist() == [
+            "10/Oct/2000:13:55:36 -0700", "21/Aug/2026:08:00:01 +0000",
+            None]
+
+    def test_access_log_pipeline_end_to_end(self, ray_session,
+                                            tmp_path):
+        """Raw access-log files → grok → route → partitioned sinks
+        through the config surface (the classic Beats+grok use)."""
+        from raybeats.pipeline import Pipeline
+
+        log = tmp_path / "access.log"
+        log.write_text("\n".join(self.LINES + [
+            '192.168.0.9 - - [21/Aug/2026:09:10:11 +0000] '
+            '"GET /health HTTP/1.1" 500 12']) + "\n")
+        pipe = Pipeline({
+            "source": {"type": "log_lines"},
+            "processors": [
+                {"grok": {"patterns": "%{COMMONAPACHELOG}",
+                          "field": "message"}},
+            ],
+            "router": {
+                "rules": [
+                    {"sink": "dead_letter",
+                     "when": {"contains": {"log_flags": "grok_error"}}},
+                    {"sink": "errors",
+                     "when": {"range": {"response": {"gte": 500}}}},
+                    {"sink": "access"},
+                ],
+                "default": "access",
+            },
+        })
+        out = str(tmp_path / "out")
+        report = pipe.run([str(log)], out, partitions=1)
+        assert report["per_sink"] == {"access": 1, "errors": 2,
+                                      "dead_letter": 1}
+        import glob
+
+        import pyarrow.parquet as pq
+        files = glob.glob(f"{out}/**/*.parquet", recursive=True)
+        got = pa.concat_tables([pq.read_table(f) for f in files],
+                               promote_options="default")
+        sink = [f.split("sink=")[1].split("/")[0]
+                for f in files for _ in range(
+                    pq.read_metadata(f).num_rows)]
+        resp = got.column("response").to_pylist()
+        by = sorted(zip(sink, resp))
+        assert ("errors", 503) in by and ("errors", 500) in by
