@@ -223,7 +223,8 @@ def run_queries() -> dict[str, float]:
              "cidr_enrich", "isotonic_fit", "in_subquery_mark",
              "zorder_stats", "bootstrap_mean", "embed_quantize",
              "km_survival", "did_estimate", "evolve_roundtrip",
-             "encoding_profile", "lttb_downsample", "log_templates"]
+             "encoding_profile", "lttb_downsample", "log_templates",
+             "grok_apache"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

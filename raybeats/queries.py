@@ -15934,11 +15934,21 @@ def q_grok_parse(sf_dir: str):
 
 def _grok_sql_fields(parser, re_sql: str, *, skip=(),
                      when: str = "") -> str:
+    # DuckDB's regexp_extract BY INDEX caps at group 9; wide patterns
+    # (COMMONAPACHELOG has 10 fields) extract through the named-struct
+    # form instead, which has no such cap
+    by_struct = any(i > 9 for _, i, _ in parser.sql_groups)
+    gnames = [g for _, g, _ in parser.fields]
     parts = []
-    for field, idx, typ in parser.sql_groups:
+    for (field, gname, typ), (_f, idx, _t) in zip(parser.fields,
+                                                  parser.sql_groups):
         if field in skip:
             continue
-        ex = f"regexp_extract(text, '{re_sql}', {idx})"
+        if by_struct:
+            ex = (f"regexp_extract(text, '{re_sql}', "
+                  f"{gnames!r}).{gname}")
+        else:
+            ex = f"regexp_extract(text, '{re_sql}', {idx})"
         # NULLIF: an optional group that did not participate extracts
         # as '' — the engine maps that to NULL for numeric fields
         if typ == "int":
@@ -17048,6 +17058,102 @@ SELECT c.n AS n_tokens, c.t0 AS first_token, tpl.template, c.n_lines
 FROM c JOIN tpl ON c.n = tpl.n AND c.t0 = tpl.t0"""
 
 
+def q_grok_apache(sf_dir: str):
+    """COMMONAPACHELOG under the correctness gate: access-log lines
+    are derived deterministically from ``events`` (the transcripts
+    trick — both engines build byte-identical text), then parsed with
+    the composite library pattern — nested named fields, the
+    ``(?:bytes|-)`` optional numeric group (NULL via the ''→NULL
+    mapping), int conversions. One derive+parse ``map_batches`` pass;
+    the oracle runs the IDENTICAL expanded regex by group index over
+    the same derived lines."""
+    import numpy as np
+
+    from .grok import GrokParser
+    p = GrokParser("^%{COMMONAPACHELOG}$")
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.invert(pc.is_nan(tbl.column("value"))))
+        eid = t.column("event_id")
+        if isinstance(eid, pa.ChunkedArray):
+            eid = eid.combine_chunks()
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        e = eid.to_numpy(zero_copy_only=False)
+        ip = (u * 2654435761 + 12345) % (1 << 32)
+        ip_str = pa.array([f"{x >> 24}.{(x >> 16) & 255}."
+                           f"{(x >> 8) & 255}.{x & 255}"
+                           for x in ip], pa.string())
+        user = pc.if_else(
+            pc.equal(pa.array(e % 5, pa.int64()), 0),
+            pa.scalar("-"),
+            pc.binary_join_element_wise(
+                "u", pc.cast(t.column("user_id"), pa.string()), ""))
+        ts = pc.replace_substring_regex(
+            pc.strftime(t.column("ts"),
+                        format="%d/%b/%Y:%H:%M:%S +0000"),
+            r"\.\d+", "")
+        verb = pc.if_else(pc.equal(t.column("event_type"), "purchase"),
+                          pa.scalar("POST"), pa.scalar("GET"))
+        path = pc.binary_join_element_wise(
+            "/", t.column("event_type"), "/",
+            pc.cast(pa.array(e % 50, pa.int64()), pa.string()), "")
+        code = pc.if_else(
+            pc.equal(t.column("event_type"), "error"), pa.scalar("500"),
+            pc.if_else(pc.equal(t.column("event_type"), "purchase"),
+                       pa.scalar("201"), pa.scalar("200")))
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("value"), 100.0),
+                     round_mode="half_towards_infinity"), pa.int64())
+        nbytes = pc.if_else(pc.equal(pa.array(e % 7, pa.int64()), 0),
+                            pa.scalar("-"),
+                            pc.cast(cents, pa.string()))
+        line = pc.binary_join_element_wise(
+            ip_str, " - ", user, " [", ts, "] \"", verb, " ", path,
+            " HTTP/1.1\" ", code, " ", nbytes, "")
+        vals, ok = p.parse_column(line)
+        return pa.table({"event_id": eid, "parse_ok": ok, **vals})
+
+    return _read(sf_dir, "events",
+                 ["event_id", "user_id", "ts", "event_type",
+                  "value"]).map_batches(derive, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+
+
+def _grok_apache_sql() -> str:
+    from .grok import GrokParser
+    p = GrokParser("^%{COMMONAPACHELOG}$")
+    re_sql = p.regex_str.replace("'", "''")
+    return f"""WITH lines AS (
+  SELECT event_id,
+    CAST((user_id * 2654435761 + 12345) % 4294967296 // 16777216
+         AS VARCHAR) || '.' ||
+    CAST((user_id * 2654435761 + 12345) % 4294967296 // 65536 % 256
+         AS VARCHAR) || '.' ||
+    CAST((user_id * 2654435761 + 12345) % 4294967296 // 256 % 256
+         AS VARCHAR) || '.' ||
+    CAST((user_id * 2654435761 + 12345) % 4294967296 % 256
+         AS VARCHAR) || ' - ' ||
+    CASE WHEN event_id % 5 = 0 THEN '-'
+         ELSE 'u' || CAST(user_id AS VARCHAR) END ||
+    ' [' || strftime(ts, '%d/%b/%Y:%H:%M:%S +0000') || '] "' ||
+    CASE WHEN event_type = 'purchase' THEN 'POST' ELSE 'GET' END ||
+    ' /' || event_type || '/' || CAST(event_id % 50 AS VARCHAR) ||
+    ' HTTP/1.1" ' ||
+    CASE WHEN event_type = 'error' THEN '500'
+         WHEN event_type = 'purchase' THEN '201' ELSE '200' END ||
+    ' ' ||
+    CASE WHEN event_id % 7 = 0 THEN '-'
+         ELSE CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) END
+      AS text
+  FROM events WHERE NOT isnan(value))
+SELECT event_id, regexp_matches(text, '{re_sql}') AS parse_ok,
+  {_grok_sql_fields(p, re_sql)}
+FROM lines"""
+
+
+SQL_GROK_APACHE = _grok_apache_sql()
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -17371,6 +17477,7 @@ QUERIES = {
     "encoding_profile": (q_encoding_profile, SQL_ENCODING_PROFILE),
     "lttb_downsample": (q_lttb_downsample, SQL_LTTB_DOWNSAMPLE),
     "log_templates": (q_log_templates, SQL_LOG_TEMPLATES),
+    "grok_apache": (q_grok_apache, SQL_GROK_APACHE),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —
