@@ -75,7 +75,13 @@ BASE_PATTERNS: dict[str, str] = {
                  r"[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|"
                  r"[Ss]evere|SEVERE|[Ee]merg(?:ency)?|EMERG(?:ENCY)?)"),
     "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%_\-]*)+",
-    "SYSLOGPROG": r"%{WORD}(?:\[%{NONNEGINT}\])?",
+    "PROG": r"[A-Za-z0-9._/-]+",
+    # carries its own field names like the public pattern
+    "SYSLOGPROG": r"%{PROG:program}(?:\[%{POSINT:pid:int}\])?",
+    "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
+    "SYSLOGLINE": (r"%{SYSLOGTIMESTAMP:timestamp} "
+                   r"%{HOSTNAME:logsource} %{SYSLOGPROG}: "
+                   r"%{GREEDYDATA:message}"),
     "MONTH": (r"\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|"
               r"Apr(?:il)?|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|"
               r"Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|"

@@ -602,3 +602,35 @@ class TestApacheLog:
         resp = got.column("response").to_pylist()
         by = sorted(zip(sink, resp))
         assert ("errors", 503) in by and ("errors", 500) in by
+
+
+class TestSyslogAndMultiFormat:
+    def test_syslogline_fields(self):
+        p = GrokParser("^%{SYSLOGLINE}$")
+        vals, ok = p.parse_column(pa.array([
+            "Aug 21 08:00:01 web01 sshd[4242]: Accepted publickey "
+            "for root",
+            "Aug  3 23:59:60 db-2.local cron: job done",
+            "nope"]))
+        assert ok.to_pylist() == [True, True, False]
+        assert vals["logsource"].to_pylist() == ["web01", "db-2.local",
+                                                 None]
+        assert vals["program"].to_pylist() == ["sshd", "cron", None]
+        assert vals["pid"].to_pylist() == [4242, None, None]
+        assert vals["message"].to_pylist() == [
+            "Accepted publickey for root", "job done", None]
+
+    def test_multi_format_first_match_wins(self):
+        """One MultiGrok over [apache, syslog]: each line takes its
+        own format's fields, the other format's stay null."""
+        g = MultiGrok(["^(?:%{COMMONAPACHELOG})$",
+                       "^(?:%{SYSLOGLINE})$"])
+        vals, matched = g.parse_column(pa.array([
+            '1.2.3.4 - - [10/Oct/2000:13:55:36 -0700] '
+            '"GET /x HTTP/1.0" 200 99',
+            "Aug 21 08:00:01 web01 sshd[1]: hi",
+            "garbage"]))
+        assert matched.to_pylist() == [True, True, False]
+        assert vals["clientip"].to_pylist() == ["1.2.3.4", None, None]
+        assert vals["program"].to_pylist() == [None, "sshd", None]
+        assert vals["response"].to_pylist() == [200, None, None]
