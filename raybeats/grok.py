@@ -165,12 +165,14 @@ class GrokParser:
         # add no anonymous groups) — indexes need not be in field-list
         # order: a named reference to a composite pattern that itself
         # carries named fields (e.g. %{COMMONAPACHELOG:line}) opens
-        # the outer group before the inner ones
+        # the outer group before the inner ones. A FIELD-LESS pattern
+        # may contain raw capturing groups (match-only use via
+        # match_substring_regex, where they are harmless).
         self.sql_groups = [(f, compiled.groupindex[g], t)
                            for f, g, t in self.fields]
-        if compiled.groups != len(self.fields) or sorted(
-                i for _, i, _ in self.sql_groups) != list(
-                range(1, len(self.fields) + 1)):
+        if self.fields and (compiled.groups != len(self.fields)
+                            or sorted(i for _, i, _ in self.sql_groups)
+                            != list(range(1, len(self.fields) + 1))):
             raise ConfigError(
                 "grok: a pattern introduced an anonymous capturing "
                 "group; library patterns must be non-capturing")
@@ -198,8 +200,23 @@ class GrokParser:
                 col = pc.if_else(pc.equal(col, ""),
                                  pa.scalar(None, pa.string()), col)
             if typ == "int":
-                col = pc.cast(pc.replace_substring_regex(
-                    col, r"^\+", ""), pa.int64())
+                col = pc.replace_substring_regex(col, r"^\+", "")
+                # NUMBER:int can match '12.5'; DuckDB's CAST rounds
+                # half-away while Arrow's string→int64 raises — route
+                # dotted values through float64 + the same rounding,
+                # undotted values through the exact direct cast
+                dotted = pc.fill_null(
+                    pc.match_substring(col, "."), False)
+                if pc.any(dotted).as_py():
+                    via_float = pc.cast(pc.round(
+                        pc.cast(col, pa.float64()),
+                        round_mode="half_towards_infinity"), pa.int64())
+                    direct = pc.cast(pc.if_else(
+                        dotted, pa.scalar("0", pa.string()), col),
+                        pa.int64())
+                    col = pc.if_else(dotted, via_float, direct)
+                else:
+                    col = pc.cast(col, pa.int64())
             elif typ == "float":
                 col = pc.cast(col, pa.float64())
             out[field] = col

@@ -11901,6 +11901,35 @@ SELECT 'purchase_no_signup',
 FROM p"""
 
 
+def _scratch_dir(prefix: str, sf_dir: str) -> str:
+    """Per-(corpus, pid) /tmp scratch: repeated runs in one process
+    reuse and overwrite; concurrent processes get disjoint dirs; and
+    dirs left by DEAD pids are purged here (live siblings are left
+    alone — deleting them would reintroduce the cross-process race
+    this scheme exists to prevent), so repeated fresh-process
+    bench/gate invocations cannot accumulate /tmp copies."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    base = f"/tmp/{prefix}_" + hashlib.md5(
+        sf_dir.encode()).hexdigest()[:12]
+    # legacy fixed-name dirs (pre-pid scheme) can never belong to a
+    # live process under the current naming — purge unconditionally
+    shutil.rmtree(base, ignore_errors=True)
+    for stale in glob.glob(f"{base}_*"):
+        try:
+            pid = int(stale.rsplit("_", 1)[1])
+        except ValueError:
+            continue
+        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(stale, ignore_errors=True)
+    out_dir = f"{base}_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out_dir
+
+
 def q_csv_roundtrip(sf_dir: str):
     """CSV sink→source round trip as a gated query (the third
     interchange format after parquet and NDJSON): project events to
@@ -11910,18 +11939,9 @@ def q_csv_roundtrip(sf_dir: str):
     against the original parquet. CSV remains an EDGE format: headers
     per shard, no nested types; the scale-path interchange stays
     parquet (documented, as for NDJSON)."""
-    import hashlib
-    import shutil
-
     import ray.data as rd
 
-    # per-(corpus, pid) scratch, overwritten each run — repeated
-    # invocations in one process must not accumulate /tmp copies,
-    # while concurrent processes must not race each other's rmtree
-    out_dir = ("/tmp/raybeats_csv_rt_" + hashlib.md5(
-        sf_dir.encode()).hexdigest()[:12]
-        + f"_{__import__('os').getpid()}")
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = _scratch_dir("raybeats_csv_rt", sf_dir)
     _read(sf_dir, "events", ["event_id", "event_type"]) \
         .write_csv(out_dir)
     return rd.read_csv(out_dir)
@@ -15936,9 +15956,15 @@ def _grok_sql_fields(parser, re_sql: str, *, skip=(),
                      when: str = "") -> str:
     # DuckDB's regexp_extract BY INDEX caps at group 9; wide patterns
     # (COMMONAPACHELOG has 10 fields) extract through the named-struct
-    # form instead, which has no such cap
+    # form instead, which has no such cap. DuckDB assigns the name
+    # list POSITIONALLY by group index (verified — it ignores the
+    # regex's own group names), so the list MUST be ordered by index,
+    # not by field-registration order (they differ for named composite
+    # references like %{COMMONAPACHELOG:line}).
     by_struct = any(i > 9 for _, i, _ in parser.sql_groups)
-    gnames = [g for _, g, _ in parser.fields]
+    by_index = sorted(zip(parser.fields, parser.sql_groups),
+                      key=lambda fg: fg[1][1])
+    gnames = [g for (_f, g, _t), _sg in by_index]
     parts = []
     for (field, gname, typ), (_f, idx, _t) in zip(parser.fields,
                                                   parser.sql_groups):
@@ -16661,7 +16687,7 @@ def q_did_estimate(sf_dir: str):
         "cents": pa.array(out["cents"], pa.int64()),
         "n": pa.array(out["n"], pa.int64()),
         "mean_cents": pa.array(out["mean_cents"], pa.float64()),
-        "did": pa.array([did] * 4, pa.float64())})
+        "did": pa.array([did] * len(out["treat"]), pa.float64())})
 
 
 SQL_DID_ESTIMATE = """WITH p AS (
@@ -16692,18 +16718,9 @@ def q_evolve_roundtrip(sf_dir: str):
     with a declared target schema, the v1 rows surfacing NULL for the
     late column — on a resumable partitioned layout (each generation
     its own subdirectory, as a real ingest would leave behind)."""
-    import hashlib
-    import shutil
-
     import ray.data as rd
 
-    # keyed by (corpus, pid): repeated runs in one process reuse and
-    # overwrite; CONCURRENT processes (bench vs pytest workers) get
-    # disjoint dirs instead of racing each other's rmtree/read
-    out_dir = ("/tmp/raybeats_evolve_" + hashlib.md5(
-        sf_dir.encode()).hexdigest()[:12]
-        + f"_{__import__('os').getpid()}")
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = _scratch_dir("raybeats_evolve", sf_dir)
 
     ev = _read(sf_dir, "events", ["event_id", "event_type", "ts",
                                   "value"])
@@ -17080,9 +17097,13 @@ def q_grok_apache(sf_dir: str):
         u = t.column("user_id").to_numpy(zero_copy_only=False)
         e = eid.to_numpy(zero_copy_only=False)
         ip = (u * 2654435761 + 12345) % (1 << 32)
-        ip_str = pa.array([f"{x >> 24}.{(x >> 16) & 255}."
-                           f"{(x >> 8) & 255}.{x & 255}"
-                           for x in ip], pa.string())
+
+        def oct_str(v):
+            return pc.cast(pa.array(v, pa.int64()), pa.string())
+
+        ip_str = pc.binary_join_element_wise(
+            oct_str(ip >> 24), ".", oct_str((ip >> 16) & 255), ".",
+            oct_str((ip >> 8) & 255), ".", oct_str(ip & 255), "")
         user = pc.if_else(
             pc.equal(pa.array(e % 5, pa.int64()), 0),
             pa.scalar("-"),

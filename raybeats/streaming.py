@@ -219,14 +219,16 @@ def checkpoint_actors(actors, n_buckets: int, ckpt_dir: str) -> None:
     import pyarrow.parquet as _pq
     import ray
 
-    # invalidate any PRIOR checkpoint in this directory before touching
-    # its files: the all-or-nothing guarantee must hold for rolling
-    # checkpoints too — without this, a crash mid-overwrite would leave
-    # the OLD manifest validating a mix of old and new actor files
+    # collect snapshots FIRST (a failed snapshot must not destroy a
+    # still-valid prior checkpoint whose files were never touched),
+    # THEN invalidate the prior manifest before the first overwrite:
+    # the all-or-nothing guarantee must hold for rolling checkpoints —
+    # a crash mid-overwrite must not leave the OLD manifest validating
+    # a mix of old and new actor files
+    snaps = ray.get([a.snapshot.remote() for a in actors])
     old_manifest = os.path.join(ckpt_dir, "_MANIFEST.json")
     if os.path.exists(old_manifest):
         os.remove(old_manifest)
-    snaps = ray.get([a.snapshot.remote() for a in actors])
     files: dict[str, list[str]] = {}
     for i, tables in enumerate(snaps):
         adir = os.path.join(ckpt_dir, f"actor={i}")

@@ -634,3 +634,71 @@ class TestSyslogAndMultiFormat:
         assert vals["clientip"].to_pylist() == ["1.2.3.4", None, None]
         assert vals["program"].to_pylist() == [None, "sshd", None]
         assert vals["response"].to_pylist() == [200, None, None]
+
+
+class TestReviewFixes2:
+    def test_did_short_rows_no_length_mismatch(self, monkeypatch):
+        """Empty cells shrink the row set; the did column must shrink
+        with it instead of raising a length mismatch."""
+        import raybeats.queries as q
+
+        real = q._combine_partials
+
+        def drop_cell(ds, keys, sums, seed=None):
+            t = real(ds, keys, sums, seed)
+            # zero out one cell's count → it must vanish from output
+            import pyarrow.compute as pc
+            keep = pc.invert(pc.and_(pc.equal(t.column("treat"), 0),
+                                     pc.equal(t.column("post"), 0)))
+            return t.filter(keep)
+
+        monkeypatch.setattr(q, "_combine_partials", drop_cell)
+        out = q.q_did_estimate("/root/testdata/sf0.001")
+        assert out.num_rows == 3
+        assert out.column("did").to_pylist() == [None] * 3
+
+    def test_struct_names_ordered_by_group_index(self):
+        """%{COMMONAPACHELOG:line}: the outer field registers last but
+        owns group 1 — the oracle's struct name list must follow group
+        index, or every field silently mislabels."""
+        import duckdb
+
+        from raybeats.queries import _grok_sql_fields
+        p = GrokParser("^%{COMMONAPACHELOG:line}$")
+        line = ('1.2.3.4 - - [10/Oct/2000:13:55:36 -0700] '
+                '"GET /x HTTP/1.0" 200 99')
+        sql = ("SELECT " + _grok_sql_fields(
+            p, p.regex_str.replace("'", "''")) +
+            f" FROM (SELECT '{line}' AS text)")
+        row = duckdb.sql(sql).fetchone()
+        cols = [d[0] for d in duckdb.sql(sql).description]
+        got = dict(zip(cols, row))
+        vals, _ = p.parse_column(pa.array([line]))
+        for f in ("clientip", "verb", "response", "bytes", "line"):
+            assert got[f] == vals[f][0].as_py(), f
+
+    def test_decimal_int_rounds_like_duckdb(self):
+        p = GrokParser(r"^n=%{NUMBER:n:int}$")
+        vals, ok = p.parse_column(pa.array(
+            ["n=12.5", "n=-2.5", "n=7", "n=+3"]))
+        # DuckDB CAST rounds half away from zero
+        assert vals["n"].to_pylist() == [13, -3, 7, 3]
+
+    def test_fieldless_raw_groups_allowed(self):
+        p = GrokParser("^(GET|POST) .*$")
+        vals, ok = p.parse_column(pa.array(["GET /x", "PUT /y"]))
+        assert vals == {} and ok.to_pylist() == [True, False]
+
+    def test_scratch_dir_purges_dead_pids_only(self, tmp_path):
+        import os
+
+        from raybeats.queries import _scratch_dir
+        d1 = _scratch_dir("rb_test_scratch", "corpusA")
+        os.makedirs(d1, exist_ok=True)
+        # a stale sibling from a dead pid
+        base = d1.rsplit("_", 1)[0]
+        stale = f"{base}_999999999"
+        os.makedirs(stale, exist_ok=True)
+        d2 = _scratch_dir("rb_test_scratch", "corpusA")
+        assert d2 == d1
+        assert not os.path.exists(stale)   # dead pid purged
