@@ -16976,83 +16976,16 @@ def q_log_templates(sf_dir: str):
     volumes. Scale shape: per-batch DISTINCT (group, position, token)
     rows move (bounded by template-vocabulary size, not line count)
     plus fixed-width group counts; template assembly folds driver-side
-    over groups × positions rows."""
-    import numpy as np
-
-    def part(tbl: pa.Table) -> pa.Table:
-        txt = tbl.column("text")
-        if isinstance(txt, pa.ChunkedArray):
-            txt = txt.combine_chunks()
-        toks = pc.split_pattern(txt, " ")
-        offs = np.asarray(toks.offsets)
-        lens = np.diff(offs)
-        flat = toks.flatten()
-        first = flat.take(offs[:-1])
-        n_rows = len(txt)
-        # exploded (n, t0, p, tok) — dedup per batch before moving
-        row_idx = np.repeat(np.arange(n_rows), lens)
-        pos = (np.arange(len(flat))
-               - np.repeat(offs[:-1], lens)).astype(np.int64)
-        ex = pa.table({
-            "n": pa.array(lens[row_idx].astype(np.int64), pa.int64()),
-            "t0": pc.cast(first.take(pa.array(row_idx)), pa.string()),
-            "p": pa.array(pos + 1, pa.int64()),
-            "tok": pc.cast(flat, pa.string())})
-        dd = ex.group_by(["n", "t0", "p", "tok"]).aggregate([])
-        cnt = pa.table({
-            "n": pa.array(lens.astype(np.int64), pa.int64()),
-            "t0": pc.cast(first, pa.string()),
-            "one": pa.array(np.ones(n_rows, np.int64), pa.int64())
-        }).group_by(["n", "t0"]).aggregate([("one", "sum")])
-        # union the two partial kinds in one stream: count rows carry
-        # p = -1 and the line tally in "lines"
-        return pa.concat_tables([
-            pa.table({"n": dd.column("n"), "t0": dd.column("t0"),
-                      "p": dd.column("p"), "tok": dd.column("tok"),
-                      "lines": pa.array([0] * dd.num_rows, pa.int64())}),
-            pa.table({"n": cnt.column("n"), "t0": cnt.column("t0"),
-                      "p": pa.array([-1] * cnt.num_rows, pa.int64()),
-                      "tok": pa.array([None] * cnt.num_rows,
-                                      pa.string()),
-                      "lines": pc.cast(cnt.column("one_sum"),
-                                       pa.int64())})])
+    over groups × positions rows. Kernels shared verbatim with the
+    streaming ``TemplateState`` (:mod:`raybeats.textops.analysis`)."""
+    from .textops.analysis import template_finalize, template_partial
 
     merged = pa.concat_tables(list(
         read_transcripts(sf_dir).map_batches(
-            part, batch_format="pyarrow")
+            lambda t: template_partial(t.column("text")),
+            batch_format="pyarrow")
         .iter_batches(batch_size=None, batch_format="pyarrow")))
-    toks = merged.filter(pc.greater_equal(merged.column("p"), 0))
-    toks = toks.group_by(["n", "t0", "p", "tok"]).aggregate([])
-    counts = merged.filter(pc.equal(merged.column("p"), -1)) \
-        .group_by(["n", "t0"]).aggregate([("lines", "sum")])
-    import numpy as np
-    per_pos = toks.group_by(["n", "t0", "p"]).aggregate(
-        [("tok", "count_distinct"), ("tok", "min")])
-    n = per_pos.column("n").to_numpy(zero_copy_only=False)
-    t0 = per_pos.column("t0").to_pylist()
-    p = per_pos.column("p").to_numpy(zero_copy_only=False)
-    nd = per_pos.column("tok_count_distinct") \
-        .to_numpy(zero_copy_only=False)
-    mn = per_pos.column("tok_min").to_pylist()
-    groups: dict[tuple, list] = {}
-    for i in range(len(n)):
-        groups.setdefault((int(n[i]), t0[i]), []).append(
-            (int(p[i]), mn[i] if nd[i] == 1 else "<*>"))
-    out_n, out_t0, out_tpl = [], [], []
-    for (gn, gt0), items in groups.items():
-        items.sort()
-        out_n.append(gn)
-        out_t0.append(gt0)
-        out_tpl.append(" ".join(tok for _, tok in items))
-    tpl = pa.table({"n_tokens": pa.array(out_n, pa.int64()),
-                    "first_token": pa.array(out_t0, pa.string()),
-                    "template": pa.array(out_tpl, pa.string())})
-    lines = pa.table({
-        "n_tokens": counts.column("n"),
-        "first_token": counts.column("t0"),
-        "n_lines": pc.cast(counts.column("lines_sum"), pa.int64())})
-    return tpl.join(lines, keys=["n_tokens", "first_token"],
-                    join_type="inner")
+    return template_finalize(merged)
 
 
 SQL_LOG_TEMPLATES = f"""{_T},

@@ -1455,3 +1455,86 @@ def streaming_ratelimit(micro_batches, limit: str = "60/m",
     out = pa.concat_tables(parts, promote_options="default")
     keys = [(f, "ascending") for f in sorted(fields)]
     return out.sort_by(keys + [("ts", "ascending")])
+
+
+class TemplateState:
+    """Streaming Drain-style log-template mining: folds the LITERAL
+    batch partials (:func:`raybeats.textops.analysis.
+    template_partial`) — distinct (group, position, token) rows union
+    and line counts sum, both commutative and associative — so the
+    flush equals the batch ``log_templates`` result for ANY
+    micro-batch split with no watermark machinery (a late line can
+    only widen a position to ``<*>`` or add counts, exactly as it
+    would have in batch). State is bounded by template-vocabulary
+    size, never stream length. The template space is global (no
+    per-key partitioning), so this state ignores the bucket column
+    and each actor holds its shard's partials; the driver merges at
+    flush."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.acc: pa.Table | None = None
+
+    def process(self, tbl: pa.Table) -> None:
+        from .textops.analysis import template_partial
+        if tbl.num_rows == 0:
+            return None
+        part = template_partial(tbl.column(self.text_col))
+        cur = part if self.acc is None else pa.concat_tables(
+            [self.acc, part])
+        # re-compact: distinct token rows + summed count rows
+        toks = cur.filter(pc.greater_equal(cur.column("p"), 0)) \
+            .group_by(["n", "t0", "p", "tok"]).aggregate([])
+        toks = toks.append_column(
+            "lines", pa.array([0] * toks.num_rows, pa.int64()))
+        cnts = cur.filter(pc.equal(cur.column("p"), -1)) \
+            .group_by(["n", "t0"]).aggregate([("lines", "sum")])
+        cnts = pa.table({
+            "n": cnts.column("n"), "t0": cnts.column("t0"),
+            "p": pa.array([-1] * cnts.num_rows, pa.int64()),
+            "tok": pa.array([None] * cnts.num_rows, pa.string()),
+            "lines": pc.cast(cnts.column("lines_sum"), pa.int64())})
+        self.acc = pa.concat_tables([toks.select(
+            ["n", "t0", "p", "tok", "lines"]), cnts])
+        return None
+
+    def flush(self) -> pa.Table:
+        return self.acc if self.acc is not None else pa.table({})
+
+    # checkpoint protocol (see checkpoint_actors)
+    def state_tables(self) -> dict:
+        return {} if self.acc is None else {"partials": self.acc}
+
+    def restore_tables(self, tables: dict) -> None:
+        self.acc = tables.get("partials")
+
+
+def streaming_log_templates(micro_batches, text_col: str = "text",
+                            key_col: str = "turn_idx",
+                            n_buckets: int = 4,
+                            checkpoint_to: str | None = None,
+                            restore_from: str | None = None
+                            ) -> pa.Table:
+    """Incremental counterpart of the batch ``log_templates`` query:
+    template partials fold in keyed actors over time-ordered
+    micro-batches; the driver merges every actor's partials and runs
+    the LITERAL batch finalize — flush ≡ batch for any split
+    (commutative partials). ``key_col`` only spreads load (the
+    template space is global) and must be numeric (the shared
+    ``int_bucket`` router). ``checkpoint_to``/``restore_from``
+    snapshot and resume the partial state across driver runs."""
+    import ray
+
+    from .textops.analysis import template_finalize
+
+    actors, _ = _drive_keyed_actors(
+        micro_batches, TemplateState, (text_col,), n_buckets,
+        key_col=key_col, restore_dir=restore_from)
+    if checkpoint_to is not None:
+        checkpoint_actors(actors, n_buckets, checkpoint_to)
+    parts = [t for t in ray.get([a.flush.remote() for a in actors])
+             if t.num_rows]
+    if not parts:
+        return pa.table({})
+    return template_finalize(pa.concat_tables(parts)).sort_by(
+        [("n_tokens", "ascending"), ("first_token", "ascending")])

@@ -263,3 +263,85 @@ def bpe_apply_len(word: str, merges: list[tuple[str, str, str]],
     if memo is not None:
         memo[word] = n
     return n
+
+
+def template_partial(txt) -> pa.Table:
+    """Per-batch partial for Drain-style template mining (shared
+    verbatim by the batch ``log_templates`` query and the streaming
+    :class:`raybeats.streaming.TemplateState`): DISTINCT
+    (n_tokens, first_token, position, token) rows — bounded by
+    template-vocabulary size, not line count — plus one count row per
+    group (``p = -1``, line tally in ``lines``). Both partial kinds
+    merge commutatively (set-union / sum), so any split folds to the
+    same state."""
+    import numpy as np
+
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    toks = pc.split_pattern(txt, " ")
+    offs = np.asarray(toks.offsets)
+    lens = np.diff(offs)
+    flat = toks.flatten()
+    first = flat.take(offs[:-1])
+    n_rows = len(txt)
+    row_idx = np.repeat(np.arange(n_rows), lens)
+    pos = (np.arange(len(flat))
+           - np.repeat(offs[:-1], lens)).astype(np.int64)
+    ex = pa.table({
+        "n": pa.array(lens[row_idx].astype(np.int64), pa.int64()),
+        "t0": pc.cast(first.take(pa.array(row_idx)), pa.string()),
+        "p": pa.array(pos + 1, pa.int64()),
+        "tok": pc.cast(flat, pa.string())})
+    dd = ex.group_by(["n", "t0", "p", "tok"]).aggregate([])
+    cnt = pa.table({
+        "n": pa.array(lens.astype(np.int64), pa.int64()),
+        "t0": pc.cast(first, pa.string()),
+        "one": pa.array(np.ones(n_rows, np.int64), pa.int64())
+    }).group_by(["n", "t0"]).aggregate([("one", "sum")])
+    return pa.concat_tables([
+        pa.table({"n": dd.column("n"), "t0": dd.column("t0"),
+                  "p": dd.column("p"), "tok": dd.column("tok"),
+                  "lines": pa.array([0] * dd.num_rows, pa.int64())}),
+        pa.table({"n": cnt.column("n"), "t0": cnt.column("t0"),
+                  "p": pa.array([-1] * cnt.num_rows, pa.int64()),
+                  "tok": pa.array([None] * cnt.num_rows, pa.string()),
+                  "lines": pc.cast(cnt.column("one_sum"),
+                                   pa.int64())})])
+
+
+def template_finalize(merged: pa.Table) -> pa.Table:
+    """Fold merged :func:`template_partial` rows into the final
+    (n_tokens, first_token, template, n_lines) table."""
+    import numpy as np
+
+    toks = merged.filter(pc.greater_equal(merged.column("p"), 0))
+    toks = toks.group_by(["n", "t0", "p", "tok"]).aggregate([])
+    counts = merged.filter(pc.equal(merged.column("p"), -1)) \
+        .group_by(["n", "t0"]).aggregate([("lines", "sum")])
+    per_pos = toks.group_by(["n", "t0", "p"]).aggregate(
+        [("tok", "count_distinct"), ("tok", "min")])
+    n = per_pos.column("n").to_numpy(zero_copy_only=False)
+    t0 = per_pos.column("t0").to_pylist()
+    p = per_pos.column("p").to_numpy(zero_copy_only=False)
+    nd = per_pos.column("tok_count_distinct") \
+        .to_numpy(zero_copy_only=False)
+    mn = per_pos.column("tok_min").to_pylist()
+    groups: dict[tuple, list] = {}
+    for i in range(len(n)):
+        groups.setdefault((int(n[i]), t0[i]), []).append(
+            (int(p[i]), mn[i] if nd[i] == 1 else "<*>"))
+    out_n, out_t0, out_tpl = [], [], []
+    for (gn, gt0), items in groups.items():
+        items.sort()
+        out_n.append(gn)
+        out_t0.append(gt0)
+        out_tpl.append(" ".join(tok for _, tok in items))
+    tpl = pa.table({"n_tokens": pa.array(out_n, pa.int64()),
+                    "first_token": pa.array(out_t0, pa.string()),
+                    "template": pa.array(out_tpl, pa.string())})
+    lines = pa.table({
+        "n_tokens": counts.column("n"),
+        "first_token": counts.column("t0"),
+        "n_lines": pc.cast(counts.column("lines_sum"), pa.int64())})
+    return tpl.join(lines, keys=["n_tokens", "first_token"],
+                    join_type="inner")

@@ -788,3 +788,37 @@ def test_streaming_ratelimit_equals_batch(ray_session):
         .sort_by([("user_id", "ascending"), ("ts", "ascending")])
     assert both.select(want.column_names).to_pylist() \
         == want.to_pylist()
+
+
+def test_streaming_log_templates_equals_batch(ray_session):
+    """Template partials are commutative (set-union + sum), so the
+    streamed flush ≡ the batch log_templates query for any split —
+    including across a checkpoint/resume boundary."""
+    import shutil
+
+    import ray.data as rd
+
+    from raybeats.queries import q_log_templates
+    from raybeats.streaming import streaming_log_templates
+    from raybeats.transcripts import derive_transcripts
+
+    ev = pq.read_table(f"{SF}/events.parquet")
+    t = derive_transcripts(ev).sort_by([("ts", "ascending")])
+    want = q_log_templates(SF).sort_by(
+        [("n_tokens", "ascending"), ("first_token", "ascending")])
+    n = t.num_rows
+    for cuts in ([n], [n // 3, 2 * n // 3, n]):
+        lo, slices = 0, []
+        for hi in cuts:
+            slices.append(rd.from_arrow(t.slice(lo, hi - lo)))
+            lo = hi
+        got = streaming_log_templates(slices, n_buckets=3)
+        assert got.to_pylist() == want.to_pylist(), cuts
+
+    ck = "/tmp/raybeats_test_ckpt_templates"
+    shutil.rmtree(ck, ignore_errors=True)
+    streaming_log_templates([rd.from_arrow(t.slice(0, n // 2))],
+                            n_buckets=3, checkpoint_to=ck)
+    got = streaming_log_templates([rd.from_arrow(t.slice(n // 2))],
+                                  n_buckets=3, restore_from=ck)
+    assert got.to_pylist() == want.to_pylist()
