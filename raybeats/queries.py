@@ -17108,6 +17108,94 @@ FROM lines"""
 SQL_GROK_APACHE = _grok_apache_sql()
 
 
+def q_template_drift(sf_dir: str):
+    """Template-volume drift (the SRE anomaly screen on top of
+    template mining): per (token count, first token) template group,
+    line counts in the corpus window's first vs second half plus the
+    per-mille share in each — a group whose share moves is a format /
+    behavior change worth an alert. Exact integers only (share in
+    permille of each half's total); fixed-width
+    (group, half, count) partials, driver fold."""
+    import numpy as np
+
+    def part(tbl: pa.Table) -> pa.Table:
+        txt = tbl.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        toks = pc.split_pattern(txt, " ")
+        offs = np.asarray(toks.offsets)
+        lens = np.diff(offs).astype(np.int64)
+        first = pc.cast(toks.flatten().take(offs[:-1]), pa.string())
+        ts = tbl.column("ts").to_numpy(zero_copy_only=False)
+        half = (ts >= np.datetime64("2024-01-16")).astype(np.int64)
+        t = pa.table({"n": pa.array(lens, pa.int64()), "t0": first,
+                      "half": pa.array(half, pa.int64()),
+                      "one": pa.array(np.ones(len(lens), np.int64),
+                                      pa.int64())})
+        g = t.group_by(["n", "t0", "half"]).aggregate([("one", "sum")])
+        return pa.table({"n": g.column("n"), "t0": g.column("t0"),
+                         "half": g.column("half"),
+                         "c": pc.cast(g.column("one_sum"),
+                                      pa.int64())})
+
+    agg = _combine_partials(
+        read_transcripts(sf_dir).map_batches(
+            part, batch_format="pyarrow"),
+        ["n", "t0", "half"], {"c": "c"})
+    import numpy as np
+    n = agg.column("n").to_numpy(zero_copy_only=False)
+    t0 = agg.column("t0").to_pylist()
+    half = agg.column("half").to_numpy(zero_copy_only=False)
+    c = agg.column("c").to_numpy(zero_copy_only=False)
+    tot = np.zeros(2, np.int64)
+    np.add.at(tot, half, c)
+    rows: dict[tuple, list[int]] = {}
+    for i in range(len(n)):
+        rows.setdefault((int(n[i]), t0[i]), [0, 0])[int(half[i])] = \
+            int(c[i])
+    out = {"n_tokens": [], "first_token": [], "n_first": [],
+           "n_second": [], "pm_first": [], "pm_second": []}
+    for (gn, gt0), (c0, c1) in rows.items():
+        out["n_tokens"].append(gn)
+        out["first_token"].append(gt0)
+        out["n_first"].append(c0)
+        out["n_second"].append(c1)
+        out["pm_first"].append(c0 * 1000 // int(tot[0])
+                               if tot[0] else None)
+        out["pm_second"].append(c1 * 1000 // int(tot[1])
+                                if tot[1] else None)
+    return pa.table({
+        "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+        "first_token": pa.array(out["first_token"], pa.string()),
+        "n_first": pa.array(out["n_first"], pa.int64()),
+        "n_second": pa.array(out["n_second"], pa.int64()),
+        "pm_first": pa.array(out["pm_first"], pa.int64()),
+        "pm_second": pa.array(out["pm_second"], pa.int64())})
+
+
+SQL_TEMPLATE_DRIFT = f"""{_T},
+g AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             string_split(text, ' ')[1] AS t0,
+             CAST(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                  THEN 1 ELSE 0 END AS BIGINT) AS half
+      FROM transcripts),
+c AS (SELECT n, t0, half, CAST(COUNT(*) AS BIGINT) AS c
+      FROM g GROUP BY n, t0, half),
+tot AS (SELECT half, SUM(c) AS t FROM c GROUP BY half),
+p AS (SELECT n, t0,
+        CAST(COALESCE(SUM(CASE WHEN half = 0 THEN c END), 0)
+             AS BIGINT) AS n_first,
+        CAST(COALESCE(SUM(CASE WHEN half = 1 THEN c END), 0)
+             AS BIGINT) AS n_second
+      FROM c GROUP BY n, t0)
+SELECT p.n AS n_tokens, p.t0 AS first_token, p.n_first, p.n_second,
+  CAST(p.n_first * 1000 // (SELECT t FROM tot WHERE half = 0)
+       AS BIGINT) AS pm_first,
+  CAST(p.n_second * 1000 // (SELECT t FROM tot WHERE half = 1)
+       AS BIGINT) AS pm_second
+FROM p"""
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -17432,6 +17520,7 @@ QUERIES = {
     "lttb_downsample": (q_lttb_downsample, SQL_LTTB_DOWNSAMPLE),
     "log_templates": (q_log_templates, SQL_LOG_TEMPLATES),
     "grok_apache": (q_grok_apache, SQL_GROK_APACHE),
+    "template_drift": (q_template_drift, SQL_TEMPLATE_DRIFT),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —
