@@ -224,7 +224,7 @@ def run_queries() -> dict[str, float]:
              "zorder_stats", "bootstrap_mean", "embed_quantize",
              "km_survival", "did_estimate", "evolve_roundtrip",
              "encoding_profile", "lttb_downsample", "log_templates",
-             "grok_apache", "template_drift"]
+             "grok_apache", "template_drift", "grok_syslog"]
     assert set(picks) == set(QUERIES), \
         f"bench picks out of sync: {set(QUERIES) ^ set(picks)}"
     out: dict[str, float] = {}

@@ -17196,6 +17196,59 @@ SELECT p.n AS n_tokens, p.t0 AS first_token, p.n_first, p.n_second,
 FROM p"""
 
 
+def q_grok_syslog(sf_dir: str):
+    """SYSLOGLINE under the correctness gate (the companion of
+    ``grok_apache``): classic syslog lines derived byte-identically in
+    both engines — host, program, a POSITIVE pid (POSINT's contract),
+    free-text message — parsed by the composite with its public-style
+    ``program``/``pid`` field names."""
+    from .grok import GrokParser
+    p = GrokParser("^%{SYSLOGLINE}$")
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        eid = tbl.column("event_id")
+        if isinstance(eid, pa.ChunkedArray):
+            eid = eid.combine_chunks()
+        e = eid.to_numpy(zero_copy_only=False)
+        ts = pc.replace_substring_regex(
+            pc.strftime(tbl.column("ts"), format="%b %d %H:%M:%S"),
+            r"\.\d+", "")
+        host = pc.binary_join_element_wise(
+            "web", pc.cast(pa.array(e % 4, pa.int64()), pa.string()),
+            "")
+        pid = pc.cast(pa.array(e % 1000 + 1, pa.int64()), pa.string())
+        line = pc.binary_join_element_wise(
+            ts, " ", host, " ", tbl.column("event_type").combine_chunks()
+            if isinstance(tbl.column("event_type"), pa.ChunkedArray)
+            else tbl.column("event_type"), "[", pid, "]: evt ",
+            pc.cast(eid, pa.string()), "")
+        vals, ok = p.parse_column(line)
+        return pa.table({"event_id": eid, "parse_ok": ok, **vals})
+
+    return _read(sf_dir, "events",
+                 ["event_id", "ts", "event_type"]).map_batches(
+        derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _grok_syslog_sql() -> str:
+    from .grok import GrokParser
+    p = GrokParser("^%{SYSLOGLINE}$")
+    re_sql = p.regex_str.replace("'", "''")
+    return f"""WITH lines AS (
+  SELECT event_id,
+    strftime(ts, '%b %d %H:%M:%S') || ' web' ||
+    CAST(event_id % 4 AS VARCHAR) || ' ' || event_type || '[' ||
+    CAST(event_id % 1000 + 1 AS VARCHAR) || ']: evt ' ||
+    CAST(event_id AS VARCHAR) AS text
+  FROM events)
+SELECT event_id, regexp_matches(text, '{re_sql}') AS parse_ok,
+  {_grok_sql_fields(p, re_sql)}
+FROM lines"""
+
+
+SQL_GROK_SYSLOG = _grok_syslog_sql()
+
+
 # ----------------------------------------------------------------- export
 
 QUERIES = {
@@ -17521,6 +17574,7 @@ QUERIES = {
     "log_templates": (q_log_templates, SQL_LOG_TEMPLATES),
     "grok_apache": (q_grok_apache, SQL_GROK_APACHE),
     "template_drift": (q_template_drift, SQL_TEMPLATE_DRIFT),
+    "grok_syslog": (q_grok_syslog, SQL_GROK_SYSLOG),
     # rows-only (non-SQL-expressible; driver records weaker check).
     # simhash_groups stays here deliberately: the md5-equality-class
     # oracle (round-2 verdict #7) is empirically WRONG for this corpus —
