@@ -12476,7 +12476,7 @@ SELECT nz.doc_id, CAST(length(nz.text) AS BIGINT) AS n_chars
 FROM nz JOIN p USING (text)"""
 
 
-def q_triangle_parts(sf_dir: str):
+def q_triangle_parts(sf_dir: str, *, edge_budget: int | None = None):
     """Triangle counting on the part co-purchase graph (distinct part
     pairs sharing an order): top-25 parts by triangle participation —
     the graph-density / community-strength primitive (a part in many
@@ -12488,25 +12488,37 @@ def q_triangle_parts(sf_dir: str):
     its smaller (degree, id) endpoint; each triangle then has exactly
     ONE node with both triangle edges outgoing, so wedges enumerated
     per-source count each triangle once, and max out-degree is
-    O(sqrt(m)) even on skewed graphs. Plan — TWO Ray executions
-    (every extra chained execution pays this box's multi-second
-    floor; the first cut used four and spent more time in floors
-    than compute): (1) one orderkey-bucket cogroup emits
+    O(sqrt(m)) even on skewed graphs.
+
+    TWO plans behind an edge-count budget switch. Small graphs (the
+    footer-derived pair estimate ``2 × lineitem rows`` is within
+    ``edge_budget`` keys): (1) one orderkey-bucket cogroup emits
     locally-deduped part-pair keys, collected driver-side (the edge
-    set is the BROADCAST side of this algorithm by design — 8 B/key,
+    set is the BROADCAST side of this plan by design — 8 B/key,
     ~10 MB at sf0.1) where global unique / degrees / orientation are
     three vectorized numpy passes over edge-count arrays; (2) the
     oriented edges go back out via ``from_arrow`` into one src-bucket
     cogroup whose wedge-membership probe is a LOCAL searchsorted into
     the broadcast sorted key array — the 40M+ candidate wedges never
-    enter a shuffle. At 10^9+ edges the broadcast side outgrows the
-    object store: swap the driver fold for the edge-hash cogroup
-    dedup + a (w1,w2)-bucket cogroup of wedge rows against edge rows
-    (documented fallback, same semantics)."""
+    enter a shuffle. Two executions total: every extra chained
+    execution pays this box's multi-second floor.
+
+    Above the budget (10^9+ edges — the broadcast side would outgrow
+    driver heap and object store) the FULLY DISTRIBUTED plan
+    (:func:`_triangle_counts_cogroup`) runs instead: edge-hash
+    cogroup dedup, half-edge degree cogroup, per-edge orientation
+    cogroup, then a (w1,w2)-bucket cogroup of wedge rows against edge
+    rows — nothing edge- or wedge-proportional ever sits on the
+    driver. More exchange floors, so it is the big-graph path only;
+    both plans share Stage A and the top-25 epilogue and are
+    parity-tested against each other and the oracle
+    (``triangle_parts_dist`` pins ``edge_budget=0``)."""
     import numpy as np
 
     n_li = _nrows(sf_dir, "lineitem")
     n_buckets = adaptive_buckets(n_li)
+    if edge_budget is None:
+        edge_budget = 150_000_000  # keys: ~1.2 GB driver-side
 
     def pair_tag(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -12540,6 +12552,15 @@ def q_triangle_parts(sf_dir: str):
         .map_batches(pair_tag, batch_format="pyarrow") \
         .groupby("bucket").map_groups(pairs_grp,
                                       batch_format="pyarrow")
+
+    # budget switch: distinct co-purchase pairs grow ~linearly with
+    # lineitem (1–7 items/order ⇒ ≤3 pairs per row; 2× is a safe
+    # footer-only over-estimate). Above budget, nothing that grows
+    # with the edge set may touch the driver — take the all-cogroup
+    # plan.
+    if 2 * n_li > edge_budget:
+        return _triangle_top25(
+            _triangle_counts_cogroup(edges, n_buckets))
 
     # execution 1: collect the per-order-bucket-deduped pair keys;
     # global dedup / degrees / orientation are vectorized numpy over
@@ -12641,12 +12662,181 @@ def q_triangle_parts(sf_dir: str):
         .map_batches(wedge_grp, batch_size=None,
                      batch_format="pyarrow"),
         ["node"], {"cnt": "n_triangles"})
+    return _triangle_top25(counts)
+
+
+def _triangle_top25(counts: pa.Table) -> pa.Table:
+    """Shared epilogue of both triangle plans: top-25 nodes by
+    triangle participation, id-ascending within ties."""
+    import numpy as np
     part = counts.column("node").to_numpy(zero_copy_only=False)
     nt = counts.column("n_triangles").to_numpy(zero_copy_only=False)
     top = np.lexsort((part, -nt))[:25]
     return pa.table({
         "l_partkey": pa.array(part[top], pa.int64()),
         "n_triangles": pa.array(nt[top], pa.int64())})
+
+
+def _triangle_counts_cogroup(edges, n_buckets: int) -> pa.Table:
+    """Fully distributed triangle participation counts — the
+    big-graph plan of :func:`q_triangle_parts` (same semantics as the
+    driver-broadcast plan; see its docstring for the switch).
+
+    Four bucketed cogroups, each holding only its own slice:
+
+    1. edge-key bucket — ``pairs_grp``'s locally-deduped keys arrive
+       hashed by key, so a group-local ``np.unique`` IS the global
+       edge dedup; each unique edge leaves as TWO half-edge rows
+       (node, k) bucketed by node.
+    2. node bucket — every half-edge of a node is co-located, so the
+       node's global degree is the group-local count; rows leave
+       re-bucketed by edge key carrying (k, node, deg).
+    3. edge-key bucket — the two degree-stamped halves of each edge
+       meet; orient src→dst from the smaller (degree, id) endpoint;
+       oriented edges leave bucketed by src.
+    4. src bucket — all out-edges of a src are co-located: sort
+       (src, dst) once, shift-enumerate neighbor pairs (positions
+       i, i+k share a src; dst strictly increasing ⇒ wedge already
+       (lo, hi)-ordered, out-degree capped O(√m) by the orientation)
+       into wedge rows keyed (w1<<32)|w2 — UNIONed with the oriented
+       edges re-keyed the same way, both bucketed by that key, so
+       the closing-edge probe is a group-local searchsorted of wedge
+       keys into the group's edge keys. Per-group pre-aggregated
+       (node, cnt) partials are the only thing the driver ever folds.
+
+    The oriented-edge dataset feeds two consumers (wedge side + edge
+    side), so it is materialized ONCE into the object store —
+    distributed blocks, spillable, never concatenated anywhere.
+    """
+    import numpy as np
+
+    M32 = np.int64(0xFFFFFFFF)
+
+    def dedup_grp(g: pa.Table) -> pa.Table:
+        k = np.unique(g.column("k").to_numpy(zero_copy_only=False))
+        node = np.concatenate([k >> np.int64(32), k & M32])
+        out = pa.table({
+            "k": pa.array(np.concatenate([k, k]), pa.int64()),
+            "node": pa.array(node, pa.int64())})
+        return out.append_column(
+            "bucket", int_bucket(out.column("node"), n_buckets))
+
+    halves = edges.groupby("bucket").map_groups(
+        dedup_grp, batch_format="pyarrow")
+
+    def degree_grp(g: pa.Table) -> pa.Table:
+        node = g.column("node").to_numpy(zero_copy_only=False)
+        k = g.column("k").to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        node, k = node[order], k[order]
+        starts = np.flatnonzero(np.append(True, node[1:] != node[:-1]))
+        lens = np.diff(np.append(starts, len(node)))
+        out = pa.table({
+            "k": pa.array(k, pa.int64()),
+            "node": pa.array(node, pa.int64()),
+            "deg": pa.array(np.repeat(lens, lens), pa.int64())})
+        return out.append_column(
+            "bucket", int_bucket(out.column("k"), n_buckets))
+
+    degreed = halves.groupby("bucket").map_groups(
+        degree_grp, batch_format="pyarrow")
+
+    def orient_grp(g: pa.Table) -> pa.Table:
+        k = g.column("k").to_numpy(zero_copy_only=False)
+        node = g.column("node").to_numpy(zero_copy_only=False)
+        deg = g.column("deg").to_numpy(zero_copy_only=False)
+        order = np.lexsort((node, k))
+        node, deg = node[order], deg[order]
+        # rows pairwise per edge: (lo, hi) with lo < hi strict
+        u, v = node[0::2], node[1::2]
+        du, dv = deg[0::2], deg[1::2]
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        src = np.where(u_first, u, v)
+        dst = np.where(u_first, v, u)
+        out = pa.table({"src": pa.array(src, pa.int64()),
+                        "dst": pa.array(dst, pa.int64())})
+        return out.append_column(
+            "bucket", int_bucket(out.column("src"), n_buckets))
+
+    oriented = degreed.groupby("bucket").map_groups(
+        orient_grp, batch_format="pyarrow").materialize()
+
+    def wedge_rows_grp(g: pa.Table) -> pa.Table:
+        s = g.column("src").to_numpy(zero_copy_only=False)
+        d = g.column("dst").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        n = len(s)
+        keys, cens = [], []
+        k = 1
+        while k < n:
+            mask = s[:-k] == s[k:]
+            if not mask.any():
+                break  # no src segment longer than k
+            keys.append((d[:-k][mask] << np.int64(32)) | d[k:][mask])
+            cens.append(s[:-k][mask])
+            k += 1
+        key = np.concatenate(keys) if keys else np.array([], np.int64)
+        cen = np.concatenate(cens) if cens else np.array([], np.int64)
+        out = pa.table({
+            "key": pa.array(key, pa.int64()),
+            "center": pa.array(cen, pa.int64()),
+            "side": pa.array(np.zeros(len(key), np.int8), pa.int8())})
+        return out.append_column(
+            "bucket", int_bucket(out.column("key"), n_buckets))
+
+    def edge_side(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        key = (np.minimum(s, d) << np.int64(32)) | np.maximum(s, d)
+        out = pa.table({
+            "key": pa.array(key, pa.int64()),
+            "center": pa.array(np.zeros(len(key), np.int64),
+                               pa.int64()),
+            "side": pa.array(np.ones(len(key), np.int8), pa.int8())})
+        return out.append_column(
+            "bucket", int_bucket(out.column("key"), n_buckets))
+
+    wedges = oriented.groupby("bucket").map_groups(
+        wedge_rows_grp, batch_format="pyarrow")
+    edge_keys = oriented.map_batches(edge_side, batch_format="pyarrow")
+
+    def probe_grp(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        ek = np.unique(key[side == 1])
+        wsel = side == 0
+        wk = key[wsel]
+        cen = g.column("center").to_numpy(zero_copy_only=False)[wsel]
+        if len(ek) and len(wk):
+            pos = np.minimum(np.searchsorted(ek, wk), len(ek) - 1)
+            hit = ek[pos] == wk
+        else:
+            hit = np.zeros(len(wk), bool)
+        if hit.any():
+            whit = wk[hit]
+            nodes = np.concatenate(
+                [cen[hit], whit >> np.int64(32), whit & M32])
+            nu, cnt = np.unique(nodes, return_counts=True)
+        else:
+            nu = cnt = np.array([], np.int64)
+        return pa.table({"node": pa.array(nu, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64),
+                                         pa.int64())})
+
+    seed = pa.table({"node": pa.array([], pa.int64()),
+                     "cnt": pa.array([], pa.int64())})
+    return _combine_partials(
+        wedges.union(edge_keys).groupby("bucket").map_groups(
+            probe_grp, batch_format="pyarrow"),
+        ["node"], {"cnt": "n_triangles"}, seed=seed)
+
+
+def q_triangle_parts_dist(sf_dir: str):
+    """`triangle_parts` with ``edge_budget=0`` — pins the fully
+    distributed cogroup plan so the big-graph path stays under the
+    same DuckDB oracle gate as the broadcast plan every round."""
+    return q_triangle_parts(sf_dir, edge_budget=0)
 
 
 SQL_TRIANGLE_PARTS = """WITH e AS (
@@ -17510,6 +17700,7 @@ QUERIES = {
                             SQL_CONV_TURN_HISTOGRAM),
     "prefix_dups": (q_prefix_dups, SQL_PREFIX_DUPS),
     "triangle_parts": (q_triangle_parts, SQL_TRIANGLE_PARTS),
+    "triangle_parts_dist": (q_triangle_parts_dist, SQL_TRIANGLE_PARTS),
     "ema_cents": (q_ema_cents, SQL_EMA_CENTS),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "sft_examples": (q_sft_examples, SQL_SFT_EXAMPLES),

@@ -118,6 +118,40 @@ class TestTriangleParts:
         assert got.num_rows > 0
         assert _sorted_rows(got) == _sorted_rows(want)
 
+    def test_distributed_fallback_hand(self, ray_session, tmp_path):
+        # edge_budget=0 forces the all-cogroup plan on the same
+        # hand-checkable graph as test_hand_triangle
+        from raybeats.queries import q_triangle_parts
+        rows = [(1, 1), (1, 2), (1, 3), (2, 3), (2, 4),
+                (3, 1), (3, 2), (4, 2), (4, 3), (4, 4)]
+        _lineitem(tmp_path, rows)
+        got = q_triangle_parts(str(tmp_path), edge_budget=0)
+        r = {x["l_partkey"]: x["n_triangles"] for x in got.to_pylist()}
+        assert r == {1: 1, 2: 2, 3: 2, 4: 1}
+
+    def test_distributed_fallback_parity(self, ray_session, tmp_path):
+        # the two plans must agree with each other AND the oracle on
+        # a randomized graph dense enough for many triangles
+        from raybeats.queries import q_triangle_parts
+        rng = np.random.default_rng(60)
+        rows = list(zip(rng.integers(0, 150, size=2500).tolist(),
+                        rng.integers(0, 45, size=2500).tolist()))
+        _lineitem(tmp_path, rows)
+        dist = q_triangle_parts(str(tmp_path), edge_budget=0)
+        bcast = q_triangle_parts(str(tmp_path), edge_budget=1 << 40)
+        want = _oracle(tmp_path, QUERIES["triangle_parts"][1],
+                       ["lineitem"])
+        assert dist.num_rows > 0
+        assert _sorted_rows(dist) == _sorted_rows(bcast)
+        assert _sorted_rows(dist) == _sorted_rows(want)
+
+    def test_distributed_fallback_empty(self, ray_session, tmp_path):
+        from raybeats.queries import q_triangle_parts
+        _lineitem(tmp_path, [])
+        got = q_triangle_parts(str(tmp_path), edge_budget=0)
+        assert got.num_rows == 0
+        assert got.column_names == ["l_partkey", "n_triangles"]
+
 
 def _events(tmp_path, rows):
     """rows: (event_id, user_id, ts_us, value)."""
