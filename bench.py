@@ -201,7 +201,8 @@ def run_queries() -> dict[str, float]:
              "split_novelty", "encode_docs", "dataset_card",
              "pack_efficiency",
              "decile_transition",
-             "prefix_dups", "triangle_parts", "ema_cents",
+             "prefix_dups", "triangle_parts", "triangle_parts_dist",
+             "ema_cents",
              "bm25_topk", "sft_examples", "ols_fit",
              "dup_spans", "preference_pairs", "hard_negatives",
              "error_window_types", "user_activity_fold",
@@ -401,8 +402,31 @@ def scaling() -> None:
     print(json.dumps(out))
 
 
+def dedup500k() -> None:
+    """Recorded large-corpus dedup lane: the same exact + near-dup
+    arms at 500k docs (2.5× the default 200k). Throughput RISING from
+    the 200k lane is the size-amortization evidence the 100-TB story
+    rests on — fixed per-stage floors amortize over more rows; record
+    both lanes per round in BASELINE.md."""
+    import ray
+    os.environ["RAYBEATS_DEDUP_DOCS"] = "500000"
+    ray.init(address="local", num_cpus=NUM_CPUS,
+             include_dashboard=False, ignore_reinit_error=True,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.op_resource_reservation_enabled = False
+    out = run_dedup_bench()
+    out["num_cpus"] = NUM_CPUS
+    print(json.dumps(out))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--dedup500k" in sys.argv:
+        dedup500k()
     else:
         main()

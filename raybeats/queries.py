@@ -7763,16 +7763,51 @@ def q_kwic_snippets(sf_dir: str):
 
 
 def _slice_varstart(col, start, stop) -> pa.Array:
-    """Per-row-varying utf8 slice (arrow's slice kernels take scalar
-    bounds): gather codepoint offsets once via numpy over the utf8
-    buffer is overkill for snippet extraction — split each string at
-    its own window with one vectorized pandas ``str`` pass instead."""
+    """Per-row-varying utf8 CODEPOINT slice (arrow's slice kernels
+    take scalar bounds only) as one numpy pass over the utf8 buffers:
+    codepoint starts are exactly the non-continuation bytes
+    (``b & 0xC0 != 0x80``), so a cumsum over that mask maps each
+    row-relative codepoint position to its absolute byte position and
+    a single explode-gather builds the output buffer — no per-row
+    python (the flat_tokens offset-gather pattern). Positions are
+    clamped to the row's codepoint count; a null row falls back to a
+    per-row slice (the kwic caller filters nulls upstream)."""
     import numpy as np
-    s = col.to_pandas()
     st = np.asarray(start.to_numpy(zero_copy_only=False), np.int64)
     en = np.asarray(stop.to_numpy(zero_copy_only=False), np.int64)
-    out = [v[a:b] for v, a, b in zip(s, st, en)]
-    return pa.array(out, pa.string())
+    if col.null_count:
+        s = col.to_pylist()
+        return pa.array([None if v is None else v[a:b]
+                         for v, a, b in zip(s, st, en)], pa.string())
+    c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    c = c.cast(pa.large_string())  # int64 offsets buffer
+    if len(c) == 0 or c.buffers()[1] is None:
+        return pa.array([""] * len(c), pa.string())
+    offs = np.frombuffer(c.buffers()[1], np.int64,
+                         len(c) + 1 + c.offset)[c.offset:]
+    data_buf = c.buffers()[2]
+    full = np.frombuffer(data_buf, np.uint8) if data_buf is not None \
+        else np.empty(0, np.uint8)
+    region = full[offs[0]:offs[-1]]
+    offs = offs - offs[0]  # region-relative byte offsets per row
+    cpmask = (region & 0xC0) != 0x80
+    # byte position of global codepoint ordinal j; sentinel = region
+    # end covers positions one past the last codepoint (empty trailing
+    # rows collapse onto the same offset, so ordinal→offs[i+1] holds)
+    cp_starts = np.append(np.flatnonzero(cpmask), len(region))
+    cpx = np.concatenate([[0], np.cumsum(cpmask)])
+    row_cp0 = cpx[offs[:-1]]          # codepoints before row i
+    row_cpn = cpx[offs[1:]] - row_cp0  # codepoints in row i
+    b0 = cp_starts[row_cp0 + np.minimum(st, row_cpn)]
+    b1 = cp_starts[row_cp0 + np.minimum(en, row_cpn)]
+    lens = np.maximum(b1 - b0, 0)
+    out_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    out_buf = region[np.repeat(b0, lens) + _aranges(lens)]
+    arr = pa.Array.from_buffers(
+        pa.large_string(), len(lens),
+        [None, pa.py_buffer(out_off.tobytes()),
+         pa.py_buffer(out_buf.tobytes())])
+    return arr.cast(pa.string())
 
 
 SQL_KWIC_SNIPPETS = """WITH d AS (

@@ -21,7 +21,6 @@ incremental sessionization whose final flush equals the batch
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -283,7 +282,7 @@ class _PerBucketPending:
     rows would fold a boundary tie before its same-ts peer arrives.
     Buckets partition the key space, so drain order is irrelevant.
     Single-sourced here so the invariant cannot diverge between the
-    pandas and arrow dialects."""
+    deferring modes; payloads are arrow tables end to end."""
 
     def __init__(self):
         self._pending: dict[int, object] = {}
@@ -326,23 +325,32 @@ class SessionState:
     def process(self, tbl: pa.Table) -> int:
         if tbl.num_rows == 0:
             return 0
-        g = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
-        ts = g["ts"].astype("int64")
-        same_user = g["user_id"].eq(g["user_id"].shift())
-        brk = ((ts.diff() > self.gap_us) & same_user).astype("int64")
-        agg = g.assign(brk=brk, ts_int=ts).groupby("user_id", sort=False) \
-            .agg(brks=("brk", "sum"), n=("brk", "size"),
-                 first_ts=("ts_int", "min"), last_ts=("ts_int", "max"))
-        for user, row in agg.iterrows():
+        # the batch sessionization kernel's shape: one lexsort, gap
+        # breaks from a shifted diff, per-user partials via reduceat —
+        # no pandas hop in the actor fold
+        u = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(tbl.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        starts = np.flatnonzero(np.append(True, u[1:] != u[:-1]))
+        lens = np.diff(np.append(starts, len(u)))
+        same_user = np.append(False, u[1:] == u[:-1])
+        brk = (same_user
+               & (np.append(np.int64(0), np.diff(ts)) > self.gap_us))
+        brks = np.add.reduceat(brk.astype(np.int64), starts)
+        first_ts, last_ts = ts[starts], ts[starts + lens - 1]
+        for i, user in enumerate(u[starts].tolist()):
             st = self.state.get(user)
             if st is None:
-                self.state[user] = [int(row.last_ts), 1 + int(row.brks),
-                                    int(row.n)]
+                self.state[user] = [int(last_ts[i]), 1 + int(brks[i]),
+                                    int(lens[i])]
             else:
-                gap_break = int(row.first_ts) - st[0] > self.gap_us
-                st[0] = int(row.last_ts)
-                st[1] += int(row.brks) + (1 if gap_break else 0)
-                st[2] += int(row.n)
+                gap_break = int(first_ts[i]) - st[0] > self.gap_us
+                st[0] = int(last_ts[i])
+                st[1] += int(brks[i]) + (1 if gap_break else 0)
+                st[2] += int(lens[i])
         return tbl.num_rows
 
     def flush(self) -> pa.Table:
@@ -379,50 +387,57 @@ class TrailingWindowState(_PerBucketPending):
         self.window_us = window_us
         self.buf: dict[int, np.ndarray] = {}
 
-    def _emit(self, g: pd.DataFrame) -> pa.Table:
-        if len(g) == 0:
+    def _emit(self, g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
             return self._EMPTY
-        g = g.sort_values(["user_id", "ts", "event_id"])
-        out = []
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(g.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid = u[order], ts[order], eid[order]
+        starts = np.flatnonzero(np.append(True, u[1:] != u[:-1]))
+        lens = np.diff(np.append(starts, len(u)))
+        n_out = np.empty(len(u), np.int64)
         nothing = np.array([], dtype=np.int64)
-        for uid, u in g.groupby("user_id", sort=False):
-            ts = u["ts"].astype("int64").to_numpy()
-            allts = np.concatenate([self.buf.get(uid, nothing), ts])
-            lo = np.searchsorted(allts, ts - self.window_us, side="left")
-            hi = np.searchsorted(allts, ts, side="right")
-            out.append(pd.DataFrame({
-                "event_id": u["event_id"].to_numpy(),
-                "user_id": np.int64(uid),
-                "n_trailing_hour": (hi - lo).astype("int64")}))
+        for s0, ln in zip(starts.tolist(), lens.tolist()):
+            uid = int(u[s0])
+            seg = slice(s0, s0 + ln)
+            tseg = ts[seg]
+            allts = np.concatenate([self.buf.get(uid, nothing), tseg])
+            lo = np.searchsorted(allts, tseg - self.window_us,
+                                 side="left")
+            hi = np.searchsorted(allts, tseg, side="right")
+            n_out[seg] = hi - lo
             # keep the boundary value: the batch frame (RANGE ... 1 HOUR
             # PRECEDING) INCLUDES an event exactly window_us older
-            self.buf[uid] = allts[allts >= ts[-1] - self.window_us]
-        df = pd.concat(out)
+            self.buf[uid] = allts[allts >= tseg[-1] - self.window_us]
         return pa.table({
-            "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
-            "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
-            "n_trailing_hour": pa.array(df["n_trailing_hour"].to_numpy(),
-                                        pa.int64())})
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
+            "n_trailing_hour": pa.array(n_out, pa.int64())})
 
     def process(self, tbl: pa.Table) -> pa.Table:
         self.check_ts_not_null(tbl)
         bkt = self.bucket_of(tbl)
         prev = self.pop_pending(bkt)
-        frames = [] if prev is None else [prev]
+        tabs = [] if prev is None else [prev]
         if tbl.num_rows:
-            frames.append(tbl.to_pandas())
-        if not frames:
+            tabs.append(tbl)
+        if not tabs:
             return self._EMPTY
-        g = pd.concat(frames, ignore_index=True)
-        max_ts = g["ts"].astype("int64").max()
-        at_max = g["ts"].astype("int64") == max_ts
-        self.defer(bkt, g[at_max])
-        return self._emit(g[~at_max])
+        g = pa.concat_tables(tabs, promote_options="default")
+        ts = pc.cast(g.column("ts"), pa.int64())
+        at_max = pc.equal(ts, pc.max(ts))
+        self.defer(bkt, g.filter(at_max))
+        return self._emit(g.filter(pc.invert(at_max)))
 
     def flush(self) -> pa.Table:
-        frames = self.drain_pending()
-        g = pd.concat(frames, ignore_index=True) if frames else None
-        return self._emit(g if g is not None else pd.DataFrame())
+        tabs = self.drain_pending()
+        if not tabs:
+            return self._EMPTY
+        return self._emit(pa.concat_tables(tabs,
+                                           promote_options="default"))
 
 
 def streaming_sliding_window(micro_batches, window_minutes: int = 60,

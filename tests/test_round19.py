@@ -92,6 +92,25 @@ class TestKwicSnippets:
                        tables=("documents",))
         assert _sorted_rows(got) == _sorted_rows(want)
 
+    def test_slice_varstart_kernel(self, ray_session):
+        # direct kernel check: multibyte boundaries, empty rows,
+        # stop past end, start == len, zero-width window — against
+        # python slicing as the spec
+        from raybeats.queries import _slice_varstart
+        vals = ["日本語abc日本語", "", "xyz", "é", "abc", "日日日"]
+        st = [1, 0, 2, 0, 3, 5]
+        en = [5, 3, 99, 1, 3, 9]
+        got = _slice_varstart(
+            pa.chunked_array([pa.array(vals[:3]), pa.array(vals[3:])]),
+            pa.array(st, pa.int64()), pa.array(en, pa.int64()))
+        assert got.to_pylist() == [v[a:b]
+                                   for v, a, b in zip(vals, st, en)]
+        # null rows take the fallback path
+        got2 = _slice_varstart(pa.array(["abcd", None]),
+                               pa.array([1, 0], pa.int64()),
+                               pa.array([3, 2], pa.int64()))
+        assert got2.to_pylist() == ["bc", None]
+
 
 class TestGapHistogram:
     def test_power_boundaries_and_zero(self, ray_session, tmp_path):
