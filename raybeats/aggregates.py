@@ -347,16 +347,19 @@ def _key_codes(col) -> np.ndarray:
     """Per-batch integer codes for an arbitrary key column (grouping
     within one batch only — codes are NOT stable across batches and
     never leave the kernel). Non-null integer keys pass through
-    zero-copy; everything else (strings, nullable ints — SQL
-    ``PARTITION BY`` puts all NULLs in one partition) goes through
-    pandas factorize, which is a single vectorized C pass."""
+    zero-copy; everything else goes through arrow's
+    ``dictionary_encode`` — the same single C pass as pandas
+    factorize without the pandas conversion — with nulls mapped to
+    one fresh code (SQL ``PARTITION BY`` puts all NULLs in one
+    partition)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_integer(col.type) and col.null_count == 0:
         return col.to_numpy(zero_copy_only=False)
-    import pandas as pd
-    codes, _ = pd.factorize(col.to_pandas(), use_na_sentinel=False)
-    return codes
+    enc = col.dictionary_encode()
+    idx = pc.fill_null(pc.cast(enc.indices, pa.int64()),
+                       len(enc.dictionary))
+    return idx.to_numpy(zero_copy_only=False)
 
 
 def keep_latest(ds, *, key: str, order_by: tuple[str, ...],

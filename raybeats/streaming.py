@@ -208,8 +208,9 @@ def checkpoint_actors(actors, n_buckets: int, ckpt_dir: str) -> None:
     ``os.replace`` — a crash mid-checkpoint leaves no manifest, so a
     resume either sees the complete snapshot or none of it. The state
     class must expose ``state_tables() -> dict[str, pa.Table]`` /
-    ``restore_tables(dict)`` (LatestEventState and StreamFunnelState
-    do; a state without the protocol fails loudly at snapshot time).
+    ``restore_tables(dict)`` (every streaming state class in this
+    module does; a state without the protocol fails loudly at
+    snapshot time).
     Barrier-fenced call sites only: checkpoint between micro-batches,
     never while pushes are in flight."""
     import json
@@ -312,6 +313,28 @@ class _PerBucketPending:
         out, self._pending = list(self._pending.values()), {}
         return out
 
+    # checkpoint protocol helpers (see checkpoint_actors): the
+    # deferral dict serializes as ONE table with a __bkt column so a
+    # resumed run re-emits the held boundary rows instead of losing
+    # them. Applies when payloads are arrow tables (TransitionState
+    # overrides for its array-tuple payloads).
+    def pending_state(self) -> pa.Table | None:
+        parts = [t.append_column(
+            "__bkt", pa.array([bkt] * t.num_rows, pa.int32()))
+            for bkt, t in sorted(self._pending.items()) if t.num_rows]
+        if not parts:
+            return None
+        return pa.concat_tables(parts, promote_options="default")
+
+    def restore_pending(self, tbl: pa.Table | None) -> None:
+        self._pending = {}
+        if tbl is None:
+            return
+        b = tbl.column("__bkt").to_numpy(zero_copy_only=False)
+        t2 = tbl.drop_columns(["__bkt"])
+        for bkt in np.unique(b):
+            self._pending[int(bkt)] = t2.filter(pa.array(b == bkt))
+
 
 class SessionState:
     """Per-bucket incremental session tracker (30-min-gap semantics,
@@ -362,6 +385,31 @@ class SessionState:
             "n_events": pa.array([self.state[u][2] for u in users],
                                  pa.int64()),
         })
+
+    # checkpoint protocol (see checkpoint_actors)
+    def state_tables(self) -> dict:
+        if not self.state:
+            return {}
+        users = sorted(self.state)
+        return {"sessions": pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "last_ts": pa.array([self.state[u][0] for u in users],
+                                pa.int64()),
+            "n_sessions": pa.array([self.state[u][1] for u in users],
+                                   pa.int64()),
+            "n_events": pa.array([self.state[u][2] for u in users],
+                                 pa.int64())})}
+
+    def restore_tables(self, tables: dict) -> None:
+        self.state = {}
+        t = tables.get("sessions")
+        if t is None:
+            return
+        for u, last, ns, ne in zip(t.column("user_id").to_pylist(),
+                                   t.column("last_ts").to_pylist(),
+                                   t.column("n_sessions").to_pylist(),
+                                   t.column("n_events").to_pylist()):
+            self.state[u] = [last, ns, ne]
 
 
 class TrailingWindowState(_PerBucketPending):
@@ -439,22 +487,60 @@ class TrailingWindowState(_PerBucketPending):
         return self._emit(pa.concat_tables(tabs,
                                            promote_options="default"))
 
+    # checkpoint protocol (see checkpoint_actors): per-user in-window
+    # timestamps explode to rows (stored ascending, restored ascending
+    # — the searchsorted invariant), deferral via _PerBucketPending
+    def state_tables(self) -> dict:
+        out = {}
+        if self.buf:
+            users = sorted(self.buf)
+            lens = [len(self.buf[u]) for u in users]
+            out["buf"] = pa.table({
+                "user_id": pa.array(np.repeat(users, lens), pa.int64()),
+                "ts": pa.array(np.concatenate(
+                    [self.buf[u] for u in users]), pa.int64())})
+        p = self.pending_state()
+        if p is not None:
+            out["pending"] = p
+        return out
+
+    def restore_tables(self, tables: dict) -> None:
+        self.buf = {}
+        t = tables.get("buf")
+        if t is not None and t.num_rows:
+            u = t.column("user_id").to_numpy(zero_copy_only=False)
+            ts = t.column("ts").to_numpy(zero_copy_only=False)
+            starts = np.flatnonzero(np.append(True, u[1:] != u[:-1]))
+            lens = np.diff(np.append(starts, len(u)))
+            for s0, ln in zip(starts.tolist(), lens.tolist()):
+                self.buf[int(u[s0])] = ts[s0:s0 + ln].copy()
+        self.restore_pending(tables.get("pending"))
+
 
 def streaming_sliding_window(micro_batches, window_minutes: int = 60,
-                             n_buckets: int = 4):
+                             n_buckets: int = 4,
+                             checkpoint_to: str | None = None,
+                             restore_from: str | None = None):
     """Incremental counterpart of the batch ``sliding_window`` query:
     per-event trailing-window counts over time-ordered micro-batches,
     keyed actor state per bucket. The union of per-batch outputs equals
-    the batch query exactly (tested)."""
+    the batch query exactly (tested). ``checkpoint_to`` SUSPENDS the
+    stream rather than ending it: deferred watermark rows stay in the
+    snapshot (no end-of-stream flush) and emit on the resumed run, so
+    run-1 rows ∪ run-2 rows ≡ batch with no duplicates."""
     import ray
 
     window_us = window_minutes * 60 * 1_000_000
     actors, parts = _drive_keyed_actors(micro_batches, TrailingWindowState,
                                         (window_us,), n_buckets,
-                                        collect_rows=True)
-    # end-of-stream: flush deferred max-watermark rows from every actor
-    for flushed in ray.get([a.flush.remote() for a in actors]):
-        parts.extend(flushed.to_pylist())
+                                        collect_rows=True,
+                                        restore_dir=restore_from)
+    if checkpoint_to is not None:
+        checkpoint_actors(actors, n_buckets, checkpoint_to)
+    else:
+        # end-of-stream: flush deferred max-watermark rows per actor
+        for flushed in ray.get([a.flush.remote() for a in actors]):
+            parts.extend(flushed.to_pylist())
     if not parts:
         return TrailingWindowState._EMPTY
     return pa.Table.from_pylist(parts).sort_by(
@@ -500,15 +586,47 @@ class TumblingWindowState:
             "n": pa.array([self.state[k][1] for k in keys], pa.int64()),
         })
 
+    # checkpoint protocol (see checkpoint_actors) — one row per live
+    # window key, unsorted (keys may carry a null user_id)
+    def state_tables(self) -> dict:
+        if not self.state:
+            return {}
+        ks = list(self.state)
+        return {"windows": pa.table({
+            "user_id": pa.array([k[0] for k in ks], pa.int64()),
+            "hour": pa.array([k[1] for k in ks], pa.timestamp("us")),
+            "total_cents": pa.array([self.state[k][0] for k in ks],
+                                    pa.int64()),
+            "n": pa.array([self.state[k][1] for k in ks],
+                          pa.int64())})}
 
-def streaming_window_agg(micro_batches, n_buckets: int = 4):
+    def restore_tables(self, tables: dict) -> None:
+        self.state = {}
+        t = tables.get("windows")
+        if t is None:
+            return
+        for u, h, s, n in zip(t.column("user_id").to_pylist(),
+                              t.column("hour").to_pylist(),
+                              t.column("total_cents").to_pylist(),
+                              t.column("n").to_pylist()):
+            self.state[(u, h)] = [s, n]
+
+
+def streaming_window_agg(micro_batches, n_buckets: int = 4,
+                         checkpoint_to: str | None = None,
+                         restore_from: str | None = None):
     """Incremental counterpart of the batch ``window_agg`` query
     (tumbling hour windows): keyed actor state per bucket, flush equals
-    the batch result exactly (tested)."""
+    the batch result exactly (tested). ``checkpoint_to`` /
+    ``restore_from`` snapshot and resume the window state across
+    driver runs; the resumed flush covers BOTH runs' rows."""
     import ray
 
     actors, _ = _drive_keyed_actors(micro_batches, TumblingWindowState,
-                                    (), n_buckets)
+                                    (), n_buckets,
+                                    restore_dir=restore_from)
+    if checkpoint_to is not None:
+        checkpoint_actors(actors, n_buckets, checkpoint_to)
     parts = [p for p in ray.get([a.flush.remote() for a in actors])
              if p.num_rows]
     if not parts:
@@ -585,15 +703,24 @@ def kafka_micro_batches(out_dir: str, time_col: str = "ts",
 
 
 def streaming_sessionize(micro_batches, gap_minutes: int = 30,
-                         n_buckets: int = 4):
+                         n_buckets: int = 4,
+                         checkpoint_to: str | None = None,
+                         restore_from: str | None = None):
     """``micro_batches``: iterable of ``ray.data.Dataset`` slices in
     event-time order (e.g. one per input file / time window). Returns the
-    flushed per-user session table, computed incrementally."""
+    flushed per-user session table, computed incrementally.
+    ``checkpoint_to`` / ``restore_from`` snapshot and resume the
+    per-user session state across driver runs (see
+    :func:`checkpoint_actors`); the resumed flush covers BOTH runs'
+    rows."""
     import ray
 
     gap_us = gap_minutes * 60 * 1_000_000
     actors, _ = _drive_keyed_actors(micro_batches, SessionState,
-                                    (gap_us,), n_buckets)
+                                    (gap_us,), n_buckets,
+                                    restore_dir=restore_from)
+    if checkpoint_to is not None:
+        checkpoint_actors(actors, n_buckets, checkpoint_to)
     parts = ray.get([a.flush.remote() for a in actors])
     nonempty = [p for p in parts if p.num_rows]
     if not nonempty:
@@ -659,6 +786,29 @@ class RunningTotalState(_PerBucketPending):
             pa.concat_tables(parts, promote_options="default"),
             self.carry)
 
+    # checkpoint protocol (see checkpoint_actors)
+    def state_tables(self) -> dict:
+        out = {}
+        if self.carry:
+            users = sorted(self.carry)
+            out["carry"] = pa.table({
+                "user_id": pa.array(users, pa.int64()),
+                "cents": pa.array([self.carry[u] for u in users],
+                                  pa.int64())})
+        p = self.pending_state()
+        if p is not None:
+            out["pending"] = p
+        return out
+
+    def restore_tables(self, tables: dict) -> None:
+        self.carry = {}
+        t = tables.get("carry")
+        if t is not None:
+            for u, c in zip(t.column("user_id").to_pylist(),
+                            t.column("cents").to_pylist()):
+                self.carry[u] = c
+        self.restore_pending(tables.get("pending"))
+
 
 class ApproxDistinctState:
     """Per-bucket incremental HLL distinct count — the streaming
@@ -682,13 +832,30 @@ class ApproxDistinctState:
         return pa.table({"regs": pa.array(
             [self.hll.registers.tobytes()], pa.binary())})
 
+    # checkpoint protocol (see checkpoint_actors): the register array
+    # is the whole state; register maxes commute so resume ≡ batch
+    def state_tables(self) -> dict:
+        return {"hll": self.flush()}
+
+    def restore_tables(self, tables: dict) -> None:
+        t = tables.get("hll")
+        if t is not None:
+            self.hll.registers = np.frombuffer(
+                t.column("regs")[0].as_py(), dtype=np.uint8,
+                count=len(self.hll.registers)).copy()
+
 
 def streaming_approx_distinct(micro_batches, column: str = "user_id",
-                              n_buckets: int = 4, p: int = 14) -> float:
+                              n_buckets: int = 4, p: int = 14,
+                              checkpoint_to: str | None = None,
+                              restore_from: str | None = None) -> float:
     """Incremental approximate COUNT(DISTINCT column) over time-ordered
     micro-batches: keyed actor state per bucket, one fixed-size HLL per
     actor, merged registers at end of stream. Equals the batch
-    ``textops.sketches.approx_distinct`` estimate exactly."""
+    ``textops.sketches.approx_distinct`` estimate exactly.
+    ``checkpoint_to`` / ``restore_from`` snapshot and resume the
+    registers across driver runs (maxes commute, so the resumed
+    estimate equals the batch sketch over both runs' rows)."""
     import numpy as np
     import ray
 
@@ -704,7 +871,10 @@ def streaming_approx_distinct(micro_batches, column: str = "user_id",
               for s in micro_batches)
     actors, _ = _drive_keyed_actors(slices, ApproxDistinctState,
                                     (column, p), n_buckets,
-                                    key_col=column)
+                                    key_col=column,
+                                    restore_dir=restore_from)
+    if checkpoint_to is not None:
+        checkpoint_actors(actors, n_buckets, checkpoint_to)
     merged = HyperLogLog(p)
     for t in ray.get([a.flush.remote() for a in actors]):
         merged.merge_registers(np.frombuffer(
@@ -712,17 +882,26 @@ def streaming_approx_distinct(micro_batches, column: str = "user_id",
     return merged.estimate()
 
 
-def streaming_running_total(micro_batches, n_buckets: int = 4):
+def streaming_running_total(micro_batches, n_buckets: int = 4,
+                            checkpoint_to: str | None = None,
+                            restore_from: str | None = None):
     """Incremental counterpart of the batch ``running_sum`` query:
     per-event cumulative totals over time-ordered micro-batches, keyed
     actor state per bucket. The union of per-batch outputs equals the
-    batch query exactly (tested)."""
+    batch query exactly (tested). ``checkpoint_to`` SUSPENDS the
+    stream (no end-of-stream flush — deferred watermark rows stay in
+    the snapshot and emit on the resumed run), so run-1 rows ∪ run-2
+    rows ≡ batch with no duplicates."""
     import ray
 
     actors, parts = _drive_keyed_actors(micro_batches, RunningTotalState,
-                                        (), n_buckets, collect_rows=True)
-    for flushed in ray.get([a.flush.remote() for a in actors]):
-        parts.extend(flushed.to_pylist())
+                                        (), n_buckets, collect_rows=True,
+                                        restore_dir=restore_from)
+    if checkpoint_to is not None:
+        checkpoint_actors(actors, n_buckets, checkpoint_to)
+    else:
+        for flushed in ray.get([a.flush.remote() for a in actors]):
+            parts.extend(flushed.to_pylist())
     if not parts:
         return RunningTotalState._EMPTY
     return pa.Table.from_pylist(parts).sort_by(
@@ -970,16 +1149,96 @@ class TransitionState(_PerBucketPending):
             "dst": pa.array([k[1] for k in keys], pa.string()),
             "n": pa.array([self.counts[k] for k in keys], pa.int64())})
 
+    # checkpoint protocol (see checkpoint_actors); pending payloads
+    # here are array TUPLES, so the _PerBucketPending table helpers
+    # are overridden with a columnar rendering of the same rows
+    def pending_state(self) -> pa.Table | None:
+        parts = []
+        for bkt, (pu, pts, peid, pet) in sorted(self._pending.items()):
+            if len(pu):
+                parts.append(pa.table({
+                    "user_id": pa.array(pu, pa.int64()),
+                    "ts": pa.array(pts, pa.int64()),
+                    "event_id": pa.array(peid, pa.int64()),
+                    "event_type": pa.array(list(pet), pa.string()),
+                    "__bkt": pa.array([bkt] * len(pu), pa.int32())}))
+        return pa.concat_tables(parts) if parts else None
 
-def streaming_transition_counts(micro_batches, n_buckets: int = 4):
+    def restore_pending(self, tbl: pa.Table | None) -> None:
+        self._pending = {}
+        if tbl is None:
+            return
+        b = tbl.column("__bkt").to_numpy(zero_copy_only=False)
+        for bkt in np.unique(b):
+            sub = tbl.filter(pa.array(b == bkt))
+            self._pending[int(bkt)] = (
+                sub.column("user_id").to_numpy(zero_copy_only=False),
+                sub.column("ts").to_numpy(zero_copy_only=False),
+                sub.column("event_id").to_numpy(zero_copy_only=False),
+                np.asarray(sub.column("event_type").to_pylist(),
+                           dtype=object))
+
+    def state_tables(self) -> dict:
+        out = {}
+        if self.last:
+            users = sorted(self.last)
+            out["last"] = pa.table({
+                "user_id": pa.array(users, pa.int64()),
+                "ts": pa.array([self.last[u][0] for u in users],
+                               pa.int64()),
+                "event_id": pa.array([self.last[u][1] for u in users],
+                                     pa.int64()),
+                "event_type": pa.array([self.last[u][2] for u in users],
+                                       pa.string())})
+        if self.counts:
+            keys = sorted(self.counts)
+            out["counts"] = pa.table({
+                "src": pa.array([k[0] for k in keys], pa.string()),
+                "dst": pa.array([k[1] for k in keys], pa.string()),
+                "n": pa.array([self.counts[k] for k in keys],
+                              pa.int64())})
+        p = self.pending_state()
+        if p is not None:
+            out["pending"] = p
+        return out
+
+    def restore_tables(self, tables: dict) -> None:
+        self.last = {}
+        self.counts = {}
+        t = tables.get("last")
+        if t is not None:
+            for u, ts, eid, et in zip(
+                    t.column("user_id").to_pylist(),
+                    t.column("ts").to_pylist(),
+                    t.column("event_id").to_pylist(),
+                    t.column("event_type").to_pylist()):
+                self.last[u] = (ts, eid, et)
+        t = tables.get("counts")
+        if t is not None:
+            for s, d, n in zip(t.column("src").to_pylist(),
+                               t.column("dst").to_pylist(),
+                               t.column("n").to_pylist()):
+                self.counts[(s, d)] = n
+        self.restore_pending(tables.get("pending"))
+
+
+def streaming_transition_counts(micro_batches, n_buckets: int = 4,
+                                checkpoint_to: str | None = None,
+                                restore_from: str | None = None):
     """Flushed (src, dst, n) transition counts over event-time-ordered
     micro-batches — equals the batch ``transition_counts`` query for
     any split (buckets partition users, so per-actor counts sum
-    exactly)."""
+    exactly). ``checkpoint_to`` / ``restore_from`` snapshot and
+    resume counts, per-user last events AND deferred watermark rows
+    across driver runs (the snapshot precedes the flush's pending
+    drain, so the resumed flush covers both runs' rows)."""
     import ray
 
     actors, _ = _drive_keyed_actors(micro_batches, TransitionState,
-                                    (), n_buckets)
+                                    (), n_buckets,
+                                    restore_dir=restore_from)
+    if checkpoint_to is not None:
+        checkpoint_actors(actors, n_buckets, checkpoint_to)
     parts = [p for p in ray.get([a.flush.remote() for a in actors])
              if p.num_rows]
     if not parts:
@@ -1035,16 +1294,30 @@ class UserSummaryState:
     def flush(self) -> pa.Table:
         return self.cache
 
+    # checkpoint protocol (see checkpoint_actors): the partials cache
+    # IS the state (associative measures — resume ≡ batch trivially)
+    def state_tables(self) -> dict:
+        return {} if self.cache.num_rows == 0 else {"cache": self.cache}
 
-def streaming_user_summary(micro_batches, n_buckets: int = 4):
+    def restore_tables(self, tables: dict) -> None:
+        self.cache = tables.get("cache", self._SCHEMA.empty_table())
+
+
+def streaming_user_summary(micro_batches, n_buckets: int = 4,
+                           checkpoint_to: str | None = None,
+                           restore_from: str | None = None):
     """Flushed per-user lifetime profile over event-time-ordered
     micro-batches — equals the batch ``user_summary`` query for any
     split (buckets partition users; all five measures are associative
-    and commutative)."""
+    and commutative). ``checkpoint_to`` / ``restore_from`` snapshot
+    and resume the partials cache across driver runs."""
     import ray
 
     actors, _ = _drive_keyed_actors(micro_batches, UserSummaryState,
-                                    (), n_buckets)
+                                    (), n_buckets,
+                                    restore_dir=restore_from)
+    if checkpoint_to is not None:
+        checkpoint_actors(actors, n_buckets, checkpoint_to)
     parts = [p for p in ray.get([a.flush.remote() for a in actors])
              if p.num_rows]
     if not parts:
@@ -1104,16 +1377,30 @@ class ModeCountState:
     def flush(self) -> pa.Table:
         return self.cache
 
+    # checkpoint protocol (see checkpoint_actors): the counts cache
+    # IS the state (additive — resume ≡ batch trivially)
+    def state_tables(self) -> dict:
+        return {} if self.cache.num_rows == 0 else {"cache": self.cache}
 
-def streaming_mode_per_type(micro_batches, n_buckets: int = 4):
+    def restore_tables(self, tables: dict) -> None:
+        self.cache = tables.get("cache", self._SCHEMA.empty_table())
+
+
+def streaming_mode_per_type(micro_batches, n_buckets: int = 4,
+                            checkpoint_to: str | None = None,
+                            restore_from: str | None = None):
     """Flushed grouped mode over event-time-ordered micro-batches —
     equals the batch ``mode_per_type`` query for any split (counts are
     additive; the argmax with the tie-to-smallest rule runs once on the
-    merged table)."""
+    merged table). ``checkpoint_to`` / ``restore_from`` snapshot and
+    resume the counts cache across driver runs."""
     import ray
 
     actors, _ = _drive_keyed_actors(micro_batches, ModeCountState,
-                                    (), n_buckets)
+                                    (), n_buckets,
+                                    restore_dir=restore_from)
+    if checkpoint_to is not None:
+        checkpoint_actors(actors, n_buckets, checkpoint_to)
     parts = [p for p in ray.get([a.flush.remote() for a in actors])
              if p.num_rows]
     if not parts:
@@ -1216,16 +1503,67 @@ class RuleViolationState:
                 [sum(len(v) for v in self.pending.values())],
                 pa.int64())})
 
+    # checkpoint protocol (see checkpoint_actors): first-signup map,
+    # pending pre-signup purchase timestamps (exploded — a late
+    # signup in the resumed run must still promote them), and the
+    # violation counter so far
+    def state_tables(self) -> dict:
+        out = {}
+        if self.first:
+            users = sorted(self.first)
+            out["first"] = pa.table({
+                "user_id": pa.array(users, pa.int64()),
+                "ts": pa.array([self.first[u] for u in users],
+                               pa.int64())})
+        if self.pending:
+            users = sorted(self.pending)
+            lens = [len(self.pending[u]) for u in users]
+            out["pending"] = pa.table({
+                "user_id": pa.array(np.repeat(users, lens), pa.int64()),
+                "ts": pa.array(
+                    np.concatenate([np.asarray(self.pending[u],
+                                               np.int64)
+                                    for u in users]), pa.int64())})
+        if self.before:
+            out["before"] = pa.table({
+                "n": pa.array([self.before], pa.int64())})
+        return out
 
-def streaming_rule_violations(micro_batches, n_buckets: int = 4):
+    def restore_tables(self, tables: dict) -> None:
+        self.first = {}
+        self.pending = {}
+        self.before = 0
+        t = tables.get("first")
+        if t is not None:
+            for u, ts in zip(t.column("user_id").to_pylist(),
+                             t.column("ts").to_pylist()):
+                self.first[u] = ts
+        t = tables.get("pending")
+        if t is not None:
+            for u, ts in zip(t.column("user_id").to_pylist(),
+                             t.column("ts").to_pylist()):
+                self.pending.setdefault(u, []).append(ts)
+        t = tables.get("before")
+        if t is not None:
+            self.before = int(t.column("n")[0].as_py())
+
+
+def streaming_rule_violations(micro_batches, n_buckets: int = 4,
+                              checkpoint_to: str | None = None,
+                              restore_from: str | None = None):
     """Flushed cross-event constraint counts over event-time-ordered
     micro-batches — equals the batch ``rule_violations`` query for any
     event-time split (parity-tested incl. the equal-ts straddle and
-    the late-signup promotion)."""
+    the late-signup promotion). ``checkpoint_to`` / ``restore_from``
+    snapshot and resume the signup map, the pending pre-signup
+    purchases and the violation counter across driver runs."""
     import ray
 
     actors, _ = _drive_keyed_actors(micro_batches, RuleViolationState,
-                                    (), n_buckets)
+                                    (), n_buckets,
+                                    restore_dir=restore_from)
+    if checkpoint_to is not None:
+        checkpoint_actors(actors, n_buckets, checkpoint_to)
     parts = ray.get([a.flush.remote() for a in actors])
     before = sum(int(p.column("before")[0].as_py()) for p in parts)
     no_sig = sum(int(p.column("no_signup")[0].as_py()) for p in parts)

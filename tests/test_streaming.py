@@ -822,3 +822,74 @@ def test_streaming_log_templates_equals_batch(ray_session):
     got = streaming_log_templates([rd.from_arrow(t.slice(n // 2))],
                                   n_buckets=3, restore_from=ck)
     assert got.to_pylist() == want.to_pylist()
+
+
+_CKPT_MODES = ["sessionize", "sliding_window", "window_agg",
+               "approx_distinct", "running_total", "transition",
+               "user_summary", "mode_per_type", "rule_violations"]
+
+
+import pytest as _pt
+
+
+@_pt.mark.parametrize("mode", _CKPT_MODES)
+def test_streaming_checkpoint_all_modes(ray_session, mode, tmp_path):
+    """Every stateful streaming mode checkpoints and resumes: run 1
+    over the first part of the stream + checkpoint, then a SEPARATE
+    driver call restores into fresh actors and feeds the rest. The
+    resumed result (union with run-1 rows for the per-event deferring
+    modes, where checkpoint_to suspends rather than ends the stream)
+    equals one uninterrupted run over the whole stream — which the
+    per-mode tests above already prove equal to batch."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raybeats import streaming as st
+
+    fns = {
+        "sessionize": st.streaming_sessionize,
+        "sliding_window": st.streaming_sliding_window,
+        "window_agg": st.streaming_window_agg,
+        "approx_distinct": st.streaming_approx_distinct,
+        "running_total": st.streaming_running_total,
+        "transition": st.streaming_transition_counts,
+        "user_summary": st.streaming_user_summary,
+        "mode_per_type": st.streaming_mode_per_type,
+        "rule_violations": st.streaming_rule_violations,
+    }
+    fn = fns[mode]
+    t = pq.read_table(f"{SF}/events.parquet").sort_by(
+        [("ts", "ascending"), ("event_id", "ascending")])
+    n = t.num_rows
+    ts_np = pc.cast(t.column("ts"), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+
+    def _align(i):
+        # never split equal timestamps across micro-batches: the
+        # drivers' contract is event-time-ordered slices
+        while 0 < i < n and ts_np[i] == ts_np[i - 1]:
+            i += 1
+        return i
+
+    def mbs(lo, hi, step=2500):
+        out, s = [], lo
+        while s < hi:
+            e = _align(min(s + step, hi))
+            out.append(rd.from_arrow(t.slice(s, e - s)))
+            s = e
+        return out
+
+    mid = _align(n // 2)
+    full = fn(mbs(0, n), n_buckets=5)
+    ck = str(tmp_path / f"ck_{mode}")
+    r1 = fn(mbs(0, mid), n_buckets=5, checkpoint_to=ck)
+    r2 = fn(mbs(mid, n), n_buckets=5, restore_from=ck)
+    if mode == "approx_distinct":
+        assert r2 == full
+    elif mode in ("sliding_window", "running_total"):
+        sort_keys = [("user_id", "ascending"), ("event_id", "ascending")]
+        got = pa.concat_tables([r1, r2],
+                               promote_options="default").sort_by(sort_keys)
+        assert got.to_pylist() == full.to_pylist()
+    else:
+        assert r2.to_pylist() == full.to_pylist()
