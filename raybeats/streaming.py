@@ -908,6 +908,126 @@ def streaming_running_total(micro_batches, n_buckets: int = 4,
         [("user_id", "ascending"), ("event_id", "ascending")])
 
 
+class StreamDedupState(_PerBucketPending):
+    """Streaming exact dedup-by-key — ES create-op semantics as a
+    STREAMING mode (the batch counterpart is ``dedup_by_id`` /
+    ``textops.dedup.dedup_first_by_key``; ref semantics
+    `libbeat/esleg/eslegclient` create-op duplicate rejection): the
+    FIRST row per key in (ts, event_id) event-time order is emitted at
+    push time, every later duplicate is dropped. State per bucket is
+    one sorted int64 key array — bounded by the bucket's DISTINCT
+    keys, never stream length (a TTL'd deployment would evict keys
+    older than its horizon; unbounded retention is the exact-parity
+    contract here).
+
+    Watermark handling (the `_PerBucketPending` contract): rows at a
+    push's max ts defer to the next push or flush — a same-ts
+    smaller-event_id duplicate may still arrive and must win. The
+    membership probe is one searchsorted per push; new keys merge in
+    with one sorted concatenation."""
+
+    _EMPTY = pa.table({"k": pa.array([], pa.int64()),
+                       "event_id": pa.array([], pa.int64())})
+
+    def __init__(self, key: str = "k"):
+        _PerBucketPending.__init__(self)
+        self.key = key
+        self.seen = np.array([], np.int64)
+
+    def _emit(self, g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return self._EMPTY
+        k = g.column(self.key).to_numpy(zero_copy_only=False)
+        ts = pc.cast(g.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, k))
+        k2, eid2 = k[order], eid[order]
+        first = np.append(True, k2[1:] != k2[:-1])
+        ck, ceid = k2[first], eid2[first]  # per-key (ts,eid)-min row
+        if len(self.seen):
+            pos = np.minimum(np.searchsorted(self.seen, ck),
+                             len(self.seen) - 1)
+            new = self.seen[pos] != ck
+        else:
+            new = np.ones(len(ck), bool)
+        out = pa.table({"k": pa.array(ck[new], pa.int64()),
+                        "event_id": pa.array(ceid[new], pa.int64())})
+        if new.any():
+            merged = np.concatenate([self.seen, ck[new]])
+            merged.sort(kind="mergesort")  # two sorted runs
+            self.seen = merged
+        return out
+
+    def process(self, tbl: pa.Table) -> pa.Table:
+        self.check_ts_not_null(tbl)
+        bkt = self.bucket_of(tbl)
+        prev = self.pop_pending(bkt)
+        parts = [] if prev is None else [prev]
+        if tbl.num_rows:
+            parts.append(tbl.select([self.key, "ts", "event_id"]))
+        if not parts:
+            return self._EMPTY
+        g = pa.concat_tables(parts, promote_options="default")
+        ts = g.column("ts")
+        at_max = pc.equal(ts, pc.max(ts))
+        self.defer(bkt, g.filter(at_max))
+        return self._emit(g.filter(pc.invert(at_max)))
+
+    def flush(self) -> pa.Table:
+        parts = [p for p in self.drain_pending() if p.num_rows]
+        if not parts:
+            return self._EMPTY
+        return self._emit(pa.concat_tables(parts,
+                                           promote_options="default"))
+
+    # checkpoint protocol (see checkpoint_actors)
+    def state_tables(self) -> dict:
+        out = {}
+        if len(self.seen):
+            out["seen"] = pa.table({"k": pa.array(self.seen, pa.int64())})
+        p = self.pending_state()
+        if p is not None:
+            out["pending"] = p
+        return out
+
+    def restore_tables(self, tables: dict) -> None:
+        t = tables.get("seen")
+        self.seen = t.column("k").to_numpy(zero_copy_only=False).copy() \
+            if t is not None else np.array([], np.int64)
+        self.restore_pending(tables.get("pending"))
+
+
+def streaming_dedup_by_id(micro_batches, key: str = "k",
+                          n_buckets: int = 4,
+                          checkpoint_to: str | None = None,
+                          restore_from: str | None = None):
+    """Drive :class:`StreamDedupState` over time-ordered micro-batches
+    (each slice must carry integer ``key``, ``ts``, ``event_id``
+    columns; null keys are excluded upstream like the batch query).
+    Returns the union of emitted (k, event_id) first-occurrence rows —
+    equal to the batch ``dedup_first_by_key`` over the concatenated
+    stream for any split (tested). ``checkpoint_to`` SUSPENDS the
+    stream (seen keys and deferred watermark rows stay in the
+    snapshot; no end-of-stream flush), so run-1 rows ∪ run-2 rows ≡
+    batch with no duplicates."""
+    import ray
+
+    actors, parts = _drive_keyed_actors(micro_batches, StreamDedupState,
+                                        (key,), n_buckets,
+                                        key_col=key, collect_rows=True,
+                                        restore_dir=restore_from)
+    if checkpoint_to is not None:
+        checkpoint_actors(actors, n_buckets, checkpoint_to)
+    else:
+        for flushed in ray.get([a.flush.remote() for a in actors]):
+            parts.extend(flushed.to_pylist())
+    if not parts:
+        return StreamDedupState._EMPTY
+    return pa.Table.from_pylist(parts).sort_by(
+        [("k", "ascending")])
+
+
 class LatestEventState:
     """Per-bucket incremental UPSERT cache: the current newest row per
     key, folded with the LITERAL batch kernel

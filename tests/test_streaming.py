@@ -893,3 +893,48 @@ def test_streaming_checkpoint_all_modes(ray_session, mode, tmp_path):
         assert got.to_pylist() == full.to_pylist()
     else:
         assert r2.to_pylist() == full.to_pylist()
+
+
+def test_streaming_dedup_equals_batch_and_resumes(ray_session, tmp_path):
+    """StreamDedupState: union of per-push emitted first-occurrence
+    rows ≡ batch dedup_first_by_key over the concatenated stream, for
+    an arbitrary event-time split and across a checkpoint/resume
+    boundary (equal-ts straddles covered by the watermark deferral)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raybeats.streaming import streaming_dedup_by_id
+    from raybeats.textops.dedup import dedup_first_by_key
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["user_id", "ts", "event_id"])
+    t = t.filter(pc.is_valid(t.column("user_id")))
+    t = pa.table({"k": t.column("user_id"), "ts": t.column("ts"),
+                  "event_id": t.column("event_id")})
+    t = t.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    n = t.num_rows
+
+    want_ds = dedup_first_by_key(rd.from_arrow(t), key="k",
+                                 order_cols=("ts", "event_id"),
+                                 n_buckets=5)
+    want = pa.concat_tables(list(want_ds.iter_batches(
+        batch_size=None, batch_format="pyarrow")),
+        promote_options="default") \
+        .select(["k", "event_id"]).sort_by([("k", "ascending")])
+
+    slices = [rd.from_arrow(t.slice(i * n // 4,
+                                    (i + 1) * n // 4 - i * n // 4))
+              for i in range(4)]
+    got = streaming_dedup_by_id(slices, n_buckets=5)
+    assert got.to_pylist() == want.to_pylist()
+
+    ck = str(tmp_path / "ck_dedup")
+    r1 = streaming_dedup_by_id([rd.from_arrow(t.slice(0, n // 2))],
+                               n_buckets=5, checkpoint_to=ck)
+    r2 = streaming_dedup_by_id([rd.from_arrow(t.slice(n // 2))],
+                               n_buckets=5, restore_from=ck)
+    got2 = pa.concat_tables([r1, r2], promote_options="default") \
+        .sort_by([("k", "ascending")])
+    assert got2.to_pylist() == want.to_pylist()
+    # run-1 and run-2 emissions are disjoint (suspend semantics)
+    assert r1.num_rows + r2.num_rows == want.num_rows
