@@ -7798,8 +7798,13 @@ def _slice_varstart(col, start, stop) -> pa.Array:
     cpx = np.concatenate([[0], np.cumsum(cpmask)])
     row_cp0 = cpx[offs[:-1]]          # codepoints before row i
     row_cpn = cpx[offs[1:]] - row_cp0  # codepoints in row i
-    b0 = cp_starts[row_cp0 + np.minimum(st, row_cpn)]
-    b1 = cp_starts[row_cp0 + np.minimum(en, row_cpn)]
+    # full python slice semantics so this path and the null-row
+    # fallback can never disagree: negative positions count from the
+    # row end, then clamp into [0, row_cpn]
+    st = np.where(st < 0, row_cpn + st, st)
+    en = np.where(en < 0, row_cpn + en, en)
+    b0 = cp_starts[row_cp0 + np.clip(st, 0, row_cpn)]
+    b1 = cp_starts[row_cp0 + np.clip(en, 0, row_cpn)]
     lens = np.maximum(b1 - b0, 0)
     out_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
     out_buf = region[np.repeat(b0, lens) + _aranges(lens)]
@@ -12526,7 +12531,7 @@ def q_triangle_parts(sf_dir: str, *, edge_budget: int | None = None):
     O(sqrt(m)) even on skewed graphs.
 
     TWO plans behind an edge-count budget switch. Small graphs (the
-    footer-derived pair estimate ``2 × lineitem rows`` is within
+    footer-derived pair bound ``3 × lineitem rows`` is under
     ``edge_budget`` keys): (1) one orderkey-bucket cogroup emits
     locally-deduped part-pair keys, collected driver-side (the edge
     set is the BROADCAST side of this plan by design — 8 B/key,
@@ -12589,11 +12594,12 @@ def q_triangle_parts(sf_dir: str, *, edge_budget: int | None = None):
                                       batch_format="pyarrow")
 
     # budget switch: distinct co-purchase pairs grow ~linearly with
-    # lineitem (1–7 items/order ⇒ ≤3 pairs per row; 2× is a safe
-    # footer-only over-estimate). Above budget, nothing that grows
-    # with the edge set may touch the driver — take the all-cogroup
-    # plan.
-    if 2 * n_li > edge_budget:
+    # lineitem (1–7 items/order ⇒ (L-1)/2 ≤ 3 pairs per ROW, so
+    # 3 × n_li is a true footer-only upper bound). At or above
+    # budget, nothing that grows with the edge set may touch the
+    # driver — take the all-cogroup plan (>= so edge_budget=0 pins
+    # it even on an empty input).
+    if 3 * n_li >= edge_budget:
         return _triangle_top25(
             _triangle_counts_cogroup(edges, n_buckets))
 
@@ -12654,35 +12660,23 @@ def q_triangle_parts(sf_dir: str, *, edge_budget: int | None = None):
                          "n_triangles": pa.array([], pa.int64())})
 
     def wedge_grp(g: pa.Table) -> pa.Table:
-        # Shift-based wedge enumeration: within a src segment dst is
-        # sorted strictly increasing (edges distinct), so pairing
-        # positions (i, i+k) for k = 1..max_out_degree emits every
-        # unordered neighbor pair exactly once, ALREADY (lo, hi)
-        # ordered — no triangular unranking, no wedge-count-sized
-        # temporaries (the sqrt-unrank kernel allocated several; at
-        # 41 M wedges/sf0.1 that was ~330 MB per temporary). Work per
-        # offset k is one vectorized slice-compare, and the loop ends
-        # at the orientation's O(sqrt(m)) out-degree cap. Input
-        # chunks arrive (src, dst)-sorted from the driver cut.
+        # Shared shift-based wedge enumeration (`_iter_wedges`);
+        # membership probe per offset is a LOCAL searchsorted into
+        # the broadcast sorted key array, so only hit triples are
+        # ever accumulated. Input chunks arrive (src, dst)-sorted
+        # from the driver cut.
         ek = ray.get(ekeys_ref)
         s = g.column("src").to_numpy(zero_copy_only=False)
         d = g.column("dst").to_numpy(zero_copy_only=False)
-        n = len(s)
         node_parts = []
-        k = 1
-        while k < n:
-            mask = s[:-k] == s[k:]
-            if not mask.any():
-                break  # no segment longer than k ⇒ none longer than k+1
-            w1, w2 = d[:-k][mask], d[k:][mask]
+        for cen, w1, w2 in _iter_wedges(s, d):
             wkey = (w1 << np.int64(32)) | w2
             pos = np.searchsorted(ek, wkey)
             pos_c = np.minimum(pos, len(ek) - 1) if len(ek) else pos
             hit = (ek[pos_c] == wkey) if len(ek) else \
                 np.zeros(len(wkey), bool)
             if hit.any():
-                node_parts += [s[:-k][mask][hit], w1[hit], w2[hit]]
-            k += 1
+                node_parts += [cen[hit], w1[hit], w2[hit]]
         if node_parts:
             nu, cnt = np.unique(np.concatenate(node_parts),
                                 return_counts=True)
@@ -12698,6 +12692,29 @@ def q_triangle_parts(sf_dir: str, *, edge_budget: int | None = None):
                      batch_format="pyarrow"),
         ["node"], {"cnt": "n_triangles"})
     return _triangle_top25(counts)
+
+
+def _iter_wedges(s, d):
+    """Shift-based wedge enumeration over (src, dst)-SORTED oriented
+    edges — the single source of the exactly-once invariant both
+    triangle plans rely on: within a src segment dst is strictly
+    increasing (edges distinct), so pairing positions (i, i+k) for
+    k = 1..max_out_degree emits every unordered neighbor pair exactly
+    once, ALREADY (lo, hi) ordered — no triangular unranking, no
+    wedge-count-sized temporaries. Yields per-offset
+    ``(center, w1, w2)`` arrays; work per offset is one vectorized
+    slice-compare, and the loop ends at the orientation's O(sqrt(m))
+    out-degree cap (no segment longer than k ⇒ none longer than
+    k+1)."""
+    import numpy as np
+    n = len(s)
+    k = 1
+    while k < n:
+        mask = s[:-k] == s[k:]
+        if not mask.any():
+            break
+        yield s[:-k][mask], d[:-k][mask], d[k:][mask]
+        k += 1
 
 
 def _triangle_top25(counts: pa.Table) -> pa.Table:
@@ -12801,16 +12818,10 @@ def _triangle_counts_cogroup(edges, n_buckets: int) -> pa.Table:
         d = g.column("dst").to_numpy(zero_copy_only=False)
         order = np.lexsort((d, s))
         s, d = s[order], d[order]
-        n = len(s)
         keys, cens = [], []
-        k = 1
-        while k < n:
-            mask = s[:-k] == s[k:]
-            if not mask.any():
-                break  # no src segment longer than k
-            keys.append((d[:-k][mask] << np.int64(32)) | d[k:][mask])
-            cens.append(s[:-k][mask])
-            k += 1
+        for c, w1, w2 in _iter_wedges(s, d):
+            keys.append((w1 << np.int64(32)) | w2)
+            cens.append(c)
         key = np.concatenate(keys) if keys else np.array([], np.int64)
         cen = np.concatenate(cens) if cens else np.array([], np.int64)
         out = pa.table({

@@ -31,7 +31,8 @@ def _drive_keyed_actors(micro_batches, state_cls, ctor_args: tuple,
                         n_buckets: int, collect_rows: bool = False,
                         key_col: str = "user_id",
                         n_actors: int | None = None,
-                        restore_dir: str | None = None):
+                        restore_dir: str | None = None,
+                        checkpoint_dir: str | None = None):
     """Shared micro-batch → keyed-actor fan-in (used by all streaming
     window modes): bucket rows by key, PUSH each bucket's group to its
     state actor asynchronously (fire from the map_groups task, no
@@ -192,6 +193,11 @@ def _drive_keyed_actors(micro_batches, state_cls, ctor_args: tuple,
         ray.get([a.wait_processed.remote(e)
                  for a, e in zip(actors, expected)])
 
+    # snapshot AFTER the last barrier (never while pushes are in
+    # flight) and BEFORE any flush the caller may run — flush may
+    # drain deferred state that must survive into the snapshot
+    if checkpoint_dir is not None:
+        checkpoint_actors(actors, n_buckets, checkpoint_dir)
     collected: list[dict] = []
     if collect_rows:
         for tables in ray.get([a.drain.remote() for a in actors]):
@@ -346,6 +352,11 @@ class SessionState:
         self.state: dict[int, list] = {}
 
     def process(self, tbl: pa.Table) -> int:
+        # null user/ts rows are excluded exactly like the batch
+        # query's filter (a NaN key would otherwise split every null
+        # row into its own group under numpy's NaN != NaN)
+        tbl = tbl.filter(pc.and_(pc.is_valid(tbl.column("user_id")),
+                                 pc.is_valid(tbl.column("ts"))))
         if tbl.num_rows == 0:
             return 0
         # the batch sessionization kernel's shape: one lexsort, gap
@@ -467,6 +478,9 @@ class TrailingWindowState(_PerBucketPending):
 
     def process(self, tbl: pa.Table) -> pa.Table:
         self.check_ts_not_null(tbl)
+        # null-user rows are excluded like the batch query's filter (a
+        # NaN key would split per-row groups under numpy NaN != NaN)
+        tbl = tbl.filter(pc.is_valid(tbl.column("user_id")))
         bkt = self.bucket_of(tbl)
         prev = self.pop_pending(bkt)
         tabs = [] if prev is None else [prev]
@@ -534,10 +548,9 @@ def streaming_sliding_window(micro_batches, window_minutes: int = 60,
     actors, parts = _drive_keyed_actors(micro_batches, TrailingWindowState,
                                         (window_us,), n_buckets,
                                         collect_rows=True,
-                                        restore_dir=restore_from)
-    if checkpoint_to is not None:
-        checkpoint_actors(actors, n_buckets, checkpoint_to)
-    else:
+                                        restore_dir=restore_from,
+                                        checkpoint_dir=checkpoint_to)
+    if checkpoint_to is None:
         # end-of-stream: flush deferred max-watermark rows per actor
         for flushed in ray.get([a.flush.remote() for a in actors]):
             parts.extend(flushed.to_pylist())
@@ -577,7 +590,11 @@ class TumblingWindowState:
         return tbl.num_rows
 
     def flush(self) -> pa.Table:
-        keys = sorted(self.state)
+        # nulls-last sort key: a (None, hour) window key exists
+        # whenever the stream carries null-user rows (arrow group_by
+        # emits the null group, like SQL GROUP BY)
+        keys = sorted(self.state,
+                      key=lambda k: tuple((v is None, v) for v in k))
         return pa.table({
             "user_id": pa.array([k[0] for k in keys], pa.int64()),
             "hour": pa.array([k[1] for k in keys], pa.timestamp("us")),
@@ -624,9 +641,8 @@ def streaming_window_agg(micro_batches, n_buckets: int = 4,
 
     actors, _ = _drive_keyed_actors(micro_batches, TumblingWindowState,
                                     (), n_buckets,
-                                    restore_dir=restore_from)
-    if checkpoint_to is not None:
-        checkpoint_actors(actors, n_buckets, checkpoint_to)
+                                    restore_dir=restore_from,
+                                    checkpoint_dir=checkpoint_to)
     parts = [p for p in ray.get([a.flush.remote() for a in actors])
              if p.num_rows]
     if not parts:
@@ -718,9 +734,8 @@ def streaming_sessionize(micro_batches, gap_minutes: int = 30,
     gap_us = gap_minutes * 60 * 1_000_000
     actors, _ = _drive_keyed_actors(micro_batches, SessionState,
                                     (gap_us,), n_buckets,
-                                    restore_dir=restore_from)
-    if checkpoint_to is not None:
-        checkpoint_actors(actors, n_buckets, checkpoint_to)
+                                    restore_dir=restore_from,
+                                    checkpoint_dir=checkpoint_to)
     parts = ray.get([a.flush.remote() for a in actors])
     nonempty = [p for p in parts if p.num_rows]
     if not nonempty:
@@ -840,8 +855,14 @@ class ApproxDistinctState:
     def restore_tables(self, tables: dict) -> None:
         t = tables.get("hll")
         if t is not None:
+            regs = t.column("regs")[0].as_py()
+            if len(regs) != len(self.hll.registers):
+                raise ValueError(
+                    f"HLL checkpoint has {len(regs)} registers but the "
+                    f"resume precision expects {len(self.hll.registers)}"
+                    " — register arrays of different p cannot merge")
             self.hll.registers = np.frombuffer(
-                t.column("regs")[0].as_py(), dtype=np.uint8,
+                regs, dtype=np.uint8,
                 count=len(self.hll.registers)).copy()
 
 
@@ -872,9 +893,8 @@ def streaming_approx_distinct(micro_batches, column: str = "user_id",
     actors, _ = _drive_keyed_actors(slices, ApproxDistinctState,
                                     (column, p), n_buckets,
                                     key_col=column,
-                                    restore_dir=restore_from)
-    if checkpoint_to is not None:
-        checkpoint_actors(actors, n_buckets, checkpoint_to)
+                                    restore_dir=restore_from,
+                                    checkpoint_dir=checkpoint_to)
     merged = HyperLogLog(p)
     for t in ray.get([a.flush.remote() for a in actors]):
         merged.merge_registers(np.frombuffer(
@@ -896,10 +916,9 @@ def streaming_running_total(micro_batches, n_buckets: int = 4,
 
     actors, parts = _drive_keyed_actors(micro_batches, RunningTotalState,
                                         (), n_buckets, collect_rows=True,
-                                        restore_dir=restore_from)
-    if checkpoint_to is not None:
-        checkpoint_actors(actors, n_buckets, checkpoint_to)
-    else:
+                                        restore_dir=restore_from,
+                                        checkpoint_dir=checkpoint_to)
+    if checkpoint_to is None:
         for flushed in ray.get([a.flush.remote() for a in actors]):
             parts.extend(flushed.to_pylist())
     if not parts:
@@ -1016,10 +1035,9 @@ def streaming_dedup_by_id(micro_batches, key: str = "k",
     actors, parts = _drive_keyed_actors(micro_batches, StreamDedupState,
                                         (key,), n_buckets,
                                         key_col=key, collect_rows=True,
-                                        restore_dir=restore_from)
-    if checkpoint_to is not None:
-        checkpoint_actors(actors, n_buckets, checkpoint_to)
-    else:
+                                        restore_dir=restore_from,
+                                        checkpoint_dir=checkpoint_to)
+    if checkpoint_to is None:
         for flushed in ray.get([a.flush.remote() for a in actors]):
             parts.extend(flushed.to_pylist())
     if not parts:
@@ -1084,9 +1102,8 @@ def streaming_latest(micro_batches, key: str = "user_id",
     actors, _ = _drive_keyed_actors(micro_batches, LatestEventState,
                                     (key, order_by), n_buckets,
                                     key_col=key,
-                                    restore_dir=restore_from)
-    if checkpoint_to is not None:
-        checkpoint_actors(actors, n_buckets, checkpoint_to)
+                                    restore_dir=restore_from,
+                                    checkpoint_dir=checkpoint_to)
     parts = [t for t in ray.get([a.flush.remote() for a in actors])
              if t.num_rows]
     if not parts:
@@ -1164,9 +1181,8 @@ def streaming_quantile(micro_batches, *, q: float,
     actors, _ = _drive_keyed_actors(micro_batches, QuantumCdfState,
                                     (value_col, scale), n_buckets,
                                     key_col=key_col,
-                                    restore_dir=restore_from)
-    if checkpoint_to is not None:
-        checkpoint_actors(actors, n_buckets, checkpoint_to)
+                                    restore_dir=restore_from,
+                                    checkpoint_dir=checkpoint_to)
     acc: dict[int, int] = {}
     for t in ray.get([a.flush.remote() for a in actors]):
         for qq, c in zip(t.column("q").to_pylist(),
@@ -1356,9 +1372,8 @@ def streaming_transition_counts(micro_batches, n_buckets: int = 4,
 
     actors, _ = _drive_keyed_actors(micro_batches, TransitionState,
                                     (), n_buckets,
-                                    restore_dir=restore_from)
-    if checkpoint_to is not None:
-        checkpoint_actors(actors, n_buckets, checkpoint_to)
+                                    restore_dir=restore_from,
+                                    checkpoint_dir=checkpoint_to)
     parts = [p for p in ray.get([a.flush.remote() for a in actors])
              if p.num_rows]
     if not parts:
@@ -1435,9 +1450,8 @@ def streaming_user_summary(micro_batches, n_buckets: int = 4,
 
     actors, _ = _drive_keyed_actors(micro_batches, UserSummaryState,
                                     (), n_buckets,
-                                    restore_dir=restore_from)
-    if checkpoint_to is not None:
-        checkpoint_actors(actors, n_buckets, checkpoint_to)
+                                    restore_dir=restore_from,
+                                    checkpoint_dir=checkpoint_to)
     parts = [p for p in ray.get([a.flush.remote() for a in actors])
              if p.num_rows]
     if not parts:
@@ -1518,9 +1532,8 @@ def streaming_mode_per_type(micro_batches, n_buckets: int = 4,
 
     actors, _ = _drive_keyed_actors(micro_batches, ModeCountState,
                                     (), n_buckets,
-                                    restore_dir=restore_from)
-    if checkpoint_to is not None:
-        checkpoint_actors(actors, n_buckets, checkpoint_to)
+                                    restore_dir=restore_from,
+                                    checkpoint_dir=checkpoint_to)
     parts = [p for p in ray.get([a.flush.remote() for a in actors])
              if p.num_rows]
     if not parts:
@@ -1681,9 +1694,8 @@ def streaming_rule_violations(micro_batches, n_buckets: int = 4,
 
     actors, _ = _drive_keyed_actors(micro_batches, RuleViolationState,
                                     (), n_buckets,
-                                    restore_dir=restore_from)
-    if checkpoint_to is not None:
-        checkpoint_actors(actors, n_buckets, checkpoint_to)
+                                    restore_dir=restore_from,
+                                    checkpoint_dir=checkpoint_to)
     parts = ray.get([a.flush.remote() for a in actors])
     before = sum(int(p.column("before")[0].as_py()) for p in parts)
     no_sig = sum(int(p.column("no_signup")[0].as_py()) for p in parts)
@@ -1819,9 +1831,8 @@ def streaming_funnel(micro_batches, first_type: str = "click",
     actors, _ = _drive_keyed_actors(
         micro_batches, StreamFunnelState,
         (first_type, then_type, within_us), n_buckets,
-        restore_dir=restore_from)
-    if checkpoint_to is not None:
-        checkpoint_actors(actors, n_buckets, checkpoint_to)
+        restore_dir=restore_from,
+        checkpoint_dir=checkpoint_to)
     parts = [t for t in ray.get([a.flush.remote() for a in actors])
              if t.num_rows]
     if not parts:
@@ -1918,9 +1929,8 @@ def streaming_ratelimit(micro_batches, limit: str = "60/m",
     actors, _ = _drive_keyed_actors(
         micro_batches, RatelimitState,
         (limit, tuple(fields), burst_multiplier), n_buckets,
-        key_col=fields[0], restore_dir=restore_from)
-    if checkpoint_to is not None:
-        checkpoint_actors(actors, n_buckets, checkpoint_to)
+        key_col=fields[0], restore_dir=restore_from,
+        checkpoint_dir=checkpoint_to)
     parts = [t for t in ray.get([a.flush.remote() for a in actors])
              if t.num_rows]
     if not parts:
@@ -2002,9 +2012,8 @@ def streaming_log_templates(micro_batches, text_col: str = "text",
 
     actors, _ = _drive_keyed_actors(
         micro_batches, TemplateState, (text_col,), n_buckets,
-        key_col=key_col, restore_dir=restore_from)
-    if checkpoint_to is not None:
-        checkpoint_actors(actors, n_buckets, checkpoint_to)
+        key_col=key_col, restore_dir=restore_from,
+        checkpoint_dir=checkpoint_to)
     parts = [t for t in ray.get([a.flush.remote() for a in actors])
              if t.num_rows]
     if not parts:

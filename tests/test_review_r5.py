@@ -1,0 +1,109 @@
+"""Round-5 review regressions: null-key handling in the numpy
+streaming folds, HLL checkpoint precision guard, negative-position
+slice parity, and the None-safe tumbling flush."""
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _events_tbl(rows):
+    """rows: (event_id, user_id_or_None, ts_us, event_type, value)."""
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.int64())
+        .cast(pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64())})
+
+
+MIN = 60 * 1_000_000
+
+
+class TestNullKeyStreams:
+    def test_sessionize_drops_null_users(self, ray_session):
+        import ray.data as rd
+
+        from raybeats.streaming import streaming_sessionize
+        rows = [(0, 7, 0, "a", 1.0), (1, None, 1 * MIN, "a", 1.0),
+                (2, 7, 90 * MIN, "a", 1.0), (3, None, 95 * MIN, "a", 1.0)]
+        got = streaming_sessionize([rd.from_arrow(_events_tbl(rows))],
+                                   n_buckets=2)
+        assert got.to_pylist() == [
+            {"user_id": 7, "n_sessions": 2, "n_events": 2}]
+
+    def test_sliding_window_drops_null_users(self, ray_session):
+        import ray.data as rd
+
+        from raybeats.streaming import streaming_sliding_window
+        rows = [(0, 7, 0, "a", 1.0), (1, None, 1 * MIN, "a", 1.0),
+                (2, 7, 30 * MIN, "a", 1.0), (3, 7, 999 * MIN, "a", 1.0)]
+        got = streaming_sliding_window(
+            [rd.from_arrow(_events_tbl(rows))], n_buckets=2)
+        assert got.to_pylist() == [
+            {"event_id": 0, "user_id": 7, "n_trailing_hour": 1},
+            {"event_id": 2, "user_id": 7, "n_trailing_hour": 2},
+            {"event_id": 3, "user_id": 7, "n_trailing_hour": 1}]
+
+    def test_window_agg_null_user_group(self, ray_session):
+        import ray.data as rd
+
+        from raybeats.streaming import streaming_window_agg
+        rows = [(0, 7, 0, "a", 1.0), (1, None, 1 * MIN, "a", 2.0),
+                (2, None, 2 * MIN, "a", 3.0)]
+        got = streaming_window_agg([rd.from_arrow(_events_tbl(rows))],
+                                   n_buckets=2)
+        by_user = {r["user_id"]: r for r in got.to_pylist()}
+        assert by_user[7]["total_cents"] == 100
+        assert by_user[None]["total_cents"] == 500
+        assert by_user[None]["n"] == 2
+
+
+class TestHllCheckpointGuard:
+    def test_precision_mismatch_refuses(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from raybeats.streaming import streaming_approx_distinct
+        rows = [(i, i % 5, i * MIN, "a", 1.0) for i in range(50)]
+        ck = str(tmp_path / "ck_hll")
+        streaming_approx_distinct([rd.from_arrow(_events_tbl(rows))],
+                                  n_buckets=2, p=12, checkpoint_to=ck)
+        with pytest.raises(Exception, match="registers"):
+            streaming_approx_distinct(
+                [rd.from_arrow(_events_tbl(rows))], n_buckets=2, p=10,
+                restore_from=ck)
+
+    def test_same_precision_resumes(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from raybeats.streaming import streaming_approx_distinct
+        rows = [(i, i, i * MIN, "a", 1.0) for i in range(60)]
+        full = streaming_approx_distinct(
+            [rd.from_arrow(_events_tbl(rows))], n_buckets=2, p=12)
+        ck = str(tmp_path / "ck_hll2")
+        streaming_approx_distinct(
+            [rd.from_arrow(_events_tbl(rows[:30]))], n_buckets=2, p=12,
+            checkpoint_to=ck)
+        got = streaming_approx_distinct(
+            [rd.from_arrow(_events_tbl(rows[30:]))], n_buckets=2, p=12,
+            restore_from=ck)
+        assert got == full
+
+
+class TestSliceVarstartNegative:
+    def test_paths_agree_on_negative_positions(self, ray_session):
+        from raybeats.queries import _slice_varstart
+        vals = ["abcdef", "ghijkl", "日本語abc"]
+        st = [-2, 1, -4]
+        en = [6, -1, -1]
+        got = _slice_varstart(pa.array(vals),
+                              pa.array(st, pa.int64()),
+                              pa.array(en, pa.int64()))
+        want = [v[a:b] for v, a, b in zip(vals, st, en)]
+        assert got.to_pylist() == want
+        # null-fallback path must return the same values
+        got2 = _slice_varstart(pa.array(vals + [None]),
+                               pa.array(st + [0], pa.int64()),
+                               pa.array(en + [1], pa.int64()))
+        assert got2.to_pylist() == want + [None]
