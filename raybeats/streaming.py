@@ -1709,7 +1709,9 @@ def streaming_cdc_apply(micro_batches, key: str = "user_id",
                         order_by: tuple = ("ts", "event_id"),
                         op_col: str = "event_type",
                         delete_op: str = "error",
-                        n_buckets: int = 4):
+                        n_buckets: int = 4,
+                        checkpoint_to: str | None = None,
+                        restore_from: str | None = None):
     """Incremental counterpart of the batch ``cdc_apply`` query:
     change-log apply with tombstone deletes over time-ordered
     micro-batches. The upsert cache (`LatestEventState`) retains
@@ -1720,7 +1722,9 @@ def streaming_cdc_apply(micro_batches, key: str = "user_id",
     the flush equals the batch result for ANY micro-batch split
     (tested, including a late upsert older than its key's tombstone)."""
     out = streaming_latest(micro_batches, key=key, order_by=order_by,
-                           n_buckets=n_buckets)
+                           n_buckets=n_buckets,
+                           checkpoint_to=checkpoint_to,
+                           restore_from=restore_from)
     if out.num_rows == 0:
         return out
     return out.filter(pc.invert(pc.equal(out.column(op_col),

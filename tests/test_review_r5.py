@@ -107,3 +107,25 @@ class TestSliceVarstartNegative:
                                pa.array(st + [0], pa.int64()),
                                pa.array(en + [1], pa.int64()))
         assert got2.to_pylist() == want + [None]
+
+
+def test_cdc_apply_checkpoint_passthrough(ray_session, tmp_path):
+    """streaming_cdc_apply now forwards checkpoint_to/restore_from to
+    its upsert cache: the resumed result equals one uninterrupted
+    run, tombstones included."""
+    import ray.data as rd
+
+    from raybeats.streaming import streaming_cdc_apply
+
+    rows = [(0, 1, 0, "set", 1.0), (1, 2, 1 * MIN, "set", 2.0),
+            (2, 1, 2 * MIN, "error", 0.0), (3, 3, 3 * MIN, "set", 3.0),
+            (4, 2, 4 * MIN, "set", 9.0)]
+    t = _events_tbl(rows)
+    full = streaming_cdc_apply([rd.from_arrow(t)], n_buckets=2)
+    ck = str(tmp_path / "ck_cdc")
+    streaming_cdc_apply([rd.from_arrow(t.slice(0, 3))], n_buckets=2,
+                        checkpoint_to=ck)
+    got = streaming_cdc_apply([rd.from_arrow(t.slice(3))], n_buckets=2,
+                              restore_from=ck)
+    assert got.to_pylist() == full.to_pylist()
+    assert sorted(got.column("user_id").to_pylist()) == [2, 3]
