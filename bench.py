@@ -319,7 +319,16 @@ def run_dedup_bench() -> dict:
             "verified_near_dup_pairs": n_pairs}
 
 
-def main() -> None:
+def _init_session() -> None:
+    """Shared bench-session Ray setup (main / dedup500k lanes).
+    Reservation note, measured (round 4, 4 alternating A/B runs per
+    op at sf0.1): the streaming executor's per-op resource
+    reservation self-throttles single-execution SHUFFLE queries on
+    this box — anti_join 1.6s vs 2.0-2.8s, hash_join_rows 2.8-3.0s vs
+    3.0-4.5s, quantiles ~12%; the thread-overlapped headline is a
+    wash (it already amortizes the throttle across executions).
+    Bench session only — the library leaves Ray's multi-node
+    stability default alone."""
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS,
@@ -329,15 +338,13 @@ def main() -> None:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
-    # measured (round 4, 4 alternating A/B runs per op at sf0.1): the
-    # streaming executor's per-op resource reservation self-throttles
-    # single-execution SHUFFLE queries on this box — anti_join 1.6s vs
-    # 2.0-2.8s, hash_join_rows 2.8-3.0s vs 3.0-4.5s, quantiles ~12%;
-    # the thread-overlapped headline is a wash (it already amortizes
-    # the throttle across executions). Bench session only — the
-    # library leaves Ray's multi-node stability default alone.
     ctx.op_resource_reservation_enabled = False
 
+
+def main() -> None:
+    import ray
+
+    _init_session()
     headline_sec, turns = run_headline()
     if os.environ.get("RAYBEATS_HEADLINE_ONLY"):
         queries, dedup = {}, {}
@@ -410,13 +417,7 @@ def dedup500k() -> None:
     both lanes per round in BASELINE.md."""
     import ray
     os.environ["RAYBEATS_DEDUP_DOCS"] = "500000"
-    ray.init(address="local", num_cpus=NUM_CPUS,
-             include_dashboard=False, ignore_reinit_error=True,
-             logging_level="ERROR")
-    from ray.data import DataContext
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-    ctx.op_resource_reservation_enabled = False
+    _init_session()
     out = run_dedup_bench()
     out["num_cpus"] = NUM_CPUS
     print(json.dumps(out))

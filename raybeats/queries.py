@@ -12530,9 +12530,12 @@ def q_triangle_parts(sf_dir: str, *, edge_budget: int | None = None):
     per-source count each triangle once, and max out-degree is
     O(sqrt(m)) even on skewed graphs.
 
-    TWO plans behind an edge-count budget switch. Small graphs (the
-    footer-derived pair bound ``3 × lineitem rows`` is under
-    ``edge_budget`` keys): (1) one orderkey-bucket cogroup emits
+    TWO plans behind an edge-count budget switch — a footer-only
+    pre-switch (``3 × lineitem rows``, exact for ≤7-item orders)
+    backed by an exact runtime guard in the driver fold (aborts to
+    the distributed plan past 1.25 × budget raw keys, so bulk-order
+    corpora the heuristic underestimates still never blow the driver
+    envelope). Small graphs (under ``edge_budget`` keys): (1) one orderkey-bucket cogroup emits
     locally-deduped part-pair keys, collected driver-side (the edge
     set is the BROADCAST side of this plan by design — 8 B/key,
     ~10 MB at sf0.1) where global unique / degrees / orientation are
@@ -12593,12 +12596,13 @@ def q_triangle_parts(sf_dir: str, *, edge_budget: int | None = None):
         .groupby("bucket").map_groups(pairs_grp,
                                       batch_format="pyarrow")
 
-    # budget switch: distinct co-purchase pairs grow ~linearly with
-    # lineitem (1–7 items/order ⇒ (L-1)/2 ≤ 3 pairs per ROW, so
-    # 3 × n_li is a true footer-only upper bound). At or above
-    # budget, nothing that grows with the edge set may touch the
-    # driver — take the all-cogroup plan (>= so edge_budget=0 pins
-    # it even on an empty input).
+    # budget switch, two layers. Pre-switch: 3 × n_li bounds the
+    # distinct pair count for ≤7-item orders ((L-1)/2 pairs per ROW —
+    # TPC-H's shape); at or above budget nothing that grows with the
+    # edge set may touch the driver, so take the all-cogroup plan
+    # (>= so edge_budget=0 pins it even on an empty input). The
+    # heuristic is NOT a bound for bulk-order corpora (mean L > 7),
+    # so the driver fold below carries an exact runtime guard.
     if 3 * n_li >= edge_budget:
         return _triangle_top25(
             _triangle_counts_cogroup(edges, n_buckets))
@@ -12606,9 +12610,24 @@ def q_triangle_parts(sf_dir: str, *, edge_budget: int | None = None):
     # execution 1: collect the per-order-bucket-deduped pair keys;
     # global dedup / degrees / orientation are vectorized numpy over
     # edge-count arrays on the driver (the edge set IS the broadcast
-    # side below — holding it here is the algorithm's stated budget)
-    kparts = [t.column("k").to_numpy(zero_copy_only=False)
-              for t in edges.iter_batches(batch_size=None, batch_format="pyarrow")]
+    # side below — holding it here is the algorithm's stated budget).
+    # Runtime guard: the RAW key count (an overcount of the unique
+    # edge set — cross-bucket duplicates inflate it, never deflate)
+    # is tracked as batches land; past 1.25 × budget the fold ABORTS
+    # to the distributed plan before driver memory leaves its
+    # envelope. The rare mis-estimate pays one extra Stage-A scan
+    # (edges re-executes lazily), never an OOM.
+    fold_cap = edge_budget + (edge_budget >> 2)
+    kparts, total = [], 0
+    for t in edges.iter_batches(batch_size=None,
+                                batch_format="pyarrow"):
+        arr = t.column("k").to_numpy(zero_copy_only=False)
+        total += len(arr)
+        if total > fold_cap:
+            del kparts
+            return _triangle_top25(
+                _triangle_counts_cogroup(edges, n_buckets))
+        kparts.append(arr)
     ekeys = np.unique(np.concatenate(kparts)) if kparts \
         else np.array([], np.int64)  # unique output is sorted
     eu = ekeys >> np.int64(32)

@@ -943,19 +943,21 @@ class StreamDedupState(_PerBucketPending):
     push's max ts defer to the next push or flush — a same-ts
     smaller-event_id duplicate may still arrive and must win. The
     membership probe is one searchsorted per push; new keys merge in
-    with one sorted concatenation."""
-
-    _EMPTY = pa.table({"k": pa.array([], pa.int64()),
-                       "event_id": pa.array([], pa.int64())})
+    with one sorted concatenation. NULL-key rows pass through
+    untouched, exactly like the batch kernel (ES indexes a
+    no-id event, it never dedups it); output columns keep the caller's
+    key name."""
 
     def __init__(self, key: str = "k"):
         _PerBucketPending.__init__(self)
         self.key = key
         self.seen = np.array([], np.int64)
+        self._empty = pa.table({key: pa.array([], pa.int64()),
+                                "event_id": pa.array([], pa.int64())})
 
     def _emit(self, g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
-            return self._EMPTY
+            return self._empty
         k = g.column(self.key).to_numpy(zero_copy_only=False)
         ts = pc.cast(g.column("ts"), pa.int64()) \
             .to_numpy(zero_copy_only=False)
@@ -970,7 +972,7 @@ class StreamDedupState(_PerBucketPending):
             new = self.seen[pos] != ck
         else:
             new = np.ones(len(ck), bool)
-        out = pa.table({"k": pa.array(ck[new], pa.int64()),
+        out = pa.table({self.key: pa.array(ck[new], pa.int64()),
                         "event_id": pa.array(ceid[new], pa.int64())})
         if new.any():
             merged = np.concatenate([self.seen, ck[new]])
@@ -980,23 +982,36 @@ class StreamDedupState(_PerBucketPending):
 
     def process(self, tbl: pa.Table) -> pa.Table:
         self.check_ts_not_null(tbl)
+        # null-key passthrough BEFORE any state: the batch kernel
+        # emits no-id rows untouched (ES create-op never dedups them),
+        # and a NaN key would corrupt the numpy compare below
+        nulls = tbl.filter(pc.is_null(tbl.column(self.key)))
+        tbl = tbl.filter(pc.is_valid(tbl.column(self.key)))
+        passthrough = None
+        if nulls.num_rows:
+            passthrough = nulls.select([self.key, "event_id"])
         bkt = self.bucket_of(tbl)
         prev = self.pop_pending(bkt)
         parts = [] if prev is None else [prev]
         if tbl.num_rows:
             parts.append(tbl.select([self.key, "ts", "event_id"]))
         if not parts:
-            return self._EMPTY
+            return passthrough if passthrough is not None \
+                else self._empty
         g = pa.concat_tables(parts, promote_options="default")
         ts = g.column("ts")
         at_max = pc.equal(ts, pc.max(ts))
         self.defer(bkt, g.filter(at_max))
-        return self._emit(g.filter(pc.invert(at_max)))
+        out = self._emit(g.filter(pc.invert(at_max)))
+        if passthrough is not None:
+            out = pa.concat_tables([out, passthrough],
+                                   promote_options="default")
+        return out
 
     def flush(self) -> pa.Table:
         parts = [p for p in self.drain_pending() if p.num_rows]
         if not parts:
-            return self._EMPTY
+            return self._empty
         return self._emit(pa.concat_tables(parts,
                                            promote_options="default"))
 
@@ -1024,12 +1039,13 @@ def streaming_dedup_by_id(micro_batches, key: str = "k",
     """Drive :class:`StreamDedupState` over time-ordered micro-batches
     (each slice must carry integer ``key``, ``ts``, ``event_id``
     columns; null keys are excluded upstream like the batch query).
-    Returns the union of emitted (k, event_id) first-occurrence rows —
-    equal to the batch ``dedup_first_by_key`` over the concatenated
-    stream for any split (tested). ``checkpoint_to`` SUSPENDS the
-    stream (seen keys and deferred watermark rows stay in the
-    snapshot; no end-of-stream flush), so run-1 rows ∪ run-2 rows ≡
-    batch with no duplicates."""
+    Returns the union of emitted (key, event_id) first-occurrence
+    rows (null-key rows pass through untouched, like the batch
+    kernel) — equal to the batch ``dedup_first_by_key`` over the
+    concatenated stream for any split (tested). ``checkpoint_to``
+    SUSPENDS the stream (seen keys and deferred watermark rows stay
+    in the snapshot; no end-of-stream flush), so run-1 rows ∪ run-2
+    rows ≡ batch with no duplicates."""
     import ray
 
     actors, parts = _drive_keyed_actors(micro_batches, StreamDedupState,
@@ -1041,9 +1057,10 @@ def streaming_dedup_by_id(micro_batches, key: str = "k",
         for flushed in ray.get([a.flush.remote() for a in actors]):
             parts.extend(flushed.to_pylist())
     if not parts:
-        return StreamDedupState._EMPTY
+        return pa.table({key: pa.array([], pa.int64()),
+                         "event_id": pa.array([], pa.int64())})
     return pa.Table.from_pylist(parts).sort_by(
-        [("k", "ascending")])
+        [(key, "ascending"), ("event_id", "ascending")])
 
 
 class LatestEventState:

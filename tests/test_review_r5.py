@@ -129,3 +129,57 @@ def test_cdc_apply_checkpoint_passthrough(ray_session, tmp_path):
                               restore_from=ck)
     assert got.to_pylist() == full.to_pylist()
     assert sorted(got.column("user_id").to_pylist()) == [2, 3]
+
+
+def test_stream_dedup_null_passthrough_and_key_name(ray_session):
+    """Null-key rows pass through untouched (batch ES create-op
+    parity) and the output keeps the caller's key column name."""
+    import ray.data as rd
+
+    from raybeats.streaming import streaming_dedup_by_id
+
+    t = pa.table({
+        "doc_id": pa.array([5, None, 5, None, 8], pa.int64()),
+        "ts": pa.array([0, 1, 2, 3, 4], pa.int64())
+        .cast(pa.timestamp("us")),
+        "event_id": pa.array([10, 11, 12, 13, 14], pa.int64())})
+    got = streaming_dedup_by_id([rd.from_arrow(t)], key="doc_id",
+                                n_buckets=2)
+    assert got.column_names == ["doc_id", "event_id"]
+    rows = sorted(got.to_pylist(),
+                  key=lambda r: (r["doc_id"] is None, r["doc_id"],
+                                 r["event_id"]))
+    # first occurrence of 5 and 8 survive; BOTH null rows pass through
+    assert rows == [
+        {"doc_id": 5, "event_id": 10}, {"doc_id": 8, "event_id": 14},
+        {"doc_id": None, "event_id": 11},
+        {"doc_id": None, "event_id": 13}]
+
+
+def test_triangle_runtime_guard_aborts_to_distributed(
+        ray_session, tmp_path):
+    """A bulk order (20 items — (L-1)/2 ≈ 9.5 pairs/row, far past the
+    ≤7-item heuristic) with a budget between the pre-switch estimate
+    and the true pair count: the broadcast fold's runtime guard must
+    abort to the distributed plan and still match the oracle."""
+    import pyarrow.parquet as pq_mod
+
+    from raybeats.queries import QUERIES, q_triangle_parts
+    parts = list(range(20))
+    rows = [(1, p) for p in parts] + [(2, 1), (2, 2)]
+    pq_mod.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64())}),
+        tmp_path / "lineitem.parquet")
+    # n_li = 22 -> pre-switch estimate 66 < budget 100 (broadcast
+    # starts); raw pair keys C(20,2)=190 > 125 = 1.25x budget (guard
+    # fires -> distributed plan finishes the query)
+    got = q_triangle_parts(str(tmp_path), edge_budget=100)
+    bcast = q_triangle_parts(str(tmp_path), edge_budget=1 << 40)
+    assert got.to_pylist() == bcast.to_pylist()
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"'{tmp_path}/lineitem.parquet'")
+    want = con.execute(QUERIES["triangle_parts"][1]).arrow()
+    assert got.to_pylist() == want.to_pylist()
