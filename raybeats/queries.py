@@ -12769,15 +12769,14 @@ def _triangle_counts_cogroup(edges, n_buckets: int) -> pa.Table:
        (src, dst) once, shift-enumerate neighbor pairs (positions
        i, i+k share a src; dst strictly increasing ⇒ wedge already
        (lo, hi)-ordered, out-degree capped O(√m) by the orientation)
-       into wedge rows keyed (w1<<32)|w2 — UNIONed with the oriented
-       edges re-keyed the same way, both bucketed by that key, so
-       the closing-edge probe is a group-local searchsorted of wedge
-       keys into the group's edge keys. Per-group pre-aggregated
-       (node, cnt) partials are the only thing the driver ever folds.
-
-    The oriented-edge dataset feeds two consumers (wedge side + edge
-    side), so it is materialized ONCE into the object store —
-    distributed blocks, spillable, never concatenated anywhere.
+       into wedge rows keyed (w1<<32)|w2. The SAME group also emits
+       its own edges re-keyed (lo<<32)|hi (each oriented edge lives
+       in exactly one src group), so one output stream carries both
+       sides — no materialize, no second consumer, no union. Both
+       row kinds bucket by that key, and the closing-edge probe is a
+       group-local searchsorted of wedge keys into the group's edge
+       keys. Per-group pre-aggregated (node, cnt) partials are the
+       only thing the driver ever folds.
     """
     import numpy as np
 
@@ -12830,9 +12829,9 @@ def _triangle_counts_cogroup(edges, n_buckets: int) -> pa.Table:
             "bucket", int_bucket(out.column("src"), n_buckets))
 
     oriented = degreed.groupby("bucket").map_groups(
-        orient_grp, batch_format="pyarrow").materialize()
+        orient_grp, batch_format="pyarrow")
 
-    def wedge_rows_grp(g: pa.Table) -> pa.Table:
+    def wedge_edge_rows_grp(g: pa.Table) -> pa.Table:
         s = g.column("src").to_numpy(zero_copy_only=False)
         d = g.column("dst").to_numpy(zero_copy_only=False)
         order = np.lexsort((d, s))
@@ -12841,30 +12840,24 @@ def _triangle_counts_cogroup(edges, n_buckets: int) -> pa.Table:
         for c, w1, w2 in _iter_wedges(s, d):
             keys.append((w1 << np.int64(32)) | w2)
             cens.append(c)
-        key = np.concatenate(keys) if keys else np.array([], np.int64)
+        wkey = np.concatenate(keys) if keys else np.array([], np.int64)
         cen = np.concatenate(cens) if cens else np.array([], np.int64)
+        # edge side from the same group: each oriented edge lives in
+        # exactly ONE src group, so no dedup/materialize is needed
+        ekey = (np.minimum(s, d) << np.int64(32)) | np.maximum(s, d)
         out = pa.table({
-            "key": pa.array(key, pa.int64()),
-            "center": pa.array(cen, pa.int64()),
-            "side": pa.array(np.zeros(len(key), np.int8), pa.int8())})
+            "key": pa.array(np.concatenate([wkey, ekey]), pa.int64()),
+            "center": pa.array(
+                np.concatenate([cen, np.zeros(len(ekey), np.int64)]),
+                pa.int64()),
+            "side": pa.array(np.concatenate(
+                [np.zeros(len(wkey), np.int8),
+                 np.ones(len(ekey), np.int8)]), pa.int8())})
         return out.append_column(
             "bucket", int_bucket(out.column("key"), n_buckets))
 
-    def edge_side(t: pa.Table) -> pa.Table:
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        key = (np.minimum(s, d) << np.int64(32)) | np.maximum(s, d)
-        out = pa.table({
-            "key": pa.array(key, pa.int64()),
-            "center": pa.array(np.zeros(len(key), np.int64),
-                               pa.int64()),
-            "side": pa.array(np.ones(len(key), np.int8), pa.int8())})
-        return out.append_column(
-            "bucket", int_bucket(out.column("key"), n_buckets))
-
-    wedges = oriented.groupby("bucket").map_groups(
-        wedge_rows_grp, batch_format="pyarrow")
-    edge_keys = oriented.map_batches(edge_side, batch_format="pyarrow")
+    both = oriented.groupby("bucket").map_groups(
+        wedge_edge_rows_grp, batch_format="pyarrow")
 
     def probe_grp(g: pa.Table) -> pa.Table:
         side = g.column("side").to_numpy(zero_copy_only=False)
@@ -12892,7 +12885,7 @@ def _triangle_counts_cogroup(edges, n_buckets: int) -> pa.Table:
     seed = pa.table({"node": pa.array([], pa.int64()),
                      "cnt": pa.array([], pa.int64())})
     return _combine_partials(
-        wedges.union(edge_keys).groupby("bucket").map_groups(
+        both.groupby("bucket").map_groups(
             probe_grp, batch_format="pyarrow"),
         ["node"], {"cnt": "n_triangles"}, seed=seed)
 
