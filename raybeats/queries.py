@@ -12705,11 +12705,16 @@ def q_triangle_parts(sf_dir: str, *, edge_budget: int | None = None):
                          "cnt": pa.array(cnt.astype(np.int64),
                                          pa.int64())})
 
+    # seed: a triangle-free graph with edges leaves every wedge
+    # partial empty, and Ray drops 0-row outputs — without the seed
+    # the driver concat would have no tables at all
     counts = _combine_partials(
         rd.from_arrow_refs(chunk_refs)
         .map_batches(wedge_grp, batch_size=None,
                      batch_format="pyarrow"),
-        ["node"], {"cnt": "n_triangles"})
+        ["node"], {"cnt": "n_triangles"},
+        seed=pa.table({"node": pa.array([], pa.int64()),
+                       "cnt": pa.array([], pa.int64())}))
     return _triangle_top25(counts)
 
 

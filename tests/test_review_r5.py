@@ -183,3 +183,22 @@ def test_triangle_runtime_guard_aborts_to_distributed(
                 f"'{tmp_path}/lineitem.parquet'")
     want = con.execute(QUERIES["triangle_parts"][1]).arrow()
     assert got.to_pylist() == want.to_pylist()
+
+
+def test_triangle_free_graph_both_plans(ray_session, tmp_path):
+    """A graph WITH edges but NO triangles: both plans must return an
+    empty 25-row-capped result, not crash (the broadcast plan's wedge
+    partials are all empty and Ray drops 0-row outputs — the seeded
+    combine is what keeps the driver concat well-defined)."""
+    import pyarrow.parquet as pq_mod
+
+    from raybeats.queries import q_triangle_parts
+    rows = [(1, 0), (1, 1), (2, 1), (2, 2)]  # path 0-1-2: no triangle
+    pq_mod.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64())}),
+        tmp_path / "lineitem.parquet")
+    bcast = q_triangle_parts(str(tmp_path), edge_budget=1 << 40)
+    dist = q_triangle_parts(str(tmp_path), edge_budget=0)
+    assert bcast.num_rows == 0 and dist.num_rows == 0
+    assert bcast.column_names == ["l_partkey", "n_triangles"]

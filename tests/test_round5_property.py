@@ -22,7 +22,7 @@ texts = st.lists(
 
 @settings(max_examples=200, deadline=None)
 @given(vals=texts, data=st.data())
-def test_slice_varstart_matches_python(ray_session, vals, data):
+def test_slice_varstart_matches_python(vals, data):
     from raybeats.queries import _slice_varstart
     n = len(vals)
     st_pos = data.draw(st.lists(st.integers(-15, 15),
