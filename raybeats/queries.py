@@ -12758,7 +12758,9 @@ def _triangle_counts_cogroup(edges, n_buckets: int) -> pa.Table:
     big-graph plan of :func:`q_triangle_parts` (same semantics as the
     driver-broadcast plan; see its docstring for the switch).
 
-    Four bucketed cogroups, each holding only its own slice:
+    Five bucketed cogroup exchanges after the shared Stage A (steps
+    1–4 below; step 4's output feeds the final key-bucket probe
+    cogroup), each holding only its own slice:
 
     1. edge-key bucket — ``pairs_grp``'s locally-deduped keys arrive
        hashed by key, so a group-local ``np.unique`` IS the global
